@@ -1,0 +1,495 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Core relational operator inventory (SURVEY.md §2.1): scan, filter,
+  * project, aggregate, all join types, sort/limit/top-K, set ops,
+  * rollup/cube/grouping sets, explode, window.
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *  - Aggregations are expressed with `groupBy().agg()` so Spark plans
+  *    partial (map-side) + final aggregation around one shuffle.
+  *  - Dimension tables (region/nation/supplier) are broadcast explicitly;
+  *    fact-fact joins shuffle on their equi-keys and AQE handles skew.
+  *  - Double-typed measures are cast to DECIMAL(18,2) before SUM so the
+  *    result is order-independent (exact decimal accumulation) — a
+  *    nondeterministic float sum would not be reproducible across runs,
+  *    partitionings, or engines. Final cast back to double is one
+  *    deterministic conversion.
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent accumulation type for money-like doubles. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private val decSql = "DECIMAL(18,2)"
+  private def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+  private def sumDecSql(c: String): String =
+    s"CAST(sum(CAST($c AS $decSql)) AS DOUBLE)"
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q01_tpch_q1",
+      (s, dir) => {
+        import s.implicits._
+        val one = lit(1).cast("decimal(18,2)")
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sumDec($"l_quantity").as("sum_qty"),
+            sumDec($"l_extendedprice").as("sum_base_price"),
+            sum(dec($"l_extendedprice") * (one - dec($"l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum((dec($"l_extendedprice") * (one - dec($"l_discount")))
+              .cast("decimal(18,4)") * (one + dec($"l_tax")))
+              .cast("double").as("sum_charge"),
+            (sumDec($"l_quantity") / count(lit(1))).as("avg_qty"),
+            (sumDec($"l_extendedprice") / count(lit(1))).as("avg_price"),
+            (sumDec($"l_discount") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sumDecSql("l_quantity")} AS sum_qty,
+        ${sumDecSql("l_extendedprice")} AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS $decSql) * (CAST(1 AS $decSql) - CAST(l_discount AS $decSql))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(CAST(l_extendedprice AS $decSql) * (CAST(1 AS $decSql) - CAST(l_discount AS $decSql)) AS DECIMAL(18,4)) * (CAST(1 AS $decSql) + CAST(l_tax AS $decSql))) AS DOUBLE) AS sum_charge,
+        ${sumDecSql("l_quantity")} / count(*) AS avg_qty,
+        ${sumDecSql("l_extendedprice")} / count(*) AS avg_price,
+        ${sumDecSql("l_discount")} / count(*) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "TPC-H Q1: scan→filter→project→partial/final agg→sort. Exercises every structural mechanism; filter pushes to parquet scan."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        val one = lit(1).cast("decimal(18,2)")
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_quantity".between(10, 30) && $"l_discount" > 0.02 &&
+            $"l_returnflag" =!= "A")
+          .select(
+            $"l_orderkey", $"l_linenumber",
+            (dec($"l_extendedprice") * (one - dec($"l_discount")))
+              .cast("double").as("revenue"),
+            concat($"l_returnflag", lit("/"), $"l_linestatus").as("flag"))
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS $decSql) * (CAST(1 AS $decSql) - CAST(l_discount AS $decSql)) AS DOUBLE) AS revenue,
+        l_returnflag || '/' || l_linestatus AS flag
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 30 AND l_discount > 0.02 AND l_returnflag <> 'A'"""),
+      doc = "Filter + arithmetic projection; predicate and column pruning push to the scan."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q03_join_agg_topk",
+      (s, dir) => {
+        import s.implicits._
+        val one = lit(1).cast("decimal(18,2)")
+        val c = Tables.t(s, dir, "customer")
+          .filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+        val o = Tables.t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val l = Tables.t(s, dir, "lineitem")
+        // customer is the small filtered side → broadcast; orders⋈lineitem
+        // shuffles on the join key (both huge at scale).
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+        CAST(sum(CAST(l_extendedprice AS $decSql) * (CAST(1 AS $decSql) - CAST(l_discount AS $decSql))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+      doc = "TPC-H Q3-ish: 3-way join (broadcast dim + shuffled fact-fact), agg, top-K with deterministic tie-break."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q04_left_join_agg",
+      (s, dir) => {
+        import s.implicits._
+        val perOrder = Tables.t(s, dir, "lineitem")
+          .filter($"l_quantity" > 40)
+          .groupBy($"l_orderkey").agg(count(lit(1)).as("n_items"))
+        Tables.t(s, dir, "orders")
+          .join(perOrder, $"o_orderkey" === $"l_orderkey", "left")
+          .select($"o_orderkey", coalesce($"n_items", lit(0L)).as("n_big_items"))
+          .groupBy($"n_big_items").agg(count(lit(1)).as("n_orders"))
+          .orderBy($"n_big_items")
+      },
+      Some("""SELECT n_big_items, count(*) AS n_orders FROM (
+          SELECT o_orderkey, coalesce(n_items, 0) AS n_big_items
+          FROM orders LEFT JOIN (
+            SELECT l_orderkey, count(*) AS n_items FROM lineitem
+            WHERE l_quantity > 40 GROUP BY l_orderkey) li
+          ON o_orderkey = li.l_orderkey)
+        GROUP BY n_big_items ORDER BY n_big_items"""),
+      doc = "Left outer join against pre-aggregated subquery (aggregate-before-join shrinks the shuffle)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q05_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        val l = Tables.t(s, dir, "lineitem").filter($"l_quantity" >= 49)
+        Tables.t(s, dir, "orders")
+          .join(l, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sumDec($"o_totalprice").as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n, ${sumDecSql("o_totalprice")} AS total
+        FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "Left-semi join (EXISTS); semi-join dedups build side before probing."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q06_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        val l = Tables.t(s, dir, "lineitem").filter($"l_quantity" > 45)
+        Tables.t(s, dir, "orders")
+          .join(l, $"o_orderkey" === $"l_orderkey", "left_anti")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+        FROM orders WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "Left-anti join (NOT EXISTS)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q07_full_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer").filter($"c_nationkey" < 15)
+          .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val p = Tables.t(s, dir, "supplier").filter($"s_nationkey" >= 10)
+          .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+        c.join(p, $"c_nationkey" === $"s_nationkey", "full_outer")
+          .select(
+            coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+            coalesce($"n_cust", lit(0L)).as("n_cust"),
+            coalesce($"n_supp", lit(0L)).as("n_supp"))
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+          coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer WHERE c_nationkey < 15 GROUP BY c_nationkey) c
+        FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey) p
+        ON c_nationkey = s_nationkey
+        ORDER BY nationkey"""),
+      doc = "Full outer join with unmatched rows on both sides."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q08_null_aware_anti",
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        // NOT IN over a nullable subquery → Spark plans a null-aware anti
+        // join (the reference's hardest join case, SURVEY §7.4).
+        s.sql("""SELECT c_mktsegment, count(*) AS n
+          FROM customer
+          WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, -1) FROM supplier WHERE s_nationkey < 5)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, -1) FROM supplier WHERE s_nationkey < 5)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "Null-aware anti join (NOT IN with nullable subquery)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q09_cross_join",
+      (s, dir) => {
+        import s.implicits._
+        val r1 = Tables.t(s, dir, "region").select($"r_regionkey".as("k1"), $"r_name".as("name1"))
+        val r2 = Tables.t(s, dir, "region").select($"r_regionkey".as("k2"), $"r_name".as("name2"))
+        r1.crossJoin(r2).filter($"k1" < $"k2")
+          .select($"name1", $"name2").orderBy($"name1", $"name2")
+      },
+      Some("""SELECT a.r_name AS name1, b.r_name AS name2
+        FROM region a CROSS JOIN region b
+        WHERE a.r_regionkey < b.r_regionkey ORDER BY 1, 2"""),
+      doc = "Cartesian product (tiny dims only — never viable fact×fact at scale)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q10_sort_limit_offset",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          .offset(5).limit(20)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5"""),
+      doc = "Global sort + limit/offset; Spark plans TakeOrderedAndProject (per-partition top-K, single merge)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q11_topk",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "part")
+          .orderBy($"p_retailprice".desc, $"p_partkey")
+          .limit(15)
+          .select($"p_partkey", $"p_name", $"p_retailprice")
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 15"""),
+      doc = "Top-K (TakeOrderedAndProjectExec): no full sort, per-partition heap + driver merge."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q12_distinct",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus").distinct()
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "Distinct → partial-agg before shuffle (map-side dedup)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q13_union_all",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer").select($"c_nationkey".cast("int").as("k"))
+        val p = Tables.t(s, dir, "supplier").select($"s_nationkey".cast("int").as("k"))
+        c.unionAll(p).groupBy($"k").agg(count(lit(1)).as("n")).orderBy($"k")
+      },
+      Some("""SELECT k, count(*) AS n FROM (
+          SELECT c_nationkey AS k FROM customer
+          UNION ALL SELECT s_nationkey AS k FROM supplier)
+        GROUP BY k ORDER BY k"""),
+      doc = "UNION ALL: partition concatenation, no shuffle until the agg."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q14_union_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer").select($"c_nationkey".cast("int").as("k"))
+        val p = Tables.t(s, dir, "supplier").select($"s_nationkey".cast("int").as("k"))
+        c.union(p).distinct().orderBy($"k")
+      },
+      Some("""SELECT c_nationkey AS k FROM customer
+        UNION SELECT s_nationkey AS k FROM supplier ORDER BY k"""),
+      doc = "UNION DISTINCT = union + dedup agg."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q15_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer").filter($"c_acctbal" > 0)
+          .select($"c_nationkey".cast("int").as("k"))
+        val p = Tables.t(s, dir, "supplier").select($"s_nationkey".cast("int").as("k"))
+        c.intersect(p).orderBy($"k")
+      },
+      Some("""SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 0
+        INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k"""),
+      doc = "INTERSECT — Spark plans it as a left-semi join (reference falls back; we inherit)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q16_except",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer").select($"c_nationkey".cast("int").as("k"))
+        val p = Tables.t(s, dir, "supplier").filter($"s_nationkey" < 20)
+          .select($"s_nationkey".cast("int").as("k"))
+        c.except(p).orderBy($"k")
+      },
+      Some("""SELECT c_nationkey AS k FROM customer
+        EXCEPT SELECT s_nationkey AS k FROM supplier WHERE s_nationkey < 20 ORDER BY k"""),
+      doc = "EXCEPT — planned as left-anti join."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q17_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), sumDec($"l_quantity").as("qty"),
+            grouping($"l_returnflag").cast("int").as("g1"),
+            grouping($"l_linestatus").cast("int").as("g2"))
+          .orderBy($"g1", $"g2", $"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          ${sumDecSql("l_quantity")} AS qty,
+          CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g1, g2, l_returnflag, l_linestatus"""),
+      doc = "ROLLUP → ExpandExec (N projections per row) + single agg; grouping() disambiguates NULL groups."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q18_cube",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            grouping($"o_orderstatus").cast("int").as("g1"),
+            grouping($"o_orderpriority").cast("int").as("g2"))
+          .orderBy($"g1", $"g2", $"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(grouping(o_orderstatus) AS INT) AS g1, CAST(grouping(o_orderpriority) AS INT) AS g2
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g1, g2, o_orderstatus, o_orderpriority"""),
+      doc = "CUBE via ExpandExec."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q19_grouping_sets",
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            CAST(grouping(o_orderstatus) AS INT) AS g1, CAST(grouping(o_orderpriority) AS INT) AS g2
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g1, g2, o_orderstatus, o_orderpriority""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(grouping(o_orderstatus) AS INT) AS g1, CAST(grouping(o_orderpriority) AS INT) AS g2
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g1, g2, o_orderstatus, o_orderpriority"""),
+      doc = "Explicit GROUPING SETS."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q20_explode_wordcount",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"word")
+          .limit(30)
+      },
+      Some("""SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 30"""),
+      doc = "explode(split()) → GenerateExec; classic wordcount. Generate happens before the shuffle so only (word,1) pairs move."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q21_posexplode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .filter($"doc_id" < 10)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      },
+      Some("""SELECT doc_id,
+          unnest(range(0, len(string_split(text, ' ')))) AS pos,
+          unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id < 10"""),
+      doc = "posexplode — beyond the reference (it only supports explode/explode_outer)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q22_window_running",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "events")
+          .filter($"user_id" < 50)
+          .select($"event_id", $"user_id",
+            sum(dec($"value")).over(w).cast("double").as("running_value"),
+            count(lit(1)).over(w).as("running_n"))
+          .orderBy($"event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+          CAST(sum(CAST(value AS $decSql)) OVER w AS DOUBLE) AS running_value,
+          count(*) OVER w AS running_n
+        FROM events WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""),
+      doc = "Running aggregate over ROWS window frame; decimal accumulation keeps it exact."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q23_window_rank",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        Tables.t(s, dir, "orders")
+          .filter($"o_custkey" < 100)
+          .select($"o_orderkey", $"o_custkey",
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            lag($"o_orderkey", 1).over(w).as("prev_key"),
+            lead($"o_orderkey", 1).over(w).as("next_key"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+          lag(o_orderkey, 1) OVER w AS prev_key, lead(o_orderkey, 1) OVER w AS next_key,
+          ntile(4) OVER w AS quartile
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_orderkey"""),
+      doc = "Ranking window functions — beyond the reference (it falls back on rank/row_number/ntile)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q24_window_range",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+          .rangeBetween(-1000, Window.currentRow)
+        Tables.t(s, dir, "orders")
+          .filter($"o_custkey" < 200)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+            count(lit(1)).over(w).as("peers_within_1000"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+          count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS peers_within_1000
+        FROM orders WHERE o_custkey < 200
+        ORDER BY o_orderkey"""),
+      doc = "RANGE window frame with numeric offset.")
+  )
+}
