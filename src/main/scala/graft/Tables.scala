@@ -16,13 +16,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register all tables of `dir` as temp views so queries can use
-    * `spark.sql` — the same names the DuckDB oracle uses.
+  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
+    * Spark 4.x rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw nanos
+    * as a long via the legacy conf, then truncate to micros — identical to
+    * what DuckDB does on read (its TIMESTAMP is micros), so oracle SQL can
+    * use `ts` directly. All values are post-epoch, so integer division
+    * truncation == cast truncation.
     */
-  def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Register tables of `dir` as temp views so queries can use
+    * `spark.sql` — the same names the DuckDB oracle uses. Register only
+    * what the query needs: an unreadable table must not poison unrelated
+    * SQL (ADVICE r1).
+    */
+  def registerViews(spark: SparkSession, dir: String,
+      only: Seq[String] = names): Unit =
+    only.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 }
 
 /** One inventory entry: a Spark implementation plus (when SQL-expressible)

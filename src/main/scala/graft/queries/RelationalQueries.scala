@@ -82,12 +82,14 @@ object RelationalQueries {
             (dec($"l_extendedprice") * (one - dec($"l_discount")))
               .cast("double").as("revenue"),
             concat($"l_returnflag", lit("/"), $"l_linestatus").as("flag"))
+          .orderBy($"l_orderkey", $"l_linenumber")
       },
       Some(s"""SELECT l_orderkey, l_linenumber,
         CAST(CAST(l_extendedprice AS $decSql) * (CAST(1 AS $decSql) - CAST(l_discount AS $decSql)) AS DOUBLE) AS revenue,
         l_returnflag || '/' || l_linestatus AS flag
         FROM lineitem
-        WHERE l_quantity BETWEEN 10 AND 30 AND l_discount > 0.02 AND l_returnflag <> 'A'"""),
+        WHERE l_quantity BETWEEN 10 AND 30 AND l_discount > 0.02 AND l_returnflag <> 'A'
+        ORDER BY l_orderkey, l_linenumber"""),
       doc = "Filter + arithmetic projection; predicate and column pruning push to the scan."),
 
     // ----------------------------------------------------------------
@@ -208,7 +210,7 @@ object RelationalQueries {
     QueryDef(
       "q08_null_aware_anti",
       (s, dir) => {
-        Tables.registerViews(s, dir)
+        Tables.registerViews(s, dir, Seq("customer", "supplier"))
         // NOT IN over a nullable subquery → Spark plans a null-aware anti
         // join (the reference's hardest join case, SURVEY §7.4).
         s.sql("""SELECT c_mktsegment, count(*) AS n
@@ -375,7 +377,7 @@ object RelationalQueries {
     QueryDef(
       "q19_grouping_sets",
       (s, dir) => {
-        Tables.registerViews(s, dir)
+        Tables.registerViews(s, dir, Seq("orders"))
         s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
             CAST(grouping(o_orderstatus) AS INT) AS g1, CAST(grouping(o_orderpriority) AS INT) AS g2
           FROM orders
@@ -413,11 +415,12 @@ object RelationalQueries {
         Tables.t(s, dir, "documents")
           .filter($"doc_id" < 10)
           .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+          .orderBy($"doc_id", $"pos")
       },
       Some("""SELECT doc_id,
           unnest(range(0, len(string_split(text, ' ')))) AS pos,
           unnest(string_split(text, ' ')) AS word
-        FROM documents WHERE doc_id < 10"""),
+        FROM documents WHERE doc_id < 10 ORDER BY doc_id, pos"""),
       doc = "posexplode — beyond the reference (it only supports explode/explode_outer)."),
 
     // ----------------------------------------------------------------

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf dir's parquet tables, compare with the Spark parquet
+dump (columns sorted by name, rows sorted, values normalized). Usage:
+  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, math, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bytes): return v.hex()
+    if isinstance(v, list): return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict): return "{" + ",".join(f"{k}:{norm(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+fails = []
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_dir = f"{outdir}/{name}"
+    if not os.path.isdir(spark_dir):
+        fails.append((name, "no spark output")); continue
+    try:
+        sr = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        scols = [d[0] for d in sr.description]; srows = sr.fetchall()
+        orr = con.execute(sql)
+        ocols = [d[0] for d in orr.description]; orows = orr.fetchall()
+    except Exception as e:
+        fails.append((name, f"exec error: {e}")); continue
+    sc, sv = canon(scols, srows)
+    oc, ov = canon(ocols, orows)
+    if sc != oc:
+        fails.append((name, f"schema mismatch spark={sc} oracle={oc}")); continue
+    if len(sv) != len(ov):
+        fails.append((name, f"rowcount spark={len(sv)} oracle={len(ov)}")); continue
+    if sv != ov:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if a != b)
+        fails.append((name, f"value mismatch at row {diff[0]}: spark={diff[1]} oracle={diff[2]}")); continue
+    print(f"OK   {name} ({len(sv)} rows)")
+
+for name, why in fails:
+    print(f"FAIL {name}: {why[:300]}")
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} green")
+sys.exit(1 if fails else 0)
