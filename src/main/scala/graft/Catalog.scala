@@ -8,7 +8,10 @@ import graft.queries._
   */
 object Catalog {
   def all: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++
+    TemporalQueries.all ++
+    StringQueries.all ++
+    MathQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */
