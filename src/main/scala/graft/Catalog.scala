@@ -11,7 +11,11 @@ object Catalog {
     RelationalQueries.all ++
     TemporalQueries.all ++
     StringQueries.all ++
-    MathQueries.all
+    MathQueries.all ++
+    AggregateQueries.all ++
+    HashBitwiseQueries.all ++
+    CollectionQueries.all ++
+    CastQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Aggregate long tail (SURVEY §2.3, reference serde/aggregates.scala:
+  * 35-687): min/max/avg, variance family, corr/covar, first/last,
+  * bit aggregates, collect_set, count(DISTINCT), FILTER clauses.
+  *
+  * Determinism rules (these run on 32 shuffle partitions — any
+  * order-dependent float accumulation would flake):
+  *  - avg is exercised on integers (exact in double up to 2^53) and the
+  *    decimal ratio form for doubles.
+  *  - variance/corr/covar are single-pass merges in both engines with
+  *    ~1e-12 relative error → both sides round at a magnitude-appropriate
+  *    decimal place.
+  *  - first/last are only deterministic when the aggregated value is
+  *    functionally dependent on the group key — exercised exactly so.
+  *  - collect_set is sorted on both sides before comparison.
+  * All of these plan as partial+final HashAggregate (collect_set →
+  * ObjectHashAggregate) around a single shuffle — the 100 TB shape.
+  */
+object AggregateQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private val decSql = "DECIMAL(18,2)"
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q36_agg_minmax_avg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            min($"l_quantity").as("min_qty"),
+            max($"l_quantity").as("max_qty"),
+            min($"l_shipdate").as("min_ship"),
+            max($"l_shipdate").as("max_ship"),
+            min($"l_linestatus").as("min_status"),
+            max($"l_linestatus").as("max_status"),
+            avg($"l_linenumber").as("avg_ln"),
+            (sum(dec($"l_extendedprice")).cast("double") / count(lit(1)))
+              .as("avg_price"),
+            count($"l_quantity").as("n_nonnull"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+          min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+          min(l_linestatus) AS min_status, max(l_linestatus) AS max_status,
+          avg(l_linenumber) AS avg_ln,
+          CAST(sum(CAST(l_extendedprice AS $decSql)) AS DOUBLE) / count(*) AS avg_price,
+          count(l_quantity) AS n_nonnull
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "min/max over double+timestamp+string, avg over int (exact) and decimal-ratio avg over double."),
+
+    QueryDef(
+      "q37_agg_variance",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(stddev_pop($"l_extendedprice"), 2).as("sd_pop"),
+            round(stddev_samp($"l_extendedprice"), 2).as("sd_samp"),
+            round(var_pop($"l_quantity"), 4).as("v_pop"),
+            round(var_samp($"l_quantity"), 4).as("v_samp"),
+            round(corr($"l_quantity", $"l_extendedprice"), 6).as("cr"),
+            round(covar_pop($"l_quantity", $"l_discount"), 6).as("cv_pop"),
+            round(covar_samp($"l_quantity", $"l_discount"), 6).as("cv_samp"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          round(stddev_pop(l_extendedprice), 2) AS sd_pop,
+          round(stddev_samp(l_extendedprice), 2) AS sd_samp,
+          round(var_pop(l_quantity), 4) AS v_pop,
+          round(var_samp(l_quantity), 4) AS v_samp,
+          round(corr(l_quantity, l_extendedprice), 6) AS cr,
+          round(covar_pop(l_quantity, l_discount), 6) AS cv_pop,
+          round(covar_samp(l_quantity, l_discount), 6) AS cv_samp
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "stddev/var/corr/covar families, rounded at magnitude-appropriate places for merge-order independence."),
+
+    QueryDef(
+      "q38_agg_misc",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem").filter($"l_orderkey" < 2000)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            first(concat($"l_returnflag", $"l_linestatus")).as("fst"),
+            last(concat($"l_linestatus", $"l_returnflag")).as("lst"),
+            bit_and($"l_linenumber").cast("long").as("b_and"),
+            bit_or($"l_linenumber").cast("long").as("b_or"),
+            bit_xor($"l_linenumber").cast("long").as("b_xor"),
+            countDistinct($"l_partkey").as("n_parts"),
+            array_sort(collect_set($"l_linenumber")).as("lns"),
+            expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
+            expr(s"CAST(sum(CAST(l_quantity AS $decSql)) FILTER (WHERE l_discount > 0.05) AS DOUBLE)")
+              .as("qty_disc"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          l_returnflag || l_linestatus AS fst,
+          l_linestatus || l_returnflag AS lst,
+          CAST(bit_and(l_linenumber) AS BIGINT) AS b_and,
+          CAST(bit_or(l_linenumber) AS BIGINT) AS b_or,
+          CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor,
+          count(DISTINCT l_partkey) AS n_parts,
+          list_sort(list(DISTINCT l_linenumber)) AS lns,
+          count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          CAST(sum(CAST(l_quantity AS $decSql)) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_disc
+        FROM lineitem WHERE l_orderkey < 2000
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+      doc = "first/last (group-constant → deterministic), bit_and/or/xor, count(DISTINCT), sorted collect_set (ObjectHashAggregate), per-aggregate FILTER clauses.")
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Arrays / maps / structs / JSON expression surfaces (SURVEY §2.2;
+  * reference serde/arrays.scala 814 LoC, maps.scala, structs.scala,
+  * json handlers in strings.scala/structs.scala).
+  *
+  * Cross-engine comparison rules:
+  *  - Operations whose output order Spark defines by input order (slice,
+  *    filter, flatten) compare directly; set-like ops (distinct, union,
+  *    intersect, except) are sorted on both sides because DuckDB's
+  *    ordering is unspecified.
+  *  - DuckDB list_position returns NULL for missing → coalesce(…, 0) to
+  *    match Spark's 0.
+  *  - Map results are projected to sorted keys / looked-up values —
+  *    engines don't agree on map physical order, scalars always compare.
+  */
+object CollectionQueries {
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q42_arrays",
+      (s, dir) => {
+        import s.implicits._
+        val words = split($"text", " ")
+        Tables.t(s, dir, "documents").filter($"doc_id" < 20)
+          .select($"doc_id",
+            size(words).cast("long").as("n"),
+            slice(words, 1, 5).as("first5"),
+            array_sort(array_distinct(words)).as("uniq"),
+            array_contains(words, "data").as("has_data"),
+            array_position(words, "data").as("pos_data"),
+            element_at(words, 3).as("third"),
+            array_max(words).as("mx"),
+            array_min(words).as("mn"),
+            array_join(slice(words, 1, 4), "|").as("joined"),
+            arrays_overlap(words, array(lit("data"), lit("zz"))).as("ovl"),
+            array_sort(array_intersect(words, array(lit("data"), lit("table"), lit("zz")))).as("inter"),
+            array_sort(array_union(slice(words, 1, 3), array(lit("zz")))).as("uni"),
+            array_sort(array_except(array_distinct(slice(words, 1, 6)), array(lit("a"), lit("the")))).as("exc"),
+            array_repeat(lit("z"), 3).as("rep3"),
+            array_append(slice(words, 1, 2), "tail").as("app"),
+            flatten(array(slice(words, 1, 2), slice(words, 3, 2))).as("flat"),
+            filter(words, w => length(w) > 4).as("longwords"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          len(string_split(text, ' ')) AS n,
+          (string_split(text, ' '))[1:5] AS first5,
+          list_sort(list_distinct(string_split(text, ' '))) AS uniq,
+          list_contains(string_split(text, ' '), 'data') AS has_data,
+          coalesce(list_position(string_split(text, ' '), 'data'), 0) AS pos_data,
+          (string_split(text, ' '))[3] AS third,
+          list_max(string_split(text, ' ')) AS mx,
+          list_min(string_split(text, ' ')) AS mn,
+          array_to_string((string_split(text, ' '))[1:4], '|') AS joined,
+          list_has_any(string_split(text, ' '), ['data', 'zz']) AS ovl,
+          list_sort(list_intersect(string_split(text, ' '), ['data', 'table', 'zz'])) AS inter,
+          list_sort(list_distinct(list_concat((string_split(text, ' '))[1:3], ['zz']))) AS uni,
+          list_sort(list_filter(list_distinct((string_split(text, ' '))[1:6]),
+            x -> NOT list_contains(['a', 'the'], x))) AS exc,
+          ['z', 'z', 'z'] AS rep3,
+          list_append((string_split(text, ' '))[1:2], 'tail') AS app,
+          list_concat((string_split(text, ' '))[1:2], (string_split(text, ' '))[3:4]) AS flat,
+          list_filter(string_split(text, ' '), x -> len(x) > 4) AS longwords
+        FROM documents WHERE doc_id < 20 ORDER BY doc_id"""),
+      doc = "Array surface: size/slice/distinct/contains/position/element_at/max/min/join/overlap/intersect/union/except/repeat/append/flatten/filter(lambda)."),
+
+    QueryDef(
+      "q43_maps_structs_json",
+      (s, dir) => {
+        import s.implicits._
+        val m = map(lit("t"), $"event_type", lit("u"), $"user_id".cast("string"))
+        Tables.t(s, dir, "events").filter($"event_id" < 200)
+          .select($"event_id",
+            expr("from_json(props, 'k INT').k").as("k_typed"),
+            get_json_object($"props", "$.k").as("k_str"),
+            get_json_object($"props", "$.missing").as("k_missing"),
+            to_json(struct($"event_id", $"event_type")).as("js"),
+            struct($"event_type", $"value").getField("event_type").as("st_field"),
+            array_sort(map_keys(m)).as("mk"),
+            element_at(m, "t").as("mv_t"),
+            expr("map_contains_key(map('t', event_type), 't')").as("mck"),
+            element_at(expr("str_to_map('a:1,b:2', ',', ':')"), "b").as("stm_b"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+          json_extract_string(props, '$.k') AS k_str,
+          json_extract_string(props, '$.missing') AS k_missing,
+          '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS js,
+          event_type AS st_field,
+          list_sort(['t', 'u']) AS mk,
+          event_type AS mv_t,
+          TRUE AS mck,
+          '2' AS stm_b
+        FROM events WHERE event_id < 200 ORDER BY event_id"""),
+      doc = "from_json/get_json_object/to_json, struct create+getField, map create/keys/element_at/contains_key, str_to_map.")
+  )
+}
