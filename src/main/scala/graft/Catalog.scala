@@ -15,7 +15,11 @@ object Catalog {
     AggregateQueries.all ++
     HashBitwiseQueries.all ++
     CollectionQueries.all ++
-    CastQueries.all
+    CastQueries.all ++
+    DedupQueries.all ++
+    SimilarityQueries.all ++
+    TextQueries.all ++
+    MultimodalQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors)
+  * — builder-brief LLM-pipeline component. All vector math is
+  * higher-order-function expressions (zip_with/aggregate/transform) over
+  * the array column: columnar, codegen-adjacent, no Scala UDFs.
+  *
+  * Float discipline: cast float→double FIRST, then a sequential left
+  * fold — the same element order DuckDB's list_cosine_similarity uses on
+  * DOUBLE[], so both engines produce bit-identical sums and the oracle
+  * can compare at 6 decimals with thresholds that have >=5e-4 margins in
+  * this data.
+  */
+object SimilarityQueries {
+
+  /** float array → double array */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** sequential-fold dot product */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q49_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        // Near-dup by cosine within a blocking key (label): the equi-join
+        // on label is the 100 TB design — blocks bound the pair count;
+        // cross-block near-dups are out of scope by construction (a
+        // production pipeline uses cluster assignment as the block key).
+        // Norms are computed once per row BEFORE the join.
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"label", asDouble($"embedding").as("emb"))
+          .withColumn("n2", dot($"emb", $"emb"))
+        val a = e.select($"vec_id".as("v1"), $"label", $"emb".as("e1"), $"n2".as("n1"))
+        val b = e.select($"vec_id".as("v2"), $"label", $"emb".as("e2"), $"n2".as("nb"))
+        a.join(b, Seq("label")).filter($"v1" < $"v2")
+          .withColumn("cos", dot($"e1", $"e2") / sqrt($"n1" * $"nb"))
+          .filter($"cos" >= 0.35)
+          .select($"label".cast("int").as("label"), $"v1", $"v2",
+            round($"cos", 6).as("cos"))
+          .orderBy($"v1", $"v2")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+          FROM embeddings)
+        SELECT CAST(a.label AS INTEGER) AS label, a.vec_id AS v1, b.vec_id AS v2,
+          round(list_dot_product(a.emb, b.emb) / sqrt(a.n2 * b.n2), 6) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb) / sqrt(a.n2 * b.n2) >= 0.35
+        ORDER BY v1, v2"""),
+      doc = "Embedding cosine near-dup >= 0.35 within label blocks (equi-join, no cartesian; norms precomputed)."),
+
+    QueryDef(
+      "q50_ann_bruteforce_topk",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Brute-force cosine top-k: tiny probe set broadcast against the
+        // full corpus — one linear scan, per-probe top-k via window rank.
+        // At 100 TB this is the exact-recall baseline: broadcast join
+        // (no shuffle of the corpus), rank shuffle only on (probe, cos).
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", asDouble($"embedding").as("emb"))
+          .withColumn("n2", dot($"emb", $"emb"))
+        val probes = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("probe_id"), $"emb".as("pe"), $"n2".as("pn"))
+        val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+        e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+          .withColumn("cos", dot($"emb", $"pe") / sqrt($"n2" * $"pn"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 5)
+          .select($"probe_id", $"rk", $"vec_id", round($"cos", 6).as("cos"))
+          .orderBy($"probe_id", $"rk")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+          FROM embeddings)
+        SELECT probe_id, rk, vec_id, round(cos, 6) AS cos FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+            list_dot_product(p.emb, c.emb) / sqrt(p.n2 * c.n2) AS cos,
+            row_number() OVER (PARTITION BY p.vec_id
+              ORDER BY list_dot_product(p.emb, c.emb) / sqrt(p.n2 * c.n2) DESC,
+                       c.vec_id) AS rk
+          FROM e p JOIN e c ON p.vec_id < 10 AND c.vec_id <> p.vec_id)
+        WHERE rk <= 5 ORDER BY probe_id, rk"""),
+      doc = "Exact ANN baseline: brute-force cosine top-5 for 10 broadcast probes, window rank with deterministic tie-break."),
+
+    QueryDef(
+      "q51_ann_lsh_bucketed",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Scale path: sign-LSH buckets (axis-aligned hyperplanes on the
+        // first 8 dims → 256 buckets); probes search only their own
+        // bucket — candidate set shrinks ~256x, join is equi on the
+        // bucket key. Approximate by design; both engines run the SAME
+        // algorithm so the oracle is still exact.
+        def bucket(emb: Column): Column =
+          (0 until 8).map { j =>
+            when(element_at(emb, j + 1) >= 0f, lit(1 << j)).otherwise(lit(0))
+          }.reduce((a, b) => a + b)
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding", asDouble($"embedding").as("emb"))
+          .withColumn("bkt", bucket($"embedding"))
+          .withColumn("n2", dot($"emb", $"emb"))
+          .drop("embedding")
+        val probes = e.filter($"vec_id" < 50)
+          .select($"vec_id".as("probe_id"), $"bkt", $"emb".as("pe"), $"n2".as("pn"))
+        val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+        e.join(probes, Seq("bkt")).filter($"vec_id" =!= $"probe_id")
+          .withColumn("cos", dot($"emb", $"pe") / sqrt($"n2" * $"pn"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"probe_id", $"rk", $"vec_id", $"bkt", round($"cos", 6).as("cos"))
+          .orderBy($"probe_id", $"rk")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2,
+            (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+            + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+            + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+            + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+            + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bkt
+          FROM embeddings)
+        SELECT probe_id, rk, vec_id, bkt, round(cos, 6) AS cos FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS vec_id, c.bkt AS bkt,
+            list_dot_product(p.emb, c.emb) / sqrt(p.n2 * c.n2) AS cos,
+            row_number() OVER (PARTITION BY p.vec_id
+              ORDER BY list_dot_product(p.emb, c.emb) / sqrt(p.n2 * c.n2) DESC,
+                       c.vec_id) AS rk
+          FROM e p JOIN e c ON p.bkt = c.bkt AND c.vec_id <> p.vec_id
+          WHERE p.vec_id < 50)
+        WHERE rk <= 3 ORDER BY probe_id, rk"""),
+      doc = "Approximate ANN: sign-LSH 256-bucket equi-join + per-bucket top-3. Same algorithm both engines → exact oracle.")
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text analysis operators for LLM data pipelines (builder brief):
+  * language-ID (marker-word heuristic), quality scoring, token counting,
+  * and document fingerprinting. Pure per-row expression pipelines —
+  * shuffle-free except final ORDER BY / the fingerprint window — exactly
+  * what you want mapping over 100 TB of documents.
+  */
+object TextQueries {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** number of words of `w` that appear in the marker list */
+  private def hits(w: Column, markers: Seq[String]): Column =
+    size(filter(w, x => x.isInCollection(markers)))
+
+  private val enM = Seq("the", "a", "of", "and", "to")
+  private val deM = Seq("der", "die", "das", "und", "ist")
+  private val esM = Seq("el", "la", "de", "y", "que")
+  private val frM = Seq("le", "les", "et", "des", "une")
+
+  private def listSql(m: Seq[String]) = m.mkString("['", "', '", "']")
+  private def hitsSql(m: Seq[String]) =
+    s"len(list_filter(string_split(text,' '), x -> list_contains(${listSql(m)}, x)))"
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q52_text_langid",
+      (s, dir) => {
+        import s.implicits._
+        val w = words($"text")
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang".as("labeled_lang"),
+            hits(w, enM).as("s_en"), hits(w, deM).as("s_de"),
+            hits(w, esM).as("s_es"), hits(w, frM).as("s_fr"))
+          .withColumn("pred_lang",
+            when($"s_en" >= greatest($"s_de", $"s_es", $"s_fr"), "en")
+              .when($"s_de" >= greatest($"s_es", $"s_fr"), "de")
+              .when($"s_es" >= $"s_fr", "es")
+              .otherwise("fr"))
+          .select($"doc_id", $"labeled_lang", $"pred_lang",
+            $"s_en".cast("long").as("s_en"), $"s_de".cast("long").as("s_de"),
+            $"s_es".cast("long").as("s_es"), $"s_fr".cast("long").as("s_fr"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, lang AS labeled_lang,
+          CASE WHEN ${hitsSql(enM)} >= greatest(${hitsSql(deM)}, ${hitsSql(esM)}, ${hitsSql(frM)}) THEN 'en'
+               WHEN ${hitsSql(deM)} >= greatest(${hitsSql(esM)}, ${hitsSql(frM)}) THEN 'de'
+               WHEN ${hitsSql(esM)} >= ${hitsSql(frM)} THEN 'es'
+               ELSE 'fr' END AS pred_lang,
+          ${hitsSql(enM)} AS s_en, ${hitsSql(deM)} AS s_de,
+          ${hitsSql(esM)} AS s_es, ${hitsSql(frM)} AS s_fr
+        FROM documents ORDER BY doc_id"""),
+      doc = "Language-ID heuristic: marker-word hit counts per language, deterministic argmax."),
+
+    QueryDef(
+      "q53_text_quality",
+      (s, dir) => {
+        import s.implicits._
+        val w = words($"text")
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val nW = size(w).cast("double")
+        val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            size(w).cast("long").as("n_words"),
+            length($"text").cast("long").as("n_chars_computed"),
+            round(sumLen / nW, 6).as("mean_word_len"),
+            round(hits(w, stop).cast("double") / nW, 6).as("stopword_ratio"),
+            round(size(filter(w, x => length(x) > 6)).cast("double") / nW, 6)
+              .as("long_word_ratio"),
+            round(size(array_distinct(w)).cast("double") / nW, 6).as("distinct_ratio"),
+            (size(w).between(20, 1000) &&
+              (size(array_distinct(w)).cast("double") / nW) > 0.3).as("passes_quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          len(string_split(text,' ')) AS n_words,
+          length(text) AS n_chars_computed,
+          round(list_sum(list_transform(string_split(text,' '), x -> length(x)))::DOUBLE
+            / len(string_split(text,' ')), 6) AS mean_word_len,
+          round(len(list_filter(string_split(text,' '),
+              x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+            / len(string_split(text,' ')), 6) AS stopword_ratio,
+          round(len(list_filter(string_split(text,' '), x -> length(x) > 6))::DOUBLE
+            / len(string_split(text,' ')), 6) AS long_word_ratio,
+          round(len(list_distinct(string_split(text,' ')))::DOUBLE
+            / len(string_split(text,' ')), 6) AS distinct_ratio,
+          len(string_split(text,' ')) BETWEEN 20 AND 1000
+            AND len(list_distinct(string_split(text,' ')))::DOUBLE
+                / len(string_split(text,' ')) > 0.3 AS passes_quality
+        FROM documents ORDER BY doc_id"""),
+      doc = "Quality scoring: word count, mean word length, stopword/long-word/distinct ratios, pass/fail gate."),
+
+    QueryDef(
+      "q54_text_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val w = words($"text")
+        Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            size(w).cast("long").as("ws_tokens"),
+            expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long")
+              .as("re_tokens"),
+            aggregate(w, lit(0L), (acc, x) => acc + ((length(x) + 3) / 4).cast("long"))
+              .as("subword_est"),
+            size(array_distinct(w)).cast("long").as("vocab"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          len(string_split(text,' ')) AS ws_tokens,
+          len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+          list_sum(list_transform(string_split(text,' '), x -> (length(x) + 3) // 4)) AS subword_est,
+          len(list_distinct(string_split(text,' '))) AS vocab
+        FROM documents ORDER BY doc_id"""),
+      doc = "Token counting: whitespace tokens, regex tokens, BPE-ish ceil(len/4) subword estimate, vocabulary size."),
+
+    QueryDef(
+      "q55_text_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Canonical bag-of-words fingerprint: md5 of the sorted distinct
+        // word set — catches reorder/duplicate-word edits that exact
+        // hashing misses, at one shuffle (the window on fp).
+        val fp = md5(concat_ws(" ", array_sort(array_distinct(words($"text")))))
+        val w = Window.partitionBy($"fp")
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", fp.as("fp"))
+          .withColumn("group_size", count(lit(1)).over(w))
+          .withColumn("canonical", min($"doc_id").over(w))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, fp,
+          count(*) OVER (PARTITION BY fp) AS group_size,
+          min(doc_id) OVER (PARTITION BY fp) AS canonical
+        FROM (SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+          FROM documents) ORDER BY doc_id"""),
+      doc = "Document fingerprinting: md5 over canonical sorted word set + dup-group stats via window.")
+  )
+}
