@@ -19,7 +19,9 @@ object Catalog {
     DedupQueries.all ++
     SimilarityQueries.all ++
     TextQueries.all ++
-    MultimodalQueries.all
+    MultimodalQueries.all ++
+    EngineQueries.all ++
+    OperatorExtraQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

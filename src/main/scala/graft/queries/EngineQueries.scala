@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.engine.{GraftExtensions, MinHashAggregator}
+
+/** Queries exercising the custom engine layer (SURVEY §2.4 / §7.3):
+  * the native codegen [[graft.engine.CosineSimilarity]] expression, the
+  * typed [[graft.engine.MinHashAggregator]] UDAF, and a plain scalar
+  * udf() — the three extension mechanisms a user of the engine has.
+  */
+object EngineQueries {
+
+  /** Defensively register cosine_sim on sessions that weren't built with
+    * spark.sql.extensions=graft.engine.GraftExtensions (e.g. the
+    * driver's smoke session).
+    */
+  private def ensureRegistered(s: SparkSession): Unit = {
+    val (id, info, builder) = GraftExtensions.cosineSimDescriptor
+    if (!s.sessionState.functionRegistry.functionExists(id))
+      s.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q58_custom_expr_cosine",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        ensureRegistered(s)
+        // Same task as q50 but through the native codegen expression —
+        // the hot loop inlines into whole-stage codegen instead of
+        // interpreting zip_with/aggregate lambdas.
+        val e = Tables.t(s, dir, "embeddings")
+        val probes = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+        val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+        e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+          .withColumn("cos", expr("cosine_sim(embedding, pe)"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 5)
+          .select($"probe_id", $"rk", $"vec_id", round($"cos", 6).as("cos"))
+          .orderBy($"probe_id", $"rk")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+          FROM embeddings)
+        SELECT probe_id, rk, vec_id, round(cos, 6) AS cos FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+            list_dot_product(p.emb, c.emb) / sqrt(p.n2 * c.n2) AS cos,
+            row_number() OVER (PARTITION BY p.vec_id
+              ORDER BY list_dot_product(p.emb, c.emb) / sqrt(p.n2 * c.n2) DESC,
+                       c.vec_id) AS rk
+          FROM e p JOIN e c ON p.vec_id < 10 AND c.vec_id <> p.vec_id)
+        WHERE rk <= 5 ORDER BY probe_id, rk"""),
+      doc = "Top-5 ANN through the native codegen cosine_sim Expression (registered via SparkSessionExtensions/FunctionRegistry)."),
+
+    QueryDef(
+      "q59_custom_udaf_minhash",
+      (s, dir) => {
+        import s.implicits._
+        // Per-doc 32-slot MinHash signatures (pure expressions) merged
+        // into per-source sketches by the typed Aggregator; a scalar
+        // udf() then derives a band key from each sketch. Partial
+        // aggregation means only 32 longs per source cross the shuffle.
+        val w = split($"text", " ")
+        val h1 = hash($"tok").cast("long").bitwiseAND(lit(0xffffffffL))
+        val h2 = xxhash64($"tok").bitwiseAND(lit(0xffffffffL))
+        val sigExpr = transform(sequence(lit(0), lit(31)), i => h1 + i * h2)
+        val mh = udaf(MinHashAggregator)
+        val bandKey = udf((sig: Seq[Long], b: Int) => s"$b:${sig(2 * b)}:${sig(2 * b + 1)}")
+        Tables.t(s, dir, "documents")
+          .select($"source", explode(array_distinct(w)).as("tok"))
+          .withColumn("sig", sigExpr)
+          .groupBy($"source")
+          .agg(mh($"sig").as("sketch"))
+          .select($"source", $"sketch", bandKey($"sketch", lit(0)).as("band0"))
+          .orderBy($"source")
+      },
+      None, // xxhash64-based sketch has no DuckDB twin → rows-only
+      doc = "Typed Aggregator UDAF (element-wise-min MinHash sketch, partial-agg friendly) + scalar udf() band key, per source.")
+  )
+}

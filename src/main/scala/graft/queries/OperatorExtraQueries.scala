@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Remaining SURVEY §2.1 physical-operator rows not yet pinned by a
+  * query: parquet write (#23), CSV scan (#3), LocalTableScan (#4),
+  * Coalesce (#18), CollectLimit (#19), SortMergeJoin (#15, forced via
+  * merge hint — at sf0.01 everything is broadcast-sized so SMJ never
+  * plans organically), scalar subquery (#24).
+  */
+object OperatorExtraQueries {
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q60_parquet_write_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        // Native parquet write + re-scan: results must equal querying the
+        // source directly (the oracle does exactly that).
+        val out = s"/tmp/graft_roundtrip/${java.util.UUID.randomUUID()}"
+        Tables.t(s, dir, "supplier")
+          .filter($"s_nationkey" < 10)
+          .write.mode("overwrite").parquet(out)
+        val back = s.read.parquet(out)
+        back.groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum($"s_suppkey").as("key_sum"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n, sum(s_suppkey) AS key_sum
+        FROM supplier WHERE s_nationkey < 10
+        GROUP BY s_nationkey ORDER BY s_nationkey"""),
+      doc = "Parquet write + read-back roundtrip (InsertIntoHadoopFsRelation / FileSourceScan)."),
+
+    QueryDef(
+      "q61_csv_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"/tmp/graft_csv/${java.util.UUID.randomUUID()}"
+        Tables.t(s, dir, "region")
+          .select($"r_regionkey", $"r_name")
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true").option("inferSchema", "false")
+          .schema("r_regionkey LONG, r_name STRING")
+          .csv(out)
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""),
+      doc = "CSV write + schema'd CSV scan."),
+
+    QueryDef(
+      "q62_local_table_scan",
+      (s, dir) => {
+        import s.implicits._
+        // LocalTableScanExec: in-memory rows joined against a real table.
+        val tiers = Seq((0L, "low"), (1L, "mid"), (2L, "high"))
+          .toDF("tier_key", "tier_name")
+        Tables.t(s, dir, "region")
+          .join(broadcast(tiers), ($"r_regionkey" % 3) === $"tier_key")
+          .select($"r_regionkey", $"r_name", $"tier_name")
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name, tier_name
+        FROM region JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high')) AS t(tier_key, tier_name)
+          ON r_regionkey % 3 = tier_key
+        ORDER BY r_regionkey"""),
+      doc = "LocalTableScan (createDataFrame) broadcast-joined to a table."),
+
+    QueryDef(
+      "q63_coalesce_collectlimit",
+      (s, dir) => {
+        import s.implicits._
+        // coalesce(n) merges partitions without a shuffle; the aggregate
+        // result is partitioning-invariant so the oracle holds. The final
+        // sorted single-partition limit plans CollectLimit/TakeOrdered.
+        Tables.t(s, dir, "lineitem")
+          .coalesce(4)
+          .groupBy($"l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"l_linestatus")
+          .coalesce(1)
+          .limit(5)
+      },
+      Some("""SELECT l_linestatus, count(*) AS n FROM lineitem
+        GROUP BY l_linestatus ORDER BY l_linestatus LIMIT 5"""),
+      doc = "Shuffle-free partition coalesce + sorted limit (CollectLimit path)."),
+
+    QueryDef(
+      "q64_sort_merge_join",
+      (s, dir) => {
+        import s.implicits._
+        // Force SMJ with the merge hint — the plan the same join takes at
+        // 100 TB where neither side broadcasts. Pinned by the test suite
+        // (asserts SortMergeJoinExec in the plan).
+        val o = Tables.t(s, dir, "orders").hint("merge")
+        Tables.t(s, dir, "lineitem")
+          .join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(($"l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "SortMergeJoin forced via merge hint — the large-scale fact-fact join plan."),
+
+    QueryDef(
+      "q65_scalar_subquery",
+      (s, dir) => {
+        Tables.registerViews(s, dir, Seq("orders"))
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS n_above
+          FROM orders
+          WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                       / count(*) FROM orders)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                     / count(*) FROM orders)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "Scalar subquery (mean threshold) — planned as a subquery stage reused by the filter.")
+  )
+}
