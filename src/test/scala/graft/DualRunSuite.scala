@@ -1,0 +1,25 @@
+package graft
+
+/** Every inventory query, run three ways — default, whole-stage codegen
+  * OFF, broadcast joins OFF (forcing shuffle joins / SMJ) — results must
+  * be identical. This is the engine's differential gate (reference
+  * pattern: CometTestBase.checkSparkAnswer with Comet on/off; here the
+  * variation axes are the physical-planning choices that must never
+  * change semantics). Also pins SortMergeJoin coverage: with broadcast
+  * disabled every equi-join plans as SMJ/shuffled-hash.
+  */
+class DualRunSuite extends GraftTestBase {
+
+  Catalog.validated.foreach { q =>
+    test(s"${q.name}: invariant under codegen off") {
+      checkInvariantUnder(
+        q.run(spark, sfDir),
+        Seq("spark.sql.codegen.wholeStage" -> "false"))
+    }
+    test(s"${q.name}: invariant under broadcast off") {
+      checkInvariantUnder(
+        q.run(spark, sfDir),
+        Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+    }
+  }
+}

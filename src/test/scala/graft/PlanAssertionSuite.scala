@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions (reference pattern:
+  * checkSparkAnswerAndOperator + CometPlanStabilitySuite): the 100 TB
+  * story lives in the physical plan, so pin it — filters pushed to the
+  * scan, columns pruned, the right join algorithm, and no cartesian
+  * products hiding in the LLM-pipeline operators.
+  */
+class PlanAssertionSuite extends GraftTestBase {
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def run(name: String): DataFrame =
+    Catalog.validated.find(_.name == name).get.run(spark, sfDir)
+
+  test("q64 plans a SortMergeJoin") {
+    assert(planString(run("q64_sort_merge_join")).contains("SortMergeJoin"))
+  }
+
+  test("q03 broadcasts the filtered dimension") {
+    assert(planString(run("q03_join_agg_topk")).contains("BroadcastHashJoin"))
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val p = planString(run("q01_tpch_q1"))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"expected pushed l_shipdate filter in:\n$p")
+  }
+
+  test("q11 scan prunes to the three projected columns") {
+    val p = planString(run("q11_topk"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("p_partkey", "p_name", "p_retailprice").forall(readSchema.contains)
+      && !readSchema.contains("p_type"),
+      s"expected pruned ReadSchema, got: $readSchema")
+  }
+
+  test("q10 top-k plans TakeOrderedAndProject (no full global sort)") {
+    assert(planString(run("q10_sort_limit_offset")).contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup and similarity queries never plan a cartesian product") {
+    Seq("q46_dedup_ngram_jaccard", "q47_dedup_minhash_lsh",
+        "q49_embedding_neardup", "q51_ann_lsh_bucketed").foreach { name =>
+      val p = planString(run(name))
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+  }
+
+  test("brute-force ANN uses broadcast (not cartesian) for the probe set") {
+    val p = planString(run("q50_ann_bruteforce_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregates partially before the shuffle (two HashAggregate stages)") {
+    val p = planString(run("q01_tpch_q1"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+  }
+
+  test("cosine_sim stays inside whole-stage codegen") {
+    // Plain scan→project (no AQE exchange wrapping): the projection
+    // computing cosine_sim must sit inside a WholeStageCodegen span.
+    val df = Tables.t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cosine_sim(embedding, embedding) AS c")
+    // formatted mode marks codegen membership with "[codegen id : N]"
+    val p = planString(df)
+    val projLine = p.linesIterator.find(_.startsWith("(3) Project")).getOrElse("")
+    assert(p.contains("codegen id") && projLine.contains("codegen id"),
+      s"expected the cosine_sim Project inside a codegen span:\n$p")
+  }
+}
