@@ -27,6 +27,12 @@ object Bench {
       case c => c.toString
     }
 
+    // Warmup (uncounted): JVM/classloader/codegen + parquet footer reads,
+    // so the alphabetically-first query doesn't absorb session init.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = collection.mutable.LinkedHashMap[String, Double]()
     val errors = collection.mutable.LinkedHashMap[String, String]()
