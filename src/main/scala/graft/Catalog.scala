@@ -21,7 +21,8 @@ object Catalog {
     TextQueries.all ++
     MultimodalQueries.all ++
     EngineQueries.all ++
-    OperatorExtraQueries.all
+    OperatorExtraQueries.all ++
+    ConditionalQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

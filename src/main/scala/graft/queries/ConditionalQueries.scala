@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Conditional + predicate surface (SURVEY §2.2 "Conditional" — If,
+  * CaseWhen, Coalesce — and the predicate rows In/InSet/IsNull/
+  * EqualNullSafe not yet pinned by the relational queries), plus the
+  * events sessionization pattern every event-stream user writes.
+  */
+object ConditionalQueries {
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q66_conditional",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders").filter($"o_orderkey" < 500)
+          .select($"o_orderkey",
+            when($"o_totalprice" > 200000, "big")
+              .when($"o_totalprice" > 100000, "mid")
+              .otherwise("small").as("bucket"),
+            expr("if(o_orderstatus = 'F', 'final', 'open')").as("st"),
+            coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("nz"),
+            $"o_orderpriority".isin("1-URGENT", "2-HIGH").as("urgent"),
+            nullif($"o_orderstatus", lit("O")).isNull.as("was_o"),
+            nullif($"o_orderstatus", lit("O")).isNotNull.as("not_o"),
+            ($"o_orderstatus" <=> lit("O")).as("nullsafe_eq"),
+            nvl(nullif($"o_orderstatus", lit("O")), lit("-")).as("nvl_"),
+            expr("nvl2(nullif(o_orderstatus, 'O'), 'nonnull', 'isnull')").as("nvl2_"),
+            greatest($"o_orderkey" % 7, $"o_orderkey" % 5, lit(2L)).as("gr"),
+            least($"o_orderkey" % 7, $"o_orderkey" % 5, lit(3L)).as("ls"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_totalprice > 200000 THEN 'big'
+               WHEN o_totalprice > 100000 THEN 'mid'
+               ELSE 'small' END AS bucket,
+          CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS st,
+          coalesce(nullif(o_orderstatus, 'O'), 'open') AS nz,
+          o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
+          nullif(o_orderstatus, 'O') IS NULL AS was_o,
+          nullif(o_orderstatus, 'O') IS NOT NULL AS not_o,
+          o_orderstatus IS NOT DISTINCT FROM 'O' AS nullsafe_eq,
+          coalesce(nullif(o_orderstatus, 'O'), '-') AS nvl_,
+          CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL THEN 'nonnull' ELSE 'isnull' END AS nvl2_,
+          greatest(o_orderkey % 7, o_orderkey % 5, 2) AS gr,
+          least(o_orderkey % 7, o_orderkey % 5, 3) AS ls
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""),
+      doc = "Conditionals + predicates: when/case, if, coalesce/nullif/nvl/nvl2, IN, IS [NOT] NULL, null-safe equality, greatest/least."),
+
+    QueryDef(
+      "q67_sessionization",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Event sessionization in batch: a session breaks after a >30 min
+        // gap per user. lag over (user, time) marks boundaries; a running
+        // sum assigns session ids — one shuffle on user_id, the session
+        // logic is window-local. (The streaming twin lives in
+        // graft.streaming.StreamingOps using flatMapGroupsWithState.)
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val sessions = Tables.t(s, dir, "events")
+          .filter($"user_id" < 100)
+          .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum($"new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sessions.groupBy($"user_id", $"session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            min($"ts").as("session_start"),
+            max($"ts").as("session_end"),
+            sum($"value".cast("decimal(18,2)")).cast("double").as("session_value"))
+          .orderBy($"user_id", $"session_seq")
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id < 100
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts, value,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM marked)
+        SELECT user_id, session_seq, count(*) AS n_events,
+          min(ts) AS session_start, max(ts) AS session_end,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM numbered GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq"""),
+      doc = "Batch sessionization over the events table: 30-min-gap sessions via lag + running sum, per-session aggregates."),
+
+    QueryDef(
+      "q68_time_window_agg",
+      (s, dir) => {
+        import s.implicits._
+        // Tumbling-window aggregation — the batch twin of the streaming
+        // windowed agg (StreamingOps.windowedCounts shares the shape).
+        Tables.t(s, dir, "events")
+          .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+          .select($"w.start".as("w_start"), $"event_type", $"n", $"total")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS w_start,
+          event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""),
+      doc = "Tumbling 6h time-window aggregation over events (window() → struct start/end).")
+  )
+}

