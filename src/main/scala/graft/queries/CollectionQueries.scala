@@ -44,7 +44,10 @@ object CollectionQueries {
             array_repeat(lit("z"), 3).as("rep3"),
             array_append(slice(words, 1, 2), "tail").as("app"),
             flatten(array(slice(words, 1, 2), slice(words, 3, 2))).as("flat"),
-            filter(words, w => length(w) > 4).as("longwords"))
+            filter(words, w => length(w) > 4).as("longwords"),
+            array_compact(array(element_at(words, 1), lit(null), element_at(words, 2))).as("compacted"),
+            zip_with(slice(words, 1, 3), array_repeat(lit("z"), 3),
+              (x, y) => concat(x, lit(":"), y)).as("zipped"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
@@ -65,7 +68,10 @@ object CollectionQueries {
           ['z', 'z', 'z'] AS rep3,
           list_append((string_split(text, ' '))[1:2], 'tail') AS app,
           list_concat((string_split(text, ' '))[1:2], (string_split(text, ' '))[3:4]) AS flat,
-          list_filter(string_split(text, ' '), x -> len(x) > 4) AS longwords
+          list_filter(string_split(text, ' '), x -> len(x) > 4) AS longwords,
+          list_filter([(string_split(text, ' '))[1], NULL, (string_split(text, ' '))[2]],
+            x -> x IS NOT NULL) AS compacted,
+          list_transform(range(1, 4), i -> (string_split(text, ' '))[i] || ':z') AS zipped
         FROM documents WHERE doc_id < 20 ORDER BY doc_id"""),
       doc = "Array surface: size/slice/distinct/contains/position/element_at/max/min/join/overlap/intersect/union/except/repeat/append/flatten/filter(lambda)."),
 
@@ -82,6 +88,7 @@ object CollectionQueries {
             to_json(struct($"event_id", $"event_type")).as("js"),
             struct($"event_type", $"value").getField("event_type").as("st_field"),
             array_sort(map_keys(m)).as("mk"),
+            map_values(m).as("mv"),
             element_at(m, "t").as("mv_t"),
             expr("map_contains_key(map('t', event_type), 't')").as("mck"),
             element_at(expr("str_to_map('a:1,b:2', ',', ':')"), "b").as("stm_b"))
@@ -94,6 +101,7 @@ object CollectionQueries {
           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS js,
           event_type AS st_field,
           list_sort(['t', 'u']) AS mk,
+          [event_type, CAST(user_id AS VARCHAR)] AS mv,
           event_type AS mv_t,
           TRUE AS mck,
           '2' AS stm_b

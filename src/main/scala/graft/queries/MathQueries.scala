@@ -29,6 +29,7 @@ object MathQueries {
             ceil($"l_extendedprice").as("ce"),
             floor($"l_extendedprice").as("fl"),
             round($"l_extendedprice", 1).as("rnd1"),
+            bround($"l_extendedprice", 1).as("brnd1"),
             signum($"l_discount" - 0.05).as("sg"),
             (-$"l_quantity").as("neg"),
             expr("l_orderkey div 7").as("idiv"),
@@ -41,6 +42,7 @@ object MathQueries {
           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
           round(l_extendedprice, 1) AS rnd1,
+          round_even(l_extendedprice, 1) AS brnd1,
           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
           -l_quantity AS neg,
           l_orderkey // 7 AS idiv,

@@ -124,6 +124,37 @@ object OperatorExtraQueries {
         WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                                      / count(*) FROM orders)
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      doc = "Scalar subquery (mean threshold) — planned as a subquery stage reused by the filter.")
+      doc = "Scalar subquery (mean threshold) — planned as a subquery stage reused by the filter."),
+
+    QueryDef(
+      "q69_skew_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        // Skew-mitigation pattern: l_returnflag has 3 values — at 100 TB
+        // a shuffle join on it puts a third of the table on one reducer.
+        // Salting: replicate the dim across 16 salts, key the fact by
+        // (flag, l_orderkey % 16) → 48 evenly-spread join keys; identical
+        // result to the plain join (which is what the oracle runs). The
+        // shuffle_hash hint keeps it a shuffled join so the demo is real
+        // (Spark would otherwise broadcast the 3-row dim).
+        val dim = Seq(("A", "returned"), ("N", "normal"), ("R", "refunded"))
+          .toDF("flag", "label")
+        val saltedDim = dim
+          .withColumn("dsalt", explode(sequence(lit(0), lit(15))))
+          .hint("shuffle_hash")
+        Tables.t(s, dir, "lineitem")
+          .withColumn("salt", ($"l_orderkey" % 16).cast("int"))
+          .join(saltedDim, $"l_returnflag" === $"flag" && $"salt" === $"dsalt")
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy($"label")
+      },
+      Some("""SELECT label, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem JOIN (VALUES ('A', 'returned'), ('N', 'normal'), ('R', 'refunded')) AS d(flag, label)
+          ON l_returnflag = flag
+        GROUP BY label ORDER BY label"""),
+      doc = "Salted join on a 3-value skewed key: dim replicated x16 salts, fact keyed by (flag, orderkey%16) — result identical to the plain join.")
   )
 }

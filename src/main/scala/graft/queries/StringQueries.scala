@@ -64,7 +64,9 @@ object StringQueries {
             translate($"p_name", "aeiou", "AEIOU").as("tr"),
             regexp_replace($"p_name", "a", "@").as("repl_re"),
             expr("replace(p_name, 'a', '@')").as("repl"),
-            instr($"p_name", "al").cast("long").as("pos"))
+            instr($"p_name", "al").cast("long").as("pos"),
+            concat(lit("["), expr("space(2)"), lit("]")).as("sp"),
+            unhex(hex($"p_brand")).cast("string").as("hex_rt"))
           .orderBy($"p_partkey")
       },
       Some("""SELECT p_partkey,
@@ -76,7 +78,9 @@ object StringQueries {
           translate(p_name, 'aeiou', 'AEIOU') AS tr,
           regexp_replace(p_name, 'a', '@', 'g') AS repl_re,
           replace(p_name, 'a', '@') AS repl,
-          instr(p_name, 'al') AS pos
+          instr(p_name, 'al') AS pos,
+          '[' || repeat(' ', 2) || ']' AS sp,
+          decode(unhex(hex(p_brand))) AS hex_rt
         FROM part WHERE p_partkey < 200 ORDER BY p_partkey"""),
       doc = "Pad/substring/search family: substring/left/right/lpad/rpad/repeat/concat_ws/translate/replace/regexp_replace/instr."),
 

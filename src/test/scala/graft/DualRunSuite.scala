@@ -21,5 +21,13 @@ class DualRunSuite extends GraftTestBase {
         q.run(spark, sfDir),
         Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"))
     }
+    test(s"${q.name}: invariant under ANSI off") {
+      // The inventory avoids ANSI-divergent inputs (malformed casts use
+      // try_cast, no overflowing arithmetic) — eval mode must not change
+      // any result (reference scar: SURVEY §7.4 ANSI/LEGACY/TRY).
+      checkInvariantUnder(
+        q.run(spark, sfDir),
+        Seq("spark.sql.ansi.enabled" -> "false"))
+    }
   }
 }

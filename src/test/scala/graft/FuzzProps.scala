@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.engine.MinHashAggregator
+
+/** Property-based fuzzing (reference layer 3, FuzzDataGenerator.scala
+  * pattern, via ScalaCheck): randomized inputs against invariants that
+  * must hold for ANY data — partitioning-invariance of exact decimal
+  * aggregation, codegen-vs-interpreted agreement for the native
+  * expression, algebraic laws of the sketch aggregator.
+  */
+object FuzzProps extends Properties("graft") {
+
+  private lazy val spark = GraftTestBase.spark
+  import spark.implicits._
+
+  // each case runs Spark jobs — 20 cases per property is plenty
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  private val moneyGen: Gen[List[Double]] =
+    Gen.listOfN(60, Gen.chooseNum(-99999.99, 99999.99).map(d => math.round(d * 100) / 100.0))
+
+  property("decimal sum is partitioning-invariant") = forAll(moneyGen, Gen.choose(1, 8)) {
+    (xs: List[Double], parts: Int) =>
+      xs.isEmpty || {
+        val df = xs.toDF("x")
+        def total(p: Int) = df.repartition(p)
+          .agg(sum($"x".cast("decimal(18,2)")).cast("double")).collect().head.getDouble(0)
+        total(1) == total(parts)
+      }
+  }
+
+  property("cosine_sim(v, v) = 1 for any nonzero finite vector") =
+    forAll(Gen.listOfN(16, Gen.chooseNum(-100f, 100f))) { v: List[Float] =>
+      v.forall(_ == 0f) || {
+        val r = Seq((v.toArray, v.toArray)).toDF("a", "b")
+          .selectExpr("cosine_sim(a, b) AS c").collect().head
+        !r.isNullAt(0) && math.abs(r.getDouble(0) - 1.0) < 1e-9
+      }
+    }
+
+  property("minhash merge: commutative + idempotent + dominated by inputs") =
+    forAll(Gen.listOfN(MinHashAggregator.K, Gen.choose(0L, 1L << 37)),
+           Gen.listOfN(MinHashAggregator.K, Gen.choose(0L, 1L << 37))) {
+      (a: List[Long], b: List[Long]) =>
+        val m1 = MinHashAggregator.merge(a.toArray, b.toArray).toSeq
+        val m2 = MinHashAggregator.merge(b.toArray, a.toArray).toSeq
+        val mi = MinHashAggregator.merge(a.toArray, a.toArray).toSeq
+        m1 == m2 && mi == a &&
+          m1.zip(a.zip(b)).forall { case (m, (x, y)) => m == math.min(x, y) }
+    }
+
+  property("round half-up matches BigDecimal HALF_UP at 2dp") =
+    forAll(Gen.chooseNum(-10000.0, 10000.0)) { d: Double =>
+      val sparkR = Seq(d).toDF("x").select(round($"x", 2)).collect().head.getDouble(0)
+      val bdR = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      sparkR == bdR
+    }
+}
