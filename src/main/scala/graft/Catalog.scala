@@ -22,7 +22,8 @@ object Catalog {
     MultimodalQueries.all ++
     EngineQueries.all ++
     OperatorExtraQueries.all ++
-    ConditionalQueries.all
+    ConditionalQueries.all ++
+    VectorOpsQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

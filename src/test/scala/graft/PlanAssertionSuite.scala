@@ -56,6 +56,12 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q72 scan carries a partition filter (pruned directories)") {
+    val p = planString(run("q72_partition_pruning"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderstatus"), s"expected o_orderstatus partition filter, got: $pf")
+  }
+
   test("q01 aggregates partially before the shuffle (two HashAggregate stages)") {
     val p = planString(run("q01_tpch_q1"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
