@@ -23,7 +23,8 @@ object Catalog {
     EngineQueries.all ++
     OperatorExtraQueries.all ++
     ConditionalQueries.all ++
-    VectorOpsQueries.all
+    VectorOpsQueries.all ++
+    PipelineQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

@@ -91,7 +91,8 @@ object CollectionQueries {
             map_values(m).as("mv"),
             element_at(m, "t").as("mv_t"),
             expr("map_contains_key(map('t', event_type), 't')").as("mck"),
-            element_at(expr("str_to_map('a:1,b:2', ',', ':')"), "b").as("stm_b"))
+            element_at(expr("str_to_map('a:1,b:2', ',', ':')"), "b").as("stm_b"),
+            expr("to_csv(struct(event_id, event_type))").as("csv_"))
           .orderBy($"event_id")
       },
       Some("""SELECT event_id,
@@ -104,7 +105,8 @@ object CollectionQueries {
           [event_type, CAST(user_id AS VARCHAR)] AS mv,
           event_type AS mv_t,
           TRUE AS mck,
-          '2' AS stm_b
+          '2' AS stm_b,
+          event_id || ',' || event_type AS csv_
         FROM events WHERE event_id < 200 ORDER BY event_id"""),
       doc = "from_json/get_json_object/to_json, struct create+getField, map create/keys/element_at/contains_key, str_to_map.")
   )

@@ -29,7 +29,7 @@ object OperatorExtraQueries {
             sum($"s_suppkey").as("key_sum"))
           .orderBy($"s_nationkey")
       },
-      Some("""SELECT s_nationkey, count(*) AS n, sum(s_suppkey) AS key_sum
+      Some("""SELECT s_nationkey, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS key_sum
         FROM supplier WHERE s_nationkey < 10
         GROUP BY s_nationkey ORDER BY s_nationkey"""),
       doc = "Parquet write + read-back roundtrip (InsertIntoHadoopFsRelation / FileSourceScan)."),
@@ -155,6 +155,27 @@ object OperatorExtraQueries {
         FROM lineitem JOIN (VALUES ('A', 'returned'), ('N', 'normal'), ('R', 'refunded')) AS d(flag, label)
           ON l_returnflag = flag
         GROUP BY label ORDER BY label"""),
-      doc = "Salted join on a 3-value skewed key: dim replicated x16 salts, fact keyed by (flag, orderkey%16) — result identical to the plain join.")
+      doc = "Salted join on a 3-value skewed key: dim replicated x16 salts, fact keyed by (flag, orderkey%16) — result identical to the plain join."),
+
+    QueryDef(
+      "q73_generated_ids",
+      (s, dir) => {
+        import s.implicits._
+        // monotonically_increasing_id / spark_partition_id are
+        // partitioning-dependent; pinned to a single partition after a
+        // total sort they become deterministic: ids 0..n-1 in key order.
+        Tables.t(s, dir, "supplier")
+          .orderBy($"s_suppkey")
+          .coalesce(1)
+          .select($"s_suppkey",
+            monotonically_increasing_id().as("mid"),
+            spark_partition_id().cast("long").as("pid"))
+          .filter($"s_suppkey" <= 100)
+      },
+      Some("""SELECT s_suppkey,
+          row_number() OVER (ORDER BY s_suppkey) - 1 AS mid,
+          0 AS pid
+        FROM supplier QUALIFY s_suppkey <= 100 ORDER BY s_suppkey"""),
+      doc = "MonotonicallyIncreasingID + SparkPartitionID, made deterministic via total sort + single partition.")
   )
 }
