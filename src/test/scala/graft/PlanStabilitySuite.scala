@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Plan-stability snapshots (reference layer 5:
+  * CometPlanStabilitySuite.scala:47-342 — simplified golden plans): the
+  * optimized logical plan skeleton (node names + nesting only, no
+  * expression ids) of each key query is pinned to a golden file. A diff
+  * means the plan changed — intentional changes regenerate with
+  * GRAFT_REGEN_PLANS=1.
+  */
+class PlanStabilitySuite extends GraftTestBase {
+
+  private val goldenDir = Paths.get("src/test/resources/plans")
+
+  private val pinned = Seq(
+    "q01_tpch_q1", "q03_join_agg_topk", "q08_null_aware_anti",
+    "q17_rollup", "q22_window_running", "q46_dedup_ngram_jaccard",
+    "q47_dedup_minhash_lsh", "q49_embedding_neardup",
+    "q50_ann_bruteforce_topk", "q64_sort_merge_join",
+    "q69_skew_salted_join", "q74_llm_prep_pipeline")
+
+  private def skeleton(p: LogicalPlan, depth: Int = 0): String = {
+    val self = ("  " * depth) + p.nodeName
+    (self +: p.children.map(skeleton(_, depth + 1))).mkString("\n")
+  }
+
+  pinned.foreach { name =>
+    test(s"$name optimized plan matches golden skeleton") {
+      val df = Catalog.validated.find(_.name == name).get.run(spark, sfDir)
+      val actual = skeleton(df.queryExecution.optimizedPlan) + "\n"
+      val golden = goldenDir.resolve(s"$name.txt")
+      if (sys.env.contains("GRAFT_REGEN_PLANS") || !Files.exists(golden)) {
+        Files.createDirectories(goldenDir)
+        Files.writeString(golden, actual,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
+      val expected = Files.readString(golden)
+      assert(actual == expected,
+        s"plan skeleton drifted for $name — if intentional, regenerate with GRAFT_REGEN_PLANS=1\n--- golden:\n$expected\n--- actual:\n$actual")
+    }
+  }
+}
