@@ -47,7 +47,10 @@ object CollectionQueries {
             filter(words, w => length(w) > 4).as("longwords"),
             array_compact(array(element_at(words, 1), lit(null), element_at(words, 2))).as("compacted"),
             zip_with(slice(words, 1, 3), array_repeat(lit("z"), 3),
-              (x, y) => concat(x, lit(":"), y)).as("zipped"))
+              (x, y) => concat(x, lit(":"), y)).as("zipped"),
+            array_remove(slice(words, 1, 6), "a").as("removed"),
+            expr("array_insert(slice(split(text, ' '), 1, 3), 2, 'X')").as("inserted"),
+            reverse(slice(words, 1, 4)).as("rev4"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
@@ -71,7 +74,11 @@ object CollectionQueries {
           list_filter(string_split(text, ' '), x -> len(x) > 4) AS longwords,
           list_filter([(string_split(text, ' '))[1], NULL, (string_split(text, ' '))[2]],
             x -> x IS NOT NULL) AS compacted,
-          list_transform(range(1, 4), i -> (string_split(text, ' '))[i] || ':z') AS zipped
+          list_transform(range(1, 4), i -> (string_split(text, ' '))[i] || ':z') AS zipped,
+          list_filter((string_split(text, ' '))[1:6], x -> x != 'a') AS removed,
+          list_concat(list_concat((string_split(text, ' '))[1:1], ['X']),
+            (string_split(text, ' '))[2:3]) AS inserted,
+          list_reverse((string_split(text, ' '))[1:4]) AS rev4
         FROM documents WHERE doc_id < 20 ORDER BY doc_id"""),
       doc = "Array surface: size/slice/distinct/contains/position/element_at/max/min/join/overlap/intersect/union/except/repeat/append/flatten/filter(lambda)."),
 
@@ -90,6 +97,8 @@ object CollectionQueries {
             array_sort(map_keys(m)).as("mk"),
             map_values(m).as("mv"),
             element_at(m, "t").as("mv_t"),
+            element_at(map_from_arrays(array(lit("k1"), lit("k2")),
+              array($"event_type", $"props")), "k2").as("mfa_k2"),
             expr("map_contains_key(map('t', event_type), 't')").as("mck"),
             element_at(expr("str_to_map('a:1,b:2', ',', ':')"), "b").as("stm_b"),
             expr("to_csv(struct(event_id, event_type))").as("csv_"))
@@ -104,6 +113,7 @@ object CollectionQueries {
           list_sort(['t', 'u']) AS mk,
           [event_type, CAST(user_id AS VARCHAR)] AS mv,
           event_type AS mv_t,
+          props AS mfa_k2,
           TRUE AS mck,
           '2' AS stm_b,
           event_id || ',' || event_type AS csv_

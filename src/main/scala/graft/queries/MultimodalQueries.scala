@@ -61,7 +61,10 @@ object MultimodalQueries {
             hex(expr("substring(blob, 1, 8)")).as("head_hex"),
             base64(expr("substring(blob, 1, 9)")).as("head_b64"),
             md5($"blob").as("content_md5"),
-            struct($"lang", $"source", $"n_chars").getField("source").as("meta_source"))
+            struct($"lang", $"source", $"n_chars").getField("source").as("meta_source"),
+            // frame-sampling shape: fixed-stride binary slices ("frames")
+            hex(expr("substring(blob, 17, 8)")).as("frame2_hex"),
+            (length($"blob") / 16).cast("long").as("n_frames16"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
@@ -69,7 +72,9 @@ object MultimodalQueries {
           hex(substring(text, 1, 8)) AS head_hex,
           to_base64(encode(substring(text, 1, 9))) AS head_b64,
           md5(text) AS content_md5,
-          source AS meta_source
+          source AS meta_source,
+          hex(substring(text, 17, 8)) AS frame2_hex,
+          octet_length(encode(text)) // 16 AS n_frames16
         FROM documents WHERE doc_id < 100 ORDER BY doc_id"""),
       doc = "Binary column surface: cast-to-binary, byte length, hex/base64 slices, md5, typed metadata struct."),
 
