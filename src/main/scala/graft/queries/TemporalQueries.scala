@@ -84,7 +84,8 @@ object TemporalQueries {
             last_day(d).as("eom"),
             next_day(d, "MON").as("next_mon"),
             trunc(d, "MM").as("som"),
-            make_date(year(d), month(d), lit(1)).as("made"))
+            make_date(year(d), month(d), lit(1)).as("made"),
+            add_months(d, 1).as("plus_month"))
           .orderBy($"o_orderkey")
       },
       Some("""SELECT o_orderkey,
@@ -95,7 +96,8 @@ object TemporalQueries {
           CAST(o_orderdate AS DATE)
             + CAST((7 + 1 - isodow(o_orderdate) - 1) % 7 + 1 AS INTEGER) AS next_mon,
           CAST(date_trunc('month', o_orderdate) AS DATE) AS som,
-          make_date(year(o_orderdate), month(o_orderdate), 1) AS made
+          make_date(year(o_orderdate), month(o_orderdate), 1) AS made,
+          CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month
         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"""),
       doc = "Date arithmetic: date_add/date_sub/datediff/last_day/next_day/trunc/make_date."),
 
