@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectColumnar(session => PlanAuditRule(session))
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GraftTopKStrategy)
   }
 }
 

@@ -81,6 +81,23 @@ object EngineQueries {
           .orderBy($"source")
       },
       None, // xxhash64-based sketch has no DuckDB twin → rows-only
-      doc = "Typed Aggregator UDAF (element-wise-min MinHash sketch, partial-agg friendly) + scalar udf() band key, per source.")
+      doc = "Typed Aggregator UDAF (element-wise-min MinHash sketch, partial-agg friendly) + scalar udf() band key, per source."),
+
+    QueryDef(
+      "q75_custom_topk_operator",
+      (s, dir) => {
+        import s.implicits._
+        // Global top-K through the custom LogicalPlan + Strategy +
+        // SparkPlan pipeline (GraftTopK / GraftTopKExec): two bounded
+        // heaps, O(k) memory per partition, one narrow merge. Same
+        // semantics as orderBy().limit(k) — which is what the oracle runs.
+        org.apache.spark.sql.graft.GraftTopK.topK(
+          Tables.t(s, dir, "orders")
+            .select($"o_orderkey", $"o_totalprice", $"o_orderpriority"),
+          12, $"o_totalprice".desc, $"o_orderkey".asc)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 12"""),
+      doc = "Custom whole-operator path: GraftTopK logical node planned by GraftTopKStrategy into GraftTopKExec (bounded-heap two-stage top-K).")
   )
 }

@@ -56,6 +56,11 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q75 plans through the custom GraftTopKExec operator") {
+    val p = planString(run("q75_custom_topk_operator"))
+    assert(p.contains("GraftTopK"), s"expected GraftTopKExec in plan:\n$p")
+  }
+
   test("q72 scan carries a partition filter (pruned directories)") {
     val p = planString(run("q72_partition_pruning"))
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
