@@ -44,7 +44,8 @@ object AggregateQueries {
             avg($"l_linenumber").as("avg_ln"),
             (sum(dec($"l_extendedprice")).cast("double") / count(lit(1)))
               .as("avg_price"),
-            count($"l_quantity").as("n_nonnull"))
+            count($"l_quantity").as("n_nonnull"),
+            round(median($"l_quantity"), 4).as("med_qty"))
           .orderBy($"l_returnflag")
       },
       Some(s"""SELECT l_returnflag,
@@ -53,7 +54,8 @@ object AggregateQueries {
           min(l_linestatus) AS min_status, max(l_linestatus) AS max_status,
           avg(l_linenumber) AS avg_ln,
           CAST(sum(CAST(l_extendedprice AS $decSql)) AS DOUBLE) / count(*) AS avg_price,
-          count(l_quantity) AS n_nonnull
+          count(l_quantity) AS n_nonnull,
+          round(median(CAST(l_quantity AS DOUBLE)), 4) AS med_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "min/max over double+timestamp+string, avg over int (exact) and decimal-ratio avg over double."),
 

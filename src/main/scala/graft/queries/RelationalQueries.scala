@@ -454,6 +454,7 @@ object RelationalQueries {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         Tables.t(s, dir, "orders")
           .filter($"o_custkey" < 100)
           .select($"o_orderkey", $"o_custkey",
@@ -462,15 +463,27 @@ object RelationalQueries {
             dense_rank().over(w).as("drnk"),
             lag($"o_orderkey", 1).over(w).as("prev_key"),
             lead($"o_orderkey", 1).over(w).as("next_key"),
-            ntile(4).over(w).as("quartile"))
+            ntile(4).over(w).as("quartile"),
+            first($"o_orderkey").over(wFull).as("first_key"),
+            last($"o_orderkey").over(wFull).as("last_key"),
+            nth_value($"o_orderkey", 2).over(wFull).as("second_key"),
+            round(percent_rank().over(w), 6).as("prk"),
+            round(cume_dist().over(w), 6).as("cdist"))
           .orderBy($"o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey,
           row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
           lag(o_orderkey, 1) OVER w AS prev_key, lead(o_orderkey, 1) OVER w AS next_key,
-          ntile(4) OVER w AS quartile
+          ntile(4) OVER w AS quartile,
+          first_value(o_orderkey) OVER wf AS first_key,
+          last_value(o_orderkey) OVER wf AS last_key,
+          nth_value(o_orderkey, 2) OVER wf AS second_key,
+          round(percent_rank() OVER w, 6) AS prk,
+          round(cume_dist() OVER w, 6) AS cdist
         FROM orders WHERE o_custkey < 100
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY o_orderkey"""),
       doc = "Ranking window functions — beyond the reference (it falls back on rank/row_number/ntile)."),
 
