@@ -80,6 +80,38 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("file-source readStream over events.parquet matches the batch window agg") {
+    // Real file source end-to-end: the events table streamed through the
+    // same ns→µs conversion the batch loader applies, windowed, written
+    // to a memory sink in complete mode.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streaming sources need a DIRECTORY — stage the table file
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(stage.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = raw.groupBy(
+        org.apache.spark.sql.functions.window($"ts", "6 hours").as("w"), $"event_type")
+      .count()
+      .writeStream.format("memory").queryName("filewc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filewc")
+        .select($"w.start".as("w_start"), $"event_type", $"count".as("n"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Tables.t(spark, sfDir, "events")
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "6 hours").as("w"), $"event_type")
+        .count()
+        .select($"w.start".as("w_start"), $"event_type", $"count".as("n"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize agrees with the batch q67 logic on shared data") {
     // run the typed sessionizer in BATCH mode over sf0.001 events and
     // compare session counts with the window-based batch formulation
