@@ -41,17 +41,31 @@ object DedupQueries {
     * trigram string. All downstream dedup works on hashes of t3 so only
     * skinny long rows ever shuffle.
     */
-  private def trigrams(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def trigramsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wspec = Window.partitionBy($"doc_id").orderBy($"pos")
-    Tables.t(s, dir, "documents")
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "wd")))
-      .select($"doc_id",
-        concat_ws(" ", $"wd", lead($"wd", 1).over(wspec), lead($"wd", 2).over(wspec)).as("t3"),
-        lead($"wd", 2).over(wspec).isNotNull.as("full"))
-      .filter($"full")
-      .select($"doc_id", $"t3")
+    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("wd"), lead(col("wd"), 1).over(wspec), lead(col("wd"), 2).over(wspec)).as("t3"),
+        lead(col("wd"), 2).over(wspec).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("t3"))
+  }
+
+  private def trigrams(s: SparkSession, dir: String): DataFrame =
+    trigramsOf(Tables.t(s, dir, "documents"))
+
+  /** The exact n-gram-Jaccard near-dup kernel over arbitrary
+    * (doc_id, text) rows — public so the fuzz suite can differential-test
+    * it against an in-memory brute force on random data.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val inv = trigramsOf(docs)
+      .select(col("doc_id"), xxhash64(col("t3")).as("shingle"))
+      .distinct()
+      .repartition(col("shingle"))
+    jaccardFromIndex(inv, threshold, None)
   }
 
   /** Count-based exact Jaccard >= threshold from a hashed inverted index

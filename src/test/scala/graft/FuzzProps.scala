@@ -4,6 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.functions._
 import graft.engine.MinHashAggregator
+import graft.queries.DedupQueries
 
 /** Property-based fuzzing (reference layer 3, FuzzDataGenerator.scala
   * pattern, via ScalaCheck): randomized inputs against invariants that
@@ -51,6 +52,33 @@ object FuzzProps extends Properties("graft") {
         val mi = MinHashAggregator.merge(a.toArray, a.toArray).toSeq
         m1 == m2 && mi == a &&
           m1.zip(a.zip(b)).forall { case (m, (x, y)) => m == math.min(x, y) }
+    }
+
+  private val vocab = Vector("key", "row", "scan", "agg", "table", "sort", "join", "hash", "data", "fast")
+  private val docGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(6, 12)
+    texts <- Gen.listOfN(n, Gen.choose(5, 25).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    // seed a near-dup: doc n gets doc 0's text with one word appended
+    withDup = texts :+ (texts.head + " " + vocab.head)
+  } yield withDup.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("inverted-index Jaccard kernel matches in-memory brute force") =
+    forAll(docGen) { docs: Seq[(Long, String)] =>
+      val df = docs.toDF("doc_id", "text")
+      val got = DedupQueries.jaccardPairs(df, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force: distinct word-trigram sets, exact set Jaccard
+      val sets = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val expected = (for {
+        (i, si) <- sets; (j, sj) <- sets if i < j
+        inter = (si & sj).size
+        union = (si | sj).size
+        jac = inter.toDouble / union if jac >= 0.5
+      } yield (i, j, math.rint(jac * 1e6) / 1e6)).toSet
+      got == expected
     }
 
   property("round half-up matches BigDecimal HALF_UP at 2dp") =
