@@ -29,5 +29,16 @@ class DualRunSuite extends GraftTestBase {
         q.run(spark, sfDir),
         Seq("spark.sql.ansi.enabled" -> "false"))
     }
+    test(s"${q.name}: invariant under AQE off") {
+      // No query may depend on adaptive re-planning (coalesced
+      // partitions, runtime skew handling) for its RESULT.
+      checkInvariantUnder(
+        q.run(spark, sfDir),
+        Seq("spark.sql.adaptive.enabled" -> "false"))
+    }
+  }
+
+  test("driver smoke: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
   }
 }
