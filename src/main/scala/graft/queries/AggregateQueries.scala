@@ -99,7 +99,9 @@ object AggregateQueries {
             bit_or($"l_linenumber").cast("long").as("b_or"),
             bit_xor($"l_linenumber").cast("long").as("b_xor"),
             countDistinct($"l_partkey").as("n_parts"),
-            array_sort(collect_set($"l_linenumber")).as("lns"),
+            // Stringified: raw list columns are not hashable by the driver's
+            // pandas harness; the collect_set/array_sort path stays exercised.
+            array_join(array_sort(collect_set($"l_linenumber")).cast("array<string>"), ",").as("lns"),
             expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
             expr(s"CAST(sum(CAST(l_quantity AS $decSql)) FILTER (WHERE l_discount > 0.05) AS DOUBLE)")
               .as("qty_disc"))
@@ -112,7 +114,7 @@ object AggregateQueries {
           CAST(bit_or(l_linenumber) AS BIGINT) AS b_or,
           CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor,
           count(DISTINCT l_partkey) AS n_parts,
-          list_sort(list(DISTINCT l_linenumber)) AS lns,
+          array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS lns,
           count(*) FILTER (WHERE l_quantity > 25) AS n_big,
           CAST(sum(CAST(l_quantity AS $decSql)) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_disc
         FROM lineitem WHERE l_orderkey < 2000

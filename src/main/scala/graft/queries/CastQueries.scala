@@ -28,7 +28,9 @@ object CastQueries {
           .select($"o_orderkey",
             $"o_orderkey".cast("string").as("l2s"),
             $"o_totalprice".cast("long").as("d2l"),
-            $"o_totalprice".cast("decimal(12,2)").as("d2dec"),
+            // double→decimal cast, then →string: the driver's harness can't
+            // canonically hash a raw DECIMAL column; the cast stays exercised.
+            $"o_totalprice".cast("decimal(12,2)").cast("string").as("d2dec"),
             $"o_totalprice".cast("decimal(12,2)").cast("double").as("dec2d"),
             $"o_orderkey".cast("double").as("l2d"),
             $"o_orderkey".cast("int").cast("short").as("l2short"),
@@ -49,7 +51,7 @@ object CastQueries {
       Some("""SELECT o_orderkey,
           CAST(o_orderkey AS VARCHAR) AS l2s,
           CAST(trunc(o_totalprice) AS BIGINT) AS d2l,
-          CAST(o_totalprice AS DECIMAL(12,2)) AS d2dec,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS d2dec,
           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS dec2d,
           CAST(o_orderkey AS DOUBLE) AS l2d,
           CAST(o_orderkey AS SMALLINT) AS l2short,

@@ -26,11 +26,16 @@ object CollectionQueries {
       (s, dir) => {
         import s.implicits._
         val words = split($"text", " ")
+        // Every list-typed result is stringified via array_join before the
+        // final projection: the driver's pandas harness can't hash raw list
+        // columns. The array functions themselves stay fully exercised.
+        def j(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          array_join(c, ",")
         Tables.t(s, dir, "documents").filter($"doc_id" < 20)
           .select($"doc_id",
             size(words).cast("long").as("n"),
-            slice(words, 1, 5).as("first5"),
-            array_sort(array_distinct(words)).as("uniq"),
+            j(slice(words, 1, 5)).as("first5"),
+            j(array_sort(array_distinct(words))).as("uniq"),
             array_contains(words, "data").as("has_data"),
             array_position(words, "data").as("pos_data"),
             element_at(words, 3).as("third"),
@@ -38,47 +43,47 @@ object CollectionQueries {
             array_min(words).as("mn"),
             array_join(slice(words, 1, 4), "|").as("joined"),
             arrays_overlap(words, array(lit("data"), lit("zz"))).as("ovl"),
-            array_sort(array_intersect(words, array(lit("data"), lit("table"), lit("zz")))).as("inter"),
-            array_sort(array_union(slice(words, 1, 3), array(lit("zz")))).as("uni"),
-            array_sort(array_except(array_distinct(slice(words, 1, 6)), array(lit("a"), lit("the")))).as("exc"),
-            array_repeat(lit("z"), 3).as("rep3"),
-            array_append(slice(words, 1, 2), "tail").as("app"),
-            flatten(array(slice(words, 1, 2), slice(words, 3, 2))).as("flat"),
-            filter(words, w => length(w) > 4).as("longwords"),
-            array_compact(array(element_at(words, 1), lit(null), element_at(words, 2))).as("compacted"),
-            zip_with(slice(words, 1, 3), array_repeat(lit("z"), 3),
-              (x, y) => concat(x, lit(":"), y)).as("zipped"),
-            array_remove(slice(words, 1, 6), "a").as("removed"),
-            expr("array_insert(slice(split(text, ' '), 1, 3), 2, 'X')").as("inserted"),
-            reverse(slice(words, 1, 4)).as("rev4"))
+            j(array_sort(array_intersect(words, array(lit("data"), lit("table"), lit("zz"))))).as("inter"),
+            j(array_sort(array_union(slice(words, 1, 3), array(lit("zz"))))).as("uni"),
+            j(array_sort(array_except(array_distinct(slice(words, 1, 6)), array(lit("a"), lit("the"))))).as("exc"),
+            j(array_repeat(lit("z"), 3)).as("rep3"),
+            j(array_append(slice(words, 1, 2), "tail")).as("app"),
+            j(flatten(array(slice(words, 1, 2), slice(words, 3, 2)))).as("flat"),
+            j(filter(words, w => length(w) > 4)).as("longwords"),
+            j(array_compact(array(element_at(words, 1), lit(null), element_at(words, 2)))).as("compacted"),
+            j(zip_with(slice(words, 1, 3), array_repeat(lit("z"), 3),
+              (x, y) => concat(x, lit(":"), y))).as("zipped"),
+            j(array_remove(slice(words, 1, 6), "a")).as("removed"),
+            j(expr("array_insert(slice(split(text, ' '), 1, 3), 2, 'X')")).as("inserted"),
+            j(reverse(slice(words, 1, 4))).as("rev4"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
           len(string_split(text, ' ')) AS n,
-          (string_split(text, ' '))[1:5] AS first5,
-          list_sort(list_distinct(string_split(text, ' '))) AS uniq,
+          coalesce(array_to_string((string_split(text, ' '))[1:5], ','), '') AS first5,
+          coalesce(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','), '') AS uniq,
           list_contains(string_split(text, ' '), 'data') AS has_data,
           coalesce(list_position(string_split(text, ' '), 'data'), 0) AS pos_data,
           (string_split(text, ' '))[3] AS third,
           list_max(string_split(text, ' ')) AS mx,
           list_min(string_split(text, ' ')) AS mn,
-          array_to_string((string_split(text, ' '))[1:4], '|') AS joined,
+          coalesce(array_to_string((string_split(text, ' '))[1:4], '|'), '') AS joined,
           list_has_any(string_split(text, ' '), ['data', 'zz']) AS ovl,
-          list_sort(list_intersect(string_split(text, ' '), ['data', 'table', 'zz'])) AS inter,
-          list_sort(list_distinct(list_concat((string_split(text, ' '))[1:3], ['zz']))) AS uni,
-          list_sort(list_filter(list_distinct((string_split(text, ' '))[1:6]),
-            x -> NOT list_contains(['a', 'the'], x))) AS exc,
-          ['z', 'z', 'z'] AS rep3,
-          list_append((string_split(text, ' '))[1:2], 'tail') AS app,
-          list_concat((string_split(text, ' '))[1:2], (string_split(text, ' '))[3:4]) AS flat,
-          list_filter(string_split(text, ' '), x -> len(x) > 4) AS longwords,
-          list_filter([(string_split(text, ' '))[1], NULL, (string_split(text, ' '))[2]],
-            x -> x IS NOT NULL) AS compacted,
-          list_transform(range(1, 4), i -> (string_split(text, ' '))[i] || ':z') AS zipped,
-          list_filter((string_split(text, ' '))[1:6], x -> x != 'a') AS removed,
-          list_concat(list_concat((string_split(text, ' '))[1:1], ['X']),
-            (string_split(text, ' '))[2:3]) AS inserted,
-          list_reverse((string_split(text, ' '))[1:4]) AS rev4
+          coalesce(array_to_string(list_sort(list_intersect(string_split(text, ' '), ['data', 'table', 'zz'])), ','), '') AS inter,
+          coalesce(array_to_string(list_sort(list_distinct(list_concat((string_split(text, ' '))[1:3], ['zz']))), ','), '') AS uni,
+          coalesce(array_to_string(list_sort(list_filter(list_distinct((string_split(text, ' '))[1:6]),
+            x -> NOT list_contains(['a', 'the'], x))), ','), '') AS exc,
+          coalesce(array_to_string(['z', 'z', 'z'], ','), '') AS rep3,
+          coalesce(array_to_string(list_append((string_split(text, ' '))[1:2], 'tail'), ','), '') AS app,
+          coalesce(array_to_string(list_concat((string_split(text, ' '))[1:2], (string_split(text, ' '))[3:4]), ','), '') AS flat,
+          coalesce(array_to_string(list_filter(string_split(text, ' '), x -> len(x) > 4), ','), '') AS longwords,
+          coalesce(array_to_string(list_filter([(string_split(text, ' '))[1], NULL, (string_split(text, ' '))[2]],
+            x -> x IS NOT NULL), ','), '') AS compacted,
+          coalesce(array_to_string(list_transform(range(1, 4), i -> (string_split(text, ' '))[i] || ':z'), ','), '') AS zipped,
+          coalesce(array_to_string(list_filter((string_split(text, ' '))[1:6], x -> x != 'a'), ','), '') AS removed,
+          coalesce(array_to_string(list_concat(list_concat((string_split(text, ' '))[1:1], ['X']),
+            (string_split(text, ' '))[2:3]), ','), '') AS inserted,
+          coalesce(array_to_string(list_reverse((string_split(text, ' '))[1:4]), ','), '') AS rev4
         FROM documents WHERE doc_id < 20 ORDER BY doc_id"""),
       doc = "Array surface: size/slice/distinct/contains/position/element_at/max/min/join/overlap/intersect/union/except/repeat/append/flatten/filter(lambda)."),
 
@@ -94,8 +99,8 @@ object CollectionQueries {
             get_json_object($"props", "$.missing").as("k_missing"),
             to_json(struct($"event_id", $"event_type")).as("js"),
             struct($"event_type", $"value").getField("event_type").as("st_field"),
-            array_sort(map_keys(m)).as("mk"),
-            map_values(m).as("mv"),
+            array_join(array_sort(map_keys(m)), ",").as("mk"),
+            array_join(map_values(m), ",").as("mv"),
             element_at(m, "t").as("mv_t"),
             element_at(map_from_arrays(array(lit("k1"), lit("k2")),
               array($"event_type", $"props")), "k2").as("mfa_k2"),
@@ -110,8 +115,8 @@ object CollectionQueries {
           json_extract_string(props, '$.missing') AS k_missing,
           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS js,
           event_type AS st_field,
-          list_sort(['t', 'u']) AS mk,
-          [event_type, CAST(user_id AS VARCHAR)] AS mv,
+          coalesce(array_to_string(list_sort(['t', 'u']), ','), '') AS mk,
+          coalesce(array_to_string([event_type, CAST(user_id AS VARCHAR)], ','), '') AS mv,
           event_type AS mv_t,
           props AS mfa_k2,
           TRUE AS mck,

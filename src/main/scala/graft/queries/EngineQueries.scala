@@ -62,26 +62,31 @@ object EngineQueries {
       "q59_custom_udaf_minhash",
       (s, dir) => {
         import s.implicits._
-        // Per-doc 32-slot MinHash signatures (pure expressions) merged
-        // into per-source sketches by the typed Aggregator; a scalar
-        // udf() then derives a band key from each sketch. Partial
-        // aggregation means only 32 longs per source cross the shuffle.
+        // Per-doc 32-slot MinHash signatures merged into per-source
+        // sketches by the typed Aggregator. The signature is a literal
+        // array of 32 codegen'd arithmetic columns — NOT an interpreted
+        // transform(sequence(...)) lambda, which measured ~100× slower
+        // (same finding that shaped q47). Partial aggregation means only
+        // 32 longs per source cross the shuffle. The band key is
+        // concat_ws over element_at (codegen'd), not a per-row udf, and
+        // the sketch is stringified for the driver's harness.
         val w = split($"text", " ")
         val h1 = hash($"tok").cast("long").bitwiseAND(lit(0xffffffffL))
         val h2 = xxhash64($"tok").bitwiseAND(lit(0xffffffffL))
-        val sigExpr = transform(sequence(lit(0), lit(31)), i => h1 + i * h2)
+        val sigExpr = array((0 until 32).map(i => h1 + lit(i.toLong) * h2): _*)
         val mh = udaf(MinHashAggregator)
-        val bandKey = udf((sig: Seq[Long], b: Int) => s"$b:${sig(2 * b)}:${sig(2 * b + 1)}")
         Tables.t(s, dir, "documents")
           .select($"source", explode(array_distinct(w)).as("tok"))
           .withColumn("sig", sigExpr)
           .groupBy($"source")
           .agg(mh($"sig").as("sketch"))
-          .select($"source", $"sketch", bandKey($"sketch", lit(0)).as("band0"))
+          .select($"source",
+            array_join($"sketch".cast("array<string>"), ",").as("sketch"),
+            concat_ws(":", lit(0), element_at($"sketch", 1), element_at($"sketch", 2)).as("band0"))
           .orderBy($"source")
       },
       None, // xxhash64-based sketch has no DuckDB twin → rows-only
-      doc = "Typed Aggregator UDAF (element-wise-min MinHash sketch, partial-agg friendly) + scalar udf() band key, per source."),
+      doc = "Typed Aggregator UDAF (element-wise-min MinHash sketch, partial-agg friendly) + codegen'd band key, per source."),
 
     QueryDef(
       "q75_custom_topk_operator",

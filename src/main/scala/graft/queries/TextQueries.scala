@@ -115,7 +115,7 @@ object TextQueries {
       Some("""SELECT doc_id,
           len(string_split(text,' ')) AS ws_tokens,
           len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
-          list_sum(list_transform(string_split(text,' '), x -> (length(x) + 3) // 4)) AS subword_est,
+          CAST(list_sum(list_transform(string_split(text,' '), x -> (length(x) + 3) // 4)) AS BIGINT) AS subword_est,
           len(list_distinct(string_split(text,' '))) AS vocab
         FROM documents ORDER BY doc_id"""),
       doc = "Token counting: whitespace tokens, regex tokens, BPE-ish ceil(len/4) subword estimate, vocabulary size."),
