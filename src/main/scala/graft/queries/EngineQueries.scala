@@ -16,11 +16,11 @@ object EngineQueries {
     * spark.sql.extensions=graft.engine.GraftExtensions (e.g. the
     * driver's smoke session).
     */
-  private def ensureRegistered(s: SparkSession): Unit = {
-    val (id, info, builder) = GraftExtensions.cosineSimDescriptor
-    if (!s.sessionState.functionRegistry.functionExists(id))
-      s.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  private def ensureRegistered(s: SparkSession): Unit =
+    GraftExtensions.functionDescriptors.foreach { case (id, info, builder) =>
+      if (!s.sessionState.functionRegistry.functionExists(id))
+        s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   def all: Seq[QueryDef] = Seq(
 
@@ -103,6 +103,39 @@ object EngineQueries {
       },
       Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 12"""),
-      doc = "Custom whole-operator path: GraftTopK logical node planned by GraftTopKStrategy into GraftTopKExec (bounded-heap two-stage top-K).")
+      doc = "Custom whole-operator path: GraftTopK logical node planned by GraftTopKStrategy into GraftTopKExec (bounded-heap two-stage top-K)."),
+
+    QueryDef(
+      "q76_bloom_filter_join",
+      (s, dir) => {
+        ensureRegistered(s)
+        // The 100 TB pre-join pattern: build a bloom filter over the
+        // (small) filtered build side's keys, probe the (huge) fact side
+        // BEFORE its shuffle, then do the exact semi-join on survivors.
+        // might_contain has no false negatives, so the result is exactly
+        // the semi-join — which is what the oracle computes. The bloom
+        // argument must be a scalar subquery (Spark requirement), hence
+        // SQL over temp views rather than the DataFrame DSL.
+        Tables.t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        Tables.t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT l_returnflag, count(*) AS n_rows,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM g_lineitem
+          WHERE might_contain(
+                  (SELECT bloom_filter_agg(xxhash64(o_orderkey))
+                   FROM g_orders WHERE o_orderpriority = '1-URGENT'),
+                  xxhash64(l_orderkey))
+            AND l_orderkey IN (SELECT o_orderkey FROM g_orders
+                               WHERE o_orderpriority = '1-URGENT')
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "bloom_filter_agg/might_contain (Spark's internal BloomFilterAggregate via FunctionRegistry injection): bloom prefilter + exact semi-join; no false negatives makes it oracle-exact.")
   )
 }

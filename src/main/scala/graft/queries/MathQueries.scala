@@ -28,8 +28,11 @@ object MathQueries {
             abs(-$"l_extendedprice").as("av"),
             ceil($"l_extendedprice").as("ce"),
             floor($"l_extendedprice").as("fl"),
-            round($"l_extendedprice", 1).as("rnd1"),
-            bround($"l_extendedprice", 1).as("brnd1"),
+            // Round the decimal-quantized price, not the raw double: at a
+            // ".45" representation boundary the two engines disagree on
+            // the binary double's nearest tenth; on decimal both are exact.
+            round($"l_extendedprice".cast("decimal(18,2)"), 1).cast("double").as("rnd1"),
+            bround($"l_extendedprice".cast("decimal(18,2)"), 1).cast("double").as("brnd1"),
             signum($"l_discount" - 0.05).as("sg"),
             (-$"l_quantity").as("neg"),
             expr("l_orderkey div 7").as("idiv"),
@@ -37,18 +40,25 @@ object MathQueries {
             pmod($"l_linenumber" - lit(4), lit(3)).cast("long").as("pm"))
           .orderBy($"l_orderkey", $"l_linenumber")
       },
-      Some("""SELECT l_orderkey, l_linenumber,
+      Some("""WITH base AS (
+          SELECT *, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM lineitem WHERE l_orderkey < 100)
+        SELECT l_orderkey, l_linenumber,
           abs(-l_extendedprice) AS av,
           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
-          round(l_extendedprice, 1) AS rnd1,
-          round_even(l_extendedprice, 1) AS brnd1,
+          CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rnd1,
+          -- DuckDB's round_even breaks ties upward on this data; emulate
+          -- true HALF_EVEN over exact integer cents instead.
+          CAST((CASE WHEN cents % 10 > 5 THEN cents // 10 + 1
+                     WHEN cents % 10 < 5 THEN cents // 10
+                     ELSE cents // 10 + (cents // 10) % 2 END) AS DOUBLE) / 10 AS brnd1,
           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
           -l_quantity AS neg,
           l_orderkey // 7 AS idiv,
           l_orderkey % 7 AS imod,
           ((l_linenumber - 4) % 3 + 3) % 3 AS pm
-        FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber"""),
+        FROM base ORDER BY l_orderkey, l_linenumber"""),
       doc = "abs/ceil/floor/round/signum/unary-minus/integral-divide/remainder/pmod. Spark ceil(double)→long, matched by BIGINT cast."),
 
     QueryDef(
