@@ -176,6 +176,64 @@ object OperatorExtraQueries {
           row_number() OVER (ORDER BY s_suppkey) - 1 AS mid,
           0 AS pid
         FROM supplier QUALIFY s_suppkey <= 100 ORDER BY s_suppkey"""),
-      doc = "MonotonicallyIncreasingID + SparkPartitionID, made deterministic via total sort + single partition.")
+      doc = "MonotonicallyIncreasingID + SparkPartitionID, made deterministic via total sort + single partition."),
+
+    QueryDef(
+      "q77_dynamic_partition_pruning",
+      (s, dir) => {
+        import s.implicits._
+        // DPP: the fact is partitioned on disk by the join key; the dim
+        // carries the selective filter (NOT a literal on the fact), so
+        // the partitions to read are only known at runtime — Spark
+        // injects a dynamicpruning subquery into the scan's
+        // PartitionFilters, reusing the dim's broadcast. At 100 TB this
+        // is the difference between scanning one status directory and
+        // scanning all of them. (Static pruning is pinned by q72.)
+        val base = s"/tmp/graft_dpp/${java.util.UUID.randomUUID()}"
+        Tables.t(s, dir, "orders")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$base/fact")
+        // The dim must be a file source: a LocalRelation dim gets its
+        // filter constant-folded away before PartitionPruning runs, and
+        // no selective predicate remains to justify the DPP subquery.
+        Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+          .toDF("status", "label")
+          .write.mode("overwrite").parquet(s"$base/dim")
+        val fact = s.read.parquet(s"$base/fact")
+        val dim = s.read.parquet(s"$base/dim")
+        fact.join(dim.filter($"label" === "finished"),
+            fact("o_orderstatus") === dim("status"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            max($"o_orderkey").as("max_key"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "Dynamic partition pruning: partitioned fact joined to a filtered dim — scan's PartitionFilters carries a runtime dynamicpruning subquery (pinned by PlanAssertionSuite)."),
+
+    QueryDef(
+      "q78_range_repartition",
+      (s, dir) => {
+        import s.implicits._
+        // repartitionByRange (RangePartitioning exchange, sampled
+        // boundaries): the layout step before writing clustered output at
+        // scale — range-partitioned files give readers min/max pruning on
+        // the sort key. The aggregate result is partitioning-invariant,
+        // which is what the oracle checks; the range exchange itself is
+        // pinned by PlanAssertionSuite.
+        Tables.t(s, dir, "lineitem")
+          .repartitionByRange(8, $"l_shipdate")
+          .sortWithinPartitions($"l_shipdate")
+          .groupBy(date_trunc("month", $"l_shipdate").cast("date").as("mon"))
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy($"mon")
+      },
+      Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      doc = "repartitionByRange(8, l_shipdate) + sortWithinPartitions — range-clustered layout; monthly aggregate is layout-invariant.")
   )
 }

@@ -67,6 +67,19 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(pf.contains("o_orderstatus"), s"expected o_orderstatus partition filter, got: $pf")
   }
 
+  test("q77 scan carries a runtime dynamicpruning partition filter") {
+    val p = planString(run("q77_dynamic_partition_pruning"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("dynamicpruning"),
+      s"expected dynamicpruning subquery in PartitionFilters, got: $pf\nfull plan:\n$p")
+  }
+
+  test("q78 plans a RangePartitioning exchange") {
+    val p = planString(run("q78_range_repartition"))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$p")
+  }
+
   test("q01 aggregates partially before the shuffle (two HashAggregate stages)") {
     val p = planString(run("q01_tpch_q1"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
