@@ -19,6 +19,15 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Conf the session MUST carry to read events.parquet — set it in the
+    * SparkSession builder (Verify/Bench/tests all do). It is deliberately
+    * NOT set inside [[events]]: the conf is re-read at execution time, so
+    * save-and-restore around the read breaks lazy execution, and setting
+    * it permanently would silently change how unrelated nanos-parquet
+    * reads behave for the rest of the session (ADVICE r2).
+    */
+  val eventsReadConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
   /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
     * Spark 4.x rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw nanos
     * as a long via the legacy conf, then truncate to micros — identical to
@@ -27,7 +36,9 @@ object Tables {
     * truncation == cast truncation.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption(eventsReadConf._1).contains(eventsReadConf._2),
+      s"reading events.parquet (nanos timestamps) requires the session to set " +
+        s"${eventsReadConf._1}=${eventsReadConf._2} in its builder")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

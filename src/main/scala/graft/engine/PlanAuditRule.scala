@@ -1,7 +1,6 @@
 package graft.engine
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{ColumnarRule, SparkPlan}
@@ -9,10 +8,15 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 /** Physical-plan audit rule (SURVEY §4.2: the shape of CometExecRule,
   * inverted — we don't swap operators, we *observe* them). Injected via
-  * [[GraftExtensions]] as a post-columnar-transition rule; counts every
-  * physical operator class that executes and flags scale hazards
-  * (cartesian products) so a fallback/coverage report is one map away —
-  * the moral equivalent of the reference's `withInfo` fallback tagging.
+  * [[GraftExtensions]] as a post-columnar-transition rule; records which
+  * physical operator classes each SQL execution plans and flags scale
+  * hazards (cartesian products) so a fallback/coverage report is one map
+  * away — the moral equivalent of the reference's `withInfo` tagging.
+  *
+  * Counts are per-execution, not per-rule-application: under AQE this
+  * rule fires once per query stage and re-planning round, so raw
+  * application counts would overstate operator usage. Keying by the SQL
+  * executionId dedupes those re-fires (ADVICE r2).
   */
 case class PlanAuditRule(session: SparkSession) extends ColumnarRule {
 
@@ -20,13 +24,14 @@ case class PlanAuditRule(session: SparkSession) extends ColumnarRule {
     new org.apache.spark.sql.catalyst.rules.Rule[SparkPlan] {
       override val ruleName: String = "graft.PlanAudit"
       override def apply(plan: SparkPlan): SparkPlan = {
+        val execId = Option(session.sparkContext
+          .getLocalProperty("spark.sql.execution.id")).getOrElse("unknown")
+        val ops = PlanAuditRule.seen
+          .computeIfAbsent(execId, _ => ConcurrentHashMap.newKeySet[String]())
         plan.foreach { node =>
-          PlanAuditRule.seen
-            .computeIfAbsent(node.nodeName, _ => new LongAdder)
-            .increment()
+          ops.add(node.nodeName)
           node match {
-            case _: CartesianProductExec =>
-              PlanAuditRule.cartesians.increment()
+            case _: CartesianProductExec => PlanAuditRule.cartesianExecs.add(execId)
             case _ => ()
           }
         }
@@ -36,15 +41,18 @@ case class PlanAuditRule(session: SparkSession) extends ColumnarRule {
 }
 
 object PlanAuditRule {
-  /** operator nodeName → times planned (process-wide, test-inspectable) */
-  val seen = new ConcurrentHashMap[String, LongAdder]()
-  /** cartesian products planned — a 100 TB red flag unless dims-only */
-  val cartesians = new LongAdder
+  /** executionId → distinct operator nodeNames planned in that execution */
+  private[engine] val seen =
+    new ConcurrentHashMap[String, java.util.Set[String]]()
+  /** executionIds that planned a cartesian — a 100 TB red flag unless dims-only */
+  private val cartesianExecs = ConcurrentHashMap.newKeySet[String]()
 
+  /** operator nodeName → number of SQL executions that planned it */
   def snapshot: Map[String, Long] = {
-    val b = Map.newBuilder[String, Long]
-    seen.forEach((k, v) => b += k -> v.sum())
-    b.result()
+    val b = collection.mutable.Map.empty[String, Long]
+    seen.forEach((_, ops) => ops.forEach(op => b.update(op, b.getOrElse(op, 0L) + 1)))
+    b.toMap
   }
-  def reset(): Unit = { seen.clear(); cartesians.reset() }
+  def cartesianCount: Long = cartesianExecs.size.toLong
+  def reset(): Unit = { seen.clear(); cartesianExecs.clear() }
 }

@@ -51,23 +51,36 @@ object StreamingOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
 
   /** Stateful sessionization with flatMapGroupsWithState: a session
-    * closes after `gapSeconds` of silence (processing-time timeout) or
-    * when a newer event arrives more than `gapSeconds` after the last —
-    * then the closed session is emitted. State per user is O(1): the
-    * open session accumulator. Batch twin: q67_sessionization.
+    * closes when a newer event arrives more than `gapSeconds` after the
+    * last, OR when the event-time watermark passes session_end + gap —
+    * the timeout path emits the final open session and evicts the
+    * user's state, so per-user state is genuinely bounded (removed, not
+    * just O(1) while the user is active). Event-time (not
+    * processing-time) timeouts keep the semantics replay-deterministic
+    * and let the no-interval test trigger quiesce. Batch twin:
+    * q67_sessionization (batch runs have no watermark, so no timeouts
+    * fire and only gap-closed sessions are emitted).
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000
 
     def updateState(userId: Long, rows: Iterator[Event],
         state: GroupState[Session]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // Watermark passed session_end + gap: the open session is now
+        // closed; emit it and evict the user's state entirely.
+        val finished = state.getOption.iterator.toList
+        state.remove()
+        return finished.iterator
+      }
       var closed = List.empty[Session]
       var open = state.getOption
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         open match {
           case Some(sess)
-              if e.ts.getTime - sess.session_end.getTime <= gapSeconds * 1000 =>
+              if e.ts.getTime - sess.session_end.getTime <= gapMs =>
             open = Some(sess.copy(
               n_events = sess.n_events + 1,
               session_end = e.ts,
@@ -77,12 +90,20 @@ object StreamingOps {
             open = Some(Session(userId, 1, e.ts, e.ts, e.value))
         }
       }
-      open.foreach(state.update)
+      open.foreach { sess =>
+        state.update(sess)
+        // Timeout timestamps must sit above the current watermark; in
+        // batch mode there is no watermark (and no timeouts fire).
+        val wm = try state.getCurrentWatermarkMs()
+          catch { case _: UnsupportedOperationException => Long.MinValue }
+        state.setTimeoutTimestamp(math.max(sess.session_end.getTime + gapMs, wm + 1))
+      }
       closed.iterator
     }
 
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(updateState)
+        GroupStateTimeout.EventTimeTimeout)(updateState)
   }
 }

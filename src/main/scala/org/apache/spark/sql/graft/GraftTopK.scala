@@ -26,6 +26,7 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   */
 case class GraftTopK(k: Int, order: Seq[SortOrder], child: LogicalPlan)
     extends UnaryNode {
+  require(k > 0, s"GraftTopK requires k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = Some(k.toLong)
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftTopK =
@@ -77,12 +78,17 @@ object GraftTopK {
     * built without GraftExtensions.
     */
   def topK(df: DataFrame, k: Int, cols: Column*): DataFrame = {
+    require(k > 0, s"topK requires k > 0, got $k")
     val ds = castToImpl(df)
     val spark = ds.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GraftTopKStrategy) &&
-        !spark.sessionState.planner.strategies.contains(GraftTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GraftTopKStrategy
+    // Synchronized check-and-append: concurrent callers on one session
+    // must not lose the update or install the strategy twice.
+    GraftTopKStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GraftTopKStrategy) &&
+          !spark.sessionState.planner.strategies.contains(GraftTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GraftTopKStrategy
+    }
     val sortOrder = cols.map { c =>
       org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node) match {
         case so: SortOrder => so

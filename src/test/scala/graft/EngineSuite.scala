@@ -71,6 +71,6 @@ class EngineSuite extends GraftTestBase {
     Tables.t(spark, sfDir, "region").groupBy("r_name").count().collect()
     val snap = PlanAuditRule.snapshot
     assert(snap.keys.exists(_.toLowerCase.contains("aggregate")), s"snapshot=$snap")
-    assert(PlanAuditRule.cartesians.sum() == 0)
+    assert(PlanAuditRule.cartesianCount == 0)
   }
 }

@@ -16,6 +16,7 @@ object GraftTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+    .config(Tables.eventsReadConf._1, Tables.eventsReadConf._2)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -77,6 +77,20 @@ class StreamingSuite extends GraftTestBase {
       assert(closed.length == 1)
       val s0 = closed.head
       assert(s0.getAs[Long]("n_events") == 2 && s0.getAs[Double]("session_value") == 3.0)
+
+      // Event-time timeout: an unrelated user's much-later event pushes
+      // the watermark past user 1's open-session deadline — the final
+      // session must be emitted WITHOUT another user-1 event, proving
+      // state eviction (the bounded-state contract).
+      input.addData(Event(4, ts(200), 2, "c", 8.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(201), 2, "c", 9.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess").collect()
+        .filter(_.getAs[Long]("user_id") == 1)
+      assert(afterTimeout.length == 2,
+        s"expected user 1's final session emitted by event-time timeout, got ${afterTimeout.length}")
+      assert(afterTimeout.map(_.getAs[Double]("session_value")).toSet == Set(3.0, 4.0))
     } finally q.stop()
   }
 
@@ -84,7 +98,7 @@ class StreamingSuite extends GraftTestBase {
     // Real file source end-to-end: the events table streamed through the
     // same ns→µs conversion the batch loader applies, windowed, written
     // to a memory sink in complete mode.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // (nanosAsLong is set in GraftTestBase's session builder)
     // file streaming sources need a DIRECTORY — stage the table file
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_events")
     java.nio.file.Files.copy(
