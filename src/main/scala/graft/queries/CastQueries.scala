@@ -68,6 +68,44 @@ object CastQueries {
           CAST(o_orderkey % 2 AS BOOLEAN) AS l2bool,
           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip
         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"""),
-      doc = "Cast matrix: long/double/decimal/short/string/date/timestamp/boolean paths + try_cast and legacy NULL-on-malformed cast.")
+      doc = "Cast matrix: long/double/decimal/short/string/date/timestamp/boolean paths + try_cast and legacy NULL-on-malformed cast."),
+
+    QueryDef(
+      "q79_try_cast_legacy",
+      (s, dir) => {
+        import s.implicits._
+        // The LEGACY-semantics surface (malformed → NULL, overflow →
+        // NULL) through try_cast, which maps 1:1 to DuckDB TRY_CAST.
+        // ANSI-off behavior of plain CAST is covered by the dual-run
+        // axis and the cast_legacy.sql corpus file; this query makes the
+        // NULL-tolerant matrix oracle-checked. Reference scope:
+        // expressions/CometCast.scala:33-421 (TRY eval mode).
+        Tables.t(s, dir, "orders").filter($"o_orderkey" < 300)
+          .select($"o_orderkey",
+            expr("try_cast(o_orderpriority AS DOUBLE)").as("bad_dbl"),
+            expr("try_cast(concat('x', o_orderkey) AS INT)").as("bad_int"),
+            expr("try_cast(concat(' ', o_orderkey, ' ') AS INT)").as("pad_int"),
+            expr("try_cast('' AS INT)").as("empty_int"),
+            expr("try_cast(o_orderkey + 300 AS TINYINT)").cast("int").as("ovf_tiny"),
+            expr("try_cast(o_orderkey * 100000000000 AS INT)").as("ovf_int"),
+            expr("try_cast('1995-99-99' AS DATE)").as("bad_date"),
+            expr("try_cast('1995-03-15' AS DATE)").as("good_date"),
+            expr("try_cast('true' AS BOOLEAN)").as("b_true"),
+            expr("try_cast('maybe' AS BOOLEAN)").as("b_bad"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          TRY_CAST(o_orderpriority AS DOUBLE) AS bad_dbl,
+          TRY_CAST('x' || o_orderkey AS INTEGER) AS bad_int,
+          TRY_CAST(' ' || o_orderkey || ' ' AS INTEGER) AS pad_int,
+          TRY_CAST('' AS INTEGER) AS empty_int,
+          CAST(TRY_CAST(o_orderkey + 300 AS TINYINT) AS INTEGER) AS ovf_tiny,
+          TRY_CAST(o_orderkey * 100000000000 AS INTEGER) AS ovf_int,
+          TRY_CAST('1995-99-99' AS DATE) AS bad_date,
+          TRY_CAST('1995-03-15' AS DATE) AS good_date,
+          TRY_CAST('true' AS BOOLEAN) AS b_true,
+          TRY_CAST('maybe' AS BOOLEAN) AS b_bad
+        FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""),
+      doc = "NULL-tolerant cast matrix via try_cast/TRY_CAST: malformed strings, whitespace trim, tinyint/int overflow, impossible dates, boolean strings.")
   )
 }

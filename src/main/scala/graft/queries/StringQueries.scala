@@ -111,6 +111,39 @@ object StringQueries {
           ltrim('  x  ') AS lt, rtrim('  x  ') AS rt,
           len(string_split(p_name, ' ')) AS n_words
         FROM part WHERE p_partkey < 500 ORDER BY p_partkey"""),
-      doc = "Pattern matching + trim family: like/rlike/contains/startswith/endswith/trim/ltrim/rtrim/split+size.")
+      doc = "Pattern matching + trim family: like/rlike/contains/startswith/endswith/trim/ltrim/rtrim/split+size."),
+
+    QueryDef(
+      "q80_url_functions",
+      (s, dir) => {
+        import s.implicits._
+        // url_encode/url_decode/parse_url (reference serde/statics.scala:
+        // 40-66). This DuckDB build ships no url functions, so the oracle
+        // is a literal expected-value table: Spark's url_encode is
+        // java.net.URLEncoder (form encoding: space→'+', '*' kept,
+        // '~'→%7E, UTF-8 percent-escapes, uppercase hex), hand-verified.
+        val inputs = Seq("hello world", "https://spark.apache.org",
+          "a&b=c", "café", "100%", "tilde~star*").toDF("s")
+        inputs.select($"s",
+            expr("url_encode(s)").as("enc"),
+            expr("url_decode(url_encode(s))").as("roundtrip"),
+            expr("parse_url('https://spark.apache.org/docs/latest?query=sql#frag', 'HOST')").as("host"),
+            expr("parse_url('https://spark.apache.org/docs/latest?query=sql#frag', 'PATH')").as("path"),
+            expr("parse_url('https://spark.apache.org/docs/latest?query=sql#frag', 'QUERY', 'query')").as("qval"),
+            expr("parse_url('https://spark.apache.org/docs/latest?query=sql#frag', 'REF')").as("ref"))
+          .orderBy($"s")
+      },
+      Some("""SELECT s, enc, s AS roundtrip,
+          'spark.apache.org' AS host, '/docs/latest' AS path,
+          'sql' AS qval, 'frag' AS ref
+        FROM (VALUES
+          ('hello world', 'hello+world'),
+          ('https://spark.apache.org', 'https%3A%2F%2Fspark.apache.org'),
+          ('a&b=c', 'a%26b%3Dc'),
+          ('café', 'caf%C3%A9'),
+          ('100%', '100%25'),
+          ('tilde~star*', 'tilde%7Estar*')) AS t(s, enc)
+        ORDER BY s"""),
+      doc = "url_encode/url_decode roundtrip + parse_url parts, against a hand-verified literal oracle (no url functions in this DuckDB build).")
   )
 }
