@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functionDescriptors.foreach(ext.injectFunction)
+    ext.injectColumnar(session => org.apache.spark.sql.graft.GraftColumnarRule(session))
     ext.injectColumnar(session => PlanAuditRule(session))
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GraftTopKStrategy)
   }

@@ -136,6 +136,25 @@ object EngineQueries {
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                              WHERE o_orderpriority = '1-URGENT')
         GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "bloom_filter_agg/might_contain (Spark's internal BloomFilterAggregate via FunctionRegistry injection): bloom prefilter + exact semi-join; no false negatives makes it oracle-exact.")
+      doc = "bloom_filter_agg/might_contain (Spark's internal BloomFilterAggregate via FunctionRegistry injection): bloom prefilter + exact semi-join; no false negatives makes it oracle-exact."),
+
+    QueryDef(
+      "q81_columnar_select",
+      (s, dir) => {
+        import s.implicits._
+        // Attribute-only reorder over the parquet scan: GraftColumnarRule
+        // (injected via SparkSessionExtensions) swaps the ProjectExec for
+        // GraftColumnarSelectExec, which selects/reorders the scan's
+        // ColumnarBatch vectors zero-copy — the §7.1 columnar-operator
+        // path, pinned by PlanAssertionSuite. On a session without the
+        // extensions the query degrades to a plain row Project with the
+        // same result.
+        Tables.t(s, dir, "supplier")
+          .select($"s_name", $"s_suppkey", $"s_nationkey")
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_name, s_suppkey, s_nationkey FROM supplier
+        ORDER BY s_suppkey"""),
+      doc = "Columnar operator swap: attribute-only Project over the scan executed on ColumnarBatch (zero-copy vector selection) via ColumnarRule injection.")
   )
 }

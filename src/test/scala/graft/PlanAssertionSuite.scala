@@ -80,6 +80,18 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected a range exchange in:\n$p")
   }
 
+  test("q81 executes its projection on ColumnarBatch via GraftColumnarSelect") {
+    // Columnar rules apply inside AQE query stages, so materialize first
+    // and read the final plan.
+    val df = run("q81_columnar_select")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarSelect"),
+      s"expected the columnar operator swap in:\n$p")
+    assert(p.contains("ColumnarToRow"),
+      s"expected a ColumnarToRow transition above the columnar operator:\n$p")
+  }
+
   test("q01 aggregates partially before the shuffle (two HashAggregate stages)") {
     val p = planString(run("q01_tpch_q1"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
