@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{ColumnarRule, ProjectExec, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** Columnar execution demonstrator (SURVEY §7.1's remaining custom-work
@@ -34,12 +35,20 @@ case class GraftColumnarSelectExec(output: Seq[Attribute], child: SparkPlan)
   override def supportsColumnar: Boolean = true
   override def outputPartitioning = child.outputPartitioning
 
+  /** Per-operator SQLMetrics (reference pattern: CometMetricNode). */
+  override lazy val metrics = Map(
+    "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of batches"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
     val idx = indices
+    val (batchM, rowM) = (metrics("numBatches"), metrics("numOutputRows"))
     child.executeColumnar().map { batch =>
       val cols = new Array[ColumnVector](idx.length)
       var i = 0
       while (i < idx.length) { cols(i) = batch.column(idx(i)); i += 1 }
+      batchM.add(1)
+      rowM.add(batch.numRows())
       new ColumnarBatch(cols, batch.numRows())
     }
   }

@@ -46,14 +46,27 @@ object GraftTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 
 case class GraftTopKExec(k: Int, order: Seq[SortOrder], child: SparkPlan)
     extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
   override def output: Seq[Attribute] = child.output
   override def outputOrdering: Seq[SortOrder] = order
 
+  /** Per-operator SQLMetrics (reference pattern: CometMetricNode /
+    * metric.proto): how many rows each phase saw and kept — on a real
+    * cluster this shows the ≤ k·P merge input directly in the UI.
+    */
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numMergeRows" -> SQLMetrics.createMetric(sparkContext, "rows entering final merge"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   /** bounded max-heap: keeps the k smallest rows under `ord` */
-  private def localTopK(ord: Ordering[InternalRow])(
+  private def localTopK(ord: Ordering[InternalRow],
+      inMetric: Option[org.apache.spark.sql.execution.metric.SQLMetric])(
       iter: Iterator[InternalRow]): Iterator[InternalRow] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
     iter.foreach { row =>
+      inMetric.foreach(_.add(1))
       if (heap.size < k) heap.enqueue(row.copy())
       else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
     }
@@ -62,10 +75,13 @@ case class GraftTopKExec(k: Int, order: Seq[SortOrder], child: SparkPlan)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ord = new LazilyGeneratedOrdering(order, child.output)
+    val (inM, mergeM, outM) =
+      (metrics("numInputRows"), metrics("numMergeRows"), metrics("numOutputRows"))
     child.execute()
-      .mapPartitions(localTopK(ord))   // ≤ k rows per partition
-      .coalesce(1)                     // narrow merge, ≤ k·P rows total
-      .mapPartitions(localTopK(ord))   // final k, sorted
+      .mapPartitions(localTopK(ord, Some(inM)))   // ≤ k rows per partition
+      .coalesce(1)                                // narrow merge, ≤ k·P rows total
+      .mapPartitions(localTopK(ord, Some(mergeM)))// final k, sorted
+      .map { r => outM.add(1); r }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): GraftTopKExec =

@@ -66,6 +66,40 @@ class EngineSuite extends GraftTestBase {
     assert(out(1).getSeq[Long](1).forall(_ == 5L))
   }
 
+  test("custom operators surface SQLMetrics (GraftTopKExec heap phases)") {
+    val df = org.apache.spark.sql.graft.GraftTopK.topK(
+      Tables.t(spark, sfDir, "orders").select($"o_orderkey", $"o_totalprice"),
+      5, $"o_totalprice".desc)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    val exec = df.queryExecution.executedPlan.collectFirst {
+      case e: org.apache.spark.sql.graft.GraftTopKExec => e
+    }.get
+    val nOrders = Tables.t(spark, sfDir, "orders").count()
+    assert(exec.metrics("numInputRows").value == nOrders)
+    assert(exec.metrics("numOutputRows").value == 5)
+    // the merge phase sees at most k rows per upstream partition
+    assert(exec.metrics("numMergeRows").value <= 5L * 4)
+  }
+
+  test("GraftColumnarSelectExec surfaces batch/row SQLMetrics") {
+    val df = Tables.t(spark, sfDir, "supplier")
+      .select($"s_name", $"s_suppkey")
+    df.collect()
+    // AQE: the swap happens inside the final query stage
+    val exec = df.queryExecution.executedPlan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst {
+          case e: org.apache.spark.sql.graft.GraftColumnarSelectExec => e }
+    }.flatten.orElse(df.queryExecution.executedPlan.collectFirst {
+      case e: org.apache.spark.sql.graft.GraftColumnarSelectExec => e
+    })
+    assert(exec.isDefined, s"columnar swap missing:\n${df.queryExecution.executedPlan}")
+    val n = Tables.t(spark, sfDir, "supplier").count()
+    assert(exec.get.metrics("numOutputRows").value == n)
+    assert(exec.get.metrics("numBatches").value >= 1)
+  }
+
   test("PlanAuditRule records planned operators") {
     PlanAuditRule.reset()
     Tables.t(spark, sfDir, "region").groupBy("r_name").count().collect()

@@ -87,4 +87,88 @@ object FuzzProps extends Properties("graft") {
       val bdR = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       sparkR == bdR
     }
+
+  // ---- nested-type / boundary-value / timezone fuzz (reference
+  // FuzzDataGenerator.scala:50-230 scope: nested arrays/structs/maps,
+  // boundary scalars, timezones — realized as codegen-vs-interpreted
+  // agreement properties, our analogue of with-Comet vs without).
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def codegenInvariant(run: => Seq[String]): Boolean = {
+    val base = run
+    val interpreted = withConf(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(run)
+    base == interpreted
+  }
+
+  final case class NestRow(id: Long, tags: Seq[String], nums: Seq[Int], kv: Map[String, Long])
+
+  private val nestGen: Gen[List[NestRow]] = Gen.listOfN(8, for {
+    id <- Gen.choose(0L, 1000L)
+    tags <- Gen.listOf(Gen.oneOf(vocab)).map(_.take(6))
+    nums <- Gen.listOf(Gen.oneOf(Int.MinValue, -1, 0, 1, Int.MaxValue)).map(_.take(6))
+    kv <- Gen.mapOf(Gen.zip(Gen.oneOf("k0", "k1", "k2"), Gen.choose(-10L, 10L)))
+  } yield NestRow(id, tags, nums, kv))
+
+  property("nested arrays/structs/maps: codegen and interpreted agree") =
+    forAll(nestGen) { rows: List[NestRow] =>
+      rows.isEmpty || codegenInvariant {
+        rows.toDF().select($"id",
+            to_json(struct($"tags", $"nums", $"kv")).as("js"),
+            array_join(array_sort($"tags"), ",").as("sorted_tags"),
+            array_join(array_sort($"nums").cast("array<string>"), ",").as("sorted_nums"),
+            coalesce(element_at($"kv", "k0"), lit(-999L)).as("v0"),
+            size($"nums").as("n"),
+            array_join(array_sort(map_keys($"kv")), ",").as("keys"))
+          .collect().map(_.toString).sorted.toSeq
+      }
+    }
+
+  private val boundaryDouble: Gen[Double] = Gen.oneOf(
+    Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+    -0.0, 0.0, Double.MinPositiveValue, 1.7e308, -1.7e308, math.Pi)
+  private val boundaryInt: Gen[Int] = Gen.oneOf(
+    Int.MinValue, Int.MinValue + 1, -1, 0, 1, Int.MaxValue)
+
+  property("boundary scalars survive try-arithmetic/cast identically under codegen") =
+    forAll(Gen.listOfN(6, Gen.zip(boundaryInt, boundaryDouble))) { pairs =>
+      pairs.isEmpty || codegenInvariant {
+        pairs.toDF("i", "d").selectExpr(
+            "i", "d",
+            "try_add(i, 1)", "try_subtract(i, 1)", "try_multiply(i, 2)",
+            "try_cast(d AS BIGINT)", "CAST(d AS STRING)",
+            "nanvl(d, -1.0D)", "isnan(d)", "d = 0.0D",
+            "try_cast(i AS SMALLINT)", "hash(i, d)")
+          .collect().map(_.toString).sorted.toSeq
+      }
+    }
+
+  private val microsGen: Gen[Long] =
+    Gen.choose(-2208988800000000L, 4102444800000000L) // ~1900..2100
+  private val tzGen: Gen[String] = Gen.oneOf(
+    "UTC", "America/Los_Angeles", "Asia/Kolkata", "Australia/Sydney")
+
+  property("timezone shifts and formatting: codegen and interpreted agree") =
+    forAll(Gen.listOfN(6, microsGen), tzGen) { (us: List[Long], tz: String) =>
+      us.isEmpty || codegenInvariant {
+        us.toDF("us").selectExpr(
+            "timestamp_micros(us) AS ts",
+            s"from_utc_timestamp(timestamp_micros(us), '$tz')",
+            s"to_utc_timestamp(timestamp_micros(us), '$tz')",
+            "date_format(timestamp_micros(us), 'yyyy-MM-dd HH:mm:ss.SSS')",
+            "year(timestamp_micros(us))", "dayofyear(timestamp_micros(us))",
+            "unix_micros(timestamp_micros(us))")
+          .collect().map(_.toString).sorted.toSeq
+      }
+    }
 }
