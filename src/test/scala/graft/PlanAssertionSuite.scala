@@ -80,6 +80,17 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected a range exchange in:\n$p")
   }
 
+  test("q76 builds the bloom via ObjectHashAggregate and prefilters the probe") {
+    val df = run("q76_bloom_filter_join")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("might_contain"), s"expected might_contain prefilter in:\n$p")
+    assert(p.contains("bloom_filter_agg") && p.contains("ObjectHashAggregate"),
+      s"expected the bloom sketch built by ObjectHashAggregate in:\n$p")
+    assert(p.contains("partial_bloom_filter_agg"),
+      s"expected partial (pre-shuffle) bloom aggregation in:\n$p")
+  }
+
   test("q81 executes its projection on ColumnarBatch via GraftColumnarSelect") {
     // Columnar rules apply inside AQE query stages, so materialize first
     // and read the final plan.
