@@ -24,7 +24,8 @@ object Catalog {
     OperatorExtraQueries.all ++
     ConditionalQueries.all ++
     VectorOpsQueries.all ++
-    PipelineQueries.all
+    PipelineQueries.all ++
+    TemporalJoinQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

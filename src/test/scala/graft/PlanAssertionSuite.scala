@@ -103,6 +103,19 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected a ColumnarToRow transition above the columnar operator:\n$p")
   }
 
+  test("q82 as-of join plans as union+window — no join operator, no cartesian") {
+    val p = planString(run("q82_asof_join"))
+    assert(p.contains("Window"), s"expected windowed LOCF in:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a join operator:\n$p")
+  }
+
+  test("q83 banded range join is an equi-join, never a cartesian") {
+    val p = planString(run("q83_range_join_banded"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range join must stay an equi-join:\n$p")
+  }
+
   test("q01 aggregates partially before the shuffle (two HashAggregate stages)") {
     val p = planString(run("q01_tpch_q1"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
