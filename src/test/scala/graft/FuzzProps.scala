@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.functions._
 import graft.engine.MinHashAggregator
-import graft.queries.DedupQueries
+import graft.queries.{DedupQueries, TemporalJoinQueries}
 
 /** Property-based fuzzing (reference layer 3, FuzzDataGenerator.scala
   * pattern, via ScalaCheck): randomized inputs against invariants that
@@ -151,6 +151,35 @@ object FuzzProps extends Properties("graft") {
             "try_cast(i AS SMALLINT)", "hash(i, d)")
           .collect().map(_.toString).sorted.toSeq
       }
+    }
+
+  // ---- as-of join kernel vs in-memory brute force: for random probe
+  // and quote sets the windowed-LOCF formulation must equal the naive
+  // "latest quote at or before each probe" definition.
+
+  private val asofGen: Gen[(List[(Int, Long)], List[(Int, Long, Double)])] = for {
+    nq <- Gen.choose(0, 15)
+    np <- Gen.choose(1, 15)
+    quotes <- Gen.listOfN(nq, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 50L), Gen.choose(0.0, 9.0)))
+    probes <- Gen.listOfN(np, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 50L)))
+  } yield (probes, quotes.groupBy(q => (q._1, q._2)).map(_._2.head).toList) // unique (key, ts)
+
+  property("as-of join kernel matches in-memory brute force") =
+    forAll(asofGen) { case (probes, quotes) =>
+      val pdf = probes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "pt")
+      val qdf = quotes.toDF("k", "qt", "v")
+      val got = TemporalJoinQueries.asofJoin(pdf, qdf, "k", "pt", "qt", "v")
+        .select($"pid", $"__asof_t".as("qt"), $"__asof_v".as("v"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      val expected = probes.zipWithIndex.map { case ((k, t), i) =>
+        val best = quotes.filter(q => q._1 == k && q._2 <= t).sortBy(_._2).lastOption
+        (i.toLong, best.map(_._2), best.map(_._3))
+      }.toSet
+      got == expected
     }
 
   private val microsGen: Gen[Long] =

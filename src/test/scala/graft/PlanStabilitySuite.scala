@@ -20,7 +20,9 @@ class PlanStabilitySuite extends GraftTestBase {
     "q17_rollup", "q22_window_running", "q46_dedup_ngram_jaccard",
     "q47_dedup_minhash_lsh", "q49_embedding_neardup",
     "q50_ann_bruteforce_topk", "q64_sort_merge_join",
-    "q69_skew_salted_join", "q74_llm_prep_pipeline")
+    "q69_skew_salted_join", "q74_llm_prep_pipeline",
+    "q76_bloom_filter_join", "q78_range_repartition",
+    "q82_asof_join", "q83_range_join_banded")
 
   private def skeleton(p: LogicalPlan, depth: Int = 0): String = {
     val self = ("  " * depth) + p.nodeName
