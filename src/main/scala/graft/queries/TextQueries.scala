@@ -142,6 +142,46 @@ object TextQueries {
         FROM (SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
           FROM documents) ORDER BY doc_id"""),
-      doc = "Document fingerprinting: md5 over canonical sorted word set + dup-group stats via window.")
+      doc = "Document fingerprinting: md5 over canonical sorted word set + dup-group stats via window."),
+
+    QueryDef(
+      "q84_tfidf_topterms",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // TF-IDF top-3 terms per document. Scale shape: tf aggregates on
+        // (doc, term), df aggregates on term, scores join on term, the
+        // per-doc top-k is a window — every stage a hash shuffle on its
+        // natural key, nothing collected. Ranking uses the ROUNDED score
+        // (with term tiebreak) so cross-engine last-ulp ln() differences
+        // cannot reorder rows.
+        val docs = Tables.t(s, dir, "documents")
+        val n = docs.select(count(lit(1)).as("n"))
+        val terms = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+        val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+        val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+        tf.join(df, "term").crossJoin(n)
+          .withColumn("score",
+            round($"tf" * (log(($"n" + 1.0) / ($"df" + 1.0)) + 1.0), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3 && $"doc_id" < 30)
+          .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"score")
+          .orderBy($"doc_id", $"rk")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+            round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        SELECT doc_id, rk, term, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM scored)
+        WHERE rk <= 3 AND doc_id < 30 ORDER BY doc_id, rk"""),
+      doc = "TF-IDF top-3 terms per doc: tf/df aggregations + smooth-idf scoring + per-doc window top-k — each stage shuffles on its natural key.")
   )
 }
