@@ -59,13 +59,28 @@ object DedupQueries {
   /** The exact n-gram-Jaccard near-dup kernel over arbitrary
     * (doc_id, text) rows — public so the fuzz suite can differential-test
     * it against an in-memory brute force on random data.
+    *
+    * `maxShingleFreq` is the production hot-shingle cap: a shingle
+    * appearing in more than K documents (boilerplate, stopword runs) is
+    * dropped from the index BEFORE the self-join — it caps the largest
+    * join group at K, which is what keeps the shuffle skew bounded at
+    * 100 TB. Jaccard is then computed over each document's remaining
+    * (rare) shingles; the fuzz suite differential-tests the capped
+    * semantics against a brute force with the same filter.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val inv = trigramsOf(docs)
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val inv0 = trigramsOf(docs)
       .select(col("doc_id"), xxhash64(col("t3")).as("shingle"))
       .distinct()
-      .repartition(col("shingle"))
-    jaccardFromIndex(inv, threshold, None)
+    val inv = maxShingleFreq.fold(inv0) { k =>
+      // the hot list is tiny by construction (only shingles with df > K)
+      val hot = inv0.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > k)
+        .select(col("shingle"))
+      inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    jaccardFromIndex(inv.repartition(col("shingle")), threshold, None)
   }
 
   /** Count-based exact Jaccard >= threshold from a hashed inverted index

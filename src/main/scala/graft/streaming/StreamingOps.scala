@@ -41,6 +41,18 @@ object StreamingOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming exact dedup with bounded state: duplicate `event_id`s
+    * arriving within the watermark delay of the first occurrence are
+    * dropped; key state older than the watermark is evicted. This is the
+    * streaming twin of q45's batch exact dedup — the operator a 100 TB/
+    * day ingest runs to make delivery effectively-once before
+    * downstream aggregation.
+    */
+  def dedupeStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running totals via groupBy on an unbounded key set —
     * complete/update-mode aggregation (state grows with distinct users;
     * use only with a bounded key domain or TTL'd state at scale).

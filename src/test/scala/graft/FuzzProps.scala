@@ -153,6 +153,27 @@ object FuzzProps extends Properties("graft") {
       }
     }
 
+  property("hot-shingle-capped Jaccard matches brute force with the same cap") =
+    forAll(docGen, Gen.choose(1, 6)) { (docs: Seq[(Long, String)], cap: Int) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = DedupQueries.jaccardPairs(df, 0.3, Some(cap)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force over trigram sets with shingles of df > cap removed
+      val sets0 = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }
+      val dfreq = sets0.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val sets = sets0.map { case (id, s) => id -> s.filter(dfreq(_) <= cap) }
+        .filter(_._2.nonEmpty)
+      val expected = (for {
+        (i, si) <- sets; (j, sj) <- sets if i < j
+        inter = (si & sj).size
+        union = (si | sj).size
+        jac = inter.toDouble / union if jac >= 0.3
+      } yield (i, j, math.rint(jac * 1e6) / 1e6)).toSet
+      got == expected
+    }
+
   // ---- as-of join kernel vs in-memory brute force: for random probe
   // and quote sets the windowed-LOCF formulation must equal the naive
   // "latest quote at or before each probe" definition.

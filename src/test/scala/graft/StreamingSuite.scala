@@ -94,6 +94,27 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("dedupeStream drops in-watermark duplicates and keeps distinct ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.dedupeStream(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "c", 1.0), Event(2, ts(1), 1, "c", 2.0),
+        Event(1, ts(2), 1, "c", 99.0)) // duplicate id 1 within watermark
+      q.processAllAvailable()
+      input.addData(Event(2, ts(3), 2, "c", 98.0), Event(3, ts(4), 1, "c", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+      // the FIRST occurrence's value is the one kept
+      val v1 = spark.table("dedup").collect().find(_.getAs[Long]("event_id") == 1).get
+        .getAs[Double]("value")
+      assert(v1 == 1.0)
+    } finally q.stop()
+  }
+
   test("file-source readStream over events.parquet matches the batch window agg") {
     // Real file source end-to-end: the events table streamed through the
     // same ns→µs conversion the batch loader applies, windowed, written
