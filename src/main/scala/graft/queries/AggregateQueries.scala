@@ -119,6 +119,34 @@ object AggregateQueries {
           CAST(sum(CAST(l_quantity AS $decSql)) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_disc
         FROM lineitem WHERE l_orderkey < 2000
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
-      doc = "first/last (group-constant → deterministic), bit_and/or/xor, count(DISTINCT), sorted collect_set (ObjectHashAggregate), per-aggregate FILTER clauses.")
+      doc = "first/last (group-constant → deterministic), bit_and/or/xor, count(DISTINCT), sorted collect_set (ObjectHashAggregate), per-aggregate FILTER clauses."),
+
+    QueryDef(
+      "q85_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        // Exact interpolated percentiles (Spark `percentile` ==
+        // DuckDB `quantile_cont`, both linear interpolation). At 100 TB
+        // you'd switch to percentile_approx — same plan shape, sketch
+        // merge instead of full sort per group; the exact form is what
+        // the oracle can check bit-for-bit (after rounding).
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+            round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+            round(expr("percentile(l_quantity, 0.75)"), 6).as("p75_qty"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+          round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+          round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+          round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+          round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Exact interpolated percentiles per group (Spark percentile vs DuckDB quantile_cont), p25/p50/p75/p95/p99.")
   )
 }

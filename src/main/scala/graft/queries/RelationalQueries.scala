@@ -506,6 +506,30 @@ object RelationalQueries {
                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS peers_within_1000
         FROM orders WHERE o_custkey < 200
         ORDER BY o_orderkey"""),
-      doc = "RANGE window frame with numeric offset.")
+      doc = "RANGE window frame with numeric offset."),
+
+    QueryDef(
+      "q86_pivot",
+      (s, dir) => {
+        import s.implicits._
+        // PIVOT with an explicit value list (PivotFirst path): explicit
+        // values keep the plan a single pass — omitting them costs an
+        // extra distinct-collect job to discover columns, which is the
+        // thing you avoid at 100 TB.
+        Tables.t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select($"o_orderpriority", $"F".cast("long").as("f_cnt"),
+            $"O".cast("long").as("o_cnt"), $"P".cast("long").as("p_cnt"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+          count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+          count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+          count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "PIVOT on status with explicit values (single-pass PivotFirst plan) vs FILTER-aggregation oracle.")
   )
 }
