@@ -53,6 +53,26 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with an event-time range condition: each
+    * left event pairs with right events of the same user from the
+    * preceding `windowSeconds`. Both sides carry watermarks and the join
+    * condition bounds event time on both sides, so each side's buffered
+    * state is evictable once the other side's watermark passes — the
+    * only shape under which an unbounded stream-stream join has bounded
+    * state.
+    */
+  def joinWithinWindow(left: Dataset[Event], right: Dataset[Event],
+      windowSeconds: Long = 3600): DataFrame = {
+    val l = left.toDF().select(col("event_id").as("l_id"),
+        col("user_id").as("l_user"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", s"$windowSeconds seconds")
+    val r = right.toDF().select(col("event_id").as("r_id"),
+        col("user_id").as("r_user"), col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", s"${2 * windowSeconds} seconds")
+    l.join(r, expr(
+      s"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL $windowSeconds SECOND AND l_ts"))
+  }
+
   /** Per-user running totals via groupBy on an unbounded key set —
     * complete/update-mode aggregation (state grows with distinct users;
     * use only with a bounded key domain or TTL'd state at scale).

@@ -115,6 +115,34 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("joinWithinWindow: stream-stream join pairs events inside the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = StreamingOps.joinWithinWindow(clicks.toDS(), views.toDS(), 600)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      views.addData(
+        Event(10, ts(0), 1, "v", 1.0),   // 5 min before click → in window
+        Event(11, ts(20), 1, "v", 2.0),  // 15 min after click? no: after l_ts → out
+        Event(12, ts(0), 2, "v", 3.0))   // other user
+      clicks.addData(Event(1, ts(5), 1, "c", 0.0))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+      assert(pairs == Set((1L, 10L)), s"got $pairs")
+      // same stream later: a view inside the window of a new click joins
+      views.addData(Event(13, ts(30), 1, "v", 4.0))
+      clicks.addData(Event(2, ts(35), 1, "c", 0.0))
+      q.processAllAvailable()
+      val pairs2 = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+      // click 2 at 00:35 with a 10-min window reaches back to 00:25:
+      // view 13 (00:30) joins, view 11 (00:20) stays out
+      assert(pairs2 == Set((1L, 10L), (2L, 13L)), s"got $pairs2")
+    } finally q.stop()
+  }
+
   test("file-source readStream over events.parquet matches the batch window agg") {
     // Real file source end-to-end: the events table streamed through the
     // same ns→µs conversion the batch loader applies, windowed, written
