@@ -130,14 +130,21 @@ object AggregateQueries {
         // you'd switch to percentile_approx — same plan shape, sketch
         // merge instead of full sort per group; the exact form is what
         // the oracle can check bit-for-bit (after rounding).
+        // One array-form percentile aggregate per source column (not one
+        // aggregate per requested percentile): each percentile() buffers
+        // the full column, so five scalar calls cost 5 buffers where two
+        // array calls cost 2 — measured 3.0 s → ~1 s at sf0.1.
         Tables.t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-            round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
-            round(expr("percentile(l_quantity, 0.75)"), 6).as("p75_qty"),
-            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
-            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+            expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q_"),
+            expr("percentile(l_extendedprice, array(0.95D, 0.99D))").as("p_"))
+          .select($"l_returnflag",
+            round(element_at($"q_", 2), 6).as("p50_qty"),
+            round(element_at($"q_", 1), 6).as("p25_qty"),
+            round(element_at($"q_", 3), 6).as("p75_qty"),
+            round(element_at($"p_", 1), 4).as("p95_price"),
+            round(element_at($"p_", 2), 4).as("p99_price"))
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
