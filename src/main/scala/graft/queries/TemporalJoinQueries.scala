@@ -46,6 +46,29 @@ object TemporalJoinQueries {
       .drop("__side", "__t", "__qt", "__v")
   }
 
+  /** Banded range self-join kernel: all ordered pairs (a, b) of rows
+    * sharing `key` with 0 <= time(b) - time(a) <= windowUnits. Public so
+    * the fuzz suite can differential-test the banding construction
+    * against an in-memory brute force. `time` is any integral column in
+    * the same units as `windowUnits`.
+    */
+  def rangePairs(rows: DataFrame, key: String, id: String, time: String,
+      windowUnits: Long): DataFrame = {
+    val leaders = rows
+      .withColumn("__bucket", explode(array(
+        floor(col(time) / windowUnits),
+        floor(col(time) / windowUnits) + 1)))
+      .select(col(key), col(id).as("a_id"), col(time).as("a_t"), col("__bucket"))
+    val followers = rows
+      .withColumn("__bucket", floor(col(time) / windowUnits))
+      .select(col(key), col(id).as("b_id"), col(time).as("b_t"), col("__bucket"))
+    leaders.join(followers, Seq(key, "__bucket"))
+      .filter(col("b_t") - col("a_t") >= 0L &&
+        col("b_t") - col("a_t") <= windowUnits &&
+        col("a_id") =!= col("b_id"))
+      .select(col(key), col("a_id"), col("b_id")).distinct()
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -89,21 +112,7 @@ object TemporalJoinQueries {
         val ev = Tables.t(s, dir, "events")
           .filter($"user_id" < 30)
           .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
-        val leaders = ev
-          .withColumn("bucket", explode(array(
-            floor($"us" / (1800L * 1000000L)),
-            floor($"us" / (1800L * 1000000L)) + 1)))
-          .select($"user_id", $"event_id".as("a_id"), $"us".as("a_us"), $"bucket")
-        val followers = ev
-          .withColumn("bucket", floor($"us" / (1800L * 1000000L)))
-          .select($"user_id", $"event_id".as("b_id"), $"us".as("b_us"), $"bucket")
-        leaders.join(followers, Seq("user_id", "bucket"))
-          .filter($"b_us" - $"a_us" >= 0L &&
-            $"b_us" - $"a_us" <= 1800L * 1000000L &&
-            $"a_id" =!= $"b_id")
-          // a follower equal in time to its leader pairs in both bucket
-          // branches of the leader → count distinct pairs
-          .select($"user_id", $"a_id", $"b_id").distinct()
+        rangePairs(ev, "user_id", "event_id", "us", 1800L * 1000000L)
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy($"user_id")

@@ -203,6 +203,25 @@ object FuzzProps extends Properties("graft") {
       got == expected
     }
 
+  private val rangeRowsGen: Gen[List[(Int, Long)]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 100L)))
+  } yield rows
+
+  property("banded range-join kernel matches in-memory brute force") =
+    forAll(rangeRowsGen, Gen.choose(1L, 40L)) { (rows, window) =>
+      val df = rows.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+        .toDF("k", "id", "t")
+      val got = TemporalJoinQueries.rangePairs(df, "k", "id", "t", window)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val idx = rows.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+      val expected = (for {
+        (ka, ia, ta) <- idx; (kb, ib, tb) <- idx
+        if ka == kb && ia != ib && tb - ta >= 0 && tb - ta <= window
+      } yield (ka, ia, ib)).toSet
+      got == expected
+    }
+
   private val microsGen: Gen[Long] =
     Gen.choose(-2208988800000000L, 4102444800000000L) // ~1900..2100
   private val tzGen: Gen[String] = Gen.oneOf(
