@@ -62,3 +62,20 @@ final case class QueryDef(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     doc: String = "")
+
+object QueryDef {
+  /** Load a golden VALUES-table oracle from the classpath
+    * (src/main/resources/golden/, generated once from the sf0.01 output
+    * via tools/make_golden.py — the q80 literal-oracle pattern). Used for
+    * queries whose values are Spark-defined (xxhash64/murmur3/sha1) and
+    * so have no computable DuckDB twin: the pinned snapshot makes them
+    * regression-checked rather than rows-only. Tied to sf0.01, the
+    * driver's correctness scale.
+    */
+  def golden(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/golden/$name.sql")
+    require(in != null, s"missing golden oracle resource: $name")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+}

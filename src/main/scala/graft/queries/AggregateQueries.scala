@@ -154,6 +154,46 @@ object AggregateQueries {
           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "Exact interpolated percentiles per group (Spark percentile vs DuckDB quantile_cont), p25/p50/p75/p95/p99.")
+      doc = "Exact interpolated percentiles per group (Spark percentile vs DuckDB quantile_cont), p25/p50/p75/p95/p99."),
+
+    QueryDef(
+      "q91_percentile_approx",
+      (s, dir) => {
+        import s.implicits._
+        // The 100 TB twin of q85: percentile_approx (QuantileSummaries
+        // sketch — mergeable, partial-aggregated before the shuffle, no
+        // per-group sort). The sketch value itself is engine-specific, so
+        // what the oracle checks is the GUARANTEE, not the value: a
+        // returned p-quantile v must satisfy
+        //   frac(x <= v) >= p - eps  AND  frac(x < v) <= p + eps
+        // with eps = 1/accuracy. We compute the empirical CDF at each
+        // returned value with a broadcast join back over the data and
+        // emit the bound checks as booleans; the DuckDB oracle is the
+        // all-TRUE table. An exact percentile passes trivially; a sketch
+        // violating its error bound fails the row hash.
+        val acc = 10000
+        val eps = 2.0 / acc // sketch bound 1/acc + rank/frac edge slack
+        val l = Tables.t(s, dir, "lineitem")
+        val approx = l.groupBy($"l_returnflag")
+          .agg(percentile_approx($"l_quantity",
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(acc)).as("ap"))
+        val checks = l.join(broadcast(approx), "l_returnflag")
+          .groupBy($"l_returnflag")
+          .agg(
+            avg(when($"l_quantity" <= element_at($"ap", 1), 1.0d).otherwise(0.0d)).as("le25"),
+            avg(when($"l_quantity" < element_at($"ap", 1), 1.0d).otherwise(0.0d)).as("lt25"),
+            avg(when($"l_quantity" <= element_at($"ap", 2), 1.0d).otherwise(0.0d)).as("le50"),
+            avg(when($"l_quantity" < element_at($"ap", 2), 1.0d).otherwise(0.0d)).as("lt50"),
+            avg(when($"l_quantity" <= element_at($"ap", 3), 1.0d).otherwise(0.0d)).as("le75"),
+            avg(when($"l_quantity" < element_at($"ap", 3), 1.0d).otherwise(0.0d)).as("lt75"))
+        checks.select($"l_returnflag",
+            ($"le25" >= 0.25 - eps && $"lt25" <= 0.25 + eps).as("p25_ok"),
+            ($"le50" >= 0.5 - eps && $"lt50" <= 0.5 + eps).as("p50_ok"),
+            ($"le75" >= 0.75 - eps && $"lt75" <= 0.75 + eps).as("p75_ok"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "percentile_approx sketch (mergeable, no per-group sort) with its rank-error guarantee verified against the empirical CDF; oracle = the guarantee holds.")
   )
 }

@@ -218,7 +218,33 @@ object DedupQueries {
           .withColumn("group_min", min($"doc_id").over(w))
           .orderBy($"doc_id")
       },
-      None, // xxhash64 has no DuckDB twin → rows-only check
-      doc = "16-bit SimHash signatures + collision groups (group_size/group_min per signature). Spark-exact xxhash64 → rows-only.")
+      Some(graft.QueryDef.golden("q48_dedup_simhash")),
+      doc = "16-bit SimHash signatures + collision groups (group_size/group_min per signature); golden-snapshot oracle (xxhash64 has no DuckDB twin)."),
+
+    QueryDef(
+      "q92_dedup_jaccard_capped",
+      (s, dir) => {
+        import s.implicits._
+        // The PRODUCTION form of q46: hot-shingle frequency cap (df > 5
+        // dropped before the self-join). The cap is what bounds the
+        // largest join group — and therefore shuffle skew — at 100 TB;
+        // here it is oracle-checked end-to-end (the fuzz suite already
+        // differential-tests the kernel on random data). The oracle CTE
+        // applies the identical df-filter on the un-hashed trigrams.
+        jaccardPairs(Tables.t(s, dir, "documents"), 0.8, maxShingleFreq = Some(5))
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, unnest($shinglesSql) AS t3 FROM documents
+          WHERE len(string_split(text,' ')) >= 3),
+        df AS (SELECT t3, count(*) AS df FROM sh GROUP BY t3),
+        kept AS (SELECT doc_id, sh.t3 AS t3 FROM sh JOIN df ON sh.t3 = df.t3 WHERE df <= 5),
+        sets AS (SELECT doc_id, list(t3) AS s FROM kept GROUP BY doc_id)
+        SELECT d1, d2, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) AS j
+          FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.8 ORDER BY d1, d2"""),
+      doc = "Capped n-gram Jaccard (maxShingleFreq=5): the skew-bounded production dedup path, oracle-checked with the matching df<=5 CTE.")
   )
 }

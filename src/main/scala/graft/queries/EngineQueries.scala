@@ -85,8 +85,8 @@ object EngineQueries {
             concat_ws(":", lit(0), element_at($"sketch", 1), element_at($"sketch", 2)).as("band0"))
           .orderBy($"source")
       },
-      None, // xxhash64-based sketch has no DuckDB twin → rows-only
-      doc = "Typed Aggregator UDAF (element-wise-min MinHash sketch, partial-agg friendly) + codegen'd band key, per source."),
+      Some(graft.QueryDef.golden("q59_custom_udaf_minhash")),
+      doc = "Typed Aggregator UDAF (element-wise-min MinHash sketch, partial-agg friendly) + codegen'd band key, per source; golden-snapshot oracle (xxhash64 sketch has no DuckDB twin)."),
 
     QueryDef(
       "q75_custom_topk_operator",
@@ -155,6 +155,31 @@ object EngineQueries {
       },
       Some("""SELECT s_name, s_suppkey, s_nationkey FROM supplier
         ORDER BY s_suppkey"""),
-      doc = "Columnar operator swap: attribute-only Project over the scan executed on ColumnarBatch (zero-copy vector selection) via ColumnarRule injection.")
+      doc = "Columnar operator swap: attribute-only Project over the scan executed on ColumnarBatch (zero-copy vector selection) via ColumnarRule injection."),
+
+    QueryDef(
+      "q93_columnar_filter",
+      (s, dir) => {
+        import s.implicits._
+        // Mixed-type conjunction/disjunction over the documents scan:
+        // GraftColumnarRule compiles the predicate to vectorized kernels
+        // (VecPredicate) and swaps the FilterExec for
+        // GraftColumnarFilterExec, which evaluates column-at-a-time on
+        // the scan's ColumnarBatches and emits selection-vector-wrapped
+        // batches (zero copy). The attribute-only select above it then
+        // takes the GraftColumnarSelect path, so the whole stage below
+        // ColumnarToRow is custom columnar operators. Falls back to the
+        // identical row plan on a session without the extensions.
+        Tables.t(s, dir, "documents")
+          .filter(($"n_chars" > 200L && $"lang" === "en" && $"source".isNotNull) ||
+            $"source".startsWith("web"))
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE (n_chars > 200 AND lang = 'en' AND source IS NOT NULL)
+           OR source LIKE 'web%'
+        ORDER BY doc_id"""),
+      doc = "Columnar Filter: vectorized predicate eval (Kleene and/or, long+string comparisons, null checks, prefix match) on ColumnarBatch with selection-vector output via ColumnarRule injection.")
   )
 }

@@ -44,8 +44,8 @@ object HashBitwiseQueries {
             xxhash64($"p_name", $"p_partkey").as("h_xx64"))
           .orderBy($"p_partkey")
       },
-      None,
-      doc = "sha1/crc32/murmur3(hash)/xxhash64 — Spark-exact semantics (seed 42), the substrate for dedup/LSH."),
+      Some(graft.QueryDef.golden("q40_hash_spark_native")),
+      doc = "sha1/crc32/murmur3(hash)/xxhash64 — Spark-exact semantics (seed 42), the substrate for dedup/LSH; golden-snapshot oracle (no DuckDB twin for these hashes)."),
 
     QueryDef(
       "q41_bitwise",

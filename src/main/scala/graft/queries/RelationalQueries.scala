@@ -530,6 +530,149 @@ object RelationalQueries {
           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      doc = "PIVOT on status with explicit values (single-pass PivotFirst plan) vs FILTER-aggregation oracle.")
+      doc = "PIVOT on status with explicit values (single-pass PivotFirst plan) vs FILTER-aggregation oracle."),
+
+    // ----------------------------------------------------------------
+    // Real TPC-H shapes (q87-q90): the four plan archetypes BASELINE.md
+    // benchmarks that q01/q03 don't already cover — multi-join with a
+    // broadcast dim chain (Q5), outer-join-count distribution (Q13),
+    // group-HAVING semi-join top-k (Q18), and multi-semi/anti-join (Q21).
+    // Adapted to the synthetic schema where columns are missing
+    // (no o_comment / l_commitdate / l_receiptdate), keeping each query's
+    // join structure intact. Reference: benchmarks/tpc/queries/tpch/.
+    QueryDef(
+      "q87_tpch_q5",
+      (s, dir) => {
+        import s.implicits._
+        val one = lit(1).cast("decimal(18,2)")
+        // Dim chain region→nation→supplier stays broadcast end-to-end;
+        // the only shuffles are the two fact-fact joins on their keys.
+        val asiaNations = Tables.t(s, dir, "nation")
+          .join(broadcast(Tables.t(s, dir, "region").filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+        val asiaSuppliers = Tables.t(s, dir, "supplier")
+          .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+        val orders = Tables.t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        Tables.t(s, dir, "lineitem")
+          .join(orders, $"l_orderkey" === $"o_orderkey")
+          .join(Tables.t(s, dir, "customer"), $"c_custkey" === $"o_custkey")
+          .join(broadcast(asiaSuppliers),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .groupBy($"n_name")
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some(s"""SELECT n_name,
+          CAST(sum(CAST(l_extendedprice AS $decSql) * (CAST(1 AS $decSql) - CAST(l_discount AS $decSql))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      doc = "TPC-H Q5 (local supplier volume): 6-table join, region→nation→supplier broadcast chain, fact-fact shuffles on natural keys only."),
+
+    QueryDef(
+      "q88_tpch_q13",
+      (s, dir) => {
+        import s.implicits._
+        // Customer distribution: LEFT OUTER join keeps order-less
+        // customers (c_count = 0). o_comment NOT LIKE of real Q13 →
+        // o_orderpriority NOT LIKE (same prefiltered-right-side shape).
+        val orders = Tables.t(s, dir, "orders")
+          .filter(!$"o_orderpriority".like("%URGENT%"))
+        Tables.t(s, dir, "customer")
+          .join(orders, $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+          GROUP BY c_custkey) c_orders
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+      doc = "TPC-H Q13 (customer distribution): outer-join-count, double aggregation; count(col) ignores the NULLs the outer join introduces."),
+
+    QueryDef(
+      "q89_tpch_q18",
+      (s, dir) => {
+        import s.implicits._
+        // Large-volume customers: the HAVING subquery becomes a
+        // self-aggregated semi-join probe; total order (price desc,
+        // date, unique orderkey) makes LIMIT deterministic.
+        val l = Tables.t(s, dir, "lineitem")
+        val bigOrders = l.groupBy($"l_orderkey")
+          .agg(sum(dec($"l_quantity")).as("q"))
+          .filter($"q" > 300)
+          .select($"l_orderkey".as("big_okey"))
+        Tables.t(s, dir, "orders")
+          .join(bigOrders, $"o_orderkey" === $"big_okey", "left_semi")
+          .join(Tables.t(s, dir, "customer"), $"c_custkey" === $"o_custkey")
+          .join(l, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+          .agg(sumDec($"l_quantity").as("sum_qty"))
+          .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+          .limit(100)
+      },
+      Some(s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          ${sumDecSql("l_quantity")} AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS $decSql)) > 300)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"""),
+      doc = "TPC-H Q18 (large-volume customer): HAVING-subquery as aggregate+semi-join, then 3-way join and deterministic top-100."),
+
+    QueryDef(
+      "q90_tpch_q21",
+      (s, dir) => {
+        import s.implicits._
+        // Suppliers who kept orders waiting, adapted: the wait signal is
+        // l_returnflag='R' in a finished order (no commit/receipt dates
+        // in the synthetic schema), and the single-nation filter becomes
+        // a (n_name, s_name) group so the result is nonempty at every SF.
+        // Shape preserved: EXISTS → left_semi, NOT EXISTS → left_anti,
+        // both equi-joins on l_orderkey with a <> residual — never a
+        // cartesian.
+        val l = Tables.t(s, dir, "lineitem")
+        val l1 = l.filter($"l_returnflag" === "R")
+          .join(Tables.t(s, dir, "orders").filter($"o_orderstatus" === "F"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"l_suppkey")
+        val l2 = l.select($"l_orderkey".as("lo2"), $"l_suppkey".as("ls2"))
+        val l3 = l.filter($"l_returnflag" === "R")
+          .select($"l_orderkey".as("lo3"), $"l_suppkey".as("ls3"))
+        l1.join(l2, $"l_orderkey" === $"lo2" && $"l_suppkey" =!= $"ls2", "left_semi")
+          .join(l3, $"l_orderkey" === $"lo3" && $"l_suppkey" =!= $"ls3", "left_anti")
+          .join(Tables.t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(Tables.t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", $"s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy($"numwait".desc, $"n_name", $"s_name")
+          .limit(100)
+      },
+      Some("""SELECT n_name, s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+          AND s_nationkey = n_nationkey
+        GROUP BY n_name, s_name ORDER BY numwait DESC, n_name, s_name LIMIT 100"""),
+      doc = "TPC-H Q21 (suppliers who kept orders waiting): semi-join (EXISTS) + anti-join (NOT EXISTS) on the same fact, both equi-keyed on l_orderkey.")
   )
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{ColumnarRule, ProjectExec, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.{ColumnarRule, FilterExec, ProjectExec, SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -69,21 +70,46 @@ case class GraftColumnarSelectExec(output: Seq[Attribute], child: SparkPlan)
     copy(child = newChild)
 }
 
-/** Plugin rule: before Spark inserts row/columnar transitions, swap an
-  * attribute-only ProjectExec over a columnar child (the parquet scan)
-  * for the columnar operator. Injected by GraftExtensions via
+/** Plugin rule: before Spark inserts row/columnar transitions, swap
+  * supported operators over a columnar child (the parquet scan) for
+  * their columnar twins. Injected by GraftExtensions via
   * injectColumnar — the same hook the reference uses to swap its
   * native operators in.
+  *
+  * Per-node gating with fallback reasons (reference pattern:
+  * CometExecRule.scala:258-393 + `withInfo`,
+  * CometSparkSessionExtensions.scala:283-295): a Filter/Project that is
+  * NOT swapped gets a TreeNodeTag explaining why, surfaced to anyone
+  * asking "why didn't my query use the columnar path".
   */
 case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
+  import GraftColumnarRule._
+
   override def preColumnarTransitions: Rule[SparkPlan] = new Rule[SparkPlan] {
-    override val ruleName: String = "graft.ColumnarSelect"
+    override val ruleName: String = "graft.Columnar"
     override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
       case ProjectExec(projectList, child)
           if child.supportsColumnar &&
             projectList.forall(p => p.isInstanceOf[AttributeReference] &&
               child.output.exists(_.exprId == p.exprId)) =>
         GraftColumnarSelectExec(projectList.map(_.toAttribute), child)
+
+      case p @ ProjectExec(_, child) if child.supportsColumnar =>
+        p.setTagValue(fallbackReasonTag,
+          "project list is not attribute-only (computed expressions stay on the row path)")
+        p
+
+      case f @ FilterExec(cond, child) if child.supportsColumnar =>
+        VecPredicate.compile(cond, child.output) match {
+          case Right(_) => GraftColumnarFilterExec(cond, child)
+          case Left(reason) => f.setTagValue(fallbackReasonTag, reason); f
+        }
     }
   }
+}
+
+object GraftColumnarRule {
+  /** Reason a candidate node stayed on the row path (the reference's
+    * ExtendedExplainInfo surface). */
+  val fallbackReasonTag: TreeNodeTag[String] = TreeNodeTag[String]("graft.columnar.fallback")
 }

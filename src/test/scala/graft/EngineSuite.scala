@@ -107,4 +107,63 @@ class EngineSuite extends GraftTestBase {
     assert(snap.keys.exists(_.toLowerCase.contains("aggregate")), s"snapshot=$snap")
     assert(PlanAuditRule.cartesianCount == 0)
   }
+
+  /** Finds an operator inside the (possibly AQE-wrapped) executed plan. */
+  private def findExec[T](df: org.apache.spark.sql.DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Option[T] =
+    df.queryExecution.executedPlan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst(pf)
+    }.flatten.orElse(df.queryExecution.executedPlan.collectFirst(pf))
+
+  test("GraftColumnarFilterExec: Kleene null semantics match SQL three-valued logic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colfilter").toString
+    Seq(
+      (1, Option("alpha"), Option(1.5), Option(true)),
+      (2, Option.empty[String], Option(0.5), Option(false)),
+      (3, Option("beta"), Option.empty[Double], Option.empty[Boolean]),
+      (4, Option("web-x"), Option(2.5), Option.empty[Boolean]),
+      (5, Option.empty[String], Option.empty[Double], Option(true)))
+      .toDF("id", "s", "x", "b").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+      val got = df.select($"id").collect().map(_.getInt(0)).toSet
+      // every one of these predicates must have taken the columnar path
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+      }.isDefined, s"expected columnar filter in:\n${df.queryExecution.executedPlan}")
+      got
+    }
+    assert(ids(t.filter($"x" > 1.0 || $"s" === "alpha")) == Set(1, 4)) // N∨F=N drops, T wins
+    assert(ids(t.filter(!($"x" > 1.0))) == Set(2))                     // ¬N=N drops
+    assert(ids(t.filter($"x" > 0.0 && $"b")) == Set(1))                // T∧N=N, T∧F=F drop
+    assert(ids(t.filter($"b")) == Set(1, 5))                           // bare boolean column
+    assert(ids(t.filter($"s".isNull)) == Set(2, 5))
+    assert(ids(t.filter($"s".startsWith("web"))) == Set(4))
+    assert(ids(t.filter($"s" >= "b" && $"s" <= "c")) == Set(3))        // string range
+  }
+
+  test("GraftColumnarFilterExec surfaces input/output row SQLMetrics") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val df = docs.filter($"lang" === "en" && $"n_chars" > 100L)
+    val expected = df.count()
+    df.collect()
+    val exec = findExec(df) { case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e }
+    assert(exec.isDefined, s"columnar filter swap missing:\n${df.queryExecution.executedPlan}")
+    assert(exec.get.metrics("numInputRows").value == docs.count())
+    assert(exec.get.metrics("numOutputRows").value == expected)
+    assert(exec.get.metrics("numBatches").value >= 1)
+  }
+
+  test("GraftColumnarRule tags un-swapped filters with a fallback reason") {
+    val df = Tables.t(spark, sfDir, "documents").filter(length($"lang") > 2)
+    df.collect()
+    val tagged = findExec(df) {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).isDefined =>
+        f.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).get
+    }
+    assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
+    assert(tagged.get.contains("unsupported"), s"reason: ${tagged.get}")
+  }
 }

@@ -65,4 +65,30 @@ class ExpressionEdgeSuite extends GraftTestBase {
       intercept[Exception] { spark.sql("SELECT 1 / 0").collect() }
     }
   }
+
+  test("rand/randn: per-seed determinism given a fixed partitioning") {
+    // rand(seed) is seeded per partition (seed + partitionIndex): the same
+    // plan with the same partitioning reproduces exactly; a different seed
+    // diverges. This partitioning-dependence is WHY the inventory queries
+    // never rely on rand for semantics (q73 uses mid/pid instead).
+    def draw(seed: Long): Seq[(Long, Double, Double)] =
+      spark.range(0, 10000, 1, 8)
+        .select($"id", rand(seed).as("u"), randn(seed).as("g"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    val a = draw(42); val b = draw(42); val c = draw(43)
+    assert(a == b, "same seed + same partitioning must reproduce exactly")
+    assert(a != c, "different seed must diverge")
+  }
+
+  test("rand/randn: distribution sanity (mean/variance bounds)") {
+    val r = spark.range(0, 200000, 1, 8)
+      .select(rand(7).as("u"), randn(7).as("g"))
+      .agg(avg($"u"), variance($"u"), min($"u"), max($"u"), avg($"g"), stddev($"g"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 0.5) < 0.01, s"uniform mean ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0 / 12) < 0.005, s"uniform var ${r.getDouble(1)}")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) < 1.0, "uniform support [0,1)")
+    assert(math.abs(r.getDouble(4)) < 0.02, s"normal mean ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 1.0) < 0.02, s"normal stddev ${r.getDouble(5)}")
+  }
 }

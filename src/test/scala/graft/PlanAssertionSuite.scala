@@ -121,6 +121,16 @@ class PlanAssertionSuite extends GraftTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
   }
 
+  test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
+    val df = run("q93_columnar_filter")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarFilter"),
+      s"expected the columnar filter swap in:\n$p")
+    assert(p.contains("ColumnarToRow"),
+      s"expected a ColumnarToRow transition above the columnar operator:\n$p")
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     // Plain scan→project (no AQE exchange wrapping): the projection
     // computing cosine_sim must sit inside a WholeStageCodegen span.
