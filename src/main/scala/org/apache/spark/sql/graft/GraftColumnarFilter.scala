@@ -64,23 +64,35 @@ final class SelectedColumnVector(base: ColumnVector, sel: Array[Int])
 }
 
 /** Vectorized predicate kernels over ColumnarBatch with SQL three-valued
-  * (Kleene) logic: eval fills `value`/`isNull` arrays column-at-a-time.
-  * Compiled on the driver from a Catalyst Expression by
-  * [[VecPredicate.compile]]; kernels are serializable case classes holding
-  * column ordinals + literals, so executors re-bind per batch.
+  * (Kleene) logic. `eval` runs over a POSITION domain 0..len: position j
+  * addresses batch row `sel(j)` (or j itself when `sel` is null — the
+  * identity selection), writing value/isNull at position j. The filter
+  * splits the top-level conjunction and evaluates conjunct-by-conjunct
+  * over a shrinking selection (short-circuit: later conjuncts only touch
+  * rows that survived earlier ones) — valid because a filter keeps only
+  * rows where every conjunct is TRUE, so FALSE and NULL drop alike at
+  * the top level; full Kleene logic still applies INSIDE any OR/NOT
+  * subtree. Kernels are serializable case classes holding column
+  * ordinals + literals, compiled on the driver by
+  * [[VecPredicate.compile]].
   *
   * Reference analogue: the native engine's vectorized filter
   * (datafusion-comet native/core/src/execution/operators/filter.rs) — here
   * the kernel layer is small because everything else IS Spark.
   */
 sealed trait VecPredicate extends Serializable {
-  /** Fill value(i)/isNull(i) for i < n. isNull(i)=true means SQL NULL. */
-  def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit
+  /** Fill value(j)/isNull(j) for positions j < len, where position j is
+    * batch row sel(j) (identity if sel is null). isNull = SQL NULL.
+    */
+  def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+      value: Array[Boolean], isNull: Array[Boolean]): Unit
 }
 
 object VecPredicate {
   // op codes for comparisons
   final val EQ = 0; final val LT = 1; final val LE = 2; final val GT = 3; final val GE = 4
+
+  @inline private def row(sel: Array[Int], j: Int): Int = if (sel == null) j else sel(j)
 
   private def cmpL(l: Long, r: Long, op: Int): Boolean = op match {
     case EQ => l == r; case LT => l < r; case LE => l <= r; case GT => l > r; case GE => l >= r
@@ -113,22 +125,25 @@ object VecPredicate {
     */
   final case class LongCmp(l: Int, ldt: DataType, r: Int, rdt: DataType, lit: Long, op: Int)
       extends VecPredicate {
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
       val lv = b.column(l); val lg = longGetter(lv, ldt)
       if (r >= 0) {
         val rv = b.column(r); val rg = longGetter(rv, rdt)
-        var i = 0
-        while (i < n) {
-          if (lv.isNullAt(i) || rv.isNullAt(i)) { isNull(i) = true; value(i) = false }
-          else { isNull(i) = false; value(i) = cmpL(lg(i), rg(i), op) }
-          i += 1
+        var j = 0
+        while (j < len) {
+          val i = row(sel, j)
+          if (lv.isNullAt(i) || rv.isNullAt(i)) { isNull(j) = true; value(j) = false }
+          else { isNull(j) = false; value(j) = cmpL(lg(i), rg(i), op) }
+          j += 1
         }
       } else {
-        var i = 0
-        while (i < n) {
-          if (lv.isNullAt(i)) { isNull(i) = true; value(i) = false }
-          else { isNull(i) = false; value(i) = cmpL(lg(i), lit, op) }
-          i += 1
+        var j = 0
+        while (j < len) {
+          val i = row(sel, j)
+          if (lv.isNullAt(i)) { isNull(j) = true; value(j) = false }
+          else { isNull(j) = false; value(j) = cmpL(lg(i), lit, op) }
+          j += 1
         }
       }
     }
@@ -136,22 +151,25 @@ object VecPredicate {
 
   final case class DoubleCmp(l: Int, ldt: DataType, r: Int, rdt: DataType, lit: Double, op: Int)
       extends VecPredicate {
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
       val lv = b.column(l); val lg = doubleGetter(lv, ldt)
       if (r >= 0) {
         val rv = b.column(r); val rg = doubleGetter(rv, rdt)
-        var i = 0
-        while (i < n) {
-          if (lv.isNullAt(i) || rv.isNullAt(i)) { isNull(i) = true; value(i) = false }
-          else { isNull(i) = false; value(i) = cmpD(lg(i), rg(i), op) }
-          i += 1
+        var j = 0
+        while (j < len) {
+          val i = row(sel, j)
+          if (lv.isNullAt(i) || rv.isNullAt(i)) { isNull(j) = true; value(j) = false }
+          else { isNull(j) = false; value(j) = cmpD(lg(i), rg(i), op) }
+          j += 1
         }
       } else {
-        var i = 0
-        while (i < n) {
-          if (lv.isNullAt(i)) { isNull(i) = true; value(i) = false }
-          else { isNull(i) = false; value(i) = cmpD(lg(i), lit, op) }
-          i += 1
+        var j = 0
+        while (j < len) {
+          val i = row(sel, j)
+          if (lv.isNullAt(i)) { isNull(j) = true; value(j) = false }
+          else { isNull(j) = false; value(j) = cmpD(lg(i), lit, op) }
+          j += 1
         }
       }
     }
@@ -161,22 +179,26 @@ object VecPredicate {
       extends VecPredicate {
     @transient private lazy val lit: UTF8String =
       if (litBytes == null) null else UTF8String.fromBytes(litBytes)
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
       val lv = b.column(l)
       if (r >= 0) {
         val rv = b.column(r)
-        var i = 0
-        while (i < n) {
-          if (lv.isNullAt(i) || rv.isNullAt(i)) { isNull(i) = true; value(i) = false }
-          else { isNull(i) = false; value(i) = cmpS(lv.getUTF8String(i), rv.getUTF8String(i), op) }
-          i += 1
+        var j = 0
+        while (j < len) {
+          val i = row(sel, j)
+          if (lv.isNullAt(i) || rv.isNullAt(i)) { isNull(j) = true; value(j) = false }
+          else { isNull(j) = false; value(j) = cmpS(lv.getUTF8String(i), rv.getUTF8String(i), op) }
+          j += 1
         }
       } else {
-        var i = 0
-        while (i < n) {
-          if (lv.isNullAt(i)) { isNull(i) = true; value(i) = false }
-          else { isNull(i) = false; value(i) = cmpS(lv.getUTF8String(i), lit, op) }
-          i += 1
+        val litLocal = lit
+        var j = 0
+        while (j < len) {
+          val i = row(sel, j)
+          if (lv.isNullAt(i)) { isNull(j) = true; value(j) = false }
+          else { isNull(j) = false; value(j) = cmpS(lv.getUTF8String(i), litLocal, op) }
+          j += 1
         }
       }
     }
@@ -185,82 +207,92 @@ object VecPredicate {
   /** string col StartsWith/EndsWith/Contains literal (mode 0/1/2). */
   final case class StringMatch(l: Int, litBytes: Array[Byte], mode: Int) extends VecPredicate {
     @transient private lazy val lit: UTF8String = UTF8String.fromBytes(litBytes)
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
       val lv = b.column(l)
-      var i = 0
-      while (i < n) {
-        if (lv.isNullAt(i)) { isNull(i) = true; value(i) = false }
+      val litLocal = lit
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (lv.isNullAt(i)) { isNull(j) = true; value(j) = false }
         else {
-          isNull(i) = false
+          isNull(j) = false
           val s = lv.getUTF8String(i)
-          value(i) = mode match {
-            case 0 => s.startsWith(lit); case 1 => s.endsWith(lit); case _ => s.contains(lit)
+          value(j) = mode match {
+            case 0 => s.startsWith(litLocal); case 1 => s.endsWith(litLocal); case _ => s.contains(litLocal)
           }
         }
-        i += 1
+        j += 1
       }
     }
   }
 
   final case class IsNullP(col: Int, negate: Boolean) extends VecPredicate {
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
       val v = b.column(col)
-      var i = 0
-      while (i < n) { isNull(i) = false; value(i) = v.isNullAt(i) != negate; i += 1 }
+      var j = 0
+      while (j < len) { isNull(j) = false; value(j) = v.isNullAt(row(sel, j)) != negate; j += 1 }
     }
   }
 
   final case class NotP(c: VecPredicate) extends VecPredicate {
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
-      c.eval(b, n, value, isNull)
-      var i = 0
-      while (i < n) { if (!isNull(i)) value(i) = !value(i); i += 1 }
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      c.eval(b, sel, len, value, isNull)
+      var j = 0
+      while (j < len) { if (!isNull(j)) value(j) = !value(j); j += 1 }
     }
   }
 
-  /** Kleene AND: F∧x=F, T∧T=T, otherwise NULL. */
+  /** Kleene AND: F∧x=F, T∧T=T, otherwise NULL. (Non-top-level; the
+    * top-level conjunction is short-circuited by the exec instead.) */
   final case class AndP(l: VecPredicate, r: VecPredicate) extends VecPredicate {
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
-      l.eval(b, n, value, isNull)
-      val rv = new Array[Boolean](n); val rn = new Array[Boolean](n)
-      r.eval(b, n, rv, rn)
-      var i = 0
-      while (i < n) {
-        if (!isNull(i) && !value(i)) () // F ∧ x = F
-        else if (!rn(i) && !rv(i)) { value(i) = false; isNull(i) = false } // x ∧ F = F
-        else if (isNull(i) || rn(i)) { isNull(i) = true; value(i) = false }
-        else value(i) = true
-        i += 1
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      l.eval(b, sel, len, value, isNull)
+      val rv = new Array[Boolean](len); val rn = new Array[Boolean](len)
+      r.eval(b, sel, len, rv, rn)
+      var j = 0
+      while (j < len) {
+        if (!isNull(j) && !value(j)) () // F ∧ x = F
+        else if (!rn(j) && !rv(j)) { value(j) = false; isNull(j) = false } // x ∧ F = F
+        else if (isNull(j) || rn(j)) { isNull(j) = true; value(j) = false }
+        else value(j) = true
+        j += 1
       }
     }
   }
 
   /** Kleene OR: T∨x=T, F∨F=F, otherwise NULL. */
   final case class OrP(l: VecPredicate, r: VecPredicate) extends VecPredicate {
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
-      l.eval(b, n, value, isNull)
-      val rv = new Array[Boolean](n); val rn = new Array[Boolean](n)
-      r.eval(b, n, rv, rn)
-      var i = 0
-      while (i < n) {
-        if (!isNull(i) && value(i)) () // T ∨ x = T
-        else if (!rn(i) && rv(i)) { value(i) = true; isNull(i) = false } // x ∨ T = T
-        else if (isNull(i) || rn(i)) { isNull(i) = true; value(i) = false }
-        else value(i) = false
-        i += 1
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      l.eval(b, sel, len, value, isNull)
+      val rv = new Array[Boolean](len); val rn = new Array[Boolean](len)
+      r.eval(b, sel, len, rv, rn)
+      var j = 0
+      while (j < len) {
+        if (!isNull(j) && value(j)) () // T ∨ x = T
+        else if (!rn(j) && rv(j)) { value(j) = true; isNull(j) = false } // x ∨ T = T
+        else if (isNull(j) || rn(j)) { isNull(j) = true; value(j) = false }
+        else value(j) = false
+        j += 1
       }
     }
   }
 
   /** bare boolean column used as a predicate */
   final case class BoolCol(col: Int) extends VecPredicate {
-    override def eval(b: ColumnarBatch, n: Int, value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
       val v = b.column(col)
-      var i = 0
-      while (i < n) {
-        if (v.isNullAt(i)) { isNull(i) = true; value(i) = false }
-        else { isNull(i) = false; value(i) = v.getBoolean(i) }
-        i += 1
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (v.isNullAt(i)) { isNull(j) = true; value(j) = false }
+        else { isNull(j) = false; value(j) = v.getBoolean(i) }
+        j += 1
       }
     }
   }
@@ -353,6 +385,43 @@ object VecPredicate {
       case other => scala.Left(s"unsupported expression: ${other.getClass.getSimpleName}")
     }
   }
+
+  /** Attributes a conjunct null-rejects at the top level: if the conjunct
+    * is NULL whenever `a` is NULL, an `IsNotNull(a)` sibling is redundant
+    * for filtering (NULL and FALSE both drop the row). Only direct
+    * null-intolerant leaves qualify — an OR/NOT subtree does not.
+    */
+  private def nullRejected(e: Expression): Set[ExprId] = e match {
+    case c: BinaryComparison =>
+      c.children.collect { case a: AttributeReference => a.exprId }.toSet
+    case StartsWith(a: AttributeReference, _: Literal) => Set(a.exprId)
+    case EndsWith(a: AttributeReference, _: Literal) => Set(a.exprId)
+    case Contains(a: AttributeReference, _: Literal) => Set(a.exprId)
+    case a: AttributeReference if a.dataType == BooleanType => Set(a.exprId)
+    case _ => Set.empty
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Compile the top-level conjunction for short-circuit evaluation:
+    * redundant IsNotNull conjuncts pruned, cheap null/bool checks first.
+    * All conjuncts must compile or the whole predicate falls back.
+    */
+  def compileConjuncts(e: Expression, output: Seq[Attribute]): Either[String, Seq[VecPredicate]] = {
+    val conjuncts = splitConjuncts(e)
+    val rejected = conjuncts.flatMap(nullRejected).toSet
+    val pruned = conjuncts.filter {
+      case IsNotNull(a: AttributeReference) => !rejected.contains(a.exprId)
+      case _ => true
+    }
+    val kept = if (pruned.nonEmpty) pruned else conjuncts.take(1)
+    kept.foldLeft[Either[String, Vector[VecPredicate]]](scala.Right(Vector.empty)) {
+      case (acc, c) => for { ps <- acc; p <- compile(c, output) } yield ps :+ p
+    }
+  }
 }
 
 /** Columnar Filter: vectorized predicate evaluation directly on the
@@ -360,6 +429,11 @@ object VecPredicate {
   * beyond attribute selection; reference JVM gate pattern:
   * spark/sql/comet/operators.scala:872-938 + rules/CometExecRule.scala:
   * 258-393, native kernel: core/src/execution/operators/filter.rs).
+  *
+  * The top-level conjunction short-circuits: conjunct k+1 is evaluated
+  * only over the positions conjunct k kept, so an `isnotnull AND cmp
+  * AND cmp` chain does ~one full pass plus shrinking partial passes
+  * instead of len(chain) full passes.
   *
   * Three per-batch outcomes: all rows pass → the input batch flows
   * through untouched (zero work); none pass → the batch is dropped
@@ -381,8 +455,8 @@ case class GraftColumnarFilterExec(condition: Expression, child: SparkPlan)
     "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of batches"))
 
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
-    val pred = VecPredicate.compile(condition, child.output) match {
-      case scala.Right(p) => p
+    val conjuncts = VecPredicate.compileConjuncts(condition, child.output) match {
+      case scala.Right(ps) => ps
       case scala.Left(reason) =>
         // The rule only builds this node for compilable predicates; an AQE
         // re-plan can't widen the predicate, so this is unreachable.
@@ -390,26 +464,46 @@ case class GraftColumnarFilterExec(condition: Expression, child: SparkPlan)
     }
     val (inM, outM, batchM) = (metrics("numInputRows"), metrics("numOutputRows"), metrics("numBatches"))
     child.executeColumnar().mapPartitionsInternal { iter =>
+      // per-partition scratch, reallocated only when a batch is larger
+      var value: Array[Boolean] = Array.emptyBooleanArray
+      var isNull: Array[Boolean] = Array.emptyBooleanArray
+      var selBuf: Array[Int] = Array.emptyIntArray
       iter.flatMap { batch =>
         val n = batch.numRows()
         batchM.add(1); inM.add(n)
         if (n == 0) None
         else {
-          val value = new Array[Boolean](n); val isNull = new Array[Boolean](n)
-          pred.eval(batch, n, value, isNull)
-          var count = 0; var i = 0
-          while (i < n) { if (value(i) && !isNull(i)) count += 1; i += 1 }
-          outM.add(count)
-          if (count == 0) None
-          else if (count == n) Some(batch)
+          if (value.length < n) {
+            value = new Array[Boolean](n); isNull = new Array[Boolean](n)
+            selBuf = new Array[Int](n)
+          }
+          var sel: Array[Int] = null // identity over n
+          var len = n
+          var ci = 0
+          while (ci < conjuncts.length && len > 0) {
+            conjuncts(ci).eval(batch, sel, len, value, isNull)
+            // compact surviving row ids into selBuf
+            var j = 0; var k = 0
+            while (j < len) {
+              if (value(j) && !isNull(j)) { selBuf(k) = if (sel == null) j else sel(j); k += 1 }
+              j += 1
+            }
+            if (k < len) {
+              if (sel == null) sel = new Array[Int](n)
+              System.arraycopy(selBuf, 0, sel, 0, k)
+            }
+            len = k
+            ci += 1
+          }
+          outM.add(len)
+          if (len == 0) None
+          else if (len == n) Some(batch)
           else {
-            val sel = new Array[Int](count)
-            var j = 0; i = 0
-            while (i < n) { if (value(i) && !isNull(i)) { sel(j) = i; j += 1 }; i += 1 }
+            val selOut = java.util.Arrays.copyOf(sel, len)
             val cols = new Array[ColumnVector](batch.numCols())
             var c = 0
-            while (c < cols.length) { cols(c) = new SelectedColumnVector(batch.column(c), sel); c += 1 }
-            Some(new ColumnarBatch(cols, count))
+            while (c < cols.length) { cols(c) = new SelectedColumnVector(batch.column(c), selOut); c += 1 }
+            Some(new ColumnarBatch(cols, len))
           }
         }
       }

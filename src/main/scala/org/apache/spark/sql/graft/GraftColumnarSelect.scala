@@ -87,7 +87,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
 
   override def preColumnarTransitions: Rule[SparkPlan] = new Rule[SparkPlan] {
     override val ruleName: String = "graft.Columnar"
-    override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
+    override def apply(plan: SparkPlan): SparkPlan = if (!enabled(session)) plan else plan.transformUp {
       case ProjectExec(projectList, child)
           if child.supportsColumnar &&
             projectList.forall(p => p.isInstanceOf[AttributeReference] &&
@@ -112,4 +112,12 @@ object GraftColumnarRule {
   /** Reason a candidate node stayed on the row path (the reference's
     * ExtendedExplainInfo surface). */
   val fallbackReasonTag: TreeNodeTag[String] = TreeNodeTag[String]("graft.columnar.fallback")
+
+  /** Kill switch, mirroring the reference's per-operator enable flags
+    * (spark.comet.exec.*.enabled): set false to keep every candidate on
+    * the row path. Read per-plan so it can be toggled mid-session.
+    */
+  val enabledKey = "spark.graft.columnar.enabled"
+  def enabled(session: SparkSession): Boolean =
+    session.conf.getOption(enabledKey).forall(_.toBoolean)
 }

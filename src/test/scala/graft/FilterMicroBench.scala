@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.GraftColumnarRule
+
+/** A/B micro-bench: the same filter shapes with the columnar swap on vs
+  * off (spark.graft.columnar.enabled), min-of-N through the noop sink.
+  * Run: sbt 'Test/runMain graft.FilterMicroBench [sfDir]'
+  */
+object FilterMicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      .config(Tables.eventsReadConf._1, Tables.eventsReadConf._2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // selectivity spread: ~98% (TPC-H Q1 shape), ~50%, ~2%, string match
+    val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "hi-sel-98pct" -> (() => Tables.t(spark, sfDir, "lineitem")
+        .filter($"l_shipdate" <= org.apache.spark.sql.functions.lit("1998-09-02").cast("timestamp"))),
+      "mid-sel-50pct" -> (() => Tables.t(spark, sfDir, "lineitem")
+        .filter($"l_quantity" > 25.0)),
+      "lo-sel-2pct" -> (() => Tables.t(spark, sfDir, "lineitem")
+        .filter($"l_orderkey" < 3000)),
+      "string-conj" -> (() => Tables.t(spark, sfDir, "lineitem")
+        .filter($"l_returnflag" === "R" && $"l_linestatus" === "F" && $"l_discount" > 0.05)))
+
+    def timeIt(f: () => org.apache.spark.sql.DataFrame): Double =
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    // warmup
+    Tables.t(spark, sfDir, "lineitem").write.format("noop").mode("overwrite").save()
+    shapes.foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.enabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.enabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
+    spark.stop()
+  }
+}
