@@ -180,6 +180,35 @@ object EngineQueries {
         WHERE (n_chars > 200 AND lang = 'en' AND source IS NOT NULL)
            OR source LIKE 'web%'
         ORDER BY doc_id"""),
-      doc = "Columnar Filter: vectorized predicate eval (Kleene and/or, long+string comparisons, null checks, prefix match) on ColumnarBatch with selection-vector output via ColumnarRule injection.")
+      doc = "Columnar Filter: vectorized predicate eval (Kleene and/or, long+string comparisons, null checks, prefix match) on ColumnarBatch with selection-vector output via ColumnarRule injection."),
+
+    QueryDef(
+      "q96_columnar_partial_agg",
+      (s, dir) => {
+        import s.implicits._
+        // Global aggregation where the ENTIRE pre-shuffle stage is custom
+        // columnar: scan → GraftColumnarFilter (vectorized predicate) →
+        // GraftColumnarPartialAgg (per-partition accumulation directly on
+        // ColumnarBatches, one buffer row per partition). Only those
+        // single buffer rows cross the shuffle; Spark's own final
+        // HashAggregate merges them. Sums/avgs are rounded post-agg so
+        // the double compare against DuckDB is summation-order-proof.
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_quantity" > 10.0)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            round(sum($"l_discount"), 4).as("sum_disc"),
+            min($"l_orderkey").as("min_key"),
+            max($"l_orderkey").as("max_key"),
+            round(avg($"l_quantity"), 6).as("avg_qty"),
+            min($"l_returnflag").as("min_flag"),
+            max($"l_shipdate").as("max_ship"))
+      },
+      Some("""SELECT count(*) AS n_rows, round(sum(l_discount), 4) AS sum_disc,
+          min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+          round(avg(l_quantity), 6) AS avg_qty, min(l_returnflag) AS min_flag,
+          max(l_shipdate) AS max_ship
+        FROM lineitem WHERE l_quantity > 10"""),
+      doc = "Columnar partial HashAggregate: count/sum/min/max/avg accumulated on ColumnarBatch per partition (one buffer row crosses the shuffle), merged by Spark's final HashAggregate.")
   )
 }

@@ -234,6 +234,50 @@ object OperatorExtraQueries {
       Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon, count(*) AS n,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
-      doc = "repartitionByRange(8, l_shipdate) + sortWithinPartitions — range-clustered layout; monthly aggregate is layout-invariant.")
+      doc = "repartitionByRange(8, l_shipdate) + sortWithinPartitions — range-clustered layout; monthly aggregate is layout-invariant."),
+
+    QueryDef(
+      "q94_bucketed_colocated_join",
+      (s, dir) => {
+        import s.implicits._
+        // Bucketed co-located join: both fact sides are written
+        // bucketBy(8, join key) + sortBy, so the SortMergeJoin reads
+        // bucket-aligned files with NO exchange and NO sort on either
+        // side — at 100 TB this is the difference between joining in
+        // place and re-shuffling both tables every query. The only
+        // exchange left in the plan is the final aggregation's
+        // (pinned by PlanAssertionSuite). The merge hint keeps the small
+        // test-scale side from broadcasting, which would hide the
+        // co-location being demonstrated.
+        // UUID external paths: a stale warehouse dir from a previous
+        // session would otherwise fail CREATE TABLE (catalog is
+        // in-memory, locations are not).
+        val base = s"/tmp/graft_bucketed/${java.util.UUID.randomUUID()}"
+        // repartition on the bucket column first: bucket id and shuffle
+        // partition use the same murmur3 hash, so every bucket lands in
+        // exactly ONE file — the precondition for the scan to trust the
+        // sortBy order and drop the read-side Sort too.
+        Tables.t(s, dir, "orders").repartition(8, $"o_custkey")
+          .write.format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders")
+          .mode("overwrite").saveAsTable("g_orders_bkt")
+        Tables.t(s, dir, "customer").repartition(8, $"c_custkey")
+          .write.format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer")
+          .mode("overwrite").saveAsTable("g_customer_bkt")
+        s.table("g_orders_bkt").hint("merge")
+          .join(s.table("g_customer_bkt"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "Bucketed (bucketBy 8 + sortBy) co-located SortMergeJoin: zero exchanges on the join inputs (pinned); read-side sort stays, Spark 3+ ignores bucket-file order without the legacy conf.")
   )
 }

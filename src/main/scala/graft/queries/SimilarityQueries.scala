@@ -155,6 +155,85 @@ object SimilarityQueries {
           FROM e p JOIN e c ON p.bkt = c.bkt AND c.vec_id <> p.vec_id
           WHERE p.vec_id < 50)
         WHERE rk <= 3 ORDER BY probe_id, rk"""),
-      doc = "Approximate ANN: sign-LSH 256-bucket equi-join + per-bucket top-3. Same algorithm both engines → exact oracle.")
+      doc = "Approximate ANN: sign-LSH 256-bucket equi-join + per-bucket top-3. Same algorithm both engines → exact oracle."),
+
+    QueryDef(
+      "q95_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        // IVF (inverted-file) ANN — the scale path past brute force
+        // (q50) and sign-LSH (q51): k-means-style coarse quantizer, then
+        // probe only the nprobe nearest clusters. Everything is
+        // deterministic so the oracle can pin recall exactly: centroid
+        // init = the first K vectors by vec_id, assignment argmax
+        // tie-breaks on cid, centroid recompute averages through
+        // DECIMAL(18,12) (order-independent — a double mean would make
+        // the assignment, and thus recall, partitioning-dependent).
+        // At 100 TB: centroids are a broadcast table, assignment is one
+        // pass, and each query scans nprobe/K of the corpus via the
+        // cluster-id equi-join instead of everything.
+        val K = 16; val NPROBE = 4; val TOPK = 5; val ITERS = 2
+        val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        def assign(cent: DataFrame): DataFrame = {
+          val w = Window.partitionBy($"vec_id").orderBy($"c".desc, $"cid")
+          e.crossJoin(broadcast(cent))
+            .withColumn("c", cosineSim(s, "embedding", "cvec"))
+            .withColumn("rk", row_number().over(w))
+            .filter($"rk" === 1)
+            .select($"vec_id", $"cid", $"embedding")
+        }
+        var cent = e.filter($"vec_id" < K)
+          .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))
+        (1 to ITERS).foreach { _ =>
+          cent = assign(cent)
+            .select($"cid", posexplode($"embedding").as(Seq("pos", "v")))
+            .groupBy($"cid", $"pos")
+            .agg(avg($"v".cast("decimal(18,12)")).as("m"))
+            .groupBy($"cid")
+            .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+              x => x.getField("m").cast("float")).as("cvec"))
+        }
+        val asg = assign(cent)
+        val probes = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+        val wc = Window.partitionBy($"probe_id").orderBy($"cc".desc, $"cid")
+        val probeClusters = probes.crossJoin(broadcast(cent))
+          .withColumn("cc", cosineSim(s, "pe", "cvec"))
+          .withColumn("crk", row_number().over(wc))
+          .filter($"crk" <= NPROBE)
+          .select($"probe_id", $"pe", $"cid")
+        val wr = Window.partitionBy($"probe_id").orderBy($"cs".desc, $"vec_id")
+        // the IVF payoff: candidates come from a cluster-id EQUI-join
+        val ivfTop = probeClusters
+          .join(asg.select($"cid", $"vec_id", $"embedding"), Seq("cid"))
+          .filter($"vec_id" =!= $"probe_id")
+          .withColumn("cs", cosineSim(s, "embedding", "pe"))
+          .withColumn("rk", row_number().over(wr))
+          .filter($"rk" <= TOPK)
+          .select($"probe_id", $"vec_id")
+        // exact ground truth, same tie-break — recall@5 is then exact
+        val exactTop = e.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"probe_id")
+          .withColumn("cs", cosineSim(s, "embedding", "pe"))
+          .withColumn("rk", row_number().over(wr))
+          .filter($"rk" <= TOPK)
+          .select($"probe_id", $"vec_id")
+        val hits = ivfTop.join(exactTop, Seq("probe_id", "vec_id"))
+          .groupBy($"probe_id").agg(count(lit(1)).as("hits"))
+        probes.select($"probe_id").join(hits, Seq("probe_id"), "left_outer")
+          .select($"probe_id", coalesce($"hits", lit(0L)).as("hits"),
+            (coalesce($"hits", lit(0L)) >= 2).as("recall_ok"))
+          .orderBy($"probe_id")
+      },
+      // Golden recall@5 pinned from the deterministic pipeline at sf0.01
+      // (the driver's correctness scale): nprobe 4 of 16 recovers 3-5 of
+      // the exact top-5 for every probe.
+      Some("""SELECT probe_id, hits, recall_ok FROM (VALUES
+          (0, 5, TRUE), (1, 5, TRUE), (2, 4, TRUE), (3, 3, TRUE), (4, 5, TRUE),
+          (5, 5, TRUE), (6, 4, TRUE), (7, 5, TRUE), (8, 5, TRUE), (9, 5, TRUE))
+        AS t(probe_id, hits, recall_ok) ORDER BY probe_id"""),
+      doc = "IVF ANN: deterministic 2-iteration k-means coarse quantizer (decimal-exact centroid means), nprobe=4/16 cluster equi-join, recall@5 vs exact top-5 pinned by golden oracle.")
   )
 }

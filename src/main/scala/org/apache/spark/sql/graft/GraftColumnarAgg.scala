@@ -1,0 +1,310 @@
+// In the org.apache.spark.sql namespace alongside the other graft
+// operators — same placement the reference uses (org.apache.spark.sql.comet).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-function accumulator specs for the columnar partial aggregate.
+  * Compiled on the driver by [[GraftColumnarAgg.compile]]; `slots` is how
+  * many partial-buffer columns the function occupies in the output row
+  * (Average = 2: sum + count). Update semantics mirror Spark's
+  * DeclarativeAggregate definitions exactly — including the initial
+  * buffer values an empty partition must emit (Sum: null, Average:
+  * (0.0, 0)) so the final merge stays correct.
+  */
+sealed trait AggSpec extends Serializable { def slots: Int }
+object AggSpec {
+  /** count(*) when col < 0, else count(col) (non-nulls). */
+  final case class CountSpec(col: Int) extends AggSpec { def slots = 1 }
+  /** sum over float/double input; Spark's Sum buffer is DoubleType. */
+  final case class SumDoubleSpec(col: Int, dt: DataType) extends AggSpec { def slots = 1 }
+  /** min/max over the integral/date/time family; emits the input type. */
+  final case class MinMaxLongSpec(col: Int, dt: DataType, isMin: Boolean) extends AggSpec { def slots = 1 }
+  /** min/max over float/double with Spark's nan-safe ordering (NaN greatest). */
+  final case class MinMaxDoubleSpec(col: Int, dt: DataType, isMin: Boolean) extends AggSpec { def slots = 1 }
+  final case class MinMaxStringSpec(col: Int, isMin: Boolean) extends AggSpec { def slots = 1 }
+  /** avg over numeric input: buffer = (sum: Double, count: Long). */
+  final case class AvgSpec(col: Int, dt: DataType) extends AggSpec { def slots = 2 }
+}
+
+/** Columnar partial HashAggregate for GLOBAL (no grouping keys)
+  * aggregation: consumes the scan's ColumnarBatches directly and emits
+  * ONE single-row batch per partition holding Spark's own partial
+  * aggregation buffer layout, which the unmodified final HashAggregate
+  * merges after the shuffle. Completes the SURVEY §7.1 columnar trio
+  * (select / filter / aggregate); reference analogue: native
+  * HashAggregate partial mode (planner.rs agg serde +
+  * operators.scala:386-776 JVM wiring).
+  *
+  * Supported: count(*)/count(col), sum(float/double), min/max over
+  * integral/date/time/float/double/string, avg(numeric). Anything else
+  * (decimal sums, ANSI long sums with overflow checks, DISTINCT,
+  * FILTER clauses, grouped aggregation) keeps the row path — the rule
+  * tags the node with the reason.
+  */
+case class GraftColumnarPartialAggExec(
+    output: Seq[Attribute], specs: Seq[AggSpec], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def supportsColumnar: Boolean = true
+  // one row per partition; partitioning is irrelevant downstream (the
+  // final agg requires a single partition via its own exchange)
+  override def outputPartitioning = child.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of input batches"))
+
+  private def run(iter: Iterator[ColumnarBatch]): (Array[Long], Array[Double],
+      Array[UTF8String], Array[Boolean], Long, Long) = {
+    import AggSpec._
+    val n = specs.length
+    val longAcc = new Array[Long](n)
+    val dblAcc = new Array[Double](n)
+    val strAcc = new Array[UTF8String](n)
+    val seen = new Array[Boolean](n)
+    var rows = 0L; var batches = 0L
+    iter.foreach { batch =>
+      val m = batch.numRows()
+      rows += m; batches += 1
+      var si = 0
+      while (si < n) {
+        specs(si) match {
+          case CountSpec(col) =>
+            if (col < 0) longAcc(si) += m
+            else {
+              val v = batch.column(col)
+              var i = 0
+              while (i < m) { if (!v.isNullAt(i)) longAcc(si) += 1; i += 1 }
+            }
+          case SumDoubleSpec(col, dt) =>
+            val v = batch.column(col)
+            val isFloat = dt == FloatType
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                dblAcc(si) += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+                seen(si) = true
+              }
+              i += 1
+            }
+          case MinMaxLongSpec(col, dt, isMin) =>
+            val v = batch.column(col)
+            val get: Int => Long = dt match {
+              case ByteType => v.getByte(_).toLong
+              case ShortType => v.getShort(_).toLong
+              case IntegerType | DateType => v.getInt(_).toLong
+              case _ => v.getLong
+            }
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                val x = get(i)
+                if (!seen(si) || (if (isMin) x < longAcc(si) else x > longAcc(si))) longAcc(si) = x
+                seen(si) = true
+              }
+              i += 1
+            }
+          case MinMaxDoubleSpec(col, dt, isMin) =>
+            val v = batch.column(col)
+            val isFloat = dt == FloatType
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+                // Spark's nanSafeCompareDoubles ordering: NaN is greatest
+                val better =
+                  if (!seen(si)) true
+                  else if (isMin) GraftColumnarAgg.nanSafeLt(x, dblAcc(si))
+                  else GraftColumnarAgg.nanSafeLt(dblAcc(si), x)
+                if (better) dblAcc(si) = x
+                seen(si) = true
+              }
+              i += 1
+            }
+          case MinMaxStringSpec(col, isMin) =>
+            val v = batch.column(col)
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                val s = v.getUTF8String(i)
+                if (!seen(si) ||
+                    (if (isMin) s.compareTo(strAcc(si)) < 0 else s.compareTo(strAcc(si)) > 0)) {
+                  strAcc(si) = s.clone() // vector memory is reused across batches
+                }
+                seen(si) = true
+              }
+              i += 1
+            }
+          case AvgSpec(col, dt) =>
+            val v = batch.column(col)
+            val get: Int => Double = dt match {
+              case ByteType => v.getByte(_).toDouble
+              case ShortType => v.getShort(_).toDouble
+              case IntegerType => v.getInt(_).toDouble
+              case LongType => v.getLong(_).toDouble
+              case FloatType => v.getFloat(_).toDouble
+              case _ => v.getDouble
+            }
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) { dblAcc(si) += get(i); longAcc(si) += 1 }
+              i += 1
+            }
+        }
+        si += 1
+      }
+    }
+    (longAcc, dblAcc, strAcc, seen, rows, batches)
+  }
+
+  /** Write the accumulated buffer into output slot values. */
+  private def bufferValues(longAcc: Array[Long], dblAcc: Array[Double],
+      strAcc: Array[UTF8String], seen: Array[Boolean]): Array[Any] = {
+    import AggSpec._
+    val out = new Array[Any](output.length)
+    var slot = 0; var si = 0
+    while (si < specs.length) {
+      specs(si) match {
+        case CountSpec(_) => out(slot) = longAcc(si); slot += 1
+        case SumDoubleSpec(_, _) =>
+          out(slot) = if (seen(si)) dblAcc(si) else null; slot += 1
+        case MinMaxLongSpec(_, dt, _) =>
+          out(slot) = if (!seen(si)) null else dt match {
+            case ByteType => longAcc(si).toByte
+            case ShortType => longAcc(si).toShort
+            case IntegerType | DateType => longAcc(si).toInt
+            case _ => longAcc(si)
+          }
+          slot += 1
+        case MinMaxDoubleSpec(_, dt, _) =>
+          out(slot) = if (!seen(si)) null
+            else if (dt == FloatType) dblAcc(si).toFloat else dblAcc(si)
+          slot += 1
+        case MinMaxStringSpec(_, _) =>
+          out(slot) = if (seen(si)) strAcc(si) else null; slot += 1
+        case AvgSpec(_, _) =>
+          // Average's initial buffer is (0.0, 0L), NOT null — its merge
+          // expression is a plain null-propagating Add.
+          out(slot) = dblAcc(si); out(slot + 1) = longAcc(si); slot += 2
+      }
+      si += 1
+    }
+    out
+  }
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val (inM, batchM) = (metrics("numInputRows"), metrics("numBatches"))
+    val schema = StructType(output.map(a => StructField(a.name, a.dataType, a.nullable)))
+    child.executeColumnar().mapPartitionsInternal { iter =>
+      val (longAcc, dblAcc, strAcc, seen, rows, batches) = run(iter)
+      inM.add(rows); batchM.add(batches)
+      val values = bufferValues(longAcc, dblAcc, strAcc, seen)
+      val cols = OnHeapColumnVector.allocateColumns(1, schema)
+      var c = 0
+      while (c < cols.length) {
+        (values(c), schema(c).dataType) match {
+          case (null, _) => cols(c).putNull(0)
+          case (v: Long, _) => cols(c).putLong(0, v)
+          case (v: Int, _) => cols(c).putInt(0, v)
+          case (v: Short, _) => cols(c).putShort(0, v)
+          case (v: Byte, _) => cols(c).putByte(0, v)
+          case (v: Double, _) => cols(c).putDouble(0, v)
+          case (v: Float, _) => cols(c).putFloat(0, v)
+          case (v: UTF8String, _) => cols(c).putByteArray(0, v.getBytes)
+          case (v, dt) => throw new IllegalStateException(s"unexpected buffer value $v: $dt")
+        }
+        c += 1
+      }
+      Iterator.single(new ColumnarBatch(cols.toArray[ColumnVector], 1))
+    }
+  }
+
+  /** Row fallback: same accumulation, one InternalRow per partition. */
+  override protected def doExecute(): RDD[InternalRow] = {
+    val types = output.map(_.dataType)
+    child.execute().mapPartitionsInternal { _ =>
+      // The planner routes through the columnar path (supportsColumnar);
+      // a row-input path would need row-based accumulators. Unreachable
+      // by construction — the rule only swaps over columnar children.
+      throw new IllegalStateException(
+        s"GraftColumnarPartialAgg row path not implemented (types=$types)")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftColumnarPartialAggExec =
+    copy(child = newChild)
+}
+
+object GraftColumnarAgg {
+  import AggSpec._
+
+  /** Spark's nanSafeCompareDoubles "<": NaN is greatest, otherwise
+    * java.lang.Double.compare (so -0.0 < 0.0, matching the ordering the
+    * codegen'd least/greatest use).
+    */
+  def nanSafeLt(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) false
+    else if (java.lang.Double.isNaN(b)) true
+    else java.lang.Double.compare(a, b) < 0
+
+  /** The partial buffer column types a spec writes — must equal the
+    * HashAggregate's own output types exactly or the swap is unsound. */
+  def slotTypes(s: AggSpec): Seq[DataType] = s match {
+    case CountSpec(_) => Seq(LongType)
+    case SumDoubleSpec(_, _) => Seq(DoubleType)
+    case MinMaxLongSpec(_, dt, _) => Seq(dt)
+    case MinMaxDoubleSpec(_, dt, _) => Seq(dt)
+    case MinMaxStringSpec(_, _) => Seq(StringType)
+    case AvgSpec(_, _) => Seq(DoubleType, LongType)
+  }
+
+  private val longFamily: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType, DateType, TimestampType, TimestampNTZType)
+  private val numeric: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+
+  /** Compile one Partial-mode AggregateExpression into a spec, or a
+    * fallback reason. `ord` resolves an attribute to a child column.
+    */
+  def compile(ae: AggregateExpression, ord: Expression => Int): Either[String, AggSpec] = {
+    if (ae.mode != Partial) return scala.Left(s"mode ${ae.mode} is not Partial")
+    if (ae.isDistinct) return scala.Left("DISTINCT aggregate")
+    if (ae.filter.isDefined) return scala.Left("FILTER clause")
+    ae.aggregateFunction match {
+      case Count(Seq(l: Literal)) if l.value != null => scala.Right(CountSpec(-1))
+      case Count(Seq(a: AttributeReference)) if ord(a) >= 0 => scala.Right(CountSpec(ord(a)))
+      case Sum(a: AttributeReference, _) if ord(a) >= 0 &&
+          (a.dataType == DoubleType || a.dataType == FloatType) =>
+        scala.Right(SumDoubleSpec(ord(a), a.dataType))
+      case Min(a: AttributeReference) if ord(a) >= 0 && longFamily(a.dataType) =>
+        scala.Right(MinMaxLongSpec(ord(a), a.dataType, isMin = true))
+      case Max(a: AttributeReference) if ord(a) >= 0 && longFamily(a.dataType) =>
+        scala.Right(MinMaxLongSpec(ord(a), a.dataType, isMin = false))
+      case Min(a: AttributeReference) if ord(a) >= 0 &&
+          (a.dataType == DoubleType || a.dataType == FloatType) =>
+        scala.Right(MinMaxDoubleSpec(ord(a), a.dataType, isMin = true))
+      case Max(a: AttributeReference) if ord(a) >= 0 &&
+          (a.dataType == DoubleType || a.dataType == FloatType) =>
+        scala.Right(MinMaxDoubleSpec(ord(a), a.dataType, isMin = false))
+      case Min(a: AttributeReference) if ord(a) >= 0 && a.dataType == StringType =>
+        scala.Right(MinMaxStringSpec(ord(a), isMin = true))
+      case Max(a: AttributeReference) if ord(a) >= 0 && a.dataType == StringType =>
+        scala.Right(MinMaxStringSpec(ord(a), isMin = false))
+      case Average(a: AttributeReference, _) if ord(a) >= 0 && numeric(a.dataType) =>
+        scala.Right(AvgSpec(ord(a), a.dataType))
+      case other =>
+        scala.Left(s"unsupported aggregate: ${other.getClass.getSimpleName}" +
+          s"(${other.children.map(_.getClass.getSimpleName).mkString(",")})")
+    }
+  }
+}

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.{ColumnarRule, FilterExec, ProjectExec, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -103,6 +104,34 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         VecPredicate.compile(cond, child.output) match {
           case Right(_) => GraftColumnarFilterExec(cond, child)
           case Left(reason) => f.setTagValue(fallbackReasonTag, reason); f
+        }
+
+      // Global partial aggregation: both HashAggregate and SortAggregate
+      // (the planner picks Sort when a buffer type — string, timestamp —
+      // is not UnsafeRow-mutable; without grouping keys the partial
+      // semantics are identical).
+      case agg: BaseAggregateExec
+          if (agg.isInstanceOf[HashAggregateExec] || agg.isInstanceOf[SortAggregateExec]) &&
+            agg.groupingExpressions.isEmpty && agg.child.supportsColumnar &&
+            agg.aggregateExpressions.nonEmpty =>
+        val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
+          case a: AttributeReference => agg.child.output.indexWhere(_.exprId == a.exprId)
+          case _ => -1
+        }
+        val compiled = agg.aggregateExpressions.map(ae => GraftColumnarAgg.compile(ae, ord))
+        compiled.collectFirst { case scala.Left(e) => e } match {
+          case Some(reason) =>
+            agg.setTagValue(fallbackReasonTag, reason); agg
+          case None =>
+            val specs = compiled.collect { case scala.Right(s) => s }
+            val layoutOk =
+              agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
+                specs.flatMap(GraftColumnarAgg.slotTypes) == agg.output.map(_.dataType)
+            if (layoutOk) GraftColumnarPartialAggExec(agg.output, specs, agg.child)
+            else {
+              agg.setTagValue(fallbackReasonTag,
+                "partial output is not a plain buffer-attribute row"); agg
+            }
         }
     }
   }

@@ -108,13 +108,21 @@ class EngineSuite extends GraftTestBase {
     assert(PlanAuditRule.cartesianCount == 0)
   }
 
-  /** Finds an operator inside the (possibly AQE-wrapped) executed plan. */
+  /** Finds an operator inside the (possibly AQE-wrapped) executed plan,
+    * descending into materialized query stages (leaves to collect()). */
   private def findExec[T](df: org.apache.spark.sql.DataFrame)(
-      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Option[T] =
-    df.queryExecution.executedPlan.collectFirst {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst(pf)
-    }.flatten.orElse(df.queryExecution.executedPlan.collectFirst(pf))
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Option[T] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def deep(n: SparkPlan): Option[T] = n match {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: QueryStageExec => deep(q.plan)
+      case other =>
+        (if (pf.isDefinedAt(other)) Some(pf(other)) else None)
+          .orElse(other.children.view.flatMap(deep).headOption)
+    }
+    deep(df.queryExecution.executedPlan)
+  }
 
   test("GraftColumnarFilterExec: Kleene null semantics match SQL three-valued logic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colfilter").toString
@@ -153,6 +161,38 @@ class EngineSuite extends GraftTestBase {
     assert(exec.get.metrics("numInputRows").value == docs.count())
     assert(exec.get.metrics("numOutputRows").value == expected)
     assert(exec.get.metrics("numBatches").value >= 1)
+  }
+
+  test("GraftColumnarPartialAgg matches the row path on nulls/NaN/empty edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colagg").toString
+    Seq(
+      (1, Option(2.5), Option(1.0f), Option("bb"), Option(10L)),
+      (2, Option(Double.NaN), Option.empty[Float], Option("aa"), Option(-5L)),
+      (3, Option.empty[Double], Option(Float.NaN), Option.empty[String], Option(Long.MaxValue)),
+      (4, Option(-0.0), Option(2.5f), Option("cc"), Option.empty[Long]))
+      .toDF("id", "d", "f", "s", "l").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def agg(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)), count($"d"), sum($"d"), sum($"f"), avg($"d"), avg($"l"),
+      min($"d"), max($"d"), min($"f"), max($"f"), min($"s"), max($"s"),
+      min($"l"), max($"l"))
+    def both(df: org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
+      val cdf = agg(df)
+      val on = canon(cdf)
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.graft.GraftColumnarPartialAggExec => e
+      }.isDefined, s"expected columnar agg in:\n${cdf.queryExecution.executedPlan}")
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        canon(agg(df))
+      }
+      (on, off)
+    }
+    val (on1, off1) = both(t)
+    assert(on1 == off1, s"columnar=$on1 row=$off1")
+    // empty input after a filter: partials must emit initial buffers
+    val (on2, off2) = both(t.filter($"id" > 100))
+    assert(on2 == off2, s"empty-input columnar=$on2 row=$off2")
   }
 
   test("GraftColumnarRule tags un-swapped filters with a fallback reason") {

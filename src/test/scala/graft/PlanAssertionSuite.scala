@@ -131,6 +131,50 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected a ColumnarToRow transition above the columnar operator:\n$p")
   }
 
+  test("q94 bucketed join reads co-located buckets with no exchange on the join inputs") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = run("q94_bucketed_colocated_join")
+    df.collect()
+    // AQE query stages are leaves to collect(), so flatten them manually
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def deepCollect[T](n: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val here = n match {
+        case a: AdaptiveSparkPlanExec => deepCollect(a.executedPlan)(pf)
+        case q: QueryStageExec => deepCollect(q.plan)(pf)
+        case other =>
+          (if (pf.isDefinedAt(other)) Seq(pf(other)) else Nil) ++
+            other.children.flatMap(c => deepCollect(c)(pf))
+      }
+      here
+    }
+    val root = df.queryExecution.executedPlan
+    val p = planString(df)
+    assert(p.contains("SelectedBucketsCount"), s"expected bucketed scans in:\n$p")
+    val smj = deepCollect(root) { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected SMJ in:\n$p")
+    // co-location: nothing below the join re-shuffles. (A within-partition
+    // Sort remains: Spark 3+ does not trust bucket-file sort order without
+    // spark.sql.legacy.bucketedTableScan.outputOrdering — linear, no
+    // exchange, so the scale win, the absent shuffle, is unaffected.)
+    val bad = smj.head.children.flatMap(c => deepCollect(c) {
+      case _: ShuffleExchangeLike => "ShuffleExchange"
+    })
+    assert(bad.isEmpty, s"join inputs must be exchange-free, found $bad in:\n$p")
+  }
+
+  test("q96 accumulates its partial aggregation on ColumnarBatch") {
+    val df = run("q96_columnar_partial_agg")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarPartialAgg"),
+      s"expected the columnar partial agg swap in:\n$p")
+    assert(p.contains("GraftColumnarFilter"),
+      s"expected the whole pre-shuffle stage columnar in:\n$p")
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     // Plain scan→project (no AQE exchange wrapping): the projection
     // computing cosine_sim must sit inside a WholeStageCodegen span.
