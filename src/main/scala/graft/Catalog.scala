@@ -25,7 +25,10 @@ object Catalog {
     ConditionalQueries.all ++
     VectorOpsQueries.all ++
     PipelineQueries.all ++
-    TemporalJoinQueries.all
+    TemporalJoinQueries.all ++
+    TpchQueries.all ++
+    GraphQueries.all ++
+    SamplingQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

@@ -105,7 +105,7 @@ object DedupQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private def jaccardOracleSql(threshold: Double): String =
+  private[queries] def jaccardOracleSql(threshold: Double): String =
     s"""WITH sh AS (
         SELECT doc_id, $shinglesSql AS s FROM documents
         WHERE len(string_split(text,' ')) >= 3)

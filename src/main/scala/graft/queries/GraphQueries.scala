@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Duplicate-cluster assignment: the step a real dedup pipeline runs
+  * AFTER pair generation. q46/q47 emit near-duplicate PAIRS; keeping
+  * "one copy per duplicate set" requires grouping those pairs into
+  * connected components and electing a canonical representative per
+  * component — pairs alone over-delete (A~B, B~C: dropping one side of
+  * each pair can drop both B and C even though A survives).
+  *
+  * Algorithm: iterative min-label propagation ("HashMin" Pregel): every
+  * node starts labeled with its own id; each round every node takes the
+  * min of its own and its neighbors' labels; converged when no label
+  * changes. Each round is one equi-join + one groupBy — all shuffles on
+  * the node key, nothing driver-side except the convergence counter
+  * (one count() per round, the same driver-side loop shape as Spark's
+  * own GraphX/Pregel and MLlib iterative algorithms).
+  *
+  * 100 TB notes:
+  *  - Rounds needed = graph diameter. Near-dup graphs are unions of
+  *    near-cliques (every member of a duplicate set pairs with most
+  *    others), so diameter is typically 2-3 and HashMin is the right
+  *    choice; for long-path graphs the same loop admits the
+  *    large-star/small-star variant (Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond", SOCC'14) which converges in
+  *    O(log n) rounds — the loop below is deliberately shaped so only
+  *    the neighbor-min step would change.
+  *  - Each round materializes only (node, label) longs — never text.
+  *  - localCheckpoint truncates the lineage each round; without it the
+  *    plan doubles per iteration and the job dies of planning time long
+  *    before data size matters.
+  */
+object GraphQueries {
+
+  /** Min-label connected components over an undirected edge list
+    * (d1, d2). Returns (node, component) for every node present in
+    * `edges`, component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("node") === nbrMin("src"), "left_outer")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
+        .filter(col("component") =!= col("prev")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q108_dedup_clusters",
+      (s, dir) => {
+        // Pair graph = the proven q46 kernel (exact n-gram Jaccard >=
+        // 0.8); cluster it and report each duplicate doc with its
+        // component's canonical (min) doc_id. Docs with no near-dup
+        // don't appear — at scale you anti-join this result against
+        // the corpus to delete non-canonical members.
+        val pairs = DedupQueries.jaccardPairs(
+          Tables.t(s, dir, "documents"), 0.8)
+        connectedComponents(pairs.select(col("d1"), col("d2")))
+          .select(col("node").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (${DedupQueries.jaccardOracleSql(0.8)}),
+          edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION SELECT d2, d1 FROM pairs),
+          reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+        SELECT node AS doc_id, min(lbl) AS component
+        FROM reach GROUP BY node ORDER BY doc_id"""),
+      doc = "Near-dup clustering: connected components (iterative HashMin label propagation) over the exact-Jaccard pair graph; DuckDB oracle = recursive-CTE transitive closure + min label.")
+  )
+}
