@@ -81,6 +81,37 @@ object FuzzProps extends Properties("graft") {
       got == expected
     }
 
+  private val edgeGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 14) // node ids 0..n
+    m <- Gen.choose(1, 18)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong)
+      b <- Gen.choose(0L, n.toLong) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.distinct
+
+  property("connected components matches in-memory union-find") =
+    forAll(edgeGen) { edges: Seq[(Long, Long)] =>
+      edges.isEmpty || {
+        val got = graft.queries.GraphQueries
+          .connectedComponents(edges.toDF("d1", "d2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force: union-find with path compression, then relabel
+        // each root to the min member of its class (the kernel's
+        // canonical label).
+        val parent = collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+        val expected = nodes.map(v => v -> minOfRoot(find(v))).toMap
+        got == expected
+      }
+    }
+
   property("round half-up matches BigDecimal HALF_UP at 2dp") =
     forAll(Gen.chooseNum(-10000.0, 10000.0)) { d: Double =>
       val sparkR = Seq(d).toDF("x").select(round($"x", 2)).collect().head.getDouble(0)

@@ -175,6 +175,59 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the whole pre-shuffle stage columnar in:\n$p")
   }
 
+  test("q97 (TPC-H Q6) pushes every predicate into the parquet scan") {
+    val p = planString(run("q97_tpch_q6"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity").forall(pushed.contains),
+      s"expected all three Q6 predicates pushed, got: $pushed")
+  }
+
+  test("q98 (TPC-H Q7) broadcasts the nation-filtered supplier dim") {
+    assert(planString(run("q98_tpch_q7")).contains("BroadcastHashJoin"))
+  }
+
+  test("q99 (TPC-H Q8) reduces the customer side to a semi-join probe") {
+    val p = planString(run("q99_tpch_q8"))
+    assert(p.contains("LeftSemi"), s"expected customer semi-join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
+  }
+
+  test("q104 (TPC-H Q19) disjunctive predicate extracts the equi-key — hash join, no cartesian") {
+    val p = planString(run("q104_tpch_q19"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoop"),
+      s"Q19's OR-of-ANDs must keep the partkey equi-join:\n$p")
+  }
+
+  test("q105 (TPC-H Q4) plans the EXISTS as a left-semi join") {
+    assert(planString(run("q105_tpch_q4")).contains("LeftSemi"))
+  }
+
+  test("q107 (TPC-H Q22) plans the anti-join and the single-row threshold broadcast") {
+    val p = planString(run("q107_tpch_q22"))
+    assert(p.contains("LeftAnti"), s"expected anti-join to orders in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"threshold compare must broadcast the single-row agg, not cartesian:\n$p")
+  }
+
+  test("q109 hash sampling is a pure scan-filter — zero exchanges") {
+    val p = planString(run("q109_sample_hash"))
+    assert(!p.contains("Exchange"), s"deterministic sample must not shuffle:\n$p")
+  }
+
+  test("q110 stratified sampling shuffles once, on the stratum key") {
+    val p = planString(run("q110_sample_stratified"))
+    // formatted mode lists each operator once in the tree and once in the
+    // details — count the numbered detail entries.
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1 && p.contains("Window"),
+      s"expected exactly one exchange feeding the window rank:\n$p")
+    // rank-limit is applied map-side BEFORE the shuffle (Partial
+    // WindowGroupLimit): at 100 TB only ≤20 rows per stratum per input
+    // partition ever shuffle, not the corpus.
+    assert(p.contains("WindowGroupLimit"),
+      s"expected partial window-group-limit pushdown:\n$p")
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     // Plain scan→project (no AQE exchange wrapping): the projection
     // computing cosine_sim must sit inside a WholeStageCodegen span.
