@@ -209,6 +209,35 @@ object EngineQueries {
           round(avg(l_quantity), 6) AS avg_qty, min(l_returnflag) AS min_flag,
           max(l_shipdate) AS max_ship
         FROM lineitem WHERE l_quantity > 10"""),
-      doc = "Columnar partial HashAggregate: count/sum/min/max/avg accumulated on ColumnarBatch per partition (one buffer row crosses the shuffle), merged by Spark's final HashAggregate.")
+      doc = "Columnar partial HashAggregate: count/sum/min/max/avg accumulated on ColumnarBatch per partition (one buffer row crosses the shuffle), merged by Spark's final HashAggregate."),
+
+    QueryDef(
+      "q111_columnar_project",
+      (s, dir) => {
+        import s.implicits._
+        // Computed projection evaluated on ColumnarBatch: the whole
+        // pre-sort stage is custom columnar — scan → GraftColumnarFilter
+        // (vectorized predicate) → GraftColumnarProject (double-algebra
+        // kernels into materialized vectors; attribute items zero-copy).
+        // Per-row doubles are bit-identical to DuckDB's because the IEEE
+        // expression tree is the same — no aggregation, so no
+        // summation-order caveats; the ORDER BY carries unique
+        // tiebreakers.
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_quantity" > 45.0)
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net"),
+            (($"l_extendedprice" / lit(100.0)) * $"l_tax").as("tax_amt"),
+            abs($"l_discount" - $"l_tax").as("spread"))
+          .orderBy($"net".desc, $"l_orderkey", $"l_linenumber")
+          .limit(25)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          l_extendedprice * (1.0 - l_discount) AS net,
+          (l_extendedprice / 100.0) * l_tax AS tax_amt,
+          abs(l_discount - l_tax) AS spread
+        FROM lineitem WHERE l_quantity > 45
+        ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 25"""),
+      doc = "Columnar Project with computed expressions: double-algebra kernels (mul/sub/div/abs, literals, Spark-exact Divide semantics) evaluated batch-at-a-time into materialized vectors; completes the columnar select/filter/project/aggregate runtime.")
   )
 }

@@ -52,15 +52,17 @@ object GraphQueries {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels
+      // one join per round: carry old + new label side by side, so the
+      // convergence count reads the checkpointed result instead of
+      // re-joining against the previous labels.
+      val step = labels
         .join(nbrMin, labels("node") === nbrMin("src"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") =!= col("prev")).count()
-      labels = next
+      changed = step.filter(col("component") < col("prev")).count()
+      labels = step.select(col("node"), col("component"))
       it += 1
     }
     labels

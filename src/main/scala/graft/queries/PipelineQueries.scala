@@ -90,6 +90,59 @@ object PipelineQueries {
             / count(*), 6) AS mean_distinct_ratio
         FROM passed WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         GROUP BY lang ORDER BY lang"""),
-      doc = "End-to-end LLM data prep: quality gate → trigram-Jaccard near-dup removal (drop non-minimal) → per-language corpus stats.")
+      doc = "End-to-end LLM data prep: quality gate → trigram-Jaccard near-dup removal (drop non-minimal) → per-language corpus stats."),
+
+    QueryDef(
+      "q112_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Pack documents (in doc_id order) into fixed 4096-token
+        // training sequences: seq_id = floor(exclusive-cumsum / 4096) —
+        // the standard contiguous concat-then-split packing. The global
+        // cumsum is computed as a DISTRIBUTED TWO-PHASE SCAN, not a
+        // single-partition window: (1) range-partition by doc_id and
+        // cumsum WITHIN each partition in parallel; (2) per-partition
+        // totals (one row per partition) get an exclusive prefix-sum on
+        // a single tiny partition; (3) broadcast-join the offsets back.
+        // At 100 TB phase 2 touches #partitions rows — nothing global
+        // ever sorts or sits on one executor. Result is independent of
+        // the (sampled, nondeterministic) range boundaries because
+        // offsets are exact.
+        val C = 4096L
+        val toks = Tables.t(s, dir, "documents")
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+        val nPart = 8
+        val parted = toks.repartitionByRange(nPart, $"doc_id")
+          .withColumn("pid", spark_partition_id())
+        val local = parted.withColumn("lcum",
+          sum($"toks").over(Window.partitionBy($"pid").orderBy($"doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        val offsets = parted.groupBy($"pid").agg(sum($"toks").as("psum"))
+          .withColumn("offset",
+            sum($"psum").over(Window.orderBy($"pid")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select($"pid".as("opid"), coalesce($"offset", lit(0L)).as("offset"))
+        local
+          .join(broadcast(offsets), $"pid" === $"opid")
+          .withColumn("cum", coalesce($"lcum", lit(0L)) + $"offset")
+          // integer division: exact at any token count (a double divide
+          // would wobble past 2^53 total tokens — reachable at 100 TB)
+          .withColumn("seq_id", expr(s"cum div $C"))
+          .groupBy($"seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"toks").as("seq_tokens"))
+          .orderBy($"seq_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        c AS (
+          SELECT doc_id, toks,
+            COALESCE(sum(toks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM t)
+        SELECT CAST(cum // 4096 AS BIGINT) AS seq_id,
+          count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS seq_tokens
+        FROM c GROUP BY 1 ORDER BY 1"""),
+      doc = "Sequence packing for training: contiguous 4096-token chunking via a distributed two-phase prefix-sum (parallel per-partition cumsum + tiny offsets join) — no global sort, no single-partition window on the data.")
   )
 }

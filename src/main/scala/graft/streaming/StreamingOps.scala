@@ -73,6 +73,17 @@ object StreamingOps {
       s"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL $windowSeconds SECOND AND l_ts"))
   }
 
+  /** Deterministic hash sampling on a stream: the q109 md5-threshold
+    * predicate applied per micro-batch. Stateless — no watermark, no
+    * state store — and the chosen set is a pure function of event_id,
+    * so a replayed/reordered stream, the batch run over the same data,
+    * and every engine agree on EXACTLY which rows are in the sample
+    * (rand()-based stream sampling can't offer any of that). This is
+    * how a 100 TB/day ingest keeps a reproducible N% eval holdout.
+    */
+  def sampleStream(events: DataFrame, hexBound: String = "2"): DataFrame =
+    events.filter(substring(md5(col("event_id").cast("string")), 1, 1) < hexBound)
+
   /** Per-user running totals via groupBy on an unbounded key set —
     * complete/update-mode aggregation (state grows with distinct users;
     * use only with a bounded key domain or TTL'd state at scale).

@@ -227,6 +227,46 @@ object VecPredicate {
     }
   }
 
+  /** col IN (non-null literals), long family. Sorted array + binary
+    * search: O(log k) per row, no boxing. A null value yields NULL
+    * (Spark's In with an all-non-null list); rows where no element
+    * matches yield FALSE.
+    */
+  final case class LongIn(col: Int, dt: DataType, sorted: Array[Long]) extends VecPredicate {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val v = b.column(col); val g = longGetter(v, dt)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (v.isNullAt(i)) { isNull(j) = true; value(j) = false }
+        else { isNull(j) = false; value(j) = java.util.Arrays.binarySearch(sorted, g(i)) >= 0 }
+        j += 1
+      }
+    }
+  }
+
+  /** col IN (non-null literals), string. Hash set of UTF8String. */
+  final case class StringIn(col: Int, litBytes: Array[Array[Byte]]) extends VecPredicate {
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](litBytes.length * 2)
+      litBytes.foreach(bs => s.add(UTF8String.fromBytes(bs)))
+      s
+    }
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val v = b.column(col)
+      val setLocal = set
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (v.isNullAt(i)) { isNull(j) = true; value(j) = false }
+        else { isNull(j) = false; value(j) = setLocal.contains(v.getUTF8String(i)) }
+        j += 1
+      }
+    }
+  }
+
   final case class IsNullP(col: Int, negate: Boolean) extends VecPredicate {
     override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
         value: Array[Boolean], isNull: Array[Boolean]): Unit = {
@@ -382,6 +422,35 @@ object VecPredicate {
           v.asInstanceOf[UTF8String].getBytes, 2))
       case a: AttributeReference if a.dataType == BooleanType && output.exists(_.exprId == a.exprId) =>
         scala.Right(BoolCol(output.indexWhere(_.exprId == a.exprId)))
+      case In(a: AttributeReference, list)
+          if output.exists(_.exprId == a.exprId) &&
+            list.forall { case Literal(v, _) => v != null; case _ => false } =>
+        val idx = output.indexWhere(_.exprId == a.exprId)
+        a.dataType match {
+          case dt if longFamily(dt) && dt != BooleanType =>
+            val vals = list.map(l => litToLong(l.asInstanceOf[Literal].value))
+            if (vals.forall(_.isDefined))
+              scala.Right(LongIn(idx, dt, vals.flatten.toArray.sorted))
+            else scala.Left("IN list with non-integral literals")
+          case StringType =>
+            scala.Right(StringIn(idx,
+              list.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String].getBytes).toArray))
+          case dt => scala.Left(s"unsupported IN column type $dt")
+        }
+      case InSet(a: AttributeReference, hset)
+          if output.exists(_.exprId == a.exprId) && !hset.contains(null) =>
+        val idx = output.indexWhere(_.exprId == a.exprId)
+        a.dataType match {
+          case dt if longFamily(dt) && dt != BooleanType =>
+            val vals = hset.toSeq.map(litToLong)
+            if (vals.forall(_.isDefined))
+              scala.Right(LongIn(idx, dt, vals.flatten.toArray.sorted))
+            else scala.Left("IN set with non-integral values")
+          case StringType =>
+            scala.Right(StringIn(idx,
+              hset.toSeq.map(_.asInstanceOf[UTF8String].getBytes).toArray))
+          case dt => scala.Left(s"unsupported IN column type $dt")
+        }
       case other => scala.Left(s"unsupported expression: ${other.getClass.getSimpleName}")
     }
   }
@@ -398,6 +467,9 @@ object VecPredicate {
     case EndsWith(a: AttributeReference, _: Literal) => Set(a.exprId)
     case Contains(a: AttributeReference, _: Literal) => Set(a.exprId)
     case a: AttributeReference if a.dataType == BooleanType => Set(a.exprId)
+    case In(a: AttributeReference, list)
+        if list.forall { case Literal(v, _) => v != null; case _ => false } => Set(a.exprId)
+    case InSet(a: AttributeReference, hset) if !hset.contains(null) => Set(a.exprId)
     case _ => Set.empty
   }
 

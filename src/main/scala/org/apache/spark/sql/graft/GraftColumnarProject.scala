@@ -1,0 +1,315 @@
+// In the org.apache.spark.sql namespace alongside the other graft
+// columnar operators — same placement the reference uses
+// (org.apache.spark.sql.comet).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch, ColumnarMap, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Materialized double vector: the output of a vectorized arithmetic
+  * kernel. Only the double accessors are live — the projection's output
+  * schema guarantees consumers (ColumnarToRowExec, further kernels)
+  * never call anything else.
+  */
+final class DoubleArrayVector(values: Array[Double], nulls: Array[Boolean], n: Int)
+    extends ColumnVector(DoubleType) {
+  private[this] val anyNull: Boolean = {
+    var b = false; var i = 0
+    while (i < n && !b) { b = nulls(i); i += 1 }
+    b
+  }
+
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = anyNull
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getDouble(rowId: Int): Double = values(rowId)
+  private def nope = throw new UnsupportedOperationException("double-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
+/** Vectorized double-valued expression kernels. eval fills
+  * values/isNull for rows 0..n of the batch. The supported surface is
+  * deliberately the double algebra: +, -, *, /, unary -, abs, literals,
+  * double/float columns, and safe widening casts from the integral
+  * family. Add/sub/mul over doubles are plain IEEE in every eval mode
+  * (double overflow saturates to ±Infinity, even under ANSI); Divide is
+  * NOT — see [[DivD]]. Integral add/sub/mul carry ANSI
+  * overflow-exception semantics and decimal carries scale arithmetic —
+  * both fall back, with the reason tagged on the node (reference gate
+  * pattern: rules/CometExecRule.scala:258-393, e.g. its own eval-mode
+  * fallbacks).
+  */
+sealed trait VecNumExpr extends Serializable {
+  def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+      s: VecScratch): Unit
+}
+
+/** Per-partition temp-buffer pool: binary kernels draw their right-hand
+  * scratch from here instead of allocating per batch. reset() per kernel
+  * tree evaluation; buffers grow monotonically to the largest batch.
+  */
+final class VecScratch {
+  private[this] var dPool = new Array[Array[Double]](4)
+  private[this] var bPool = new Array[Array[Boolean]](4)
+  private[this] var di = 0
+  private[this] var bi = 0
+  def reset(): Unit = { di = 0; bi = 0 }
+  def d(n: Int): Array[Double] = {
+    if (di == dPool.length) dPool = java.util.Arrays.copyOf(dPool, di * 2)
+    if (dPool(di) == null || dPool(di).length < n) dPool(di) = new Array[Double](n)
+    val a = dPool(di); di += 1; a
+  }
+  def b(n: Int): Array[Boolean] = {
+    if (bi == bPool.length) bPool = java.util.Arrays.copyOf(bPool, bi * 2)
+    if (bPool(bi) == null || bPool(bi).length < n) bPool(bi) = new Array[Boolean](n)
+    val a = bPool(bi); bi += 1; a
+  }
+}
+
+object VecNumExpr {
+  final val ADD = 0; final val SUB = 1; final val MUL = 2; final val DIV = 3
+
+  /** any numeric-family column widened to double */
+  final case class ColD(ord: Int, dt: DataType) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val v = b.column(ord)
+      val get: Int => Double = dt match {
+        case DoubleType => v.getDouble
+        case FloatType => i => v.getFloat(i).toDouble
+        case ByteType => i => v.getByte(i).toDouble
+        case ShortType => i => v.getShort(i).toDouble
+        case IntegerType => i => v.getInt(i).toDouble
+        case LongType => i => v.getLong(i).toDouble
+        case other => throw new IllegalStateException(s"not numeric: $other")
+      }
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) { isNull(i) = true; values(i) = 0d }
+        else { isNull(i) = false; values(i) = get(i) }
+        i += 1
+      }
+    }
+  }
+
+  final case class LitD(v: Double) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      java.util.Arrays.fill(values, 0, n, v)
+      java.util.Arrays.fill(isNull, 0, n, false)
+    }
+  }
+
+  final case class BinD(op: Int, l: VecNumExpr, r: VecNumExpr) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      l.eval(b, n, values, isNull, s)
+      val rv = s.d(n); val rn = s.b(n)
+      r.eval(b, n, rv, rn, s)
+      var i = 0
+      op match {
+        case ADD => while (i < n) { values(i) += rv(i); isNull(i) |= rn(i); i += 1 }
+        case SUB => while (i < n) { values(i) -= rv(i); isNull(i) |= rn(i); i += 1 }
+        case MUL => while (i < n) { values(i) *= rv(i); isNull(i) |= rn(i); i += 1 }
+      }
+    }
+  }
+
+  /** Spark's Divide is NOT plain IEEE even over doubles: divisor 0 is
+    * NULL in LEGACY/TRY mode and an error in ANSI mode, and a NULL
+    * NUMERATOR wins over the zero-divisor error (DivModLike.eval checks
+    * input1 == null before the isZero throw). Replicated exactly.
+    */
+  final case class DivD(l: VecNumExpr, r: VecNumExpr, ansi: Boolean) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      l.eval(b, n, values, isNull, s)
+      val rv = s.d(n); val rn = s.b(n)
+      r.eval(b, n, rv, rn, s)
+      var i = 0
+      while (i < n) {
+        if (rn(i) || isNull(i)) { isNull(i) = true; values(i) = 0d }
+        else if (rv(i) == 0d) {
+          if (ansi) throw org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
+          isNull(i) = true; values(i) = 0d
+        } else values(i) /= rv(i)
+        i += 1
+      }
+    }
+  }
+
+  final case class NegD(c: VecNumExpr) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) { values(i) = -values(i); i += 1 }
+    }
+  }
+
+  final case class AbsD(c: VecNumExpr) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) { values(i) = math.abs(values(i)); i += 1 }
+    }
+  }
+
+  private val numeric: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+
+  /** Compile a Catalyst expression to a double kernel, or the fallback
+    * reason. Only shapes whose Spark result type is DOUBLE and whose
+    * semantics are pure IEEE arithmetic compile; everything else (ANSI
+    * integral overflow, decimal scale math, ANSI integral/decimal
+    * division errors, TRY eval modes) names itself as the reason.
+    */
+  def compile(e: Expression, output: Seq[Attribute]): Either[String, VecNumExpr] = {
+    def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
+    e match {
+      case a: AttributeReference if numeric(a.dataType) && ord(a) >= 0 =>
+        scala.Right(ColD(ord(a), a.dataType))
+      case Literal(v, dt) if numeric(dt) && v != null =>
+        scala.Right(LitD(v match {
+          case b: Byte => b.toDouble; case s: Short => s.toDouble
+          case i: Int => i.toDouble; case l: Long => l.toDouble
+          case f: Float => f.toDouble; case d: Double => d
+        }))
+      case c: Cast if c.dataType == DoubleType && numeric(c.child.dataType) =>
+        // widening numeric→double cast never errors in any eval mode
+        compile(c.child, output)
+      case a: Add if a.dataType == DoubleType =>
+        for { l <- compile(a.left, output); r <- compile(a.right, output) } yield BinD(ADD, l, r)
+      case s: Subtract if s.dataType == DoubleType =>
+        for { l <- compile(s.left, output); r <- compile(s.right, output) } yield BinD(SUB, l, r)
+      case m: Multiply if m.dataType == DoubleType =>
+        for { l <- compile(m.left, output); r <- compile(m.right, output) } yield BinD(MUL, l, r)
+      case d: Divide if d.dataType == DoubleType =>
+        for { l <- compile(d.left, output); r <- compile(d.right, output) }
+          yield DivD(l, r, d.evalMode == EvalMode.ANSI)
+      case u: UnaryMinus if u.dataType == DoubleType =>
+        compile(u.child, output).map(NegD)
+      case ab: Abs if ab.dataType == DoubleType =>
+        compile(ab.child, output).map(AbsD)
+      case other if other.dataType != DoubleType =>
+        scala.Left(s"non-double result type ${other.dataType} " +
+          "(ANSI integral overflow / decimal scale semantics stay on the row path)")
+      case other =>
+        scala.Left(s"unsupported projection expression: ${other.getClass.getSimpleName}")
+    }
+  }
+}
+
+/** Columnar Project with COMPUTED expressions: evaluates the supported
+  * double-algebra kernels batch-at-a-time into materialized
+  * [[DoubleArrayVector]]s; attribute items pass through zero-copy
+  * (referencing the child batch's vectors, selection wrappers and all).
+  * Together with GraftColumnarSelectExec (attribute-only fast path),
+  * GraftColumnarFilterExec and GraftColumnarPartialAggExec this
+  * completes the §7.1 select/filter/project/aggregate columnar runtime.
+  *
+  * Reference analogue: projection inside the native plan
+  * (planner.rs create_expr → DataFusion ProjectionExec); JVM gating:
+  * operators.scala:386-776.
+  */
+case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = projectList.map(_.toAttribute)
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning = child.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of batches"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numComputedColumns" -> SQLMetrics.createMetric(sparkContext, "computed columns per batch"))
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    // compile on the driver; Left is unreachable (the rule gates)
+    val plans: Seq[Either[Int, VecNumExpr]] = projectList.map {
+      case a: AttributeReference =>
+        scala.Left(child.output.indexWhere(_.exprId == a.exprId))
+      case Alias(a: AttributeReference, _)
+          if child.output.exists(_.exprId == a.exprId) =>
+        scala.Left(child.output.indexWhere(_.exprId == a.exprId))
+      case Alias(e, _) =>
+        VecNumExpr.compile(e, child.output) match {
+          case scala.Right(k) => scala.Right(k)
+          case scala.Left(reason) =>
+            throw new IllegalStateException(s"uncompilable columnar projection: $reason")
+        }
+      case other =>
+        throw new IllegalStateException(s"unexpected projection item: $other")
+    }
+    val (batchM, rowM, compM) =
+      (metrics("numBatches"), metrics("numOutputRows"), metrics("numComputedColumns"))
+    child.executeColumnar().mapPartitionsInternal { iter =>
+      // Per-partition buffer reuse, the vectorized-reader contract: the
+      // consumer must finish with a batch before pulling the next one
+      // (Spark's own parquet reader reuses its WritableColumnVectors the
+      // same way). One persistent output buffer pair per computed
+      // column, plus a temp pool for kernel-internal right-hand sides.
+      val scratch = new VecScratch
+      val outV = new Array[Array[Double]](plans.length)
+      val outN = new Array[Array[Boolean]](plans.length)
+      iter.map { batch =>
+        val n = batch.numRows()
+        val cols = new Array[ColumnVector](plans.length)
+        var c = 0
+        while (c < plans.length) {
+          plans(c) match {
+            case scala.Left(ordIdx) => cols(c) = batch.column(ordIdx)
+            case scala.Right(kernel) =>
+              if (outV(c) == null || outV(c).length < n) {
+                outV(c) = new Array[Double](n); outN(c) = new Array[Boolean](n)
+              }
+              scratch.reset()
+              kernel.eval(batch, n, outV(c), outN(c), scratch)
+              cols(c) = new DoubleArrayVector(outV(c), outN(c), n)
+              compM.add(1)
+          }
+          c += 1
+        }
+        batchM.add(1); rowM.add(n)
+        new ColumnarBatch(cols, n)
+      }
+    }
+  }
+
+  /** Row fallback (planner routes columnar since supportsColumnar). */
+  override protected def doExecute(): RDD[InternalRow] = {
+    val pl = projectList
+    val in = child.output
+    child.execute().mapPartitionsInternal { iter =>
+      val proj = UnsafeProjection.create(pl, in)
+      iter.map(proj)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftColumnarProjectExec =
+    copy(child = newChild)
+}

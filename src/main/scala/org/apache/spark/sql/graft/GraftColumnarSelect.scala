@@ -5,7 +5,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.{ColumnarRule, FilterExec, ProjectExec, SparkPlan, UnaryExecNode}
@@ -95,10 +95,18 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               child.output.exists(_.exprId == p.exprId)) =>
         GraftColumnarSelectExec(projectList.map(_.toAttribute), child)
 
-      case p @ ProjectExec(_, child) if child.supportsColumnar =>
-        p.setTagValue(fallbackReasonTag,
-          "project list is not attribute-only (computed expressions stay on the row path)")
-        p
+      case p @ ProjectExec(projectList, child) if child.supportsColumnar =>
+        // Computed projection: every item must be an attribute or a
+        // compilable double-algebra kernel (GraftColumnarProject).
+        val reasons = projectList.flatMap {
+          case a: AttributeReference if child.output.exists(_.exprId == a.exprId) => None
+          case Alias(a: AttributeReference, _)
+              if child.output.exists(_.exprId == a.exprId) => None
+          case Alias(e, _) => VecNumExpr.compile(e, child.output).left.toOption
+          case other => Some(s"unsupported projection item: ${other.getClass.getSimpleName}")
+        }
+        if (reasons.isEmpty) GraftColumnarProjectExec(projectList, child)
+        else { p.setTagValue(fallbackReasonTag, reasons.head); p }
 
       case f @ FilterExec(cond, child) if child.supportsColumnar =>
         VecPredicate.compile(cond, child.output) match {

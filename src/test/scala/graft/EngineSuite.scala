@@ -149,6 +149,11 @@ class EngineSuite extends GraftTestBase {
     assert(ids(t.filter($"s".isNull)) == Set(2, 5))
     assert(ids(t.filter($"s".startsWith("web"))) == Set(4))
     assert(ids(t.filter($"s" >= "b" && $"s" <= "c")) == Set(3))        // string range
+    assert(ids(t.filter($"s".isin("alpha", "web-x"))) == Set(1, 4))    // string IN (null → NULL, drops)
+    assert(ids(t.filter($"id".isin(2, 4, 99))) == Set(2, 4))           // long-family IN
+    assert(ids(t.filter(!$"id".isin(2, 4))) == Set(1, 3, 5))           // NOT IN over non-null col
+    // > inSetConversionThreshold(10) elements → Catalyst rewrites to InSet
+    assert(ids(t.filter($"id".isin(1 to 12: _*))) == Set(1, 2, 3, 4, 5))
   }
 
   test("GraftColumnarFilterExec surfaces input/output row SQLMetrics") {
@@ -193,6 +198,87 @@ class EngineSuite extends GraftTestBase {
     // empty input after a filter: partials must emit initial buffers
     val (on2, off2) = both(t.filter($"id" > 100))
     assert(on2 == off2, s"empty-input columnar=$on2 row=$off2")
+  }
+
+  test("GraftColumnarProjectExec matches the row path on null/NaN/div-by-zero edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colproj").toString
+    Seq(
+      (1, Option(2.5), Option(1.0f), Option(10L)),
+      (2, Option(Double.NaN), Option.empty[Float], Option(-5L)),
+      (3, Option.empty[Double], Option(Float.NaN), Option(Long.MaxValue)),
+      (4, Option(-0.0), Option(2.5f), Option.empty[Long]),
+      (5, Option(1.5), Option(0.0f), Option(0L)))
+      .toDF("id", "d", "f", "l").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // widening casts, neg, abs, literals, nonzero division
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"id",
+      ($"d" * ($"f" + lit(1.0)) - $"l" / lit(3.0)).as("a"),
+      ($"d" / ($"f" + lit(1.0))).as("div"),
+      (-$"d").as("neg"), abs($"d" - lit(100.0)).as("ab"),
+      ($"l".cast("double") + $"id".cast("double")).as("wide"))
+    def assertColumnar(df: org.apache.spark.sql.DataFrame): Unit =
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+      }.isDefined, s"expected columnar project in:\n${df.queryExecution.executedPlan}")
+    val cdf = proj(t)
+    val on = canon(cdf)
+    assertColumnar(cdf)
+    val off = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      canon(proj(t))
+    }
+    assert(on == off, s"columnar=$on row=$off")
+
+    // Divide semantics (Spark 4: never IEEE-infinity): ANSI throws on a
+    // zero divisor, LEGACY yields NULL — on BOTH paths; and a NULL
+    // numerator beats the ANSI error.
+    def divDf = spark.read.parquet(dir).select($"id", ($"d" / $"f").as("q"))
+    val e = intercept[Exception] { val df = divDf; df.collect(); }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"), s"got: ${e.getMessage}")
+    withSQLConf("spark.sql.ansi.enabled" -> "false") {
+      val df = divDf
+      val onLegacy = canon(df)
+      assertColumnar(df)
+      val offLegacy = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        canon(divDf)
+      }
+      assert(onLegacy == offLegacy, s"columnar=$onLegacy row=$offLegacy")
+      // row 5: d=1.5, f=0.0 → NULL in legacy mode
+      assert(df.filter($"id" === 5).collect().head.isNullAt(1))
+    }
+    // NULL numerator with zero divisor under ANSI → NULL, not an error
+    val nullNum = spark.read.parquet(dir)
+      .filter($"id" === 3) // d = null
+      .select(($"d" / lit(0.0)).as("q"))
+    assert(nullNum.collect().head.isNullAt(0))
+  }
+
+  test("GraftColumnarProjectExec surfaces batch/row/computed-column SQLMetrics") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val df = li.select($"l_orderkey",
+      ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    df.collect()
+    val exec = findExec(df) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e }
+    assert(exec.isDefined, s"columnar project swap missing:\n${df.queryExecution.executedPlan}")
+    assert(exec.get.metrics("numOutputRows").value == li.count())
+    assert(exec.get.metrics("numComputedColumns").value >= 1)
+  }
+
+  test("GraftColumnarRule tags decimal projections with the eval-mode fallback reason") {
+    // decimal arithmetic (ANSI scale semantics) must stay on the row path
+    val df = Tables.t(spark, sfDir, "lineitem")
+      .select(($"l_extendedprice".cast("decimal(18,2)") * lit(2).cast("decimal(18,2)")).as("d2"))
+    df.collect()
+    val tagged = findExec(df) {
+      case p: org.apache.spark.sql.execution.ProjectExec
+          if p.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).isDefined =>
+        p.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).get
+    }
+    assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
+    assert(tagged.get.contains("non-double"), s"reason: ${tagged.get}")
   }
 
   test("GraftColumnarRule tags un-swapped filters with a fallback reason") {

@@ -30,7 +30,17 @@ object FilterMicroBench {
       "lo-sel-2pct" -> (() => Tables.t(spark, sfDir, "lineitem")
         .filter($"l_orderkey" < 3000)),
       "string-conj" -> (() => Tables.t(spark, sfDir, "lineitem")
-        .filter($"l_returnflag" === "R" && $"l_linestatus" === "F" && $"l_discount" > 0.05)))
+        .filter($"l_returnflag" === "R" && $"l_linestatus" === "F" && $"l_discount" > 0.05)),
+      // computed projections (GraftColumnarProject vs codegen'd row project)
+      "proj-revenue" -> (() => Tables.t(spark, sfDir, "lineitem")
+        .select($"l_orderkey",
+          ($"l_extendedprice" * (org.apache.spark.sql.functions.lit(1.0) - $"l_discount")).as("net"))),
+      "proj-4-kernels" -> (() => Tables.t(spark, sfDir, "lineitem")
+        .select(
+          ($"l_extendedprice" * (org.apache.spark.sql.functions.lit(1.0) - $"l_discount")).as("net"),
+          (($"l_extendedprice" / org.apache.spark.sql.functions.lit(100.0)) * $"l_tax").as("tax_amt"),
+          org.apache.spark.sql.functions.abs($"l_discount" - $"l_tax").as("spread"),
+          (-$"l_quantity").as("negq"))))
 
     def timeIt(f: () => org.apache.spark.sql.DataFrame): Double =
       (1 to 5).map { _ =>

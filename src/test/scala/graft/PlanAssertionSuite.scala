@@ -228,6 +228,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected partial window-group-limit pushdown:\n$p")
   }
 
+  test("q111 computes its projection on ColumnarBatch via GraftColumnarProject") {
+    val df = run("q111_columnar_project")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarProject"),
+      s"expected the columnar project swap in:\n$p")
+    assert(p.contains("GraftColumnarFilter"),
+      s"expected the whole pre-sort stage columnar in:\n$p")
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     // Plain scan→project (no AQE exchange wrapping): the projection
     // computing cosine_sim must sit inside a WholeStageCodegen span.

@@ -22,7 +22,12 @@ class PlanStabilitySuite extends GraftTestBase {
     "q50_ann_bruteforce_topk", "q64_sort_merge_join",
     "q69_skew_salted_join", "q74_llm_prep_pipeline",
     "q76_bloom_filter_join", "q78_range_repartition",
-    "q82_asof_join", "q83_range_join_banded")
+    "q82_asof_join", "q83_range_join_banded",
+    // the round-5 TPC-H set: pin the join-order/broadcast skeletons the
+    // 100 TB story depends on
+    "q87_tpch_q5", "q97_tpch_q6", "q98_tpch_q7", "q99_tpch_q8",
+    "q100_tpch_q10", "q102_tpch_q15", "q103_tpch_q17", "q104_tpch_q19",
+    "q105_tpch_q4", "q107_tpch_q22", "q110_sample_stratified")
 
   private def skeleton(p: LogicalPlan, depth: Int = 0): String = {
     val self = ("  " * depth) + p.nodeName

@@ -115,6 +115,27 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("sampleStream picks exactly the batch sample — replay-deterministic") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1L to 200L).map(i => Event(i, ts(i.toInt % 60), i % 7, "c", i * 1.0))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sampleStream(input.toDF())
+      .writeStream.format("memory").queryName("sample").outputMode("append").start()
+    try {
+      // two micro-batches, arbitrary split — the chosen set must not care
+      input.addData(events.take(120): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(120): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      val batch = StreamingOps.sampleStream(events.toDF()).collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.nonEmpty && streamed.size < events.size) // a real, proper sample
+    } finally q.stop()
+  }
+
   test("joinWithinWindow: stream-stream join pairs events inside the window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
