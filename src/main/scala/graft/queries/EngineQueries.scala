@@ -238,6 +238,38 @@ object EngineQueries {
           abs(l_discount - l_tax) AS spread
         FROM lineitem WHERE l_quantity > 45
         ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 25"""),
-      doc = "Columnar Project with computed expressions: double-algebra kernels (mul/sub/div/abs, literals, Spark-exact Divide semantics) evaluated batch-at-a-time into materialized vectors; completes the columnar select/filter/project/aggregate runtime.")
+      doc = "Columnar Project with computed expressions: double-algebra kernels (mul/sub/div/abs, literals, Spark-exact Divide semantics) evaluated batch-at-a-time into materialized vectors; completes the columnar select/filter/project/aggregate runtime."),
+
+    QueryDef(
+      "q113_columnar_grouped_agg",
+      (s, dir) => {
+        import s.implicits._
+        // GROUPED aggregation whose entire pre-shuffle stage is custom
+        // columnar: scan → GraftColumnarFilter → GraftColumnarGroupedAgg
+        // (per-partition hash table on (l_returnflag, l_linestatus),
+        // partial buffers in Spark's own layout, memory-bounded by
+        // early flush). Spark's final HashAggregate merges after the
+        // key shuffle. Sum/avg rounded post-agg (order-proof compare).
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_quantity" > 5.0)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            round(sum($"l_discount"), 4).as("sum_disc"),
+            round(avg($"l_quantity"), 6).as("avg_qty"),
+            min($"l_orderkey").as("min_key"),
+            max($"l_orderkey").as("max_key"),
+            max($"l_shipdate").as("max_ship"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          round(sum(l_discount), 4) AS sum_disc,
+          round(avg(l_quantity), 6) AS avg_qty,
+          min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+          max(l_shipdate) AS max_ship
+        FROM lineitem WHERE l_quantity > 5
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "Columnar GROUPED partial HashAggregate: composite-key hash accumulation directly on ColumnarBatch, one buffer row per group per partition, early-flush memory bound; Spark's final HashAggregate merges.")
   )
 }

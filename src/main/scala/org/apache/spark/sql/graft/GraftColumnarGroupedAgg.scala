@@ -1,0 +1,501 @@
+// In the org.apache.spark.sql namespace alongside the other graft
+// operators — same placement the reference uses (org.apache.spark.sql.comet).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One grouping key column: long family (stored widened to Long) or
+  * string (stored as cloned UTF8String). NULL is a valid group value.
+  */
+final case class GroupKeySpec(col: Int, dt: DataType) extends Serializable
+
+/** Columnar partial HashAggregate WITH grouping keys: accumulates
+  * per-group buffers directly on the scan's ColumnarBatches and emits
+  * one row per group per partition in Spark's partial-buffer layout —
+  * the unmodified final HashAggregate merges them after the shuffle on
+  * the keys.
+  *
+  * Memory bound (the part that makes this 100 TB-safe on
+  * high-cardinality keys): when a partition's hash table exceeds
+  * `maxGroups`, the current groups are FLUSHED as a batch and the table
+  * resets — partial aggregation is allowed to emit multiple buffer rows
+  * per key, the final merge is unaffected. This mirrors Spark's own
+  * partial-agg behavior of falling back to emitting unmerged rows when
+  * its map fills (spark.sql.aggregate.skipPartialAggregate heuristics)
+  * — bounded memory, no spill file needed at the partial stage.
+  *
+  * Reference analogue: native grouped HashAggregate partial mode
+  * (planner.rs agg serde; JVM wiring operators.scala:386-776).
+  */
+case class GraftColumnarGroupedAggExec(
+    output: Seq[Attribute], keys: Seq[GroupKeySpec], specs: Seq[AggSpec],
+    child: SparkPlan, maxGroups: Int)
+    extends UnaryExecNode {
+
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning = child.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output (group) rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "hash-table flushes (incl. final)"))
+
+  /** Growable per-group accumulator state for one hash-table epoch. */
+  private final class GroupState(nSpecs: Int, nKeys: Int) {
+    var capacity = 1024
+    var nGroups = 0
+    // group key storage: one column-major array per key
+    var keyLong = Array.ofDim[Long](nKeys, capacity)
+    var keyStr = Array.ofDim[UTF8String](nKeys, capacity)
+    var keyNull = Array.ofDim[Boolean](nKeys, capacity)
+    // accumulators: column-major [spec][group]
+    var longAcc = Array.ofDim[Long](nSpecs, capacity)
+    var dblAcc = Array.ofDim[Double](nSpecs, capacity)
+    var strAcc = Array.ofDim[UTF8String](nSpecs, capacity)
+    var seen = Array.ofDim[Boolean](nSpecs, capacity)
+    val index = new java.util.HashMap[AnyRef, Integer](2048)
+
+    // Open-addressing fast path for a single long-family key: linear
+    // probing over primitive arrays, no boxing per row. Load factor
+    // <= 0.5, power-of-two size. NULL key held out-of-table.
+    var probeKeys: Array[Long] = new Array[Long](4096)
+    var probeGids: Array[Int] = { val a = new Array[Int](4096); java.util.Arrays.fill(a, -1); a }
+    var probeMask: Int = 4095
+    var nullGid: Int = -1
+
+    def probeReset(): Unit = {
+      java.util.Arrays.fill(probeGids, -1)
+      nullGid = -1
+    }
+
+    private def probeRehash(): Unit = {
+      val newSize = (probeMask + 1) * 2
+      val nk = new Array[Long](newSize)
+      val ng = new Array[Int](newSize)
+      java.util.Arrays.fill(ng, -1)
+      val mask = newSize - 1
+      var i = 0
+      while (i <= probeMask) {
+        if (probeGids(i) >= 0) {
+          var j = (java.lang.Long.hashCode(probeKeys(i)) * 0x9E3779B9) & mask
+          while (ng(j) >= 0) j = (j + 1) & mask
+          nk(j) = probeKeys(i); ng(j) = probeGids(i)
+        }
+        i += 1
+      }
+      probeKeys = nk; probeGids = ng; probeMask = mask
+    }
+
+    /** Lookup a long key: the gid if present, else -(slot+1) for the
+      * empty slot where it belongs — the caller assigns a gid and calls
+      * probePut before any other probe (single-threaded row loop).
+      */
+    def probeGet(k: Long): Int = {
+      if (nGroups * 2 > probeMask) probeRehash()
+      var j = (java.lang.Long.hashCode(k) * 0x9E3779B9) & probeMask
+      var g = probeGids(j)
+      while (g >= 0 && probeKeys(j) != k) { j = (j + 1) & probeMask; g = probeGids(j) }
+      if (g >= 0) g else -(j + 1)
+    }
+
+    def probePut(slot: Int, k: Long, gid: Int): Unit = {
+      val j = -slot - 1
+      probeKeys(j) = k; probeGids(j) = gid
+    }
+
+    def grow(): Unit = {
+      val nc = capacity * 2
+      keyLong = keyLong.map(x => java.util.Arrays.copyOf(x, nc))
+      keyStr = keyStr.map(x => java.util.Arrays.copyOf(x, nc))
+      keyNull = keyNull.map(x => java.util.Arrays.copyOf(x, nc))
+      longAcc = longAcc.map(x => java.util.Arrays.copyOf(x, nc))
+      dblAcc = dblAcc.map(x => java.util.Arrays.copyOf(x, nc))
+      strAcc = strAcc.map(x => java.util.Arrays.copyOf(x, nc))
+      seen = seen.map(x => java.util.Arrays.copyOf(x, nc))
+      capacity = nc
+    }
+
+    def reset(): Unit = {
+      nGroups = 0
+      index.clear()
+      probeReset()
+      var s = 0
+      while (s < seen.length) { java.util.Arrays.fill(seen(s), false); s += 1 }
+      s = 0
+      while (s < longAcc.length) {
+        java.util.Arrays.fill(longAcc(s), 0L)
+        java.util.Arrays.fill(dblAcc(s), 0d)
+        java.util.Arrays.fill(strAcc(s).asInstanceOf[Array[AnyRef]], null)
+        s += 1
+      }
+    }
+  }
+
+  private def longGetter(v: ColumnVector, dt: DataType): Int => Long = dt match {
+    case ByteType => v.getByte(_).toLong
+    case ShortType => v.getShort(_).toLong
+    case IntegerType | DateType => v.getInt(_).toLong
+    case _ => v.getLong
+  }
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val (inM, outM, flushM) =
+      (metrics("numInputRows"), metrics("numOutputRows"), metrics("numFlushes"))
+    val schema = StructType(output.map(a => StructField(a.name, a.dataType, a.nullable)))
+    val nKeys = keys.length
+    val nSpecs = specs.length
+    val maxG = maxGroups
+    val keysLocal = keys
+    val specsLocal = specs
+
+    child.executeColumnar().mapPartitionsInternal { iter =>
+      import AggSpec._
+      val st = new GroupState(nSpecs, nKeys)
+
+      /** composite lookup key (boxed; null-safe). Single long key uses
+        * the boxed Long directly — no tuple allocation. */
+      def lookupKey(batch: ColumnarBatch, row: Int): AnyRef = {
+        if (nKeys == 1) {
+          val k = keysLocal(0)
+          val v = batch.column(k.col)
+          if (v.isNullAt(row)) GraftColumnarGroupedAggExec.NullKey
+          else k.dt match {
+            case StringType => v.getUTF8String(row)
+            case dt => java.lang.Long.valueOf(longGetter(v, dt)(row))
+          }
+        } else {
+          val parts = new Array[AnyRef](nKeys)
+          var i = 0
+          while (i < nKeys) {
+            val k = keysLocal(i)
+            val v = batch.column(k.col)
+            parts(i) =
+              if (v.isNullAt(row)) GraftColumnarGroupedAggExec.NullKey
+              else k.dt match {
+                case StringType => v.getUTF8String(row)
+                case dt => java.lang.Long.valueOf(longGetter(v, dt)(row))
+              }
+            i += 1
+          }
+          java.util.Arrays.asList(parts: _*)
+        }
+      }
+
+      /** register the group of (batch,row), storing CLONED key values
+        * (vector memory is reused across batches). */
+      def groupId(batch: ColumnarBatch, row: Int): Int = {
+        val k = lookupKey(batch, row)
+        val existing = st.index.get(k)
+        if (existing != null) existing.intValue()
+        else {
+          if (st.nGroups == st.capacity) st.grow()
+          val gid = st.nGroups
+          var i = 0
+          var stable: AnyRef = k
+          while (i < nKeys) {
+            val ks = keysLocal(i)
+            val v = batch.column(ks.col)
+            if (v.isNullAt(row)) st.keyNull(i)(gid) = true
+            else ks.dt match {
+              case StringType =>
+                val s = v.getUTF8String(row).clone()
+                st.keyStr(i)(gid) = s
+                if (nKeys == 1) stable = s
+              case dt => st.keyLong(i)(gid) = longGetter(v, dt)(row)
+            }
+            i += 1
+          }
+          if (nKeys > 1) {
+            // rebuild the composite key from the cloned values
+            val parts = new Array[AnyRef](nKeys)
+            var j = 0
+            while (j < nKeys) {
+              parts(j) =
+                if (st.keyNull(j)(gid)) GraftColumnarGroupedAggExec.NullKey
+                else if (keysLocal(j).dt == StringType) st.keyStr(j)(gid)
+                else java.lang.Long.valueOf(st.keyLong(j)(gid))
+              j += 1
+            }
+            stable = java.util.Arrays.asList(parts: _*)
+          }
+          st.index.put(stable, Integer.valueOf(gid))
+          st.nGroups += 1
+          gid
+        }
+      }
+
+      /** drain the current hash table into one output batch. */
+      def flush(): ColumnarBatch = {
+        val g = st.nGroups
+        val cols = OnHeapColumnVector.allocateColumns(g, schema)
+        // key columns first (partial layout: keys ++ buffers)
+        var c = 0
+        while (c < nKeys) {
+          val dt = keysLocal(c).dt
+          var i = 0
+          while (i < g) {
+            if (st.keyNull(c)(i)) cols(c).putNull(i)
+            else dt match {
+              case StringType => cols(c).putByteArray(i, st.keyStr(c)(i).getBytes)
+              case ByteType => cols(c).putByte(i, st.keyLong(c)(i).toByte)
+              case ShortType => cols(c).putShort(i, st.keyLong(c)(i).toShort)
+              case IntegerType | DateType => cols(c).putInt(i, st.keyLong(c)(i).toInt)
+              case _ => cols(c).putLong(i, st.keyLong(c)(i))
+            }
+            i += 1
+          }
+          c += 1
+        }
+        var slot = nKeys
+        var si = 0
+        while (si < nSpecs) {
+          specsLocal(si) match {
+            case CountSpec(_) =>
+              var i = 0
+              while (i < g) { cols(slot).putLong(i, st.longAcc(si)(i)); i += 1 }
+              slot += 1
+            case SumDoubleSpec(_, _) =>
+              var i = 0
+              while (i < g) {
+                if (st.seen(si)(i)) cols(slot).putDouble(i, st.dblAcc(si)(i))
+                else cols(slot).putNull(i)
+                i += 1
+              }
+              slot += 1
+            case MinMaxLongSpec(_, dt, _) =>
+              var i = 0
+              while (i < g) {
+                if (!st.seen(si)(i)) cols(slot).putNull(i)
+                else dt match {
+                  case ByteType => cols(slot).putByte(i, st.longAcc(si)(i).toByte)
+                  case ShortType => cols(slot).putShort(i, st.longAcc(si)(i).toShort)
+                  case IntegerType | DateType => cols(slot).putInt(i, st.longAcc(si)(i).toInt)
+                  case _ => cols(slot).putLong(i, st.longAcc(si)(i))
+                }
+                i += 1
+              }
+              slot += 1
+            case MinMaxDoubleSpec(_, dt, _) =>
+              var i = 0
+              while (i < g) {
+                if (!st.seen(si)(i)) cols(slot).putNull(i)
+                else if (dt == FloatType) cols(slot).putFloat(i, st.dblAcc(si)(i).toFloat)
+                else cols(slot).putDouble(i, st.dblAcc(si)(i))
+                i += 1
+              }
+              slot += 1
+            case MinMaxStringSpec(_, _) =>
+              var i = 0
+              while (i < g) {
+                if (st.seen(si)(i)) cols(slot).putByteArray(i, st.strAcc(si)(i).getBytes)
+                else cols(slot).putNull(i)
+                i += 1
+              }
+              slot += 1
+            case AvgSpec(_, _) =>
+              var i = 0
+              while (i < g) {
+                cols(slot).putDouble(i, st.dblAcc(si)(i))
+                cols(slot + 1).putLong(i, st.longAcc(si)(i))
+                i += 1
+              }
+              slot += 2
+          }
+          si += 1
+        }
+        outM.add(g); flushM.add(1)
+        val out = new ColumnarBatch(cols.toArray[ColumnVector], g)
+        st.reset()
+        out
+      }
+
+      // single non-string key? → primitive open-addressing path
+      val fastKey: GroupKeySpec =
+        if (nKeys == 1 && keysLocal(0).dt != StringType) keysLocal(0) else null
+
+      /** allocate group storage for a long key (or NULL when isNull). */
+      def allocLongGroup(k: Long, isNull: Boolean): Int = {
+        if (st.nGroups == st.capacity) st.grow()
+        val gid = st.nGroups
+        if (isNull) st.keyNull(0)(gid) = true else st.keyLong(0)(gid) = k
+        st.nGroups += 1
+        gid
+      }
+
+      /** column-at-a-time accumulation of one input batch into the table. */
+      def accumulate(batch: ColumnarBatch): Unit = {
+        val m = batch.numRows()
+        inM.add(m)
+        val gids = new Array[Int](m)
+        var i = 0
+        if (fastKey != null) {
+          val v = batch.column(fastKey.col)
+          val get = longGetter(v, fastKey.dt)
+          while (i < m) {
+            if (v.isNullAt(i)) {
+              if (st.nullGid < 0) st.nullGid = allocLongGroup(0L, isNull = true)
+              gids(i) = st.nullGid
+            } else {
+              val k = get(i)
+              val r = st.probeGet(k)
+              if (r >= 0) gids(i) = r
+              else {
+                val gid = allocLongGroup(k, isNull = false)
+                st.probePut(r, k, gid)
+                gids(i) = gid
+              }
+            }
+            i += 1
+          }
+        } else {
+          while (i < m) { gids(i) = groupId(batch, i); i += 1 }
+        }
+        i = 0
+        var si = 0
+        while (si < nSpecs) {
+          specsLocal(si) match {
+            case CountSpec(col) =>
+              if (col < 0) { var j = 0; while (j < m) { st.longAcc(si)(gids(j)) += 1; j += 1 } }
+              else {
+                val v = batch.column(col)
+                var j = 0
+                while (j < m) { if (!v.isNullAt(j)) st.longAcc(si)(gids(j)) += 1; j += 1 }
+              }
+            case SumDoubleSpec(col, dt) =>
+              val v = batch.column(col)
+              val isFloat = dt == FloatType
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  st.dblAcc(si)(gid) += (if (isFloat) v.getFloat(j).toDouble else v.getDouble(j))
+                  st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case MinMaxLongSpec(col, dt, isMin) =>
+              val v = batch.column(col)
+              val get = longGetter(v, dt)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j); val x = get(j)
+                  if (!st.seen(si)(gid) ||
+                      (if (isMin) x < st.longAcc(si)(gid) else x > st.longAcc(si)(gid)))
+                    st.longAcc(si)(gid) = x
+                  st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case MinMaxDoubleSpec(col, dt, isMin) =>
+              val v = batch.column(col)
+              val isFloat = dt == FloatType
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+                  val better =
+                    if (!st.seen(si)(gid)) true
+                    else if (isMin) GraftColumnarAgg.nanSafeLt(x, st.dblAcc(si)(gid))
+                    else GraftColumnarAgg.nanSafeLt(st.dblAcc(si)(gid), x)
+                  if (better) st.dblAcc(si)(gid) = x
+                  st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case MinMaxStringSpec(col, isMin) =>
+              val v = batch.column(col)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  val s = v.getUTF8String(j)
+                  if (!st.seen(si)(gid) ||
+                      (if (isMin) s.compareTo(st.strAcc(si)(gid)) < 0
+                       else s.compareTo(st.strAcc(si)(gid)) > 0))
+                    st.strAcc(si)(gid) = s.clone()
+                  st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case AvgSpec(col, dt) =>
+              val v = batch.column(col)
+              val get: Int => Double = dt match {
+                case ByteType => v.getByte(_).toDouble
+                case ShortType => v.getShort(_).toDouble
+                case IntegerType => v.getInt(_).toDouble
+                case LongType => v.getLong(_).toDouble
+                case FloatType => v.getFloat(_).toDouble
+                case _ => v.getDouble
+              }
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  st.dblAcc(si)(gid) += get(j); st.longAcc(si)(gid) += 1
+                }
+                j += 1
+              }
+          }
+          si += 1
+        }
+      }
+
+      // stream: accumulate until the table passes maxGroups → flush a
+      // batch; final flush on input exhaustion (even if 0 groups: an
+      // empty partition emits nothing — grouped partial agg has no
+      // initial row, unlike the global variant).
+      new Iterator[ColumnarBatch] {
+        private var finished = false
+        private var pending: ColumnarBatch = _
+        private def advance(): Unit = {
+          while (pending == null && !finished) {
+            if (iter.hasNext) {
+              accumulate(iter.next())
+              if (st.nGroups >= maxG) pending = flush()
+            } else {
+              finished = true
+              if (st.nGroups > 0) pending = flush()
+            }
+          }
+        }
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): ColumnarBatch = {
+          advance()
+          val b = pending; pending = null; b
+        }
+      }
+    }
+  }
+
+  /** Row fallback — unreachable: the rule only swaps over columnar
+    * children and supportsColumnar routes planning to the batch path. */
+  override protected def doExecute(): RDD[InternalRow] =
+    throw new IllegalStateException("GraftColumnarGroupedAgg row path not implemented")
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftColumnarGroupedAggExec =
+    copy(child = newChild)
+}
+
+object GraftColumnarGroupedAggExec {
+  /** sentinel for NULL inside composite lookup keys (HashMap-safe). */
+  case object NullKey
+
+  /** conf key bounding the per-partition hash table; exceeding it
+    * flushes partial rows early (correct: final agg merges duplicates). */
+  val maxGroupsKey = "spark.graft.columnar.agg.maxGroups"
+  val defaultMaxGroups = 1 << 16
+
+  val supportedKeyTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType, DateType,
+      TimestampType, TimestampNTZType, StringType)
+}

@@ -114,6 +114,46 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case Left(reason) => f.setTagValue(fallbackReasonTag, reason); f
         }
 
+      // Grouped partial aggregation (HashAggregate only — swapping a
+      // SortAggregate would orphan the sort the planner put below it):
+      // attribute-only keys of long-family/string types, compilable
+      // functions, plain buffer layout. Memory-bounded by maxGroups
+      // (early flush of partial rows — the final merge dedups).
+      case agg: HashAggregateExec
+          if agg.groupingExpressions.nonEmpty && agg.child.supportsColumnar &&
+            agg.aggregateExpressions.nonEmpty =>
+        val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
+          case a: AttributeReference => agg.child.output.indexWhere(_.exprId == a.exprId)
+          case _ => -1
+        }
+        val keySpecs = agg.groupingExpressions.map {
+          case a: AttributeReference
+              if ord(a) >= 0 && GraftColumnarGroupedAggExec.supportedKeyTypes(a.dataType) =>
+            scala.Right(GroupKeySpec(ord(a), a.dataType))
+          case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
+        }
+        val compiled = agg.aggregateExpressions.map(ae => GraftColumnarAgg.compile(ae, ord))
+        (keySpecs ++ compiled).collectFirst { case scala.Left(e) => e } match {
+          case Some(reason) =>
+            agg.setTagValue(fallbackReasonTag, reason); agg
+          case None =>
+            val ks = keySpecs.collect { case scala.Right(k) => k }
+            val specs = compiled.collect { case scala.Right(s) => s }
+            val layoutOk =
+              agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
+                (agg.groupingExpressions.map(_.dataType) ++
+                  specs.flatMap(GraftColumnarAgg.slotTypes)) == agg.output.map(_.dataType)
+            if (layoutOk) {
+              val maxGroups = session.conf
+                .getOption(GraftColumnarGroupedAggExec.maxGroupsKey)
+                .map(_.toInt).getOrElse(GraftColumnarGroupedAggExec.defaultMaxGroups)
+              GraftColumnarGroupedAggExec(agg.output, ks, specs, agg.child, maxGroups)
+            } else {
+              agg.setTagValue(fallbackReasonTag,
+                "partial output is not keys ++ plain buffer attributes"); agg
+            }
+        }
+
       // Global partial aggregation: both HashAggregate and SortAggregate
       // (the planner picks Sort when a buffer type — string, timestamp —
       // is not UnsafeRow-mutable; without grouping keys the partial

@@ -200,6 +200,59 @@ class EngineSuite extends GraftTestBase {
     assert(on2 == off2, s"empty-input columnar=$on2 row=$off2")
   }
 
+  test("GraftColumnarGroupedAgg matches the row path incl. null keys, NaN, flush") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colgrpagg").toString
+    Seq(
+      (1, Option("en"), Option(2.5), Option(10L)),
+      (2, Option.empty[String], Option(Double.NaN), Option(-5L)),
+      (3, Option("en"), Option.empty[Double], Option(7L)),
+      (4, Option("de"), Option(-0.0), Option.empty[Long]),
+      (5, Option.empty[String], Option(1.5), Option(3L)),
+      (6, Option("fr"), Option(0.25), Option(9L)),
+      (7, Option("de"), Option(4.5), Option(2L)))
+      .toDF("id", "k", "d", "l").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"k").agg(
+      count(lit(1)).as("n"), count($"d").as("nd"), sum($"d").as("sd"),
+      avg($"l").as("al"), min($"d").as("mind"), max($"d").as("maxd"),
+      min($"l").as("minl"), max($"l").as("maxl"))
+    def both(extra: (String, String)*): (Seq[String], Seq[String]) = {
+      val (on, hasOp) = withSQLConf(extra: _*) {
+        val cdf = agg(t)
+        val r = canon(cdf)
+        (r, findExec(cdf) {
+          case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+        }.isDefined)
+      }
+      assert(hasOp, "expected grouped columnar agg in plan")
+      val off = withSQLConf(
+        (extra :+ (org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false")): _*) {
+        canon(agg(t))
+      }
+      (on, off)
+    }
+    val (on1, off1) = both()
+    assert(on1 == off1, s"columnar=$on1 row=$off1")
+    // flush path: cap the table at 2 groups → multiple partial rows per
+    // key reach the final merge, which must still dedup them
+    val (on2, off2) = both(
+      org.apache.spark.sql.graft.GraftColumnarGroupedAggExec.maxGroupsKey -> "2")
+    assert(on2 == off2, s"flushed columnar=$on2 row=$off2")
+    // composite (string, long-family) key
+    def agg2(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k", ($"id" % 2).as("parity")).agg(sum($"d").as("sd"))
+    // parity is a computed key → fallback; attribute-only composite:
+    def agg3(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k", $"l").agg(count(lit(1)).as("n"), max($"d").as("m"))
+    val on3 = canon(agg3(t))
+    val off3 = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      canon(agg3(t))
+    }
+    assert(on3 == off3, s"composite columnar=$on3 row=$off3")
+    assert(canon(agg2(t)).nonEmpty) // computed key still answers (row path)
+  }
+
   test("GraftColumnarProjectExec matches the row path on null/NaN/div-by-zero edges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colproj").toString
     Seq(

@@ -40,7 +40,21 @@ object FilterMicroBench {
           ($"l_extendedprice" * (org.apache.spark.sql.functions.lit(1.0) - $"l_discount")).as("net"),
           (($"l_extendedprice" / org.apache.spark.sql.functions.lit(100.0)) * $"l_tax").as("tax_amt"),
           org.apache.spark.sql.functions.abs($"l_discount" - $"l_tax").as("spread"),
-          (-$"l_quantity").as("negq"))))
+          (-$"l_quantity").as("negq"))),
+      // grouped partial agg (GraftColumnarGroupedAgg vs codegen'd hash agg)
+      "grouped-agg" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)), sum($"l_discount"), avg($"l_quantity"),
+            min($"l_orderkey"), max($"l_orderkey"))
+      }),
+      "grouped-agg-hi-card" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .groupBy($"l_orderkey") // ~15k groups/partition at sf0.1
+          .agg(count(lit(1)), sum($"l_discount"), max($"l_quantity"))
+      }))
 
     def timeIt(f: () => org.apache.spark.sql.DataFrame): Double =
       (1 to 5).map { _ =>

@@ -238,6 +238,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the whole pre-sort stage columnar in:\n$p")
   }
 
+  test("q113 accumulates its grouped partial aggregation on ColumnarBatch") {
+    val df = run("q113_columnar_grouped_agg")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"expected the grouped columnar agg swap in:\n$p")
+    assert(p.contains("GraftColumnarFilter"),
+      s"expected the whole pre-shuffle stage columnar in:\n$p")
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     // Plain scan→project (no AQE exchange wrapping): the projection
     // computing cosine_sim must sit inside a WholeStageCodegen span.
