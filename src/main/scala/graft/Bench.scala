@@ -59,7 +59,11 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    // Same-shape TPC-H subtotal (the 17 runnable TPC-H queries carry
+    // "tpch" in their name) — the directly comparable number against
+    // BASELINE.md's per-query TPC-H table.
+    val tpch = timings.filter(_._1.contains("tpch"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size}}""")
     spark.stop()
   }
 }

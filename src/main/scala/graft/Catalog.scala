@@ -28,7 +28,8 @@ object Catalog {
     TemporalJoinQueries.all ++
     TpchQueries.all ++
     GraphQueries.all ++
-    SamplingQueries.all
+    SamplingQueries.all ++
+    CorpusCleanQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

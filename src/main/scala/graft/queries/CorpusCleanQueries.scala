@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Corpus-hygiene operators — the three classic cleaning passes every
+  * large-scale LLM training-data pipeline runs between raw crawl and
+  * tokenization (builder brief "Beyond the reference"):
+  *
+  *  - q115 corpus-level span dedup (the C4/RefinedWeb "line dedup"
+  *    pass): drop text spans that repeat across >= K documents
+  *    (boilerplate, navigation chrome), reassembling each document from
+  *    its surviving spans. The testdata has no newlines, so "line" =
+  *    fixed 8-word segment — the algorithm is byte-identical to the
+  *    newline version with a different splitter.
+  *  - q116 benchmark decontamination (GPT-3 appendix-C style): flag
+  *    training documents sharing >= T word-n-grams with any document of
+  *    a held-out benchmark set. The benchmark side is always tiny →
+  *    broadcast; the corpus side shuffles only (hash, doc_id) longs.
+  *  - q117 unigram-LM scoring (the CCNet/Gopher perplexity gate,
+  *    realized with an exactly-reproducible unigram model): score(doc) =
+  *    -mean log p(token) under a Laplace-smoothed unigram model fitted
+  *    on the corpus itself. Per-token log-probs are rounded to 7
+  *    decimals and summed as DECIMAL so the per-doc mean is
+  *    order-independent — bit-stable under any partitioning, and
+  *    comparable across engines.
+  *
+  * 100 TB shapes: q115 shuffles segments once by hash and once by
+  * doc_id; the hot-segment list is df-filtered (tiny) and broadcast.
+  * q116 broadcasts the benchmark index. q117's model table is
+  * vocabulary-sized (broadcast); the corpus is touched by exactly one
+  * explode + one equi-join + one groupBy.
+  */
+object CorpusCleanQueries {
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q115_corpus_span_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val w = docs.select($"doc_id",
+          posexplode(split($"text", " ")).as(Seq("pos", "word")))
+        // 8-word segments, order restored by sorting (pos, word) structs
+        val seg = w.groupBy($"doc_id", expr("pos DIV 8").as("grp"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct($"pos", $"word"))),
+              x => x.getField("word")), " ").as("seg"))
+        // boilerplate = a segment appearing in >= 3 distinct docs; the
+        // hot list is small by construction (df-filtered) → broadcast
+        // anti-join, never a shuffle of the corpus on segment text
+        val hot = seg.groupBy(md5($"seg".cast("binary")).as("h"))
+          .agg(countDistinct($"doc_id").as("df"))
+          .filter($"df" >= 3).select($"h")
+        val kept = seg.join(broadcast(hot),
+          md5($"seg".cast("binary")) === $"h", "left_anti")
+        val clean = kept.groupBy($"doc_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct($"grp", $"seg"))),
+              x => x.getField("seg")), " ").as("cleaned"),
+            count(lit(1)).as("n_seg"))
+        docs.select($"doc_id").join(clean, Seq("doc_id"), "left_outer")
+          .select($"doc_id",
+            coalesce($"cleaned", lit("")).as("cleaned"),
+            coalesce($"n_seg", lit(0L)).as("n_seg"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS ord
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        seg AS (
+          SELECT doc_id, (ord-1)//8 AS grp, string_agg(word, ' ' ORDER BY ord) AS seg
+          FROM w GROUP BY doc_id, (ord-1)//8),
+        hot AS (
+          SELECT md5(seg) AS h FROM seg
+          GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= 3),
+        clean AS (
+          SELECT doc_id, string_agg(seg, ' ' ORDER BY grp) AS cleaned,
+                 count(*) AS n_seg
+          FROM seg WHERE md5(seg) NOT IN (SELECT h FROM hot)
+          GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(c.cleaned, '') AS cleaned,
+               coalesce(c.n_seg, 0) AS n_seg
+        FROM documents d LEFT JOIN clean c USING (doc_id)
+        ORDER BY d.doc_id"""),
+      doc = "C4-style corpus-level span dedup: 8-word segments repeated in >= 3 docs are dropped (broadcast anti-join on the df-filtered hot list), documents reassembled from surviving segments in order."),
+
+    QueryDef(
+      "q116_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        // Benchmark set = every 50th doc (stand-in for a held-out eval
+        // suite). Contamination = sharing >= 2 distinct word-trigrams.
+        // The trigram index reuses the q46 kernel's hashed form: only
+        // (hash, doc_id) longs shuffle; the benchmark index broadcasts.
+        val tri = DedupQueries.trigramsOf(Tables.t(s, dir, "documents"))
+          .select($"doc_id", xxhash64($"t3").as("sh")).distinct()
+        val probes = tri.filter($"doc_id" % 50 === 0)
+          .select($"doc_id".as("probe_id"), $"sh")
+        tri.join(broadcast(probes), Seq("sh"))
+          .filter($"doc_id" =!= $"probe_id")
+          .groupBy($"doc_id", $"probe_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= 2)
+          .orderBy($"doc_id", $"probe_id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(string_split(text,' ')) - 1),
+            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                 || ' ' || string_split(text,' ')[i+2])) AS s
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        probes AS (SELECT doc_id AS probe_id, s AS ps FROM sh WHERE doc_id % 50 = 0)
+        SELECT doc_id, probe_id, n_shared FROM (
+          SELECT c.doc_id, p.probe_id,
+                 CAST(len(list_intersect(c.s, p.ps)) AS BIGINT) AS n_shared
+          FROM sh c JOIN probes p ON c.doc_id <> p.probe_id)
+        WHERE n_shared >= 2 ORDER BY doc_id, probe_id"""),
+      doc = "Benchmark decontamination: flag corpus docs sharing >= 2 distinct word-trigrams with any benchmark doc; hashed trigram equi-join against a broadcast benchmark index."),
+
+    QueryDef(
+      "q117_unigram_lm_score",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val tok = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        val cnt = tok.groupBy($"w").agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum($"c").as("n"), count(lit(1)).as("v"))
+        // per-token log-prob quantized to DECIMAL(12,7): the per-doc sum
+        // is then exact and order-independent (a raw double sum would be
+        // partitioning-dependent and could flip the 6th decimal)
+        val lp = cnt.crossJoin(broadcast(tot))
+          .select($"w", round(log(($"c" + lit(1.0)) / ($"n" + $"v")), 7)
+            .cast("decimal(12,7)").as("lp"))
+        tok.join(broadcast(lp), Seq("w"))
+          .groupBy($"doc_id")
+          .agg(round(-(sum($"lp").cast("double") / count(lit(1))), 6).as("nll"),
+            count(lit(1)).as("n_tok"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt),
+        lp AS (SELECT w, CAST(round(ln((c + 1.0) / (n + v)), 7) AS DECIMAL(12,7)) AS lp
+               FROM cnt, tot)
+        SELECT doc_id, round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS nll,
+               count(*) AS n_tok
+        FROM tok JOIN lp USING (w) GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "CCNet-style LM quality gate on an exactly-reproducible model: Laplace-smoothed corpus unigram LM, score = -mean log p(token); decimal-quantized log-probs make the mean order-independent.")
+  )
+}

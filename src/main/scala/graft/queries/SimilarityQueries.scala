@@ -177,12 +177,18 @@ object SimilarityQueries {
         val K = 16; val NPROBE = 4; val TOPK = 5; val ITERS = 2
         val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
         def assign(cent: DataFrame): DataFrame = {
-          val w = Window.partitionBy($"vec_id").orderBy($"c".desc, $"cid")
+          // argmax as ONE aggregation — max(struct(cos, -cid, emb)) has
+          // the identical (cos desc, cid asc) tie-break a window rank
+          // would use, but needs no sort and partial-aggregates the K
+          // candidates map-side before the shuffle on vec_id (a window
+          // would shuffle all K rows per vector, then sort them).
           e.crossJoin(broadcast(cent))
             .withColumn("c", cosineSim(s, "embedding", "cvec"))
-            .withColumn("rk", row_number().over(w))
-            .filter($"rk" === 1)
-            .select($"vec_id", $"cid", $"embedding")
+            .groupBy($"vec_id")
+            .agg(max(struct($"c", (-$"cid").as("ncid"), $"embedding".as("emb")))
+              .as("best"))
+            .select($"vec_id", (-$"best.ncid").as("cid"),
+              $"best.emb".as("embedding"))
         }
         var cent = e.filter($"vec_id" < K)
           .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))

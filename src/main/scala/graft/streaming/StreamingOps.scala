@@ -84,6 +84,20 @@ object StreamingOps {
   def sampleStream(events: DataFrame, hexBound: String = "2"): DataFrame =
     events.filter(substring(md5(col("event_id").cast("string")), 1, 1) < hexBound)
 
+  /** Stream-static enrichment join: every micro-batch joins the static
+    * dimension, broadcast so the stream side never shuffles and no
+    * streaming state exists (stream-static joins are stateless by
+    * construction — only stream-stream joins buffer). This is the
+    * streaming twin of the inventory's fact-dim joins and the shape a
+    * 100 TB/day ingest uses to attach dimensions at write time; with a
+    * file-backed dimension, Spark re-lists it per batch, so slowly-
+    * changing dims are picked up without restarting the query.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      eventKey: String = "user_id", dimKey: String = "c_custkey"): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
+      .drop(dimKey)
+
   /** Per-user running totals via groupBy on an unbounded key set —
     * complete/update-mode aggregation (state grows with distinct users;
     * use only with a bounded key domain or TTL'd state at scale).

@@ -248,6 +248,24 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the whole pre-shuffle stage columnar in:\n$p")
   }
 
+  test("q114 skewed partition is split by AQE (skew=true), results unchanged") {
+    // The oracle run uses default thresholds (sf0.01 is below the 256MB
+    // skew trigger); here the thresholds are lowered so the same plan
+    // fires the split at test scale — the knobs a real deployment tunes,
+    // not a behavior change.
+    def mk() = run("q114_aqe_skew_join")
+    val expected = withSQLConf("spark.sql.adaptive.enabled" -> "false")(canon(mk()))
+    withSQLConf(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB") {
+      val df = mk()
+      val got = canon(df)
+      assert(got == expected, s"skew-split changed results: $got vs $expected")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"expected a skew-split SMJ in:\n$p")
+    }
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     // Plain scan→project (no AQE exchange wrapping): the projection
     // computing cosine_sim must sit inside a WholeStageCodegen span.

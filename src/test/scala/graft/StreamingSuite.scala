@@ -61,6 +61,35 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("enrichStream: stream-static broadcast join matches batch, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "AUTO"), (2L, "BIKE")).toDF("c_custkey", "c_mktsegment")
+    val events = Seq(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "view", 2.0),
+      Event(3, ts(3), 9, "view", 3.0)) // no dim row → left outer keeps it
+    val q = StreamingOps.enrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      input.addData(events.take(1)); q.processAllAvailable()
+      input.addData(events.drop(1)); q.processAllAvailable()
+      val got = spark.table("enr").collect().map(r =>
+        (r.getAs[Long]("event_id"), Option(r.getAs[String]("c_mktsegment")))).toSet
+      assert(got == Set((1L, Some("AUTO")), (2L, Some("BIKE")), (3L, None)),
+        s"got $got")
+      // stateless by construction: the stream-static join keeps no state
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty ||
+        prog.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static join must not hold state")
+    } finally q.stop()
+    // batch twin: the same transform over a batch DataFrame
+    val batch = StreamingOps.enrichStream(events.toDF(), dim).collect().map(r =>
+      (r.getAs[Long]("event_id"), Option(r.getAs[String]("c_mktsegment")))).toSet
+    assert(batch == Set((1L, Some("AUTO")), (2L, Some("BIKE")), (3L, None)))
+  }
+
   test("sessionize: gap splits sessions; stream emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
