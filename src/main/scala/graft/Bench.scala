@@ -59,9 +59,10 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    // Same-shape TPC-H subtotal (the 17 runnable TPC-H queries carry
-    // "tpch" in their name) — the directly comparable number against
-    // BASELINE.md's per-query TPC-H table.
+    // Same-shape TPC-H subtotal (queries carrying "tpch" in their name:
+    // 21 of the 22-query suite; Q3's twin q03_join_agg_topk predates the
+    // naming) — the directly comparable number against BASELINE.md's
+    // per-query TPC-H table.
     val tpch = timings.filter(_._1.contains("tpch"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size}}""")
     spark.stop()

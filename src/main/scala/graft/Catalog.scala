@@ -27,6 +27,7 @@ object Catalog {
     PipelineQueries.all ++
     TemporalJoinQueries.all ++
     TpchQueries.all ++
+    TpchPartsuppQueries.all ++
     GraphQueries.all ++
     SamplingQueries.all ++
     CorpusCleanQueries.all

@@ -19,11 +19,10 @@ import graft.{QueryDef, Tables}
   *    case-sum agg join, scalar-subquery + anti-join) with a
   *    semantically equivalent predicate swapped in for the missing
   *    column;
-  *  - Q2, Q9, Q11, Q16, Q20 need partsupp and cannot be posed against
-  *    this data at all (blocked by testdata, not by the engine — the
-  *    operators they exercise (multi-join, correlated scalar subquery,
-  *    agg-HAVING, NOT IN, nested semi-join) all appear elsewhere in the
-  *    inventory).
+  *  - Q2, Q9, Q11, Q16, Q20 need partsupp, which is derived as a
+  *    deterministic dimension over part x supplier in
+  *    [[TpchPartsuppQueries]] (q118-q122) — completing the 22-query
+  *    suite.
   *
   * Scale notes follow the q87-q90 conventions: dimension chains
   * (region→nation→supplier) broadcast end-to-end, fact-fact joins

@@ -210,6 +210,41 @@ class PlanAssertionSuite extends GraftTestBase {
       s"threshold compare must broadcast the single-row agg, not cartesian:\n$p")
   }
 
+  test("q118 (TPC-H Q2) min-cost join is all-broadcast, no cartesian") {
+    val p = planString(run("q118_tpch_q2"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"Q2's decorrelated min must broadcast, not cartesian:\n$p")
+  }
+
+  test("q119 (TPC-H Q9) prunes lineitem with the part semi-join before the fact joins") {
+    val p = planString(run("q119_tpch_q9"))
+    assert(p.contains("LeftSemi"), s"expected red-part semi-prune in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q120 (TPC-H Q11) threshold is a single-row broadcast, inputs semi-pruned") {
+    val p = planString(run("q120_tpch_q11"))
+    assert(p.contains("LeftSemi"), s"expected nation-supplier semi-prune in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"HAVING threshold must broadcast the single-row agg:\n$p")
+  }
+
+  test("q121 (TPC-H Q16) NOT IN plans a broadcast anti-join") {
+    val p = planString(run("q121_tpch_q16"))
+    assert(p.contains("LeftAnti"), s"expected excluded-supplier anti-join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q122 (TPC-H Q20) decorrelated stock check keeps equi-joins only") {
+    val p = planString(run("q122_tpch_q20"))
+    assert(p.contains("LeftSemi"), s"expected supplier semi-join in:\n$p")
+    // The only nested-loop allowed is the single-row broadcast cross join
+    // that attaches |supplier| to the partsupp derivation (q65 pattern);
+    // a cartesian would mean the correlated compare escaped the equi-join.
+    assert(!p.contains("CartesianProduct"),
+      s"availqty>0.5*sum must ride the (part,supp) equi-join as a post-filter:\n$p")
+  }
+
   test("q109 hash sampling is a pure scan-filter — zero exchanges") {
     val p = planString(run("q109_sample_hash"))
     assert(!p.contains("Exchange"), s"deterministic sample must not shuffle:\n$p")
