@@ -30,7 +30,8 @@ object Catalog {
     TpchPartsuppQueries.all ++
     GraphQueries.all ++
     SamplingQueries.all ++
-    CorpusCleanQueries.all
+    CorpusCleanQueries.all ++
+    SourceFormatQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

@@ -245,6 +245,13 @@ class PlanAssertionSuite extends GraftTestBase {
       s"availqty>0.5*sum must ride the (part,supp) equi-join as a post-filter:\n$p")
   }
 
+  test("q124 ORC re-scan pushes the quantity predicate into the ORC scan") {
+    val p = planString(run("q124_orc_roundtrip"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_quantity"),
+      s"expected l_quantity pushed to the ORC scan, got: $pushed")
+  }
+
   test("q109 hash sampling is a pure scan-filter — zero exchanges") {
     val p = planString(run("q109_sample_hash"))
     assert(!p.contains("Exchange"), s"deterministic sample must not shuffle:\n$p")
