@@ -31,7 +31,8 @@ object Catalog {
     GraphQueries.all ++
     SamplingQueries.all ++
     CorpusCleanQueries.all ++
-    SourceFormatQueries.all
+    SourceFormatQueries.all ++
+    QualityMixQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */
