@@ -270,6 +270,33 @@ object EngineQueries {
         FROM lineitem WHERE l_quantity > 5
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
-      doc = "Columnar GROUPED partial HashAggregate: composite-key hash accumulation directly on ColumnarBatch, one buffer row per group per partition, early-flush memory bound; Spark's final HashAggregate merges.")
+      doc = "Columnar GROUPED partial HashAggregate: composite-key hash accumulation directly on ColumnarBatch, one buffer row per group per partition, early-flush memory bound; Spark's final HashAggregate merges."),
+
+    QueryDef(
+      "q128_columnar_string_project",
+      (s, dir) => {
+        import s.implicits._
+        // String kernels on ColumnarBatch: scan → GraftColumnarFilter
+        // (string predicate) → GraftColumnarProject evaluating upper/
+        // trim∘substring/concat/length column-at-a-time over UTF8String
+        // vectors (attribute items zero-copy). All functions are
+        // locale-independent, so DuckDB's results match byte-for-byte
+        // on this ASCII corpus.
+        Tables.t(s, dir, "documents")
+          .filter($"lang" =!= "de")
+          .select($"doc_id",
+            upper($"lang").as("lang_u"),
+            trim(substring($"text", 1, 24)).as("head"),
+            concat($"lang", lit(":"), $"source").as("tag"),
+            length($"text").as("text_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, upper(lang) AS lang_u,
+          trim(substring(text, 1, 24)) AS head,
+          lang || ':' || source AS tag,
+          CAST(length(text) AS INTEGER) AS text_chars
+        FROM documents WHERE lang <> 'de'
+        ORDER BY doc_id"""),
+      doc = "Columnar Project string kernels: upper/lower/trim/substring(lit)/concat/length evaluated batch-at-a-time over UTF8String vectors; the whole pre-sort stage is custom columnar (filter + project), plan-pinned.")
   )
 }

@@ -224,11 +224,254 @@ object VecNumExpr {
   }
 }
 
+/** Materialized string vector (mirror of [[DoubleArrayVector]] for the
+  * string kernels): holds one UTF8String reference per row. References
+  * may point into the child batch's buffers (ColS pass-through inside a
+  * kernel tree) — valid under the vectorized-reader contract that the
+  * consumer finishes with a batch before pulling the next.
+  */
+final class StringArrayVector(values: Array[UTF8String], nulls: Array[Boolean], n: Int)
+    extends ColumnVector(StringType) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getUTF8String(rowId: Int): UTF8String = values(rowId)
+  private def nope = throw new UnsupportedOperationException("string-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
+/** Materialized int vector — output of [[VecStrExpr.LengthI]] (Spark's
+  * Length returns IntegerType). */
+final class IntArrayVector(values: Array[Int], nulls: Array[Boolean], n: Int)
+    extends ColumnVector(IntegerType) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getInt(rowId: Int): Int = values(rowId)
+  private def nope = throw new UnsupportedOperationException("int-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
+/** Vectorized string kernels, evaluated column-at-a-time over
+  * UTF8String references. The supported surface is the pure,
+  * locale-independent string algebra whose Spark semantics are
+  * identical in every eval mode: upper/lower (UTF8String's own
+  * simd-ish ASCII fast path), trim, substring with LITERAL pos/len
+  * (Substring.eval → UTF8String.substringSQL, including negative-pos
+  * handling), and concat (NULL if ANY input is NULL — Concat's string
+  * semantics). Collation-sensitive or locale-parameterized functions
+  * (initcap's title-casing, lpad with multi-char pads, regexp_*) stay
+  * on the row path with a tagged reason.
+  */
+sealed trait VecStrExpr extends Serializable {
+  def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String], isNull: Array[Boolean],
+      s: StrScratch): Unit
+}
+
+/** Per-partition UTF8String scratch pool (mirror of [[VecScratch]]). */
+final class StrScratch {
+  private[this] var pool = new Array[Array[UTF8String]](4)
+  private[this] var bPool = new Array[Array[Boolean]](4)
+  private[this] var si = 0
+  private[this] var bi = 0
+  def reset(): Unit = { si = 0; bi = 0 }
+  def s(n: Int): Array[UTF8String] = {
+    if (si == pool.length) pool = java.util.Arrays.copyOf(pool, si * 2)
+    if (pool(si) == null || pool(si).length < n) pool(si) = new Array[UTF8String](n)
+    val a = pool(si); si += 1; a
+  }
+  def b(n: Int): Array[Boolean] = {
+    if (bi == bPool.length) bPool = java.util.Arrays.copyOf(bPool, bi * 2)
+    if (bPool(bi) == null || bPool(bi).length < n) bPool(bi) = new Array[Boolean](n)
+    val a = bPool(bi); bi += 1; a
+  }
+}
+
+object VecStrExpr {
+
+  final case class ColS(ord: Int) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      val v = b.column(ord)
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) { isNull(i) = true; values(i) = null }
+        else { isNull(i) = false; values(i) = v.getUTF8String(i) }
+        i += 1
+      }
+    }
+  }
+
+  final case class LitS(v: UTF8String) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], 0, n, v)
+      java.util.Arrays.fill(isNull, 0, n, false)
+    }
+  }
+
+  final val UPPER = 0; final val LOWER = 1; final val TRIM = 2
+
+  final case class MapS(op: Int, c: VecStrExpr) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      op match {
+        case UPPER => while (i < n) { if (!isNull(i)) values(i) = values(i).toUpperCase; i += 1 }
+        case LOWER => while (i < n) { if (!isNull(i)) values(i) = values(i).toLowerCase; i += 1 }
+        case TRIM  => while (i < n) { if (!isNull(i)) values(i) = values(i).trim(); i += 1 }
+      }
+    }
+  }
+
+  /** substring with literal pos/len — exactly Substring.eval's
+    * UTF8String.substringSQL (1-based, negative pos from the end). */
+  final case class SubstrS(c: VecStrExpr, pos: Int, len: Int) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) { if (!isNull(i)) values(i) = values(i).substringSQL(pos, len); i += 1 }
+    }
+  }
+
+  /** String concat: NULL if any input is NULL (Concat's semantics). */
+  final case class ConcatS(cs: Seq[VecStrExpr]) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      val k = cs.length
+      val parts = new Array[Array[UTF8String]](k)
+      val partNull = new Array[Array[Boolean]](k)
+      var c = 0
+      while (c < k) {
+        val pv = s.s(n); val pn = s.b(n)
+        cs(c).eval(b, n, pv, pn, s)
+        parts(c) = pv; partNull(c) = pn
+        c += 1
+      }
+      val row = new Array[UTF8String](k)
+      var i = 0
+      while (i < n) {
+        var nul = false
+        var j = 0
+        while (j < k && !nul) { nul = partNull(j)(i); row(j) = parts(j)(i); j += 1 }
+        if (nul) { isNull(i) = true; values(i) = null }
+        else { isNull(i) = false; values(i) = UTF8String.concat(row: _*) }
+        i += 1
+      }
+    }
+  }
+
+  /** Compile a Catalyst string expression, or name the fallback reason. */
+  def compile(e: Expression, output: Seq[Attribute]): Either[String, VecStrExpr] = {
+    def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
+    e match {
+      case a: AttributeReference if a.dataType == StringType && ord(a) >= 0 =>
+        scala.Right(ColS(ord(a)))
+      case Literal(v: UTF8String, StringType) if v != null =>
+        scala.Right(LitS(v))
+      case u: Upper => compile(u.child, output).map(MapS(UPPER, _))
+      case l: Lower => compile(l.child, output).map(MapS(LOWER, _))
+      case t: StringTrim if t.trimStr.isEmpty =>
+        compile(t.srcStr, output).map(MapS(TRIM, _))
+      case Substring(str, Literal(p: Int, IntegerType), Literal(l: Int, IntegerType)) =>
+        compile(str, output).map(SubstrS(_, p, l))
+      case c: Concat if c.dataType == StringType && c.children.nonEmpty =>
+        val parts = c.children.map(compile(_, output))
+        parts.collectFirst { case scala.Left(r) => scala.Left(r) }
+          .getOrElse(scala.Right(ConcatS(parts.collect { case scala.Right(k) => k })))
+      case other =>
+        scala.Left(s"unsupported string projection: ${other.getClass.getSimpleName}")
+    }
+  }
+}
+
+/** The one int-valued kernel: length(string) (Spark Length → numChars). */
+final case class LengthI(c: VecStrExpr) extends Serializable {
+  def eval(b: ColumnarBatch, n: Int, values: Array[Int], isNull: Array[Boolean],
+      s: StrScratch): Unit = {
+    val sv = s.s(n)
+    c.eval(b, n, sv, isNull, s)
+    var i = 0
+    while (i < n) { values(i) = if (isNull(i)) 0 else sv(i).numChars(); i += 1 }
+  }
+}
+
+/** A compiled computed-projection item: double, string, or int kernel. */
+sealed trait ProjKernel extends Serializable
+final case class NumKernel(k: VecNumExpr) extends ProjKernel
+final case class StrKernel(k: VecStrExpr) extends ProjKernel
+final case class IntKernel(k: LengthI) extends ProjKernel
+
+object ProjKernel {
+  /** Dispatch by result type: DOUBLE → the arithmetic kernels, STRING →
+    * the string kernels, INTEGER → length. Everything else names itself
+    * as the fallback reason. */
+  def compile(e: Expression, output: Seq[Attribute]): Either[String, ProjKernel] =
+    e.dataType match {
+      case DoubleType => VecNumExpr.compile(e, output).map(NumKernel)
+      case StringType => VecStrExpr.compile(e, output).map(StrKernel)
+      case IntegerType => e match {
+        case l: Length if l.child.dataType == StringType =>
+          VecStrExpr.compile(l.child, output).map(k => IntKernel(LengthI(k)))
+        case other =>
+          scala.Left(s"unsupported int projection: ${other.getClass.getSimpleName}")
+      }
+      case other =>
+        scala.Left(s"unsupported projection result type $other " +
+          "(ANSI integral overflow / decimal scale semantics stay on the row path)")
+    }
+}
+
 /** Columnar Project with COMPUTED expressions: evaluates the supported
-  * double-algebra kernels batch-at-a-time into materialized
-  * [[DoubleArrayVector]]s; attribute items pass through zero-copy
-  * (referencing the child batch's vectors, selection wrappers and all).
-  * Together with GraftColumnarSelectExec (attribute-only fast path),
+  * double-algebra and string kernels batch-at-a-time into materialized
+  * [[DoubleArrayVector]]/[[StringArrayVector]]/[[IntArrayVector]]s;
+  * attribute items pass through zero-copy (referencing the child
+  * batch's vectors, selection wrappers and all). Together with
+  * GraftColumnarSelectExec (attribute-only fast path),
   * GraftColumnarFilterExec and GraftColumnarPartialAggExec this
   * completes the §7.1 select/filter/project/aggregate columnar runtime.
   *
@@ -250,14 +493,14 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
 
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
     // compile on the driver; Left is unreachable (the rule gates)
-    val plans: Seq[Either[Int, VecNumExpr]] = projectList.map {
+    val plans: Seq[Either[Int, ProjKernel]] = projectList.map {
       case a: AttributeReference =>
         scala.Left(child.output.indexWhere(_.exprId == a.exprId))
       case Alias(a: AttributeReference, _)
           if child.output.exists(_.exprId == a.exprId) =>
         scala.Left(child.output.indexWhere(_.exprId == a.exprId))
       case Alias(e, _) =>
-        VecNumExpr.compile(e, child.output) match {
+        ProjKernel.compile(e, child.output) match {
           case scala.Right(k) => scala.Right(k)
           case scala.Left(reason) =>
             throw new IllegalStateException(s"uncompilable columnar projection: $reason")
@@ -272,10 +515,17 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
       // consumer must finish with a batch before pulling the next one
       // (Spark's own parquet reader reuses its WritableColumnVectors the
       // same way). One persistent output buffer pair per computed
-      // column, plus a temp pool for kernel-internal right-hand sides.
+      // column, plus temp pools for kernel-internal intermediates.
       val scratch = new VecScratch
-      val outV = new Array[Array[Double]](plans.length)
+      val strScratch = new StrScratch
+      val outD = new Array[Array[Double]](plans.length)
+      val outS = new Array[Array[UTF8String]](plans.length)
+      val outI = new Array[Array[Int]](plans.length)
       val outN = new Array[Array[Boolean]](plans.length)
+      def nulls(c: Int, n: Int): Array[Boolean] = {
+        if (outN(c) == null || outN(c).length < n) outN(c) = new Array[Boolean](n)
+        outN(c)
+      }
       iter.map { batch =>
         val n = batch.numRows()
         val cols = new Array[ColumnVector](plans.length)
@@ -283,13 +533,23 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
         while (c < plans.length) {
           plans(c) match {
             case scala.Left(ordIdx) => cols(c) = batch.column(ordIdx)
-            case scala.Right(kernel) =>
-              if (outV(c) == null || outV(c).length < n) {
-                outV(c) = new Array[Double](n); outN(c) = new Array[Boolean](n)
-              }
+            case scala.Right(NumKernel(kernel)) =>
+              if (outD(c) == null || outD(c).length < n) outD(c) = new Array[Double](n)
               scratch.reset()
-              kernel.eval(batch, n, outV(c), outN(c), scratch)
-              cols(c) = new DoubleArrayVector(outV(c), outN(c), n)
+              kernel.eval(batch, n, outD(c), nulls(c, n), scratch)
+              cols(c) = new DoubleArrayVector(outD(c), outN(c), n)
+              compM.add(1)
+            case scala.Right(StrKernel(kernel)) =>
+              if (outS(c) == null || outS(c).length < n) outS(c) = new Array[UTF8String](n)
+              strScratch.reset()
+              kernel.eval(batch, n, outS(c), nulls(c, n), strScratch)
+              cols(c) = new StringArrayVector(outS(c), outN(c), n)
+              compM.add(1)
+            case scala.Right(IntKernel(kernel)) =>
+              if (outI(c) == null || outI(c).length < n) outI(c) = new Array[Int](n)
+              strScratch.reset()
+              kernel.eval(batch, n, outI(c), nulls(c, n), strScratch)
+              cols(c) = new IntArrayVector(outI(c), outN(c), n)
               compM.add(1)
           }
           c += 1

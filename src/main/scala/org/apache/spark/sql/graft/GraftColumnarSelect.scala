@@ -97,12 +97,13 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
 
       case p @ ProjectExec(projectList, child) if child.supportsColumnar =>
         // Computed projection: every item must be an attribute or a
-        // compilable double-algebra kernel (GraftColumnarProject).
+        // compilable double-algebra / string / length kernel
+        // (GraftColumnarProject).
         val reasons = projectList.flatMap {
           case a: AttributeReference if child.output.exists(_.exprId == a.exprId) => None
           case Alias(a: AttributeReference, _)
               if child.output.exists(_.exprId == a.exprId) => None
-          case Alias(e, _) => VecNumExpr.compile(e, child.output).left.toOption
+          case Alias(e, _) => ProjKernel.compile(e, child.output).left.toOption
           case other => Some(s"unsupported projection item: ${other.getClass.getSimpleName}")
         }
         if (reasons.isEmpty) GraftColumnarProjectExec(projectList, child)

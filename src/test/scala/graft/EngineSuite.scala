@@ -308,6 +308,42 @@ class EngineSuite extends GraftTestBase {
     assert(nullNum.collect().head.isNullAt(0))
   }
 
+  test("GraftColumnarProjectExec string kernels match the row path on null/empty/unicode edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colstr").toString
+    Seq(
+      (1, Option("  Hello World  "), Option("en")),
+      (2, Option(""), Option("fr")),
+      (3, Option.empty[String], Option("de")),
+      (4, Option("Grüße ÄÖÜ ß"), Option.empty[String]), // multi-byte upper/lower/numChars
+      (5, Option("日本語テキスト"), Option("ja")),           // 3-byte chars: substring by CHAR
+      (6, Option("abc"), Option("xx")))
+      .toDF("id", "t", "lang").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"id",
+      upper($"t").as("u"), lower($"t").as("lo"), trim($"t").as("tr"),
+      substring($"t", 2, 4).as("sub"),
+      substring($"t", -3, 2).as("subneg"),
+      concat($"lang", lit(":"), $"t").as("cat"), // NULL if either side NULL
+      length($"t").as("len"))                    // numChars, not bytes
+    val cdf = proj(t)
+    val on = canon(cdf)
+    assert(findExec(cdf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"expected columnar project in:\n${cdf.queryExecution.executedPlan}")
+    val off = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      canon(proj(t))
+    }
+    assert(on == off, s"columnar=$on row=$off")
+    // spot-check the semantics the kernels must replicate exactly
+    val byId = cdf.collect().map(r => r.getInt(0) -> r).toMap
+    assert(byId(3).isNullAt(1) && byId(3).isNullAt(6) && byId(3).isNullAt(7))
+    assert(byId(4).isNullAt(6), "concat with NULL lang must be NULL")
+    assert(byId(5).getInt(7) == 7, "length must count chars, not bytes")
+    assert(byId(1).getString(4) == " Hel", "substring is 1-based over chars")
+  }
+
   test("GraftColumnarProjectExec surfaces batch/row/computed-column SQLMetrics") {
     val li = Tables.t(spark, sfDir, "lineitem")
     val df = li.select($"l_orderkey",
@@ -331,7 +367,8 @@ class EngineSuite extends GraftTestBase {
         p.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).get
     }
     assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
-    assert(tagged.get.contains("non-double"), s"reason: ${tagged.get}")
+    assert(tagged.get.contains("decimal scale semantics stay on the row path"),
+      s"reason: ${tagged.get}")
   }
 
   test("GraftColumnarRule tags un-swapped filters with a fallback reason") {

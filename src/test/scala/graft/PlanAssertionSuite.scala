@@ -280,6 +280,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the whole pre-sort stage columnar in:\n$p")
   }
 
+  test("q128 computes its string projection on ColumnarBatch via GraftColumnarProject") {
+    val df = run("q128_columnar_string_project")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarProject"),
+      s"expected the columnar project swap in:\n$p")
+    assert(p.contains("GraftColumnarFilter"),
+      s"expected the whole pre-sort stage columnar in:\n$p")
+  }
+
   test("q113 accumulates its grouped partial aggregation on ColumnarBatch") {
     val df = run("q113_columnar_grouped_agg")
     df.collect()
