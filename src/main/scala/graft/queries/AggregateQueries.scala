@@ -194,6 +194,73 @@ object AggregateQueries {
       },
       Some("""SELECT l_returnflag, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "percentile_approx sketch (mergeable, no per-group sort) with its rank-error guarantee verified against the empirical CDF; oracle = the guarantee holds.")
+      doc = "percentile_approx sketch (mergeable, no per-group sort) with its rank-error guarantee verified against the empirical CDF; oracle = the guarantee holds."),
+
+    QueryDef(
+      "q129_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        // HyperLogLog++ — the 100 TB distinct-count path (mergeable
+        // registers, partial-aggregated before the shuffle; exact
+        // count(DISTINCT) re-shuffles the values themselves). The HLL
+        // register state is a max-merge over value hashes, so the
+        // estimate is a pure function of the VALUE SET — deterministic
+        // across runs, partitionings, and cluster sizes — but it is
+        // Spark-specific, so (q91 pattern) the oracle checks the
+        // GUARANTEE: the estimate must land within 3 standard errors
+        // (rsd = 0.05) of the exact count, which the same aggregation
+        // also computes.
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("exact_cnt"),
+            approx_count_distinct($"l_partkey", 0.05).as("approx"))
+          .select($"l_returnflag", $"exact_cnt",
+            (abs($"approx" - $"exact_cnt").cast("double") <=
+              $"exact_cnt".cast("double") * 0.15).as("approx_ok"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS exact_cnt, TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "approx_count_distinct (HLL++, rsd 0.05): mergeable-sketch distinct counting with the 3-sigma error bound asserted against the exact count; oracle = exact counts + the guarantee holds."),
+
+    QueryDef(
+      "q130_higher_moments",
+      (s, dir) => {
+        import s.implicits._
+        // skewness / kurtosis (3rd/4th central moments). Spark's
+        // definitions: skew = sqrt(n)*m3/m2^1.5, kurt = n*m4/m2^2 - 3
+        // (population, excess) — DuckDB's built-ins use the
+        // sample-adjusted estimators, so the oracle computes Spark's
+        // formula explicitly from two-pass moment sums. Rounded to 4
+        // decimals: the single-pass merge accumulates in doubles, so
+        // the trailing bits are partition-order noise (same trade as
+        // q37's variance family).
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .agg(
+            round(skewness($"l_extendedprice"), 4).as("skew"),
+            round(kurtosis($"l_extendedprice"), 4).as("kurt"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""WITH mu AS (
+          SELECT l_linestatus, avg(l_extendedprice) AS m, count(*) AS n
+          FROM lineitem GROUP BY l_linestatus),
+        mom AS (
+          SELECT l.l_linestatus,
+            sum(pow(l.l_extendedprice - mu.m, 2)) AS m2,
+            sum(pow(l.l_extendedprice - mu.m, 3)) AS m3,
+            sum(pow(l.l_extendedprice - mu.m, 4)) AS m4,
+            max(mu.n) AS n
+          FROM lineitem l JOIN mu USING (l_linestatus)
+          GROUP BY l.l_linestatus)
+        SELECT l_linestatus,
+          round(sqrt(n) * m3 / pow(m2, 1.5), 4) AS skew,
+          round(n * m4 / (m2 * m2) - 3, 4) AS kurt,
+          CAST(n AS BIGINT) AS n
+        FROM mom ORDER BY l_linestatus"""),
+      doc = "skewness/kurtosis (population excess, Spark's definitions) checked against an explicit two-pass moment computation in the oracle; rounded at the partition-order noise floor.")
   )
 }

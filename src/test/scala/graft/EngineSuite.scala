@@ -371,6 +371,22 @@ class EngineSuite extends GraftTestBase {
       s"reason: ${tagged.get}")
   }
 
+  test("GraftExplain reports fallback reasons; empty when everything swapped") {
+    // initcap is locale/title-casing — unsupported by the string kernels
+    val fell = Tables.t(spark, sfDir, "documents")
+      .select(initcap($"lang").as("lc"))
+    fell.collect()
+    val rep = graft.engine.GraftExplain.report(fell)
+    assert(rep.contains("row path"), s"expected a fallback line, got: '$rep'")
+    assert(graft.engine.GraftExplain.fallbackReasons(fell).nonEmpty)
+    // a fully-supported projection leaves no fallback tags
+    val swapped = Tables.t(spark, sfDir, "documents")
+      .select(upper($"lang").as("u"))
+    swapped.collect()
+    assert(graft.engine.GraftExplain.report(swapped).isEmpty,
+      s"expected clean report:\n${graft.engine.GraftExplain.report(swapped)}")
+  }
+
   test("GraftColumnarRule tags un-swapped filters with a fallback reason") {
     val df = Tables.t(spark, sfDir, "documents").filter(length($"lang") > 2)
     df.collect()

@@ -28,7 +28,10 @@ class PlanStabilitySuite extends GraftTestBase {
     "q87_tpch_q5", "q97_tpch_q6", "q98_tpch_q7", "q99_tpch_q8",
     "q100_tpch_q10", "q102_tpch_q15", "q103_tpch_q17", "q104_tpch_q19",
     "q105_tpch_q4", "q107_tpch_q22", "q110_sample_stratified",
-    "q114_aqe_skew_join")
+    "q114_aqe_skew_join",
+    // partsupp-derived TPC-H completions: the decorrelated-min (Q2) and
+    // composite-key fact join (Q9) skeletons are the scale-critical ones
+    "q118_tpch_q2", "q119_tpch_q9", "q122_tpch_q20")
 
   private def skeleton(p: LogicalPlan, depth: Int = 0): String = {
     val self = ("  " * depth) + p.nodeName
