@@ -32,7 +32,8 @@ object Catalog {
     SamplingQueries.all ++
     CorpusCleanQueries.all ++
     SourceFormatQueries.all ++
-    QualityMixQueries.all
+    QualityMixQueries.all ++
+    ChangeDataQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

@@ -245,6 +245,13 @@ class PlanAssertionSuite extends GraftTestBase {
       s"availqty>0.5*sum must ride the (part,supp) equi-join as a post-filter:\n$p")
   }
 
+  test("q131 CDC compaction pushes a partial WindowGroupLimit below the shuffle") {
+    val p = planString(run("q131_cdc_latest"))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 filter must prune candidates map-side before the key shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q124 ORC re-scan pushes the quantity predicate into the ORC scan") {
     val p = planString(run("q124_orc_roundtrip"))
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
