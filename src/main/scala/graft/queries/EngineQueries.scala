@@ -297,6 +297,50 @@ object EngineQueries {
           CAST(length(text) AS INTEGER) AS text_chars
         FROM documents WHERE lang <> 'de'
         ORDER BY doc_id"""),
-      doc = "Columnar Project string kernels: upper/lower/trim/substring(lit)/concat/length evaluated batch-at-a-time over UTF8String vectors; the whole pre-sort stage is custom columnar (filter + project), plan-pinned.")
+      doc = "Columnar Project string kernels: upper/lower/trim/substring(lit)/concat/length evaluated batch-at-a-time over UTF8String vectors; the whole pre-sort stage is custom columnar (filter + project), plan-pinned."),
+
+    QueryDef(
+      "q133_columnar_broadcast_join",
+      (s0, dir) => {
+        // The columnar-BHJ probe is opt-in (measured slower than
+        // Spark's codegen-fused row BHJ — see the rule's comment), so
+        // this query enables it on a CLONED session: the parent
+        // session's runtime confs are copied first (preserving the
+        // dual-run axes), the flag flips only here, and no other
+        // query's planning is affected.
+        val s = s0.newSession()
+        s0.conf.getAll.foreach { case (k, v) =>
+          try s.conf.set(k, v) catch { case _: Exception => () }
+        }
+        s.conf.set(org.apache.spark.sql.graft.GraftColumnarRule.bhjEnabledKey, "true")
+        import s.implicits._
+        // The columnar probe pipeline: scan → GraftColumnarFilter →
+        // GraftColumnarBHJ (probing Spark's own broadcast
+        // HashedRelation batch-at-a-time; stream columns zero-copy
+        // selection gathers, build columns materialized) →
+        // GraftColumnarGroupedAgg — the fact side never leaves
+        // ColumnarBatch until the partial-agg buffer rows cross the
+        // shuffle. avg(l_quantity) is an exact integer-sum/count;
+        // count/min/max are exact; nothing order-dependent.
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_quantity" > 40.0)
+          .select($"l_suppkey", $"l_orderkey", $"l_quantity")
+          .join(broadcast(Tables.t(s, dir, "supplier")
+            .select($"s_suppkey", $"s_nationkey", $"s_name")),
+            $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n_lines"),
+            min($"l_orderkey").as("min_order"),
+            max($"l_orderkey").as("max_order"),
+            round(avg($"l_quantity"), 6).as("avg_qty"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_lines,
+          min(l_orderkey) AS min_order, max(l_orderkey) AS max_order,
+          round(avg(l_quantity), 6) AS avg_qty
+        FROM lineitem, supplier
+        WHERE l_suppkey = s_suppkey AND l_quantity > 40
+        GROUP BY s_nationkey ORDER BY s_nationkey"""),
+      doc = "Columnar broadcast hash join: batch-at-a-time probe of Spark's own broadcast HashedRelation (zero-copy stream gathers, materialized build columns) feeding the columnar grouped partial agg — the fact side stays columnar from scan to shuffle.")
   )
 }

@@ -1,0 +1,266 @@
+// Under org.apache.spark.sql.execution because the probe side consumes
+// Spark's HashedRelation (private[execution]) — the same broadcast value
+// the built-in BroadcastHashJoinExec uses, so the build side is shared
+// bit-for-bit with the row-path join. The reference's analogue consumes
+// Spark's broadcast on the JVM side and probes natively
+// (CometBroadcastHashJoinExec / native/core hash join).
+package org.apache.spark.sql.execution.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.joins.HashedRelation
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.graft.{SelectedColumnVector, StringArrayVector}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch, ColumnarMap, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Long-backed build-side output vector: one class serves the whole
+  * integral family (the declared dataType picks which getter consumers
+  * call; all read the same long slot). */
+final class LongBuildVector(dt: DataType, values: Array[Long], nulls: Array[Boolean], n: Int)
+    extends ColumnVector(dt) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getBoolean(rowId: Int): Boolean = values(rowId) != 0L
+  override def getByte(rowId: Int): Byte = values(rowId).toByte
+  override def getShort(rowId: Int): Short = values(rowId).toShort
+  override def getInt(rowId: Int): Int = values(rowId).toInt
+  override def getLong(rowId: Int): Long = values(rowId)
+  private def nope = throw new UnsupportedOperationException("long-family-only vector")
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
+/** Double-backed build-side output vector (double/float). */
+final class DoubleBuildVector(dt: DataType, values: Array[Double], nulls: Array[Boolean], n: Int)
+    extends ColumnVector(dt) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getDouble(rowId: Int): Double = values(rowId)
+  override def getFloat(rowId: Int): Float = values(rowId).toFloat
+  private def nope = throw new UnsupportedOperationException("double-family-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
+object GraftColumnarBHJExec {
+  /** Long-family types a probe key / build column may have. */
+  val longFamily: Set[DataType] =
+    Set(BooleanType, ByteType, ShortType, IntegerType, LongType,
+      DateType, TimestampType, TimestampNTZType)
+  val doubleFamily: Set[DataType] = Set(FloatType, DoubleType)
+
+  def supportedBuildType(dt: DataType): Boolean =
+    longFamily(dt) || doubleFamily(dt) || dt == StringType
+}
+
+/** Columnar INNER broadcast hash join: probes Spark's own broadcast
+  * HashedRelation batch-at-a-time. Stream-side output columns are
+  * zero-copy [[SelectedColumnVector]] gathers over the input batch (a
+  * match index may repeat for one-to-many joins); build-side columns
+  * are materialized into primitive/reference arrays as matches are
+  * found (UTF8Strings point into the broadcast's stable memory — no
+  * copy). Restrictions, enforced by the planning rule: inner join, no
+  * residual condition, ONE long-family equi-key (exactly the shape
+  * Spark builds a LongHashedRelation for), build columns of
+  * long/double/string families.
+  *
+  * Scale note: this node changes HOW a broadcast join executes, not
+  * WHAT shuffles — the build side is the same broadcast value the row
+  * join uses (shared across all columnar and row consumers on an
+  * executor), and the stream side stays columnar from the scan through
+  * the probe.
+  */
+case class GraftColumnarBHJExec(
+    output: Seq[Attribute],
+    streamKeyOrd: Int,
+    streamKeyType: DataType,
+    buildSideStruct: StructType,
+    streamOrBuild: Seq[Either[Int, Int]], // per output col: Left(streamOrd) | Right(buildOrd)
+    left: SparkPlan,
+    right: SparkPlan,
+    buildIsRight: Boolean)
+    extends BinaryExecNode {
+
+  private def streamPlan: SparkPlan = if (buildIsRight) left else right
+
+  /** The broadcast child. Spark's transition insertion assumes every
+    * child of a columnar node consumes ColumnarBatches and wraps the
+    * (row-producing) broadcast exchange in RowToColumnarExec; that node
+    * is never executed — we only need the exchange's broadcast value —
+    * so unwrap it here.
+    */
+  private def buildPlan: SparkPlan = {
+    val raw = if (buildIsRight) right else left
+    raw match {
+      case r: org.apache.spark.sql.execution.RowToColumnarExec => r.child
+      case p => p
+    }
+  }
+
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning = streamPlan.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of batches"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numProbedRows" -> SQLMetrics.createMetric(sparkContext, "number of probed rows"))
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val broadcastRel = buildPlan.executeBroadcast[HashedRelation]()
+    val keyOrd = streamKeyOrd
+    val keyDt = streamKeyType
+    val plan = streamOrBuild.toArray
+    val buildTypes = buildSideStruct.fields.map(_.dataType)
+    val (batchM, rowM, probeM) =
+      (metrics("numBatches"), metrics("numOutputRows"), metrics("numProbedRows"))
+
+    streamPlan.executeColumnar().mapPartitionsInternal { iter =>
+      val rel = broadcastRel.value.asReadOnlyCopy()
+      // growable match buffers, reused across batches
+      var cap = 1 << 10
+      var sel = new Array[Int](cap)
+      val nBuild = buildTypes.length
+      var buildL = Array.ofDim[Long](nBuild, cap)
+      var buildD = Array.ofDim[Double](nBuild, cap)
+      var buildS = Array.ofDim[UTF8String](nBuild, cap)
+      var buildN = Array.ofDim[Boolean](nBuild, cap)
+
+      def grow(newCap: Int): Unit = {
+        sel = java.util.Arrays.copyOf(sel, newCap)
+        var c = 0
+        while (c < nBuild) {
+          buildL(c) = java.util.Arrays.copyOf(buildL(c), newCap)
+          buildD(c) = java.util.Arrays.copyOf(buildD(c), newCap)
+          buildS(c) = java.util.Arrays.copyOf(buildS(c), newCap)
+          buildN(c) = java.util.Arrays.copyOf(buildN(c), newCap)
+          c += 1
+        }
+        cap = newCap
+      }
+
+      iter.flatMap { batch =>
+        val n = batch.numRows()
+        probeM.add(n)
+        val keys = batch.column(keyOrd)
+        val getKey: Int => Long = keyDt match {
+          case LongType | TimestampType | TimestampNTZType => keys.getLong
+          case IntegerType | DateType => i => keys.getInt(i).toLong
+          case ShortType => i => keys.getShort(i).toLong
+          case ByteType => i => keys.getByte(i).toLong
+          case BooleanType => i => if (keys.getBoolean(i)) 1L else 0L
+          case other => throw new IllegalStateException(s"bad key type $other")
+        }
+        var m = 0 // match count
+        var i = 0
+        while (i < n) {
+          if (!keys.isNullAt(i)) {
+            val it = rel.get(getKey(i))
+            if (it != null) while (it.hasNext) {
+              val row = it.next()
+              if (m == cap) grow(cap * 2)
+              sel(m) = i
+              var c = 0
+              while (c < nBuild) {
+                if (row.isNullAt(c)) { buildN(c)(m) = true }
+                else {
+                  buildN(c)(m) = false
+                  buildTypes(c) match {
+                    case LongType | TimestampType | TimestampNTZType =>
+                      buildL(c)(m) = row.getLong(c)
+                    case IntegerType | DateType => buildL(c)(m) = row.getInt(c).toLong
+                    case ShortType => buildL(c)(m) = row.getShort(c).toLong
+                    case ByteType => buildL(c)(m) = row.getByte(c).toLong
+                    case BooleanType => buildL(c)(m) = if (row.getBoolean(c)) 1L else 0L
+                    case DoubleType => buildD(c)(m) = row.getDouble(c)
+                    case FloatType => buildD(c)(m) = row.getFloat(c).toDouble
+                    case StringType => buildS(c)(m) = row.getUTF8String(c)
+                    case other => throw new IllegalStateException(s"bad build type $other")
+                  }
+                }
+                c += 1
+              }
+              m += 1
+            }
+          }
+          i += 1
+        }
+        if (m == 0) None
+        else {
+          // snapshot the match buffers: downstream may hold the batch
+          // while we refill for the next one
+          val selOut = java.util.Arrays.copyOf(sel, m)
+          val cols = new Array[ColumnVector](plan.length)
+          var o = 0
+          while (o < plan.length) {
+            cols(o) = plan(o) match {
+              case scala.Left(sOrd) => new SelectedColumnVector(batch.column(sOrd), selOut)
+              case scala.Right(bOrd) =>
+                val nl = java.util.Arrays.copyOf(buildN(bOrd), m)
+                buildTypes(bOrd) match {
+                  case dt if GraftColumnarBHJExec.doubleFamily(dt) =>
+                    new DoubleBuildVector(dt, java.util.Arrays.copyOf(buildD(bOrd), m), nl, m)
+                  case StringType =>
+                    new StringArrayVector(java.util.Arrays.copyOf(buildS(bOrd), m), nl, m)
+                  case dt =>
+                    new LongBuildVector(dt, java.util.Arrays.copyOf(buildL(bOrd), m), nl, m)
+                }
+            }
+            o += 1
+          }
+          batchM.add(1); rowM.add(m)
+          Some(new ColumnarBatch(cols, m))
+        }
+      }
+    }
+  }
+
+  /** Row fallback — the planner routes columnar (supportsColumnar). */
+  override protected def doExecute(): RDD[InternalRow] =
+    throw new UnsupportedOperationException(
+      "GraftColumnarBHJExec is columnar-only; the rule swaps whole BroadcastHashJoinExec nodes")
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GraftColumnarBHJExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.{ColumnarRule, FilterExec, ProjectExec, SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -115,6 +116,51 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case Left(reason) => f.setTagValue(fallbackReasonTag, reason); f
         }
 
+      // Columnar INNER broadcast hash join: one long-family equi-key
+      // (exactly the shape Spark built a LongHashedRelation for), no
+      // residual condition, supported build output types. The probe
+      // consumes the SAME broadcast HashedRelation the row join would.
+      // OPT-IN (default off): the A/B bench showed the JVM scalar probe
+      // loses to Spark's codegen-FUSED row BHJ across the suite (~65%
+      // slower stage-for-stage) — the reference's native probe wins on
+      // SIMD + fused vectorized pipelines, which a JVM loop over
+      // per-row virtual calls cannot match. Kept as a correct,
+      // A/B-verified demonstrator behind its own flag (the reference's
+      // per-operator spark.comet.exec.*.enabled pattern).
+      case j @ joins.BroadcastHashJoinExec(
+          Seq(lk), Seq(rk), org.apache.spark.sql.catalyst.plans.Inner,
+          side, None, left, right, false) if bhjEnabled(session) =>
+        val buildIsRight = side == org.apache.spark.sql.catalyst.optimizer.BuildRight
+        val stream = if (buildIsRight) left else right
+        val build = if (buildIsRight) right else left
+        val streamKey = if (buildIsRight) lk else rk
+        def longFamily(dt: org.apache.spark.sql.types.DataType) =
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.longFamily(dt)
+        (streamKey, stream.supportsColumnar) match {
+          case (a: AttributeReference, true)
+              if longFamily(a.dataType) &&
+                stream.output.exists(_.exprId == a.exprId) &&
+                build.output.forall(at => org.apache.spark.sql.execution.graft
+                  .GraftColumnarBHJExec.supportedBuildType(at.dataType)) =>
+            val streamOrBuild = j.output.map { at =>
+              val s = stream.output.indexWhere(_.exprId == at.exprId)
+              if (s >= 0) scala.Left(s)
+              else scala.Right(build.output.indexWhere(_.exprId == at.exprId))
+            }
+            org.apache.spark.sql.execution.graft.GraftColumnarBHJExec(
+              j.output,
+              stream.output.indexWhere(_.exprId == a.exprId),
+              a.dataType,
+              org.apache.spark.sql.types.StructType(build.output.map(at =>
+                org.apache.spark.sql.types.StructField(at.name, at.dataType, at.nullable))),
+              streamOrBuild, left, right, buildIsRight)
+          case (_, true) =>
+            j.setTagValue(fallbackReasonTag,
+              "broadcast join not columnar-probeable (needs a single long-family " +
+                "attribute key, supported build column types)"); j
+          case _ => j
+        }
+
       // Grouped partial aggregation (HashAggregate only — swapping a
       // SortAggregate would orphan the sort the planner put below it):
       // attribute-only keys of long-family/string types, compilable
@@ -198,4 +244,11 @@ object GraftColumnarRule {
   val enabledKey = "spark.graft.columnar.enabled"
   def enabled(session: SparkSession): Boolean =
     session.conf.getOption(enabledKey).forall(_.toBoolean)
+
+  /** The columnar broadcast-join probe is opt-in (see the rule case):
+    * correct and A/B-verified, but measurably slower than Spark's
+    * codegen-fused row BHJ, so it must never swap by default. */
+  val bhjEnabledKey = "spark.graft.columnar.bhj.enabled"
+  def bhjEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(bhjEnabledKey).exists(_.toBoolean)
 }

@@ -371,6 +371,47 @@ class EngineSuite extends GraftTestBase {
       s"reason: ${tagged.get}")
   }
 
+  test("GraftColumnarBHJExec matches the row join incl. null keys, dup build keys, misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colbhj").toString
+    // stream: some keys null, some missing from build, some matching dups
+    Seq(
+      (1L, Option(10L), 1.5), (2L, Option(20L), 2.5), (3L, Option.empty[Long], 3.5),
+      (4L, Option(99L), 4.5), (5L, Option(10L), 5.5), (6L, Option(30L), 6.5))
+      .toDF("id", "k", "v").write.mode("overwrite").parquet(s"$dir/stream")
+    // build: key 10 duplicated (one-to-many), 20/30 unique, null-able cols
+    Seq(
+      (10L, Option("a"), Option(1)), (10L, Option("b"), Option.empty[Int]),
+      (20L, Option.empty[String], Option(3)), (30L, Option("d"), Option(4)))
+      .toDF("bk", "tag", "m").write.mode("overwrite").parquet(s"$dir/build")
+    def join(hint: Boolean) = {
+      val st = spark.read.parquet(s"$dir/stream")
+      val bd = spark.read.parquet(s"$dir/build")
+      st.join(if (hint) broadcast(bd) else bd, $"k" === $"bk", "inner")
+        .select($"id", $"k", $"v", $"tag", $"m")
+    }
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.bhjEnabledKey -> "true") {
+      val cdf = join(true)
+      val on = canon(cdf)
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarBHJExec => e
+      }.isDefined, s"expected columnar BHJ in:\n${cdf.queryExecution.executedPlan}")
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        canon(join(true))
+      }
+      assert(on == off, s"columnar=$on row=$off")
+      // 6 output rows: id1 x2 (dup build key), id2, id5 x2, id6; id3 null
+      // key and id4 missing key drop
+      assert(cdf.count() == 6)
+    }
+    // default OFF: without the opt-in flag the row BHJ must plan
+    val row = join(true)
+    row.collect()
+    assert(findExec(row) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarBHJExec => e
+    }.isEmpty, s"columnar BHJ must be opt-in:\n${row.queryExecution.executedPlan}")
+  }
+
   test("GraftExplain reports fallback reasons; empty when everything swapped") {
     // initcap is locale/title-casing — unsupported by the string kernels
     val fell = Tables.t(spark, sfDir, "documents")

@@ -297,6 +297,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the whole pre-sort stage columnar in:\n$p")
   }
 
+  test("q133 probes the broadcast join and partial-aggregates entirely on ColumnarBatch") {
+    val df = run("q133_columnar_broadcast_join")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarBHJ"),
+      s"expected the columnar broadcast join swap in:\n$p")
+    assert(p.contains("GraftColumnarFilter") && p.contains("GraftColumnarGroupedAgg"),
+      s"expected the whole pre-shuffle stage columnar in:\n$p")
+  }
+
   test("q113 accumulates its grouped partial aggregation on ColumnarBatch") {
     val df = run("q113_columnar_grouped_agg")
     df.collect()
