@@ -1,3 +1,4 @@
+// (VariantType + unpivot additions live at the end of `all`.)
 package graft.queries
 
 import org.apache.spark.sql.functions._
@@ -123,6 +124,58 @@ object CollectionQueries {
           '2' AS stm_b,
           event_id || ',' || event_type AS csv_
         FROM events WHERE event_id < 200 ORDER BY event_id"""),
-      doc = "from_json/get_json_object/to_json, struct create+getField, map create/keys/element_at/contains_key, str_to_map.")
+      doc = "from_json/get_json_object/to_json, struct create+getField, map create/keys/element_at/contains_key, str_to_map."),
+
+    QueryDef(
+      "q134_variant_json",
+      (s, dir) => {
+        import s.implicits._
+        // Spark 4 VariantType: parse_json once into the binary variant
+        // encoding, then typed variant_get extraction — the
+        // semi-structured scan pattern that at 100 TB beats re-parsing
+        // JSON text per field access (parse once, extract many). The
+        // variant itself never leaves the query (not parquet-writable
+        // everywhere); extracted typed columns do.
+        Tables.events(s, dir)
+          .withColumn("v", parse_json($"props"))
+          .select($"event_id", $"event_type",
+            expr("variant_get(v, '$.k', 'int')").as("k_int"),
+            expr("variant_get(v, '$.missing', 'string')").as("k_missing"),
+            expr("cast(is_variant_null(try_variant_get(v, '$.k')) as boolean)").as("k_is_null"))
+          .filter($"event_id" < 300)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, event_type,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+          json_extract_string(props, '$.missing') AS k_missing,
+          FALSE AS k_is_null
+        FROM events WHERE event_id < 300 ORDER BY event_id"""),
+      doc = "Spark 4 VariantType: parse_json into the binary variant encoding, typed variant_get / try_variant_get extraction — parse-once-extract-many semi-structured access."),
+
+    QueryDef(
+      "q135_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        // unpivot/melt (the Expand family's inverse of q86's PIVOT):
+        // wide part attributes to (key, attr, val) long form — the
+        // normalize-before-union shape feature stores use. Values cast
+        // to a common double type as unpivot requires.
+        Tables.t(s, dir, "part")
+          .filter($"p_partkey" < 500)
+          .select($"p_partkey",
+            $"p_size".cast("double").as("size"),
+            $"p_retailprice".as("retailprice"))
+          .unpivot(
+            Array($"p_partkey"),
+            Array($"size", $"retailprice"),
+            "attr", "val")
+          .orderBy($"p_partkey", $"attr")
+      },
+      Some("""SELECT p_partkey, attr, val FROM (
+          SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+          UNION ALL
+          SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
+        WHERE p_partkey < 500 ORDER BY p_partkey, attr"""),
+      doc = "unpivot/melt to long form (inverse of q86's PIVOT): per-row Expand with no shuffle; oracle as the equivalent UNION ALL.")
   )
 }

@@ -107,6 +107,42 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
 
+  /** One compacted CDC row: the latest change seen per key. */
+  final case class LatestRow(user_id: Long, event_type: String,
+      last_ts: Timestamp, last_event_id: Long, last_value: Double)
+
+  /** Streaming CDC apply-latest — the stream twin of q131's batch
+    * compaction: mapGroupsWithState keeps ONE row per (user_id,
+    * event_type), replacing it whenever a newer (ts, event_id) change
+    * arrives, and emits the key's current row each micro-batch it
+    * changes (update mode). Out-of-order deliveries lose to the
+    * stored row's timestamp — replay-deterministic regardless of
+    * arrival order. State is keyed by the DIMENSION's key domain (one
+    * row per key, not per event), the same bound a batch compaction's
+    * output has; there is nothing to watermark away because the latest
+    * row per key must live forever by definition.
+    */
+  def latestState(events: Dataset[Event]): Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+
+    def newer(aTs: Timestamp, aId: Long, bTs: Timestamp, bId: Long): Boolean =
+      aTs.getTime > bTs.getTime || (aTs.getTime == bTs.getTime && aId > bId)
+
+    def update(key: (Long, String), rows: Iterator[Event],
+        state: GroupState[LatestRow]): LatestRow = {
+      var cur = state.getOption.orNull
+      rows.foreach { e =>
+        if (cur == null || newer(e.ts, e.event_id, cur.last_ts, cur.last_event_id))
+          cur = LatestRow(key._1, key._2, e.ts, e.event_id, e.value)
+      }
+      state.update(cur)
+      cur
+    }
+
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState: a session
     * closes when a newer event arrives more than `gapSeconds` after the
     * last, OR when the event-time watermark passes session_end + gap —

@@ -61,6 +61,38 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("latestState: CDC apply-latest matches batch q131 logic, out-of-order safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // batch 2 delivers an OLDER change for (7,c) — must lose to batch 1's
+    val b1 = Seq(Event(5, ts(50), 7, "c", 5.0), Event(1, ts(10), 8, "c", 1.0))
+    val b2 = Seq(Event(3, ts(30), 7, "c", 3.0), Event(6, ts(60), 8, "c", 6.0),
+      Event(7, ts(70), 7, "v", 7.0))
+    val q = StreamingOps.latestState(input.toDS())
+      .writeStream.format("memory").queryName("cdc").outputMode("update").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // last emitted row per key is the compacted state
+      val rows = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+      val expected = Map(
+        (7L, "c") -> ((ts(50), 5L, 5.0)), // older batch-2 change lost
+        (8L, "c") -> ((ts(60), 6L, 6.0)),
+        (7L, "v") -> ((ts(70), 7L, 7.0)))
+      assert(last == expected, s"got $last")
+      // agreement with the batch compaction (q131 logic) on the same data
+      val all = (b1 ++ b2).toDS()
+      val batch = StreamingOps.latestState(all).collect()
+        .map(r => (r.user_id, r.event_type) -> ((r.last_ts, r.last_event_id, r.last_value)))
+        .toMap
+      assert(batch == expected, s"batch twin diverged: $batch")
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join matches batch, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
