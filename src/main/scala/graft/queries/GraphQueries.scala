@@ -94,6 +94,48 @@ object GraphQueries {
             SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
         SELECT node AS doc_id, min(lbl) AS component
         FROM reach GROUP BY node ORDER BY doc_id"""),
-      doc = "Near-dup clustering: connected components (iterative HashMin label propagation) over the exact-Jaccard pair graph; DuckDB oracle = recursive-CTE transitive closure + min label.")
+      doc = "Near-dup clustering: connected components (iterative HashMin label propagation) over the exact-Jaccard pair graph; DuckDB oracle = recursive-CTE transitive closure + min label."),
+
+    QueryDef(
+      "q136_recursive_cte",
+      (s, dir) => {
+        // Spark 4's WITH RECURSIVE executing a bounded BFS: min-hop
+        // distance from the seed (smallest doc id in the pair graph)
+        // over the same q46 edge list, capped at 3 hops (UNION ALL +
+        // cap bounds the path enumeration; min(hop) collapses it).
+        // Each recursive step is one equi-join + the accumulating
+        // union — the same per-round shuffle shape as the HashMin loop
+        // above, but expressed declaratively and planned by Catalyst's
+        // recursion operator.
+        DedupQueries.jaccardPairs(Tables.t(s, dir, "documents"), 0.8)
+          .select(col("d1"), col("d2"))
+          .createOrReplaceTempView("q136_pairs")
+        s.sql("""
+          WITH RECURSIVE
+            edges AS (
+              SELECT d1 AS src, d2 AS dst FROM q136_pairs
+              UNION SELECT d2, d1 FROM q136_pairs),
+            walk(node, hop) AS (
+              SELECT (SELECT min(d1) FROM q136_pairs), 0
+              UNION ALL
+              SELECT e.dst, w.hop + 1
+              FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.hop < 3)
+          SELECT node AS doc_id, min(hop) AS hops
+          FROM walk GROUP BY node ORDER BY doc_id""")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (${DedupQueries.jaccardOracleSql(0.8)}),
+          edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION SELECT d2, d1 FROM pairs),
+          walk(node, hop) AS (
+            SELECT (SELECT min(d1) FROM pairs), 0
+            UNION ALL
+            SELECT e.dst, w.hop + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hop < 3)
+        SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hops
+        FROM walk GROUP BY node ORDER BY doc_id"""),
+      doc = "Spark 4 recursive CTE (UnionLoop): bounded BFS min-hop reachability from a seed over the q46 pair graph — declarative transitive closure, identical recursion in the DuckDB oracle. Spark supports only UNION ALL recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the hop cap bounds path enumeration; the unbounded-closure form stays with q108's iterative loop.")
   )
 }
