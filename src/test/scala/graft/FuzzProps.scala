@@ -271,4 +271,32 @@ object FuzzProps extends Properties("graft") {
           .collect().map(_.toString).sorted.toSeq
       }
     }
+
+  // random strings incl. multibyte, surrogate-pair, control, and empty
+  private val strGen: Gen[Option[String]] = Gen.frequency(
+    1 -> Gen.const(None),
+    1 -> Gen.const(Some("")),
+    6 -> Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', 'ß', 'Ü', 'é', '中', '日', 'λ'),
+      1 -> Gen.oneOf("🙂🚀".toList))).map(cs => Some(cs.mkString)))
+
+  property("columnar string kernels match the row path on random unicode") =
+    forAll(Gen.listOfN(24, strGen)) { (xs: List[Option[String]]) =>
+      xs.isEmpty || {
+        // parquet round-trip so the scan is columnar and the rule fires
+        val dir = java.nio.file.Files.createTempDirectory("graft-strfuzz").toString
+        xs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
+          .write.mode("overwrite").parquet(dir)
+        def proj = spark.read.parquet(dir).select($"id",
+          upper($"s"), lower($"s"), trim($"s"), substring($"s", 2, 3),
+          substring($"s", -2, 2), concat($"s", lit("|"), $"s"), length($"s"))
+        val on = proj.collect().map(_.toString).sorted.toSeq
+        val off = withConf(
+          org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+          proj.collect().map(_.toString).sorted.toSeq
+        }
+        Prop(on == off) :| s"columnar=$on row=$off"
+      }
+    }
 }
