@@ -50,6 +50,45 @@ object OperatorExtraQueries {
   def all: Seq[QueryDef] = Seq(
 
     QueryDef(
+      "q137_cached_scan",
+      (s, dir) => {
+        import s.implicits._
+        // Spark's cache IS a columnar store (InMemoryRelation holds
+        // compressed column batches; scans read them via
+        // InMemoryTableScan): cache a filtered projection once, then
+        // aggregate twice over the cached batches — the iterative-ML /
+        // dashboard access pattern. At scale MEMORY_AND_DISK spills
+        // per-partition; the cache key is the plan, so both consumers
+        // below share one materialization. Cached per (session, dir)
+        // like the q94 bucket layout — the bench's min-of-N measures
+        // cached-scan reads, not re-materialization.
+        val cached = Tables.t(s, dir, "orders")
+          .filter($"o_orderstatus" =!= "P")
+          .select($"o_custkey", $"o_totalprice", $"o_orderpriority")
+          .cache()
+        val byPrio = cached.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+        val overall = cached.agg(
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .select(lit("ALL").as("o_orderpriority"), $"n", $"total")
+        byPrio.unionAll(overall).orderBy($"o_orderpriority")
+      },
+      Some("""WITH src AS (
+          SELECT o_custkey, o_totalprice, o_orderpriority FROM orders
+          WHERE o_orderstatus <> 'P')
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM src GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'ALL', count(*),
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM src
+        ORDER BY o_orderpriority"""),
+      doc = "Columnar cache: InMemoryRelation compressed column batches shared by two aggregations over one materialization (InMemoryTableScan pinned in plan)."),
+
+    QueryDef(
       "q60_parquet_write_roundtrip",
       (s, dir) => {
         import s.implicits._

@@ -412,6 +412,35 @@ class EngineSuite extends GraftTestBase {
     }.isEmpty, s"columnar BHJ must be opt-in:\n${row.queryExecution.executedPlan}")
   }
 
+  test("observe() surfaces per-query metrics without a second pass") {
+    // The query-metrics surface (reference: per-operator native
+    // metrics; Spark-first twin: CollectMetrics). One pass computes
+    // both the result and the observed aggregates.
+    val obs = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var seen: Option[org.apache.spark.sql.Row] = None
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("gate_stats").foreach(r => seen = Some(r))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(obs)
+    try {
+      val out = Tables.t(spark, sfDir, "documents")
+        .observe("gate_stats",
+          count(lit(1)).as("n_in"),
+          sum(when(length($"text") >= 50, 1L).otherwise(0L)).as("n_long"))
+        .filter(length($"text") >= 50)
+      val kept = out.count()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (obs.seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(obs.seen.isDefined, "observed metrics never arrived")
+      val r = obs.seen.get
+      assert(r.getAs[Long]("n_long") == kept,
+        s"observed ${r.getAs[Long]("n_long")} != counted $kept")
+      assert(r.getAs[Long]("n_in") >= kept)
+    } finally spark.listenerManager.unregister(obs)
+  }
+
   test("GraftExplain reports fallback reasons; empty when everything swapped") {
     // initcap is locale/title-casing — unsupported by the string kernels
     val fell = Tables.t(spark, sfDir, "documents")

@@ -245,6 +245,25 @@ class PlanAssertionSuite extends GraftTestBase {
       s"availqty>0.5*sum must ride the (part,supp) equi-join as a post-filter:\n$p")
   }
 
+  test("q137 reads the columnar cache via InMemoryTableScan") {
+    val df = run("q137_cached_scan")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the cached columnar batches to serve the scan:\n$p")
+  }
+
+  test("AQE coalesces the post-shuffle partitions of a small aggregation") {
+    // 32 shuffle partitions over 3 result groups: AQE must coalesce the
+    // read side instead of scheduling 32 near-empty tasks — at 100 TB
+    // the same mechanism right-sizes every stage after the first.
+    val df = run("q36_agg_minmax_avg")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"expected AQE partition coalescing in:\n$p")
+  }
+
   test("q131 CDC compaction pushes a partial WindowGroupLimit below the shuffle") {
     val p = planString(run("q131_cdc_latest"))
     assert(p.contains("WindowGroupLimit"),

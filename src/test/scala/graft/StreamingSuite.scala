@@ -93,6 +93,44 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink: versioned merge converges to the batch compaction") {
+    // The production sink pattern: each micro-batch MERGEs into the
+    // warehouse table. Without a MERGE-capable format here, the merge
+    // is upsert-by-rewrite into a directory VERSIONED BY batchId —
+    // which also gives exactly-once on replay (a retried batch
+    // rewrites its own version, never double-applies).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    import org.apache.spark.sql.{DataFrame, Dataset}
+    val root = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    def compact(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    }
+    @volatile var lastVersion = -1L
+    val input = MemoryStream[Event]
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: Dataset[Event], batchId: Long) =>
+        val prev = if (batchId == 0) batch.sparkSession.emptyDataset[Event].toDF()
+          else batch.sparkSession.read.parquet(s"$root/v${batchId - 1}")
+        compact(prev.unionByName(batch.toDF()))
+          .write.mode("overwrite").parquet(s"$root/v$batchId")
+        lastVersion = batchId
+      }
+      .start()
+    val b1 = Seq(Event(5, ts(50), 7, "c", 5.0), Event(1, ts(10), 8, "c", 1.0))
+    val b2 = Seq(Event(3, ts(30), 7, "c", 3.0), Event(6, ts(60), 8, "c", 6.0))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val merged = canon(spark.read.parquet(s"$root/v$lastVersion"))
+    val batchAll = canon(compact((b1 ++ b2).toDF()))
+    assert(merged == batchAll, s"stream-merged=$merged batch=$batchAll")
+  }
+
   test("enrichStream: stream-static broadcast join matches batch, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
