@@ -261,6 +261,37 @@ object AggregateQueries {
           round(n * m4 / (m2 * m2) - 3, 4) AS kurt,
           CAST(n AS BIGINT) AS n
         FROM mom ORDER BY l_linestatus"""),
-      doc = "skewness/kurtosis (population excess, Spark's definitions) checked against an explicit two-pass moment computation in the oracle; rounded at the partition-order noise floor.")
+      doc = "skewness/kurtosis (population excess, Spark's definitions) checked against an explicit two-pass moment computation in the oracle; rounded at the partition-order noise floor."),
+
+    QueryDef(
+      "q139_misc_aggs",
+      (s, dir) => {
+        import s.implicits._
+        // mode / max_by / min_by / count_if / bool_and / bool_or.
+        // Determinism notes: mode's winner is strict in this data at
+        // every shipped SF (checked; ties would be engine-arbitrary);
+        // max_by/min_by order by a UNIQUE composite (orderkey*10 +
+        // linenumber) so the arg-extremum is single-valued.
+        val ord = $"l_orderkey" * 10 + $"l_linenumber"
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .agg(
+            mode($"l_returnflag").as("mode_flag"),
+            max_by($"l_returnflag", ord).as("last_flag"),
+            min_by($"l_returnflag", ord).as("first_flag"),
+            count_if($"l_discount" > 0.05).as("n_disc"),
+            bool_and($"l_quantity" > 0).as("all_pos"),
+            bool_or($"l_quantity" > 49).as("any_49"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+          mode(l_returnflag) AS mode_flag,
+          max_by(l_returnflag, l_orderkey * 10 + l_linenumber) AS last_flag,
+          min_by(l_returnflag, l_orderkey * 10 + l_linenumber) AS first_flag,
+          count_if(l_discount > 0.05) AS n_disc,
+          bool_and(l_quantity > 0) AS all_pos,
+          bool_or(l_quantity > 49) AS any_49
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+      doc = "mode / max_by / min_by / count_if / bool_and / bool_or: arg-extremum aggregates on a unique composite ordinal, strict-winner mode — all single-shuffle partial-aggregated.")
   )
 }

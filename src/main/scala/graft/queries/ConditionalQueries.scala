@@ -113,6 +113,46 @@ object ConditionalQueries {
           event_type, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""),
-      doc = "Tumbling 6h time-window aggregation over events (window() → struct start/end).")
+      doc = "Tumbling 6h time-window aggregation over events (window() → struct start/end)."),
+
+    QueryDef(
+      "q138_session_window",
+      (s, dir) => {
+        import s.implicits._
+        // Spark's NATIVE session window (SessionWindowing +
+        // MergingSessionsExec) — the built-in twin of q67's manual
+        // lag/running-sum sessionization: groupBy(user, session_window)
+        // merges rows into gap-separated sessions in one shuffle, the
+        // same operator streaming session aggregation uses. Window end
+        // = last event + gap by definition, so the oracle derives it as
+        // max(ts) + 30 min over the same gaps-and-islands grouping.
+        Tables.t(s, dir, "events")
+          .filter($"user_id" < 100)
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,2)")).cast("double").as("session_value"))
+          .select($"user_id", $"w.start".as("w_start"), $"w.end".as("w_end"),
+            $"n_events", $"session_value")
+          .orderBy($"user_id", $"w_start")
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id < 100
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts, value,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM marked)
+        SELECT user_id, min(ts) AS w_start,
+          max(ts) + INTERVAL 30 MINUTE AS w_end,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM numbered GROUP BY user_id, session_seq
+        ORDER BY user_id, w_start"""),
+      doc = "Native session_window sessionization (SessionWindowing/MergingSessions — the operator streaming session aggregation uses); oracle derives identical sessions via gaps-and-islands with end = last event + gap.")
   )
 }
