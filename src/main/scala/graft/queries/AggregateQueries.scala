@@ -292,6 +292,28 @@ object AggregateQueries {
           bool_and(l_quantity > 0) AS all_pos,
           bool_or(l_quantity > 49) AS any_49
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
-      doc = "mode / max_by / min_by / count_if / bool_and / bool_or: arg-extremum aggregates on a unique composite ordinal, strict-winner mode — all single-shuffle partial-aggregated.")
+      doc = "mode / max_by / min_by / count_if / bool_and / bool_or: arg-extremum aggregates on a unique composite ordinal, strict-winner mode — all single-shuffle partial-aggregated."),
+
+    QueryDef(
+      "q140_listagg",
+      (s, dir) => {
+        import s.implicits._
+        // Spark 4 listagg WITHIN GROUP (ORDER BY ...): ordered string
+        // aggregation — deterministic because the within-group sort
+        // totally orders on the unique suppkey. (Unordered listagg is
+        // partition-order-dependent and unusable cross-engine.)
+        Tables.t(s, dir, "supplier")
+          .filter($"s_suppkey" < 40)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            expr("listagg(CAST(s_suppkey AS STRING), ',') WITHIN GROUP (ORDER BY s_suppkey)")
+              .as("members"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+          string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey) AS members
+        FROM supplier WHERE s_suppkey < 40
+        GROUP BY s_nationkey ORDER BY s_nationkey"""),
+      doc = "Spark 4 listagg WITHIN GROUP: ordered string aggregation over a unique sort key (DuckDB twin: string_agg ORDER BY) — deterministic only because the within-group order is total.")
   )
 }
