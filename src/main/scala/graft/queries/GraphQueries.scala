@@ -107,8 +107,14 @@ object GraphQueries {
         // union — the same per-round shuffle shape as the HashMin loop
         // above, but expressed declaratively and planned by Catalyst's
         // recursion operator.
+        // localCheckpoint BEFORE recursing: the recursion re-scans the
+        // working relation every step, and without materialization each
+        // step would re-run the whole Jaccard kernel (measured 13 s →
+        // ~2 s at sf0.1; at 100 TB the pair graph is always a
+        // materialized table, never a view over the kernel).
         DedupQueries.jaccardPairs(Tables.t(s, dir, "documents"), 0.8)
           .select(col("d1"), col("d2"))
+          .localCheckpoint()
           .createOrReplaceTempView("q136_pairs")
         s.sql("""
           WITH RECURSIVE
