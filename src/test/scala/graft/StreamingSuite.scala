@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, session_window}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Event, StreamingOps}
 
@@ -91,6 +92,39 @@ class StreamingSuite extends GraftTestBase {
         .toMap
       assert(batch == expected, s"batch twin diverged: $batch")
     } finally q.stop()
+  }
+
+  test("native session_window aggregation streams: closed sessions match batch q138 logic") {
+    // The built-in streaming session aggregation (the operator q138
+    // pins in batch): watermark closes a session once event time moves
+    // past its end; closed sessions emit in append mode and state
+    // evicts. Complements the custom flatMapGroupsWithState
+    // sessionizer with Spark's own MergingSessions path.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "1 minute")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("w_start"), $"n_events")
+    val q = agg(input.toDF())
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      // user 7: two events 10 min apart (one session), then a far-future
+      // event advances the watermark past the session end → it closes
+      input.addData(Event(1, ts(10), 7, "c", 1.0), Event(2, ts(20), 7, "c", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(600), 9, "c", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("sw").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(closed == Set((7L, ts(10), 2L)), s"got $closed")
+    } finally q.stop()
+    // batch twin over the same rows agrees (plus the still-open session)
+    val batch = agg(Seq(Event(1, ts(10), 7, "c", 1.0), Event(2, ts(20), 7, "c", 2.0),
+      Event(3, ts(600), 9, "c", 3.0)).toDF()).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(batch == Set((7L, ts(10), 2L), (9L, ts(600), 1L)), s"batch got $batch")
   }
 
   test("foreachBatch upsert sink: versioned merge converges to the batch compaction") {
