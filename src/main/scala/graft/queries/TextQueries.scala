@@ -1,3 +1,4 @@
+// (q141 histogram appended at the end of `all`.)
 package graft.queries
 
 import org.apache.spark.sql.Column
@@ -182,6 +183,38 @@ object TextQueries {
           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
           FROM scored)
         WHERE rk <= 3 AND doc_id < 30 ORDER BY doc_id, rk"""),
-      doc = "TF-IDF top-3 terms per doc: tf/df aggregations + smooth-idf scoring + per-doc window top-k — each stage shuffles on its natural key.")
+      doc = "TF-IDF top-3 terms per doc: tf/df aggregations + smooth-idf scoring + per-doc window top-k — each stage shuffles on its natural key."),
+
+    QueryDef(
+      "q141_length_histogram",
+      (s, dir) => {
+        import s.implicits._
+        // Corpus profiling: equi-width histogram of document lengths —
+        // the pass that precedes every threshold choice (quality gates,
+        // packing size, truncation). Bucketing is exact integer
+        // arithmetic (floor division, top bucket clamped), so the
+        // histogram is engine-identical; the share divides two exact
+        // counts once in double. One scan + one tiny shuffle (≤10
+        // groups after map-side partial aggregation).
+        val total = Tables.t(s, dir, "documents")
+          .agg(count(lit(1)).as("n_total"))
+        Tables.t(s, dir, "documents")
+          .select(least(expr("n_chars DIV 100"), lit(9L)).as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(total))
+          .select($"bucket",
+            ($"bucket" * 100).as("lo_chars"),
+            $"n_docs",
+            round($"n_docs".cast("double") / $"n_total".cast("double"), 6).as("share"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH b AS (
+          SELECT least(n_chars // 100, 9) AS bucket FROM documents),
+        tot AS (SELECT count(*) AS n_total FROM documents)
+        SELECT bucket, bucket * 100 AS lo_chars, count(*) AS n_docs,
+          round(count(*) * 1.0 / (SELECT n_total FROM tot), 6) AS share
+        FROM b GROUP BY bucket ORDER BY bucket"""),
+      doc = "Corpus length profiling: exact-integer equi-width histogram with shares — one scan, map-side partials, <=10 groups shuffled.")
   )
 }
