@@ -288,7 +288,7 @@ object AggregateQueries {
           mode(l_returnflag) AS mode_flag,
           max_by(l_returnflag, l_orderkey * 10 + l_linenumber) AS last_flag,
           min_by(l_returnflag, l_orderkey * 10 + l_linenumber) AS first_flag,
-          count_if(l_discount > 0.05) AS n_disc,
+          CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
           bool_and(l_quantity > 0) AS all_pos,
           bool_or(l_quantity > 49) AS any_49
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),

@@ -25,11 +25,15 @@ import graft.{QueryDef, Tables}
   *    order-independent — bit-stable under any partitioning, and
   *    comparable across engines.
   *
-  * 100 TB shapes: q115 shuffles segments once by hash and once by
-  * doc_id; the hot-segment list is df-filtered (tiny) and broadcast.
-  * q116 broadcasts the benchmark index. q117's model table is
-  * vocabulary-sized (broadcast); the corpus is touched by exactly one
-  * explode + one equi-join + one groupBy.
+  * 100 TB shapes: q115 shuffles segments once by 16-byte md5 and once
+  * by doc_id; the hot-segment list is NOT broadcast-hinted — at web
+  * scale boilerplate grows with the corpus, so the anti-join shuffles
+  * on the digest (AQE broadcasts when it genuinely fits). q116
+  * broadcasts the benchmark index — that side is genuinely bounded.
+  * q117's unigram model is likewise unhinted (web vocabularies are
+  * unbounded); the token side joins on xxhash64 longs so the corpus
+  * shuffle carries (doc_id, hash), and the corpus is touched by
+  * exactly one explode + one equi-join + one groupBy.
   */
 object CorpusCleanQueries {
 
@@ -47,13 +51,18 @@ object CorpusCleanQueries {
           .agg(array_join(
             transform(array_sort(collect_list(struct($"pos", $"word"))),
               x => x.getField("word")), " ").as("seg"))
-        // boilerplate = a segment appearing in >= 3 distinct docs; the
-        // hot list is small by construction (df-filtered) → broadcast
-        // anti-join, never a shuffle of the corpus on segment text
+        // boilerplate = a segment appearing in >= 3 distinct docs. NO
+        // broadcast hint on the hot list: at web scale the C4-style
+        // boilerplate set grows with the corpus (billions of lines) and
+        // a hinted broadcast would OOM the driver. The anti-join keys
+        // are 16-byte md5 digests, so the shuffle is cheap, and both
+        // sides hash-partition on the same key — the hot side reuses
+        // the exchange its own groupBy already created. AQE still
+        // broadcasts when the list genuinely fits.
         val hot = seg.groupBy(md5($"seg".cast("binary")).as("h"))
           .agg(countDistinct($"doc_id").as("df"))
           .filter($"df" >= 3).select($"h")
-        val kept = seg.join(broadcast(hot),
+        val kept = seg.join(hot,
           md5($"seg".cast("binary")) === $"h", "left_anti")
         val clean = kept.groupBy($"doc_id")
           .agg(array_join(
@@ -84,7 +93,7 @@ object CorpusCleanQueries {
                coalesce(c.n_seg, 0) AS n_seg
         FROM documents d LEFT JOIN clean c USING (doc_id)
         ORDER BY d.doc_id"""),
-      doc = "C4-style corpus-level span dedup: 8-word segments repeated in >= 3 docs are dropped (broadcast anti-join on the df-filtered hot list), documents reassembled from surviving segments in order."),
+      doc = "C4-style corpus-level span dedup: 8-word segments repeated in >= 3 docs are dropped (unhinted anti-join on 16-byte md5 keys — the hot set grows with the corpus, so no driver broadcast), documents reassembled from surviving segments in order."),
 
     QueryDef(
       "q116_decontamination",
@@ -130,10 +139,20 @@ object CorpusCleanQueries {
         // per-token log-prob quantized to DECIMAL(12,7): the per-doc sum
         // is then exact and order-independent (a raw double sum would be
         // partitioning-dependent and could flip the 6th decimal)
+        // NO broadcast hint on the model table: lp has one row per
+        // DISTINCT corpus token, which at web scale (typos, URLs,
+        // numbers) is unbounded — a hinted broadcast OOMs the driver.
+        // Join on xxhash64(w) longs instead so the token side shuffles
+        // (doc_id, hash) pairs, not strings; w is kept in the key to
+        // make the join exact under hash collisions (the hash is first
+        // in the key list, so partitioning is still hash-led). AQE
+        // still broadcasts when the vocabulary genuinely fits.
         val lp = cnt.crossJoin(broadcast(tot))
-          .select($"w", round(log(($"c" + lit(1.0)) / ($"n" + $"v")), 7)
-            .cast("decimal(12,7)").as("lp"))
-        tok.join(broadcast(lp), Seq("w"))
+          .select(xxhash64($"w").as("wh"), $"w",
+            round(log(($"c" + lit(1.0)) / ($"n" + $"v")), 7)
+              .cast("decimal(12,7)").as("lp"))
+        tok.withColumn("wh", xxhash64($"w"))
+          .join(lp, Seq("wh", "w"))
           .groupBy($"doc_id")
           .agg(round(-(sum($"lp").cast("double") / count(lit(1))), 6).as("nll"),
             count(lit(1)).as("n_tok"))
@@ -148,6 +167,6 @@ object CorpusCleanQueries {
         SELECT doc_id, round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS nll,
                count(*) AS n_tok
         FROM tok JOIN lp USING (w) GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "CCNet-style LM quality gate on an exactly-reproducible model: Laplace-smoothed corpus unigram LM, score = -mean log p(token); decimal-quantized log-probs make the mean order-independent.")
+      doc = "CCNet-style LM quality gate on an exactly-reproducible model: Laplace-smoothed corpus unigram LM, score = -mean log p(token); decimal-quantized log-probs make the mean order-independent; unhinted hash-led join (web vocabularies are unbounded).")
   )
 }

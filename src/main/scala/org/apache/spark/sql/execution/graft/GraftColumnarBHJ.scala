@@ -84,11 +84,24 @@ final class DoubleBuildVector(dt: DataType, values: Array[Double], nulls: Array[
 }
 
 object GraftColumnarBHJExec {
-  /** Long-family types a probe key / build column may have. */
+  /** Long-family types a BUILD OUTPUT column may have (materialized
+    * into the long lane of the match buffers). NOT a valid probe-key
+    * set — see [[probeKeyTypes]].
+    */
   val longFamily: Set[DataType] =
     Set(BooleanType, ByteType, ShortType, IntegerType, LongType,
       DateType, TimestampType, TimestampNTZType)
   val doubleFamily: Set[DataType] = Set(FloatType, DoubleType)
+
+  /** Stream-key types the columnar probe supports: exactly the
+    * single-key shapes Spark rewrites into a LongHashedRelation —
+    * HashJoin.canRewriteAsLongType requires IntegralType (verified in
+    * spark-sql 4.1.2). A Date/Timestamp/Boolean equi-key broadcasts an
+    * UnsafeHashedRelation whose get(Long) throws, so those joins must
+    * stay on the row path.
+    */
+  val probeKeyTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
 
   def supportedBuildType(dt: DataType): Boolean =
     longFamily(dt) || doubleFamily(dt) || dt == StringType
@@ -101,9 +114,9 @@ object GraftColumnarBHJExec {
   * are materialized into primitive/reference arrays as matches are
   * found (UTF8Strings point into the broadcast's stable memory — no
   * copy). Restrictions, enforced by the planning rule: inner join, no
-  * residual condition, ONE long-family equi-key (exactly the shape
-  * Spark builds a LongHashedRelation for), build columns of
-  * long/double/string families.
+  * residual condition, ONE integral equi-key ([[GraftColumnarBHJExec.probeKeyTypes]]
+  * — exactly the shape Spark builds a LongHashedRelation for), build
+  * columns of long/double/string families.
   *
   * Scale note: this node changes HOW a broadcast join executes, not
   * WHAT shuffles — the build side is the same broadcast value the row
@@ -183,12 +196,14 @@ case class GraftColumnarBHJExec(
         val n = batch.numRows()
         probeM.add(n)
         val keys = batch.column(keyOrd)
+        // Sign-extending narrower integrals matches Spark's own
+        // rewriteKeyExpr Cast-to-Long on the build side. Only
+        // probeKeyTypes reach here (planning-rule gate).
         val getKey: Int => Long = keyDt match {
-          case LongType | TimestampType | TimestampNTZType => keys.getLong
-          case IntegerType | DateType => i => keys.getInt(i).toLong
+          case LongType => keys.getLong
+          case IntegerType => i => keys.getInt(i).toLong
           case ShortType => i => keys.getShort(i).toLong
           case ByteType => i => keys.getByte(i).toLong
-          case BooleanType => i => if (keys.getBoolean(i)) 1L else 0L
           case other => throw new IllegalStateException(s"bad key type $other")
         }
         var m = 0 // match count

@@ -116,9 +116,10 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case Left(reason) => f.setTagValue(fallbackReasonTag, reason); f
         }
 
-      // Columnar INNER broadcast hash join: one long-family equi-key
-      // (exactly the shape Spark built a LongHashedRelation for), no
-      // residual condition, supported build output types. The probe
+      // Columnar INNER broadcast hash join: one INTEGRAL equi-key
+      // (the only shape Spark builds a LongHashedRelation for —
+      // HashJoin.canRewriteAsLongType), no residual condition,
+      // supported build output types. The probe
       // consumes the SAME broadcast HashedRelation the row join would.
       // OPT-IN (default off): the A/B bench showed the JVM scalar probe
       // loses to Spark's codegen-FUSED row BHJ across the suite (~65%
@@ -134,11 +135,15 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         val stream = if (buildIsRight) left else right
         val build = if (buildIsRight) right else left
         val streamKey = if (buildIsRight) lk else rk
-        def longFamily(dt: org.apache.spark.sql.types.DataType) =
-          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.longFamily(dt)
+        // Probe keys: integral types ONLY (Byte/Short/Int/Long) — the
+        // shapes HashJoin.canRewriteAsLongType builds a
+        // LongHashedRelation for. Date/Timestamp/Boolean keys broadcast
+        // an UnsafeHashedRelation (get(Long) throws) → row path.
+        def probeKey(dt: org.apache.spark.sql.types.DataType) =
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.probeKeyTypes(dt)
         (streamKey, stream.supportsColumnar) match {
           case (a: AttributeReference, true)
-              if longFamily(a.dataType) &&
+              if probeKey(a.dataType) &&
                 stream.output.exists(_.exprId == a.exprId) &&
                 build.output.forall(at => org.apache.spark.sql.execution.graft
                   .GraftColumnarBHJExec.supportedBuildType(at.dataType)) =>
@@ -156,8 +161,9 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               streamOrBuild, left, right, buildIsRight)
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
-              "broadcast join not columnar-probeable (needs a single long-family " +
-                "attribute key, supported build column types)"); j
+              "broadcast join not columnar-probeable (needs a single integral " +
+                "attribute key — LongHashedRelation shape — and supported build " +
+                "column types)"); j
           case _ => j
         }
 

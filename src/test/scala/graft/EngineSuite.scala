@@ -412,6 +412,64 @@ class EngineSuite extends GraftTestBase {
     }.isEmpty, s"columnar BHJ must be opt-in:\n${row.queryExecution.executedPlan}")
   }
 
+  test("GraftColumnarBHJExec IntegerType key: sign-extended probe matches the Cast-to-Long build") {
+    // Spark rewrites the single int build key to Cast(k, Long) — sign
+    // extension. Negative keys are the case where a zero-extending
+    // probe would silently miss every match.
+    val dir = java.nio.file.Files.createTempDirectory("graft-colbhj-int").toString
+    Seq((1L, Option(-5), 1.5), (2L, Option(7), 2.5), (3L, Option.empty[Int], 3.5),
+      (4L, Option(-5), 4.5), (5L, Option(Int.MinValue), 5.5))
+      .toDF("id", "k", "v").write.mode("overwrite").parquet(s"$dir/stream")
+    Seq((-5, Option("neg")), (7, Option("pos")), (Int.MinValue, Option("min")))
+      .toDF("bk", "tag").write.mode("overwrite").parquet(s"$dir/build")
+    def join() = {
+      val st = spark.read.parquet(s"$dir/stream")
+      val bd = spark.read.parquet(s"$dir/build")
+      st.join(broadcast(bd), $"k" === $"bk", "inner").select($"id", $"k", $"v", $"tag")
+    }
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.bhjEnabledKey -> "true") {
+      val cdf = join()
+      val on = canon(cdf)
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarBHJExec => e
+      }.isDefined, s"expected columnar BHJ on int key:\n${cdf.queryExecution.executedPlan}")
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(join()) }
+      assert(on == off, s"columnar=$on row=$off")
+      assert(cdf.count() == 4) // ids 1,2,4,5 match; id3 null key drops
+    }
+  }
+
+  test("GraftColumnarBHJExec DateType key: rule leaves the row BHJ (UnsafeHashedRelation shape)") {
+    // A date equi-key broadcasts an UnsafeHashedRelation (HashJoin
+    // .canRewriteAsLongType requires IntegralType); probing it with
+    // get(Long) throws. The gate must keep such joins on the row path
+    // even when the columnar BHJ is enabled — and tag why.
+    val dir = java.nio.file.Files.createTempDirectory("graft-colbhj-date").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq((1L, d("2024-01-01"), 1.5), (2L, d("2024-02-01"), 2.5))
+      .toDF("id", "k", "v").write.mode("overwrite").parquet(s"$dir/stream")
+    Seq((d("2024-01-01"), "jan"), (d("2024-02-01"), "feb"))
+      .toDF("bk", "tag").write.mode("overwrite").parquet(s"$dir/build")
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.bhjEnabledKey -> "true") {
+      val st = spark.read.parquet(s"$dir/stream")
+      val bd = spark.read.parquet(s"$dir/build")
+      val df = st.join(broadcast(bd), $"k" === $"bk", "inner")
+        .select($"id", $"v", $"tag")
+      assert(df.collect().length == 2) // must EXECUTE, not crash
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarBHJExec => e
+      }.isEmpty, s"date key must stay on the row BHJ:\n${df.queryExecution.executedPlan}")
+      val tagged = findExec(df) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).isDefined =>
+          j.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).get
+      }
+      assert(tagged.exists(_.contains("integral")),
+        s"expected integral-key fallback tag, got $tagged in:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("observe() surfaces per-query metrics without a second pass") {
     // The query-metrics surface (reference: per-operator native
     // metrics; Spark-first twin: CollectMetrics). One pass computes

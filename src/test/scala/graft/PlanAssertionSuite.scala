@@ -354,6 +354,25 @@ class PlanAssertionSuite extends GraftTestBase {
     }
   }
 
+  test("q115/q117 unbounded sides carry NO broadcast hint — AQE decides at runtime") {
+    // Both formerly-hinted sides grow with corpus size (boilerplate
+    // segments, vocabulary), so a static broadcast() hint would OOM
+    // the driver at 100 TB. The plans must leave broadcast to AQE's
+    // size-measured decision. q117 keeps exactly one hint: the
+    // single-row totals, which is bounded by construction.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val h115 = run("q115_corpus_span_dedup")
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(h115.isEmpty, s"q115 must carry no broadcast hints, found: $h115")
+    val q117 = run("q117_unigram_lm_score")
+    val h117 = q117.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(h117.size == 1,
+      s"q117 may hint only the single-row totals, found ${h117.size}: $h117")
+    // the corpus-side join is hash-led: xxhash64 longs lead the key
+    assert(planString(q117).contains("xxhash64"),
+      "q117 token join must be keyed on xxhash64 longs")
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     // Plain scan→project (no AQE exchange wrapping): the projection
     // computing cosine_sim must sit inside a WholeStageCodegen span.
