@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.graft.CosineSimilarity
+import org.apache.spark.sql.graft.{CosineSimilarity, PiiDetect, PiiPatterns, PiiRedact}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine plugin (SURVEY §7.1 "custom work": the extension/plugin
   * skeleton mirroring the reference's CometSparkSessionExtensions.scala:
@@ -72,6 +74,31 @@ object GraftExtensions {
       BloomFilterMightContain(children.head, children(1))
     })
 
+  /** The optional class list must be a STRING LITERAL so unsupported
+    * class names fail at analysis, not on an executor mid-scan.
+    */
+  private def piiClassArg(children: Seq[Expression], fn: String): Seq[String] =
+    children match {
+      case Seq(_) => PiiPatterns.parseClasses("")
+      case Seq(_, Literal(csv: UTF8String, StringType)) =>
+        PiiPatterns.parseClasses(csv.toString)
+      case _ => throw new IllegalArgumentException(
+        s"$fn takes (text[, 'cc,email,...' string literal])")
+    }
+
+  val piiDetectDescriptor: Descriptor = (
+    FunctionIdentifier("pii_detect"),
+    new ExpressionInfo(classOf[PiiDetect].getName, "pii_detect"),
+    (children: Seq[Expression]) =>
+      PiiDetect(children.head, piiClassArg(children, "pii_detect")))
+
+  val piiRedactDescriptor: Descriptor = (
+    FunctionIdentifier("pii_redact"),
+    new ExpressionInfo(classOf[PiiRedact].getName, "pii_redact"),
+    (children: Seq[Expression]) =>
+      PiiRedact(children.head, piiClassArg(children, "pii_redact")))
+
   val functionDescriptors: Seq[Descriptor] =
-    Seq(cosineSimDescriptor, bloomAggDescriptor, mightContainDescriptor)
+    Seq(cosineSimDescriptor, bloomAggDescriptor, mightContainDescriptor,
+      piiDetectDescriptor, piiRedactDescriptor)
 }

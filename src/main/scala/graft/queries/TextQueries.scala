@@ -215,6 +215,79 @@ object TextQueries {
         SELECT bucket, bucket * 100 AS lo_chars, count(*) AS n_docs,
           round(count(*) * 1.0 / (SELECT n_total FROM tot), 6) AS share
         FROM b GROUP BY bucket ORDER BY bucket"""),
-      doc = "Corpus length profiling: exact-integer equi-width histogram with shares — one scan, map-side partials, <=10 groups shuffled.")
+      doc = "Corpus length profiling: exact-integer equi-width histogram with shares — one scan, map-side partials, <=10 groups shuffled."),
+
+    QueryDef(
+      "q142_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        // PII detection + redaction (builder brief text-analysis list;
+        // reference analogue: serde/strings.scala:34-428 regexp
+        // machinery). The synthetic corpus has no PII, so a
+        // deterministic doc_id-derived tail plants each class in a
+        // known subset of documents — both engines construct the SAME
+        // text and run the SAME RE2-compatible regexes, so the oracle
+        // is exact. The pipeline itself is the 100 TB shape: one scan,
+        // per-row codegen'd expressions, zero shuffles before the
+        // ORDER BY.
+        val docs = Tables.t(s, dir, "documents")
+        val withPii = docs.select($"doc_id",
+          concat_ws(" ", $"text",
+            when($"doc_id" % 3 === 0,
+              format_string("reach user%d@example.com", $"doc_id")),
+            when($"doc_id" % 4 === 0,
+              format_string("call 555-%03d-%04d",
+                $"doc_id" % 1000, $"doc_id" % 10000)),
+            when($"doc_id" % 5 === 0,
+              format_string("ssn 123-45-%04d", $"doc_id" % 10000)),
+            when($"doc_id" % 7 === 0,
+              format_string("card 4111-1111-1111-%04d", $"doc_id" % 10000)),
+            when($"doc_id" % 2 === 0,
+              format_string("from 10.0.%d.%d",
+                expr("(doc_id DIV 256) % 256"), $"doc_id" % 256))).as("t"))
+        withPii.select($"doc_id",
+            expr("pii_detect(t)").as("classes"),
+            expr("pii_redact(t)").as("redacted"),
+            expr("pii_redact(t, 'email')").as("email_only"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH pii AS (
+          SELECT doc_id, concat_ws(' ', text,
+            CASE WHEN doc_id % 3 = 0 THEN printf('reach user%d@example.com', doc_id) END,
+            CASE WHEN doc_id % 4 = 0 THEN printf('call 555-%03d-%04d', doc_id % 1000, doc_id % 10000) END,
+            CASE WHEN doc_id % 5 = 0 THEN printf('ssn 123-45-%04d', doc_id % 10000) END,
+            CASE WHEN doc_id % 7 = 0 THEN printf('card 4111-1111-1111-%04d', doc_id % 10000) END,
+            CASE WHEN doc_id % 2 = 0 THEN printf('from 10.0.%d.%d', (doc_id // 256) % 256, doc_id % 256) END) AS t
+          FROM documents)
+        SELECT doc_id,
+          concat_ws(',',
+            CASE WHEN regexp_matches(t, '${PiiOracleRe.cc}') THEN 'cc' END,
+            CASE WHEN regexp_matches(t, '${PiiOracleRe.email}') THEN 'email' END,
+            CASE WHEN regexp_matches(t, '${PiiOracleRe.ip}') THEN 'ip' END,
+            CASE WHEN regexp_matches(t, '${PiiOracleRe.phone}') THEN 'phone' END,
+            CASE WHEN regexp_matches(t, '${PiiOracleRe.ssn}') THEN 'ssn' END) AS classes,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '${PiiOracleRe.email}', '[EMAIL]', 'g'),
+            '${PiiOracleRe.cc}', '[CC]', 'g'),
+            '${PiiOracleRe.ssn}', '[SSN]', 'g'),
+            '${PiiOracleRe.phone}', '[PHONE]', 'g'),
+            '${PiiOracleRe.ip}', '[IP]', 'g') AS redacted,
+          regexp_replace(t, '${PiiOracleRe.email}', '[EMAIL]', 'g') AS email_only
+        FROM pii ORDER BY doc_id"""),
+      doc = "PII detect + redact (email/phone/ssn/cc/ip) over codegen'd native expressions; RE2-compatible patterns shared verbatim with the oracle; class-restricted variant exercises the literal class-list arg.")
   )
+}
+
+/** The exact regex text [[org.apache.spark.sql.graft.PiiPatterns]]
+  * compiles, re-escaped for embedding in a single-quoted SQL literal
+  * (the patterns contain no quotes, so this is a pass-through — the
+  * indirection just guarantees oracle and engine can never drift).
+  */
+private object PiiOracleRe {
+  import org.apache.spark.sql.graft.PiiPatterns
+  val email: String = PiiPatterns.EMAIL
+  val cc: String = PiiPatterns.CC
+  val ssn: String = PiiPatterns.SSN
+  val phone: String = PiiPatterns.PHONE
+  val ip: String = PiiPatterns.IP
 }

@@ -412,6 +412,61 @@ class EngineSuite extends GraftTestBase {
     }.isEmpty, s"columnar BHJ must be opt-in:\n${row.queryExecution.executedPlan}")
   }
 
+  test("pii_detect/pii_redact: per-class semantics, null propagation, codegen parity") {
+    val rows = spark.sql(
+      """SELECT pii_detect(t) AS classes, pii_redact(t) AS red,
+        |       pii_redact(t, 'email,ssn') AS partial
+        |FROM VALUES
+        |  ('mail bob.smith+x@sub.example.org now'),
+        |  ('call 555-123-4567 or card 4111 1111 1111 1234'),
+        |  ('ssn 123-45-6789 ip 192.168.0.1'),
+        |  ('nothing to see here'),
+        |  (CAST(NULL AS STRING)) AS v(t)""".stripMargin).collect()
+    assert(rows(0).getString(0) == "email")
+    assert(rows(0).getString(1) == "mail [EMAIL] now")
+    assert(rows(1).getString(0) == "cc,phone")
+    assert(rows(1).getString(1) == "call [PHONE] or card [CC]")
+    assert(rows(1).getString(2) == "call 555-123-4567 or card 4111 1111 1111 1234")
+    assert(rows(2).getString(0) == "ip,ssn")
+    assert(rows(2).getString(1) == "ssn [SSN] ip [IP]")
+    assert(rows(2).getString(2) == "ssn [SSN] ip 192.168.0.1")
+    assert(rows(3).getString(0) == "" && rows(3).getString(1) == "nothing to see here")
+    assert(rows(4).isNullAt(0) && rows(4).isNullAt(1) && rows(4).isNullAt(2))
+    // interpreted path must agree with codegen
+    val cg = withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      spark.sql("SELECT pii_redact('a x@y.zz 123-45-6789 b')").collect().head.getString(0)
+    }
+    assert(cg == "a [EMAIL] [SSN] b")
+  }
+
+  test("pii functions reject unknown class names at analysis, not on executors") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT pii_redact('x', 'passport')").collect()
+    }
+    assert(e.getMessage.contains("unsupported PII class"),
+      s"expected class-validation error, got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT pii_detect('x', upper('email'))").collect()
+    }
+    assert(e2.getMessage.contains("string literal"),
+      s"expected literal-arg error, got: ${e2.getMessage}")
+  }
+
+  test("pii_redact projection falls back from the columnar path with a tagged reason") {
+    // The columnar project kernels don't compile pii_redact — the rule
+    // must leave the row ProjectExec in place and tag why.
+    val df = Tables.t(spark, sfDir, "documents")
+      .selectExpr("pii_redact(text) AS clean")
+    df.collect()
+    val tagged = findExec(df) {
+      case p: org.apache.spark.sql.execution.ProjectExec
+          if p.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).isDefined =>
+        p.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).get
+    }
+    assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
+  }
+
   test("GraftColumnarBHJExec IntegerType key: sign-extended probe matches the Cast-to-Long build") {
     // Spark rewrites the single int build key to Cast(k, Long) — sign
     // extension. Negative keys are the case where a zero-extending
