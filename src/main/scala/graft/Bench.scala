@@ -21,6 +21,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A/B instrumentation: extra session confs ("k=v,k2=v2") and a
+    // query-name filter, so operator gates can be measured without
+    // code edits (the BHJ/finalAgg A/B methodology).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val parts = kv.split("=", 2)
+      if (parts.length == 2) spark.conf.set(parts(0).trim, parts(1).trim)
+    })
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -39,6 +48,7 @@ object Bench {
     // so run 1's codegen-compile cost doesn't masquerade as query cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val timings = collection.mutable.LinkedHashMap[String, Double]()
     val errors = collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>

@@ -307,4 +307,54 @@ object GraftColumnarAgg {
           s"(${other.children.map(_.getClass.getSimpleName).mkString(",")})")
     }
   }
+
+  /** The finalized result type a spec emits in Final mode — must equal
+    * the AggregateExpression's resultAttribute type or the swap is
+    * unsound. */
+  def finalType(s: AggSpec): DataType = s match {
+    case CountSpec(_) => LongType
+    case SumDoubleSpec(_, _) => DoubleType
+    case MinMaxLongSpec(_, dt, _) => dt
+    case MinMaxDoubleSpec(_, dt, _) => dt
+    case MinMaxStringSpec(_, _) => StringType
+    case AvgSpec(_, _) => DoubleType
+  }
+
+  /** Compile one FINAL-mode AggregateExpression into a spec whose `col`
+    * is the ordinal of the function's FIRST input buffer attribute in
+    * the child (shuffle) output — merge semantics read the partial
+    * buffers, not the original input. The function's own child
+    * expressions are used only for their data types (they reference
+    * pre-shuffle attributes that no longer exist here).
+    */
+  def compileFinal(ae: AggregateExpression, bufOrd: Attribute => Int): Either[String, AggSpec] = {
+    if (ae.mode != Final) return scala.Left(s"mode ${ae.mode} is not Final")
+    if (ae.isDistinct) return scala.Left("DISTINCT aggregate")
+    if (ae.filter.isDefined) return scala.Left("FILTER clause")
+    val bufs = ae.aggregateFunction.inputAggBufferAttributes.map(bufOrd)
+    if (bufs.exists(_ < 0))
+      return scala.Left("input buffer attributes not found in child output")
+    val c = bufs.head
+    ae.aggregateFunction match {
+      case Count(_) => scala.Right(CountSpec(c))
+      case Sum(e, _) if e.dataType == DoubleType || e.dataType == FloatType =>
+        scala.Right(SumDoubleSpec(c, e.dataType))
+      case Min(e) if longFamily(e.dataType) =>
+        scala.Right(MinMaxLongSpec(c, e.dataType, isMin = true))
+      case Max(e) if longFamily(e.dataType) =>
+        scala.Right(MinMaxLongSpec(c, e.dataType, isMin = false))
+      case Min(e) if e.dataType == DoubleType || e.dataType == FloatType =>
+        scala.Right(MinMaxDoubleSpec(c, e.dataType, isMin = true))
+      case Max(e) if e.dataType == DoubleType || e.dataType == FloatType =>
+        scala.Right(MinMaxDoubleSpec(c, e.dataType, isMin = false))
+      case Min(e) if e.dataType == StringType =>
+        scala.Right(MinMaxStringSpec(c, isMin = true))
+      case Max(e) if e.dataType == StringType =>
+        scala.Right(MinMaxStringSpec(c, isMin = false))
+      case Average(e, _) if numeric(e.dataType) && bufs == Seq(c, c + 1) =>
+        scala.Right(AvgSpec(c, e.dataType))
+      case other =>
+        scala.Left(s"unsupported final aggregate: ${other.getClass.getSimpleName}")
+    }
+  }
 }

@@ -17,39 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final case class GroupKeySpec(col: Int, dt: DataType) extends Serializable
 
-/** Columnar partial HashAggregate WITH grouping keys: accumulates
-  * per-group buffers directly on the scan's ColumnarBatches and emits
-  * one row per group per partition in Spark's partial-buffer layout —
-  * the unmodified final HashAggregate merges them after the shuffle on
-  * the keys.
-  *
-  * Memory bound (the part that makes this 100 TB-safe on
-  * high-cardinality keys): when a partition's hash table exceeds
-  * `maxGroups`, the current groups are FLUSHED as a batch and the table
-  * resets — partial aggregation is allowed to emit multiple buffer rows
-  * per key, the final merge is unaffected. This mirrors Spark's own
-  * partial-agg behavior of falling back to emitting unmerged rows when
-  * its map fills (spark.sql.aggregate.skipPartialAggregate heuristics)
-  * — bounded memory, no spill file needed at the partial stage.
-  *
-  * Reference analogue: native grouped HashAggregate partial mode
-  * (planner.rs agg serde; JVM wiring operators.scala:386-776).
+/** Growable per-group accumulator state for one hash-table epoch —
+  * shared by the partial ([[GraftColumnarGroupedAggExec]]) and final
+  * ([[org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec]])
+  * grouped aggregation operators.
   */
-case class GraftColumnarGroupedAggExec(
-    output: Seq[Attribute], keys: Seq[GroupKeySpec], specs: Seq[AggSpec],
-    child: SparkPlan, maxGroups: Int)
-    extends UnaryExecNode {
-
-  override def supportsColumnar: Boolean = true
-  override def outputPartitioning = child.outputPartitioning
-
-  override lazy val metrics = Map(
-    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output (group) rows"),
-    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "hash-table flushes (incl. final)"))
-
-  /** Growable per-group accumulator state for one hash-table epoch. */
-  private final class GroupState(nSpecs: Int, nKeys: Int) {
+private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int) {
     var capacity = 1024
     var nGroups = 0
     // group key storage: one column-major array per key
@@ -137,7 +110,38 @@ case class GraftColumnarGroupedAggExec(
         s += 1
       }
     }
-  }
+}
+
+/** Columnar partial HashAggregate WITH grouping keys: accumulates
+  * per-group buffers directly on the scan's ColumnarBatches and emits
+  * one row per group per partition in Spark's partial-buffer layout —
+  * the final HashAggregate (row, or [[org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec]])
+  * merges them after the shuffle on the keys.
+  *
+  * Memory bound (the part that makes this 100 TB-safe on
+  * high-cardinality keys): when a partition's hash table exceeds
+  * `maxGroups`, the current groups are FLUSHED as a batch and the table
+  * resets — partial aggregation is allowed to emit multiple buffer rows
+  * per key, the final merge is unaffected. This mirrors Spark's own
+  * partial-agg behavior of falling back to emitting unmerged rows when
+  * its map fills (spark.sql.aggregate.skipPartialAggregate heuristics)
+  * — bounded memory, no spill file needed at the partial stage.
+  *
+  * Reference analogue: native grouped HashAggregate partial mode
+  * (planner.rs agg serde; JVM wiring operators.scala:386-776).
+  */
+case class GraftColumnarGroupedAggExec(
+    output: Seq[Attribute], keys: Seq[GroupKeySpec], specs: Seq[AggSpec],
+    child: SparkPlan, maxGroups: Int)
+    extends UnaryExecNode {
+
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning = child.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output (group) rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "hash-table flushes (incl. final)"))
 
   private def longGetter(v: ColumnVector, dt: DataType): Int => Long = dt match {
     case ByteType => v.getByte(_).toLong
@@ -158,7 +162,7 @@ case class GraftColumnarGroupedAggExec(
 
     child.executeColumnar().mapPartitionsInternal { iter =>
       import AggSpec._
-      val st = new GroupState(nSpecs, nKeys)
+      val st = new GroupAggState(nSpecs, nKeys)
 
       /** composite lookup key (boxed; null-safe). Single long key uses
         * the boxed Long directly — no tuple allocation. */

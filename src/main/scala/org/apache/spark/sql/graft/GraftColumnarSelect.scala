@@ -167,6 +167,82 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case _ => j
         }
 
+      // Grouped FINAL aggregation: merge the shuffled partial-buffer
+      // rows columnar and emit finalized vectors. Child is the exchange
+      // (row stream) — the operator reads rows, so no RowToColumnar
+      // materialization sneaks in. Swaps only when every grouping key /
+      // function / result expression is the plain shape the kernel
+      // reproduces exactly.
+      case agg: HashAggregateExec
+          if agg.groupingExpressions.nonEmpty && !agg.child.supportsColumnar &&
+            agg.aggregateExpressions.nonEmpty &&
+            agg.aggregateExpressions.forall(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Final) &&
+            finalAggEnabled(session) =>
+        val bufOrd: Attribute => Int =
+          a => agg.child.output.indexWhere(_.exprId == a.exprId)
+        val keySpecs = agg.groupingExpressions.map {
+          case a: AttributeReference
+              if bufOrd(a) >= 0 && GraftColumnarGroupedAggExec.supportedKeyTypes(a.dataType) =>
+            scala.Right(GroupKeySpec(bufOrd(a), a.dataType))
+          case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
+        }
+        val compiled = agg.aggregateExpressions.map(ae =>
+          GraftColumnarAgg.compileFinal(ae, bufOrd))
+        (keySpecs ++ compiled).collectFirst { case scala.Left(e) => e } match {
+          case Some(reason) =>
+            agg.setTagValue(fallbackReasonTag, reason); agg
+          case None =>
+            val ks = keySpecs.collect { case scala.Right(k) => k }
+            val specs = compiled.collect { case scala.Right(s) => s }
+            val keyAttrs = agg.groupingExpressions.collect {
+              case a: AttributeReference => a }
+            val aggResults = agg.aggregateExpressions.map(_.resultAttribute)
+            val typesOk =
+              aggResults.zip(specs).forall { case (a, s) =>
+                a.dataType == GraftColumnarAgg.finalType(s) }
+            if (!typesOk) {
+              agg.setTagValue(fallbackReasonTag,
+                "final aggregate result types differ from the kernel's"); agg
+            } else {
+              // Direct shape: every result expression is a (possibly
+              // aliased, possibly reordered) plain reference to a key
+              // or an aggregate result → the kernel emits agg.output
+              // itself. Otherwise emit the plain values columnar and
+              // let a row Project above evaluate the computed results
+              // (CollapseProject folds e.g. round(sum(..)) into the
+              // aggregate's resultExpressions — a 6-row projection, not
+              // worth keeping the whole merge on the row path for).
+              val keyIds = keyAttrs.map(_.exprId)
+              val aggIds = aggResults.map(_.exprId)
+              def src(a: Attribute): Option[Either[Int, Int]] = {
+                val k = keyIds.indexOf(a.exprId)
+                if (k >= 0) Some(scala.Left(k))
+                else {
+                  val s = aggIds.indexOf(a.exprId)
+                  if (s >= 0) Some(scala.Right(s)) else None
+                }
+              }
+              val mapped = agg.resultExpressions.map {
+                case a: AttributeReference => src(a)
+                case Alias(a: AttributeReference, _) => src(a)
+                case _ => None
+              }
+              if (mapped.forall(_.isDefined)) {
+                org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec(
+                  agg.output, ks, specs, mapped.flatten, agg.child)
+              } else {
+                val plainOut: Seq[Attribute] = keyAttrs ++ aggResults
+                val plainMap: Seq[Either[Int, Int]] =
+                  keyAttrs.indices.map(scala.Left(_)) ++
+                    specs.indices.map(scala.Right(_))
+                ProjectExec(agg.resultExpressions,
+                  org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec(
+                    plainOut, ks, specs, plainMap, agg.child))
+              }
+            }
+        }
+
       // Grouped partial aggregation (HashAggregate only — swapping a
       // SortAggregate would orphan the sort the planner put below it):
       // attribute-only keys of long-family/string types, compilable
@@ -257,4 +333,13 @@ object GraftColumnarRule {
   val bhjEnabledKey = "spark.graft.columnar.bhj.enabled"
   def bhjEnabled(session: SparkSession): Boolean =
     session.conf.getOption(bhjEnabledKey).exists(_.toBoolean)
+
+  /** Grouped FINAL-mode columnar aggregation — default ON (A/B showed
+    * parity: the final stage merges #groups × #map-partitions buffer
+    * rows, far off the scan's hot path; set false to keep the row
+    * final HashAggregate).
+    */
+  val finalAggEnabledKey = "spark.graft.columnar.finalAgg.enabled"
+  def finalAggEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(finalAggEnabledKey).forall(_.toBoolean)
 }

@@ -104,7 +104,10 @@ class EngineSuite extends GraftTestBase {
     PlanAuditRule.reset()
     Tables.t(spark, sfDir, "region").groupBy("r_name").count().collect()
     val snap = PlanAuditRule.snapshot
-    assert(snap.keys.exists(_.toLowerCase.contains("aggregate")), s"snapshot=$snap")
+    // both agg stages may have swapped to Graft columnar nodes
+    assert(snap.keys.exists(k => k.toLowerCase.contains("aggregate") ||
+      k.contains("GraftColumnarGroupedAgg") || k.contains("GraftColumnarFinalAgg")),
+      s"snapshot=$snap")
     assert(PlanAuditRule.cartesianCount == 0)
   }
 
@@ -410,6 +413,47 @@ class EngineSuite extends GraftTestBase {
     assert(findExec(row) {
       case e: org.apache.spark.sql.execution.graft.GraftColumnarBHJExec => e
     }.isEmpty, s"columnar BHJ must be opt-in:\n${row.queryExecution.executedPlan}")
+  }
+
+  test("GraftColumnarFinalAggExec merges buffers identically to the row final HashAggregate") {
+    // all supported spec kinds at once, null keys, null-only groups,
+    // multi-flush partials (tiny maxGroups forces duplicate buffer rows
+    // per key so the final merge is genuinely exercised)
+    val dir = java.nio.file.Files.createTempDirectory("graft-finalagg").toString
+    Seq(
+      (Option(1L), Option(1.5), Option(10), Option("b"), Option(2.0f)),
+      (Option(1L), Option(2.5), Option(3), Option("a"), Option.empty[Float]),
+      (Option(2L), Option.empty[Double], Option.empty[Int], Option.empty[String], Option(1.0f)),
+      (Option.empty[Long], Option(9.0), Option(7), Option("z"), Option(3.5f)),
+      (Option.empty[Long], Option(1.0), Option(8), Option("y"), Option(0.5f)),
+      (Option(3L), Option(Double.NaN), Option(5), Option("m"), Option(4.0f)))
+      .toDF("k", "d", "n", "s", "f")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/t")
+    // no string min/max: those buffers force a SortAggregate, which
+    // neither the partial nor the final columnar swap targets
+    def q() = spark.read.parquet(s"$dir/t")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), count($"d").as("cnt_d"), sum($"d").as("sum_d"),
+        min($"n").as("min_n"), max($"n").as("max_n"),
+        max($"d").as("max_d"), min($"f").as("min_f"), avg($"n").as("avg_n"))
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarGroupedAggExec.maxGroupsKey -> "1") {
+      val cdf = q()
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec => e
+      }.isDefined, s"expected columnar final agg in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.finalAggEnabledKey -> "false") {
+        val rdf = q()
+        rdf.collect()
+        assert(findExec(rdf) {
+          case e: org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec => e
+        }.isEmpty, "finalAgg flag must gate the swap")
+        canon(rdf)
+      }
+      assert(on == off, s"columnar=$on row=$off")
+    }
   }
 
   test("pii_detect/pii_redact: per-class semantics, null propagation, codegen parity") {

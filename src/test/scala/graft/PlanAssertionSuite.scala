@@ -326,12 +326,14 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the whole pre-shuffle stage columnar in:\n$p")
   }
 
-  test("q113 accumulates its grouped partial aggregation on ColumnarBatch") {
+  test("q113 runs BOTH grouped aggregation stages on ColumnarBatch") {
     val df = run("q113_columnar_grouped_agg")
     df.collect()
     val p = planString(df)
     assert(p.contains("GraftColumnarGroupedAgg"),
-      s"expected the grouped columnar agg swap in:\n$p")
+      s"expected the grouped columnar partial agg swap in:\n$p")
+    assert(p.contains("GraftColumnarFinalAgg"),
+      s"expected the columnar FINAL agg above the exchange in:\n$p")
     assert(p.contains("GraftColumnarFilter"),
       s"expected the whole pre-shuffle stage columnar in:\n$p")
   }
