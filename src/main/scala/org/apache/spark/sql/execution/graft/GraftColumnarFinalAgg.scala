@@ -83,60 +83,62 @@ case class GraftColumnarFinalAggExec(
       val st = new GroupAggState(nSpecs, nKeys)
       val keyGetters = keysLocal.map(k => rowLongGetter(k.dt)).toArray
 
+      // per-row scratch for the multi-key / string-key hash-probe path
+      // (same scheme as the partial stage: 64-bit mixed hash probed
+      // through the open-addressing table, verified against the cloned
+      // per-group key columns — no boxed composite keys)
+      val pNull = new Array[Boolean](nKeys)
+      val pLong = new Array[Long](nKeys)
+      val pStr = new Array[UTF8String](nKeys)
+      val eqFn: Int => Boolean = { gid =>
+        var p = 0
+        var same = true
+        while (same && p < nKeys) {
+          same =
+            if (pNull(p) || st.keyNull(p)(gid)) pNull(p) == st.keyNull(p)(gid)
+            else if (pStr(p) ne null) pStr(p).equals(st.keyStr(p)(gid))
+            else pLong(p) == st.keyLong(p)(gid)
+          p += 1
+        }
+        same
+      }
+
       /** register/lookup the group of one buffer row. Key values are
         * CLONED (UnsafeRow memory is reused by the shuffle iterator).
         */
       def groupId(r: InternalRow): Int = {
-        val k: AnyRef =
-          if (nKeys == 1) {
-            val ks = keysLocal(0)
-            if (r.isNullAt(ks.col)) GraftColumnarGroupedAggHelper.NullKey
-            else if (ks.dt == StringType) r.getUTF8String(ks.col)
-            else java.lang.Long.valueOf(keyGetters(0)(r, ks.col))
-          } else {
-            val parts = new Array[AnyRef](nKeys)
-            var i = 0
-            while (i < nKeys) {
-              val ks = keysLocal(i)
-              parts(i) =
-                if (r.isNullAt(ks.col)) GraftColumnarGroupedAggHelper.NullKey
-                else if (ks.dt == StringType) r.getUTF8String(ks.col)
-                else java.lang.Long.valueOf(keyGetters(i)(r, ks.col))
-              i += 1
-            }
-            java.util.Arrays.asList(parts: _*)
+        var h = -3750763034362895579L
+        var p = 0
+        while (p < nKeys) {
+          val ks = keysLocal(p)
+          var x = 0L
+          if (r.isNullAt(ks.col)) { pNull(p) = true; pStr(p) = null; x = 0x9E3779B97F4A7C15L }
+          else {
+            pNull(p) = false
+            if (ks.dt == StringType) {
+              val s = r.getUTF8String(ks.col); pStr(p) = s; x = s.hashCode.toLong
+            } else { pStr(p) = null; val l = keyGetters(p)(r, ks.col); pLong(p) = l; x = l }
           }
-        val existing = st.index.get(k)
-        if (existing != null) existing.intValue()
+          h = (h ^ x) * 0xff51afd7ed558ccdL
+          h ^= h >>> 29
+          p += 1
+        }
+        val slot = st.probeGetVerified(h, eqFn)
+        if (slot >= 0) slot
         else {
           if (st.nGroups == st.capacity) st.grow()
           val gid = st.nGroups
           var i = 0
-          var stable: AnyRef = k
           while (i < nKeys) {
-            val ks = keysLocal(i)
-            if (r.isNullAt(ks.col)) st.keyNull(i)(gid) = true
-            else if (ks.dt == StringType) {
-              val s = r.getUTF8String(ks.col).clone()
-              st.keyStr(i)(gid) = s
-              if (nKeys == 1) stable = s
-            } else st.keyLong(i)(gid) = keyGetters(i)(r, ks.col)
+            st.keyNull(i)(gid) = pNull(i)
+            if (!pNull(i)) {
+              if (pStr(i) ne null) st.keyStr(i)(gid) = pStr(i).clone()
+              else st.keyLong(i)(gid) = pLong(i)
+            }
             i += 1
           }
-          if (nKeys > 1) {
-            val parts = new Array[AnyRef](nKeys)
-            var j = 0
-            while (j < nKeys) {
-              parts(j) =
-                if (st.keyNull(j)(gid)) GraftColumnarGroupedAggHelper.NullKey
-                else if (keysLocal(j).dt == StringType) st.keyStr(j)(gid)
-                else java.lang.Long.valueOf(st.keyLong(j)(gid))
-              j += 1
-            }
-            stable = java.util.Arrays.asList(parts: _*)
-          }
-          st.index.put(stable, Integer.valueOf(gid))
           st.nGroups += 1
+          st.probePut(slot, h, gid)
           gid
         }
       }
@@ -310,9 +312,4 @@ case class GraftColumnarFinalAggExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): GraftColumnarFinalAggExec =
     copy(child = newChild)
-}
-
-private[graft] object GraftColumnarGroupedAggHelper {
-  /** sentinel for NULL inside lookup keys (HashMap-safe). */
-  case object NullKey
 }

@@ -167,6 +167,34 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case _ => j
         }
 
+      // Expand (rollup/cube/grouping-sets fan-out): each projection
+      // item must be an input attribute (zero-copy pass-through) or a
+      // constant-vector-representable literal (the nulled grouping
+      // columns and the grouping-id). Anything computed keeps the row
+      // path with a tagged reason.
+      case e: org.apache.spark.sql.execution.ExpandExec
+          if e.child.supportsColumnar && expandEnabled(session) =>
+        import org.apache.spark.sql.execution.graft.{ConstCol, ExpandCol, GraftColumnarExpandExec, InputCol}
+        val compiled: Seq[Seq[Either[String, ExpandCol]]] = e.projections.map(_.map {
+          case a: AttributeReference
+              if e.child.output.exists(_.exprId == a.exprId) =>
+            scala.Right(InputCol(e.child.output.indexWhere(_.exprId == a.exprId)))
+          case Alias(a: AttributeReference, _)
+              if e.child.output.exists(_.exprId == a.exprId) =>
+            scala.Right(InputCol(e.child.output.indexWhere(_.exprId == a.exprId)))
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+              if l.value == null || GraftColumnarExpandExec.supportedConstType(l.dataType) =>
+            scala.Right(ConstCol(l.value, l.dataType))
+          case other =>
+            scala.Left(s"unsupported expand item: ${other.getClass.getSimpleName}")
+        })
+        compiled.flatten.collectFirst { case scala.Left(r) => r } match {
+          case Some(reason) => e.setTagValue(fallbackReasonTag, reason); e
+          case None =>
+            GraftColumnarExpandExec(e.output,
+              compiled.map(_.collect { case scala.Right(c) => c }), e.child)
+        }
+
       // Grouped FINAL aggregation: merge the shuffled partial-buffer
       // rows columnar and emit finalized vectors. Child is the exchange
       // (row stream) — the operator reads rows, so no RowToColumnar
@@ -342,4 +370,13 @@ object GraftColumnarRule {
   val finalAggEnabledKey = "spark.graft.columnar.finalAgg.enabled"
   def finalAggEnabled(session: SparkSession): Boolean =
     session.conf.getOption(finalAggEnabledKey).forall(_.toBoolean)
+
+  /** Columnar Expand — default ON (A/B at parity-or-better: the swap
+    * replaces P projections × R rows of per-row copying with P × C
+    * zero-copy column references, and keeps the Expand → partial
+    * grouped agg pipeline on ColumnarBatch end to end).
+    */
+  val expandEnabledKey = "spark.graft.columnar.expand.enabled"
+  def expandEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(expandEnabledKey).forall(_.toBoolean)
 }

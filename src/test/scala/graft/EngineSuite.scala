@@ -253,6 +253,14 @@ class EngineSuite extends GraftTestBase {
       canon(agg3(t))
     }
     assert(on3 == off3, s"composite columnar=$on3 row=$off3")
+    // composite key + tiny maxGroups: the hash-probe table's gid slots
+    // are reused across flushes — stale null flags / key parts must be
+    // overwritten on alloc (null keys present in both key columns)
+    val on4 = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarGroupedAggExec.maxGroupsKey -> "2") {
+      canon(agg3(t))
+    }
+    assert(on4 == off3, s"flushed composite columnar=$on4 row=$off3")
     assert(canon(agg2(t)).nonEmpty) // computed key still answers (row path)
   }
 
@@ -454,6 +462,46 @@ class EngineSuite extends GraftTestBase {
       }
       assert(on == off, s"columnar=$on row=$off")
     }
+  }
+
+  test("GraftColumnarExpandExec: rollup/cube/grouping-sets parity with the row Expand") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    def rollup() = li.rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("q"),
+        avg($"l_discount").as("d"), max($"l_orderkey").as("mk"))
+    def cube() = li.cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), min($"l_extendedprice").as("mn"))
+    def gsets() = spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS q
+         |FROM parquet.`$sfDir/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    for ((mk, label) <- Seq((rollup _, "rollup"), (cube _, "cube"), (gsets _, "gsets"))) {
+      val cdf = mk()
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarExpandExec => e
+      }.isDefined, s"$label: expected columnar Expand in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(mk()) }
+      assert(on == off, s"$label: columnar=$on row=$off")
+    }
+    // the double-algebra rollup keeps the WHOLE pre-shuffle stage
+    // columnar: Expand feeds the grouped partial agg without a
+    // transition (the reference pairing, expand.rs → agg)
+    val df = rollup()
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GraftColumnarExpand") && p.contains("GraftColumnarGroupedAgg"),
+      s"expected Expand→GroupedAgg both columnar in:\n$p")
+    // the grouped agg's direct child must be the columnar Expand — no
+    // transition between them
+    val direct = findExec(df) {
+      case a: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec
+          if a.child.isInstanceOf[org.apache.spark.sql.execution.graft.GraftColumnarExpandExec] => a
+    }
+    assert(direct.isDefined, s"expected GroupedAgg(Expand(..)) pairing in:\n$p")
   }
 
   test("pii_detect/pii_redact: per-class semantics, null propagation, codegen parity") {

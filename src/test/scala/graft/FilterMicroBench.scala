@@ -72,6 +72,30 @@ object FilterMicroBench {
       val on = timeIt(f)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
+
+    // Expand A/B: toggle only the expand swap (row Expand feeding the
+    // row partial agg vs columnar Expand feeding the columnar grouped
+    // partial agg — the pairing is the unit under test)
+    val expandShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "expand-rollup" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)), sum($"l_discount"), avg($"l_quantity"), max($"l_orderkey"))
+      }),
+      "expand-cube-3d" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus", $"l_linenumber")
+          .agg(count(lit(1)), sum($"l_discount"), min($"l_quantity"))
+      }))
+    expandShapes.foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.expandEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.expandEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
     spark.stop()
   }
 }

@@ -121,6 +121,18 @@ class PlanAssertionSuite extends GraftTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
   }
 
+  test("q17/q18 run their rollup/cube Expand on ColumnarBatch") {
+    // the aggregation above stays row (decimal sum — tagged fallback);
+    // the Expand fan-out itself is the columnar kernel
+    Seq("q17_rollup", "q18_cube").foreach { name =>
+      val df = run(name)
+      df.collect()
+      val p = planString(df)
+      assert(p.contains("GraftColumnarExpand"),
+        s"$name: expected the columnar Expand swap in:\n$p")
+    }
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
