@@ -300,6 +300,40 @@ object EngineQueries {
       doc = "Columnar Project string kernels: upper/lower/trim/substring(lit)/concat/length evaluated batch-at-a-time over UTF8String vectors; the whole pre-sort stage is custom columnar (filter + project), plan-pinned."),
 
     QueryDef(
+      "q143_decimal_money",
+      (s, dir) => {
+        import s.implicits._
+        // TPC-H Q1's money-expression shape in Decimal64: the
+        // double→decimal casts, subtract, multiply, and decimal→decimal
+        // rescale all run in the columnar project's long-backed kernels
+        // (exact unscaled-long arithmetic — every node's precision ≤ 18,
+        // the shape the reference's checked decimal kernels target).
+        // The sums stay row-side; one double conversion at the end
+        // (repo money convention).
+        val one = lit(1).cast("decimal(7,4)")
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .select($"l_returnflag",
+            ($"l_extendedprice".cast("decimal(9,2)") *
+              (one - $"l_discount".cast("decimal(7,4)"))).as("net"),
+            $"l_extendedprice".cast("decimal(12,2)").cast("decimal(14,4)").as("base4"))
+          .groupBy($"l_returnflag")
+          .agg(
+            sum($"net").cast("double").as("sum_net"),
+            sum($"base4").cast("double").as("sum_base"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))) AS DOUBLE) AS sum_net,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(14,4))) AS DOUBLE) AS sum_base,
+          count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Decimal64 columnar Project: double→decimal cast (HALF_UP + overflow semantics), rescale cast, subtract, multiply as unscaled-long kernels on ColumnarBatch — TPC-H Q1's money arithmetic exactly; decimal values are exact so both engines agree digit-for-digit."),
+
+    QueryDef(
       "q133_columnar_broadcast_join",
       (s0, dir) => {
         // The columnar-BHJ probe is opt-in (measured slower than

@@ -74,9 +74,11 @@ sealed trait VecNumExpr extends Serializable {
 final class VecScratch {
   private[this] var dPool = new Array[Array[Double]](4)
   private[this] var bPool = new Array[Array[Boolean]](4)
+  private[this] var lPool = new Array[Array[Long]](4)
   private[this] var di = 0
   private[this] var bi = 0
-  def reset(): Unit = { di = 0; bi = 0 }
+  private[this] var li = 0
+  def reset(): Unit = { di = 0; bi = 0; li = 0 }
   def d(n: Int): Array[Double] = {
     if (di == dPool.length) dPool = java.util.Arrays.copyOf(dPool, di * 2)
     if (dPool(di) == null || dPool(di).length < n) dPool(di) = new Array[Double](n)
@@ -86,6 +88,11 @@ final class VecScratch {
     if (bi == bPool.length) bPool = java.util.Arrays.copyOf(bPool, bi * 2)
     if (bPool(bi) == null || bPool(bi).length < n) bPool(bi) = new Array[Boolean](n)
     val a = bPool(bi); bi += 1; a
+  }
+  def l(n: Int): Array[Long] = {
+    if (li == lPool.length) lPool = java.util.Arrays.copyOf(lPool, li * 2)
+    if (lPool(li) == null || lPool(li).length < n) lPool(li) = new Array[Long](n)
+    val a = lPool(li); li += 1; a
   }
 }
 
@@ -179,6 +186,24 @@ object VecNumExpr {
     }
   }
 
+  /** Bridge: a decimal kernel consumed as DOUBLE (Cast(dec → double)).
+    * Mirrors OpenJDK BigDecimal.doubleValue(): one IEEE division when
+    * unscaled and 10^scale are both exactly representable, else the
+    * full BigDecimal conversion (rare at money scales).
+    */
+  final case class DecAsDoubleD(c: VecDecExpr, scale: Int) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val lv = s.l(n)
+      c.eval(b, n, lv, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) = VecDecExpr.decToDouble(lv(i), scale) else values(i) = 0d
+        i += 1
+      }
+    }
+  }
+
   private val numeric: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
 
@@ -202,6 +227,12 @@ object VecNumExpr {
       case c: Cast if c.dataType == DoubleType && numeric(c.child.dataType) =>
         // widening numeric→double cast never errors in any eval mode
         compile(c.child, output)
+      case c: Cast if c.dataType == DoubleType &&
+          c.child.dataType.isInstanceOf[DecimalType] &&
+          c.child.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS =>
+        // decimal→double never errors (approximation, not overflow)
+        VecDecExpr.compile(c.child, output)
+          .map(DecAsDoubleD(_, c.child.dataType.asInstanceOf[DecimalType].scale))
       case a: Add if a.dataType == DoubleType =>
         for { l <- compile(a.left, output); r <- compile(a.right, output) } yield BinD(ADD, l, r)
       case s: Subtract if s.dataType == DoubleType =>
@@ -220,6 +251,291 @@ object VecNumExpr {
           "(ANSI integral overflow / decimal scale semantics stay on the row path)")
       case other =>
         scala.Left(s"unsupported projection expression: ${other.getClass.getSimpleName}")
+    }
+  }
+}
+
+/** Materialized Decimal64 vector: unscaled longs + the static type.
+  * Serves both documented columnar channels for precision ≤ 18:
+  * getLong (the unscaled value, per the ColumnVector decimal contract)
+  * and getDecimal.
+  */
+final class DecimalArrayVector(values: Array[Long], nulls: Array[Boolean], n: Int,
+    dt: DecimalType) extends ColumnVector(dt) {
+  private[this] val anyNull: Boolean = {
+    var b = false; var i = 0
+    while (i < n && !b) { b = nulls(i); i += 1 }
+    b
+  }
+
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = anyNull
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getLong(rowId: Int): Long = values(rowId)
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal =
+    Decimal.createUnsafe(values(rowId), p, s)
+  private def nope = throw new UnsupportedOperationException("decimal-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
+/** Vectorized Decimal64 expression kernels: values are UNSCALED longs
+  * at each node's STATIC scale. Only trees where every node's type has
+  * precision ≤ 18 compile; within that bound Spark's decimal type
+  * promotion guarantees +, −, ×, unary −, abs are exactly representable
+  * (no overflow is reachable), so all arithmetic is plain long math and
+  * the only rounding/overflow sites are the casts, which carry Spark's
+  * LEGACY/ANSI/TRY semantics per row. This is the shape the reference
+  * spends its checked-decimal kernels on
+  * (native/spark-expr math_funcs/checked_arithmetic.rs, sum_decimal.rs)
+  * — money expressions like TPC-H Q1's are exactly this.
+  */
+sealed trait VecDecExpr extends Serializable {
+  def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+      s: VecScratch): Unit
+}
+
+object VecDecExpr {
+  private val POW10: Array[Long] = {
+    val a = new Array[Long](19); a(0) = 1L
+    var i = 1; while (i < 19) { a(i) = a(i - 1) * 10L; i += 1 }; a
+  }
+  // 10^k exactly representable as double for k ≤ 22 (OpenJDK's
+  // BigDecimal.doubleValue fast-path table)
+  private val POW10D: Array[Double] = Array.tabulate(23)(k => math.pow(10d, k.toDouble))
+
+  /** unscaled long at `scale` → double, replicating
+    * java.math.BigDecimal.doubleValue() (fast path: one correctly
+    * rounded IEEE division when |u| < 2^52 and scale ≤ 22). */
+  def decToDouble(u: Long, scale: Int): Double =
+    if (scale == 0) u.toDouble
+    else if (math.abs(u) < (1L << 52) && scale <= 22) u.toDouble / POW10D(scale)
+    else new java.math.BigDecimal(java.math.BigInteger.valueOf(u), scale).doubleValue()
+
+  /** decimal column read through the documented unscaled-long channel */
+  final case class ColDec(ord: Int) extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val v = b.column(ord)
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) { isNull(i) = true; values(i) = 0L }
+        else { isNull(i) = false; values(i) = v.getLong(i) }
+        i += 1
+      }
+    }
+  }
+
+  final case class LitDec(u: Long) extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      java.util.Arrays.fill(values, 0, n, u)
+      java.util.Arrays.fill(isNull, 0, n, false)
+    }
+  }
+
+  /** add/subtract: operands pre-rescaled to the result scale by the
+    * compiled factors (rf carries the subtraction sign). Result
+    * precision ≤ 18 bounds every intermediate below 10^17, so the long
+    * math cannot overflow. */
+  final case class AddDec(l: VecDecExpr, r: VecDecExpr, lf: Long, rf: Long) extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      l.eval(b, n, values, isNull, s)
+      val rv = s.l(n); val rn = s.b(n)
+      r.eval(b, n, rv, rn, s)
+      var i = 0
+      while (i < n) {
+        isNull(i) = isNull(i) || rn(i)
+        values(i) = values(i) * lf + rv(i) * rf
+        i += 1
+      }
+    }
+  }
+
+  /** multiply: unscaled product IS the result at scale s1+s2; result
+    * precision ≤ 18 ⇒ p1+p2 ≤ 17 ⇒ |u1·u2| < 10^17, no overflow. */
+  final case class MulDec(l: VecDecExpr, r: VecDecExpr) extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      l.eval(b, n, values, isNull, s)
+      val rv = s.l(n); val rn = s.b(n)
+      r.eval(b, n, rv, rn, s)
+      var i = 0
+      while (i < n) {
+        isNull(i) = isNull(i) || rn(i)
+        values(i) = values(i) * rv(i)
+        i += 1
+      }
+    }
+  }
+
+  final case class NegDec(c: VecDecExpr) extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) { values(i) = -values(i); i += 1 }
+    }
+  }
+
+  final case class AbsDec(c: VecDecExpr) extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) { values(i) = math.abs(values(i)); i += 1 }
+    }
+  }
+
+  /** Cast(double → decimal(p,s)): the rounding/overflow site. NaN/±Inf
+    * → null in every eval mode; finite overflow → null (LEGACY/TRY) or
+    * Spark's NUMERIC_VALUE_OUT_OF_RANGE (ANSI). Delegates the
+    * round-half-up conversion to Spark's own Decimal so the
+    * string-based double→BigDecimal semantics match bit-for-bit. */
+  final case class DoubleToDec(c: VecNumExpr, p: Int, sc: Int, ansi: Boolean) extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val dv = s.d(n)
+      c.eval(b, n, dv, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) {
+          val x = dv(i)
+          if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) {
+            isNull(i) = true; values(i) = 0L
+          } else {
+            val dec = Decimal(x)
+            if (dec.changePrecision(p, sc)) values(i) = dec.toUnscaledLong
+            else if (ansi) {
+              throw org.apache.spark.sql.errors.QueryExecutionErrors
+                .cannotChangeDecimalPrecisionError(Decimal(x), p, sc, null)
+            } else { isNull(i) = true; values(i) = 0L }
+          }
+        } else values(i) = 0L
+        i += 1
+      }
+    }
+  }
+
+  /** Cast(decimal(p1,s1) → decimal(p2,s2)): rescale in long math with
+    * HALF_UP (ties away from zero) on downscale and a digit-bound
+    * overflow check — the same arithmetic Spark's
+    * Decimal.changePrecision performs on its compact long form. */
+  final case class DecToDec(c: VecDecExpr, fromScale: Int, p: Int, sc: Int, ansi: Boolean)
+      extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      val maxAbs = POW10(p) - 1
+      var i = 0
+      if (sc >= fromScale) {
+        val factor = POW10(sc - fromScale)
+        val limit = maxAbs / factor
+        while (i < n) {
+          if (!isNull(i)) {
+            val u = values(i)
+            if (math.abs(u) > limit) {
+              if (ansi) {
+                throw org.apache.spark.sql.errors.QueryExecutionErrors
+                  .cannotChangeDecimalPrecisionError(
+                    Decimal.createUnsafe(u, Decimal.MAX_LONG_DIGITS, fromScale), p, sc, null)
+              }
+              isNull(i) = true; values(i) = 0L
+            } else values(i) = u * factor
+          }
+          i += 1
+        }
+      } else {
+        val div = POW10(fromScale - sc)
+        while (i < n) {
+          if (!isNull(i)) {
+            val u = values(i)
+            var q = u / div
+            val rem = u - q * div
+            if (2L * math.abs(rem) >= div) q += (if (u >= 0L) 1L else -1L)
+            if (math.abs(q) > maxAbs) {
+              if (ansi) {
+                throw org.apache.spark.sql.errors.QueryExecutionErrors
+                  .cannotChangeDecimalPrecisionError(
+                    Decimal.createUnsafe(u, Decimal.MAX_LONG_DIGITS, fromScale), p, sc, null)
+              }
+              isNull(i) = true; values(i) = 0L
+            } else values(i) = q
+          }
+          i += 1
+        }
+      }
+    }
+  }
+
+  private def dec64(dt: DataType): Option[DecimalType] = dt match {
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => Some(d)
+    case _ => None
+  }
+
+  /** Compile a Catalyst decimal expression whose every node stays in
+    * Decimal64 range, or name the fallback reason. Division is out
+    * (Spark's decimal-division scale arithmetic exceeds 18 digits for
+    * any interesting operand types); TRY casts compile as the null-on-
+    * overflow path, identical to LEGACY for decimals. */
+  def compile(e: Expression, output: Seq[Attribute]): Either[String, VecDecExpr] = {
+    def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
+    e match {
+      case a: AttributeReference if dec64(a.dataType).isDefined && ord(a) >= 0 =>
+        scala.Right(ColDec(ord(a)))
+      case Literal(v, dt) if dec64(dt).isDefined && v != null =>
+        scala.Right(LitDec(v.asInstanceOf[Decimal].toUnscaledLong))
+      case a: Add if dec64(a.dataType).isDefined &&
+          dec64(a.left.dataType).isDefined && dec64(a.right.dataType).isDefined =>
+        val outS = dec64(a.dataType).get.scale
+        val lf = POW10(outS - dec64(a.left.dataType).get.scale)
+        val rf = POW10(outS - dec64(a.right.dataType).get.scale)
+        for { l <- compile(a.left, output); r <- compile(a.right, output) }
+          yield AddDec(l, r, lf, rf)
+      case sub: Subtract if dec64(sub.dataType).isDefined &&
+          dec64(sub.left.dataType).isDefined && dec64(sub.right.dataType).isDefined =>
+        val outS = dec64(sub.dataType).get.scale
+        val lf = POW10(outS - dec64(sub.left.dataType).get.scale)
+        val rf = POW10(outS - dec64(sub.right.dataType).get.scale)
+        for { l <- compile(sub.left, output); r <- compile(sub.right, output) }
+          yield AddDec(l, r, lf, -rf)
+      case m: Multiply if dec64(m.dataType).isDefined &&
+          dec64(m.left.dataType).isDefined && dec64(m.right.dataType).isDefined =>
+        for { l <- compile(m.left, output); r <- compile(m.right, output) } yield MulDec(l, r)
+      case u: UnaryMinus if dec64(u.dataType).isDefined =>
+        compile(u.child, output).map(NegDec)
+      case ab: Abs if dec64(ab.dataType).isDefined =>
+        compile(ab.child, output).map(AbsDec)
+      case c: Cast if dec64(c.dataType).isDefined && c.child.dataType == DoubleType =>
+        VecNumExpr.compile(c.child, output)
+          .map(DoubleToDec(_, dec64(c.dataType).get.precision, dec64(c.dataType).get.scale,
+            c.evalMode == EvalMode.ANSI))
+      case c: Cast if dec64(c.dataType).isDefined && dec64(c.child.dataType).isDefined =>
+        val to = dec64(c.dataType).get
+        compile(c.child, output)
+          .map(DecToDec(_, dec64(c.child.dataType).get.scale, to.precision, to.scale,
+            c.evalMode == EvalMode.ANSI))
+      case other if !dec64(other.dataType).isDefined =>
+        scala.Left(s"decimal precision beyond Decimal64: ${other.dataType} " +
+          "(128-bit decimal arithmetic stays on the row path)")
+      case other =>
+        scala.Left(s"unsupported decimal projection expression: ${other.getClass.getSimpleName}")
     }
   }
 }
@@ -440,16 +756,19 @@ final case class LengthI(c: VecStrExpr) extends Serializable {
   }
 }
 
-/** A compiled computed-projection item: double, string, or int kernel. */
+/** A compiled computed-projection item: double, string, int, or
+  * decimal kernel. */
 sealed trait ProjKernel extends Serializable
 final case class NumKernel(k: VecNumExpr) extends ProjKernel
 final case class StrKernel(k: VecStrExpr) extends ProjKernel
 final case class IntKernel(k: LengthI) extends ProjKernel
+final case class DecKernel(k: VecDecExpr, dt: DecimalType) extends ProjKernel
 
 object ProjKernel {
   /** Dispatch by result type: DOUBLE → the arithmetic kernels, STRING →
-    * the string kernels, INTEGER → length. Everything else names itself
-    * as the fallback reason. */
+    * the string kernels, INTEGER → length, Decimal64 → the long-backed
+    * decimal kernels. Everything else names itself as the fallback
+    * reason. */
   def compile(e: Expression, output: Seq[Attribute]): Either[String, ProjKernel] =
     e.dataType match {
       case DoubleType => VecNumExpr.compile(e, output).map(NumKernel)
@@ -460,9 +779,11 @@ object ProjKernel {
         case other =>
           scala.Left(s"unsupported int projection: ${other.getClass.getSimpleName}")
       }
+      case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
+        VecDecExpr.compile(e, output).map(DecKernel(_, dt))
       case other =>
         scala.Left(s"unsupported projection result type $other " +
-          "(ANSI integral overflow / decimal scale semantics stay on the row path)")
+          "(ANSI integral overflow / 128-bit decimal stay on the row path)")
     }
 }
 
@@ -521,6 +842,7 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
       val outD = new Array[Array[Double]](plans.length)
       val outS = new Array[Array[UTF8String]](plans.length)
       val outI = new Array[Array[Int]](plans.length)
+      val outL = new Array[Array[Long]](plans.length)
       val outN = new Array[Array[Boolean]](plans.length)
       def nulls(c: Int, n: Int): Array[Boolean] = {
         if (outN(c) == null || outN(c).length < n) outN(c) = new Array[Boolean](n)
@@ -550,6 +872,12 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
               strScratch.reset()
               kernel.eval(batch, n, outI(c), nulls(c, n), strScratch)
               cols(c) = new IntArrayVector(outI(c), outN(c), n)
+              compM.add(1)
+            case scala.Right(DecKernel(kernel, dt)) =>
+              if (outL(c) == null || outL(c).length < n) outL(c) = new Array[Long](n)
+              scratch.reset()
+              kernel.eval(batch, n, outL(c), nulls(c, n), scratch)
+              cols(c) = new DecimalArrayVector(outL(c), outN(c), n, dt)
               compM.add(1)
           }
           c += 1

@@ -504,6 +504,61 @@ class EngineSuite extends GraftTestBase {
     assert(direct.isDefined, s"expected GroupedAgg(Expand(..)) pairing in:\n$p")
   }
 
+  test("Decimal64 columnar project matches the row path on cast/overflow/tie edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-coldec").toString
+    // covers: HALF_UP ties (0.125 binary-exact, 2.675 binary-inexact),
+    // negatives, NaN/±Inf (→ null every mode), magnitudes overflowing
+    // DECIMAL(6,2), null input, and sub-cent values
+    Seq(Option(12.34), Option(0.125), Option(-0.125), Option(2.675), Option(-98765.432),
+      Option(Double.NaN), Option(Double.PositiveInfinity), Option(Double.NegativeInfinity),
+      Option(99999.999), Option(-99999.999), Option.empty[Double], Option(0.004999))
+      .toDF("p").write.mode("overwrite").parquet(s"$dir/t")
+    val t = spark.read.parquet(s"$dir/t")
+    def q() = t.select(
+      $"p".cast("decimal(6,2)").as("d62"),
+      ($"p".cast("decimal(9,2)") * (lit(1).cast("decimal(7,4)") -
+        lit(0.05).cast("decimal(7,4)"))).as("net"),
+      ($"p".cast("decimal(12,2)") + $"p".cast("decimal(12,2)")).as("twice"),
+      $"p".cast("decimal(12,2)").cast("decimal(14,4)").as("up"),
+      $"p".cast("decimal(12,4)").cast("decimal(7,1)").as("down"),
+      (-$"p".cast("decimal(9,2)")).as("neg"),
+      abs($"p".cast("decimal(9,2)")).as("absd"),
+      $"p".cast("decimal(9,2)").cast("double").as("back"))
+    // LEGACY (ansi off): overflow → null; the overflowing rows stay in
+    withSQLConf("spark.sql.ansi.enabled" -> "false") {
+      val cdf = q()
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+      }.isDefined, s"expected columnar project in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(q()) }
+      assert(on == off, s"columnar=$on row=$off")
+    }
+    // ANSI: overflowing cast throws on BOTH paths; clean subset matches
+    withSQLConf("spark.sql.ansi.enabled" -> "true") {
+      def clean() = t.filter($"p".isNull || (abs($"p") < 9000 && $"p" === $"p"))
+        .select(($"p".cast("decimal(9,2)") * lit(2).cast("decimal(3,0)")).as("dbl"),
+          $"p".cast("decimal(12,2)").cast("decimal(14,4)").as("up"))
+      val onA = canon(clean())
+      val offA = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(clean()) }
+      assert(onA == offA, s"ansi columnar=$onA row=$offA")
+      intercept[Exception] { t.select($"p".cast("decimal(4,2)")).collect() }
+      withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        intercept[Exception] { t.select($"p".cast("decimal(4,2)")).collect() }
+      }
+    }
+    // TRY cast: null-on-overflow on the columnar path too
+    val tryOn = canon(t.selectExpr("try_cast(p as decimal(4,2)) as t42"))
+    val tryOff = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      canon(t.selectExpr("try_cast(p as decimal(4,2)) as t42"))
+    }
+    assert(tryOn == tryOff, s"try columnar=$tryOn row=$tryOff")
+  }
+
   test("pii_detect/pii_redact: per-class semantics, null propagation, codegen parity") {
     val rows = spark.sql(
       """SELECT pii_detect(t) AS classes, pii_redact(t) AS red,

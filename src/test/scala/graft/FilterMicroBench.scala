@@ -41,6 +41,16 @@ object FilterMicroBench {
           (($"l_extendedprice" / org.apache.spark.sql.functions.lit(100.0)) * $"l_tax").as("tax_amt"),
           org.apache.spark.sql.functions.abs($"l_discount" - $"l_tax").as("spread"),
           (-$"l_quantity").as("negq"))),
+      // Decimal64 kernels (cast + subtract + multiply + rescale) vs
+      // codegen'd row decimal arithmetic
+      "proj-decimal" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .select(
+            ($"l_extendedprice".cast("decimal(9,2)") * (lit(1).cast("decimal(7,4)") -
+              $"l_discount".cast("decimal(7,4)"))).as("net"),
+            $"l_extendedprice".cast("decimal(12,2)").cast("decimal(14,4)").as("base4"))
+      }),
       // grouped partial agg (GraftColumnarGroupedAgg vs codegen'd hash agg)
       "grouped-agg" -> (() => {
         import org.apache.spark.sql.functions._

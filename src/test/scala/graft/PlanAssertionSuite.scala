@@ -133,6 +133,21 @@ class PlanAssertionSuite extends GraftTestBase {
     }
   }
 
+  test("q143 runs its decimal money arithmetic on ColumnarBatch") {
+    val df = run("q143_decimal_money")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarProject"),
+      s"q143: expected the Decimal64 kernels in a columnar project in:\n$p")
+    // no project-level fallback: the decimal tree compiled
+    val fallback = df.queryExecution.executedPlan.collect {
+      case pr: org.apache.spark.sql.execution.ProjectExec
+          if pr.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag)
+            .isDefined => pr
+    }
+    assert(fallback.isEmpty, s"q143: decimal project fell back:\n$p")
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
