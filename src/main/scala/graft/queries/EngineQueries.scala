@@ -334,6 +334,43 @@ object EngineQueries {
       doc = "Decimal64 columnar Project: double→decimal cast (HALF_UP + overflow semantics), rescale cast, subtract, multiply as unscaled-long kernels on ColumnarBatch — TPC-H Q1's money arithmetic exactly; decimal values are exact so both engines agree digit-for-digit."),
 
     QueryDef(
+      "q144_columnar_semi_anti",
+      (s, dir) => {
+        import s.implicits._
+        // Columnar existence probes (default ON — unlike the inner
+        // probe, the semi/anti shapes have no build-side output, so the
+        // probe is a pure selection over the stream batch and A/Bs at
+        // parity with the codegen row BHJ): scan → GraftColumnarFilter →
+        // GraftColumnarSemiBHJ(semi) → GraftColumnarSemiBHJ(anti) →
+        // GraftColumnarGroupedAgg, all on ColumnarBatch to the shuffle.
+        // dim predicates on NON-key columns: a key-derived predicate
+        // (e.g. p_partkey % 3 = 0) would be inferred onto the stream
+        // filter, which the columnar filter can't compile — the whole
+        // stream stage would fall back to rows
+        val wanted = Tables.t(s, dir, "part")
+          .filter($"p_size" < 15).select($"p_partkey")
+        val banned = Tables.t(s, dir, "supplier")
+          .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_quantity" > 20.0)
+          .join(broadcast(wanted), $"l_partkey" === $"p_partkey", "left_semi")
+          .join(broadcast(banned), $"l_suppkey" === $"s_suppkey", "left_anti")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            min($"l_orderkey").as("min_order"),
+            max($"l_orderkey").as("max_order"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          min(l_orderkey) AS min_order, max(l_orderkey) AS max_order
+        FROM lineitem
+        WHERE l_quantity > 20
+          AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size < 15)
+          AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Columnar LEFT SEMI + LEFT ANTI broadcast probes: existence filters over the stream batch with zero-copy selection vectors and no build materialization; default-on after measuring parity with the codegen row BHJ."),
+
+    QueryDef(
       "q133_columnar_broadcast_join",
       (s0, dir) => {
         // The columnar-BHJ probe is opt-in (measured slower than

@@ -279,3 +279,107 @@ case class GraftColumnarBHJExec(
       newLeft: SparkPlan, newRight: SparkPlan): GraftColumnarBHJExec =
     copy(left = newLeft, right = newRight)
 }
+
+/** Columnar LEFT SEMI / LEFT ANTI broadcast hash join: the join shapes
+  * with NO build-side output — each stream row is emitted or skipped on
+  * an existence probe, so the whole output batch is zero-copy
+  * [[SelectedColumnVector]] gathers over the input batch (no match
+  * buffers, no build materialization at all — the cost that made the
+  * inner columnar probe lose its A/B). Equi-key NULL semantics: a null
+  * stream key never matches — dropped by SEMI, kept by ANTI (the
+  * null-AWARE anti join variant is a different operator shape and stays
+  * on the row path; the planning rule excludes it).
+  *
+  * Same restrictions as the inner probe, rule-enforced: BuildRight, one
+  * integral equi-key ([[GraftColumnarBHJExec.probeKeyTypes]], the
+  * LongHashedRelation shape), no residual condition.
+  *
+  * Reference analogue: LeftSemi/LeftAnti serde + native hash join
+  * (operators.scala join-type mapping, planner.rs hash join types).
+  */
+case class GraftColumnarSemiBHJExec(
+    output: Seq[Attribute],
+    streamKeyOrd: Int,
+    streamKeyType: DataType,
+    streamOrds: Seq[Int], // per output col: ordinal in the stream batch
+    anti: Boolean,
+    left: SparkPlan,
+    right: SparkPlan)
+    extends BinaryExecNode {
+
+  /** Unwrap the never-executed RowToColumnarExec that transition
+    * insertion puts around the broadcast exchange (see
+    * [[GraftColumnarBHJExec.buildPlan]]). */
+  private def buildPlan: SparkPlan = right match {
+    case r: org.apache.spark.sql.execution.RowToColumnarExec => r.child
+    case p => p
+  }
+
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning = left.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of batches"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numProbedRows" -> SQLMetrics.createMetric(sparkContext, "number of probed rows"))
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val broadcastRel = buildPlan.executeBroadcast[HashedRelation]()
+    val keyOrd = streamKeyOrd
+    val keyDt = streamKeyType
+    val ords = streamOrds.toArray
+    val isAnti = anti
+    val (batchM, rowM, probeM) =
+      (metrics("numBatches"), metrics("numOutputRows"), metrics("numProbedRows"))
+
+    left.executeColumnar().mapPartitionsInternal { iter =>
+      val rel = broadcastRel.value.asReadOnlyCopy()
+      var sel = new Array[Int](1 << 10)
+
+      iter.flatMap { batch =>
+        val n = batch.numRows()
+        probeM.add(n)
+        if (sel.length < n) sel = new Array[Int](n)
+        val keys = batch.column(keyOrd)
+        val getKey: Int => Long = keyDt match {
+          case LongType => keys.getLong
+          case IntegerType => i => keys.getInt(i).toLong
+          case ShortType => i => keys.getShort(i).toLong
+          case ByteType => i => keys.getByte(i).toLong
+          case other => throw new IllegalStateException(s"bad key type $other")
+        }
+        var m = 0
+        var i = 0
+        while (i < n) {
+          val matched = !keys.isNullAt(i) && {
+            val it = rel.get(getKey(i))
+            it != null && it.hasNext
+          }
+          if (matched != isAnti) { sel(m) = i; m += 1 }
+          i += 1
+        }
+        if (m == 0) None
+        else {
+          val selOut = java.util.Arrays.copyOf(sel, m)
+          val cols = new Array[ColumnVector](ords.length)
+          var o = 0
+          while (o < ords.length) {
+            cols(o) = new SelectedColumnVector(batch.column(ords(o)), selOut)
+            o += 1
+          }
+          batchM.add(1); rowM.add(m)
+          Some(new ColumnarBatch(cols, m))
+        }
+      }
+    }
+  }
+
+  /** Row fallback — the planner routes columnar (supportsColumnar). */
+  override protected def doExecute(): RDD[InternalRow] =
+    throw new UnsupportedOperationException(
+      "GraftColumnarSemiBHJExec is columnar-only; the rule swaps whole BroadcastHashJoinExec nodes")
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GraftColumnarSemiBHJExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -167,6 +167,37 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case _ => j
         }
 
+      // Columnar LEFT SEMI / LEFT ANTI broadcast join: no build-side
+      // output, so the probe is a pure existence filter over the stream
+      // batch (zero-copy selection vectors, no match-buffer
+      // materialization — the cost that made the inner probe lose its
+      // A/B). Same key gate as the inner case; the null-aware anti
+      // variant (isNullAwareAntiJoin=true) stays on the row path.
+      case j @ joins.BroadcastHashJoinExec(
+          Seq(lk @ _), Seq(rk), jt, org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          None, left, right, false)
+          if (jt == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+            jt == org.apache.spark.sql.catalyst.plans.LeftAnti) && semiBhjEnabled(session) =>
+        def probeKeySA(dt: org.apache.spark.sql.types.DataType) =
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.probeKeyTypes(dt)
+        (lk, left.supportsColumnar) match {
+          case (a: AttributeReference, true)
+              if probeKeySA(a.dataType) && left.output.exists(_.exprId == a.exprId) &&
+                j.output.forall(at => left.output.exists(_.exprId == at.exprId)) =>
+            org.apache.spark.sql.execution.graft.GraftColumnarSemiBHJExec(
+              j.output,
+              left.output.indexWhere(_.exprId == a.exprId),
+              a.dataType,
+              j.output.map(at => left.output.indexWhere(_.exprId == at.exprId)),
+              anti = jt == org.apache.spark.sql.catalyst.plans.LeftAnti,
+              left, right)
+          case (_, true) =>
+            j.setTagValue(fallbackReasonTag,
+              "semi/anti broadcast join not columnar-probeable (needs a single " +
+                "integral attribute key — LongHashedRelation shape)"); j
+          case _ => j
+        }
+
       // Expand (rollup/cube/grouping-sets fan-out): each projection
       // item must be an input attribute (zero-copy pass-through) or a
       // constant-vector-representable literal (the nulled grouping
@@ -370,6 +401,14 @@ object GraftColumnarRule {
   val finalAggEnabledKey = "spark.graft.columnar.finalAgg.enabled"
   def finalAggEnabled(session: SparkSession): Boolean =
     session.conf.getOption(finalAggEnabledKey).forall(_.toBoolean)
+
+  /** Columnar SEMI/ANTI broadcast-join probe — unlike the inner probe
+    * (opt-in: measured loss), the existence probe has no build-side
+    * materialization; default decided by its A/B (see README).
+    */
+  val semiBhjEnabledKey = "spark.graft.columnar.semibhj.enabled"
+  def semiBhjEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(semiBhjEnabledKey).forall(_.toBoolean)
 
   /** Columnar Expand — default ON (A/B at parity-or-better: the swap
     * replaces P projections × R rows of per-row copying with P × C

@@ -367,8 +367,10 @@ class EngineSuite extends GraftTestBase {
     assert(exec.get.metrics("numComputedColumns").value >= 1)
   }
 
-  test("GraftColumnarRule tags decimal projections with the eval-mode fallback reason") {
-    // decimal arithmetic (ANSI scale semantics) must stay on the row path
+  test("GraftColumnarRule tags beyond-Decimal64 projections with the fallback reason") {
+    // (18,2) × (18,2) → decimal(37,4): 128-bit result, stays on the row
+    // path (the Decimal64 kernels only compile trees whose every node
+    // has precision ≤ 18)
     val df = Tables.t(spark, sfDir, "lineitem")
       .select(($"l_extendedprice".cast("decimal(18,2)") * lit(2).cast("decimal(18,2)")).as("d2"))
     df.collect()
@@ -378,7 +380,7 @@ class EngineSuite extends GraftTestBase {
         p.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).get
     }
     assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
-    assert(tagged.get.contains("decimal scale semantics stay on the row path"),
+    assert(tagged.get.contains("128-bit decimal stay on the row path"),
       s"reason: ${tagged.get}")
   }
 
@@ -421,6 +423,57 @@ class EngineSuite extends GraftTestBase {
     assert(findExec(row) {
       case e: org.apache.spark.sql.execution.graft.GraftColumnarBHJExec => e
     }.isEmpty, s"columnar BHJ must be opt-in:\n${row.queryExecution.executedPlan}")
+  }
+
+  test("GraftColumnarSemiBHJExec: semi/anti parity incl. null keys, misses, dup build keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colsemi").toString
+    Seq(
+      (1L, Option(10L), 1.5), (2L, Option(20L), 2.5), (3L, Option.empty[Long], 3.5),
+      (4L, Option(99L), 4.5), (5L, Option(10L), 5.5), (6L, Option(30L), 6.5))
+      .toDF("id", "k", "v").write.mode("overwrite").parquet(s"$dir/stream")
+    Seq((10L, "a"), (10L, "b"), (20L, "c"), (30L, "d"), (77L, "e"))
+      .toDF("bk", "tag").write.mode("overwrite").parquet(s"$dir/build")
+    def join(tpe: String) = {
+      val st = spark.read.parquet(s"$dir/stream")
+      val bd = spark.read.parquet(s"$dir/build")
+      st.join(broadcast(bd), $"k" === $"bk", tpe)
+    }
+    for (tpe <- Seq("left_semi", "left_anti")) {
+      val cdf = join(tpe)
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSemiBHJExec => e
+      }.isDefined, s"$tpe: expected columnar semi/anti BHJ in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(join(tpe)) }
+      assert(on == off, s"$tpe: columnar=$on row=$off")
+    }
+    // semi: ids 1,2,5,6 (dup build key 10 emits each stream row ONCE);
+    // anti: ids 3 (null key never matches) and 4 (missing key)
+    assert(join("left_semi").select($"id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 5L, 6L)))
+    assert(join("left_anti").select($"id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(3L, 4L)))
+    // the flag gates the swap
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.semiBhjEnabledKey -> "false") {
+      val rdf = join("left_semi")
+      rdf.collect()
+      assert(findExec(rdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSemiBHJExec => e
+      }.isEmpty, "semiBhj flag must gate the swap")
+    }
+    // NOT IN (null-aware anti) keeps the row path: its null semantics
+    // differ from the equi-key anti probe
+    val st = spark.read.parquet(s"$dir/stream")
+    spark.read.parquet(s"$dir/build").createOrReplaceTempView("semi_build")
+    st.createOrReplaceTempView("semi_stream")
+    val naaj = spark.sql(
+      "SELECT id FROM semi_stream WHERE k NOT IN (SELECT bk FROM semi_build)")
+    naaj.collect()
+    assert(findExec(naaj) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarSemiBHJExec => e
+    }.isEmpty, s"null-aware anti must stay row:\n${naaj.queryExecution.executedPlan}")
   }
 
   test("GraftColumnarFinalAggExec merges buffers identically to the row final HashAggregate") {

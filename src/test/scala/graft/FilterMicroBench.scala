@@ -106,6 +106,34 @@ object FilterMicroBench {
       val on = timeIt(f)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
+
+    // Semi/anti broadcast probe A/B: existence filter over the stream,
+    // no build output (vs Spark's codegen row BHJ on the same shapes)
+    val semiShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      // dim predicate on a NON-key column: a key-derived one would be
+      // inferred onto the stream filter and knock the stream off the
+      // columnar path (no swap at all — measuring nothing)
+      "bhj-semi" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "part").filter($"p_size" < 15)
+          .select($"p_partkey")
+        Tables.t(spark, sfDir, "lineitem")
+          .join(broadcast(dim), $"l_partkey" === $"p_partkey", "left_semi")
+      }),
+      "bhj-anti" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "part").filter($"p_size" < 15)
+          .select($"p_partkey")
+        Tables.t(spark, sfDir, "lineitem")
+          .join(broadcast(dim), $"l_partkey" === $"p_partkey", "left_anti")
+      }))
+    semiShapes.foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.semiBhjEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.semiBhjEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
     spark.stop()
   }
 }

@@ -148,6 +148,16 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(fallback.isEmpty, s"q143: decimal project fell back:\n$p")
   }
 
+  test("q144 probes both existence joins on ColumnarBatch") {
+    val df = run("q144_columnar_semi_anti")
+    df.collect()
+    val p = planString(df)
+    assert("GraftColumnarSemiBHJ".r.findAllIn(p).size >= 2,
+      s"q144: expected BOTH semi and anti columnar probes in:\n$p")
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q144: expected the grouped partial agg to stay columnar above the probes in:\n$p")
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
