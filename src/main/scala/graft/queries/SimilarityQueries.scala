@@ -39,6 +39,44 @@ object SimilarityQueries {
     expr(s"cosine_sim($a, $b)")
   }
 
+  /** Deterministic k-means coarse quantizer shared by q95 (IVF ANN) and
+    * q145 (SemDeDup): centroid init = first K vectors by vec_id,
+    * assignment argmax tie-breaks on cid, centroid recompute averages
+    * through DECIMAL(18,12) (order-independent — a double mean would
+    * make the assignment partitioning-dependent). Returns (centroids,
+    * assignment). At 100 TB: centroids broadcast, assignment one pass.
+    */
+  private def ivfKmeans(s: SparkSession,
+      e: org.apache.spark.sql.DataFrame, k: Int, iters: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    def assign(cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // argmax as ONE aggregation — max(struct(cos, -cid, emb)) has the
+      // identical (cos desc, cid asc) tie-break a window rank would
+      // use, but needs no sort and partial-aggregates the K candidates
+      // map-side before the shuffle on vec_id.
+      e.crossJoin(broadcast(cent))
+        .withColumn("c", cosineSim(s, "embedding", "cvec"))
+        .groupBy($"vec_id")
+        .agg(max(struct($"c", (-$"cid").as("ncid"), $"embedding".as("emb")))
+          .as("best"))
+        .select($"vec_id", (-$"best.ncid").as("cid"),
+          $"best.emb".as("embedding"))
+    }
+    var cent = e.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))
+    (1 to iters).foreach { _ =>
+      cent = assign(cent)
+        .select($"cid", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos")
+        .agg(avg($"v".cast("decimal(18,12)")).as("m"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          x => x.getField("m").cast("float")).as("cvec"))
+    }
+    (cent, assign(cent))
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -176,32 +214,7 @@ object SimilarityQueries {
         // cluster-id equi-join instead of everything.
         val K = 16; val NPROBE = 4; val TOPK = 5; val ITERS = 2
         val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
-        def assign(cent: DataFrame): DataFrame = {
-          // argmax as ONE aggregation — max(struct(cos, -cid, emb)) has
-          // the identical (cos desc, cid asc) tie-break a window rank
-          // would use, but needs no sort and partial-aggregates the K
-          // candidates map-side before the shuffle on vec_id (a window
-          // would shuffle all K rows per vector, then sort them).
-          e.crossJoin(broadcast(cent))
-            .withColumn("c", cosineSim(s, "embedding", "cvec"))
-            .groupBy($"vec_id")
-            .agg(max(struct($"c", (-$"cid").as("ncid"), $"embedding".as("emb")))
-              .as("best"))
-            .select($"vec_id", (-$"best.ncid").as("cid"),
-              $"best.emb".as("embedding"))
-        }
-        var cent = e.filter($"vec_id" < K)
-          .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))
-        (1 to ITERS).foreach { _ =>
-          cent = assign(cent)
-            .select($"cid", posexplode($"embedding").as(Seq("pos", "v")))
-            .groupBy($"cid", $"pos")
-            .agg(avg($"v".cast("decimal(18,12)")).as("m"))
-            .groupBy($"cid")
-            .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-              x => x.getField("m").cast("float")).as("cvec"))
-        }
-        val asg = assign(cent)
+        val (cent, asg) = ivfKmeans(s, e, K, ITERS)
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
         val wc = Window.partitionBy($"probe_id").orderBy($"cc".desc, $"cid")
@@ -240,6 +253,46 @@ object SimilarityQueries {
           (0, 5, TRUE), (1, 5, TRUE), (2, 4, TRUE), (3, 3, TRUE), (4, 5, TRUE),
           (5, 5, TRUE), (6, 4, TRUE), (7, 5, TRUE), (8, 5, TRUE), (9, 5, TRUE))
         AS t(probe_id, hits, recall_ok) ORDER BY probe_id"""),
-      doc = "IVF ANN: deterministic 2-iteration k-means coarse quantizer (decimal-exact centroid means), nprobe=4/16 cluster equi-join, recall@5 vs exact top-5 pinned by golden oracle.")
+      doc = "IVF ANN: deterministic 2-iteration k-means coarse quantizer (decimal-exact centroid means), nprobe=4/16 cluster equi-join, recall@5 vs exact top-5 pinned by golden oracle."),
+
+    QueryDef(
+      "q145_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        // SemDeDup (semantic dedup, Abbas et al. 2023 shape): cluster
+        // the embedding space with the deterministic k-means quantizer,
+        // then detect near-duplicates ONLY within clusters — the
+        // cluster equi-join prunes the O(n²) global pair space to
+        // Σ|cluster|², never forming a cartesian (plan-asserted). A
+        // vector is a duplicate if a lower-vec_id vector of its cluster
+        // is ≥ τ cosine-similar; each duplicate set keeps its min-id
+        // representative. At 100 TB: assignment is one broadcast-
+        // centroid pass; pairing shuffles on cid only.
+        val K = 16; val ITERS = 2; val TAU = 0.35
+        val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val (_, asg) = ivfKmeans(s, e, K, ITERS)
+        val a = asg.select($"cid", $"vec_id".as("v1"), $"embedding".as("f1"))
+        val b = asg.select($"cid", $"vec_id".as("v2"), $"embedding".as("f2"))
+        val dups = a.join(b, Seq("cid")).filter($"v1" < $"v2")
+          .withColumn("cs", cosineSim(s, "f1", "f2"))
+          .filter($"cs" >= TAU)
+          .select($"v2".as("vec_id"))
+          .distinct()
+        asg.select($"cid", $"vec_id")
+          .join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left_outer")
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(coalesce($"is_dup", lit(0L))).as("n_dups"))
+          .orderBy($"cid")
+      },
+      // Golden per-cluster dedup counts from the deterministic pipeline
+      // at sf0.01 (the driver's correctness scale) — see make_golden.
+      Some("""SELECT cid, n_vecs, n_dups FROM (VALUES
+          (0, 32, 7), (1, 30, 2), (2, 30, 3), (3, 35, 2), (4, 32, 3),
+          (5, 33, 4), (6, 36, 4), (7, 35, 7), (8, 35, 10), (9, 21, 2),
+          (10, 34, 4), (11, 27, 3), (12, 28, 4), (13, 38, 5), (14, 24, 2),
+          (15, 30, 5))
+        AS t(cid, n_vecs, n_dups) ORDER BY cid"""),
+      doc = "SemDeDup: deterministic k-means clustering + within-cluster pairwise cosine >= 0.35 via cid equi-join (cluster-pruned pairs, no cartesian); duplicate sets keep their min-id representative; per-cluster counts pinned by golden oracle.")
   )
 }

@@ -44,8 +44,10 @@ class PlanAssertionSuite extends GraftTestBase {
   }
 
   test("dedup and similarity queries never plan a cartesian product") {
+    // (q145's only nested-loop is the broadcast of K=16 centroids — the
+    // within-cluster pair join itself is a cid equi-join)
     Seq("q46_dedup_ngram_jaccard", "q47_dedup_minhash_lsh",
-        "q49_embedding_neardup", "q51_ann_lsh_bucketed").foreach { name =>
+        "q49_embedding_neardup", "q51_ann_lsh_bucketed", "q145_semdedup").foreach { name =>
       val p = planString(run(name))
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
     }
