@@ -314,6 +314,64 @@ object AggregateQueries {
           string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey) AS members
         FROM supplier WHERE s_suppkey < 40
         GROUP BY s_nationkey ORDER BY s_nationkey"""),
-      doc = "Spark 4 listagg WITHIN GROUP: ordered string aggregation over a unique sort key (DuckDB twin: string_agg ORDER BY) — deterministic only because the within-group order is total.")
+      doc = "Spark 4 listagg WITHIN GROUP: ordered string aggregation over a unique sort key (DuckDB twin: string_agg ORDER BY) — deterministic only because the within-group order is total."),
+
+    QueryDef(
+      "q146_tpch_q1_dec64",
+      (s, dir) => {
+        import s.implicits._
+        // TPC-H Q1's money aggregation, shaped to stay entirely inside
+        // the Decimal64 columnar runtime: every product is cast to
+        // DECIMAL(18,4) before its SUM, so the pre-shuffle pipeline is
+        // scan → columnar filter → columnar decimal project → columnar
+        // grouped partial agg (exact unscaled-long sums), and the
+        // post-shuffle merge is the columnar final agg — both stages
+        // pinned in PlanAssertionSuite. At 100 TB the partial stage
+        // reduces each scan partition to ≤ |groups| buffer rows before
+        // the one shuffle (the same plan Spark's row engine gets; the
+        // kernels just execute it columnar, the reference's
+        // sum_decimal.rs investment re-expressed on the JVM).
+        // Operand precisions chosen so EVERY node stays ≤ 18 digits
+        // with zero rounding (discount/tax/price have ≤ 2 decimals in
+        // TPC-H): price(8,2) × (1−disc)(4,2) → net(13,4);
+        // net × (1+tax)(4,2) → charge(18,6). Sums widen +10 into the
+        // 64-bit-escape buffer range (23,4)/(28,6).
+        val one = lit(1).cast("decimal(3,2)")
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          // pre-project the money columns so every aggregate input is a
+          // plain attribute (the cast/multiply tree runs in the columnar
+          // project, the sums in the columnar agg)
+          .select($"l_returnflag", $"l_linestatus",
+            dec($"l_quantity").as("qty"),
+            dec($"l_extendedprice").as("price"),
+            ($"l_extendedprice".cast("decimal(8,2)") *
+              (one - $"l_discount".cast("decimal(3,2)"))).as("net"),
+            (($"l_extendedprice".cast("decimal(8,2)") *
+              (one - $"l_discount".cast("decimal(3,2)"))) *
+              (one + $"l_tax".cast("decimal(3,2)"))).as("charge"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"qty").cast("double").as("sum_qty"),
+            sum($"price").cast("double").as("sum_base_price"),
+            sum($"net").cast("double").as("sum_disc_price"),
+            sum($"charge").cast("double").as("sum_charge"),
+            min($"qty").cast("double").as("min_qty"),
+            max($"price").cast("double").as("max_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS $decSql)) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS $decSql)) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum((CAST(l_extendedprice AS DECIMAL(8,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+          CAST(min(CAST(l_quantity AS $decSql)) AS DOUBLE) AS min_qty,
+          CAST(max(CAST(l_extendedprice AS $decSql)) AS DOUBLE) AS max_price,
+          count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "TPC-H Q1 money math fully inside the Decimal64 columnar runtime: exact unscaled-long sum/min/max kernels on both sides of the shuffle (partial + final grouped agg pinned columnar), products cast to DECIMAL(18,4) to stay in 64-bit range.")
   )
 }

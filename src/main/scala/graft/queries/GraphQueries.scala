@@ -142,6 +142,77 @@ object GraphQueries {
             WHERE w.hop < 3)
         SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hops
         FROM walk GROUP BY node ORDER BY doc_id"""),
-      doc = "Spark 4 recursive CTE (UnionLoop): bounded BFS min-hop reachability from a seed over the q46 pair graph — declarative transitive closure, identical recursion in the DuckDB oracle. Spark supports only UNION ALL recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the hop cap bounds path enumeration; the unbounded-closure form stays with q108's iterative loop.")
+      doc = "Spark 4 recursive CTE (UnionLoop): bounded BFS min-hop reachability from a seed over the q46 pair graph — declarative transitive closure, identical recursion in the DuckDB oracle. Spark supports only UNION ALL recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the hop cap bounds path enumeration; the unbounded-closure form stays with q108's iterative loop."),
+
+    QueryDef(
+      "q149_pagerank_trade",
+      (s, dir) => {
+        import s.implicits._
+        // Weighted PageRank (d=0.85, 3 fixed iterations) over the
+        // nation-level trade graph: customer nation → supplier nation,
+        // edge weight = lineitem count. Scale shape: the corpus-sized
+        // work is ONE edge aggregation (joins broadcast the dims,
+        // shuffle on nation pairs, ≤ 625 edge rows out), materialized
+        // with localCheckpoint so the 3 iterations never rescan
+        // lineitem (the q136 lesson); each iteration is then a
+        // 625-row join. Per-iteration round at 1e-12 absorbs summation-
+        // order ulps; final round at 1e-6 (the q84 discipline). The
+        // 25-nation spine is TPC-H-fixed, so N is the literal 25.
+        val D = 0.85
+        val li = Tables.t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val ords = Tables.t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val cust = Tables.t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val supp = Tables.t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val nations = Tables.t(s, dir, "nation").select($"n_nationkey".as("nation"))
+        val edges = li
+          .join(broadcast(ords), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint()
+        val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+        val ew = edges.join(outw, "src")
+        var pr = nations.select($"nation", lit(1.0 / 25).as("pr"))
+        (1 to 3).foreach { _ =>
+          val inmass = ew.join(pr, $"src" === $"nation")
+            .groupBy($"dst")
+            .agg(sum($"pr" * $"w" / $"outw").as("inmass"))
+          pr = nations.join(inmass, $"nation" === $"dst", "left_outer")
+            .select($"nation",
+              round(lit(0.15 / 25) + lit(D) * coalesce($"inmass", lit(0.0)), 12).as("pr"))
+        }
+        pr.select($"nation", round($"pr", 6).as("pr")).orderBy($"nation")
+      },
+      Some("""WITH edges AS (
+          SELECT c.c_nationkey AS src, su.s_nationkey AS dst, count(*) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier su ON l.l_suppkey = su.s_suppkey
+          GROUP BY 1, 2),
+        outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+        ew AS (SELECT e.src, e.dst, e.w, o.outw FROM edges e JOIN outw o ON e.src = o.src),
+        pr0 AS (SELECT n_nationkey AS nation, CAST(1.0 AS DOUBLE) / 25 AS pr FROM nation),
+        it1 AS (SELECT n.n_nationkey AS nation,
+            round(CAST(0.15 AS DOUBLE) / 25 + CAST(0.85 AS DOUBLE) * coalesce(m.inmass, CAST(0.0 AS DOUBLE)), 12) AS pr
+          FROM nation n LEFT JOIN (
+            SELECT ew.dst, sum(p.pr * ew.w / ew.outw) AS inmass
+            FROM ew JOIN pr0 p ON ew.src = p.nation GROUP BY ew.dst) m
+          ON n.n_nationkey = m.dst),
+        it2 AS (SELECT n.n_nationkey AS nation,
+            round(CAST(0.15 AS DOUBLE) / 25 + CAST(0.85 AS DOUBLE) * coalesce(m.inmass, CAST(0.0 AS DOUBLE)), 12) AS pr
+          FROM nation n LEFT JOIN (
+            SELECT ew.dst, sum(p.pr * ew.w / ew.outw) AS inmass
+            FROM ew JOIN it1 p ON ew.src = p.nation GROUP BY ew.dst) m
+          ON n.n_nationkey = m.dst),
+        it3 AS (SELECT n.n_nationkey AS nation,
+            round(CAST(0.15 AS DOUBLE) / 25 + CAST(0.85 AS DOUBLE) * coalesce(m.inmass, CAST(0.0 AS DOUBLE)), 12) AS pr
+          FROM nation n LEFT JOIN (
+            SELECT ew.dst, sum(p.pr * ew.w / ew.outw) AS inmass
+            FROM ew JOIN it2 p ON ew.src = p.nation GROUP BY ew.dst) m
+          ON n.n_nationkey = m.dst)
+        SELECT nation, round(pr, 6) AS pr FROM it3 ORDER BY nation"""),
+      doc = "Weighted PageRank (d=0.85, 3 iterations) on the customer-nation → supplier-nation trade graph: one corpus-scale edge aggregation (broadcast dims), localCheckpoint before iterating, then 625-row iteration joins; per-iteration round-12 keeps both engines' float sums identical, final round-6.")
   )
 }

@@ -274,7 +274,106 @@ object TextQueries {
             '${PiiOracleRe.ip}', '[IP]', 'g') AS redacted,
           regexp_replace(t, '${PiiOracleRe.email}', '[EMAIL]', 'g') AS email_only
         FROM pii ORDER BY doc_id"""),
-      doc = "PII detect + redact (email/phone/ssn/cc/ip) over codegen'd native expressions; RE2-compatible patterns shared verbatim with the oracle; class-restricted variant exercises the literal class-list arg.")
+      doc = "PII detect + redact (email/phone/ssn/cc/ip) over codegen'd native expressions; RE2-compatible patterns shared verbatim with the oracle; class-restricted variant exercises the literal class-list arg."),
+
+    QueryDef(
+      "q147_bm25_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // BM25 retrieval through an inverted index. Scale shape: the
+        // postings list (tf) shuffles on term ONCE; the tiny query-term
+        // table broadcasts, so only the query terms' postings ever
+        // move; doc lengths shuffle on doc_id; the global (N, avgdl)
+        // row broadcasts via the single-row cross join. Per-query
+        // top-k is a window over candidates only. Ranking uses the
+        // ROUNDED score (doc_id tiebreak) so last-ulp ln() differences
+        // can't reorder rows cross-engine (the q84 discipline).
+        // constants appear in the SAME literal forms as the oracle SQL
+        // (a driver-side K1+1.0 could differ from the literal 2.2 in
+        // the last ulp)
+        val K1 = 1.2; val K1p1 = 2.2; val OneMinusB = 0.25; val B = 0.75
+        val docs = Tables.t(s, dir, "documents")
+        val terms = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+        val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dlen = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dlen.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val queries = Seq(
+          ("hash join", "hash"), ("hash join", "join"),
+          ("scan filter batch", "scan"), ("scan filter batch", "filter"),
+          ("scan filter batch", "batch"),
+          ("customer order", "customer"), ("customer order", "order"))
+          .toDF("qid", "term")
+        val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id")
+        tf.join(broadcast(queries), "term")
+          .join(df, "term")
+          .join(dlen, "doc_id")
+          .crossJoin(broadcast(stats))
+          .groupBy($"qid", $"doc_id")
+          .agg(round(sum(
+            log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) *
+              ($"tf" * K1p1) /
+              ($"tf" + lit(K1) * (lit(OneMinusB) + lit(B) * $"dl" / $"avgdl"))), 6).as("score"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 5)
+          .select($"qid", $"rk", $"doc_id", $"score")
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        dlen AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        q(qid, term) AS (VALUES
+          ('hash join', 'hash'), ('hash join', 'join'),
+          ('scan filter batch', 'scan'), ('scan filter batch', 'filter'),
+          ('scan filter batch', 'batch'),
+          ('customer order', 'customer'), ('customer order', 'order')),
+        scored AS (
+          SELECT q.qid, tf.doc_id,
+            round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+              (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))), 6)
+              AS score
+          FROM tf JOIN q ON tf.term = q.term
+            JOIN df ON tf.term = df.term
+            JOIN dlen ON tf.doc_id = dlen.doc_id
+            CROSS JOIN stats
+          GROUP BY 1, 2)
+        SELECT qid, rk, doc_id, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+        WHERE rk <= 5 ORDER BY qid, rk"""),
+      doc = "BM25 (k1=1.2, b=0.75) retrieval via inverted-index equi-join: broadcast query terms prune the postings, doc-length normalization joins on doc_id, global (N, avgdl) broadcasts as a single row, per-query top-5 by rounded score — no corpus-wide scan per query at any scale."),
+
+    QueryDef(
+      "q148_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        // Heavy hitters via a Misra-Gries sketch (m=64): the sketch is
+        // a bounded mergeable summary — partial aggregation ships ≤ 64
+        // counters per partition, never the corpus' distinct keys.
+        // Sketch counter values are processing-order-dependent, so the
+        // query uses the sketch only as a CANDIDATE set and exactly
+        // recounts candidates with one broadcast semi-join — the
+        // deterministic production form. The exact-top-10 oracle is
+        // valid because every item with freq > n/64 is guaranteed to
+        // be a candidate (MG survival bound; the corpus top-10 all
+        // clear it — FuzzProps pins the bound on adversarial streams).
+        val docs = Tables.t(s, dir, "documents")
+        val terms = docs.select(explode(split($"text", " ")).as("term"))
+        val sketch = terms.as[String]
+          .select(graft.engine.MisraGries(64).toColumn.name("sketch"))
+        val cand = sketch.select(explode($"sketch")).select($"key".as("term"))
+        terms.join(broadcast(cand), "term")
+          .groupBy($"term").agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"term").limit(10)
+      },
+      Some("""SELECT term, count(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term ORDER BY freq DESC, term LIMIT 10"""),
+      doc = "Misra-Gries heavy hitters: bounded mergeable counter sketch (typed Aggregator, partial-aggregated) proposes candidates; one broadcast semi-join recounts them exactly — deterministic top-10 without shuffling the full distinct-key space.")
   )
 }
 

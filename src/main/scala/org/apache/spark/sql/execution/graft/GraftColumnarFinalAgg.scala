@@ -217,6 +217,48 @@ case class GraftColumnarFinalAggExec(
               // avg buffer = (sum: non-null double, count: non-null long)
               st.dblAcc(si)(gid) += r.getDouble(col)
               st.longAcc(si)(gid) += r.getLong(col + 1)
+            case SumDec64Spec(col, _, buf, _) =>
+              // buffer = (sum, isEmpty). Sum.mergeExpressions: an empty
+              // buffer leaves the accumulator; a non-empty NULL sum is
+              // an upstream overflow and poisons the group (null
+              // propagates through the merge Add).
+              if (!r.getBoolean(col + 1)) {
+                st.seen(si)(gid) = true
+                val cur = st.objAcc(si)(gid)
+                if (cur ne GraftColumnarAgg.DecPoison) {
+                  if (r.isNullAt(col)) st.objAcc(si)(gid) = GraftColumnarAgg.DecPoison
+                  else {
+                    val d = r.getDecimal(col, buf.precision, buf.scale)
+                    if (cur == null && d.toJavaBigDecimal.unscaledValue.bitLength < 63) {
+                      val x = d.toJavaBigDecimal.unscaledValue.longValue
+                      val s0 = st.longAcc(si)(gid); val rr = s0 + x
+                      if (((s0 ^ rr) & (x ^ rr)) < 0L)
+                        st.objAcc(si)(gid) = java.math.BigInteger.valueOf(s0)
+                          .add(java.math.BigInteger.valueOf(x))
+                      else st.longAcc(si)(gid) = rr
+                    } else {
+                      val base =
+                        if (cur == null) java.math.BigInteger.valueOf(st.longAcc(si)(gid))
+                        else cur.asInstanceOf[java.math.BigInteger]
+                      st.objAcc(si)(gid) = base.add(d.toJavaBigDecimal.unscaledValue)
+                    }
+                  }
+                }
+              }
+            case MinMaxDec64Spec(col, dt, isMin) =>
+              if (!r.isNullAt(col)) {
+                val x = r.getDecimal(col, dt.precision, dt.scale).toUnscaledLong
+                if (!st.seen(si)(gid) ||
+                    (if (isMin) x < st.longAcc(si)(gid) else x > st.longAcc(si)(gid)))
+                  st.longAcc(si)(gid) = x
+                st.seen(si)(gid) = true
+              }
+            case SumLongSpec(col, _, ansi) =>
+              if (!r.isNullAt(col)) {
+                st.longAcc(si)(gid) =
+                  GraftColumnarAgg.addLong(st.longAcc(si)(gid), r.getLong(col), ansi)
+                st.seen(si)(gid) = true
+              }
           }
           si += 1
         }
@@ -294,6 +336,52 @@ case class GraftColumnarFinalAggExec(
                     val cnt = st.longAcc(si)(i)
                     if (cnt == 0L) cols(c).putNull(i)
                     else cols(c).putDouble(i, st.dblAcc(si)(i) / cnt)
+                    i += 1
+                  }
+                case SumDec64Spec(_, _, buf, ansi) =>
+                  // CheckOverflowInSum: empty group → null; overflow →
+                  // throw (ANSI) or null (LEGACY). try_sum never
+                  // compiles to this spec.
+                  def overflow(): Unit =
+                    if (ansi) throw org.apache.spark.sql.errors.QueryExecutionErrors
+                      .overflowInSumOfDecimalError(null, "try_sum")
+                  var i = 0
+                  while (i < g) {
+                    if (!st.seen(si)(i)) cols(c).putNull(i)
+                    else {
+                      val o = st.objAcc(si)(i)
+                      if (o eq GraftColumnarAgg.DecPoison) { overflow(); cols(c).putNull(i) }
+                      else if (o == null) {
+                        if (GraftColumnarAgg.fitsPrecision(st.longAcc(si)(i), buf.precision))
+                          cols(c).putDecimal(i,
+                            Decimal.createUnsafe(st.longAcc(si)(i), buf.precision, buf.scale),
+                            buf.precision)
+                        else { overflow(); cols(c).putNull(i) }
+                      } else {
+                        val bi = o.asInstanceOf[java.math.BigInteger]
+                        if (GraftColumnarAgg.fitsPrecision(bi, buf.precision))
+                          cols(c).putDecimal(i,
+                            Decimal(new java.math.BigDecimal(bi, buf.scale)), buf.precision)
+                        else { overflow(); cols(c).putNull(i) }
+                      }
+                    }
+                    i += 1
+                  }
+                case MinMaxDec64Spec(_, dt, _) =>
+                  var i = 0
+                  while (i < g) {
+                    if (st.seen(si)(i))
+                      cols(c).putDecimal(i,
+                        Decimal.createUnsafe(st.longAcc(si)(i), dt.precision, dt.scale),
+                        dt.precision)
+                    else cols(c).putNull(i)
+                    i += 1
+                  }
+                case SumLongSpec(_, _, _) =>
+                  var i = 0
+                  while (i < g) {
+                    if (st.seen(si)(i)) cols(c).putLong(i, st.longAcc(si)(i))
+                    else cols(c).putNull(i)
                     i += 1
                   }
               }

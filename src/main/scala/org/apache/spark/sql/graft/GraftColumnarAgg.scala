@@ -34,6 +34,29 @@ object AggSpec {
   final case class MinMaxStringSpec(col: Int, isMin: Boolean) extends AggSpec { def slots = 1 }
   /** avg over numeric input: buffer = (sum: Double, count: Long). */
   final case class AvgSpec(col: Int, dt: DataType) extends AggSpec { def slots = 2 }
+
+  /** sum over a Decimal64 input (precision ≤ 18): exact unscaled-long
+    * accumulation with a BigInteger escape on long overflow (the
+    * reference's checked-decimal investment, sum_decimal.rs). Buffer is
+    * Spark's own decimal Sum layout: (sum: DecimalType bounded(p+10, s)
+    * — may exceed 18 digits, stored as bytes — isEmpty: Boolean).
+    * `ansi` drives the FINAL stage's CheckOverflowInSum semantics
+    * (throw vs null on overflow); TRY-mode sums don't compile.
+    */
+  final case class SumDec64Spec(col: Int, in: DecimalType, buf: DecimalType,
+      ansi: Boolean) extends AggSpec { def slots = 2 }
+  /** min/max over a Decimal64 input: unscaled-long comparisons (same
+    * scale throughout — ordering is exact), one slot of the input type. */
+  final case class MinMaxDec64Spec(col: Int, dt: DecimalType, isMin: Boolean)
+      extends AggSpec { def slots = 1 }
+  /** sum over integral input: nullable LongType buffer, two's-complement
+    * wrap on LEGACY overflow, throw on ANSI — Spark's Add semantics.
+    * Also matches the optimizer's DecimalAggregates rewrite
+    * sum(UnscaledValue(decimal ≤ 8 digits)); there `in` is the
+    * DecimalType and the kernel reads the vector's unscaled channel.
+    */
+  final case class SumLongSpec(col: Int, in: DataType, ansi: Boolean)
+      extends AggSpec { def slots = 1 }
 }
 
 /** Columnar partial HashAggregate for GLOBAL (no grouping keys)
@@ -45,11 +68,12 @@ object AggSpec {
   * HashAggregate partial mode (planner.rs agg serde +
   * operators.scala:386-776 JVM wiring).
   *
-  * Supported: count(*)/count(col), sum(float/double), min/max over
-  * integral/date/time/float/double/string, avg(numeric). Anything else
-  * (decimal sums, ANSI long sums with overflow checks, DISTINCT,
-  * FILTER clauses, grouped aggregation) keeps the row path — the rule
-  * tags the node with the reason.
+  * Supported: count(*)/count(col), sum(float/double), sum(decimal ≤ 18
+  * digits — exact unscaled-long kernel, Spark's (sum, isEmpty) buffer),
+  * min/max over integral/date/time/float/double/string/decimal64,
+  * avg(numeric). Anything else (128-bit decimals, try_sum, ANSI long
+  * sums with overflow checks, DISTINCT, FILTER clauses) keeps the row
+  * path — the rule tags the node with the reason.
   */
 case class GraftColumnarPartialAggExec(
     output: Seq[Attribute], specs: Seq[AggSpec], child: SparkPlan)
@@ -65,12 +89,13 @@ case class GraftColumnarPartialAggExec(
     "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of input batches"))
 
   private def run(iter: Iterator[ColumnarBatch]): (Array[Long], Array[Double],
-      Array[UTF8String], Array[Boolean], Long, Long) = {
+      Array[UTF8String], Array[AnyRef], Array[Boolean], Long, Long) = {
     import AggSpec._
     val n = specs.length
     val longAcc = new Array[Long](n)
     val dblAcc = new Array[Double](n)
     val strAcc = new Array[UTF8String](n)
+    val objAcc = new Array[AnyRef](n)
     val seen = new Array[Boolean](n)
     var rows = 0L; var batches = 0L
     iter.foreach { batch =>
@@ -160,16 +185,61 @@ case class GraftColumnarPartialAggExec(
               if (!v.isNullAt(i)) { dblAcc(si) += get(i); longAcc(si) += 1 }
               i += 1
             }
+          case SumDec64Spec(col, in, _, _) =>
+            val v = batch.column(col)
+            val get = GraftColumnarAgg.dec64VecGetter(v, in)
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                val x = get(i)
+                val big = objAcc(si)
+                if (big == null) {
+                  val s0 = longAcc(si); val r = s0 + x
+                  if (((s0 ^ r) & (x ^ r)) < 0L) // signed-add overflow → escape
+                    objAcc(si) = java.math.BigInteger.valueOf(s0)
+                      .add(java.math.BigInteger.valueOf(x))
+                  else longAcc(si) = r
+                } else objAcc(si) = big.asInstanceOf[java.math.BigInteger]
+                  .add(java.math.BigInteger.valueOf(x))
+                seen(si) = true
+              }
+              i += 1
+            }
+          case MinMaxDec64Spec(col, dt, isMin) =>
+            val v = batch.column(col)
+            val get = GraftColumnarAgg.dec64VecGetter(v, dt)
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                val x = get(i)
+                if (!seen(si) || (if (isMin) x < longAcc(si) else x > longAcc(si)))
+                  longAcc(si) = x
+                seen(si) = true
+              }
+              i += 1
+            }
+          case SumLongSpec(col, in, ansi) =>
+            val v = batch.column(col)
+            val get = GraftColumnarAgg.longSumGetter(v, in)
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                longAcc(si) = GraftColumnarAgg.addLong(longAcc(si), get(i), ansi)
+                seen(si) = true
+              }
+              i += 1
+            }
         }
         si += 1
       }
     }
-    (longAcc, dblAcc, strAcc, seen, rows, batches)
+    (longAcc, dblAcc, strAcc, objAcc, seen, rows, batches)
   }
 
   /** Write the accumulated buffer into output slot values. */
   private def bufferValues(longAcc: Array[Long], dblAcc: Array[Double],
-      strAcc: Array[UTF8String], seen: Array[Boolean]): Array[Any] = {
+      strAcc: Array[UTF8String], objAcc: Array[AnyRef],
+      seen: Array[Boolean]): Array[Any] = {
     import AggSpec._
     val out = new Array[Any](output.length)
     var slot = 0; var si = 0
@@ -196,6 +266,36 @@ case class GraftColumnarPartialAggExec(
           // Average's initial buffer is (0.0, 0L), NOT null — its merge
           // expression is a plain null-propagating Add.
           out(slot) = dblAcc(si); out(slot + 1) = longAcc(si); slot += 2
+        case SumDec64Spec(_, _, buf, _) =>
+          // buffer = (sum, isEmpty). Sum's decimal buffer INITIALIZES
+          // sum to ZERO (isEmpty carries the no-input case) and the
+          // merge adds KnownNotNull(sum) unconditionally — so the empty
+          // emit must be (0, true), never (null, true). A null sum
+          // means exactly one thing: overflow past the buffer
+          // precision (the clamp UnsafeRow.setDecimal applies on the
+          // row path's every buffer write).
+          out(slot) =
+            if (!seen(si)) Decimal.createUnsafe(0L, buf.precision, buf.scale)
+            else objAcc(si) match {
+              case null =>
+                if (GraftColumnarAgg.fitsPrecision(longAcc(si), buf.precision))
+                  Decimal.createUnsafe(longAcc(si), buf.precision, buf.scale)
+                else null
+              case bi: java.math.BigInteger =>
+                if (GraftColumnarAgg.fitsPrecision(bi, buf.precision))
+                  Decimal(new java.math.BigDecimal(bi, buf.scale))
+                else null
+              case _ => null
+            }
+          out(slot + 1) = java.lang.Boolean.valueOf(!seen(si))
+          slot += 2
+        case MinMaxDec64Spec(_, dt, _) =>
+          out(slot) =
+            if (seen(si)) Decimal.createUnsafe(longAcc(si), dt.precision, dt.scale)
+            else null
+          slot += 1
+        case SumLongSpec(_, _, _) =>
+          out(slot) = if (seen(si)) longAcc(si) else null; slot += 1
       }
       si += 1
     }
@@ -206,9 +306,9 @@ case class GraftColumnarPartialAggExec(
     val (inM, batchM) = (metrics("numInputRows"), metrics("numBatches"))
     val schema = StructType(output.map(a => StructField(a.name, a.dataType, a.nullable)))
     child.executeColumnar().mapPartitionsInternal { iter =>
-      val (longAcc, dblAcc, strAcc, seen, rows, batches) = run(iter)
+      val (longAcc, dblAcc, strAcc, objAcc, seen, rows, batches) = run(iter)
       inM.add(rows); batchM.add(batches)
-      val values = bufferValues(longAcc, dblAcc, strAcc, seen)
+      val values = bufferValues(longAcc, dblAcc, strAcc, objAcc, seen)
       val cols = OnHeapColumnVector.allocateColumns(1, schema)
       var c = 0
       while (c < cols.length) {
@@ -221,6 +321,8 @@ case class GraftColumnarPartialAggExec(
           case (v: Double, _) => cols(c).putDouble(0, v)
           case (v: Float, _) => cols(c).putFloat(0, v)
           case (v: UTF8String, _) => cols(c).putByteArray(0, v.getBytes)
+          case (v: Decimal, dt: DecimalType) => cols(c).putDecimal(0, v, dt.precision)
+          case (v: java.lang.Boolean, _) => cols(c).putBoolean(0, v.booleanValue())
           case (v, dt) => throw new IllegalStateException(s"unexpected buffer value $v: $dt")
         }
         c += 1
@@ -248,6 +350,75 @@ case class GraftColumnarPartialAggExec(
 object GraftColumnarAgg {
   import AggSpec._
 
+  /** Sentinel in a group's object-accumulator slot marking a decimal
+    * sum poisoned by an upstream overflow (a non-empty merged buffer
+    * whose sum was null) — the final evaluate nulls or throws per
+    * CheckOverflowInSum. Identity-compared (`eq`).
+    */
+  val DecPoison: AnyRef = new Object
+
+  private val POW10L: Array[Long] = {
+    val a = new Array[Long](19); a(0) = 1L
+    var i = 1; while (i < 19) { a(i) = a(i - 1) * 10L; i += 1 }; a
+  }
+  private val POW10BI: Array[java.math.BigInteger] =
+    Array.tabulate(39)(java.math.BigInteger.TEN.pow)
+
+  /** Would an unscaled value still fit `p` digits? (p ≥ 19 always fits
+    * a long; the BigInteger overload covers the wide-buffer path.) */
+  def fitsPrecision(v: Long, p: Int): Boolean =
+    p >= 19 || (v > -POW10L(p) && v < POW10L(p))
+  def fitsPrecision(v: java.math.BigInteger, p: Int): Boolean =
+    v.abs.compareTo(POW10BI(p)) < 0
+
+  /** Unscaled-long reader for a Decimal64 vector column. The
+    * ColumnVector contract stores precision ≤ 9 decimals through the
+    * int channel and 10..18 through the long channel (the base class's
+    * own getDecimal dispatch).
+    */
+  def dec64VecGetter(v: org.apache.spark.sql.vectorized.ColumnVector,
+      dt: DecimalType): Int => Long =
+    if (dt.precision <= Decimal.MAX_INT_DIGITS) i => v.getInt(i).toLong else v.getLong
+
+  /** Widened-to-long reader for a SumLongSpec input: integral channels,
+    * or the unscaled channel for the DecimalAggregates rewrite. */
+  def longSumGetter(v: org.apache.spark.sql.vectorized.ColumnVector,
+      in: DataType): Int => Long = in match {
+    case d: DecimalType => dec64VecGetter(v, d)
+    case ByteType => v.getByte(_).toLong
+    case ShortType => v.getShort(_).toLong
+    case IntegerType => v.getInt(_).toLong
+    case _ => v.getLong
+  }
+
+  /** One long-sum step: two's-complement wrap (LEGACY) or Spark's ANSI
+    * arithmetic-overflow error — Add's exact long semantics. */
+  def addLong(a: Long, b: Long, ansi: Boolean): Long = {
+    val r = a + b
+    if (ansi && ((a ^ r) & (b ^ r)) < 0L)
+      throw org.apache.spark.sql.errors.QueryExecutionErrors
+        .arithmeticOverflowError("long overflow", "try_add", null)
+    r
+  }
+
+  /** Write one PARTIAL decimal-sum value: values that no longer fit the
+    * buffer precision emit null — the same clamp Spark's UnsafeRow
+    * buffer write applies at every update (UnsafeRow.setDecimal nulls
+    * on changePrecision failure), just applied at emit time.
+    */
+  def putPartialDecSum(col: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      i: Int, longVal: Long, obj: AnyRef, buf: DecimalType): Unit = obj match {
+    case null =>
+      if (fitsPrecision(longVal, buf.precision))
+        col.putDecimal(i, Decimal.createUnsafe(longVal, buf.precision, buf.scale), buf.precision)
+      else col.putNull(i)
+    case bi: java.math.BigInteger =>
+      if (fitsPrecision(bi, buf.precision))
+        col.putDecimal(i, Decimal(new java.math.BigDecimal(bi, buf.scale)), buf.precision)
+      else col.putNull(i)
+    case _ => col.putNull(i)
+  }
+
   /** Spark's nanSafeCompareDoubles "<": NaN is greatest, otherwise
     * java.lang.Double.compare (so -0.0 < 0.0, matching the ordering the
     * codegen'd least/greatest use).
@@ -266,6 +437,9 @@ object GraftColumnarAgg {
     case MinMaxDoubleSpec(_, dt, _) => Seq(dt)
     case MinMaxStringSpec(_, _) => Seq(StringType)
     case AvgSpec(_, _) => Seq(DoubleType, LongType)
+    case SumDec64Spec(_, _, buf, _) => Seq(buf, BooleanType)
+    case MinMaxDec64Spec(_, dt, _) => Seq(dt)
+    case SumLongSpec(_, _, _) => Seq(LongType)
   }
 
   private val longFamily: Set[DataType] =
@@ -286,6 +460,31 @@ object GraftColumnarAgg {
       case Sum(a: AttributeReference, _) if ord(a) >= 0 &&
           (a.dataType == DoubleType || a.dataType == FloatType) =>
         scala.Right(SumDoubleSpec(ord(a), a.dataType))
+      case s @ Sum(a: AttributeReference, ctx) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] &&
+          a.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS &&
+          ctx.evalMode != EvalMode.TRY =>
+        scala.Right(SumDec64Spec(ord(a), a.dataType.asInstanceOf[DecimalType],
+          s.dataType.asInstanceOf[DecimalType], ctx.evalMode == EvalMode.ANSI))
+      case Sum(a: AttributeReference, ctx) if ord(a) >= 0 &&
+          (a.dataType == ByteType || a.dataType == ShortType ||
+            a.dataType == IntegerType || a.dataType == LongType) &&
+          ctx.evalMode != EvalMode.TRY =>
+        scala.Right(SumLongSpec(ord(a), a.dataType, ctx.evalMode == EvalMode.ANSI))
+      case Sum(UnscaledValue(a: AttributeReference), ctx) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] &&
+          a.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS &&
+          ctx.evalMode != EvalMode.TRY =>
+        // the optimizer's DecimalAggregates shape: read the unscaled channel
+        scala.Right(SumLongSpec(ord(a), a.dataType, ctx.evalMode == EvalMode.ANSI))
+      case Min(a: AttributeReference) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] &&
+          a.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS =>
+        scala.Right(MinMaxDec64Spec(ord(a), a.dataType.asInstanceOf[DecimalType], isMin = true))
+      case Max(a: AttributeReference) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] &&
+          a.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS =>
+        scala.Right(MinMaxDec64Spec(ord(a), a.dataType.asInstanceOf[DecimalType], isMin = false))
       case Min(a: AttributeReference) if ord(a) >= 0 && longFamily(a.dataType) =>
         scala.Right(MinMaxLongSpec(ord(a), a.dataType, isMin = true))
       case Max(a: AttributeReference) if ord(a) >= 0 && longFamily(a.dataType) =>
@@ -318,6 +517,9 @@ object GraftColumnarAgg {
     case MinMaxDoubleSpec(_, dt, _) => dt
     case MinMaxStringSpec(_, _) => StringType
     case AvgSpec(_, _) => DoubleType
+    case SumDec64Spec(_, _, buf, _) => buf
+    case MinMaxDec64Spec(_, dt, _) => dt
+    case SumLongSpec(_, _, _) => LongType
   }
 
   /** Compile one FINAL-mode AggregateExpression into a spec whose `col`
@@ -339,6 +541,23 @@ object GraftColumnarAgg {
       case Count(_) => scala.Right(CountSpec(c))
       case Sum(e, _) if e.dataType == DoubleType || e.dataType == FloatType =>
         scala.Right(SumDoubleSpec(c, e.dataType))
+      case s @ Sum(e, ctx) if e.dataType.isInstanceOf[DecimalType] &&
+          e.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS &&
+          ctx.evalMode != EvalMode.TRY && bufs == Seq(c, c + 1) =>
+        scala.Right(SumDec64Spec(c, e.dataType.asInstanceOf[DecimalType],
+          s.dataType.asInstanceOf[DecimalType], ctx.evalMode == EvalMode.ANSI))
+      case Min(e) if e.dataType.isInstanceOf[DecimalType] &&
+          e.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS =>
+        scala.Right(MinMaxDec64Spec(c, e.dataType.asInstanceOf[DecimalType], isMin = true))
+      case Max(e) if e.dataType.isInstanceOf[DecimalType] &&
+          e.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS =>
+        scala.Right(MinMaxDec64Spec(c, e.dataType.asInstanceOf[DecimalType], isMin = false))
+      case Sum(e, ctx) if (e.dataType == ByteType || e.dataType == ShortType ||
+          e.dataType == IntegerType || e.dataType == LongType) &&
+          ctx.evalMode != EvalMode.TRY =>
+        // integral sums AND the DecimalAggregates sum(UnscaledValue(..))
+        // rewrite both merge a nullable LongType buffer
+        scala.Right(SumLongSpec(c, LongType, ctx.evalMode == EvalMode.ANSI))
       case Min(e) if longFamily(e.dataType) =>
         scala.Right(MinMaxLongSpec(c, e.dataType, isMin = true))
       case Max(e) if longFamily(e.dataType) =>

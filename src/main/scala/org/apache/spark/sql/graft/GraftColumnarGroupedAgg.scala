@@ -33,6 +33,9 @@ private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int) {
     var longAcc = Array.ofDim[Long](nSpecs, capacity)
     var dblAcc = Array.ofDim[Double](nSpecs, capacity)
     var strAcc = Array.ofDim[UTF8String](nSpecs, capacity)
+    // object escape slot: BigInteger overflow continuation for decimal
+    // sums; GraftColumnarAgg.DecPoison for final-merge overflow nulls
+    var objAcc = Array.ofDim[AnyRef](nSpecs, capacity)
     var seen = Array.ofDim[Boolean](nSpecs, capacity)
 
     // Open-addressing fast path for a single long-family key: linear
@@ -105,6 +108,7 @@ private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int) {
       longAcc = longAcc.map(x => java.util.Arrays.copyOf(x, nc))
       dblAcc = dblAcc.map(x => java.util.Arrays.copyOf(x, nc))
       strAcc = strAcc.map(x => java.util.Arrays.copyOf(x, nc))
+      objAcc = objAcc.map(x => java.util.Arrays.copyOf(x, nc))
       seen = seen.map(x => java.util.Arrays.copyOf(x, nc))
       capacity = nc
     }
@@ -119,6 +123,7 @@ private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int) {
         java.util.Arrays.fill(longAcc(s), 0L)
         java.util.Arrays.fill(dblAcc(s), 0d)
         java.util.Arrays.fill(strAcc(s).asInstanceOf[Array[AnyRef]], null)
+        java.util.Arrays.fill(objAcc(s), null)
         s += 1
       }
     }
@@ -252,6 +257,40 @@ case class GraftColumnarGroupedAggExec(
                 i += 1
               }
               slot += 2
+            case SumDec64Spec(_, _, buf, _) =>
+              // empty → (ZERO, true): the row merge adds
+              // KnownNotNull(sum) unconditionally; null sum means
+              // overflow, nothing else
+              var i = 0
+              while (i < g) {
+                if (st.seen(si)(i))
+                  GraftColumnarAgg.putPartialDecSum(
+                    cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
+                else cols(slot).putDecimal(i,
+                  Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
+                cols(slot + 1).putBoolean(i, !st.seen(si)(i))
+                i += 1
+              }
+              slot += 2
+            case MinMaxDec64Spec(_, dt, _) =>
+              var i = 0
+              while (i < g) {
+                if (st.seen(si)(i))
+                  cols(slot).putDecimal(i,
+                    Decimal.createUnsafe(st.longAcc(si)(i), dt.precision, dt.scale),
+                    dt.precision)
+                else cols(slot).putNull(i)
+                i += 1
+              }
+              slot += 1
+            case SumLongSpec(_, _, _) =>
+              var i = 0
+              while (i < g) {
+                if (st.seen(si)(i)) cols(slot).putLong(i, st.longAcc(si)(i))
+                else cols(slot).putNull(i)
+                i += 1
+              }
+              slot += 1
           }
           si += 1
         }
@@ -462,6 +501,54 @@ case class GraftColumnarGroupedAggExec(
                 if (!v.isNullAt(j)) {
                   val gid = gids(j)
                   st.dblAcc(si)(gid) += get(j); st.longAcc(si)(gid) += 1
+                }
+                j += 1
+              }
+            case SumDec64Spec(col, in, _, _) =>
+              val v = batch.column(col)
+              val get = GraftColumnarAgg.dec64VecGetter(v, in)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  val x = get(j)
+                  val big = st.objAcc(si)(gid)
+                  if (big == null) {
+                    val s0 = st.longAcc(si)(gid); val r = s0 + x
+                    if (((s0 ^ r) & (x ^ r)) < 0L) // overflow → BigInteger escape
+                      st.objAcc(si)(gid) = java.math.BigInteger.valueOf(s0)
+                        .add(java.math.BigInteger.valueOf(x))
+                    else st.longAcc(si)(gid) = r
+                  } else st.objAcc(si)(gid) = big.asInstanceOf[java.math.BigInteger]
+                    .add(java.math.BigInteger.valueOf(x))
+                  st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case MinMaxDec64Spec(col, dt, isMin) =>
+              val v = batch.column(col)
+              val get = GraftColumnarAgg.dec64VecGetter(v, dt)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j); val x = get(j)
+                  if (!st.seen(si)(gid) ||
+                      (if (isMin) x < st.longAcc(si)(gid) else x > st.longAcc(si)(gid)))
+                    st.longAcc(si)(gid) = x
+                  st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case SumLongSpec(col, in, ansi) =>
+              val v = batch.column(col)
+              val get = GraftColumnarAgg.longSumGetter(v, in)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  st.longAcc(si)(gid) =
+                    GraftColumnarAgg.addLong(st.longAcc(si)(gid), get(j), ansi)
+                  st.seen(si)(gid) = true
                 }
                 j += 1
               }

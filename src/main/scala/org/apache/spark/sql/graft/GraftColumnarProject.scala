@@ -327,15 +327,19 @@ object VecDecExpr {
     else if (math.abs(u) < (1L << 52) && scale <= 22) u.toDouble / POW10D(scale)
     else new java.math.BigDecimal(java.math.BigInteger.valueOf(u), scale).doubleValue()
 
-  /** decimal column read through the documented unscaled-long channel */
-  final case class ColDec(ord: Int) extends VecDecExpr {
+  /** decimal column read through the documented unscaled channel —
+    * precision ≤ 9 vectors store ints, 10..18 store longs (the
+    * ColumnVector base class's own getDecimal dispatch).
+    */
+  final case class ColDec(ord: Int, prec: Int) extends VecDecExpr {
     override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
         s: VecScratch): Unit = {
       val v = b.column(ord)
+      val useInt = prec <= Decimal.MAX_INT_DIGITS
       var i = 0
       while (i < n) {
         if (v.isNullAt(i)) { isNull(i) = true; values(i) = 0L }
-        else { isNull(i) = false; values(i) = v.getLong(i) }
+        else { isNull(i) = false; values(i) = if (useInt) v.getInt(i).toLong else v.getLong(i) }
         i += 1
       }
     }
@@ -498,7 +502,7 @@ object VecDecExpr {
     def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
     e match {
       case a: AttributeReference if dec64(a.dataType).isDefined && ord(a) >= 0 =>
-        scala.Right(ColDec(ord(a)))
+        scala.Right(ColDec(ord(a), dec64(a.dataType).get.precision))
       case Literal(v, dt) if dec64(dt).isDefined && v != null =>
         scala.Right(LitDec(v.asInstanceOf[Decimal].toUnscaledLong))
       case a: Add if dec64(a.dataType).isDefined &&

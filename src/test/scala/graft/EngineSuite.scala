@@ -264,6 +264,70 @@ class EngineSuite extends GraftTestBase {
     assert(canon(agg2(t)).nonEmpty) // computed key still answers (row path)
   }
 
+  test("Decimal64 sum/min/max match the row path (int channel, escape, nulls, final)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decagg").toString
+    // d7: precision ≤ 9 → the vector's INT channel; d18: scale-0
+    // 18-digit values whose sum overflows a long → BigInteger escape
+    // (buffer decimal(28,0) still holds the exact total)
+    Seq(
+      (1, Option("a"), Option(BigDecimal("12345.67")), Option(BigDecimal("999999999999999999"))),
+      (2, Option("a"), Option(BigDecimal("-0.01")), Option(BigDecimal("999999999999999999"))),
+      (3, Option("b"), Option.empty[BigDecimal], Option(BigDecimal("999999999999999999"))),
+      (4, Option("b"), Option(BigDecimal("99999.99")), Option(BigDecimal("-999999999999999999"))),
+      (5, Option.empty[String], Option(BigDecimal("0.5")), Option.empty[BigDecimal]),
+      (6, Option("c"), Option.empty[BigDecimal], Option.empty[BigDecimal]),
+      (7, Option("a"), Option(BigDecimal("12345.67")), Option(BigDecimal("999999999999999999"))))
+      .toDF("id", "k", "d7", "d18")
+      .select($"id", $"k", $"d7".cast("decimal(7,2)").as("d7"),
+        $"d18".cast("decimal(18,0)").as("d18"))
+      .write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // 12 escape-path rows in ONE group: |sum| ≈ 1.2e19 > Long.MaxValue
+    val wide = t.unionAll(t).unionAll(t).unionAll(t)
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"k").agg(
+      sum($"d7").as("s7"), sum($"d18").as("s18"),
+      min($"d7").as("min7"), max($"d18").as("max18"), count(lit(1)).as("n"))
+    def globalAgg(df: org.apache.spark.sql.DataFrame) =
+      df.select(sum($"d7").as("s7"), sum($"d18").as("s18"), max($"d7").as("m7"))
+    for (q <- Seq(agg(t), agg(wide), globalAgg(t), globalAgg(wide),
+                  agg(t.filter($"id" > 100)), globalAgg(t.filter($"id" > 100)))) {
+      val on = canon(q)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false")(canon(q))
+      assert(on == off, s"columnar=$on row=$off")
+    }
+    // the grouped plan actually runs the decimal kernels on both sides
+    val cdf = agg(t)
+    cdf.collect()
+    assert(findExec(cdf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"expected grouped columnar agg in:\n${cdf.queryExecution.executedPlan}")
+    assert(findExec(cdf) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec => e
+    }.isDefined, s"expected columnar final agg in:\n${cdf.queryExecution.executedPlan}")
+    // flush path: interim partial emits per key must merge identically
+    val onFlush = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarGroupedAggExec.maxGroupsKey -> "1") {
+      canon(agg(wide))
+    }
+    val offFlush = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false")(canon(agg(wide)))
+    assert(onFlush == offFlush, s"flushed columnar=$onFlush row=$offFlush")
+    // try_sum must NOT compile to the decimal spec (distinct final
+    // semantics) — row fallback with identical results
+    val tryQ = t.groupBy($"k").agg(expr("try_sum(d18)").as("ts"))
+    tryQ.collect()
+    assert(findExec(tryQ) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isEmpty, "try_sum must stay on the row path")
+    val tOn = canon(tryQ)
+    val tOff = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      canon(t.groupBy($"k").agg(expr("try_sum(d18)").as("ts")))
+    }
+    assert(tOn == tOff)
+  }
+
   test("GraftColumnarProjectExec matches the row path on null/NaN/div-by-zero edges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colproj").toString
     Seq(

@@ -43,6 +43,38 @@ object FuzzProps extends Properties("graft") {
       }
     }
 
+  // skewed stream: a few hot keys over a long tail — the adversarial
+  // shape for a bounded counter sketch (evictions happen constantly)
+  private val mgStreamGen: Gen[List[String]] = for {
+    hot <- Gen.listOfN(3, Gen.choose(0, 5).map(i => s"hot$i"))
+    body <- Gen.listOfN(400, Gen.frequency(
+      3 -> Gen.oneOf(hot),
+      7 -> Gen.choose(0, 200).map(i => s"t$i")))
+  } yield body
+
+  property("misra-gries: survival + error bound hold under any merge order") =
+    forAll(mgStreamGen, Gen.choose(2, 12), Gen.choose(2, 6)) {
+      (xs: List[String], m: Int, nChunks: Int) =>
+        xs.isEmpty || {
+          val mg = graft.engine.MisraGries(m)
+          // partition the stream, reduce each chunk, merge pairwise —
+          // the exact shape Spark's partial aggregation produces
+          val chunks = xs.grouped(math.max(1, xs.size / nChunks)).toList
+          val sketch = chunks
+            .map(_.foldLeft(mg.zero)(mg.reduce))
+            .reduce(mg.merge)
+          val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val bound = xs.size.toLong / m
+          val survival = exact.forall { case (k, c) =>
+            c <= bound || sketch.contains(k) }
+          val errorOk = sketch.forall { case (k, est) =>
+            val c = exact.getOrElse(k, 0L)
+            est <= c && est >= c - bound }
+          val sizeOk = sketch.size <= m
+          survival && errorOk && sizeOk
+        }
+    }
+
   property("minhash merge: commutative + idempotent + dominated by inputs") =
     forAll(Gen.listOfN(MinHashAggregator.K, Gen.choose(0L, 1L << 37)),
            Gen.listOfN(MinHashAggregator.K, Gen.choose(0L, 1L << 37))) {

@@ -377,6 +377,18 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the whole pre-shuffle stage columnar in:\n$p")
   }
 
+  test("q146 runs Q1's money sums Decimal64-columnar on BOTH sides of the shuffle") {
+    val df = run("q146_tpch_q1_dec64")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"expected the Decimal64 grouped partial agg columnar in:\n$p")
+    assert(p.contains("GraftColumnarFinalAgg"),
+      s"expected the Decimal64 FINAL agg columnar above the exchange in:\n$p")
+    assert(p.contains("GraftColumnarProject") && p.contains("GraftColumnarFilter"),
+      s"expected the whole pre-shuffle money pipeline columnar in:\n$p")
+  }
+
   test("q114 skewed partition is split by AQE (skew=true), results unchanged") {
     // The oracle run uses default thresholds (sf0.01 is below the 256MB
     // skew trigger); here the thresholds are lowered so the same plan
