@@ -33,7 +33,8 @@ object Catalog {
     CorpusCleanQueries.all ++
     SourceFormatQueries.all ++
     QualityMixQueries.all ++
-    ChangeDataQueries.all
+    ChangeDataQueries.all ++
+    LayoutQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig}
 
 /** One event of the stream — same shape as the events table. */
 final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -198,5 +200,82 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(updateState)
+  }
+
+  /** An event admitted by the per-key quota, tagged with its admission
+    * ordinal inside its (user, window). */
+  final case class Admitted(user_id: Long, event_id: Long, ts: Timestamp,
+      n_in_window: Long)
+
+  /** (windowStart epoch-ms, events admitted so far in that window). */
+  final case class QuotaWin(winStart: Long, n: Long)
+
+  /** Per-key event-time admission quota on Spark 4's arbitrary-state
+    * API v2 (`transformWithState`, requires the RocksDB state store):
+    * each user may emit at most `limit` events per tumbling
+    * `windowSeconds` window; excess and window-late events are dropped.
+    * This is the ingest-side rate limiter a 100 TB/day pipeline runs to
+    * stop a hot key (bot, repost storm) from flooding downstream state.
+    *
+    * State is ONE QuotaWin per active key — the typed ValueState rolls
+    * forward when a newer window arrives, and an event-time timer at
+    * window end + `windowSeconds` EVICTS idle keys' state entirely
+    * (fires once the watermark passes it), so state is bounded by keys
+    * active in the last ~2 windows, not by all keys ever seen.
+    * Within a micro-batch, rows are processed in (ts, event_id) order,
+    * so admission is replay-deterministic given the batch sequence;
+    * with all data in one batch it matches the batch twin exactly:
+    * row_number() over (user, window ordered by ts, event_id) <= limit
+    * (StreamingSuite pins that agreement).
+    */
+  def quotaLimitStream(events: Dataset[Event], limit: Int,
+      windowSeconds: Long = 3600): Dataset[Admitted] = {
+    import events.sparkSession.implicits._
+    val windowMs = windowSeconds * 1000L
+
+    class QuotaProcessor extends StatefulProcessor[Long, Event, Admitted] {
+      @transient private var win: org.apache.spark.sql.streaming.ValueState[QuotaWin] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        win = getHandle.getValueState[QuotaWin]("win",
+          Encoders.product[QuotaWin], TTLConfig.NONE)
+
+      override def handleInputRows(key: Long, rows: Iterator[Event],
+          timerValues: TimerValues): Iterator[Admitted] = {
+        val out = List.newBuilder[Admitted]
+        var cur = if (win.exists()) win.get() else null
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val w = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+          if (cur == null || w > cur.winStart) {
+            cur = QuotaWin(w, 0L)
+            // evict this key's state once the watermark clears the
+            // window by a full window's slack (idle-key cleanup)
+            getHandle.registerTimer(w + 2 * windowMs)
+          }
+          // w < cur.winStart (late past an already-started newer
+          // window): quota accounting for that window is gone — drop
+          if (w == cur.winStart && cur.n < limit) {
+            cur = QuotaWin(cur.winStart, cur.n + 1)
+            out += Admitted(key, e.event_id, e.ts, cur.n)
+          }
+        }
+        if (cur != null) win.update(cur)
+        out.result().iterator
+      }
+
+      override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[Admitted] = {
+        // clear only if no newer window superseded the timer's
+        if (win.exists() &&
+            win.get().winStart + 2 * windowMs <= expiredTimerInfo.getExpiryTimeInMs)
+          win.clear()
+        Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", s"$windowSeconds seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

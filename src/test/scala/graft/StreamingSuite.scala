@@ -351,4 +351,58 @@ class StreamingSuite extends GraftTestBase {
         s"user $u: typed=${typedByUser.getOrElse(u, 0)} q67=$n")
     }
   }
+
+  test("quotaLimitStream (transformWithState): admits <= limit per user-window, matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      // user 7: 4 events in hour-0 (limit 2 → first 2 by (ts,event_id)
+      // admitted), 1 in hour-1; user 8: 2 in hour-0; event 9 only
+      // advances the watermark. Event 4 arrives OUT OF (ts) ORDER
+      // within the batch — in-batch sorting must still admit events
+      // 1 and 3 (the two earliest), not arrival order.
+      val b1 = Seq(
+        Event(3, ts(20), 7, "c", 1.0), Event(4, ts(40), 7, "c", 1.0),
+        Event(1, ts(5), 7, "c", 1.0), Event(5, ts(50), 7, "c", 1.0),
+        Event(10, ts(15), 8, "c", 1.0), Event(11, ts(25), 8, "c", 1.0))
+      val b2 = Seq(Event(20, ts(70), 7, "c", 1.0), Event(99, ts(4000), 9, "c", 1.0))
+      val q = StreamingOps.quotaLimitStream(input.toDS(), limit = 2, windowSeconds = 3600)
+        .writeStream.format("memory").queryName("quota").outputMode("append").start()
+      try {
+        input.addData(b1); q.processAllAvailable()
+        input.addData(b2); q.processAllAvailable()
+        val admitted = spark.table("quota").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+        assert(admitted == Set(
+          (7L, 1L, 1L), (7L, 3L, 2L),   // hour-0 quota, earliest two by ts
+          (7L, 20L, 1L),                // hour-1 window restarts the count
+          (8L, 10L, 1L), (8L, 11L, 2L),
+          (9L, 99L, 1L)), s"got $admitted")
+      } finally q.stop()
+      // batch twin: row_number over (user, window) by (ts, event_id)
+      val all = (b1 ++ b2).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id",
+          org.apache.spark.sql.functions.window($"ts", "1 hour"))
+        .orderBy($"ts", $"event_id")
+      val twin = all
+        .withColumn("n_in_window", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+        .filter($"n_in_window" <= 2)
+        .select($"user_id", $"event_id", $"n_in_window")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val streamed = spark.table("quota").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(twin == streamed, s"twin=$twin streamed=$streamed")
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
