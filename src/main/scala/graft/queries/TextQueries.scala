@@ -373,7 +373,105 @@ object TextQueries {
       Some("""SELECT term, count(*) AS freq FROM (
           SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         GROUP BY term ORDER BY freq DESC, term LIMIT 10"""),
-      doc = "Misra-Gries heavy hitters: bounded mergeable counter sketch (typed Aggregator, partial-aggregated) proposes candidates; one broadcast semi-join recounts them exactly — deterministic top-10 without shuffling the full distinct-key space.")
+      doc = "Misra-Gries heavy hitters: bounded mergeable counter sketch (typed Aggregator, partial-aggregated) proposes candidates; one broadcast semi-join recounts them exactly — deterministic top-10 without shuffling the full distinct-key space."),
+
+    QueryDef(
+      "q152_chunk_overlap",
+      (s, dir) => {
+        import s.implicits._
+        // Overlapping-window chunking: the step that turns documents
+        // into fixed-size training sequences with context overlap
+        // (chunk=64 tokens, stride=48 → 16-token overlap). Pure
+        // per-row explode — no shuffle at all until the final ORDER
+        // BY (which a real writer wouldn't do): chunk starts are a
+        // computed sequence(), the slice is a bounded array op, so a
+        // 100 TB corpus chunks in one embarrassingly-parallel scan.
+        // Chunks hash to md5 so the oracle checks content without
+        // shipping it.
+        val C = 64; val S = 48
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("ts"))
+          .select($"doc_id", $"ts", size($"ts").as("n"),
+            explode(sequence(lit(0), greatest(size($"ts") - 1, lit(0)), lit(S)))
+              .as("start"))
+          .select($"doc_id", ($"start" / S).cast("long").as("chunk_id"),
+            least(lit(C), $"n" - $"start").cast("long").as("n_tokens"),
+            md5(concat_ws(" ",
+              expr(s"slice(ts, start + 1, $C)"))).as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        starts AS (
+          SELECT doc_id, ts, len(ts) AS n,
+            unnest(generate_series(0, CAST(greatest(len(ts) - 1, 0) AS BIGINT), 48)) AS start
+          FROM toks)
+        SELECT doc_id, start // 48 AS chunk_id,
+          CAST(least(64, n - start) AS BIGINT) AS n_tokens,
+          md5(array_to_string(ts[start + 1 : start + 64], ' ')) AS chunk_md5
+        FROM starts ORDER BY doc_id, chunk_id"""),
+      doc = "Overlapping-window chunking (64-token chunks, stride 48): computed sequence() + bounded slice per row — zero-shuffle, embarrassingly parallel; chunk content verified by md5 so the oracle checks bytes without shipping them."),
+
+    QueryDef(
+      "q153_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        // Hashing-trick linear classifier inference (the fastText /
+        // DCLM / FineWeb-Edu quality-filter shape): featurize each doc
+        // as word unigrams + bigrams, hash each n-gram to one of 4096
+        // weight buckets, score = mean bucket weight, keep =
+        // sigmoid(score) > 0.5. The weight table here is a
+        // deterministic stand-in for trained weights (w_int = bucket %
+        // 1001 - 500, scaled /500) — the SHAPE is the production one:
+        // a broadcast join against a 4096-row weight dim, so scoring
+        // 100 TB is one scan + one broadcast, no corpus shuffle until
+        // the per-doc mean (map-side partials on doc_id).
+        // Determinism: weights accumulate as exact INTEGERS (one
+        // double division at the end), so summation order can't change
+        // the score; sigmoid is rounded to 6.
+        val weights = s.range(4096).select($"id".as("bucket"),
+          ($"id" % 1001 - 500).cast("long").as("w_int"))
+        val toks = Tables.t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("ts"))
+        val uni = toks.select($"doc_id", explode($"ts").as("ng"))
+        val bi = toks
+          .select($"doc_id", explode(
+            expr("transform(slice(ts, 1, size(ts) - 1), (t, i) -> concat(t, ' ', ts[i + 1]))"))
+            .as("ng"))
+        uni.unionAll(bi)
+          .select($"doc_id",
+            (conv(substring(md5($"ng"), 1, 8), 16, 10).cast("long") % 4096).as("bucket"))
+          .join(broadcast(weights), "bucket")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_ngrams"), sum($"w_int").as("score_int"))
+          .select($"doc_id", $"n_ngrams",
+            round(lit(1.0) / (lit(1.0) +
+              exp(-($"score_int" / ($"n_ngrams" * 500.0)))), 6).as("quality"))
+          .withColumn("keep", $"quality" > 0.5)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH weights AS (
+          SELECT range AS bucket, CAST(range % 1001 - 500 AS BIGINT) AS w_int
+          FROM range(4096)),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        uni AS (SELECT doc_id, unnest(ts) AS ng FROM toks),
+        bi AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS ng
+          FROM toks, LATERAL unnest(generate_series(1, CAST(len(ts) - 1 AS BIGINT), 1)) g(i)),
+        ngrams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        hashed AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT) % 4096 AS bucket
+          FROM ngrams),
+        scored AS (
+          SELECT doc_id, count(*) AS n_ngrams, sum(w.w_int) AS score_int
+          FROM hashed h JOIN weights w ON h.bucket = w.bucket
+          GROUP BY doc_id)
+        SELECT doc_id, n_ngrams,
+          round(1.0 / (1.0 + exp(-(score_int / (n_ngrams * 500.0)))), 6) AS quality,
+          round(1.0 / (1.0 + exp(-(score_int / (n_ngrams * 500.0)))), 6) > 0.5 AS keep
+        FROM scored ORDER BY doc_id"""),
+      doc = "Hashing-trick linear quality classifier (fastText/DCLM shape): unigram+bigram features hashed to a 4096-bucket weight dim, broadcast-joined; exact-integer weight accumulation (one double division at the end) keeps the score order-independent; sigmoid rounded to 6.")
   )
 }
 
