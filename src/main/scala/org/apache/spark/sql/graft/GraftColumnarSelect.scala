@@ -198,6 +198,41 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case _ => j
         }
 
+      // Columnar EXISTENCE broadcast join (IN/EXISTS inside a
+      // disjunction — RewritePredicateSubquery's ExistenceJoin): like
+      // semi/anti there is no build-side output, so the probe appends
+      // one boolean vector to the zero-copy stream batch; the Filter
+      // above consumes `exists OR ...` (boolean attribute leaves are a
+      // supported columnar-filter shape, so the whole pipeline stays
+      // on batches). OPT-IN (default off): unlike semi/anti, the probe
+      // REDUCES nothing — every stream row is emitted — so the A/B
+      // measured it 1.2-1.4x slower than Spark's codegen-fused row
+      // pipeline (scan→join→filter→agg in one stage) at sf0.1. Same
+      // honesty call as the inner BHJ: correct, demonstrated, gated.
+      case j @ joins.BroadcastHashJoinExec(
+          Seq(lk @ _), Seq(_),
+          org.apache.spark.sql.catalyst.plans.ExistenceJoin(_),
+          org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          None, left, right, false) if existBhjEnabled(session) =>
+        def probeKeyEx(dt: org.apache.spark.sql.types.DataType) =
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.probeKeyTypes(dt)
+        (lk, left.supportsColumnar) match {
+          case (a: AttributeReference, true)
+              if probeKeyEx(a.dataType) && left.output.exists(_.exprId == a.exprId) &&
+                j.output.init.forall(at => left.output.exists(_.exprId == at.exprId)) =>
+            org.apache.spark.sql.execution.graft.GraftColumnarExistenceBHJExec(
+              j.output,
+              left.output.indexWhere(_.exprId == a.exprId),
+              a.dataType,
+              j.output.init.map(at => left.output.indexWhere(_.exprId == at.exprId)),
+              left, right)
+          case (_, true) =>
+            j.setTagValue(fallbackReasonTag,
+              "existence broadcast join not columnar-probeable (needs a single " +
+                "integral attribute key — LongHashedRelation shape)"); j
+          case _ => j
+        }
+
       // Expand (rollup/cube/grouping-sets fan-out): each projection
       // item must be an input attribute (zero-copy pass-through) or a
       // constant-vector-representable literal (the nulled grouping
@@ -403,12 +438,23 @@ object GraftColumnarRule {
     session.conf.getOption(finalAggEnabledKey).forall(_.toBoolean)
 
   /** Columnar SEMI/ANTI broadcast-join probe — unlike the inner probe
-    * (opt-in: measured loss), the existence probe has no build-side
-    * materialization; default decided by its A/B (see README).
+    * (opt-in: measured loss), the semi/anti probe has no build-side
+    * materialization AND reduces rows at the probe; its A/B won, so it
+    * defaults ON (see README).
     */
   val semiBhjEnabledKey = "spark.graft.columnar.semibhj.enabled"
   def semiBhjEnabled(session: SparkSession): Boolean =
     session.conf.getOption(semiBhjEnabledKey).forall(_.toBoolean)
+
+  /** Columnar EXISTENCE broadcast-join probe — OPT-IN (default off):
+    * the probe emits every stream row (no selection to amortize the
+    * batch overhead), and the A/B measured it 1.2-1.4x slower than the
+    * codegen-fused row pipeline. Correct and pinned (q154 opts in on a
+    * cloned session); kept gated like the inner BHJ.
+    */
+  val existBhjEnabledKey = "spark.graft.columnar.existbhj.enabled"
+  def existBhjEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(existBhjEnabledKey).exists(_.toBoolean)
 
   /** Columnar Expand — default ON (A/B at parity-or-better: the swap
     * replaces P projections × R rows of per-row copying with P × C

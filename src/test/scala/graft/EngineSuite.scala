@@ -540,6 +540,61 @@ class EngineSuite extends GraftTestBase {
     }.isEmpty, s"null-aware anti must stay row:\n${naaj.queryExecution.executedPlan}")
   }
 
+  test("GraftColumnarExistenceBHJExec: IN-or-disjunction parity incl. null keys, int key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colexist").toString
+    // long key table (null key → exists=false; dup build key counts once)
+    Seq(
+      (1L, Option(10L), 5.0), (2L, Option(20L), 50.0), (3L, Option.empty[Long], 60.0),
+      (4L, Option(99L), 1.0), (5L, Option(10L), 2.0), (6L, Option(30L), 70.0))
+      .toDF("id", "k", "v").write.mode("overwrite").parquet(s"$dir/stream")
+    Seq((10L, "a"), (10L, "b"), (30L, "d"), (77L, "e"))
+      .toDF("bk", "tag").write.mode("overwrite").parquet(s"$dir/build")
+    spark.read.parquet(s"$dir/stream").createOrReplaceTempView("ex_stream")
+    spark.read.parquet(s"$dir/build").createOrReplaceTempView("ex_build")
+    def q() = spark.sql(
+      "SELECT id FROM ex_stream WHERE k IN (SELECT bk FROM ex_build) OR v > 45.0")
+    // opt-in flag (A/B measured the probe slower than the fused row
+    // pipeline — default off)
+    withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.existBhjEnabledKey -> "true") {
+      val cdf = q()
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarExistenceBHJExec => e
+      }.isDefined, s"expected columnar existence BHJ in:\n${cdf.queryExecution.executedPlan}")
+      // matches via IN: 1,5 (k=10 dup build rows count once), 6 (k=30);
+      // via the disjunct: 2 (v=50), 3 (null key, v=60); dropped: 4
+      assert(q().collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L, 5L, 6L)))
+      val on = canon(q().selectExpr("cast(id as string) c0"))
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        canon(q().selectExpr("cast(id as string) c0"))
+      }
+      assert(on == off, s"columnar=$on row=$off")
+      // int key: probe must sign-extend to match the rewritten long build key
+      Seq((1L, Option(10), 5.0), (2L, Option(-7), 50.0), (3L, Option.empty[Int], 1.0))
+        .toDF("id", "k", "v").write.mode("overwrite").parquet(s"$dir/istream")
+      Seq(Tuple1(-7), Tuple1(10)).toDF("bk").write.mode("overwrite").parquet(s"$dir/ibuild")
+      spark.read.parquet(s"$dir/istream").createOrReplaceTempView("ex_istream")
+      spark.read.parquet(s"$dir/ibuild").createOrReplaceTempView("ex_ibuild")
+      def qi() = spark.sql(
+        "SELECT id FROM ex_istream WHERE k IN (SELECT bk FROM ex_ibuild) OR v > 100.0")
+      val idf = qi()
+      idf.collect()
+      assert(findExec(idf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarExistenceBHJExec => e
+      }.isDefined, s"int key: expected columnar existence BHJ in:\n${idf.queryExecution.executedPlan}")
+      assert(qi().collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+    }
+    // default (no flag): the row BHJ stays — the probe must never swap
+    // uninvited
+    val rdf = q()
+    rdf.collect()
+    assert(findExec(rdf) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarExistenceBHJExec => e
+    }.isEmpty, "existence probe must be opt-in (default off)")
+  }
+
   test("GraftColumnarFinalAggExec merges buffers identically to the row final HashAggregate") {
     // all supported spec kinds at once, null keys, null-only groups,
     // multi-flush partials (tiny maxGroups forces duplicate buffer rows

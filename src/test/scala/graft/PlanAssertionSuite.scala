@@ -160,6 +160,18 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q144: expected the grouped partial agg to stay columnar above the probes in:\n$p")
   }
 
+  test("q154 probes the existence join on ColumnarBatch, filter stays columnar") {
+    val df = run("q154_columnar_existence_join")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarExistenceBHJ"),
+      s"q154: expected the columnar existence probe in:\n$p")
+    assert(p.contains("GraftColumnarFilter"),
+      s"q154: expected the disjunctive exists-OR filter columnar in:\n$p")
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q154: expected the grouped partial agg columnar above the probe in:\n$p")
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
