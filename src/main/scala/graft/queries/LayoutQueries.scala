@@ -110,7 +110,15 @@ object LayoutQueries {
         val terms = docs.select($"lang", explode(split($"text", " ")).as("term"))
         val perLang = terms.groupBy($"lang")
           .agg(expr("approx_top_k_accumulate(term, 10000)").as("sk"))
-        val combined = perLang.agg(expr("approx_top_k_combine(sk, 10000)").as("csk"))
+        // coalesce(1) before the combine: sketches are tiny (that IS
+        // the point), and ApproxTopKCombine cannot serialize an EMPTY
+        // partial buffer (genSketchSerDe MatchError on the null item
+        // type) — with 32 shuffle partitions and a handful of langs,
+        // AQE-off leaves empty partitions whose empty combine buffers
+        // crash. One partition holding all sketch rows sidesteps the
+        // edge and is the right plan anyway.
+        val combined = perLang.coalesce(1)
+          .agg(expr("approx_top_k_combine(sk, 10000)").as("csk"))
         val cand = combined
           .select(explode(expr("approx_top_k_estimate(csk, 30)")).as("e"))
           .select($"e.item".as("term"))

@@ -278,4 +278,61 @@ object StreamingOps {
       .transformWithState(new QuotaProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** MinHash-LSH band keys for a (doc_id, text) DataFrame — q47's exact
+    * scheme (32 minhashes h_i = m3 + i*xx over distinct word trigrams,
+    * banded 16 x 2) as a reusable batch transform: one shuffle
+    * (groupBy doc_id), everything else whole-stage codegen.
+    */
+  def lshBands(docs: DataFrame): DataFrame = {
+    val tri = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        "explode(transform(slice(ws, 1, greatest(size(ws) - 2, 0)), " +
+          "(w, i) -> concat_ws(' ', w, ws[i + 1], ws[i + 2])))").as("t3"))
+      .select(col("doc_id"), hash(col("t3")).as("m3"), xxhash64(col("t3")).as("xx"))
+      .distinct()
+      .select(col("doc_id"),
+        col("m3").cast("long").bitwiseAND(lit(0xffffffffL)).as("h1"),
+        col("xx").bitwiseAND(lit(0xffffffffL)).as("h2"))
+    val sigCols = (0 until 32).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+    val sig = tri.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 16).map(b =>
+      concat_ws(":", lit(b), col(s"s${2 * b}"), col(s"s${2 * b + 1}")))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+  }
+
+  /** One micro-batch of incremental near-dup ingest: band the incoming
+    * docs, reject any doc sharing a band with the HISTORICAL index OR
+    * with a smaller-doc_id doc of the same batch (transitive
+    * suppression: the earlier doc rejects later collisions even when
+    * it is itself rejected — deterministic without chasing acceptance
+    * chains), and return (accepted docs, their bands for the index).
+    *
+    * This is the production shape for dedup-at-ingest over an
+    * ever-growing corpus: each arriving batch joins the persistent
+    * band index on the band key (at 100 TB: a bucketed table on
+    * `band`, so the join is co-located and touches only matching
+    * buckets), never re-scans history, and appends only accepted
+    * docs' bands. In-batch ordering by doc_id keeps acceptance
+    * replay-deterministic. The wiring (versioned index dirs via
+    * foreachBatch, exactly-once on replay) is pinned in StreamingSuite.
+    */
+  def lshIngestBatch(batch: DataFrame, index: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val bands = lshBands(batch).localCheckpoint()
+    // vs history: any shared band rejects the doc
+    val vsHist = bands.join(index.select(col("band")), Seq("band"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // vs this batch: earlier doc_id wins a shared band
+    val first = bands.groupBy(col("band")).agg(min(col("doc_id")).as("keeper"))
+    val vsBatch = bands.join(first, Seq("band"))
+      .filter(col("doc_id") > col("keeper"))
+      .select(col("doc_id")).distinct()
+    val rejected = vsHist.unionByName(vsBatch).distinct()
+    val accepted = batch.join(rejected, Seq("doc_id"), "left_anti")
+    val newBands = bands.join(rejected, Seq("doc_id"), "left_anti")
+    (accepted, newBands)
+  }
 }

@@ -352,6 +352,55 @@ class StreamingSuite extends GraftTestBase {
     }
   }
 
+  test("incremental LSH ingest: near-dups vs history and in-batch are rejected, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft-lshingest").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("sigma", "SIGMA") // most trigrams shared
+    val distinctDoc = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    def emptyIndex = Seq.empty[(Long, String)].toDF("doc_id", "band")
+    def readIndex(batchId: Long): DataFrame =
+      if (batchId == 0) emptyIndex
+      else spark.read.parquet(s"$root/index/v${batchId - 1}")
+    @volatile var accByBatch = Map.empty[Long, Set[Long]]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (accepted, newBands) =
+          StreamingOps.lshIngestBatch(batch, readIndex(batchId))
+        // versioned-by-batchId rewrite = exactly-once on replay
+        readIndex(batchId).unionByName(newBands)
+          .write.mode("overwrite").parquet(s"$root/index/v$batchId")
+        accByBatch = accByBatch.updated(batchId,
+          accepted.select($"doc_id").collect().map(_.getLong(0)).toSet)
+      }
+      .start()
+    try {
+      input.addData((1L, base)); q.processAllAvailable()
+      // batch 1: near-dup of batch-0's doc 1 rejected vs HISTORY;
+      // 3 and 4 are identical in-batch → smaller doc_id (3) wins;
+      // 5 is novel
+      input.addData((2L, nearDup), (3L, distinctDoc), (4L, distinctDoc),
+        (5L, base.toUpperCase)); q.processAllAvailable()
+      assert(accByBatch(0) == Set(1L), s"batch0: ${accByBatch(0)}")
+      assert(accByBatch(1) == Set(3L, 5L), s"batch1: ${accByBatch(1)}")
+      // replay determinism: re-running batch 1 against the same prior
+      // index accepts the same docs and rewrites the same version
+      val b1 = Seq((2L, nearDup), (3L, distinctDoc), (4L, distinctDoc),
+        (5L, base.toUpperCase)).toDF("doc_id", "text")
+      val (replayAcc, _) = StreamingOps.lshIngestBatch(b1, readIndex(1))
+      assert(replayAcc.select($"doc_id").collect().map(_.getLong(0)).toSet
+        == Set(3L, 5L))
+      // the index holds exactly the accepted docs' bands
+      val indexed = spark.read.parquet(s"$root/index/v1")
+        .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(1L, 3L, 5L), s"index: $indexed")
+    } finally q.stop()
+  }
+
   test("quotaLimitStream (transformWithState): admits <= limit per user-window, matches batch twin") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
