@@ -458,5 +458,31 @@ object EngineQueries {
            OR l_quantity > 48
         GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "Columnar EXISTENCE broadcast join (IN-subquery under a disjunction): the probe appends one boolean vector to the zero-copy stream batch and the disjunctive filter consumes it columnar — scan to partial agg on ColumnarBatch. Opt-in (cloned session): A/B measured 1.2-1.4x slower than the codegen-fused row pipeline since existence emits every stream row.")
+    ,
+
+    QueryDef(
+      "q155_columnar_topk",
+      (s, dir) => {
+        import s.implicits._
+        // ORDER BY + LIMIT over a columnar-filtered scan: the planner's
+        // TakeOrderedAndProject would ColumnarToRow every filter
+        // survivor only to keep 10; GraftColumnarRule swaps it for
+        // GraftColumnarTopKExec, whose bounded heap compares the n_chars
+        // vector slot against the running 10th-largest threshold — a
+        // losing row costs one primitive read, and only heap-entering
+        // winners are copied out of the batch. scan → columnar filter →
+        // columnar top-k, ≤ 10 rows per partition reach the merge. At
+        // 100 TB this is the only viable top-k shape (O(k) memory, no
+        // global sort) AND no row materialization before the heap.
+        Tables.t(s, dir, "documents")
+          .filter($"lang" === "en" && $"n_chars" > 100L)
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"n_chars".desc, $"doc_id")
+          .limit(10)
+      },
+      Some("""SELECT doc_id, source, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars > 100
+        ORDER BY n_chars DESC, doc_id LIMIT 10"""),
+      doc = "Columnar global top-k: bounded k-heap probing the sort-key vectors directly (losers cost one primitive read, never materialize as rows); scan, vectorized filter, and top-k all on ColumnarBatch, k rows per partition into the single merge task.")
   )
 }

@@ -900,4 +900,54 @@ class EngineSuite extends GraftTestBase {
     assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
     assert(tagged.get.contains("unsupported"), s"reason: ${tagged.get}")
   }
+
+  test("GraftColumnarTopKExec: parity with the row TakeOrderedAndProject incl. nulls, NaN, ties") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-coltopk").toString
+    // null sort keys, NaN/-0.0/0.0 doubles, duplicate primary keys (ties
+    // broken by id), unicode strings
+    Seq(
+      (1L, Option(5.0), Option("b")), (2L, Option(Double.NaN), Option("a")),
+      (3L, Option.empty[Double], Option("ß")), (4L, Option(-0.0), Option("a")),
+      (5L, Option(0.0), Option.empty[String]), (6L, Option(5.0), Option("日本")),
+      (7L, Option(-3.5), Option("A")), (8L, Option.empty[Double], Option("z")),
+      (9L, Option(12.25), Option("b")), (10L, Option(5.0), Option("")))
+      .toDF("id", "score", "tag").write.mode("overwrite").parquet(dir)
+    def q(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      mk(spark.read.parquet(dir))
+    val shapes: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      _.orderBy($"score".desc, $"id").limit(3),                   // NaN largest first
+      _.orderBy($"score".desc_nulls_first, $"id").limit(4),       // null handling flip
+      _.orderBy($"score".asc, $"id".desc).limit(5),               // -0.0 == 0.0 tie → id desc
+      _.orderBy($"tag".asc_nulls_first, $"id").limit(4),          // string binary order
+      _.filter($"id" =!= 9L).orderBy($"id".desc).limit(3),        // long key over columnar filter
+      _.orderBy($"score".desc, $"id").limit(100))                 // k > #rows
+    shapes.zipWithIndex.foreach { case (mk, i) =>
+      val cdf = q(mk)
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarTopKExec => e
+      }.isDefined, s"shape $i: expected columnar top-k in:\n${cdf.queryExecution.executedPlan}")
+      // ordered compare — top-k output order is part of the contract
+      val on = q(mk).collect().map(_.toString).toSeq
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        q(mk).collect().map(_.toString).toSeq
+      }
+      assert(on == off, s"shape $i: columnar=$on row=$off")
+    }
+    // computed sort key → row path with a tagged reason
+    val computed = q(_.orderBy(($"score" * 2.0).desc, $"id").limit(3))
+    computed.collect()
+    assert(findExec(computed) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarTopKExec => e
+    }.isEmpty, s"computed key must stay row:\n${computed.queryExecution.executedPlan}")
+    // the flag gates the swap
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.topkEnabledKey -> "false") {
+      val rdf = q(_.orderBy($"id".desc).limit(3))
+      rdf.collect()
+      assert(findExec(rdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarTopKExec => e
+      }.isEmpty, "topk flag must gate the swap")
+    }
+  }
 }

@@ -134,6 +134,35 @@ object FilterMicroBench {
       val on = timeIt(f)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
+
+    // Top-k A/B: the row TakeOrderedAndProject (ColumnarToRow of every
+    // row, codegen'd heap) vs the columnar bounded heap probing the sort
+    // key vector (losers cost one primitive read). Sort keys are plain
+    // attributes; the 3-key tiebreak makes results deterministic.
+    val topkShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "topk-10" -> (() => {
+        Tables.t(spark, sfDir, "lineitem")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          .limit(10)
+      }),
+      "topk-1000" -> (() => {
+        Tables.t(spark, sfDir, "lineitem")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          .limit(1000)
+      }),
+      "topk-filtered" -> (() => {
+        Tables.t(spark, sfDir, "lineitem")
+          .filter($"l_quantity" > 25.0)
+          .orderBy($"l_shipdate".desc, $"l_orderkey", $"l_linenumber")
+          .limit(100)
+      }))
+    topkShapes.foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.topkEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.topkEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
     spark.stop()
   }
 }

@@ -172,6 +172,18 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q154: expected the grouped partial agg columnar above the probe in:\n$p")
   }
 
+  test("q155 runs filter AND top-k on ColumnarBatch — no row TakeOrderedAndProject") {
+    val df = run("q155_columnar_topk")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarTopK"),
+      s"q155: expected the columnar top-k swap in:\n$p")
+    assert(p.contains("GraftColumnarFilter"),
+      s"q155: expected the filter columnar below the top-k in:\n$p")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"q155: row TakeOrderedAndProject must be swapped out:\n$p")
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
