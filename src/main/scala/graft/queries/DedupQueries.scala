@@ -246,5 +246,66 @@ object DedupQueries {
           FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
         WHERE j >= 0.8 ORDER BY d1, d2"""),
       doc = "Capped n-gram Jaccard (maxShingleFreq=5): the skew-bounded production dedup path, oracle-checked with the matching df<=5 CTE.")
+    ,
+
+    QueryDef(
+      "q156_winnowing_dedup",
+      (s, dir) => {
+        import s.implicits._
+        // Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
+        // the MOSS algorithm): per document, build word 4-grams, slide a
+        // w=3 window over them and keep each window's MINIMUM as a
+        // fingerprint. The guarantee: any shared run of ≥ k+w-1 = 6
+        // words between two documents yields at least one SHARED
+        // fingerprint — substring-level dedup with ~1/w of the k-gram
+        // index size. Candidates = pairs sharing ≥ 2 fingerprints after
+        // a df ≤ 20 hot-fingerprint cap (the q92 skew bound: boilerplate
+        // fingerprints never form quadratic join groups). All array work
+        // is per-row map-side (transform/sequence/slice — no explode
+        // until the skinny (doc_id, fp) index); the production variant
+        // would xxhash64 the fingerprint strings before the shuffle —
+        // kept as strings here so DuckDB replays the selection exactly.
+        val docs = Tables.t(s, dir, "documents")
+        val fp = docs
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .filter(size($"ws") >= 6)
+          .select($"doc_id",
+            transform(sequence(lit(1), size($"ws") - 3),
+              i => concat_ws(" ", slice($"ws", i, lit(4)))).as("kgrams"))
+          .select($"doc_id",
+            array_distinct(transform(sequence(lit(1), size($"kgrams") - 2),
+              j => array_min(slice($"kgrams", j, lit(3))))).as("fps"))
+          .select($"doc_id", explode($"fps").as("f"))
+        // hot cap WITHOUT a broadcast hint (the q115 lesson: the hot set
+        // grows with the corpus; AQE may still broadcast when it fits)
+        val ok = fp.groupBy($"f").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 20).select($"f")
+        val kept = fp.join(ok, "f")
+        kept.as("a").join(kept.as("b"),
+            $"a.f" === $"b.f" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 2)
+          .orderBy($"d1", $"d2")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        kg AS (
+          SELECT doc_id, list_transform(generate_series(1, len(ws)-3),
+            i -> array_to_string(ws[i:i+3], ' ')) AS kgrams
+          FROM words WHERE len(ws) >= 6),
+        fp AS (
+          SELECT DISTINCT doc_id, f
+          FROM kg, UNNEST(list_distinct(list_transform(
+            generate_series(1, len(kgrams)-2), j -> list_min(kgrams[j:j+2])))) AS t(f)),
+        ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 20),
+        fpk AS (SELECT fp.doc_id, fp.f FROM fp JOIN ok USING (f)),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+          FROM fpk a JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT d1, d2, CAST(shared AS BIGINT) AS shared
+        FROM pairs ORDER BY d1, d2"""),
+      doc = "Winnowing (MOSS) substring-level near-dup: window-min fingerprint selection over word 4-grams (guaranteed detection of shared >= 6-word runs at ~1/3 the index size), df-capped inverted-index self-join, pairs sharing >= 2 fingerprints.")
   )
 }
