@@ -253,34 +253,51 @@ object DedupQueries {
       (s, dir) => {
         import s.implicits._
         // Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
-        // the MOSS algorithm): per document, build word 4-grams, slide a
+        // the MOSS algorithm): per document, build word 6-grams, slide a
         // w=3 window over them and keep each window's MINIMUM as a
-        // fingerprint. The guarantee: any shared run of ≥ k+w-1 = 6
+        // fingerprint. The guarantee: any shared run of ≥ k+w-1 = 8
         // words between two documents yields at least one SHARED
         // fingerprint — substring-level dedup with ~1/w of the k-gram
         // index size. Candidates = pairs sharing ≥ 2 fingerprints after
-        // a df ≤ 20 hot-fingerprint cap (the q92 skew bound: boilerplate
+        // a df ≤ 10 hot-fingerprint cap (the q92 skew bound: boilerplate
         // fingerprints never form quadratic join groups). All array work
         // is per-row map-side (transform/sequence/slice — no explode
-        // until the skinny (doc_id, fp) index); the production variant
-        // would xxhash64 the fingerprint strings before the shuffle —
-        // kept as strings here so DuckDB replays the selection exactly.
+        // until the skinny hashed (doc_id, fp) index).
+        import org.apache.spark.sql.expressions.Window
         val docs = Tables.t(s, dir, "documents")
-        val fp = docs
-          .select($"doc_id", split($"text", " ").as("ws"))
-          .filter(size($"ws") >= 6)
-          .select($"doc_id",
-            transform(sequence(lit(1), size($"ws") - 3),
-              i => concat_ws(" ", slice($"ws", i, lit(4)))).as("kgrams"))
-          .select($"doc_id",
-            array_distinct(transform(sequence(lit(1), size($"kgrams") - 2),
-              j => array_min(slice($"kgrams", j, lit(3))))).as("fps"))
-          .select($"doc_id", explode($"fps").as("f"))
+        // Built row-wise like trigramsOf — posexplode + window leads,
+        // NOT nested array lambdas: higher-order functions stay
+        // interpreted AND InferFiltersFromGenerate re-inlines the whole
+        // lambda pipeline into the scan filter (measured 100x slower);
+        // window functions keep the stage codegen'd with ONE sort per
+        // doc. Fingerprints are HASHED to longs before any shuffle (the
+        // q46 pattern: 64-bit collision P ~ 1e-9 — one shared-count off
+        // by one — accepted); the DuckDB oracle replays the selection
+        // on the strings, where equality is the same relation.
+        val wspec = Window.partitionBy($"doc_id").orderBy($"pos")
+        val kg = docs
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "wd")))
+          .select($"doc_id", $"pos",
+            concat_ws(" ", $"wd",
+              lead($"wd", 1).over(wspec), lead($"wd", 2).over(wspec),
+              lead($"wd", 3).over(wspec), lead($"wd", 4).over(wspec),
+              lead($"wd", 5).over(wspec)).as("kg"),
+            lead($"wd", 5).over(wspec).isNotNull.as("full"))
+          .filter($"full")
+        val fp = kg
+          .select($"doc_id", $"pos",
+            min($"kg").over(wspec.rowsBetween(0, 2)).as("m"),
+            lead($"kg", 2).over(wspec).isNotNull.as("full3"))
+          .filter($"full3")
+          .select($"doc_id", xxhash64($"m").as("f"))
+          .distinct()
         // hot cap WITHOUT a broadcast hint (the q115 lesson: the hot set
-        // grows with the corpus; AQE may still broadcast when it fits)
+        // grows with the corpus; AQE may still broadcast when it fits);
+        // the trailing repartition(f) lets ReuseExchange serve both
+        // self-join sides from one computation of the capped index.
         val ok = fp.groupBy($"f").agg(count(lit(1)).as("df"))
-          .filter($"df" <= 20).select($"f")
-        val kept = fp.join(ok, "f")
+          .filter($"df" <= 10).select($"f")
+        val kept = fp.join(ok, "f").repartition($"f")
         kept.as("a").join(kept.as("b"),
             $"a.f" === $"b.f" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
@@ -291,14 +308,14 @@ object DedupQueries {
       Some("""WITH words AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         kg AS (
-          SELECT doc_id, list_transform(generate_series(1, len(ws)-3),
-            i -> array_to_string(ws[i:i+3], ' ')) AS kgrams
-          FROM words WHERE len(ws) >= 6),
+          SELECT doc_id, list_transform(generate_series(1, len(ws)-5),
+            i -> array_to_string(ws[i:i+5], ' ')) AS kgrams
+          FROM words WHERE len(ws) >= 8),
         fp AS (
           SELECT DISTINCT doc_id, f
           FROM kg, UNNEST(list_distinct(list_transform(
             generate_series(1, len(kgrams)-2), j -> list_min(kgrams[j:j+2])))) AS t(f)),
-        ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 20),
+        ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 10),
         fpk AS (SELECT fp.doc_id, fp.f FROM fp JOIN ok USING (f)),
         pairs AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
@@ -306,6 +323,6 @@ object DedupQueries {
           GROUP BY 1, 2 HAVING count(*) >= 2)
         SELECT d1, d2, CAST(shared AS BIGINT) AS shared
         FROM pairs ORDER BY d1, d2"""),
-      doc = "Winnowing (MOSS) substring-level near-dup: window-min fingerprint selection over word 4-grams (guaranteed detection of shared >= 6-word runs at ~1/3 the index size), df-capped inverted-index self-join, pairs sharing >= 2 fingerprints.")
+      doc = "Winnowing (MOSS) substring-level near-dup: window-min fingerprint selection over word 6-grams (guaranteed detection of shared >= 8-word runs at ~1/3 the index size), hashed df-capped inverted-index self-join, pairs sharing >= 2 fingerprints.")
   )
 }
