@@ -331,4 +331,38 @@ object FuzzProps extends Properties("graft") {
         Prop(on == off) :| s"columnar=$on row=$off"
       }
     }
+
+  // doubles incl. NaN, +-0.0, +-Inf — the ordering edge cases SQLOrderingUtil defines
+  private val keyDoubleGen: Gen[Option[Double]] = Gen.frequency(
+    1 -> Gen.const(None),
+    1 -> Gen.oneOf(Some(Double.NaN), Some(0.0), Some(-0.0),
+      Some(Double.PositiveInfinity), Some(Double.NegativeInfinity)),
+    6 -> Gen.chooseNum(-1e6, 1e6).map(Some(_)))
+
+  property("columnar top-k matches the row TakeOrderedAndProject on any data/ordering") =
+    forAll(Gen.listOfN(40, Gen.zip(keyDoubleGen, strGen)),
+      Gen.choose(1, 12), Gen.choose(0, 3), Gen.oneOf(true, false)) {
+      (xs: List[(Option[Double], Option[String])], k: Int, ordMode: Int, strKey: Boolean) =>
+      xs.isEmpty || {
+        // parquet round-trip so the scan is columnar and the swap fires
+        val dir = java.nio.file.Files.createTempDirectory("graft-topkfuzz").toString
+        xs.zipWithIndex.map { case ((d, s), i) => (i.toLong, d, s) }
+          .toDF("id", "d", "s").write.mode("overwrite").parquet(dir)
+        val key = if (strKey) "s" else "d"
+        def run = {
+          val c = col(key)
+          val so = ordMode match {
+            case 0 => c.asc; case 1 => c.desc
+            case 2 => c.asc_nulls_last; case 3 => c.desc_nulls_first
+          }
+          // unique id tiebreak → fully deterministic order, compared AS ORDERED
+          spark.read.parquet(dir).orderBy(so, col("id")).limit(k)
+            .collect().map(_.toString).toSeq
+        }
+        val on = run
+        val off = withConf(
+          org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { run }
+        Prop(on == off) :| s"k=$k ord=$ordMode strKey=$strKey columnar=$on row=$off"
+      }
+    }
 }
