@@ -100,5 +100,38 @@ object SourceFormatQueries {
         FROM documents
         GROUP BY lang ORDER BY lang"""),
       doc = "Line-oriented text write + scan (raw-corpus ingestion shape): TSV-packed fields split back, per-language char totals must match the parquet source.")
+    ,
+
+    QueryDef(
+      "q159_merge_schema_scan",
+      (s, dir) => {
+        import s.implicits._
+        // Schema evolution (the long-lived-table reality at 100 TB): an
+        // old partition written WITHOUT a column, a new partition WITH
+        // it, one scan over both via mergeSchema — the missing column
+        // reads as NULL for old files. Parquet remains the source of
+        // truth for per-file schemas; the merged read must neither drop
+        // the new column nor invent values. Money sums through exact
+        // decimal (the q123 convention).
+        val out = s"/tmp/graft_evo/${java.util.UUID.randomUUID()}"
+        val o = Tables.t(s, dir, "orders")
+        o.filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey", $"o_totalprice")
+          .write.mode("overwrite").parquet(s"$out/v=1")
+        o.filter($"o_orderkey" % 2 === 1)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+          .write.mode("overwrite").parquet(s"$out/v=2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/v=1", s"$out/v=2")
+          .groupBy(coalesce($"o_orderpriority", lit("<pre-schema>")).as("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy($"prio")
+      },
+      Some("""SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+            '<pre-schema>') AS prio,
+          count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      doc = "mergeSchema scan over partitions written before/after a column was added: old files surface NULL for the new column, values and exact money sums survive the merged read.")
   )
 }

@@ -472,6 +472,42 @@ object TextQueries {
           round(1.0 / (1.0 + exp(-(score_int / (n_ngrams * 500.0)))), 6) > 0.5 AS keep
         FROM scored ORDER BY doc_id"""),
       doc = "Hashing-trick linear quality classifier (fastText/DCLM shape): unigram+bigram features hashed to a 4096-bucket weight dim, broadcast-joined; exact-integer weight accumulation (one double division at the end) keeps the score order-independent; sigmoid rounded to 6.")
+    ,
+
+    QueryDef(
+      "q158_bpe_pair_counts",
+      (s, dir) => {
+        import s.implicits._
+        // The first step of BPE vocabulary induction (Sennrich et al.,
+        // ACL'16): corpus-wide adjacent-symbol pair frequencies — the
+        // pair argmax IS the first merge rule; production tokenizer
+        // training is this query iterated. Two nested explodes (words,
+        // then in-word character positions) down to skinny 2-char pair
+        // rows; count + partial aggs map-side, then one shuffle on the
+        // pair key. Position generation uses sequence+explode over a
+        // CHEAP length expression (never a nested higher-order lambda —
+        // the q156 InferFiltersFromGenerate lesson). At 100 TB: no
+        // joins, bounded key space (alphabet^2), agg-only shuffles.
+        val pairs = Tables.t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("wd"))
+          .filter(length($"wd") >= 2)
+          .select($"wd", explode(sequence(lit(1), length($"wd") - 1)).as("i"))
+          .select(expr("substr(wd, i, 2)").as("pair"))
+        pairs.groupBy($"pair")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(20)
+          .select($"pair", $"n")
+      },
+      Some("""WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+        p AS (
+          SELECT substr(wd, i, 2) AS pair
+          FROM w, UNNEST(generate_series(1, len(wd) - 1)) AS t(i)
+          WHERE len(wd) >= 2)
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
+      doc = "BPE vocabulary induction step: corpus-wide adjacent character-pair frequencies (the argmax pair is the first merge rule); nested explode to skinny pair rows, map-side partial aggregation, top-20 by count.")
   )
 }
 
