@@ -273,7 +273,7 @@ object GraftColumnarTopKExec {
     case _ => false
   }
 
-  private def keyOps(dt: DataType): KeyOps = dt match {
+  private[graft] def keyOps(dt: DataType): KeyOps = dt match {
     case LongType | TimestampType | TimestampNTZType => LongOps
     case IntegerType | DateType => IntOps
     case ShortType => ShortOps
@@ -292,13 +292,13 @@ object GraftColumnarTopKExec {
     else if (bNull) { if (spec.nullsFirst) 1 else -1 }
     else { val c = cmp; if (spec.desc) -c else c }
 
-  private def cmpBoxed(spec: TopKKeySpec, ops: KeyOps, a: AnyRef, b: AnyRef): Int =
+  private[graft] def cmpBoxed(spec: TopKKeySpec, ops: KeyOps, a: AnyRef, b: AnyRef): Int =
     cmpSlot(spec, a == null, b == null, ops.cmp(a, b))
 
   /** Candidate (vector slots at row i) vs a heap entry's boxed keys;
     * negative = candidate orders strictly before (wins).
     */
-  private def cmpCandidate(
+  private[graft] def cmpCandidate(
       specs: Array[TopKKeySpec], ops: Array[KeyOps],
       cols: Array[ColumnVector], i: Int, entry: Array[AnyRef]): Int = {
     var j = 0

@@ -762,11 +762,103 @@ final case class LengthI(c: VecStrExpr) extends Serializable {
 
 /** A compiled computed-projection item: double, string, int, or
   * decimal kernel. */
+/** Long-integer kernels: epoch/timestamp math (`ts div 1000`,
+  * `timestamp_micros(...)`) — the conversion every nanos-ingested event
+  * table runs in its scan projection. Only overflow-free shapes compile
+  * (division by a positive literal; micros→timestamp is a value-identical
+  * retype), so ANSI and LEGACY modes agree by construction.
+  */
+sealed trait VecLongExpr extends Serializable {
+  def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit
+}
+final case class ColL(ord: Int) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    val v = batch.column(ord)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) { isNull(i) = true; out(i) = 0L }
+      else { isNull(i) = false; out(i) = v.getLong(i) }
+      i += 1
+    }
+  }
+}
+final case class LitL(x: Long) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    var i = 0
+    while (i < n) { isNull(i) = false; out(i) = x; i += 1 }
+  }
+}
+final case class DivL(c: VecLongExpr, d: Long) extends VecLongExpr {
+  // d > 0 gated at compile: no divide-by-zero, no Long.MinValue/-1 overflow
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) { if (!isNull(i)) out(i) = out(i) / d; i += 1 }
+  }
+}
+object VecLongExpr {
+  def compile(e: Expression, output: Seq[Attribute]): Either[String, VecLongExpr] = {
+    def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
+    e match {
+      case a: AttributeReference
+          if (a.dataType == LongType || a.dataType == TimestampType ||
+            a.dataType == TimestampNTZType) && ord(a) >= 0 =>
+        scala.Right(ColL(ord(a)))
+      case Literal(l: Long, LongType) => scala.Right(LitL(l))
+      case d: org.apache.spark.sql.catalyst.expressions.IntegralDivide
+          if d.dataType == LongType =>
+        d.right match {
+          case Literal(div: Long, LongType) if div > 0 =>
+            compile(d.left, output).map(DivL(_, div))
+          case other =>
+            scala.Left(s"unsupported integral divisor: $other (positive literal only)")
+        }
+      case other =>
+        scala.Left(s"unsupported long projection: ${other.getClass.getSimpleName}")
+    }
+  }
+}
+
+/** Long-backed output vector (LongType or the micros-backed timestamp
+  * types — all read through getLong). */
+final class LongArrayVector(values: Array[Long], nulls: Array[Boolean], n: Int,
+    dt: org.apache.spark.sql.types.DataType)
+    extends ColumnVector(dt) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getLong(rowId: Int): Long = values(rowId)
+  private def nope = throw new UnsupportedOperationException("long-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
 sealed trait ProjKernel extends Serializable
 final case class NumKernel(k: VecNumExpr) extends ProjKernel
 final case class StrKernel(k: VecStrExpr) extends ProjKernel
 final case class IntKernel(k: LengthI) extends ProjKernel
 final case class DecKernel(k: VecDecExpr, dt: DecimalType) extends ProjKernel
+final case class LongKernel(k: VecLongExpr, dt: org.apache.spark.sql.types.DataType) extends ProjKernel
 
 object ProjKernel {
   /** Dispatch by result type: DOUBLE → the arithmetic kernels, STRING →
@@ -785,6 +877,15 @@ object ProjKernel {
       }
       case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
         VecDecExpr.compile(e, output).map(DecKernel(_, dt))
+      case LongType => VecLongExpr.compile(e, output).map(LongKernel(_, LongType))
+      case TimestampType | TimestampNTZType => e match {
+        // value-identical retype: the long IS the stored micros
+        case m: org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp
+            if m.child.dataType == LongType =>
+          VecLongExpr.compile(m.child, output).map(LongKernel(_, e.dataType))
+        case other =>
+          scala.Left(s"unsupported timestamp projection: ${other.getClass.getSimpleName}")
+      }
       case other =>
         scala.Left(s"unsupported projection result type $other " +
           "(ANSI integral overflow / 128-bit decimal stay on the row path)")
@@ -882,6 +983,11 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
               scratch.reset()
               kernel.eval(batch, n, outL(c), nulls(c, n), scratch)
               cols(c) = new DecimalArrayVector(outL(c), outN(c), n, dt)
+              compM.add(1)
+            case scala.Right(LongKernel(kernel, dt)) =>
+              if (outL(c) == null || outL(c).length < n) outL(c) = new Array[Long](n)
+              kernel.eval(batch, n, outL(c), nulls(c, n))
+              cols(c) = new LongArrayVector(outL(c), outN(c), n, dt)
               compM.add(1)
           }
           c += 1

@@ -901,6 +901,61 @@ class EngineSuite extends GraftTestBase {
     assert(tagged.get.contains("unsupported"), s"reason: ${tagged.get}")
   }
 
+  test("GraftColumnarWindowGroupLimitExec: rank-1/top-k-per-key parity incl. nulls, ties, flush") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colwgl").toString
+    // 2-part keys (long, string incl. null), duplicate order keys (tie →
+    // id tiebreak), null order keys, keys spread across partitions
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (i % 23).toLong,
+        if (i % 11 == 0) Option.empty[String] else Some(s"t${i % 3}"),
+        if (i % 17 == 0) Option.empty[Long] else Some((i * 37 % 100).toLong))
+    }
+    rows.toDF("id", "k", "typ", "ts").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    def q(k: Int) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"k", $"typ").orderBy($"ts".desc, $"id".desc)
+      spark.read.parquet(dir)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+        .select($"k", $"typ", $"ts", $"id")
+    }
+    for (k <- Seq(1, 3)) {
+      val cdf = q(k)
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowGroupLimitExec => e
+      }.isDefined, s"k=$k: expected the columnar WGL probe in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(q(k)) }
+      assert(on == off, s"k=$k: columnar=${on.take(5)}... row=${off.take(5)}...")
+      // overflow flush (maxGroups=3 << 23x4 groups) must not change results
+      val flushed = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.wglMaxGroupsKey -> "3") { canon(q(k)) }
+      assert(flushed == off, s"k=$k flush path diverged")
+    }
+    // rank() keeps ties → row path with a tagged reason
+    def rq = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"k").orderBy($"ts".desc)
+      spark.read.parquet(dir)
+        .withColumn("rk", rank().over(w)).filter($"rk" <= 2)
+    }
+    val rdf = rq
+    rdf.collect()
+    assert(findExec(rdf) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowGroupLimitExec => e
+    }.isEmpty, s"rank() must stay row:\n${rdf.queryExecution.executedPlan}")
+    // flag gates the swap
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.wglEnabledKey -> "false") {
+      val gdf = q(1)
+      gdf.collect()
+      assert(findExec(gdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowGroupLimitExec => e
+      }.isEmpty, "wgl flag must gate the swap")
+    }
+  }
+
   test("GraftColumnarTopKExec: parity with the row TakeOrderedAndProject incl. nulls, NaN, ties") {
     val dir = java.nio.file.Files.createTempDirectory("graft-coltopk").toString
     // null sort keys, NaN/-0.0/0.0 doubles, duplicate primary keys (ties

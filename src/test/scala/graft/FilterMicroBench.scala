@@ -163,6 +163,49 @@ object FilterMicroBench {
       val on = timeIt(f)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
+
+    // Partial WindowGroupLimit A/B: map-side Sort + row WGL vs the
+    // hash-of-bounded-heaps probe (no sort at all). The CDC rank-1 shape.
+    val wglShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "wgl-rank1-cdc" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts".desc, $"event_id".desc)
+        Tables.events(spark, sfDir)
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter($"rn" === 1)
+      }),
+      "wgl-top3-key" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_extendedprice".desc, $"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter($"rn" <= 3)
+      }),
+      "wgl-rank1-hicard" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_extendedprice".desc, $"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter($"rn" === 1)
+      }),
+      "wgl-rank1-mid" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter($"rn" === 1)
+      }))
+    wglShapes.foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.wglEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.wglEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
     spark.stop()
   }
 }

@@ -328,10 +328,24 @@ class PlanAssertionSuite extends GraftTestBase {
   }
 
   test("q131 CDC compaction pushes a partial WindowGroupLimit below the shuffle") {
-    val p = planString(run("q131_cdc_latest"))
+    val df = run("q131_cdc_latest")
+    df.collect()
+    val p = planString(df)
     assert(p.contains("WindowGroupLimit"),
       s"rank-1 filter must prune candidates map-side before the key shuffle:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // the map-side pre-filter is the COLUMNAR probe — and it needs no
+    // sort below it: the only Sort left is the final-stage one above
+    // the exchange (plus the output ORDER BY)
+    assert(p.contains("GraftColumnarWindowGroupLimit"),
+      s"expected the columnar WGL probe in:\n$p")
+    val mapSideSort = df.queryExecution.executedPlan.exists {
+      case s: org.apache.spark.sql.execution.SortExec =>
+        s.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.graft.GraftColumnarWindowGroupLimitExec])
+      case _ => false
+    }
+    assert(!mapSideSort, s"no sort may remain below the columnar probe:\n$p")
   }
 
   test("q124 ORC re-scan pushes the quantity predicate into the ORC scan") {
