@@ -34,7 +34,8 @@ object Catalog {
     SourceFormatQueries.all ++
     QualityMixQueries.all ++
     ChangeDataQueries.all ++
-    LayoutQueries.all
+    LayoutQueries.all ++
+    EventAnalyticsQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */
