@@ -339,6 +339,32 @@ object FuzzProps extends Properties("graft") {
       Some(Double.PositiveInfinity), Some(Double.NegativeInfinity)),
     6 -> Gen.chooseNum(-1e6, 1e6).map(Some(_)))
 
+  property("columnar window-group-limit matches the row path at any maxGroups (bailout fuzz)") =
+    forAll(Gen.listOfN(120, Gen.zip(Gen.choose(0, 15), keyDoubleGen)),
+      Gen.choose(1, 4), Gen.oneOf(1, 2, 3, 7, 1000)) {
+      (xs: List[(Int, Option[Double])], k: Int, maxGroups: Int) =>
+      xs.isEmpty || {
+        // random maxGroups forces the adaptive bailout at random points
+        // (incl. mid-batch) — the remainder-emission path must never
+        // change final results
+        val dir = java.nio.file.Files.createTempDirectory("graft-wglfuzz").toString
+        xs.zipWithIndex.map { case ((g, d), i) => (i.toLong, g.toLong, d) }
+          .toDF("id", "g", "d").repartition(3).write.mode("overwrite").parquet(dir)
+        def run = {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("g")).orderBy(col("d").desc_nulls_last, col("id"))
+          spark.read.parquet(dir)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+            .collect().map(_.toString).sorted.toSeq
+        }
+        val on = withConf(
+          org.apache.spark.sql.graft.GraftColumnarRule.wglMaxGroupsKey -> maxGroups.toString) { run }
+        val off = withConf(
+          org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { run }
+        Prop(on == off) :| s"k=$k maxGroups=$maxGroups columnar=$on row=$off"
+      }
+    }
+
   property("columnar top-k matches the row TakeOrderedAndProject on any data/ordering") =
     forAll(Gen.listOfN(40, Gen.zip(keyDoubleGen, strGen)),
       Gen.choose(1, 12), Gen.choose(0, 3), Gen.oneOf(true, false)) {
