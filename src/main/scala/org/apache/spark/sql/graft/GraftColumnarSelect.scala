@@ -360,10 +360,11 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // reproduces exactly.
       case agg: HashAggregateExec
           if agg.groupingExpressions.nonEmpty && !agg.child.supportsColumnar &&
-            agg.aggregateExpressions.nonEmpty &&
             agg.aggregateExpressions.forall(_.mode ==
               org.apache.spark.sql.catalyst.expressions.aggregate.Final) &&
             finalAggEnabled(session) =>
+        // empty aggregateExpressions = a DISTINCT's final stage: the
+        // merge dedups the shuffled key rows and emits key vectors.
         val bufOrd: Attribute => Int =
           a => agg.child.output.indexWhere(_.exprId == a.exprId)
         val keySpecs = agg.groupingExpressions.map {
@@ -434,8 +435,11 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // functions, plain buffer layout. Memory-bounded by maxGroups
       // (early flush of partial rows — the final merge dedups).
       case agg: HashAggregateExec
-          if agg.groupingExpressions.nonEmpty && agg.child.supportsColumnar &&
-            agg.aggregateExpressions.nonEmpty =>
+          if agg.groupingExpressions.nonEmpty && agg.child.supportsColumnar =>
+        // aggregateExpressions may be EMPTY: a DISTINCT's partial
+        // HashAggregate is keys-only, and the kernel's zero-spec case
+        // is exactly per-partition dedup (maxGroups flush stays safe —
+        // the final stage re-dedups).
         val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
           case a: AttributeReference => agg.child.output.indexWhere(_.exprId == a.exprId)
           case _ => -1
@@ -453,8 +457,16 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case None =>
             val ks = keySpecs.collect { case scala.Right(k) => k }
             val specs = compiled.collect { case scala.Right(s) => s }
+            // exprId-exact key prefix: same-typed keys can legally be
+            // REORDERED in resultExpressions (e.g. a keys-only distinct
+            // under a projection) — a type-only check would emit the
+            // kernel's grouping order under the wrong output attributes
+            val keyIds = agg.groupingExpressions.collect {
+              case a: AttributeReference => a.exprId }
             val layoutOk =
               agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
+                agg.resultExpressions.take(keyIds.size).collect {
+                  case a: Attribute => a.exprId } == keyIds &&
                 (agg.groupingExpressions.map(_.dataType) ++
                   specs.flatMap(GraftColumnarAgg.slotTypes)) == agg.output.map(_.dataType)
             if (layoutOk) {

@@ -199,6 +199,22 @@ object FilterMicroBench {
           .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter($"rn" === 1)
       }))
+    // keys-only DISTINCT through the grouped-agg kernels (both stages)
+    val distinctShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "distinct-lowcard" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus").distinct()),
+      "distinct-hicard" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber").distinct()))
+    distinctShapes.foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.enabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.enabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
+
     wglShapes.foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.wglEnabledKey, "false")
       val off = timeIt(f)

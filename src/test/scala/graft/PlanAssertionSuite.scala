@@ -184,6 +184,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q155: row TakeOrderedAndProject must be swapped out:\n$p")
   }
 
+  test("q162 runs DISTINCT columnar on both exchange sides") {
+    val df = run("q162_columnar_distinct")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q162: expected the partial dedup columnar in:\n$p")
+    assert(p.contains("GraftColumnarFinalAgg"),
+      s"q162: expected the final dedup columnar in:\n$p")
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
