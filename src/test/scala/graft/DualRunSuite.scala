@@ -36,6 +36,15 @@ class DualRunSuite extends GraftTestBase {
         q.run(spark, sfDir),
         Seq("spark.sql.adaptive.enabled" -> "false"))
     }
+    test(s"${q.name}: invariant under columnar off") {
+      // The graft columnar runtime (filter/project/agg/joins/topk/wgl/
+      // distinct swaps) must never change a result — every query
+      // differentially validates every columnar operator it touches
+      // against Spark's row path.
+      checkInvariantUnder(
+        q.run(spark, sfDir),
+        Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    }
   }
 
   test("driver smoke: SparkEntry.entry returns rows") {
