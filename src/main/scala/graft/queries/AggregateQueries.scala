@@ -372,6 +372,47 @@ object AggregateQueries {
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
-      doc = "TPC-H Q1 money math fully inside the Decimal64 columnar runtime: exact unscaled-long sum/min/max kernels on both sides of the shuffle (partial + final grouped agg pinned columnar), products cast to DECIMAL(18,4) to stay in 64-bit range.")
+      doc = "TPC-H Q1 money math fully inside the Decimal64 columnar runtime: exact unscaled-long sum/min/max kernels on both sides of the shuffle (partial + final grouped agg pinned columnar), products cast to DECIMAL(18,4) to stay in 64-bit range."),
+
+    QueryDef(
+      "q163_regr_family",
+      (s, dir) => {
+        import s.implicits._
+        // Linear-regression aggregate family (SQL:2016, reference
+        // aggregates serde covers corr/covar — regr_* is the remaining
+        // §2.3 tail). Same determinism treatment as q37: single-pass
+        // mergeable moments on both engines, rounded where double
+        // summation error (~n·eps relative) is orders below the rounded
+        // place. The second-moment sums (sxx/syy/sxy) grow with n·var —
+        // scaled down by 1e6 before rounding so the rounded digit sits
+        // ~8 orders above the merge-order noise floor. regr_count is
+        // exact; DuckDB returns it wide → CAST AS BIGINT (the q130/q139
+        // HUGEINT convention).
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            regr_count($"l_extendedprice", $"l_quantity").as("n"),
+            round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+            round(regr_intercept($"l_extendedprice", $"l_quantity"), 2).as("icept"),
+            round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+            round(regr_avgx($"l_extendedprice", $"l_quantity"), 4).as("ax"),
+            round(regr_avgy($"l_extendedprice", $"l_quantity"), 2).as("ay"),
+            round(regr_sxx($"l_extendedprice", $"l_quantity") / 1e6, 2).as("sxx_m"),
+            round(regr_syy($"l_extendedprice", $"l_quantity") / 1e6, 2).as("syy_m"),
+            round(regr_sxy($"l_extendedprice", $"l_quantity") / 1e6, 2).as("sxy_m"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+          round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+          round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+          round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+          round(regr_avgx(l_extendedprice, l_quantity), 4) AS ax,
+          round(regr_avgy(l_extendedprice, l_quantity), 2) AS ay,
+          round(regr_sxx(l_extendedprice, l_quantity) / 1e6, 2) AS sxx_m,
+          round(regr_syy(l_extendedprice, l_quantity) / 1e6, 2) AS syy_m,
+          round(regr_sxy(l_extendedprice, l_quantity) / 1e6, 2) AS sxy_m
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "regr_* linear-regression aggregate family (count/slope/intercept/r2/avgx/avgy/sxx/syy/sxy): single-pass mergeable moments, partial-before-shuffle; second moments scaled before rounding for merge-order independence.")
   )
 }

@@ -75,6 +75,31 @@ object StreamingOps {
       s"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL $windowSeconds SECOND AND l_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join with the same event-time range
+    * condition as [[joinWithinWindow]]. Matches emit eagerly like the
+    * inner join; an UNMATCHED left event emits with null right columns
+    * only once the right side's watermark passes its event time — the
+    * moment Spark can prove no qualifying right row (r_ts ≤ l_ts) can
+    * still arrive — and the same watermark bound is what lets the state
+    * store evict the buffered left row. This is the streaming
+    * "attribution with a timeout" shape (click with no impression in
+    * the lookback window → emit as organic): correctness and state
+    * bounds both hang off the two-sided watermark, exactly as in the
+    * inner variant, plus the null-emission barrier the outer join adds.
+    */
+  def leftOuterJoinWithinWindow(left: Dataset[Event], right: Dataset[Event],
+      windowSeconds: Long = 3600): DataFrame = {
+    val l = left.toDF().select(col("event_id").as("l_id"),
+        col("user_id").as("l_user"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", s"$windowSeconds seconds")
+    val r = right.toDF().select(col("event_id").as("r_id"),
+        col("user_id").as("r_user"), col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", s"${2 * windowSeconds} seconds")
+    l.join(r, expr(
+      s"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL $windowSeconds SECOND AND l_ts"),
+      "left_outer")
+  }
+
   /** Deterministic hash sampling on a stream: the q109 md5-threshold
     * predicate applied per micro-batch. Stateless — no watermark, no
     * state store — and the chosen set is a pure function of event_id,

@@ -297,6 +297,35 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("leftOuterJoinWithinWindow: matches emit eagerly, unmatched emit nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = StreamingOps.leftOuterJoinWithinWindow(clicks.toDS(), views.toDS(), 600)
+      .writeStream.format("memory").queryName("ssloj").outputMode("append").start()
+    try {
+      views.addData(Event(10, ts(0), 1, "v", 1.0)) // 5 min before click 1 → in window
+      clicks.addData(
+        Event(1, ts(5), 1, "c", 0.0),  // matched
+        Event(2, ts(6), 2, "c", 0.0))  // user 2 has no view → outer null, later
+      q.processAllAvailable()
+      def rows() = spark.table("ssloj").collect()
+        .map(r => (r.getAs[Long]("l_id"),
+          if (r.isNullAt(r.fieldIndex("r_id"))) -1L else r.getAs[Long]("r_id"))).toSet
+      // the match is emitted eagerly; the unmatched click is still held back
+      // (a qualifying view could arrive until the right watermark passes ts(6))
+      assert(rows() == Set((1L, 10L)), s"got ${rows()}")
+      // advance both watermarks far past ts(6)+delays: left delay 10 min,
+      // right delay 20 min → events at ts(90) put both watermarks > ts(6)
+      clicks.addData(Event(98, ts(90), 9, "c", 0.0))
+      views.addData(Event(99, ts(90), 9, "v", 0.0))
+      q.processAllAvailable()
+      assert(rows().contains((2L, -1L)), s"unmatched click not emitted: ${rows()}")
+      // the matched row must not ALSO appear as an outer null
+      assert(!rows().contains((1L, -1L)), s"duplicate outer emission: ${rows()}")
+    } finally q.stop()
+  }
+
   test("file-source readStream over events.parquet matches the batch window agg") {
     // Real file source end-to-end: the events table streamed through the
     // same ns→µs conversion the batch loader applies, windowed, written
