@@ -74,7 +74,20 @@ object Bench {
     // naming) — the directly comparable number against BASELINE.md's
     // per-query TPC-H table.
     val tpch = timings.filter(_._1.contains("tpch"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size}}""")
+    // The harness that consumes stdout keeps only the final ~2 KB, and
+    // the full 163-query map is ~3× that — r6 lost all per-query detail
+    // this way. So: FULL detail goes to a file inside the repo
+    // (committed next round, auditable either way), and the printed line
+    // stays compact — totals, the errors map, and per-query numbers for
+    // just the TPC-H set graded against BASELINE.md.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size}}"""
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json"))
+    try java.nio.file.Files.writeString(detailPath, fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"bench detail write failed: ${e.getMessage}") }
+    val tq = tpch.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$tq,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size},"n_queries":${timings.size},"detail":"${esc(detailPath.toString)}"}""")
     spark.stop()
   }
 }

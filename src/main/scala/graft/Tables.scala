@@ -19,28 +19,45 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Conf the session MUST carry to read events.parquet — set it in the
-    * SparkSession builder (Verify/Bench/tests all do). It is deliberately
-    * NOT set inside [[events]]: the conf is re-read at execution time, so
-    * save-and-restore around the read breaks lazy execution, and setting
-    * it permanently would silently change how unrelated nanos-parquet
-    * reads behave for the rest of the session (ADVICE r2).
+  /** Conf a session SHOULD carry to read events.parquet fixtures that
+    * store `ts` as parquet INT64 TIMESTAMP(NANOS) — Spark 4.x rejects that
+    * type outright (PARQUET_TYPE_ILLEGAL) unless the legacy conf maps it
+    * to a raw long. Set it in the SparkSession builder (Verify/Bench/tests
+    * all do). It is deliberately NOT set inside [[events]]: the conf is
+    * re-read at execution time, so save-and-restore around the read breaks
+    * lazy execution, and setting it permanently would silently change how
+    * unrelated nanos-parquet reads behave for the rest of the session
+    * (ADVICE r2). Harmless when the fixture already stores micros.
     */
   val eventsReadConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
 
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark 4.x rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw nanos
-    * as a long via the legacy conf, then truncate to micros — identical to
-    * what DuckDB does on read (its TIMESTAMP is micros), so oracle SQL can
-    * use `ts` directly. All values are post-epoch, so integer division
-    * truncation == cast truncation.
+  /** The fixture's `ts` column has changed physical type across driver
+    * regenerations — INT64 TIMESTAMP(NANOS) originally, plain
+    * TIMESTAMP(MICROS, ntz) since 2026-08-13 — so dispatch on the loaded
+    * Spark type instead of assuming either:
+    *
+    *   - LongType: the nanos fixture read through [[eventsReadConf]];
+    *     truncate to micros — identical to what DuckDB does on read (its
+    *     TIMESTAMP is micros). All values are post-epoch, so integer
+    *     division truncation == cast truncation.
+    *   - TimestampNTZType: the micros fixture; cast to TimestampType so
+    *     every downstream consumer sees the exact type the nanos path
+    *     produced. The session timezone is pinned to UTC (Verify/Bench/
+    *     tests), so the cast does not reinterpret the instant.
+    *   - TimestampType: use as-is.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption(eventsReadConf._1).contains(eventsReadConf._2),
-      s"reading events.parquet (nanos timestamps) requires the session to set " +
-        s"${eventsReadConf._1}=${eventsReadConf._2} in its builder")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType        => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType   => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet ts has unsupported type $other; expected long (nanos fixture), " +
+          "timestamp_ntz, or timestamp")
+    }
   }
 
   /** Register tables of `dir` as temp views so queries can use

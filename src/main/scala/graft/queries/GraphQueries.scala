@@ -151,8 +151,8 @@ object GraphQueries {
         // Weighted PageRank (d=0.85, 3 fixed iterations) over the
         // nation-level trade graph: customer nation → supplier nation,
         // edge weight = lineitem count. Scale shape: the corpus-sized
-        // work is ONE edge aggregation (joins broadcast the dims,
-        // shuffle on nation pairs, ≤ 625 edge rows out), materialized
+        // work is ONE edge aggregation (shuffle on nation pairs,
+        // ≤ 625 edge rows out), materialized
         // with localCheckpoint so the 3 iterations never rescan
         // lineitem (the q136 lesson); each iteration is then a
         // 625-row join. Per-iteration round at 1e-12 absorbs summation-
@@ -164,9 +164,14 @@ object GraphQueries {
         val cust = Tables.t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
         val supp = Tables.t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
         val nations = Tables.t(s, dir, "nation").select($"n_nationkey".as("nation"))
+        // orders and customer are FACT tables (SF1000: 1.5 B / 150 M
+        // rows) — no broadcast hint; these two shuffle on their keys and
+        // AQE may still broadcast when runtime stats say they fit.
+        // supplier is SF×10k — small enough to pin as broadcast, and it
+        // arrives after the orders join has already shrunk the stream.
         val edges = li
-          .join(broadcast(ords), $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(ords, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
           .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
           .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
           .agg(count(lit(1)).as("w"))

@@ -129,6 +129,33 @@ object LayoutQueries {
       Some("""SELECT term, count(*) AS freq FROM (
           SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         GROUP BY term ORDER BY freq DESC, term LIMIT 10"""),
-      doc = "approx_top_k sketch lifecycle (Spark 4.1): per-language accumulate → corpus-wide combine → estimate proposes candidates → one broadcast semi-join recounts exactly; partial sketches are storable state, so corpus top-k never rescans history.")
+      doc = "approx_top_k sketch lifecycle (Spark 4.1): per-language accumulate → corpus-wide combine → estimate proposes candidates → one broadcast semi-join recounts exactly; partial sketches are storable state, so corpus top-k never rescans history."),
+
+    QueryDef(
+      "q164_sorted_run_export",
+      (s, dir) => {
+        import s.implicits._
+        // Sorted-run export: the write-side layout step at its purest.
+        // Each scan split is sorted locally with NO exchange — at
+        // 100 TB every task emits one sorted run bounded by
+        // maxPartitionBytes, and downstream compaction merges runs
+        // (the LSM / table-format compaction write shape; contrast
+        // q78, which pays a range exchange first for globally
+        // disjoint files). The local sort sits DIRECTLY on the
+        // columnar scan→filter→project block, which is exactly the
+        // shape GraftColumnarSortExec swaps (pinned in
+        // PlanAssertionSuite); row order inside a partition is not
+        // oracle-checkable, so the oracle verifies the row SET and
+        // the pin verifies the sort.
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp"))
+          .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net"))
+          .sortWithinPartitions($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate,
+          l_extendedprice * (1.0 - l_discount) AS net
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'"""),
+      doc = "Sorted-run export: per-split local sort with no exchange — the write-side layout shape whose sort sits directly on the columnar scan (GraftColumnarSortExec swap site, plan-pinned); at scale each task emits one bounded sorted run for downstream merge compaction.")
   )
 }

@@ -47,8 +47,12 @@ object PipelineQueries {
             col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .agg(count(lit(1)).as("shared"))
-          .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), "d1")
-          .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), "d2")
+          // sizes is one row per quality-passing document — unbounded at
+          // corpus scale, so no broadcast hint: the pair table is already
+          // hash-partitioned by doc id from the groupBy, and AQE can still
+          // broadcast when the surviving corpus genuinely fits.
+          .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+          .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
           .filter($"shared".cast("double") / ($"n1" + $"n2" - $"shared") >= 0.8)
           .select($"d2".as("doc_id")).distinct()
         val kept = passed.join(drops, Seq("doc_id"), "left_anti")

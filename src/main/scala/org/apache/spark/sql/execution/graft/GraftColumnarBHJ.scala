@@ -103,6 +103,17 @@ object GraftColumnarBHJExec {
   val probeKeyTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
 
+  /** The SEMI/ANTI probe additionally supports a single STRING key —
+    * the common dedup-join shape (doc-id/url anti joins). A string
+    * equi-key broadcasts an UnsafeHashedRelation, probed with a 1-field
+    * UnsafeRow built by the same UnsafeProjection the row join's
+    * streamedKeys would generate, so the binary key layout matches the
+    * build side bit-for-bit. Kept OFF the inner-probe gate: the inner
+    * probe is itself opt-in, and its match-buffer cost dominates either
+    * way.
+    */
+  val semiProbeKeyTypes: Set[DataType] = probeKeyTypes + StringType
+
   def supportedBuildType(dt: DataType): Boolean =
     longFamily(dt) || doubleFamily(dt) || dt == StringType
 }
@@ -290,9 +301,10 @@ case class GraftColumnarBHJExec(
   * null-AWARE anti join variant is a different operator shape and stays
   * on the row path; the planning rule excludes it).
   *
-  * Same restrictions as the inner probe, rule-enforced: BuildRight, one
-  * integral equi-key ([[GraftColumnarBHJExec.probeKeyTypes]], the
-  * LongHashedRelation shape), no residual condition.
+  * Rule-enforced restrictions: BuildRight, ONE equi-key that is either
+  * integral (the LongHashedRelation shape, probed by long) or string
+  * (UnsafeHashedRelation, probed by a 1-field UnsafeRow —
+  * [[GraftColumnarBHJExec.semiProbeKeyTypes]]), no residual condition.
   *
   * Reference analogue: LeftSemi/LeftAnti serde + native hash join
   * (operators.scala join-type mapping, planner.rs hash join types).
@@ -335,26 +347,38 @@ case class GraftColumnarSemiBHJExec(
     left.executeColumnar().mapPartitionsInternal { iter =>
       val rel = broadcastRel.value.asReadOnlyCopy()
       var sel = new Array[Int](1 << 10)
+      // String-key probe state (UnsafeHashedRelation): one reusable
+      // 1-field row + the same UnsafeProjection layout the row join's
+      // streamedKeys would generate, so probe bytes == build bytes.
+      val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val keyProj: UnsafeProjection =
+        if (keyDt == StringType) UnsafeProjection.create(Array[DataType](StringType)) else null
 
       iter.flatMap { batch =>
         val n = batch.numRows()
         probeM.add(n)
         if (sel.length < n) sel = new Array[Int](n)
         val keys = batch.column(keyOrd)
-        val getKey: Int => Long = keyDt match {
-          case LongType => keys.getLong
-          case IntegerType => i => keys.getInt(i).toLong
-          case ShortType => i => keys.getShort(i).toLong
-          case ByteType => i => keys.getByte(i).toLong
+        // hasMatch(i) assumes keys.isNullAt(i) == false (checked by the
+        // caller: a null equi-key never matches).
+        val hasMatch: Int => Boolean = keyDt match {
+          case LongType => i => { val it = rel.get(keys.getLong(i)); it != null && it.hasNext }
+          case IntegerType => i => { val it = rel.get(keys.getInt(i).toLong); it != null && it.hasNext }
+          case ShortType => i => { val it = rel.get(keys.getShort(i).toLong); it != null && it.hasNext }
+          case ByteType => i => { val it = rel.get(keys.getByte(i).toLong); it != null && it.hasNext }
+          case StringType => i => {
+            // the vector's UTF8String view aliases batch memory — used
+            // only within this probe call, never retained
+            keyRow.update(0, keys.getUTF8String(i))
+            val it = rel.get(keyProj(keyRow))
+            it != null && it.hasNext
+          }
           case other => throw new IllegalStateException(s"bad key type $other")
         }
         var m = 0
         var i = 0
         while (i < n) {
-          val matched = !keys.isNullAt(i) && {
-            val it = rel.get(getKey(i))
-            it != null && it.hasNext
-          }
+          val matched = !keys.isNullAt(i) && hasMatch(i)
           if (matched != isAnti) { sel(m) = i; m += 1 }
           i += 1
         }

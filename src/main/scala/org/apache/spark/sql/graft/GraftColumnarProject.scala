@@ -883,6 +883,14 @@ object ProjKernel {
         case m: org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp
             if m.child.dataType == LongType =>
           VecLongExpr.compile(m.child, output).map(LongKernel(_, e.dataType))
+        // ntz→ltz cast reinterprets the wall-clock in the cast's zone;
+        // under UTC that is ALSO a value-identical retype of the stored
+        // micros. Any other zone shifts the value — row path.
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+            if c.dataType == TimestampType && c.child.dataType == TimestampNTZType &&
+              c.timeZoneId.exists(z =>
+                java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC) =>
+          VecLongExpr.compile(c.child, output).map(LongKernel(_, e.dataType))
         case other =>
           scala.Left(s"unsupported timestamp projection: ${other.getClass.getSimpleName}")
       }

@@ -171,15 +171,17 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // output, so the probe is a pure existence filter over the stream
       // batch (zero-copy selection vectors, no match-buffer
       // materialization — the cost that made the inner probe lose its
-      // A/B). Same key gate as the inner case; the null-aware anti
-      // variant (isNullAwareAntiJoin=true) stays on the row path.
+      // A/B). Key gate: integral (LongHashedRelation) OR string
+      // (UnsafeHashedRelation, the dedup anti-join shape); the
+      // null-aware anti variant (isNullAwareAntiJoin=true) stays on
+      // the row path.
       case j @ joins.BroadcastHashJoinExec(
           Seq(lk @ _), Seq(rk), jt, org.apache.spark.sql.catalyst.optimizer.BuildRight,
           None, left, right, false)
           if (jt == org.apache.spark.sql.catalyst.plans.LeftSemi ||
             jt == org.apache.spark.sql.catalyst.plans.LeftAnti) && semiBhjEnabled(session) =>
         def probeKeySA(dt: org.apache.spark.sql.types.DataType) =
-          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.probeKeyTypes(dt)
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyTypes(dt)
         (lk, left.supportsColumnar) match {
           case (a: AttributeReference, true)
               if probeKeySA(a.dataType) && left.output.exists(_.exprId == a.exprId) &&
@@ -194,7 +196,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
               "semi/anti broadcast join not columnar-probeable (needs a single " +
-                "integral attribute key — LongHashedRelation shape)"); j
+                "integral or string attribute key)"); j
           case _ => j
         }
 
@@ -261,6 +263,42 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               compiled.map(_.collect { case scala.Right(c) => c }), e.child)
         }
 
+      // Per-partition sort over a columnar block: replace
+      // ColumnarToRow + SortExec with the typed index sort
+      // (GraftColumnarSortExec). Sort keys must be plain attributes and
+      // EVERY output column a bufferable type (long/double family or
+      // string) — the operator decomposes batches column-wise. Only
+      // fires when the child is columnar, i.e. a scan-bounded partition
+      // (no disk spill — see the exec's scaladoc).
+      case s: org.apache.spark.sql.execution.SortExec
+          if sortEnabled(session) && s.child.supportsColumnar =>
+        import org.apache.spark.sql.execution.graft.{GraftColumnarSortExec, TopKKeySpec}
+        val keySpecs: Seq[Either[String, TopKKeySpec]] = s.sortOrder.map { so =>
+          so.child match {
+            case a: AttributeReference
+                if s.child.output.exists(_.exprId == a.exprId) &&
+                  GraftColumnarSortExec.supportedColType(a.dataType) =>
+              scala.Right(TopKKeySpec(
+                s.child.output.indexWhere(_.exprId == a.exprId), a.dataType,
+                desc = so.direction == org.apache.spark.sql.catalyst.expressions.Descending,
+                nullsFirst = so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst))
+            case other =>
+              scala.Left(s"unsupported sort key: $other (${other.dataType})")
+          }
+        }
+        val colsOk = s.child.output.forall(a =>
+          GraftColumnarSortExec.supportedColType(a.dataType))
+        keySpecs.collectFirst { case scala.Left(r) => r } match {
+          case Some(reason) => s.setTagValue(fallbackReasonTag, reason); s
+          case None if !colsOk =>
+            s.setTagValue(fallbackReasonTag,
+              "sort output has a non-bufferable column type (long/double " +
+                "family and string only)"); s
+          case None =>
+            GraftColumnarSortExec(
+              keySpecs.collect { case scala.Right(k) => k }, s.sortOrder, s.global, s.child)
+        }
+
       // PARTIAL WindowGroupLimit (rank-1/top-k-per-key pushdown below the
       // shuffle): Spark's row operator needs a map-side SORT of the whole
       // input; the columnar probe replaces Sort + WindowGroupLimit with a
@@ -275,6 +313,11 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         val wgl = ex.child.asInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]
         val base = wgl.child match {
           case st: org.apache.spark.sql.execution.SortExec if !st.global => st.child
+          // transformUp may already have swapped the map-side sort for
+          // the columnar kernel — the WGL probe needs no sort at all,
+          // so unwrap that too
+          case gs: org.apache.spark.sql.execution.graft.GraftColumnarSortExec
+              if !gs.global => gs.child
           case c => c
         }
         val partial = wgl.mode == org.apache.spark.sql.execution.window.Partial
@@ -572,6 +615,16 @@ object GraftColumnarRule {
     session.conf.getOption(wglEnabledKey).forall(_.toBoolean)
   val wglMaxGroupsKey = "spark.graft.columnar.wgl.maxGroups"
   val wglDefaultMaxGroups = 65536
+
+  /** Columnar per-partition sort over a columnar block — see
+    * GraftColumnarSortExec's scaladoc for the A/B verdict that set this
+    * default. The swap only ever fires on scan-bounded partitions (the
+    * child must be columnar), so memory stays within a split's working
+    * set; set false to keep ColumnarToRow + Tungsten SortExec.
+    */
+  val sortEnabledKey = "spark.graft.columnar.sort.enabled"
+  def sortEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(sortEnabledKey).forall(_.toBoolean)
 
   /** Columnar top-k — default ON: the A/B (FilterMicroBench, sf0.1)
     * measured the bounded-heap probe ~2x FASTER than the row

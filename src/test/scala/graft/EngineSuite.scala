@@ -540,6 +540,89 @@ class EngineSuite extends GraftTestBase {
     }.isEmpty, s"null-aware anti must stay row:\n${naaj.queryExecution.executedPlan}")
   }
 
+  test("GraftColumnarSemiBHJExec: STRING key semi/anti parity incl. nulls, empty string, unicode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colsemistr").toString
+    Seq(
+      (1L, Option("alpha")), (2L, Option("beta")), (3L, Option.empty[String]),
+      (4L, Option("missing")), (5L, Option("alpha")), (6L, Option("")),
+      (7L, Option("héllo")), (8L, Option("alphax")))
+      .toDF("id", "k").write.mode("overwrite").parquet(s"$dir/stream")
+    Seq(("alpha", 1), ("alpha", 2), ("beta", 3), ("", 4), ("héllo", 5), ("unused", 6))
+      .toDF("bk", "tag").write.mode("overwrite").parquet(s"$dir/build")
+    def join(tpe: String) = {
+      val st = spark.read.parquet(s"$dir/stream")
+      val bd = spark.read.parquet(s"$dir/build")
+      st.join(broadcast(bd), $"k" === $"bk", tpe)
+    }
+    for (tpe <- Seq("left_semi", "left_anti")) {
+      val cdf = join(tpe)
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSemiBHJExec => e
+      }.isDefined, s"$tpe: expected columnar semi/anti BHJ in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(join(tpe)) }
+      assert(on == off, s"$tpe string key: columnar=$on row=$off")
+    }
+    // semi: 1,2,5 (dup build key once), 6 (empty string matches empty),
+    // 7 (unicode); anti: 3 (null key), 4 (miss), 8 ("alphax" != "alpha")
+    assert(join("left_semi").select($"id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 5L, 6L, 7L)))
+    assert(join("left_anti").select($"id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(3L, 4L, 8L)))
+  }
+
+  test("GraftColumnarSortExec: local sort parity incl. nulls, NaN/-0.0, strings, desc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colsort").toString
+    // single small file -> one scan partition, so sortWithinPartitions
+    // is a total order and exact sequence equality is checkable
+    Seq(
+      (1L, Option(3.5), Option("beta")),
+      (2L, Option(Double.NaN), Option("alpha")),
+      (3L, Option.empty[Double], Option.empty[String]),
+      (4L, Option(-0.0), Option("")),
+      (5L, Option(0.0), Option("héllo")),
+      (6L, Option(Double.NegativeInfinity), Option("beta")),
+      (7L, Option(3.5), Option("Alpha")),
+      (8L, Option(Double.PositiveInfinity), Option("zz")))
+      .toDF("id", "d", "s").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val sorts: Seq[(String, Seq[org.apache.spark.sql.Column])] = Seq(
+      "double-nulls-first" -> Seq($"d".asc_nulls_first, $"id"),
+      "double-desc-nulls-last" -> Seq($"d".desc_nulls_last, $"id"),
+      "string-asc" -> Seq($"s".asc_nulls_last, $"id"),
+      "string-desc-nulls-first" -> Seq($"s".desc_nulls_first, $"id"),
+      "id-desc" -> Seq($"id".desc))
+    for ((label, keys) <- sorts) {
+      def sorted() = spark.read.parquet(s"$dir/t").sortWithinPartitions(keys: _*)
+      val cdf = sorted()
+      val onRows = cdf.collect().map(_.toString).toSeq
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+      }.isDefined, s"$label: expected columnar sort in:\n${cdf.queryExecution.executedPlan}")
+      val offRows = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.sortEnabledKey -> "false") {
+        val rdf = sorted()
+        val rows = rdf.collect().map(_.toString).toSeq
+        assert(findExec(rdf) {
+          case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+        }.isEmpty, "sort flag must gate the swap")
+        rows
+      }
+      // id tiebreak makes every order total -> exact sequence equality
+      assert(onRows == offRows, s"$label: columnar=$onRows row=$offRows")
+    }
+    // non-bufferable column type (array) keeps the row path
+    val arr = spark.read.parquet(s"$dir/t")
+      .select($"id", org.apache.spark.sql.functions.array($"id").as("a"))
+      .sortWithinPartitions($"id")
+    arr.collect()
+    assert(findExec(arr) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+    }.isEmpty, s"array column must fall back:\n${arr.queryExecution.executedPlan}")
+  }
+
   test("GraftColumnarExistenceBHJExec: IN-or-disjunction parity incl. null keys, int key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colexist").toString
     // long key table (null key → exists=false; dup build key counts once)

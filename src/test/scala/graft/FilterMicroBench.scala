@@ -222,6 +222,61 @@ object FilterMicroBench {
       val on = timeIt(f)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
+
+    // STRING-key semi/anti probe A/B (UnsafeHashedRelation probed with a
+    // 1-field UnsafeRow vs Spark's codegen row BHJ). Shipmode/comment
+    // give a low- and a high-cardinality string key over the same scan.
+    val semiStrShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "bhj-semi-str" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "orders")
+          .filter($"o_orderpriority".startsWith("1"))
+          .select($"o_clerk").distinct()
+        Tables.t(spark, sfDir, "orders")
+          .join(broadcast(dim.withColumnRenamed("o_clerk", "dim_clerk")),
+            $"o_clerk" === $"dim_clerk", "left_semi")
+      }),
+      "bhj-anti-str" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "orders")
+          .filter($"o_orderpriority".startsWith("1"))
+          .select($"o_clerk").distinct()
+        Tables.t(spark, sfDir, "orders")
+          .join(broadcast(dim.withColumnRenamed("o_clerk", "dim_clerk")),
+            $"o_clerk" === $"dim_clerk", "left_anti")
+      }))
+    semiStrShapes.foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.semiBhjEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.semiBhjEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
+
+    // Columnar sort A/B: ColumnarToRow + Tungsten SortExec vs the typed
+    // index sort + gather. sortWithinPartitions keeps the sort directly
+    // over the columnar scan (a global orderBy hides behind a range
+    // exchange and never swaps).
+    val sortShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "sort-1key-long" -> (() =>
+        Tables.t(spark, sfDir, "lineitem").sortWithinPartitions($"l_orderkey")),
+      "sort-2key-mixed" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .sortWithinPartitions($"l_extendedprice".desc, $"l_orderkey")),
+      "sort-string-key" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .sortWithinPartitions($"l_comment")),
+      "sort-narrow-3col" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_quantity")
+          .sortWithinPartitions($"l_extendedprice".desc)))
+    sortShapes.foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.sortEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.sortEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
     spark.stop()
   }
 }

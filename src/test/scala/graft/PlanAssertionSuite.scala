@@ -358,6 +358,22 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(!mapSideSort, s"no sort may remain below the columnar probe:\n$p")
   }
 
+  test("q164 sorted-run export swaps the scan-side local sort for the columnar kernel") {
+    val df = run("q164_sorted_run_export")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarSort"),
+      s"expected the columnar sort kernel over the scan block in:\n$p")
+    // no exchange: the whole point is one sorted run per scan split
+    assert(!p.contains("Exchange"), s"sorted-run export must not shuffle:\n$p")
+    // and no row Sort left anywhere
+    val rowSort = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.SortExec => true
+      case _ => false
+    }
+    assert(!rowSort, s"row SortExec must be swapped:\n$p")
+  }
+
   test("q124 ORC re-scan pushes the quantity predicate into the ORC scan") {
     val p = planString(run("q124_orc_roundtrip"))
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")

@@ -328,18 +328,28 @@ class StreamingSuite extends GraftTestBase {
 
   test("file-source readStream over events.parquet matches the batch window agg") {
     // Real file source end-to-end: the events table streamed through the
-    // same ns→µs conversion the batch loader applies, windowed, written
-    // to a memory sink in complete mode.
-    // (nanosAsLong is set in GraftTestBase's session builder)
+    // same ts normalization the batch loader applies (type-dispatched —
+    // the fixture has shipped both nanos-as-long and micros), windowed,
+    // written to a memory sink in complete mode.
     // file streaming sources need a DIRECTORY — stage the table file
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stage.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(stage.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // readStream needs an explicit schema; take it from a batch read of
+    // the same file so the stream sees whatever physical type the fixture
+    // has, then normalize exactly as Tables.events does.
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val rawStream = spark.readStream.schema(fileSchema).parquet(stage.toString)
+    val raw = fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        rawStream.withColumn("ts",
+          $"ts".cast(org.apache.spark.sql.types.TimestampType))
+      case _ => rawStream
+    }
     val q = raw.groupBy(
         org.apache.spark.sql.functions.window($"ts", "6 hours").as("w"), $"event_type")
       .count()
