@@ -133,8 +133,7 @@ object LayoutQueries {
 
     QueryDef(
       "q164_sorted_run_export",
-      (s, dir) => {
-        import s.implicits._
+      (s0, dir) => {
         // Sorted-run export: the write-side layout step at its purest.
         // Each scan split is sorted locally with NO exchange — at
         // 100 TB every task emits one sorted run bounded by
@@ -142,12 +141,20 @@ object LayoutQueries {
         // (the LSM / table-format compaction write shape; contrast
         // q78, which pays a range exchange first for globally
         // disjoint files). The local sort sits DIRECTLY on the
-        // columnar scan→filter→project block, which is exactly the
-        // shape GraftColumnarSortExec swaps (pinned in
-        // PlanAssertionSuite); row order inside a partition is not
-        // oracle-checkable, so the oracle verifies the row SET and
-        // the pin verifies the sort.
-        Tables.t(s, dir, "lineitem")
+        // columnar scan→filter→project block — the GraftColumnarSortExec
+        // swap shape, OPT-IN here on a cloned session (the q154
+        // pattern) because the A/B measured the kernel 1.4-2.6x slower
+        // than Tungsten's radix sort; the pin verifies the swap, the
+        // oracle verifies the row SET (per-partition order is not
+        // oracle-checkable).
+        val spark = s0.newSession()
+        s0.conf.getAll.foreach { case (k, v) =>
+          try spark.conf.set(k, v) catch { case _: Exception => () }
+        }
+        spark.conf.set(
+          org.apache.spark.sql.graft.GraftColumnarRule.sortEnabledKey, "true")
+        import spark.implicits._
+        Tables.t(spark, dir, "lineitem")
           .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp"))
           .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
             ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net"))
@@ -156,6 +163,6 @@ object LayoutQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_shipdate,
           l_extendedprice * (1.0 - l_discount) AS net
         FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'"""),
-      doc = "Sorted-run export: per-split local sort with no exchange — the write-side layout shape whose sort sits directly on the columnar scan (GraftColumnarSortExec swap site, plan-pinned); at scale each task emits one bounded sorted run for downstream merge compaction.")
+      doc = "Sorted-run export: per-split local sort with no exchange — the write-side layout shape whose sort sits directly on the columnar scan; at scale each task emits one bounded sorted run for downstream merge compaction. GraftColumnarSortExec swap opt-in on a cloned session (plan-pinned): the A/B measured it 1.4-2.6x slower than Tungsten's radix sort, so the default keeps the row sort.")
   )
 }

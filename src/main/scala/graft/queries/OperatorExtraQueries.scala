@@ -345,6 +345,38 @@ object OperatorExtraQueries {
       doc = "Bucketed (bucketBy 8 + sortBy) co-located SortMergeJoin: zero exchanges on the join inputs (pinned); layout write memoized per session+dir — the measured cost is the join, as it would be on a maintained bucketed table."),
 
     QueryDef(
+      "q165_bucketed_shuffled_semi",
+      (s, dir) => {
+        import s.implicits._
+        // Shuffled semi join against a bucketed stream: orders is
+        // bucket-partitioned on o_custkey (the q94 layout, memoized),
+        // so the STREAM side reaches the join as columnar scan batches
+        // with NO exchange; only the filtered customer build side
+        // shuffles (SHUFFLE_HASH hint — broadcast would hide the
+        // shuffled-build layout being demonstrated). At 100 TB this is
+        // the maintained-layout anti/semi shape: the fact table joins
+        // in place, and the probe is GraftColumnarShuffledSemiJoinExec
+        // (pinned in PlanAssertionSuite).
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        val (ot, ct) = (s"g_orders_bkt_$sfx", s"g_customer_bkt_$sfx")
+        ensureBucketed(s, dir, ot, ct)
+        val highBal = s.table(ct).filter($"c_acctbal" > 5000.0)
+          .select($"c_custkey").hint("shuffle_hash")
+        s.table(ot)
+          .join(highBal, $"o_custkey" === $"c_custkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "Shuffled hash SEMI join with a bucketed stream side: the fact scan joins in place (zero stream exchange, pinned) while only the dimension build shuffles — the maintained-layout probe shape GraftColumnarShuffledSemiJoinExec accelerates."),
+
+    QueryDef(
       "q114_aqe_skew_join",
       (s, dir) => {
         import s.implicits._

@@ -108,9 +108,12 @@ object GraftColumnarBHJExec {
     * equi-key broadcasts an UnsafeHashedRelation, probed with a 1-field
     * UnsafeRow built by the same UnsafeProjection the row join's
     * streamedKeys would generate, so the binary key layout matches the
-    * build side bit-for-bit. Kept OFF the inner-probe gate: the inner
-    * probe is itself opt-in, and its match-buffer cost dominates either
-    * way.
+    * build side bit-for-bit. A/B (FilterMicroBench sf0.1, ~6k distinct
+    * string keys over full lineitem, half kept): bhj-semi-str 0.86x,
+    * bhj-anti-str 0.96x of the codegen row BHJ — a win, so it shares
+    * the semi gate's default-ON. Kept OFF the inner-probe gate: the
+    * inner probe is itself opt-in, and its match-buffer cost dominates
+    * either way.
     */
   val semiProbeKeyTypes: Set[DataType] = probeKeyTypes + StringType
 

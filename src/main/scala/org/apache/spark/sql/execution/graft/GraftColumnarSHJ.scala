@@ -1,0 +1,183 @@
+// In org.apache.spark.sql.execution.graft for access to the
+// private[execution] HashedRelation constructors — the same build path
+// ShuffledHashJoinExec uses, so build bytes match the row join exactly.
+package org.apache.spark.sql.execution.graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.joins.HashedRelation
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.graft.SelectedColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** Columnar LEFT SEMI / LEFT ANTI shuffled hash join (reference
+  * analogue: native ShuffledHashJoin, planner.rs:1804-1878 + the
+  * operators.scala join-type mapping).
+  *
+  * The swap target is the ONE shuffled-join layout where a columnar
+  * probe can pay off with Tungsten shuffle kept (SURVEY §7.1): the
+  * STREAM side is pre-partitioned on the join key — a bucketed table or
+  * other co-located layout — so its scan block reaches the join as
+  * ColumnarBatches with NO exchange, while the build side arrives
+  * through the usual row shuffle. Each task builds the same
+  * HashedRelation the row ShuffledHashJoinExec would (identical
+  * HashedRelation.apply call, integral keys upcast to long exactly like
+  * HashJoin.rewriteKeyExpr) and probes it batch-at-a-time with
+  * zero-copy selection-vector output, like the broadcast semi/anti
+  * probe. When BOTH sides shuffle, the stream child is a row exchange,
+  * `supportsColumnar` is false, and the rule leaves the row join alone —
+  * re-columnarizing shuffled rows just to probe them would add a
+  * conversion the row join doesn't pay.
+  *
+  * Default ON after a winning A/B (FilterMicroBench sf0.1, bucketed
+  * lineitem stream vs filtered orders build: shj-semi-bkt 0.81x,
+  * shj-anti-bkt 0.91x of the row ShuffledHashJoin) — like the broadcast
+  * semi/anti probe, no build-side output means the probe is a pure
+  * existence filter with zero-copy output, and the avoided
+  * ColumnarToRow of every stream row pays for the lost codegen fusion.
+  *
+  * Scale note: nothing about WHAT shuffles changes — the build side
+  * shuffles exactly as the row SHJ would, the stream side stays in
+  * place (that's the point of the bucketed layout), and per-task build
+  * memory is the same HashedRelation the row operator allocates.
+  */
+case class GraftColumnarShuffledSemiJoinExec(
+    output: Seq[Attribute],
+    streamKeys: Seq[Expression],
+    buildKeys: Seq[Expression],
+    streamKeyOrd: Int,
+    streamKeyType: DataType,
+    streamOrds: Seq[Int], // per output col: ordinal in the stream batch
+    anti: Boolean,
+    left: SparkPlan,
+    right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  /** Same distribution contract as ShuffledJoin: keeps EnsureRequirements
+    * and AQE re-planning from disturbing the co-located layout. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(streamKeys) :: ClusteredDistribution(buildKeys) :: Nil
+
+  override lazy val metrics = Map(
+    "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of batches"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numProbedRows" -> SQLMetrics.createMetric(sparkContext, "number of probed rows"),
+    "buildTime" -> SQLMetrics.createTimingMetric(sparkContext, "hash relation build time"))
+
+  /** The never-executed RowToColumnarExec transition insertion wraps
+    * around the (row-producing) build side — unwrap, we consume rows. */
+  private def buildPlan: SparkPlan = right match {
+    case r: org.apache.spark.sql.execution.RowToColumnarExec => r.child
+    case p => p
+  }
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val keyOrd = streamKeyOrd
+    val keyDt = streamKeyType
+    val ords = streamOrds.toArray
+    val isAnti = anti
+    // Integral build keys upcast to long — HashJoin.rewriteKeyExpr's
+    // single-key rewrite — so HashedRelation.apply builds the same
+    // LongHashedRelation the row SHJ probes; strings build an
+    // UnsafeHashedRelation keyed on the 1-field UnsafeRow layout.
+    val boundBuildKeys: Seq[Expression] = {
+      val bound = BindReferences.bindReferences(buildKeys, buildPlan.output)
+      bound.map { e =>
+        if (GraftColumnarBHJExec.probeKeyTypes(e.dataType) && e.dataType != LongType)
+          Cast(e, LongType)
+        else e
+      }
+    }
+    val (batchM, rowM, probeM, buildM) = (metrics("numBatches"),
+      metrics("numOutputRows"), metrics("numProbedRows"), metrics("buildTime"))
+
+    // The build side is usually a row exchange, but with BOTH layouts
+    // co-located (build bucketed on the key too) it arrives columnar —
+    // and a batch-enabled scan's execute() yields ColumnarBatches erased
+    // as rows, so consume executeColumnar() and do the row conversion
+    // here (HashedRelation requires UnsafeRows — the same conversion the
+    // row join's ColumnarToRow transition would perform).
+    val buildRowsRDD: RDD[InternalRow] =
+      if (buildPlan.supportsColumnar) {
+        val buildOut = buildPlan.output
+        buildPlan.executeColumnar().mapPartitionsInternal { it =>
+          val toUnsafe = UnsafeProjection.create(buildOut, buildOut)
+          it.flatMap { b =>
+            import scala.jdk.CollectionConverters._
+            b.rowIterator().asScala.map(toUnsafe)
+          }
+        }
+      } else buildPlan.execute()
+
+    left.executeColumnar().zipPartitions(buildRowsRDD) { (batches, buildRows) =>
+      val t0 = System.nanoTime()
+      val rel = HashedRelation(
+        buildRows,
+        boundBuildKeys,
+        taskMemoryManager = TaskContext.get().taskMemoryManager(),
+        // existence probe: one build row per key is enough
+        ignoresDuplicatedKey = true)
+      buildM.add((System.nanoTime() - t0) / 1000000)
+      var sel = new Array[Int](1 << 10)
+      val keyRow = new GenericInternalRow(1)
+      val keyProj: UnsafeProjection =
+        if (keyDt == StringType) UnsafeProjection.create(Array[DataType](StringType)) else null
+
+      batches.flatMap { batch =>
+        val n = batch.numRows()
+        probeM.add(n)
+        if (sel.length < n) sel = new Array[Int](n)
+        val keys = batch.column(keyOrd)
+        // hasMatch(i) assumes the caller checked keys.isNullAt(i) first
+        val hasMatch: Int => Boolean = keyDt match {
+          case LongType => i => { val it = rel.get(keys.getLong(i)); it != null && it.hasNext }
+          case IntegerType => i => { val it = rel.get(keys.getInt(i).toLong); it != null && it.hasNext }
+          case ShortType => i => { val it = rel.get(keys.getShort(i).toLong); it != null && it.hasNext }
+          case ByteType => i => { val it = rel.get(keys.getByte(i).toLong); it != null && it.hasNext }
+          case StringType => i => {
+            keyRow.update(0, keys.getUTF8String(i))
+            val it = rel.get(keyProj(keyRow))
+            it != null && it.hasNext
+          }
+          case other => throw new IllegalStateException(s"bad key type $other")
+        }
+        var m = 0
+        var i = 0
+        while (i < n) {
+          val matched = !keys.isNullAt(i) && hasMatch(i)
+          if (matched != isAnti) { sel(m) = i; m += 1 }
+          i += 1
+        }
+        if (m == 0) None
+        else {
+          val selOut = java.util.Arrays.copyOf(sel, m)
+          val cols = new Array[ColumnVector](ords.length)
+          var o = 0
+          while (o < ords.length) {
+            cols(o) = new SelectedColumnVector(batch.column(ords(o)), selOut)
+            o += 1
+          }
+          batchM.add(1); rowM.add(m)
+          Some(new ColumnarBatch(cols, m))
+        }
+      }
+    }
+  }
+
+  /** Row fallback — the planner routes columnar (supportsColumnar). */
+  override protected def doExecute(): RDD[InternalRow] =
+    throw new UnsupportedOperationException(
+      "GraftColumnarShuffledSemiJoinExec is columnar-only; the rule swaps whole ShuffledHashJoinExec nodes")
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GraftColumnarShuffledSemiJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -200,6 +200,38 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case _ => j
         }
 
+      // Columnar LEFT SEMI / LEFT ANTI SHUFFLED hash join — only when
+      // the STREAM side reaches the join columnar (a bucketed/co-located
+      // scan, no exchange below it): the probe consumes scan batches
+      // directly and builds the same per-task HashedRelation the row
+      // SHJ would from the shuffled build rows. Both-sides-shuffled
+      // joins have a row-exchange stream child and never match.
+      case j @ joins.ShuffledHashJoinExec(
+          Seq(lk), Seq(rk), jt, org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          None, left, right, false)
+          if (jt == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+            jt == org.apache.spark.sql.catalyst.plans.LeftAnti) && shjEnabled(session) =>
+        def probeKeySH(dt: org.apache.spark.sql.types.DataType) =
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyTypes(dt)
+        (lk, left.supportsColumnar) match {
+          case (a: AttributeReference, true)
+              if probeKeySH(a.dataType) && left.output.exists(_.exprId == a.exprId) &&
+                j.output.forall(at => left.output.exists(_.exprId == at.exprId)) =>
+            org.apache.spark.sql.execution.graft.GraftColumnarShuffledSemiJoinExec(
+              j.output,
+              Seq(lk), Seq(rk),
+              left.output.indexWhere(_.exprId == a.exprId),
+              a.dataType,
+              j.output.map(at => left.output.indexWhere(_.exprId == at.exprId)),
+              anti = jt == org.apache.spark.sql.catalyst.plans.LeftAnti,
+              left, right)
+          case (_, true) =>
+            j.setTagValue(fallbackReasonTag,
+              "shuffled semi/anti join not columnar-probeable (needs a single " +
+                "integral or string attribute key)"); j
+          case _ => j
+        }
+
       // Columnar EXISTENCE broadcast join (IN/EXISTS inside a
       // disjunction — RewritePredicateSubquery's ExistenceJoin): like
       // semi/anti there is no build-side output, so the probe appends
@@ -616,15 +648,28 @@ object GraftColumnarRule {
   val wglMaxGroupsKey = "spark.graft.columnar.wgl.maxGroups"
   val wglDefaultMaxGroups = 65536
 
-  /** Columnar per-partition sort over a columnar block — see
-    * GraftColumnarSortExec's scaladoc for the A/B verdict that set this
-    * default. The swap only ever fires on scan-bounded partitions (the
-    * child must be columnar), so memory stays within a split's working
-    * set; set false to keep ColumnarToRow + Tungsten SortExec.
+  /** Columnar SEMI/ANTI shuffled hash join — fires only when the stream
+    * side is pre-partitioned (bucketed layout, no exchange below it), so
+    * the probe reads scan batches in place; see
+    * GraftColumnarShuffledSemiJoinExec's scaladoc for the measured A/B
+    * behind the default.
+    */
+  val shjEnabledKey = "spark.graft.columnar.shj.enabled"
+  def shjEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(shjEnabledKey).forall(_.toBoolean)
+
+  /** Columnar per-partition sort over a columnar block — OPT-IN
+    * (default off): even with the hybrid first-key RADIX path the A/B
+    * (FilterMicroBench sf0.1) reaches only parity on narrow numeric
+    * rows (1.00x) and stays 1.5-2.6x slower on wide/string rows —
+    * the residual cost is buffering every output column, which the
+    * reference escapes natively (arena strings + SIMD), not the sort
+    * loop. Correct, parity-tested, demonstrated (q164 opts in on a
+    * cloned session) — the same honesty call as the gated inner BHJ.
     */
   val sortEnabledKey = "spark.graft.columnar.sort.enabled"
   def sortEnabled(session: SparkSession): Boolean =
-    session.conf.getOption(sortEnabledKey).forall(_.toBoolean)
+    session.conf.getOption(sortEnabledKey).exists(_.toBoolean)
 
   /** Columnar top-k — default ON: the A/B (FilterMicroBench, sf0.1)
     * measured the bounded-heap probe ~2x FASTER than the row

@@ -573,6 +573,60 @@ class EngineSuite extends GraftTestBase {
       .sameElements(Array(3L, 4L, 8L)))
   }
 
+  test("GraftColumnarShuffledSemiJoinExec: bucketed-stream semi/anti parity, long + string keys") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-colshj").toString
+    // bucketed stream: only the build side may shuffle
+    val rows = Seq(
+      (1L, Option(10L), Option("alpha")), (2L, Option(20L), Option("beta")),
+      (3L, Option.empty[Long], Option.empty[String]), (4L, Option(99L), Option("missing")),
+      (5L, Option(10L), Option("alpha")), (6L, Option(30L), Option("")))
+      .toDF("id", "k", "sk")
+    rows.write.format("parquet")
+      .bucketBy(4, "k").option("path", s"$wh/stream_bkt")
+      .mode("overwrite").saveAsTable("colshj_stream")
+    // a second layout bucketed on the STRING column, so the string-key
+    // probe also sees an exchange-free stream
+    rows.write.format("parquet")
+      .bucketBy(4, "sk").option("path", s"$wh/stream_bkt_s")
+      .mode("overwrite").saveAsTable("colshj_stream_s")
+    val build = Seq((10L, "alpha"), (10L, "alpha2"), (20L, "beta"), (77L, ""), (30L, "zz"))
+      .toDF("bk", "bs")
+    def join(tpe: String, byString: Boolean) = {
+      val bd = build.hint("shuffle_hash")
+      if (byString) spark.table("colshj_stream_s").join(bd, $"sk" === $"bs", tpe)
+      else spark.table("colshj_stream").join(bd, $"k" === $"bk", tpe)
+    }
+    for (tpe <- Seq("left_semi", "left_anti"); byString <- Seq(false, true)) {
+      val cdf = join(tpe, byString)
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledSemiJoinExec => e
+      }.isDefined,
+        s"$tpe byString=$byString: expected columnar SHJ probe in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        canon(join(tpe, byString))
+      }
+      assert(on == off, s"$tpe byString=$byString: columnar=$on row=$off")
+    }
+    // long semi: ids 1,2,5,6 (dup build keys once); anti: 3 (null), 4 (miss)
+    assert(join("left_semi", byString = false).select($"id").collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 5L, 6L)))
+    assert(join("left_anti", byString = false).select($"id").collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
+    // the flag gates the swap
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.shjEnabledKey -> "false") {
+      val rdf = join("left_semi", byString = false)
+      rdf.collect()
+      assert(findExec(rdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledSemiJoinExec => e
+      }.isEmpty, "shj flag must gate the swap")
+    }
+    spark.sql("DROP TABLE IF EXISTS colshj_stream")
+    spark.sql("DROP TABLE IF EXISTS colshj_stream_s")
+  }
+
   test("GraftColumnarSortExec: local sort parity incl. nulls, NaN/-0.0, strings, desc") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colsort").toString
     // single small file -> one scan partition, so sortWithinPartitions
@@ -596,31 +650,66 @@ class EngineSuite extends GraftTestBase {
       "id-desc" -> Seq($"id".desc))
     for ((label, keys) <- sorts) {
       def sorted() = spark.read.parquet(s"$dir/t").sortWithinPartitions(keys: _*)
-      val cdf = sorted()
-      val onRows = cdf.collect().map(_.toString).toSeq
-      assert(findExec(cdf) {
-        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
-      }.isDefined, s"$label: expected columnar sort in:\n${cdf.queryExecution.executedPlan}")
-      val offRows = withSQLConf(
-        org.apache.spark.sql.graft.GraftColumnarRule.sortEnabledKey -> "false") {
-        val rdf = sorted()
-        val rows = rdf.collect().map(_.toString).toSeq
-        assert(findExec(rdf) {
+      // opt-in: the kernel lost its A/B to Tungsten's radix sort, so
+      // the default keeps the row path (checked below)
+      val onRows = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.sortEnabledKey -> "true") {
+        val cdf = sorted()
+        val rows = cdf.collect().map(_.toString).toSeq
+        assert(findExec(cdf) {
           case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
-        }.isEmpty, "sort flag must gate the swap")
+        }.isDefined, s"$label: expected columnar sort in:\n${cdf.queryExecution.executedPlan}")
         rows
       }
+      val rdf = sorted()
+      val offRows = rdf.collect().map(_.toString).toSeq
+      assert(findExec(rdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+      }.isEmpty, "the sort swap must stay off by default")
       // id tiebreak makes every order total -> exact sequence equality
       assert(onRows == offRows, s"$label: columnar=$onRows row=$offRows")
     }
-    // non-bufferable column type (array) keeps the row path
-    val arr = spark.read.parquet(s"$dir/t")
-      .select($"id", org.apache.spark.sql.functions.array($"id").as("a"))
-      .sortWithinPartitions($"id")
-    arr.collect()
-    assert(findExec(arr) {
-      case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
-    }.isEmpty, s"array column must fall back:\n${arr.queryExecution.executedPlan}")
+    // non-bufferable column type (array) keeps the row path even opted in
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.sortEnabledKey -> "true") {
+      val arr = spark.read.parquet(s"$dir/t")
+        .select($"id", org.apache.spark.sql.functions.array($"id").as("a"))
+        .sortWithinPartitions($"id")
+      arr.collect()
+      assert(findExec(arr) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+      }.isEmpty, s"array column must fall back:\n${arr.queryExecution.executedPlan}")
+    }
+    // randomized radix-path parity at a size that exercises multi-pass
+    // radix and long tie runs (seeded: deterministic)
+    val rnd = new scala.util.Random(42)
+    val big = (1 to 50000).map { i =>
+      val d = rnd.nextInt(8) match {
+        case 0 => Option.empty[Double]
+        case 1 => Option(Double.NaN)
+        case 2 => Option(if (rnd.nextBoolean()) 0.0 else -0.0)
+        case 3 => Option(rnd.nextInt(50).toDouble) // fat tie runs
+        case _ => Option(rnd.nextDouble() * 1e6 - 5e5)
+      }
+      val k = rnd.nextInt(4) match {
+        case 0 => Option.empty[Long]
+        case _ => Option(rnd.nextLong() % 1000)
+      }
+      (i.toLong, d, k)
+    }
+    big.toDF("id", "d", "k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/big")
+    for (keys <- Seq(
+        Seq($"d".desc_nulls_first, $"k".asc_nulls_last, $"id"),
+        Seq($"k".asc_nulls_first, $"d".desc_nulls_last, $"id"),
+        Seq($"id".desc))) {
+      def sorted() = spark.read.parquet(s"$dir/big").sortWithinPartitions(keys: _*)
+      val onRows = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.sortEnabledKey -> "true") {
+        sorted().collect().map(_.toString).toSeq
+      }
+      val offRows = sorted().collect().map(_.toString).toSeq
+      assert(onRows == offRows, s"radix parity failed for $keys")
+    }
   }
 
   test("GraftColumnarExistenceBHJExec: IN-or-disjunction parity incl. null keys, int key") {

@@ -66,6 +66,13 @@ object FilterMicroBench {
           .agg(count(lit(1)), sum($"l_discount"), max($"l_quantity"))
       }))
 
+    // MICRO_ONLY=prefix1,prefix2 runs just matching shapes (the full
+    // sweep exceeds a 10-minute harness window; sections are
+    // independently runnable)
+    val only = sys.env.get("MICRO_ONLY").map(_.split(",").toSet)
+    def sel(shapes: Seq[(String, () => org.apache.spark.sql.DataFrame)]) =
+      shapes.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+
     def timeIt(f: () => org.apache.spark.sql.DataFrame): Double =
       (1 to 5).map { _ =>
         val t0 = System.nanoTime()
@@ -75,7 +82,7 @@ object FilterMicroBench {
 
     // warmup
     Tables.t(spark, sfDir, "lineitem").write.format("noop").mode("overwrite").save()
-    shapes.foreach { case (name, f) =>
+    sel(shapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.enabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.enabledKey, "true")
@@ -99,7 +106,7 @@ object FilterMicroBench {
           .cube($"l_returnflag", $"l_linestatus", $"l_linenumber")
           .agg(count(lit(1)), sum($"l_discount"), min($"l_quantity"))
       }))
-    expandShapes.foreach { case (name, f) =>
+    sel(expandShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.expandEnabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.expandEnabledKey, "true")
@@ -127,7 +134,7 @@ object FilterMicroBench {
         Tables.t(spark, sfDir, "lineitem")
           .join(broadcast(dim), $"l_partkey" === $"p_partkey", "left_anti")
       }))
-    semiShapes.foreach { case (name, f) =>
+    sel(semiShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.semiBhjEnabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.semiBhjEnabledKey, "true")
@@ -156,7 +163,7 @@ object FilterMicroBench {
           .orderBy($"l_shipdate".desc, $"l_orderkey", $"l_linenumber")
           .limit(100)
       }))
-    topkShapes.foreach { case (name, f) =>
+    sel(topkShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.topkEnabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.topkEnabledKey, "true")
@@ -207,7 +214,7 @@ object FilterMicroBench {
       "distinct-hicard" -> (() =>
         Tables.t(spark, sfDir, "lineitem")
           .select($"l_orderkey", $"l_linenumber").distinct()))
-    distinctShapes.foreach { case (name, f) =>
+    sel(distinctShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.enabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.enabledKey, "true")
@@ -215,7 +222,7 @@ object FilterMicroBench {
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
 
-    wglShapes.foreach { case (name, f) =>
+    sel(wglShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.wglEnabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.wglEnabledKey, "true")
@@ -223,29 +230,40 @@ object FilterMicroBench {
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
 
+    // Staged string-keyed fact table (the fixture's lineitem carries no
+    // high-cardinality string): ~6k distinct synthetic keys over the
+    // full lineitem row count, written to parquet once so the stream is
+    // a real columnar scan.
+    lazy val strPath: String = {
+      import org.apache.spark.sql.functions._
+      val p = s"/tmp/graft_micro_str/${java.util.UUID.randomUUID()}"
+      Tables.t(spark, sfDir, "lineitem")
+        .withColumn("sk", concat($"l_returnflag", $"l_linestatus", lit("_"),
+          ($"l_orderkey" % 1000).cast("string")))
+        .select($"sk", $"l_orderkey", $"l_extendedprice")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
     // STRING-key semi/anti probe A/B (UnsafeHashedRelation probed with a
-    // 1-field UnsafeRow vs Spark's codegen row BHJ). Shipmode/comment
-    // give a low- and a high-cardinality string key over the same scan.
+    // 1-field UnsafeRow vs Spark's codegen row BHJ); the dim keeps ~half
+    // the keys so both emit and skip paths are exercised.
     val semiStrShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "bhj-semi-str" -> (() => {
         import org.apache.spark.sql.functions._
-        val dim = Tables.t(spark, sfDir, "orders")
-          .filter($"o_orderpriority".startsWith("1"))
-          .select($"o_clerk").distinct()
-        Tables.t(spark, sfDir, "orders")
-          .join(broadcast(dim.withColumnRenamed("o_clerk", "dim_clerk")),
-            $"o_clerk" === $"dim_clerk", "left_semi")
+        val dim = spark.read.parquet(strPath).select($"sk").distinct()
+          .filter(xxhash64($"sk") % 2 === 0).withColumnRenamed("sk", "dk")
+        spark.read.parquet(strPath)
+          .join(broadcast(dim), $"sk" === $"dk", "left_semi")
       }),
       "bhj-anti-str" -> (() => {
         import org.apache.spark.sql.functions._
-        val dim = Tables.t(spark, sfDir, "orders")
-          .filter($"o_orderpriority".startsWith("1"))
-          .select($"o_clerk").distinct()
-        Tables.t(spark, sfDir, "orders")
-          .join(broadcast(dim.withColumnRenamed("o_clerk", "dim_clerk")),
-            $"o_clerk" === $"dim_clerk", "left_anti")
+        val dim = spark.read.parquet(strPath).select($"sk").distinct()
+          .filter(xxhash64($"sk") % 2 === 0).withColumnRenamed("sk", "dk")
+        spark.read.parquet(strPath)
+          .join(broadcast(dim), $"sk" === $"dk", "left_anti")
       }))
-    semiStrShapes.foreach { case (name, f) =>
+    sel(semiStrShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.semiBhjEnabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.semiBhjEnabledKey, "true")
@@ -264,16 +282,47 @@ object FilterMicroBench {
         Tables.t(spark, sfDir, "lineitem")
           .sortWithinPartitions($"l_extendedprice".desc, $"l_orderkey")),
       "sort-string-key" -> (() =>
-        Tables.t(spark, sfDir, "lineitem")
-          .sortWithinPartitions($"l_comment")),
+        spark.read.parquet(strPath).sortWithinPartitions($"sk", $"l_orderkey")),
       "sort-narrow-3col" -> (() =>
         Tables.t(spark, sfDir, "lineitem")
           .select($"l_orderkey", $"l_extendedprice", $"l_quantity")
           .sortWithinPartitions($"l_extendedprice".desc)))
-    sortShapes.foreach { case (name, f) =>
+    sel(sortShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.sortEnabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.sortEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
+
+    // Shuffled semi/anti probe over a bucketed stream (vs the row SHJ on
+    // the same layout: stream joins in place, only the dim shuffles)
+    val bktTbl = "micro_li_bkt"
+    if (!spark.catalog.tableExists(bktTbl)) {
+      Tables.t(spark, sfDir, "lineitem").repartition(8, $"l_orderkey")
+        .write.format("parquet").bucketBy(8, "l_orderkey")
+        .option("path", s"/tmp/graft_micro_bkt/${java.util.UUID.randomUUID()}")
+        .mode("overwrite").saveAsTable(bktTbl)
+    }
+    val shjShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "shj-semi-bkt" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "orders")
+          .filter($"o_orderpriority".startsWith("1"))
+          .select($"o_orderkey").hint("shuffle_hash")
+        spark.table(bktTbl).join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
+      }),
+      "shj-anti-bkt" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "orders")
+          .filter($"o_orderpriority".startsWith("1"))
+          .select($"o_orderkey").hint("shuffle_hash")
+        spark.table(bktTbl).join(dim, $"l_orderkey" === $"o_orderkey", "left_anti")
+      }))
+    sel(shjShapes).foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.shjEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.shjEnabledKey, "true")
       val on = timeIt(f)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }

@@ -374,6 +374,20 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(!rowSort, s"row SortExec must be swapped:\n$p")
   }
 
+  test("q165 bucketed shuffled semi join probes columnar with a single build-side exchange") {
+    val df = run("q165_bucketed_shuffled_semi")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarShuffledSemiJoin"),
+      s"expected the columnar shuffled semi probe in:\n$p")
+    // exactly two exchanges may appear: the build side's and the final
+    // aggregation's — the bucketed stream side must join in place
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 2, s"stream side must not shuffle:\n$p")
+  }
+
   test("q124 ORC re-scan pushes the quantity predicate into the ORC scan") {
     val p = planString(run("q124_orc_roundtrip"))
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
