@@ -168,5 +168,111 @@ object CorpusCleanQueries {
                count(*) AS n_tok
         FROM tok JOIN lp USING (w) GROUP BY doc_id ORDER BY doc_id"""),
       doc = "CCNet-style LM quality gate on an exactly-reproducible model: Laplace-smoothed corpus unigram LM, score = -mean log p(token); decimal-quantized log-probs make the mean order-independent; unhinted hash-led join (web vocabularies are unbounded).")
+  ,
+
+    QueryDef(
+      "q166_repetition_gate",
+      (s, dir) => {
+        import s.implicits._
+        // Repetition gate, ZERO-SHUFFLE formulation: q126 computes the
+        // Gopher statistics by exploding to (doc_id, bigram) rows and
+        // re-grouping — correct, but the corpus is shuffled once per
+        // n-gram order. Here the same family of ratios (unigram/bigram
+        // 1 - distinct/total) is computed INSIDE each row with array
+        // kernels (split / transform / array_distinct), so 100 TB of
+        // text is never exploded or shuffled at all; the only exchange
+        // is the final per-lang rollup (a handful of rows). Per-doc
+        // ratios are exact rationals in IEEE doubles, and the lang
+        // means sum decimal-quantized ratios (the q117 discipline) so
+        // they are partitioning-independent.
+        val docs = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang", split($"text", " ").as("ws"))
+          .filter(size($"ws") >= 1)
+          .select($"doc_id", $"lang",
+            (lit(1.0) - size(array_distinct($"ws")).cast("double") / size($"ws"))
+              .as("rep1"),
+            when(size($"ws") >= 2,
+              lit(1.0) - size(array_distinct(expr(
+                "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))")))
+                .cast("double") / (size($"ws") - 1).cast("double"))
+              .otherwise(lit(0.0)).as("rep2"))
+        docs.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"rep1" > 0.5 || $"rep2" > 0.2, 1L).otherwise(0L)).as("n_flagged"),
+            round(sum(round($"rep1", 9).cast("decimal(18,9)")).cast("double")
+              / count(lit(1)), 6).as("mean_rep1"),
+            round(sum(round($"rep2", 9).cast("decimal(18,9)")).cast("double")
+              / count(lit(1)), 6).as("mean_rep2"))
+          .orderBy($"lang")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        r AS (SELECT doc_id, lang,
+                1.0 - len(list_distinct(ws))::DOUBLE / len(ws) AS rep1,
+                CASE WHEN len(ws) >= 2 THEN
+                  1.0 - len(list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]))::DOUBLE
+                    / (len(ws) - 1)
+                ELSE 0.0 END AS rep2
+              FROM w WHERE len(ws) >= 1)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rep1 > 0.5 OR rep2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               round(CAST(sum(CAST(round(rep1, 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mean_rep1,
+               round(CAST(sum(CAST(round(rep2, 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mean_rep2
+        FROM r GROUP BY lang ORDER BY lang"""),
+      doc = "Repetition gate, zero-shuffle formulation (complements q126's per-doc explode+groupBy verdict): unigram/bigram repetition ratios computed inside each row with array kernels — no explode, no corpus shuffle, only the tiny per-lang rollup exchanges; means over decimal-quantized ratios are partitioning-independent."),
+
+    QueryDef(
+      "q167_length_outlier_gate",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Robust per-lang length-outlier gate (median/MAD): the
+        // distribution-free winsorization pass that drops truncated and
+        // concatenated crawl documents. The medians are EXACT and
+        // 100 TB-safe: n_chars is an integer domain, so median =
+        // counting aggregate + cumulative-sum window over (lang, value)
+        // counts — no per-group value buffer anywhere (Spark's
+        // median()/percentile() aggregates collect every group value
+        // into one buffer, which OOMs at corpus scale; this formulation
+        // shuffles only distinct (lang, value) pairs). Same machinery
+        // reused for the MAD (deviations are exact multiples of 0.5).
+        val d = Tables.t(s, dir, "documents").select($"lang", $"n_chars")
+        def medianOf(df: org.apache.spark.sql.DataFrame, col: String) = {
+          val byVal = Window.partitionBy($"lang").orderBy(org.apache.spark.sql.functions.col(col))
+          val whole = Window.partitionBy($"lang")
+          df.groupBy($"lang", org.apache.spark.sql.functions.col(col))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum($"c").over(byVal))
+            .withColumn("n", sum($"c").over(whole))
+            // k1 = floor((n+1)/2), k2 = n/2 + 1: the two middle order
+            // statistics (equal when n is odd)
+            .withColumn("k1", (($"n" + 1) / 2).cast("long"))
+            .withColumn("k2", ($"n" / 2 + 1).cast("long"))
+            .groupBy($"lang")
+            .agg(((min(when($"cum" >= $"k1", org.apache.spark.sql.functions.col(col)))
+              + min(when($"cum" >= $"k2", org.apache.spark.sql.functions.col(col)))) / 2.0)
+              .as("m"))
+        }
+        val med = medianOf(d, "n_chars").withColumnRenamed("m", "med")
+        val dev = d.join(med, "lang")
+          .select($"lang", $"med", abs($"n_chars" - $"med").as("ad"))
+        val mad = medianOf(dev.select($"lang", $"ad"), "ad").withColumnRenamed("m", "mad")
+        d.join(med, "lang").join(mad, "lang")
+          .groupBy($"lang", $"med", $"mad")
+          .agg(sum(when(abs($"n_chars" - $"med") > lit(1.5) * $"mad", 1L).otherwise(0L))
+            .as("n_outliers"),
+            count(lit(1)).as("n_docs"))
+          .select($"lang", round($"med", 6).as("med"), round($"mad", 6).as("mad"),
+            $"n_outliers", $"n_docs")
+          .orderBy($"lang")
+      },
+      Some("""WITH st AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang),
+        dev AS (SELECT d.lang, abs(d.n_chars - st.med) AS ad FROM documents d JOIN st USING (lang)),
+        mad AS (SELECT lang, median(ad) AS mad FROM dev GROUP BY lang)
+        SELECT s.lang, round(s.med, 6) AS med, round(m.mad, 6) AS mad,
+               CAST(sum(CASE WHEN abs(d.n_chars - s.med) > 1.5 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               count(*) AS n_docs
+        FROM documents d JOIN st s USING (lang) JOIN mad m ON d.lang = m.lang
+        GROUP BY s.lang, s.med, m.mad ORDER BY s.lang"""),
+      doc = "Robust per-lang length-outlier gate (median + MAD, 1.5x fence): exact distributed medians via value-counting + cumulative window over distinct (lang, value) pairs — no per-group value buffers, unlike Spark's own median()/percentile() aggregates, so the exact formulation survives corpus scale; the per-lang median/MAD tables are genuinely bounded dims.")
   )
 }
