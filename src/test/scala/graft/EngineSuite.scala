@@ -623,8 +623,88 @@ class EngineSuite extends GraftTestBase {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledSemiJoinExec => e
       }.isEmpty, "shj flag must gate the swap")
     }
+    // INNER variant (default ON): one-to-many matches, build output
+    // incl. string + double columns, null stream keys dropped
+    val buildWide = Seq(
+      (10L, "a", 1.5), (10L, "b", 2.5), (20L, "c", Double.NaN), (77L, "", -0.0))
+      .toDF("bk", "bs", "bv").hint("shuffle_hash")
+    def inner() = spark.table("colshj_stream").join(buildWide, $"k" === $"bk")
+    val cdfI = inner()
+    cdfI.collect()
+    assert(findExec(cdfI) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec => e
+    }.isDefined, s"expected columnar inner SHJ in:\n${cdfI.queryExecution.executedPlan}")
+    val onI = canon(cdfI)
+    val offI = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(inner()) }
+    assert(onI == offI, s"inner SHJ: columnar=$onI row=$offI")
+    // one-to-many: stream ids 1 and 5 (k=10) match two build rows
+    // each, id 2 (k=20) one; null key and misses drop
+    assert(onI.size == 5, s"expected 5 inner matches, got: $onI")
+    // the flag gates the swap
+    withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.innerShjEnabledKey -> "false") {
+      val rdfI = inner()
+      rdfI.collect()
+      assert(findExec(rdfI) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec => e
+      }.isEmpty, "innerShj flag must gate the swap")
+    }
     spark.sql("DROP TABLE IF EXISTS colshj_stream")
     spark.sql("DROP TABLE IF EXISTS colshj_stream_s")
+  }
+
+  test("GraftColumnarRankGroupLimitExec: rank/dense_rank parity incl. heavy ties, nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colrank").toString
+    // tie-heavy: many groups share repeated order-key values; group 2 is
+    // ALL ties; nulls order last under desc default
+    val rnd = new scala.util.Random(7)
+    (1 to 20000).map { i =>
+      val g = rnd.nextInt(300).toLong
+      val v = if (g == 2L) Option(5.0)
+        else if (rnd.nextInt(20) == 0) Option.empty[Double]
+        else Option(rnd.nextInt(6).toDouble)
+      (i.toLong, g, v)
+    }.toDF("id", "g", "v").write.mode("overwrite").parquet(s"$dir/t")
+    for ((fn, expectExec) <- Seq("rank" -> true, "dense_rank" -> true)) {
+      def q() = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"g").orderBy($"v".desc, $"id".asc_nulls_first)
+        val c = if (fn == "rank") org.apache.spark.sql.functions.rank()
+          else org.apache.spark.sql.functions.dense_rank()
+        spark.read.parquet(s"$dir/t")
+          .withColumn("rk", c.over(w)).filter($"rk" <= 3)
+      }
+      val cdf = q()
+      cdf.collect()
+      if (expectExec) {
+        assert(findExec(cdf) {
+          case e: org.apache.spark.sql.execution.graft.GraftColumnarRankGroupLimitExec => e
+        }.isDefined, s"$fn: expected columnar rank probe in:\n${cdf.queryExecution.executedPlan}")
+      }
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(q()) }
+      assert(on == off, s"$fn parity: columnar size=${on.size} row size=${off.size}")
+    }
+    // ties-only ordering (no id tiebreak): rank emits ALL tied rows
+    def tiesOnly() = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v".desc)
+      spark.read.parquet(s"$dir/t")
+        .withColumn("rk", org.apache.spark.sql.functions.rank().over(w)).filter($"rk" <= 1)
+    }
+    val on = canon(tiesOnly())
+    val off = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(tiesOnly()) }
+    assert(on == off, s"ties-only parity: ${on.size} vs ${off.size}")
+    // the wgl flag gates this probe too
+    withSQLConf(org.apache.spark.sql.graft.GraftColumnarRule.wglEnabledKey -> "false") {
+      val rdf = tiesOnly()
+      rdf.collect()
+      assert(findExec(rdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarRankGroupLimitExec => e
+      }.isEmpty, "wgl flag must gate the rank probe")
+    }
   }
 
   test("GraftColumnarSortExec: local sort parity incl. nulls, NaN/-0.0, strings, desc") {

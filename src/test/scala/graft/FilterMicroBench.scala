@@ -198,6 +198,22 @@ object FilterMicroBench {
           .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter($"rn" === 1)
       }),
+      // rank/dense_rank: ties survive, the threshold-tracker probe with
+      // zero-copy candidate emission (GraftColumnarRankGroupLimitExec)
+      "wgl-rank2-ties" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_extendedprice".desc)
+        Tables.t(spark, sfDir, "lineitem")
+          .withColumn("rk", org.apache.spark.sql.functions.rank().over(w))
+          .filter($"rk" <= 2)
+      }),
+      "wgl-dense-rank2" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"l_suppkey").orderBy($"l_quantity".desc)
+        Tables.t(spark, sfDir, "lineitem")
+          .withColumn("rk", org.apache.spark.sql.functions.dense_rank().over(w))
+          .filter($"rk" <= 2)
+      }),
       "wgl-rank1-mid" -> (() => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy($"l_suppkey")
@@ -323,6 +339,24 @@ object FilterMicroBench {
       spark.conf.set(GraftColumnarRule.shjEnabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.shjEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
+
+    // INNER shuffled probe over the same bucketed stream (build output:
+    // one string + one double column — the materialization cost under test)
+    val shjInnerShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "shj-inner-bkt" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "orders")
+          .filter($"o_orderpriority".startsWith("1"))
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").hint("shuffle_hash")
+        spark.table(bktTbl).join(dim, $"l_orderkey" === $"o_orderkey")
+      }))
+    sel(shjInnerShapes).foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.innerShjEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.innerShjEnabledKey, "true")
       val on = timeIt(f)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }

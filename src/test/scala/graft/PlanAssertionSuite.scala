@@ -358,6 +358,22 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(!mapSideSort, s"no sort may remain below the columnar probe:\n$p")
   }
 
+  test("q168 rank group limit probes columnar with no map-side sort") {
+    val df = run("q168_rank_group_limit")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarRankGroupLimit"),
+      s"expected the columnar rank probe in:\n$p")
+    // no sort may remain below the probe (the probe replaces it)
+    val mapSideSort = df.queryExecution.executedPlan.exists {
+      case s: org.apache.spark.sql.execution.SortExec =>
+        s.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.graft.GraftColumnarRankGroupLimitExec])
+      case _ => false
+    }
+    assert(!mapSideSort, s"no sort may remain below the columnar rank probe:\n$p")
+  }
+
   test("q164 sorted-run export swaps the scan-side local sort for the columnar kernel") {
     val df = run("q164_sorted_run_export")
     df.collect()
