@@ -119,6 +119,43 @@ object GraftColumnarBHJExec {
 
   def supportedBuildType(dt: DataType): Boolean =
     longFamily(dt) || doubleFamily(dt) || dt == StringType
+
+  /** Multi-key shapes Spark still rewrites into ONE long
+    * (HashJoin.canRewriteAsLongType): all integral, total width <= 8
+    * bytes — e.g. (int, int) composite keys. */
+  def canPackKeys(dts: Seq[DataType]): Boolean =
+    dts.nonEmpty && dts.forall(probeKeyTypes) && dts.map(_.defaultSize).sum <= 8
+
+  /** Probe-side twin of HashJoin.rewriteKeyExpr's packed key: the first
+    * key sign-extends to long (Cast semantics), each subsequent key is
+    * shifted in masked to its byte width. Identical bit layout to the
+    * build side's rewritten expression, so LongHashedRelation probes
+    * match exactly. Callers must check nulls separately (a null in any
+    * key column means no match). */
+  def packedKeyGetter(cols: Array[org.apache.spark.sql.vectorized.ColumnVector],
+      types: Array[DataType]): Int => Long = {
+    def signed(c: org.apache.spark.sql.vectorized.ColumnVector, dt: DataType, i: Int): Long =
+      dt match {
+        case LongType => c.getLong(i)
+        case IntegerType => c.getInt(i).toLong
+        case ShortType => c.getShort(i).toLong
+        case ByteType => c.getByte(i).toLong
+        case other => throw new IllegalStateException(s"bad packed key type $other")
+      }
+    if (cols.length == 1) {
+      val dt = types(0)
+      i => signed(cols(0), dt, i)
+    } else { i =>
+      var acc = signed(cols(0), types(0), i)
+      var j = 1
+      while (j < cols.length) {
+        val bits = types(j).defaultSize * 8
+        acc = (acc << bits) | (signed(cols(j), types(j), i) & ((1L << bits) - 1))
+        j += 1
+      }
+      acc
+    }
+  }
 }
 
 /** Columnar INNER broadcast hash join: probes Spark's own broadcast
@@ -304,18 +341,21 @@ case class GraftColumnarBHJExec(
   * null-AWARE anti join variant is a different operator shape and stays
   * on the row path; the planning rule excludes it).
   *
-  * Rule-enforced restrictions: BuildRight, ONE equi-key that is either
-  * integral (the LongHashedRelation shape, probed by long) or string
-  * (UnsafeHashedRelation, probed by a 1-field UnsafeRow —
-  * [[GraftColumnarBHJExec.semiProbeKeyTypes]]), no residual condition.
+  * Rule-enforced restrictions: BuildRight, no residual condition, and
+  * equi-keys that are either (a) integral attributes totalling <= 8
+  * bytes — including COMPOSITE keys like (int, int), probed with the
+  * same packed long HashJoin.rewriteKeyExpr builds the
+  * LongHashedRelation on ([[GraftColumnarBHJExec.packedKeyGetter]]) —
+  * or (b) ONE string attribute (UnsafeHashedRelation, probed by a
+  * 1-field UnsafeRow).
   *
   * Reference analogue: LeftSemi/LeftAnti serde + native hash join
   * (operators.scala join-type mapping, planner.rs hash join types).
   */
 case class GraftColumnarSemiBHJExec(
     output: Seq[Attribute],
-    streamKeyOrd: Int,
-    streamKeyType: DataType,
+    streamKeyOrds: Seq[Int],
+    streamKeyTypes: Seq[DataType],
     streamOrds: Seq[Int], // per output col: ordinal in the stream batch
     anti: Boolean,
     left: SparkPlan,
@@ -340,10 +380,11 @@ case class GraftColumnarSemiBHJExec(
 
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
     val broadcastRel = buildPlan.executeBroadcast[HashedRelation]()
-    val keyOrd = streamKeyOrd
-    val keyDt = streamKeyType
+    val keyOrds = streamKeyOrds.toArray
+    val keyTypes = streamKeyTypes.toArray
     val ords = streamOrds.toArray
     val isAnti = anti
+    val isString = keyTypes.length == 1 && keyTypes(0) == StringType
     val (batchM, rowM, probeM) =
       (metrics("numBatches"), metrics("numOutputRows"), metrics("numProbedRows"))
 
@@ -355,33 +396,37 @@ case class GraftColumnarSemiBHJExec(
       // streamedKeys would generate, so probe bytes == build bytes.
       val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val keyProj: UnsafeProjection =
-        if (keyDt == StringType) UnsafeProjection.create(Array[DataType](StringType)) else null
+        if (isString) UnsafeProjection.create(Array[DataType](StringType)) else null
 
       iter.flatMap { batch =>
         val n = batch.numRows()
         probeM.add(n)
         if (sel.length < n) sel = new Array[Int](n)
-        val keys = batch.column(keyOrd)
-        // hasMatch(i) assumes keys.isNullAt(i) == false (checked by the
-        // caller: a null equi-key never matches).
-        val hasMatch: Int => Boolean = keyDt match {
-          case LongType => i => { val it = rel.get(keys.getLong(i)); it != null && it.hasNext }
-          case IntegerType => i => { val it = rel.get(keys.getInt(i).toLong); it != null && it.hasNext }
-          case ShortType => i => { val it = rel.get(keys.getShort(i).toLong); it != null && it.hasNext }
-          case ByteType => i => { val it = rel.get(keys.getByte(i).toLong); it != null && it.hasNext }
-          case StringType => i => {
+        val keys = keyOrds.map(batch.column)
+        // hasMatch(i) assumes no key column is null at i (checked by
+        // the caller: a null equi-key never matches).
+        val hasMatch: Int => Boolean =
+          if (isString) { i =>
             // the vector's UTF8String view aliases batch memory — used
             // only within this probe call, never retained
-            keyRow.update(0, keys.getUTF8String(i))
+            keyRow.update(0, keys(0).getUTF8String(i))
             val it = rel.get(keyProj(keyRow))
             it != null && it.hasNext
+          } else {
+            // integral key(s): the packed-long layout of the broadcast
+            // LongHashedRelation (HashJoin.rewriteKeyExpr)
+            val getKey = GraftColumnarBHJExec.packedKeyGetter(keys, keyTypes)
+            i => { val it = rel.get(getKey(i)); it != null && it.hasNext }
           }
-          case other => throw new IllegalStateException(s"bad key type $other")
+        def anyNull(i: Int): Boolean = {
+          var j = 0
+          while (j < keys.length) { if (keys(j).isNullAt(i)) return true; j += 1 }
+          false
         }
         var m = 0
         var i = 0
         while (i < n) {
-          val matched = !keys.isNullAt(i) && hasMatch(i)
+          val matched = !anyNull(i) && hasMatch(i)
           if (matched != isAnti) { sel(m) = i; m += 1 }
           i += 1
         }

@@ -50,8 +50,8 @@ case class GraftColumnarShuffledSemiJoinExec(
     output: Seq[Attribute],
     streamKeys: Seq[Expression],
     buildKeys: Seq[Expression],
-    streamKeyOrd: Int,
-    streamKeyType: DataType,
+    streamKeyOrds: Seq[Int],
+    streamKeyTypes: Seq[DataType],
     streamOrds: Seq[Int], // per output col: ordinal in the stream batch
     anti: Boolean,
     left: SparkPlan,
@@ -80,21 +80,21 @@ case class GraftColumnarShuffledSemiJoinExec(
   }
 
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
-    val keyOrd = streamKeyOrd
-    val keyDt = streamKeyType
+    val keyOrds = streamKeyOrds.toArray
+    val keyTypes = streamKeyTypes.toArray
     val ords = streamOrds.toArray
     val isAnti = anti
-    // Integral build keys upcast to long — HashJoin.rewriteKeyExpr's
-    // single-key rewrite — so HashedRelation.apply builds the same
-    // LongHashedRelation the row SHJ probes; strings build an
-    // UnsafeHashedRelation keyed on the 1-field UnsafeRow layout.
+    val isString = keyTypes.length == 1 && keyTypes(0) == StringType
+    // Build keys go through Spark's OWN rewriteKeyExpr when the integral
+    // set packs into 8 bytes, so HashedRelation.apply builds the same
+    // LongHashedRelation (same packed layout) the row SHJ probes;
+    // a string key builds an UnsafeHashedRelation on the 1-field
+    // UnsafeRow layout.
     val boundBuildKeys: Seq[Expression] = {
       val bound = BindReferences.bindReferences(buildKeys, buildPlan.output)
-      bound.map { e =>
-        if (GraftColumnarBHJExec.probeKeyTypes(e.dataType) && e.dataType != LongType)
-          Cast(e, LongType)
-        else e
-      }
+      if (GraftColumnarBHJExec.canPackKeys(bound.map(_.dataType)))
+        org.apache.spark.sql.execution.joins.HashJoin.rewriteKeyExpr(bound)
+      else bound
     }
     val (batchM, rowM, probeM, buildM) = (metrics("numBatches"),
       metrics("numOutputRows"), metrics("numProbedRows"), metrics("buildTime"))
@@ -129,30 +129,32 @@ case class GraftColumnarShuffledSemiJoinExec(
       var sel = new Array[Int](1 << 10)
       val keyRow = new GenericInternalRow(1)
       val keyProj: UnsafeProjection =
-        if (keyDt == StringType) UnsafeProjection.create(Array[DataType](StringType)) else null
+        if (isString) UnsafeProjection.create(Array[DataType](StringType)) else null
 
       batches.flatMap { batch =>
         val n = batch.numRows()
         probeM.add(n)
         if (sel.length < n) sel = new Array[Int](n)
-        val keys = batch.column(keyOrd)
-        // hasMatch(i) assumes the caller checked keys.isNullAt(i) first
-        val hasMatch: Int => Boolean = keyDt match {
-          case LongType => i => { val it = rel.get(keys.getLong(i)); it != null && it.hasNext }
-          case IntegerType => i => { val it = rel.get(keys.getInt(i).toLong); it != null && it.hasNext }
-          case ShortType => i => { val it = rel.get(keys.getShort(i).toLong); it != null && it.hasNext }
-          case ByteType => i => { val it = rel.get(keys.getByte(i).toLong); it != null && it.hasNext }
-          case StringType => i => {
-            keyRow.update(0, keys.getUTF8String(i))
+        val keys = keyOrds.map(batch.column)
+        // hasMatch(i) assumes the caller checked nulls first
+        val hasMatch: Int => Boolean =
+          if (isString) { i =>
+            keyRow.update(0, keys(0).getUTF8String(i))
             val it = rel.get(keyProj(keyRow))
             it != null && it.hasNext
+          } else {
+            val getKey = GraftColumnarBHJExec.packedKeyGetter(keys, keyTypes)
+            i => { val it = rel.get(getKey(i)); it != null && it.hasNext }
           }
-          case other => throw new IllegalStateException(s"bad key type $other")
+        def anyNull(i: Int): Boolean = {
+          var j = 0
+          while (j < keys.length) { if (keys(j).isNullAt(i)) return true; j += 1 }
+          false
         }
         var m = 0
         var i = 0
         while (i < n) {
-          val matched = !keys.isNullAt(i) && hasMatch(i)
+          val matched = !anyNull(i) && hasMatch(i)
           if (matched != isAnti) { sel(m) = i; m += 1 }
           i += 1
         }
@@ -202,8 +204,8 @@ case class GraftColumnarShuffledInnerJoinExec(
     output: Seq[Attribute],
     streamKeys: Seq[Expression],
     buildKeys: Seq[Expression],
-    streamKeyOrd: Int,
-    streamKeyType: DataType,
+    streamKeyOrds: Seq[Int],
+    streamKeyTypes: Seq[DataType],
     buildSideStruct: StructType,
     streamOrBuild: Seq[Either[Int, Int]], // per output col: Left(streamOrd) | Right(buildOrd)
     left: SparkPlan,
@@ -228,17 +230,16 @@ case class GraftColumnarShuffledInnerJoinExec(
   }
 
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
-    val keyOrd = streamKeyOrd
-    val keyDt = streamKeyType
+    val keyOrds = streamKeyOrds.toArray
+    val keyTypes = streamKeyTypes.toArray
+    val isString = keyTypes.length == 1 && keyTypes(0) == StringType
     val plan = streamOrBuild.toArray
     val buildTypes = buildSideStruct.fields.map(_.dataType)
     val boundBuildKeys: Seq[Expression] = {
       val bound = BindReferences.bindReferences(buildKeys, buildPlan.output)
-      bound.map { e =>
-        if (GraftColumnarBHJExec.probeKeyTypes(e.dataType) && e.dataType != LongType)
-          Cast(e, LongType)
-        else e
-      }
+      if (GraftColumnarBHJExec.canPackKeys(bound.map(_.dataType)))
+        org.apache.spark.sql.execution.joins.HashJoin.rewriteKeyExpr(bound)
+      else bound
     }
     val (batchM, rowM, probeM, buildM) = (metrics("numBatches"),
       metrics("numOutputRows"), metrics("numProbedRows"), metrics("buildTime"))
@@ -285,27 +286,29 @@ case class GraftColumnarShuffledInnerJoinExec(
       }
       val keyRow = new GenericInternalRow(1)
       val keyProj: UnsafeProjection =
-        if (keyDt == StringType) UnsafeProjection.create(Array[DataType](StringType)) else null
+        if (isString) UnsafeProjection.create(Array[DataType](StringType)) else null
 
       batches.flatMap { batch =>
         val n = batch.numRows()
         probeM.add(n)
-        val keys = batch.column(keyOrd)
-        val getIter: Int => Iterator[InternalRow] = keyDt match {
-          case LongType => i => rel.get(keys.getLong(i))
-          case IntegerType => i => rel.get(keys.getInt(i).toLong)
-          case ShortType => i => rel.get(keys.getShort(i).toLong)
-          case ByteType => i => rel.get(keys.getByte(i).toLong)
-          case StringType => i => {
-            keyRow.update(0, keys.getUTF8String(i))
+        val keys = keyOrds.map(batch.column)
+        val getIter: Int => Iterator[InternalRow] =
+          if (isString) { i =>
+            keyRow.update(0, keys(0).getUTF8String(i))
             rel.get(keyProj(keyRow))
+          } else {
+            val getKey = GraftColumnarBHJExec.packedKeyGetter(keys, keyTypes)
+            i => rel.get(getKey(i))
           }
-          case other => throw new IllegalStateException(s"bad key type $other")
+        def anyNull(i: Int): Boolean = {
+          var j = 0
+          while (j < keys.length) { if (keys(j).isNullAt(i)) return true; j += 1 }
+          false
         }
         var m = 0
         var i = 0
         while (i < n) {
-          if (!keys.isNullAt(i)) {
+          if (!anyNull(i)) {
             val it = getIter(i)
             if (it != null) while (it.hasNext) {
               val row = it.next()

@@ -176,27 +176,36 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // null-aware anti variant (isNullAwareAntiJoin=true) stays on
       // the row path.
       case j @ joins.BroadcastHashJoinExec(
-          Seq(lk @ _), Seq(rk), jt, org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          lks, _, jt, org.apache.spark.sql.catalyst.optimizer.BuildRight,
           None, left, right, false)
           if (jt == org.apache.spark.sql.catalyst.plans.LeftSemi ||
             jt == org.apache.spark.sql.catalyst.plans.LeftAnti) && semiBhjEnabled(session) =>
-        def probeKeySA(dt: org.apache.spark.sql.types.DataType) =
-          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyTypes(dt)
-        (lk, left.supportsColumnar) match {
-          case (a: AttributeReference, true)
-              if probeKeySA(a.dataType) && left.output.exists(_.exprId == a.exprId) &&
-                j.output.forall(at => left.output.exists(_.exprId == at.exprId)) =>
+        // keys: all plain stream attributes, AND either one string key
+        // (UnsafeHashedRelation) or an integral set Spark packs into one
+        // long (canRewriteAsLongType — incl. composite (int, int) keys)
+        val keyAttrs = lks.map {
+          case a: AttributeReference if left.output.exists(_.exprId == a.exprId) => Some(a)
+          case _ => None
+        }
+        val dts = lks.map(_.dataType)
+        val keyShapeOk = keyAttrs.forall(_.isDefined) &&
+          (dts == Seq(org.apache.spark.sql.types.StringType) ||
+            org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.canPackKeys(dts))
+        (keyShapeOk, left.supportsColumnar) match {
+          case (true, true)
+              if j.output.forall(at => left.output.exists(_.exprId == at.exprId)) =>
+            val attrs = keyAttrs.flatten
             org.apache.spark.sql.execution.graft.GraftColumnarSemiBHJExec(
               j.output,
-              left.output.indexWhere(_.exprId == a.exprId),
-              a.dataType,
+              attrs.map(a => left.output.indexWhere(_.exprId == a.exprId)),
+              attrs.map(_.dataType),
               j.output.map(at => left.output.indexWhere(_.exprId == at.exprId)),
               anti = jt == org.apache.spark.sql.catalyst.plans.LeftAnti,
               left, right)
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
-              "semi/anti broadcast join not columnar-probeable (needs a single " +
-                "integral or string attribute key)"); j
+              "semi/anti broadcast join not columnar-probeable (needs integral " +
+                "attribute keys packing into 8 bytes, or a single string key)"); j
           case _ => j
         }
 
@@ -207,28 +216,34 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // SHJ would from the shuffled build rows. Both-sides-shuffled
       // joins have a row-exchange stream child and never match.
       case j @ joins.ShuffledHashJoinExec(
-          Seq(lk), Seq(rk), jt, org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          lks, rks, jt, org.apache.spark.sql.catalyst.optimizer.BuildRight,
           None, left, right, false)
           if (jt == org.apache.spark.sql.catalyst.plans.LeftSemi ||
             jt == org.apache.spark.sql.catalyst.plans.LeftAnti) && shjEnabled(session) =>
-        def probeKeySH(dt: org.apache.spark.sql.types.DataType) =
-          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyTypes(dt)
-        (lk, left.supportsColumnar) match {
-          case (a: AttributeReference, true)
-              if probeKeySH(a.dataType) && left.output.exists(_.exprId == a.exprId) &&
-                j.output.forall(at => left.output.exists(_.exprId == at.exprId)) =>
+        val keyAttrsSH = lks.map {
+          case a: AttributeReference if left.output.exists(_.exprId == a.exprId) => Some(a)
+          case _ => None
+        }
+        val dtsSH = lks.map(_.dataType)
+        val keyShapeOkSH = keyAttrsSH.forall(_.isDefined) &&
+          (dtsSH == Seq(org.apache.spark.sql.types.StringType) ||
+            org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.canPackKeys(dtsSH))
+        (keyShapeOkSH, left.supportsColumnar) match {
+          case (true, true)
+              if j.output.forall(at => left.output.exists(_.exprId == at.exprId)) =>
+            val attrs = keyAttrsSH.flatten
             org.apache.spark.sql.execution.graft.GraftColumnarShuffledSemiJoinExec(
               j.output,
-              Seq(lk), Seq(rk),
-              left.output.indexWhere(_.exprId == a.exprId),
-              a.dataType,
+              lks, rks,
+              attrs.map(a => left.output.indexWhere(_.exprId == a.exprId)),
+              attrs.map(_.dataType),
               j.output.map(at => left.output.indexWhere(_.exprId == at.exprId)),
               anti = jt == org.apache.spark.sql.catalyst.plans.LeftAnti,
               left, right)
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
-              "shuffled semi/anti join not columnar-probeable (needs a single " +
-                "integral or string attribute key)"); j
+              "shuffled semi/anti join not columnar-probeable (needs integral " +
+                "attribute keys packing into 8 bytes, or a single string key)"); j
           case _ => j
         }
 
@@ -237,20 +252,26 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // scan pipeline here, so zero-copy stream gathers beat its
       // per-row ColumnarToRow; see the exec's scaladoc).
       case j @ joins.ShuffledHashJoinExec(
-          Seq(lk), Seq(rk), org.apache.spark.sql.catalyst.plans.Inner,
+          lks, rks, org.apache.spark.sql.catalyst.plans.Inner,
           org.apache.spark.sql.catalyst.optimizer.BuildRight,
           None, left, right, false) if innerShjEnabled(session) =>
-        def probeKeyISH(dt: org.apache.spark.sql.types.DataType) =
-          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyTypes(dt)
         val build = right match {
           case r: org.apache.spark.sql.execution.RowToColumnarExec => r.child
           case p => p
         }
-        (lk, left.supportsColumnar) match {
-          case (a: AttributeReference, true)
-              if probeKeyISH(a.dataType) && left.output.exists(_.exprId == a.exprId) &&
-                build.output.forall(at => org.apache.spark.sql.execution.graft
-                  .GraftColumnarBHJExec.supportedBuildType(at.dataType)) =>
+        val keyAttrsI = lks.map {
+          case a: AttributeReference if left.output.exists(_.exprId == a.exprId) => Some(a)
+          case _ => None
+        }
+        val dtsI = lks.map(_.dataType)
+        val keyShapeOkI = keyAttrsI.forall(_.isDefined) &&
+          (dtsI == Seq(org.apache.spark.sql.types.StringType) ||
+            org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.canPackKeys(dtsI))
+        (keyShapeOkI, left.supportsColumnar) match {
+          case (true, true)
+              if build.output.forall(at => org.apache.spark.sql.execution.graft
+                .GraftColumnarBHJExec.supportedBuildType(at.dataType)) =>
+            val attrs = keyAttrsI.flatten
             val streamOrBuild = j.output.map { at =>
               val s = left.output.indexWhere(_.exprId == at.exprId)
               if (s >= 0) scala.Left(s)
@@ -258,16 +279,17 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             }
             org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec(
               j.output,
-              Seq(lk), Seq(rk),
-              left.output.indexWhere(_.exprId == a.exprId),
-              a.dataType,
+              lks, rks,
+              attrs.map(a => left.output.indexWhere(_.exprId == a.exprId)),
+              attrs.map(_.dataType),
               org.apache.spark.sql.types.StructType(build.output.map(at =>
                 org.apache.spark.sql.types.StructField(at.name, at.dataType, at.nullable))),
               streamOrBuild, left, right)
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
-              "inner shuffled join not columnar-probeable (needs a single " +
-                "integral or string attribute key and supported build column types)"); j
+              "inner shuffled join not columnar-probeable (needs integral " +
+                "attribute keys packing into 8 bytes or a single string key, " +
+                "and supported build column types)"); j
           case _ => j
         }
 

@@ -707,6 +707,54 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("columnar join probes: packed composite (int,int) keys incl. negatives parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colpack").toString
+    // negatives exercise the sign-extension (head key) and masking
+    // (tail key) of HashJoin.rewriteKeyExpr's packed-long layout;
+    // (-1, -1) vs (-1, 1) etc. must not collide
+    Seq(
+      (1L, Option(-1), Option(-1)), (2L, Option(-1), Option(1)),
+      (3L, Option(1), Option(-1)), (4L, Option(1), Option(1)),
+      (5L, Option.empty[Int], Option(7)), (6L, Option(42), Option.empty[Int]),
+      (7L, Option(Int.MinValue), Option(Int.MaxValue)), (8L, Option(0), Option(0)))
+      .toDF("id", "k1", "k2").write.mode("overwrite").parquet(s"$dir/stream")
+    val build = Seq((-1, -1, "a"), (1, 1, "b"), (Int.MinValue, Int.MaxValue, "c"), (9, 9, "d"))
+      .toDF("b1", "b2", "tag")
+    def bcast(tpe: String) = spark.read.parquet(s"$dir/stream")
+      .join(broadcast(build), $"k1" === $"b1" && $"k2" === $"b2", tpe)
+    for (tpe <- Seq("left_semi", "left_anti")) {
+      val cdf = bcast(tpe)
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSemiBHJExec => e
+      }.isDefined, s"$tpe packed: expected columnar probe in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(bcast(tpe)) }
+      assert(on == off, s"$tpe packed: columnar=$on row=$off")
+    }
+    // semi keeps exactly the exact-match ids: 1 (-1,-1), 4 (1,1), 7 (min,max)
+    assert(bcast("left_semi").select($"id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 4L, 7L)))
+    // inner shuffled probe with packed keys over a bucketed stream
+    val wh = java.nio.file.Files.createTempDirectory("graft-colpackb").toString
+    spark.read.parquet(s"$dir/stream").write.format("parquet")
+      .bucketBy(4, "k1", "k2").option("path", s"$wh/bkt")
+      .mode("overwrite").saveAsTable("colpack_stream")
+    def shjInner() = spark.table("colpack_stream")
+      .join(build.hint("shuffle_hash"), $"k1" === $"b1" && $"k2" === $"b2")
+    val cdfI = shjInner()
+    cdfI.collect()
+    assert(findExec(cdfI) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec => e
+    }.isDefined, s"packed inner SHJ expected in:\n${cdfI.queryExecution.executedPlan}")
+    val onI = canon(cdfI)
+    val offI = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(shjInner()) }
+    assert(onI == offI, s"packed inner SHJ: columnar=$onI row=$offI")
+    spark.sql("DROP TABLE IF EXISTS colpack_stream")
+  }
+
   test("GraftColumnarSortExec: local sort parity incl. nulls, NaN/-0.0, strings, desc") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colsort").toString
     // single small file -> one scan partition, so sortWithinPartitions
