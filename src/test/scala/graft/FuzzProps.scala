@@ -391,4 +391,56 @@ object FuzzProps extends Properties("graft") {
         Prop(on == off) :| s"k=$k ord=$ordMode strKey=$strKey columnar=$on row=$off"
       }
     }
+
+  // The columnar join probes' packed composite key must match
+  // HashJoin.rewriteKeyExpr's packed long BIT-FOR-BIT for every value —
+  // that equality is what lets the probe consume Spark's own
+  // LongHashedRelation. Evaluate Spark's rewritten expression on a row
+  // and compare against the vector-side packer over the same values.
+  property("packedKeyGetter == HashJoin.rewriteKeyExpr for any (int|short|byte)+ key set") = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types._
+    val typeGen = Gen.oneOf(IntegerType, ShortType, ByteType)
+    val valGen: Gen[Long] = Gen.oneOf(
+      Gen.const(0L), Gen.const(-1L), Gen.const(1L),
+      Gen.const(Int.MinValue.toLong), Gen.const(Int.MaxValue.toLong),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    forAll(Gen.listOfN(2, typeGen), Gen.listOfN(2, valGen), typeGen, valGen) {
+      (ts2, vs2, t3, v3) =>
+        // 2- or 3-key sets, truncated to the declared widths
+        val types = (ts2 :+ t3).take(if (v3 % 2 == 0) 2 else 3)
+        Prop.propBoolean(types.map(_.defaultSize).sum <= 8) ==> {
+          val vals = (vs2 :+ v3).zip(types).map {
+            case (v, IntegerType) => java.lang.Integer.valueOf(v.toInt)
+            case (v, ShortType) => java.lang.Short.valueOf(v.toShort)
+            case (v, ByteType) => java.lang.Byte.valueOf(v.toByte)
+            case (v, other) => throw new IllegalStateException(s"$other")
+          }
+          // Spark's packing, evaluated on an InternalRow
+          val keyExprs = types.zipWithIndex.map { case (dt, i) =>
+            BoundReference(i, dt, nullable = false) }
+          val packedExpr = org.apache.spark.sql.execution.joins.HashJoin
+            .rewriteKeyExpr(keyExprs).head
+          val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+          val expected = packedExpr.eval(row).asInstanceOf[Long]
+          // the probe's packing, over single-slot column vectors
+          val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+            types.zip(vals).map { case (dt, v) =>
+              val cv = new org.apache.spark.sql.execution.vectorized
+                .OnHeapColumnVector(1, dt)
+              dt match {
+                case IntegerType => cv.putInt(0, v.asInstanceOf[java.lang.Integer])
+                case ShortType => cv.putShort(0, v.asInstanceOf[java.lang.Short])
+                case ByteType => cv.putByte(0, v.asInstanceOf[java.lang.Byte])
+                case other => throw new IllegalStateException(s"$other")
+              }
+              cv: org.apache.spark.sql.vectorized.ColumnVector
+            }.toArray
+          val actual = org.apache.spark.sql.execution.graft.GraftColumnarBHJExec
+            .packedKeyGetter(cols, types.toArray)(0)
+          Prop(actual == expected) :| s"types=$types vals=${vals.toList} " +
+            s"expected=$expected actual=$actual"
+        }
+    }
+  }
 }
