@@ -109,11 +109,13 @@ object GraftColumnarBHJExec {
     * UnsafeRow built by the same UnsafeProjection the row join's
     * streamedKeys would generate, so the binary key layout matches the
     * build side bit-for-bit. A/B (FilterMicroBench sf0.1, ~6k distinct
-    * string keys over full lineitem, half kept): bhj-semi-str 0.86x,
-    * bhj-anti-str 0.96x of the codegen row BHJ — a win, so it shares
-    * the semi gate's default-ON. Kept OFF the inner-probe gate: the
-    * inner probe is itself opt-in, and its match-buffer cost dominates
-    * either way.
+    * string keys over full lineitem, half kept, repeated runs):
+    * bhj-semi-str a consistent 0.86-0.90x win; bhj-anti-str parity
+    * (0.92-1.16x, median ~1.0, run-noise-dominated — anti emits the
+    * complement so selection pays back less). Shares the semi gate's
+    * default-ON: win on semi, no loss on anti. Kept OFF the inner-probe
+    * gate: the inner probe is itself opt-in, and its match-buffer cost
+    * dominates either way.
     */
   val semiProbeKeyTypes: Set[DataType] = probeKeyTypes + StringType
 
@@ -131,29 +133,33 @@ object GraftColumnarBHJExec {
     * shifted in masked to its byte width. Identical bit layout to the
     * build side's rewritten expression, so LongHashedRelation probes
     * match exactly. Callers must check nulls separately (a null in any
-    * key column means no match). */
+    * key column means no match). Type dispatch is resolved ONCE per
+    * batch into per-column getter lambdas — nothing matches on types in
+    * the per-row loop. */
   def packedKeyGetter(cols: Array[org.apache.spark.sql.vectorized.ColumnVector],
       types: Array[DataType]): Int => Long = {
-    def signed(c: org.apache.spark.sql.vectorized.ColumnVector, dt: DataType, i: Int): Long =
-      dt match {
-        case LongType => c.getLong(i)
-        case IntegerType => c.getInt(i).toLong
-        case ShortType => c.getShort(i).toLong
-        case ByteType => c.getByte(i).toLong
-        case other => throw new IllegalStateException(s"bad packed key type $other")
+    def signedGetter(c: org.apache.spark.sql.vectorized.ColumnVector,
+        dt: DataType): Int => Long = dt match {
+      case LongType => c.getLong
+      case IntegerType => i => c.getInt(i).toLong
+      case ShortType => i => c.getShort(i).toLong
+      case ByteType => i => c.getByte(i).toLong
+      case other => throw new IllegalStateException(s"bad packed key type $other")
+    }
+    val getters = Array.tabulate(cols.length)(j => signedGetter(cols(j), types(j)))
+    if (cols.length == 1) getters(0)
+    else {
+      val bits = types.map(_.defaultSize * 8)
+      val masks = bits.map(b => (1L << b) - 1)
+      i => {
+        var acc = getters(0)(i)
+        var j = 1
+        while (j < getters.length) {
+          acc = (acc << bits(j)) | (getters(j)(i) & masks(j))
+          j += 1
+        }
+        acc
       }
-    if (cols.length == 1) {
-      val dt = types(0)
-      i => signed(cols(0), dt, i)
-    } else { i =>
-      var acc = signed(cols(0), types(0), i)
-      var j = 1
-      while (j < cols.length) {
-        val bits = types(j).defaultSize * 8
-        acc = (acc << bits) | (signed(cols(j), types(j), i) & ((1L << bits) - 1))
-        j += 1
-      }
-      acc
     }
   }
 }

@@ -190,8 +190,9 @@ case class GraftColumnarShuffledSemiJoinExec(
   * inner probe's match-buffer scheme (zero-copy stream gathers via
   * selection vectors, build columns materialized per match). Default ON
   * (spark.graft.columnar.shj.inner.enabled) after a winning A/B:
-  * shj-inner-bkt measured 0.74-0.85x of the row ShuffledHashJoin across
-  * repeated runs (one noisy 1.36x outlier in six). The broadcast inner
+  * shj-inner-bkt median ~0.84x of the row ShuffledHashJoin across ten
+  * session runs (0.74-0.93x typical; occasional load-noise outliers up
+  * to ~1.3x on a contended box). The broadcast inner
   * probe lost its A/B (~1.65x, opt-in) because it displaces a fully
   * codegen-FUSED scan→join pipeline; here the row twin is not fused —
   * it already pays a ColumnarToRow of every stream row plus the same

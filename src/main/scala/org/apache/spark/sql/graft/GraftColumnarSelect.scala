@@ -733,7 +733,7 @@ object GraftColumnarRule {
     session.conf.getOption(shjEnabledKey).forall(_.toBoolean)
 
   /** Columnar INNER shuffled hash join — default ON after a winning A/B
-    * (0.74-0.85x across repeated runs, one noisy outlier; see
+    * (median ~0.84x across ten session runs, 0.74-0.93x typical; see
     * GraftColumnarShuffledInnerJoinExec's scaladoc). Unlike the
     * broadcast inner probe (opt-in, 1.65x LOSS), the co-located-stream
     * SHJ's row twin is not a fused scan pipeline — it already pays
