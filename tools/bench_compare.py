@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Per-query bench regression guard.
+
+Compares a fresh BENCH_detail.json against a committed baseline and
+reports queries whose time moved beyond tolerance — the per-query
+auditability the driver's truncated stdout capture can't provide.
+
+Usage:
+    python3 tools/bench_compare.py [new.json] [baseline.json] [--tol 1.5]
+
+Defaults: new = BENCH_detail.json, baseline = tools/bench_baseline.json.
+Exit code 1 if any query regressed beyond tolerance (new > tol * old and
+the absolute move exceeds 0.3 s — small queries swing multiplicatively on
+a shared box). Single-run local[32] numbers carry ~20-30% noise; the
+default tolerance of 1.5x is deliberately loose. Regenerate the baseline
+after intentional changes:
+    cp BENCH_detail.json tools/bench_baseline.json
+"""
+import json
+import sys
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tol = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--tol"):
+            tol = float(a.split("=", 1)[1]) if "=" in a else float(a[5:] or 1.5)
+    new_path = args[0] if len(args) > 0 else "BENCH_detail.json"
+    base_path = args[1] if len(args) > 1 else "tools/bench_baseline.json"
+    new = json.load(open(new_path))
+    base = json.load(open(base_path))
+    nq, bq = new["queries"], base["queries"]
+
+    regressed = []
+    improved = []
+    for name in sorted(set(nq) & set(bq)):
+        n, b = nq[name], bq[name]
+        if n > tol * b and n - b > 0.3:
+            regressed.append((name, b, n))
+        elif b > tol * n and b - n > 0.3:
+            improved.append((name, b, n))
+    for name in sorted(set(bq) - set(nq)):
+        print(f"MISSING  {name} (in baseline, not in new run)")
+    for name, b, n in improved:
+        print(f"FASTER   {name}: {b:.2f}s -> {n:.2f}s")
+    for name, b, n in regressed:
+        print(f"SLOWER   {name}: {b:.2f}s -> {n:.2f}s ({n / b:.2f}x)")
+    print(f"\n{len(regressed)} regressed / {len(improved)} improved / "
+          f"{len(set(nq) & set(bq))} compared "
+          f"(tol {tol}x; totals: baseline {base['value']:.1f}s -> new {new['value']:.1f}s; "
+          f"tpch {base.get('tpch_total', 0):.1f}s -> {new.get('tpch_total', 0):.1f}s)")
+    return 1 if regressed or (set(bq) - set(nq)) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
