@@ -227,6 +227,47 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(updateState)
   }
 
+  /** One entry of a user's live top-k leaderboard. */
+  final case class TopKEntry(event_id: Long, tsMs: Long, value: Double)
+
+  /** A user's current top-k snapshot (descending by value), re-emitted
+    * whenever it changes. */
+  final case class TopKSnapshot(user_id: Long, top: Seq[TopKEntry])
+
+  /** Streaming top-k-per-key: every user's k highest-value events seen
+    * so far, re-emitted on change (Update mode) — the incremental twin
+    * of the batch `row_number()/rank()` group-limit shapes (and of the
+    * columnar WindowGroupLimit probes on the batch side). State is the
+    * SORTED ≤k-entry list per key — O(active keys x k), never the
+    * event history — so a 100 TB/day stream holds leaderboards, not
+    * data. Ties break on (ts, event_id) ascending, which also makes
+    * the result replay-deterministic regardless of micro-batch
+    * boundaries: merging is associative and order-insensitive over the
+    * event multiset, so the final snapshot equals the batch twin
+    * row_number() <= k (StreamingSuite pins that agreement).
+    */
+  def topKPerKeyStream(events: Dataset[Event], k: Int): Dataset[TopKSnapshot] = {
+    import events.sparkSession.implicits._
+    def better(a: TopKEntry, b: TopKEntry): Boolean =
+      a.value > b.value ||
+        (a.value == b.value &&
+          (a.tsMs < b.tsMs || (a.tsMs == b.tsMs && a.event_id < b.event_id)))
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[Seq[TopKEntry]]): Iterator[TopKSnapshot] = {
+      val cur = state.getOption.getOrElse(Seq.empty)
+      val merged = (cur ++ rows.map(e => TopKEntry(e.event_id, e.ts.getTime, e.value)))
+        .distinct.sortWith(better).take(k)
+      if (merged == cur) Iterator.empty
+      else {
+        state.update(merged)
+        Iterator.single(TopKSnapshot(userId, merged))
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** An event admitted by the per-key quota, tagged with its admission
     * ordinal inside its (user, window). */
   final case class Admitted(user_id: Long, event_id: Long, ts: Timestamp,

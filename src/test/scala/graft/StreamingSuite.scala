@@ -440,6 +440,59 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("topKPerKeyStream: per-user leaderboard converges to the batch row_number twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 7's leaderboard changes across batches (9.0 then 12.0 arrive
+    // later); value ties (5.0) break by (ts, event_id); user 8's board
+    // fills to k in batch 1, and its batch-2 event (0.5, worse than all
+    // three) must NOT trigger a re-emission
+    val b1 = Seq(
+      Event(1, ts(10), 7, "c", 5.0), Event(2, ts(20), 7, "c", 3.0),
+      Event(3, ts(5), 7, "c", 5.0), Event(4, ts(30), 7, "c", 1.0),
+      Event(10, ts(15), 8, "c", 2.0), Event(11, ts(25), 8, "c", 7.0),
+      Event(13, ts(28), 8, "c", 3.0))
+    val b2 = Seq(
+      Event(5, ts(40), 7, "c", 9.0), Event(6, ts(50), 7, "c", 12.0),
+      Event(12, ts(35), 8, "c", 0.5))
+    val k = 3
+    val q = StreamingOps.topKPerKeyStream(input.toDS(), k)
+      .writeStream.format("memory").queryName("topk_lb").outputMode("update").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      import StreamingOps.{TopKEntry, TopKSnapshot}
+      val snaps = spark.table("topk_lb").as[TopKSnapshot].collect()
+      // updates only improve a leaderboard: they either GROW it (longer
+      // list wins) or improve content at the same length (lexicographic
+      // best under (value desc, ts, event_id) wins) — so each user's
+      // FINAL snapshot is min by (-length, rankKey)
+      def rankKey(s: TopKSnapshot): (Int, Seq[(Double, Long, Long)]) =
+        (-s.top.length, s.top.map(e => (-e.value, e.tsMs, e.event_id)))
+      import scala.math.Ordering.Implicits._
+      val finalPerUser = snaps.groupBy(_.user_id)
+        .map { case (u, ss) => u -> ss.minBy(rankKey).top }
+      // batch twin on ALL events: row_number over (value desc, ts,
+      // event_id) <= k
+      val all = (b1 ++ b2).toDF()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+        .orderBy($"value".desc, $"ts", $"event_id")
+      val expected = all.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" <= k).collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) =>
+          u -> rows.sortBy(_.getAs[Int]("rn")).map(r =>
+            TopKEntry(r.getAs[Long]("event_id"),
+              r.getAs[java.sql.Timestamp]("ts").getTime,
+              r.getAs[Double]("value"))).toSeq
+        }
+      assert(finalPerUser == expected, s"stream=$finalPerUser batch=$expected")
+      // user 8 unchanged by batch 2 -> exactly one snapshot emitted
+      assert(snaps.count(_.user_id == 8L) == 1,
+        s"unchanged leaderboard must not re-emit: ${snaps.toSeq}")
+    } finally q.stop()
+  }
+
   test("quotaLimitStream (transformWithState): admits <= limit per user-window, matches batch twin") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
