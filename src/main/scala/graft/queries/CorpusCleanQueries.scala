@@ -102,12 +102,17 @@ object CorpusCleanQueries {
         // Benchmark set = every 50th doc (stand-in for a held-out eval
         // suite). Contamination = sharing >= 2 distinct word-trigrams.
         // The trigram index reuses the q46 kernel's hashed form: only
-        // (hash, doc_id) longs shuffle; the benchmark index broadcasts.
+        // (hash, doc_id) longs shuffle. No broadcast hint on the probe
+        // index: a REAL benchmark suite is fixed-size and would be
+        // broadcast by AQE anyway, but this fixture's "every 50th doc"
+        // stand-in is 1/50 of ALL corpus trigrams — corpus-proportional,
+        // so a hint would force an unbounded driver collect at 100 TB.
+        // The equi-join on the hashed trigram stays skew-safe either way.
         val tri = DedupQueries.trigramsOf(Tables.t(s, dir, "documents"))
           .select($"doc_id", xxhash64($"t3").as("sh")).distinct()
         val probes = tri.filter($"doc_id" % 50 === 0)
           .select($"doc_id".as("probe_id"), $"sh")
-        tri.join(broadcast(probes), Seq("sh"))
+        tri.join(probes, Seq("sh"))
           .filter($"doc_id" =!= $"probe_id")
           .groupBy($"doc_id", $"probe_id")
           .agg(count(lit(1)).as("n_shared"))
@@ -126,7 +131,7 @@ object CorpusCleanQueries {
                  CAST(len(list_intersect(c.s, p.ps)) AS BIGINT) AS n_shared
           FROM sh c JOIN probes p ON c.doc_id <> p.probe_id)
         WHERE n_shared >= 2 ORDER BY doc_id, probe_id"""),
-      doc = "Benchmark decontamination: flag corpus docs sharing >= 2 distinct word-trigrams with any benchmark doc; hashed trigram equi-join against a broadcast benchmark index."),
+      doc = "Benchmark decontamination: flag corpus docs sharing >= 2 distinct word-trigrams with any benchmark doc; hashed trigram equi-join against the benchmark index (AQE broadcasts iff the suite genuinely fits)."),
 
     QueryDef(
       "q117_unigram_lm_score",

@@ -74,10 +74,20 @@ object DedupQueries {
       .select(col("doc_id"), xxhash64(col("t3")).as("shingle"))
       .distinct()
     val inv = maxShingleFreq.fold(inv0) { k =>
-      // the hot list is tiny by construction (only shingles with df > K)
+      // The hot list is tiny by construction (only shingles with df > K —
+      // boilerplate and stopword runs), so the broadcast hint is safe in
+      // practice; because "tiny" is a data property, not a structural
+      // bound, the list's size is emitted as an observed metric
+      // (graft.dedup.hot_shingles) so a production run can alarm before
+      // the driver materializes a pathologically large hot list. (Caveat:
+      // if any stage of the surrounding query materializes 0 rows, AQE's
+      // EmptyRelation propagation prunes this node with the rest of the
+      // plan and no metric is reported — an empty query is also the case
+      // with nothing to alarm about.)
       val hot = inv0.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df")).filter(col("df") > k)
         .select(col("shingle"))
+        .observe("graft.dedup.hot_shingles", count(lit(1)).as("hot_count"))
       inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
     jaccardFromIndex(inv.repartition(col("shingle")), threshold, None)
@@ -85,8 +95,8 @@ object DedupQueries {
 
   /** Count-based exact Jaccard >= threshold from a hashed inverted index
     * (doc_id, shingle:long): |A∩B| = pair-grouped shared count (shingles
-    * are distinct), sizes broadcast. Optionally restricted to candidate
-    * pairs (LSH output).
+    * are distinct), joined back to per-doc sizes. Optionally restricted
+    * to candidate pairs (LSH output).
     */
   private def jaccardFromIndex(inv: DataFrame, threshold: Double,
       cands: Option[DataFrame]): DataFrame = {
@@ -96,9 +106,14 @@ object DedupQueries {
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"))
     val shared = cands.fold(sharedAll)(c => sharedAll.join(c, Seq("d1", "d2")))
+    // sizes is one row per document — unbounded at corpus scale, so no
+    // broadcast hint (the q74 lesson): a hint here would force an
+    // OOM-scale driver collect at 100 TB. The pair table is already
+    // hash-partitioned by doc id from the groupBy, and AQE still
+    // broadcasts when sizes genuinely fits the threshold.
     shared
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("j", col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))

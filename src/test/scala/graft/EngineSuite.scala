@@ -1173,6 +1173,38 @@ class EngineSuite extends GraftTestBase {
     } finally spark.listenerManager.unregister(obs)
   }
 
+  test("capped dedup emits the hot-shingle list size as an observed metric") {
+    // DedupQueries.jaccardPairs broadcasts its hot-shingle drop list —
+    // tiny by construction (df > K shingles only) but a DATA property,
+    // not a structural bound, so the size is observed: a production run
+    // alarms on graft.dedup.hot_shingles before the driver materializes
+    // a pathological list.
+    val obs = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var seen: Option[org.apache.spark.sql.Row] = None
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("graft.dedup.hot_shingles").foreach(r => seen = Some(r))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(obs)
+    try {
+      // "p q r" appears in 3 docs > k=2 → hot; docs 1/2 still share 2
+      // surviving trigrams (J=0.5), so the FINAL result is non-empty.
+      // That matters: if any stage of the query materializes 0 rows, AQE
+      // propagates EmptyRelation and prunes the CollectMetrics node with
+      // the rest of the plan — no rows, no metric, by design.
+      val docs = Seq(
+          (1L, "p q r s t u"), (2L, "p q r s t v"),
+          (3L, "p q r x y z"))
+        .toDF("doc_id", "text")
+      val out = queries.DedupQueries.jaccardPairs(docs, 0.1, maxShingleFreq = Some(2)).collect()
+      assert(out.nonEmpty, "fixture must keep the final answer non-empty")
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (obs.seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(obs.seen.isDefined, "graft.dedup.hot_shingles metric never arrived")
+      assert(obs.seen.get.getAs[Long]("hot_count") > 0L)
+    } finally spark.listenerManager.unregister(obs)
+  }
+
   test("GraftExplain reports fallback reasons; empty when everything swapped") {
     // initcap is locale/title-casing — unsupported by the string kernels
     val fell = Tables.t(spark, sfDir, "documents")
