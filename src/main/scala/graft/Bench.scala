@@ -86,8 +86,12 @@ object Bench {
     try java.nio.file.Files.writeString(detailPath, fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"bench detail write failed: ${e.getMessage}") }
+    // The stdout per-query map holds ONLY the TPC-H subset (the full map
+    // lives in the detail file) — under a DIFFERENT key than the detail
+    // file's full "queries" map, so no consumer can silently read the
+    // 21-query subset where it expects all of them.
     val tq = tpch.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$tq,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size},"n_queries":${timings.size},"detail":"${esc(detailPath.toString)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","tpch_queries_detail":$tq,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size},"n_queries":${timings.size},"detail":"${esc(detailPath.toString)}"}""")
     spark.stop()
   }
 }

@@ -103,21 +103,24 @@ object GraftColumnarBHJExec {
   val probeKeyTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
 
-  /** The SEMI/ANTI probe additionally supports a single STRING key —
-    * the common dedup-join shape (doc-id/url anti joins). A string
-    * equi-key broadcasts an UnsafeHashedRelation, probed with a 1-field
-    * UnsafeRow built by the same UnsafeProjection the row join's
-    * streamedKeys would generate, so the binary key layout matches the
-    * build side bit-for-bit. A/B (FilterMicroBench sf0.1, ~6k distinct
-    * string keys over full lineitem, half kept, repeated runs):
-    * bhj-semi-str a consistent 0.86-0.90x win; bhj-anti-str parity
-    * (0.92-1.16x, median ~1.0, run-noise-dominated — anti emits the
-    * complement so selection pays back less). Shares the semi gate's
-    * default-ON: win on semi, no loss on anti. Kept OFF the inner-probe
-    * gate: the inner probe is itself opt-in, and its match-buffer cost
+  /** THE key-shape gate for the semi/anti/shuffled-inner probes (the
+    * planning rule calls this — keep rule and exec from drifting): a
+    * single STRING key, or an integral key set Spark packs into one
+    * long. The string case is the common dedup-join shape (doc-id/url
+    * anti joins): a string equi-key broadcasts an UnsafeHashedRelation,
+    * probed with a 1-field UnsafeRow built by the same UnsafeProjection
+    * the row join's streamedKeys would generate, so the binary key
+    * layout matches the build side bit-for-bit. A/B (FilterMicroBench
+    * sf0.1, ~6k distinct string keys over full lineitem, half kept,
+    * repeated runs): bhj-semi-str a consistent 0.86-0.90x win;
+    * bhj-anti-str parity (0.92-1.16x, median ~1.0, run-noise-dominated
+    * — anti emits the complement so selection pays back less). Shares
+    * the semi gate's default-ON: win on semi, no loss on anti. Kept OFF
+    * the opt-in broadcast inner-probe gate, whose match-buffer cost
     * dominates either way.
     */
-  val semiProbeKeyTypes: Set[DataType] = probeKeyTypes + StringType
+  def semiProbeKeyShapeOk(dts: Seq[DataType]): Boolean =
+    dts == Seq(StringType) || canPackKeys(dts)
 
   def supportedBuildType(dt: DataType): Boolean =
     longFamily(dt) || doubleFamily(dt) || dt == StringType

@@ -7,7 +7,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.joins.HashedRelation
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -214,7 +214,13 @@ case class GraftColumnarShuffledInnerJoinExec(
     extends BinaryExecNode {
 
   override def supportsColumnar: Boolean = true
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // Mirror ShuffledJoin's inner case: every surviving row carries BOTH
+  // sides' join keys, so both partitionings remain valid — reporting
+  // only the stream side would force a redundant exchange on a
+  // downstream operator aligned with the build-side keys.
+  override def outputPartitioning: Partitioning =
+    PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(streamKeys) :: ClusteredDistribution(buildKeys) :: Nil

@@ -189,8 +189,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         }
         val dts = lks.map(_.dataType)
         val keyShapeOk = keyAttrs.forall(_.isDefined) &&
-          (dts == Seq(org.apache.spark.sql.types.StringType) ||
-            org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.canPackKeys(dts))
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyShapeOk(dts)
         (keyShapeOk, left.supportsColumnar) match {
           case (true, true)
               if j.output.forall(at => left.output.exists(_.exprId == at.exprId)) =>
@@ -226,8 +225,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         }
         val dtsSH = lks.map(_.dataType)
         val keyShapeOkSH = keyAttrsSH.forall(_.isDefined) &&
-          (dtsSH == Seq(org.apache.spark.sql.types.StringType) ||
-            org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.canPackKeys(dtsSH))
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyShapeOk(dtsSH)
         (keyShapeOkSH, left.supportsColumnar) match {
           case (true, true)
               if j.output.forall(at => left.output.exists(_.exprId == at.exprId)) =>
@@ -265,8 +263,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         }
         val dtsI = lks.map(_.dataType)
         val keyShapeOkI = keyAttrsI.forall(_.isDefined) &&
-          (dtsI == Seq(org.apache.spark.sql.types.StringType) ||
-            org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.canPackKeys(dtsI))
+          org.apache.spark.sql.execution.graft.GraftColumnarBHJExec.semiProbeKeyShapeOk(dtsI)
         (keyShapeOkI, left.supportsColumnar) match {
           case (true, true)
               if build.output.forall(at => org.apache.spark.sql.execution.graft
