@@ -80,7 +80,13 @@ case class GraftColumnarFinalAggExec(
     val outMapLocal = outMap
 
     rowChild.execute().mapPartitionsInternal { rows =>
-      val st = new GroupAggState(nSpecs, nKeys)
+      // Accounting only: the final stage must hold one row per group of
+      // its hash partition, so a reservation shortfall cannot flush —
+      // GraftMemoryReservation logs it and the state proceeds (bounded
+      // by the post-shuffle distinct-key count either way).
+      val res = org.apache.spark.sql.graft.GraftMemoryReservation.forTask()
+      val st = new GroupAggState(nSpecs, nKeys,
+        bytes => res.forall(_.reserve(bytes)))
       val keyGetters = keysLocal.map(k => rowLongGetter(k.dt)).toArray
 
       // per-row scratch for the multi-key / string-key hash-probe path

@@ -80,6 +80,14 @@ case class GraftColumnarSortExec(
       (metrics("numInputRows"), metrics("numBatches"), metrics("sortTime"))
     child.executeColumnar().mapPartitionsInternal { batches =>
       val bufs: Array[ColBuf] = colTypes.map(newBuf)
+      // Coarse per-batch task-memory accounting: the buffers cannot
+      // spill mid-sort, so a shortfall only logs (once) — the planning
+      // gate bounds the partition to one scan split, so the overshoot
+      // is bounded; the point of reserving anyway is that Tungsten
+      // consumers on the same executor SEE this memory and spill
+      // earlier instead of OOMing blind. Released at task end.
+      val res = org.apache.spark.sql.graft.GraftMemoryReservation.forTask()
+      var reserved = 0L
       var n = 0
       batches.foreach { batch =>
         val rows = batch.numRows()
@@ -87,10 +95,15 @@ case class GraftColumnarSortExec(
         var c = 0
         while (c < bufs.length) { bufs(c).append(batch.column(c), rows); c += 1 }
         n += rows
+        var held = 0L
+        c = 0
+        while (c < bufs.length) { held += bufs(c).trackedBytes; c += 1 }
+        if (held > reserved) { res.foreach(_.reserve(held - reserved)); reserved = held }
       }
       if (n == 0) Iterator.empty
       else {
         val keyBufs = specs.map(s => bufs(s.col))
+        res.foreach(_.reserve(4L * n)) // the sort index itself
         val idx = new Array[Int](n)
         var i = 0
         while (i < n) { idx(i) = i; i += 1 }
@@ -159,12 +172,17 @@ object GraftColumnarSortExec {
     def isNull(i: Int): Boolean
     def cmpRaw(a: Int, b: Int): Int
     def vector(): ColumnVector
+    /** Approximate bytes held: primitive lanes exactly, string content
+      * at clone size + per-object overhead — read after each append for
+      * the coarse task-memory accounting (GraftMemoryReservation). */
+    def trackedBytes: Long
   }
 
   private final class LongBuf(dt: DataType) extends ColBuf {
     private var values = new Array[Long](1 << 12)
     private var nulls = new Array[Boolean](1 << 12)
     private var n = 0
+    override def trackedBytes: Long = values.length * 9L
     private val get: (ColumnVector, Int) => Long = dt match {
       case LongType | TimestampType | TimestampNTZType => (v, i) => v.getLong(i)
       case IntegerType | DateType => (v, i) => v.getInt(i).toLong
@@ -196,6 +214,7 @@ object GraftColumnarSortExec {
     private var nulls = new Array[Boolean](1 << 12)
     private var n = 0
     private val isFloat = dt == FloatType
+    override def trackedBytes: Long = values.length * 9L
     override def append(v: ColumnVector, rows: Int): Unit = {
       if (n + rows > values.length) {
         val cap = math.max(values.length * 2, n + rows)
@@ -222,6 +241,8 @@ object GraftColumnarSortExec {
     private var values = new Array[UTF8String](1 << 12)
     private var nulls = new Array[Boolean](1 << 12)
     private var n = 0
+    private var contentBytes = 0L
+    override def trackedBytes: Long = values.length * 9L + contentBytes
     override def append(v: ColumnVector, rows: Int): Unit = {
       if (n + rows > values.length) {
         val cap = math.max(values.length * 2, n + rows)
@@ -231,7 +252,11 @@ object GraftColumnarSortExec {
       var i = 0
       while (i < rows) {
         // clone: the vector's UTF8String views alias reused batch memory
-        if (v.isNullAt(i)) nulls(n) = true else values(n) = v.getUTF8String(i).clone()
+        if (v.isNullAt(i)) nulls(n) = true else {
+          val cloned = v.getUTF8String(i).clone()
+          contentBytes += cloned.numBytes() + 32 // object + byte[] headers
+          values(n) = cloned
+        }
         n += 1; i += 1
       }
     }

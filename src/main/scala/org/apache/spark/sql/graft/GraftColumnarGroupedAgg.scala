@@ -22,8 +22,21 @@ final case class GroupKeySpec(col: Int, dt: DataType) extends Serializable
   * ([[org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec]])
   * grouped aggregation operators.
   */
-private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int) {
+private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int,
+    onAlloc: Long => Boolean = _ => true) {
     var capacity = 1024
+
+    // Coarse per-entry footprint of the column-major state: primitive
+    // lanes exactly, reference lanes at 8 bytes/slot (cloned UTF8String
+    // content is NOT counted — coarse-grained accounting, see
+    // GraftMemoryReservation). onAlloc is called with every array-growth
+    // delta; a false return marks memory pressure and the PARTIAL stage
+    // flushes at the next batch boundary (the final stage logs and
+    // proceeds — it must hold one row per group).
+    private val entryBytes: Long = nKeys.toLong * (8 + 8 + 1) + nSpecs.toLong * (8 + 8 + 8 + 8 + 1)
+    var pressure = false
+    private def alloc(bytes: Long): Unit = if (!onAlloc(bytes)) pressure = true
+    alloc(capacity * entryBytes)
     var nGroups = 0
     // group key storage: one column-major array per key
     var keyLong = Array.ofDim[Long](nKeys, capacity)
@@ -45,6 +58,7 @@ private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int) {
     var probeGids: Array[Int] = { val a = new Array[Int](4096); java.util.Arrays.fill(a, -1); a }
     var probeMask: Int = 4095
     var nullGid: Int = -1
+    alloc(4096L * 12)
 
     def probeReset(): Unit = {
       java.util.Arrays.fill(probeGids, -1)
@@ -53,6 +67,7 @@ private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int) {
 
     private def probeRehash(): Unit = {
       val newSize = (probeMask + 1) * 2
+      alloc((probeMask + 1) * 12L)
       val nk = new Array[Long](newSize)
       val ng = new Array[Int](newSize)
       java.util.Arrays.fill(ng, -1)
@@ -102,6 +117,7 @@ private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int) {
 
     def grow(): Unit = {
       val nc = capacity * 2
+      alloc(capacity * entryBytes)
       keyLong = keyLong.map(x => java.util.Arrays.copyOf(x, nc))
       keyStr = keyStr.map(x => java.util.Arrays.copyOf(x, nc))
       keyNull = keyNull.map(x => java.util.Arrays.copyOf(x, nc))
@@ -179,7 +195,9 @@ case class GraftColumnarGroupedAggExec(
 
     child.executeColumnar().mapPartitionsInternal { iter =>
       import AggSpec._
-      val st = new GroupAggState(nSpecs, nKeys)
+      val res = GraftMemoryReservation.forTask()
+      val st = new GroupAggState(nSpecs, nKeys,
+        bytes => res.forall(_.reserve(bytes)))
 
       /** drain the current hash table into one output batch. */
       def flush(): ColumnarBatch = {
@@ -568,7 +586,14 @@ case class GraftColumnarGroupedAggExec(
           while (pending == null && !finished) {
             if (iter.hasNext) {
               accumulate(iter.next())
-              if (st.nGroups >= maxG) pending = flush()
+              // flush on the structural cap OR on memory pressure (a
+              // grow the task memory manager could not fully grant):
+              // partial rows may always be emitted early, the final
+              // merge combines duplicates.
+              if (st.nGroups >= maxG || st.pressure) {
+                st.pressure = false
+                pending = flush()
+              }
             } else {
               finished = true
               if (st.nGroups > 0) pending = flush()

@@ -363,6 +363,21 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       case s: org.apache.spark.sql.execution.SortExec
           if sortEnabled(session) && s.child.supportsColumnar =>
         import org.apache.spark.sql.execution.graft.{GraftColumnarSortExec, TopKKeySpec}
+        // Spill-safety gate: the columnar sort buffers its whole
+        // partition with NO spill, so the swap requires a partition
+        // provably bounded by a scan split (maxPartitionBytes): a
+        // NON-bucketed file scan under row-bounded columnar ops.
+        // supportsColumnar alone is NOT enough — a bucketed scan is one
+        // partition per bucket (size-unbounded) and a columnar join
+        // probe's output can exceed its input block.
+        def scanBlockBounded(p: SparkPlan): Boolean = p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.bucketSpec.isEmpty || !f.bucketedScan
+          case u: GraftColumnarFilterExec => scanBlockBounded(u.child)
+          case u: GraftColumnarProjectExec => scanBlockBounded(u.child)
+          case u: GraftColumnarSelectExec => scanBlockBounded(u.child)
+          case _ => false
+        }
         val keySpecs: Seq[Either[String, TopKKeySpec]] = s.sortOrder.map { so =>
           so.child match {
             case a: AttributeReference
@@ -384,6 +399,11 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             s.setTagValue(fallbackReasonTag,
               "sort output has a non-bufferable column type (long/double " +
                 "family and string only)"); s
+          case None if !scanBlockBounded(s.child) =>
+            s.setTagValue(fallbackReasonTag,
+              "sort child is not a scan-bounded columnar block (bucketed " +
+                "scan or row-expanding operator below) — the no-spill " +
+                "buffer needs a maxPartitionBytes-bounded partition"); s
           case None =>
             GraftColumnarSortExec(
               keySpecs.collect { case scala.Right(k) => k }, s.sortOrder, s.global, s.child)

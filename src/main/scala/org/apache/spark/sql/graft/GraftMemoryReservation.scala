@@ -1,0 +1,91 @@
+// In the org.apache.spark.sql namespace alongside the other graft
+// operators — same placement the reference uses (org.apache.spark.sql.comet).
+package org.apache.spark.sql.graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.TaskContext
+import org.apache.spark.internal.Logging
+import org.apache.spark.memory.{MemoryConsumer, MemoryMode, TaskMemoryManager}
+
+/** Coarse-grained execution-memory accounting for the columnar
+  * operators' JVM-array state (reference analogue: CometTaskMemoryManager
+  * bridging native allocations into Spark's task memory manager,
+  * CometExecIterator.scala:293-326).
+  *
+  * The graft columnar operators (grouped agg hash table, sort column
+  * buffers) hold their state in plain JVM arrays. Their SIZE is already
+  * structurally bounded (maxGroups early-flush; scan-block-bounded sort
+  * partitions) — but without registration those buffers are invisible to
+  * Spark's memory manager, so on a busy executor they compete with
+  * Tungsten's pages unaccounted. This consumer registers their
+  * approximate footprint with the task's [[TaskMemoryManager]]:
+  * Tungsten consumers now see the pressure (and spill sooner), and the
+  * graft operators see Tungsten's pressure as a failed [[reserve]].
+  *
+  * This consumer cannot spill (its arrays are live mid-operator), so
+  * `spill` returns 0 and pressure surfaces to the CALLER as
+  * `reserve = false`: the grouped agg answers by flushing its partial
+  * groups early (always correct — the final merge combines duplicates),
+  * the sort by logging once and proceeding (its partition is
+  * scan-block-bounded by the planning gate, so the overshoot is bounded
+  * by one scan split). On a shortfall the partial grant is KEPT, not
+  * returned: the arrays exist either way, so accounting stays as close
+  * to truth as the manager allows.
+  *
+  * All reservations are released at task end via the task-completion
+  * listener installed by [[GraftMemoryReservation.forTask]].
+  */
+final class GraftMemoryReservation(tmm: TaskMemoryManager)
+    extends MemoryConsumer(tmm, MemoryMode.ON_HEAP) with Logging {
+
+  import GraftMemoryReservation._
+
+  private var warned = false
+
+  override def spill(size: Long, trigger: MemoryConsumer): Long = 0L
+
+  /** Grow the reservation by `bytes`; false on a shortfall (the partial
+    * grant is kept — see class doc). */
+  def reserve(bytes: Long): Boolean = {
+    if (bytes <= 0L) true
+    else {
+      val got = acquireMemory(bytes)
+      currentReserved.addAndGet(got)
+      peakReserved.accumulateAndGet(currentReserved.get(), Math.max(_, _))
+      if (got >= bytes) true
+      else {
+        if (!warned) {
+          warned = true
+          logWarning(s"graft columnar buffer reservation short: asked $bytes, " +
+            s"granted $got — executor memory pressure (a Tungsten consumer holds the rest)")
+        }
+        false
+      }
+    }
+  }
+
+  def freeAll(): Unit = {
+    val u = getUsed
+    if (u > 0) {
+      freeMemory(u)
+      currentReserved.addAndGet(-u)
+    }
+  }
+}
+
+object GraftMemoryReservation {
+  /** Test-visible accounting totals across tasks (local-mode JVM):
+    * `currentReserved` must return to 0 once all tasks finish. */
+  val currentReserved = new AtomicLong(0L)
+  val peakReserved = new AtomicLong(0L)
+
+  /** A per-task reservation wired to release on task completion, or None
+    * outside a task (driver-side plan construction). */
+  def forTask(): Option[GraftMemoryReservation] =
+    Option(TaskContext.get()).map { tc =>
+      val r = new GraftMemoryReservation(tc.taskMemoryManager())
+      tc.addTaskCompletionListener[Unit](_ => r.freeAll())
+      r
+    }
+}

@@ -203,6 +203,61 @@ class EngineSuite extends GraftTestBase {
     assert(on2 == off2, s"empty-input columnar=$on2 row=$off2")
   }
 
+  test("columnar agg/sort buffers register with the task memory manager and release at task end") {
+    // The reference bridges native allocations into Spark's task memory
+    // manager (CometTaskMemoryManager / CometExecIterator.getMemoryConfig);
+    // the graft twin is GraftMemoryReservation: grouped-agg hash state and
+    // sort column buffers acquire execution memory as they grow and free
+    // it on task completion — so Tungsten consumers on the same executor
+    // see the pressure, and vice versa.
+    import org.apache.spark.sql.graft.GraftMemoryReservation.{currentReserved, peakReserved}
+    val dir = java.nio.file.Files.createTempDirectory("graft-memres").toString
+    (1 to 5000).map(i => (i.toLong, s"k${i % 97}", i * 1.5))
+      .toDF("id", "k", "v").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+
+    currentReserved.set(0L); peakReserved.set(0L)
+    val agg = t.groupBy($"k").agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    agg.collect()
+    assert(findExec(agg) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, "expected the columnar grouped agg in the plan")
+    assert(peakReserved.get() > 0L,
+      "grouped agg executed without reserving any task memory")
+    assert(currentReserved.get() == 0L,
+      s"grouped agg leaked ${currentReserved.get()} reserved bytes past task end")
+
+    currentReserved.set(0L); peakReserved.set(0L)
+    withSQLConf("spark.graft.columnar.sort.enabled" -> "true") {
+      val srt = t.sortWithinPartitions($"k", $"id")
+      srt.collect()
+      assert(findExec(srt) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+      }.isDefined, "expected the columnar sort in the plan")
+    }
+    assert(peakReserved.get() > 0L,
+      "columnar sort executed without reserving any task memory")
+    assert(currentReserved.get() == 0L,
+      s"columnar sort leaked ${currentReserved.get()} reserved bytes past task end")
+  }
+
+  test("columnar sort swap refuses a non-scan-bounded child (no-spill safety gate)") {
+    // A columnar join probe's output is not bounded by one scan split, so
+    // the opt-in sort swap must leave the row SortExec (which spills) and
+    // tag the reason.
+    withSQLConf("spark.graft.columnar.sort.enabled" -> "true") {
+      val li = Tables.t(spark, sfDir, "lineitem")
+      val keys = Tables.t(spark, sfDir, "orders").select($"o_orderkey")
+      val joined = li.join(broadcast(keys), li("l_orderkey") === keys("o_orderkey"))
+        .select($"l_orderkey", $"l_quantity")
+        .orderBy($"l_quantity")
+      joined.collect() // the row path executes fine
+      assert(findExec(joined) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+      }.isEmpty, s"columnar sort must not swap above a join probe:\n${joined.queryExecution.executedPlan}")
+    }
+  }
+
   test("GraftColumnarGroupedAgg matches the row path incl. null keys, NaN, flush") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colgrpagg").toString
     Seq(
