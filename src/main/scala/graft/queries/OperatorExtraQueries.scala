@@ -377,6 +377,36 @@ object OperatorExtraQueries {
       doc = "Shuffled hash SEMI join with a bucketed stream side: the fact scan joins in place (zero stream exchange, pinned) while only the dimension build shuffles — the maintained-layout probe shape GraftColumnarShuffledSemiJoinExec accelerates."),
 
     QueryDef(
+      "q170_bucketed_shuffled_inner",
+      (s, dir) => {
+        import s.implicits._
+        // INNER twin of q165: same bucketed-stream layout, but the join
+        // carries build-side columns through (c_mktsegment), so the
+        // probe is GraftColumnarShuffledInnerJoinExec — zero-copy stream
+        // gathers via selection vectors, build columns materialized per
+        // match (default ON after its winning ~0.84x A/B). At 100 TB
+        // this is the maintained-layout fact-to-dim equi-join: the fact
+        // table joins in place, only the filtered dimension shuffles.
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        val (ot, ct) = (s"g_orders_bkt_$sfx", s"g_customer_bkt_$sfx")
+        ensureBucketed(s, dir, ot, ct)
+        val highBal = s.table(ct).filter($"c_acctbal" > 5000.0)
+          .select($"c_custkey", $"c_mktsegment").hint("shuffle_hash")
+        s.table(ot)
+          .join(highBal, $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 5000.0
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "Shuffled hash INNER join with a bucketed stream side carrying build columns through: the fact scan joins in place while only the filtered dimension shuffles — the GraftColumnarShuffledInnerJoinExec probe shape (default ON, ~0.84x A/B)."),
+
+    QueryDef(
       "q114_aqe_skew_join",
       (s, dir) => {
         import s.implicits._

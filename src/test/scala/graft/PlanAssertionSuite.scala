@@ -374,6 +374,35 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(!mapSideSort, s"no sort may remain below the columnar rank probe:\n$p")
   }
 
+  test("q169 dense_rank group limit probes columnar with no map-side sort") {
+    val df = run("q169_dense_rank_group_limit")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarRankGroupLimit"),
+      s"expected the columnar dense_rank probe in:\n$p")
+    val mapSideSort = df.queryExecution.executedPlan.exists {
+      case s: org.apache.spark.sql.execution.SortExec =>
+        s.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.graft.GraftColumnarRankGroupLimitExec])
+      case _ => false
+    }
+    assert(!mapSideSort, s"no sort may remain below the columnar dense_rank probe:\n$p")
+  }
+
+  test("q170 bucketed shuffled inner join probes columnar with a single build-side exchange") {
+    val df = run("q170_bucketed_shuffled_inner")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarShuffledInnerJoin"),
+      s"expected the columnar shuffled inner probe in:\n$p")
+    // the bucketed stream side joins in place: exchanges = build side +
+    // the final aggregation's at most
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 2, s"stream side must not shuffle:\n$p")
+  }
+
   test("q164 sorted-run export swaps the scan-side local sort for the columnar kernel") {
     val df = run("q164_sorted_run_export")
     df.collect()

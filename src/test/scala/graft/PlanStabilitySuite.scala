@@ -31,7 +31,14 @@ class PlanStabilitySuite extends GraftTestBase {
     "q114_aqe_skew_join",
     // partsupp-derived TPC-H completions: the decorrelated-min (Q2) and
     // composite-key fact join (Q9) skeletons are the scale-critical ones
-    "q118_tpch_q2", "q119_tpch_q9", "q122_tpch_q20")
+    "q118_tpch_q2", "q119_tpch_q9", "q122_tpch_q20",
+    // round-7 columnar operators: pin the logical skeletons feeding the
+    // columnar sort (opt-in), shuffled semi, and rank/dense_rank
+    // group-limit swaps (physical presence is asserted separately in
+    // PlanAssertionSuite)
+    "q164_sorted_run_export", "q165_bucketed_shuffled_semi",
+    "q168_rank_group_limit", "q169_dense_rank_group_limit",
+    "q170_bucketed_shuffled_inner")
 
   private def skeleton(p: LogicalPlan, depth: Int = 0): String = {
     val self = ("  " * depth) + p.nodeName
