@@ -22,15 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * itself is a HYBRID: LSD radix on the bit-mapped first key for
   * numeric keys (the algorithm class Tungsten's prefix sort wins with)
   * + comparison sort only inside first-key tie runs; strings take the
-  * pure comparison path. The sf0.1 A/B: parity on narrow numeric rows
-  * (sort-narrow-3col 1.00x), 1.5-1.8x slower on wide rows
-  * (sort-1key-long 1.77x, sort-2key-mixed 1.46x) and 2.6x on a string
-  * key — the residual cost is column BUFFERING (copying every output
-  * column, UTF8String clones), not the sort loop; the reference escapes
-  * exactly that with native arena allocation + SIMD
-  * (DataFusion SortExec), which a JVM operator cannot match row-shape
-  * -for-row-shape. Kept as a correct, parity-tested demonstrator;
-  * q164 pins the swap on an opted-in session.
+  * pure comparison path over a CONCATENATED byte buffer (one shared
+  * byte[] + offset/length lanes per string column — a poor-JVM's arena:
+  * no per-row UTF8String clone at buffering, Arrays.compareUnsigned
+  * intrinsic comparisons, zero-copy fromBytes views at emission).
+  * Refreshed sf0.1 A/B medians (3 session runs) after that rework:
+  * narrow numeric rows WIN (sort-narrow-3col 0.86-0.94x), string key
+  * 1.15-1.21x (was 2.6x with cloned strings), 2key-mixed 1.01-1.06x
+  * (was 1.46x), wide 16-col rows still lose (sort-1key-long 1.38-1.40x)
+  * — the residual cost is buffering every output column of a wide row,
+  * which the reference escapes with native arena allocation + SIMD
+  * (DataFusion SortExec). Still opt-in: the win cases are narrow
+  * projections, the loss cases are whole-table exports; q164 pins the
+  * swap on an opted-in session.
   *
   * Replaces `ColumnarToRow + SortExec` above a columnar block: input
   * batches are decomposed COLUMN-WISE into typed primitive arrays (the
@@ -237,32 +241,57 @@ object GraftColumnarSortExec {
     def raw(i: Int): Double = values(i)
   }
 
+  /** String column buffer over ONE concatenated byte array + offset/
+    * length lanes — not one cloned UTF8String object per row. Copying in
+    * is a single bulk writeToMemory per cell (no per-row object + byte[]
+    * allocation), comparisons run through the
+    * java.util.Arrays.compareUnsigned(byte[],...) intrinsic (UTF8_BINARY
+    * order == unsigned byte order; the planning rule only swaps
+    * default-collation strings), and emission wraps zero-copy
+    * UTF8String.fromBytes views over the shared buffer.
+    */
   private final class StringBuf extends ColBuf {
-    private var values = new Array[UTF8String](1 << 12)
+    private var bytes = new Array[Byte](1 << 16)
+    private var used = 0
+    private var offs = new Array[Int](1 << 12)
+    private var lens = new Array[Int](1 << 12)
     private var nulls = new Array[Boolean](1 << 12)
     private var n = 0
-    private var contentBytes = 0L
-    override def trackedBytes: Long = values.length * 9L + contentBytes
+    override def trackedBytes: Long = bytes.length.toLong + offs.length * 9L
     override def append(v: ColumnVector, rows: Int): Unit = {
-      if (n + rows > values.length) {
-        val cap = math.max(values.length * 2, n + rows)
-        values = java.util.Arrays.copyOf(values, cap)
+      if (n + rows > offs.length) {
+        val cap = math.max(offs.length * 2, n + rows)
+        offs = java.util.Arrays.copyOf(offs, cap)
+        lens = java.util.Arrays.copyOf(lens, cap)
         nulls = java.util.Arrays.copyOf(nulls, cap)
       }
       var i = 0
       while (i < rows) {
-        // clone: the vector's UTF8String views alias reused batch memory
-        if (v.isNullAt(i)) nulls(n) = true else {
-          val cloned = v.getUTF8String(i).clone()
-          contentBytes += cloned.numBytes() + 32 // object + byte[] headers
-          values(n) = cloned
+        if (v.isNullAt(i)) nulls(n) = true
+        else {
+          val s = v.getUTF8String(i)
+          val len = s.numBytes()
+          if (used.toLong + len > bytes.length) {
+            // partition content is scan-block-bounded (planning gate),
+            // so the 2 GiB byte[] ceiling is never the binding limit
+            val cap = math.min(math.max(bytes.length * 2L, used.toLong + len),
+              Int.MaxValue.toLong - 16).toInt
+            bytes = java.util.Arrays.copyOf(bytes, cap)
+          }
+          s.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + used)
+          offs(n) = used
+          lens(n) = len
+          used += len
         }
         n += 1; i += 1
       }
     }
     override def isNull(i: Int): Boolean = nulls(i)
-    override def cmpRaw(a: Int, b: Int): Int = values(a).compareTo(values(b))
-    override def vector(): ColumnVector = new StringArrayVector(values, nulls, n)
+    override def cmpRaw(a: Int, b: Int): Int =
+      java.util.Arrays.compareUnsigned(
+        bytes, offs(a), offs(a) + lens(a),
+        bytes, offs(b), offs(b) + lens(b))
+    override def vector(): ColumnVector = new ByteSliceStringVector(bytes, offs, lens, nulls, n)
   }
 
   def newBuf(dt: DataType): ColBuf = dt match {
@@ -500,4 +529,44 @@ object GraftColumnarSortExec {
       }
     }
   }
+}
+
+/** Zero-copy string views over [[GraftColumnarSortExec]]'s concatenated
+  * string buffer: getUTF8String wraps a (offset, length) slice of the
+  * shared byte array — no per-row copy at emission; the downstream
+  * ColumnarToRow (or next kernel) copies what it keeps, same contract as
+  * [[org.apache.spark.sql.graft.StringArrayVector]].
+  */
+final class ByteSliceStringVector(
+    bytes: Array[Byte], offs: Array[Int], lens: Array[Int],
+    nulls: Array[Boolean], n: Int)
+    extends ColumnVector(StringType) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getUTF8String(rowId: Int): UTF8String =
+    UTF8String.fromBytes(bytes, offs(rowId), lens(rowId))
+  private def nope = throw new UnsupportedOperationException("string-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray = nope
+  override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
 }
