@@ -141,18 +141,13 @@ object LayoutQueries {
         // (the LSM / table-format compaction write shape; contrast
         // q78, which pays a range exchange first for globally
         // disjoint files). The local sort sits DIRECTLY on the
-        // columnar scan→filter→project block — the GraftColumnarSortExec
-        // swap shape, OPT-IN here on a cloned session (the q154
-        // pattern) because the A/B measured the kernel 1.4-2.6x slower
-        // than Tungsten's radix sort; the pin verifies the swap, the
-        // oracle verifies the row SET (per-partition order is not
-        // oracle-checkable).
-        val spark = s0.newSession()
-        s0.conf.getAll.foreach { case (k, v) =>
-          try spark.conf.set(k, v) catch { case _: Exception => () }
-        }
-        spark.conf.set(
-          org.apache.spark.sql.graft.GraftColumnarRule.sortEnabledKey, "true")
+        // columnar scan→filter→project block, and the 4-column
+        // all-numeric output is the NARROW shape whose swap is
+        // default-ON after a winning A/B (0.55-0.87x vs Tungsten's
+        // radix sort — sort.narrow.enabled; wide/string sorts remain
+        // opt-in). The pin verifies the swap, the oracle verifies the
+        // row SET (per-partition order is not oracle-checkable).
+        val spark = s0
         import spark.implicits._
         Tables.t(spark, dir, "lineitem")
           .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp"))
@@ -163,6 +158,6 @@ object LayoutQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_shipdate,
           l_extendedprice * (1.0 - l_discount) AS net
         FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'"""),
-      doc = "Sorted-run export: per-split local sort with no exchange — the write-side layout shape whose sort sits directly on the columnar scan; at scale each task emits one bounded sorted run for downstream merge compaction. GraftColumnarSortExec swap opt-in on a cloned session (plan-pinned): the A/B measured it 1.4-2.6x slower than Tungsten's radix sort, so the default keeps the row sort.")
+      doc = "Sorted-run export: per-split local sort with no exchange — the write-side layout shape whose sort sits directly on the columnar scan; at scale each task emits one bounded sorted run for downstream merge compaction. The narrow all-numeric output swaps to GraftColumnarSortExec by DEFAULT (plan-pinned; winning 0.55-0.87x A/B after the byte-buffer rework); wide/string sorts remain opt-in.")
   )
 }

@@ -32,9 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (was 1.46x), wide 16-col rows still lose (sort-1key-long 1.38-1.40x)
   * — the residual cost is buffering every output column of a wide row,
   * which the reference escapes with native arena allocation + SIMD
-  * (DataFusion SortExec). Still opt-in: the win cases are narrow
-  * projections, the loss cases are whole-table exports; q164 pins the
-  * swap on an opted-in session.
+  * (DataFusion SortExec). Narrow all-numeric outputs (<= 4 columns)
+  * swap by DEFAULT (winning 0.55-0.87x A/B — sort.narrow.enabled, q164
+  * pins the plan); wide or string outputs remain opt-in via
+  * sort.enabled.
   *
   * Replaces `ColumnarToRow + SortExec` above a columnar block: input
   * batches are decomposed COLUMN-WISE into typed primitive arrays (the
@@ -158,6 +159,11 @@ case class GraftColumnarSortExec(
 object GraftColumnarSortExec {
   /** Output batch chunk size for the sorted gather. */
   val batchRows = 4096
+
+  /** The narrow default-ON shape: numeric/temporal only — string
+    * columns push the A/B above parity (buffer + compare cost). */
+  def numericColType(dt: DataType): Boolean =
+    dt != StringType && supportedColType(dt)
 
   def supportedColType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | BooleanType |

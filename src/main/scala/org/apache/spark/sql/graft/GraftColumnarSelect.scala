@@ -361,7 +361,10 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // fires when the child is columnar, i.e. a scan-bounded partition
       // (no disk spill — see the exec's scaladoc).
       case s: org.apache.spark.sql.execution.SortExec
-          if sortEnabled(session) && s.child.supportsColumnar =>
+          if s.child.supportsColumnar && (sortEnabled(session) ||
+            (narrowSortEnabled(session) && s.output.length <= 4 &&
+              s.output.forall(a => org.apache.spark.sql.execution.graft
+                .GraftColumnarSortExec.numericColType(a.dataType)))) =>
         import org.apache.spark.sql.execution.graft.{GraftColumnarSortExec, TopKKeySpec}
         // Spill-safety gate: the columnar sort buffers its whole
         // partition with NO spill, so the swap requires a partition
@@ -761,18 +764,30 @@ object GraftColumnarRule {
   def innerShjEnabled(session: SparkSession): Boolean =
     session.conf.getOption(innerShjEnabledKey).forall(_.toBoolean)
 
-  /** Columnar per-partition sort over a columnar block — OPT-IN
-    * (default off): even with the hybrid first-key RADIX path the A/B
-    * (FilterMicroBench sf0.1) reaches only parity on narrow numeric
-    * rows (1.00x) and stays 1.5-2.6x slower on wide/string rows —
+  /** Columnar per-partition sort over a columnar block — OPT-IN in
+    * general (default off): the A/B (FilterMicroBench sf0.1, after the
+    * concatenated-byte-buffer string rework) still loses on wide rows
+    * (16-col 1.38-1.40x) and slightly on string keys (1.15-1.21x) —
     * the residual cost is buffering every output column, which the
-    * reference escapes natively (arena strings + SIMD), not the sort
-    * loop. Correct, parity-tested, demonstrated (q164 opts in on a
-    * cloned session) — the same honesty call as the gated inner BHJ.
+    * reference escapes natively (arena + SIMD), not the sort loop.
+    * Correct, parity-tested, demonstrated (q164 opts in on a cloned
+    * session) — the same honesty call as the gated inner BHJ.
     */
   val sortEnabledKey = "spark.graft.columnar.sort.enabled"
   def sortEnabled(session: SparkSession): Boolean =
     session.conf.getOption(sortEnabledKey).exists(_.toBoolean)
+
+  /** NARROW all-numeric sorts (<= 4 output columns, no strings) swap by
+    * DEFAULT: with so little to buffer, the radix path beats Tungsten's
+    * row sort — A/B medians 0.55-0.87x across 1-4 column numeric shapes
+    * (sort-narrow-1col 0.71-0.77x, -3col 0.64-0.87x, -4col-2key
+    * 0.55-0.57x; 3 session runs, FilterMicroBench sf0.1). The win case
+    * is the common sorted-export / pre-bucketing projection; anything
+    * wider or stringed still requires the explicit opt-in above.
+    */
+  val narrowSortEnabledKey = "spark.graft.columnar.sort.narrow.enabled"
+  def narrowSortEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(narrowSortEnabledKey).forall(_.toBoolean)
 
   /** Columnar top-k — default ON: the A/B (FilterMicroBench, sf0.1)
     * measured the bounded-heap probe ~2x FASTER than the row

@@ -302,12 +302,23 @@ object FilterMicroBench {
       "sort-narrow-3col" -> (() =>
         Tables.t(spark, sfDir, "lineitem")
           .select($"l_orderkey", $"l_extendedprice", $"l_quantity")
-          .sortWithinPartitions($"l_extendedprice".desc)))
+          .sortWithinPartitions($"l_extendedprice".desc)),
+      "sort-narrow-1col" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey")
+          .sortWithinPartitions($"l_orderkey")),
+      "sort-narrow-4col-2key" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_quantity", $"l_discount")
+          .sortWithinPartitions($"l_quantity", $"l_extendedprice".desc)))
     sel(sortShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.sortEnabledKey, "false")
+      spark.conf.set(GraftColumnarRule.narrowSortEnabledKey, "false")
       val off = timeIt(f)
       spark.conf.set(GraftColumnarRule.sortEnabledKey, "true")
+      spark.conf.set(GraftColumnarRule.narrowSortEnabledKey, "true")
       val on = timeIt(f)
+      spark.conf.unset(GraftColumnarRule.narrowSortEnabledKey)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
 
