@@ -137,6 +137,78 @@ class CastMatrixSuite extends GraftTestBase {
     }
   }
 
+  test("complex-type casts (array/struct/map element casts) invariant under axes") {
+    // Reference parity: CometCast recurses into ArrayType/StructType/
+    // MapType children. Spark casts complex types element-wise when the
+    // element pair casts; the engine's invariance contract must hold
+    // through the recursion too. Canonical image via to_json (map/array
+    // printing is not otherwise stable across code paths).
+    import org.apache.spark.sql.Row
+    val arrInt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq(1, 2, 147483647)), Row(Seq.empty[Int]), Row(null)), 1),
+      StructType(Seq(StructField("v", ArrayType(IntegerType), nullable = true))))
+    val arrStr = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq("1", "2", "abc", null)), Row(null)), 1),
+      StructType(Seq(StructField("v", ArrayType(StringType), nullable = true))))
+    val struct = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Row(5, "x")), Row(Row(null, null)), Row(null)), 1),
+      StructType(Seq(StructField("v", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType))), nullable = true))))
+    val mp = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Map("k1" -> 1, "k2" -> 70000)), Row(Map.empty[String, Int]), Row(null)), 1),
+      StructType(Seq(StructField("v", MapType(StringType, IntegerType), nullable = true))))
+
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("array<int> -> array<bigint>", arrInt, "ARRAY<BIGINT>"),
+      ("array<int> -> array<smallint>", arrInt, "ARRAY<SMALLINT>"), // 147483647 overflows
+      ("array<int> -> array<string>", arrInt, "ARRAY<STRING>"),
+      ("array<string> -> array<int>", arrStr, "ARRAY<INT>"), // 'abc' malformed
+      ("struct -> widened struct", struct, "STRUCT<a: BIGINT, b: STRING>"),
+      ("struct -> stringified field", struct, "STRUCT<a: STRING, b: STRING>"),
+      ("map<string,int> -> map<string,bigint>", mp, "MAP<STRING, BIGINT>"),
+      ("map<string,int> -> map<string,tinyint>", mp, "MAP<STRING, TINYINT>")) // 70000 overflows
+
+    def runCase(df: org.apache.spark.sql.DataFrame, dstDdl: String): Either[String, Seq[String]] =
+      try {
+        val r = df.select(to_json(struct_(expr(s"CAST(v AS $dstDdl)"))).as("j"))
+        Right(canon(r))
+      } catch {
+        case _: AnalysisException => Left("analysis")
+        case e: Throwable =>
+          var c: Throwable = e
+          while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+          Left(s"runtime:${c.getClass.getSimpleName}")
+      }
+
+    cases.foreach { case (label, df, dst) =>
+      Seq("true", "false").foreach { ansi =>
+        val results = axes.map { case (axisName, confs) =>
+          axisName -> withSQLConf((confs :+ ("spark.sql.ansi.enabled" -> ansi)): _*) {
+            runCase(df, dst)
+          }
+        }
+        val (baseAxis, base) = results.head
+        results.tail.foreach { case (axisName, r) =>
+          assert(r == base, s"$label (ansi=$ansi): $baseAxis=$base vs $axisName=$r")
+        }
+        // overflow/malformed bait must actually throw somewhere in ANSI
+        if (ansi == "true" && (label.contains("smallint") || label.contains("tinyint")
+            || label.contains("array<string> -> array<int>"))) {
+          assert(base.isLeft && base.swap.exists(_.startsWith("runtime:")),
+            s"$label expected an ANSI runtime rejection, got $base")
+        }
+      }
+    }
+  }
+
+  // functions.struct is shadowed by the local `struct` DataFrame above
+  private def struct_(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.struct(c)
+
   test("cast support matrix matches the pinned golden (ANSI vs LEGACY resolution surface)") {
     val lines = for ((srcName, srcDt, _) <- types; (dstName, _, dstDdl) <- types) yield {
       val support = Seq("true", "false").map { ansi =>
