@@ -407,6 +407,38 @@ object OperatorExtraQueries {
       doc = "Shuffled hash INNER join with a bucketed stream side carrying build columns through: the fact scan joins in place while only the filtered dimension shuffles — the GraftColumnarShuffledInnerJoinExec probe shape (default ON, ~0.84x A/B)."),
 
     QueryDef(
+      "q171_bucketed_shuffled_left_outer",
+      (s, dir) => {
+        import s.implicits._
+        // LEFT OUTER twin of q170: same bucketed-stream layout, misses
+        // survive with null build lanes (every order keeps its row; the
+        // UNMATCHED bucket counts customers at/below the balance bar).
+        // The probe is the same GraftColumnarShuffledInnerJoinExec with
+        // leftOuter=true — a miss costs one null-build row, so the
+        // inner A/B carries. At 100 TB this is the maintained-layout
+        // enrichment join: annotate the fact table in place, keep rows
+        // the dimension can't explain.
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        val (ot, ct) = (s"g_orders_bkt_$sfx", s"g_customer_bkt_$sfx")
+        ensureBucketed(s, dir, ot, ct)
+        val highBal = s.table(ct).filter($"c_acctbal" > 5000.0)
+          .select($"c_custkey", $"c_mktsegment").hint("shuffle_hash")
+        s.table(ot)
+          .join(highBal, $"o_custkey" === $"c_custkey", "left_outer")
+          .groupBy(coalesce($"c_mktsegment", lit("UNMATCHED")).as("segment"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy($"segment")
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders LEFT JOIN (
+          SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0) d
+          ON o_custkey = d.c_custkey
+        GROUP BY 1 ORDER BY 1"""),
+      doc = "Shuffled hash LEFT OUTER join with a bucketed stream side: every fact row survives (misses carry null build lanes into an UNMATCHED bucket) while only the filtered dimension shuffles — GraftColumnarShuffledInnerJoinExec with leftOuter=true."),
+
+    QueryDef(
       "q114_aqe_skew_join",
       (s, dir) => {
         import s.implicits._

@@ -40,12 +40,15 @@ final class LongBuildVector(dt: DataType, values: Array[Long], nulls: Array[Bool
   override def getShort(rowId: Int): Short = values(rowId).toShort
   override def getInt(rowId: Int): Int = values(rowId).toInt
   override def getLong(rowId: Int): Long = values(rowId)
+  // Decimal64 rides the long lane as its unscaled value (the columnar
+  // sort buffers money columns this way); p > 18 never reaches here
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal =
+    Decimal.createUnsafe(values(rowId), p, s)
   private def nope = throw new UnsupportedOperationException("long-family-only vector")
   override def getFloat(rowId: Int): Float = nope
   override def getDouble(rowId: Int): Double = nope
   override def getArray(rowId: Int): ColumnarArray = nope
   override def getMap(rowId: Int): ColumnarMap = nope
-  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
   override def getUTF8String(rowId: Int): UTF8String = nope
   override def getBinary(rowId: Int): Array[Byte] = nope
   override def getChild(ordinal: Int): ColumnVector = nope

@@ -184,19 +184,23 @@ case class GraftColumnarShuffledSemiJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Columnar INNER shuffled hash join for the same co-located layout as
-  * [[GraftColumnarShuffledSemiJoinExec]] (bucketed columnar stream,
-  * shuffled row build): per-task HashedRelation build + the broadcast
-  * inner probe's match-buffer scheme (zero-copy stream gathers via
-  * selection vectors, build columns materialized per match). Default ON
-  * (spark.graft.columnar.shj.inner.enabled) after a winning A/B:
-  * shj-inner-bkt median ~0.84x of the row ShuffledHashJoin across ten
-  * session runs (0.74-0.93x typical; occasional load-noise outliers up
-  * to ~1.3x on a contended box). The broadcast inner
+/** Columnar INNER / LEFT OUTER shuffled hash join for the same
+  * co-located layout as [[GraftColumnarShuffledSemiJoinExec]] (bucketed
+  * columnar stream, shuffled row build): per-task HashedRelation build +
+  * the broadcast inner probe's match-buffer scheme (zero-copy stream
+  * gathers via selection vectors, build columns materialized per match).
+  * Default ON (spark.graft.columnar.shj.inner.enabled) after a winning
+  * A/B: shj-inner-bkt median ~0.84x of the row ShuffledHashJoin across
+  * ten session runs (0.74-0.93x typical; occasional load-noise outliers
+  * up to ~1.3x on a contended box). The broadcast inner
   * probe lost its A/B (~1.65x, opt-in) because it displaces a fully
   * codegen-FUSED scan→join pipeline; here the row twin is not fused —
   * it already pays a ColumnarToRow of every stream row plus the same
   * per-task relation build — so avoiding the row materialization wins.
+  * LEFT OUTER (`leftOuter = true`) is the same probe with misses and
+  * null-key rows emitted once with all build lanes null — the cost
+  * delta over inner is one null row per miss, so the inner measurement
+  * carries (shj-louter-bkt micro-bench confirms, same ballpark).
   * Build-side strings are cloned at batch-snapshot time: the per-task
   * relation's memory (unlike a broadcast's) is freed at task end, and a
   * downstream operator may hold the emitted batch longer.
@@ -209,18 +213,19 @@ case class GraftColumnarShuffledInnerJoinExec(
     streamKeyTypes: Seq[DataType],
     buildSideStruct: StructType,
     streamOrBuild: Seq[Either[Int, Int]], // per output col: Left(streamOrd) | Right(buildOrd)
+    leftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan)
     extends BinaryExecNode {
 
   override def supportsColumnar: Boolean = true
 
-  // Mirror ShuffledJoin's inner case: every surviving row carries BOTH
-  // sides' join keys, so both partitionings remain valid — reporting
-  // only the stream side would force a redundant exchange on a
-  // downstream operator aligned with the build-side keys.
+  // Mirror ShuffledJoin: inner keeps BOTH sides' partitionings valid
+  // (every surviving row carries both join keys); left outer keeps only
+  // the stream side's (build keys are null on unmatched rows).
   override def outputPartitioning: Partitioning =
-    PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
+    if (leftOuter) left.outputPartitioning
+    else PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(streamKeys) :: ClusteredDistribution(buildKeys) :: Nil
@@ -312,13 +317,23 @@ case class GraftColumnarShuffledInnerJoinExec(
           while (j < keys.length) { if (keys(j).isNullAt(i)) return true; j += 1 }
           false
         }
+        val isOuter = leftOuter
+        // a LEFT OUTER miss (or null-key row) emits the stream row once
+        // with every build lane null
+        def emitNullBuild(i: Int, m: Int): Unit = {
+          sel(m) = i
+          var c = 0
+          while (c < nBuild) { buildN(c)(m) = true; c += 1 }
+        }
         var m = 0
         var i = 0
         while (i < n) {
           if (!anyNull(i)) {
             val it = getIter(i)
+            var matched = false
             if (it != null) while (it.hasNext) {
               val row = it.next()
+              matched = true
               if (m == cap) grow(cap * 2)
               sel(m) = i
               var c = 0
@@ -346,6 +361,15 @@ case class GraftColumnarShuffledInnerJoinExec(
               }
               m += 1
             }
+            if (isOuter && !matched) {
+              if (m == cap) grow(cap * 2)
+              emitNullBuild(i, m)
+              m += 1
+            }
+          } else if (isOuter) {
+            if (m == cap) grow(cap * 2)
+            emitNullBuild(i, m)
+            m += 1
           }
           i += 1
         }

@@ -46,13 +46,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * column), and output batches are zero-copy [[SelectedColumnVector]]
   * gathers of the sorted index over the buffered columns.
   *
-  * Memory/scale: NO disk spill (unlike Tungsten's UnsafeExternalSorter
-  * or DataFusion's spilling SortExec) — the planning rule only swaps
-  * sorts whose child is a columnar scan block, where the partition is
-  * bounded by `spark.sql.files.maxPartitionBytes` (128 MiB default), so
-  * peak memory ≈ one scan split in primitive arrays per task — the same
-  * order as Tungsten's pre-spill working set. Sorts above exchanges
-  * (row children, unbounded per-partition after skew) never swap.
+  * Memory/scale: SPILLS like Tungsten's UnsafeExternalSorter and
+  * DataFusion's spilling SortExec. Buffer growth is reserved with the
+  * task memory manager batch-by-batch; when the manager refuses part of
+  * a reservation (executor pressure) or the buffered bytes cross
+  * `spark.graft.columnar.sort.spill.threshold` (256 MiB default), the
+  * current block is sorted and written to local disk as one
+  * length-prefixed compressed run, the buffers restart empty, and at
+  * input end the disk runs + final in-memory block k-way merge through
+  * per-run cursors. The common scan-split-sized partition never spills
+  * and keeps the zero-copy sorted-gather emission; an oversized one
+  * (bucketed scan, join output, skew) degrades to sequential run IO —
+  * the same shape Tungsten degrades to — instead of OOM, so the
+  * planning rule no longer restricts the swap to scan-bounded children.
   *
   * `global=true` instances keep their contract through the planner: the
   * required OrderedDistribution was enforced by EnsureRequirements
@@ -74,26 +80,57 @@ case class GraftColumnarSortExec(
   override lazy val metrics = Map(
     "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
     "numBatches" -> SQLMetrics.createMetric(sparkContext, "number of output batches"),
-    "sortTime" -> SQLMetrics.createTimingMetric(sparkContext, "index sort time"))
+    "sortTime" -> SQLMetrics.createTimingMetric(sparkContext, "index sort time"),
+    "spillCount" -> SQLMetrics.createMetric(sparkContext, "number of spilled sorted runs"),
+    "spillBytes" -> SQLMetrics.createSizeMetric(sparkContext, "spilled bytes"))
 
   import GraftColumnarSortExec._
 
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
     val colTypes = child.output.map(_.dataType).toArray
     val specs = keys.toArray
+    val spillThreshold = conf.getConfString(
+      spillThresholdKey, defaultSpillThreshold.toString).toLong
     val (inM, batchM, timeM) =
       (metrics("numInputRows"), metrics("numBatches"), metrics("sortTime"))
+    val (spillM, spillBytesM) = (metrics("spillCount"), metrics("spillBytes"))
     child.executeColumnar().mapPartitionsInternal { batches =>
+      val kinds = colTypes.map(kindOf)
       val bufs: Array[ColBuf] = colTypes.map(newBuf)
-      // Coarse per-batch task-memory accounting: the buffers cannot
-      // spill mid-sort, so a shortfall only logs (once) — the planning
-      // gate bounds the partition to one scan split, so the overshoot
-      // is bounded; the point of reserving anyway is that Tungsten
-      // consumers on the same executor SEE this memory and spill
-      // earlier instead of OOMing blind. Released at task end.
+      // Coarse per-batch task-memory accounting (GraftMemoryReservation):
+      // Tungsten consumers on the same executor SEE this memory and spill
+      // earlier instead of OOMing blind; a refused reservation (their
+      // pressure, seen from here) spills the current sorted run to disk.
+      // Released at task end.
       val res = org.apache.spark.sql.graft.GraftMemoryReservation.forTask()
       var reserved = 0L
       var n = 0
+      val spills = scala.collection.mutable.ArrayBuffer.empty[SpillFile]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.file.delete())))
+
+      def sortCurrent(): Array[Int] = {
+        val keyBufs = specs.map(s => bufs(s.col))
+        val idx = new Array[Int](n)
+        var i = 0
+        while (i < n) { idx(i) = i; i += 1 }
+        val t0 = System.nanoTime()
+        sortIndices(idx, n, specs, keyBufs)
+        timeM.add((System.nanoTime() - t0) / 1000000)
+        idx
+      }
+      def spillCurrent(): Unit = {
+        val run = writeRun(bufs, sortCurrent(), n)
+        spills += run
+        spillM.add(1)
+        spillBytesM.add(run.file.length())
+        var c = 0
+        while (c < bufs.length) { bufs(c).reset(); c += 1 }
+        n = 0
+        res.foreach(_.freeAll())
+        reserved = 0L
+      }
+
       batches.foreach { batch =>
         val rows = batch.numRows()
         inM.add(rows)
@@ -103,38 +140,54 @@ case class GraftColumnarSortExec(
         var held = 0L
         c = 0
         while (c < bufs.length) { held += bufs(c).trackedBytes; c += 1 }
-        if (held > reserved) { res.foreach(_.reserve(held - reserved)); reserved = held }
+        var granted = true
+        if (held > reserved) {
+          granted = res.forall(_.reserve(held - reserved))
+          reserved = held
+        }
+        // Spill triggers: executor memory pressure (the task memory
+        // manager refused part of the reservation — some Tungsten
+        // consumer holds the rest) or the structural byte threshold.
+        // Either way the current block is sorted, written as one run,
+        // and the buffers restart empty with the reservation returned.
+        if ((!granted || held > spillThreshold) && n > 0) spillCurrent()
       }
-      if (n == 0) Iterator.empty
-      else {
-        val keyBufs = specs.map(s => bufs(s.col))
-        res.foreach(_.reserve(4L * n)) // the sort index itself
-        val idx = new Array[Int](n)
-        var i = 0
-        while (i < n) { idx(i) = i; i += 1 }
-        val t0 = System.nanoTime()
-        sortIndices(idx, n, specs, keyBufs)
-        timeM.add((System.nanoTime() - t0) / 1000000)
-        val baseVectors = bufs.map(_.vector())
-        // emit in bounded chunks: each batch gathers a slice of the
-        // sorted index over the shared buffered columns
-        new Iterator[ColumnarBatch] {
-          private var off = 0
-          override def hasNext: Boolean = off < n
-          override def next(): ColumnarBatch = {
-            val len = math.min(batchRows, n - off)
-            val sel = java.util.Arrays.copyOfRange(idx, off, off + len)
-            off += len
-            val cols = new Array[ColumnVector](baseVectors.length)
-            var c = 0
-            while (c < cols.length) {
-              cols(c) = new SelectedColumnVector(baseVectors(c), sel)
-              c += 1
+
+      if (spills.isEmpty) {
+        // common case — everything fit: sort once, emit zero-copy
+        // gathers of the sorted index over the buffered columns
+        if (n == 0) Iterator.empty
+        else {
+          res.foreach(_.reserve(4L * n)) // the sort index itself
+          val idx = sortCurrent()
+          val baseVectors = bufs.map(_.vector())
+          new Iterator[ColumnarBatch] {
+            private var off = 0
+            override def hasNext: Boolean = off < n
+            override def next(): ColumnarBatch = {
+              val len = math.min(batchRows, n - off)
+              val sel = java.util.Arrays.copyOfRange(idx, off, off + len)
+              off += len
+              val cols = new Array[ColumnVector](baseVectors.length)
+              var c = 0
+              while (c < cols.length) {
+                cols(c) = new SelectedColumnVector(baseVectors(c), sel)
+                c += 1
+              }
+              batchM.add(1)
+              new ColumnarBatch(cols, len)
             }
-            batchM.add(1)
-            new ColumnarBatch(cols, len)
           }
         }
+      } else {
+        // spilled: k-way merge the disk runs + the final in-memory block
+        val runs = scala.collection.mutable.ArrayBuffer.empty[SortedRun]
+        if (n > 0) {
+          res.foreach(_.reserve(4L * n))
+          runs += new MemoryRun(bufs, kinds, sortCurrent(), n)
+        }
+        spills.foreach(sp => runs += new DiskRun(sp, kinds))
+        mergeRuns(runs.toSeq, specs, kinds, colTypes, () => batchM.add(1))
       }
     }
   }
@@ -160,6 +213,12 @@ object GraftColumnarSortExec {
   /** Output batch chunk size for the sorted gather. */
   val batchRows = 4096
 
+  /** Buffered-bytes threshold above which the partition spills a sorted
+    * run to disk (a spill is also forced by task-memory refusal
+    * regardless of this value). */
+  val spillThresholdKey = "spark.graft.columnar.sort.spill.threshold"
+  val defaultSpillThreshold: Long = 256L << 20
+
   /** The narrow default-ON shape: numeric/temporal only — string
     * columns push the A/B above parity (buffer + compare cost). */
   def numericColType(dt: DataType): Boolean =
@@ -169,6 +228,10 @@ object GraftColumnarSortExec {
     case LongType | IntegerType | ShortType | ByteType | BooleanType |
          DateType | TimestampType | TimestampNTZType |
          DoubleType | FloatType => true
+    // Decimal64: a column's values share one (p, s), so unscaled-long
+    // order == numeric order — the long lane (and its radix path)
+    // carries money columns unchanged
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => true
     case StringType => dt == StringType // default collation only
     case _ => false
   }
@@ -186,6 +249,12 @@ object GraftColumnarSortExec {
       * at clone size + per-object overhead — read after each append for
       * the coarse task-memory accounting (GraftMemoryReservation). */
     def trackedBytes: Long
+    /** Serialize slot `i` (null flag + value) to a spill run. */
+    def writeSlot(i: Int, out: java.io.DataOutput): Unit
+    /** Drop the buffered content AND the backing arrays (back to the
+      * initial capacity) — called after a run is spilled so the memory
+      * is actually returned, not just logically cleared. */
+    def reset(): Unit
   }
 
   private final class LongBuf(dt: DataType) extends ColBuf {
@@ -199,6 +268,8 @@ object GraftColumnarSortExec {
       case ShortType => (v, i) => v.getShort(i).toLong
       case ByteType => (v, i) => v.getByte(i).toLong
       case BooleanType => (v, i) => if (v.getBoolean(i)) 1L else 0L
+      case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+        (v, i) => v.getDecimal(i, d.precision, d.scale).toUnscaledLong
       case other => throw new IllegalStateException(s"not a long-family type $other")
     }
     override def append(v: ColumnVector, rows: Int): Unit = {
@@ -217,6 +288,15 @@ object GraftColumnarSortExec {
     override def cmpRaw(a: Int, b: Int): Int = java.lang.Long.compare(values(a), values(b))
     override def vector(): ColumnVector = new LongBuildVector(dt, values, nulls, n)
     def raw(i: Int): Long = values(i)
+    override def writeSlot(i: Int, out: java.io.DataOutput): Unit = {
+      out.writeBoolean(nulls(i))
+      if (!nulls(i)) out.writeLong(values(i))
+    }
+    override def reset(): Unit = {
+      values = new Array[Long](1 << 12)
+      nulls = new Array[Boolean](1 << 12)
+      n = 0
+    }
   }
 
   private final class DoubleBuf(dt: DataType) extends ColBuf {
@@ -245,6 +325,15 @@ object GraftColumnarSortExec {
     override def cmpRaw(a: Int, b: Int): Int = SQLOrderingUtil.compareDoubles(values(a), values(b))
     override def vector(): ColumnVector = new DoubleBuildVector(dt, values, nulls, n)
     def raw(i: Int): Double = values(i)
+    override def writeSlot(i: Int, out: java.io.DataOutput): Unit = {
+      out.writeBoolean(nulls(i))
+      if (!nulls(i)) out.writeDouble(values(i))
+    }
+    override def reset(): Unit = {
+      values = new Array[Double](1 << 12)
+      nulls = new Array[Boolean](1 << 12)
+      n = 0
+    }
   }
 
   /** String column buffer over ONE concatenated byte array + offset/
@@ -298,6 +387,24 @@ object GraftColumnarSortExec {
         bytes, offs(a), offs(a) + lens(a),
         bytes, offs(b), offs(b) + lens(b))
     override def vector(): ColumnVector = new ByteSliceStringVector(bytes, offs, lens, nulls, n)
+    override def writeSlot(i: Int, out: java.io.DataOutput): Unit = {
+      out.writeBoolean(nulls(i))
+      if (!nulls(i)) {
+        out.writeInt(lens(i))
+        out.write(bytes, offs(i), lens(i))
+      }
+    }
+    override def reset(): Unit = {
+      bytes = new Array[Byte](1 << 16)
+      used = 0
+      offs = new Array[Int](1 << 12)
+      lens = new Array[Int](1 << 12)
+      nulls = new Array[Boolean](1 << 12)
+      n = 0
+    }
+    /** Copy of slot `i`'s content — merge-path cursor staging only. */
+    def bytesAt(i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes, offs(i), offs(i) + lens(i))
   }
 
   def newBuf(dt: DataType): ColBuf = dt match {
@@ -532,6 +639,252 @@ object GraftColumnarSortExec {
           runStart = i
         }
         i += 1
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Spill path: external sorted-run merge (DataFusion's spilling SortExec
+  // role, Tungsten UnsafeExternalSorter's scheme re-expressed columnar).
+  // Runs are written row-major in sorted order (null flag + fixed value,
+  // strings length-prefixed) through the node's compression codec, then
+  // k-way merged through per-run cursors.
+  // ---------------------------------------------------------------------
+
+  /** Column storage kind: 0 = long family, 1 = double family, 2 = string
+    * — mirrors [[newBuf]]. */
+  def kindOf(dt: DataType): Int = dt match {
+    case DoubleType | FloatType => 1
+    case StringType => 2
+    case _ => 0
+  }
+
+  /** The current row of one sorted run, staged column-wise. */
+  private final class RunCursor(nCols: Int) {
+    val nulls = new Array[Boolean](nCols)
+    val longs = new Array[Long](nCols)
+    val dbls = new Array[Double](nCols)
+    val strs = new Array[Array[Byte]](nCols)
+  }
+
+  private sealed trait SortedRun {
+    def cur: RunCursor
+    /** Load the next row into [[cur]]; false when exhausted. */
+    def advance(): Boolean
+    def close(): Unit
+  }
+
+  /** The final (unspilled) in-memory block as a merge participant. */
+  private final class MemoryRun(
+      bufs: Array[ColBuf], kinds: Array[Int], idx: Array[Int], n: Int)
+      extends SortedRun {
+    val cur = new RunCursor(bufs.length)
+    private var pos = 0
+    override def advance(): Boolean = {
+      if (pos >= n) return false
+      val r = idx(pos)
+      pos += 1
+      var c = 0
+      while (c < bufs.length) {
+        val nl = bufs(c).isNull(r)
+        cur.nulls(c) = nl
+        if (!nl) kinds(c) match {
+          case 0 => cur.longs(c) = bufs(c).asInstanceOf[LongBuf].raw(r)
+          case 1 => cur.dbls(c) = bufs(c).asInstanceOf[DoubleBuf].raw(r)
+          case _ => cur.strs(c) = bufs(c).asInstanceOf[StringBuf].bytesAt(r)
+        }
+        c += 1
+      }
+      true
+    }
+    override def close(): Unit = ()
+  }
+
+  /** One spilled run file: `rows` rows in sorted order. */
+  final case class SpillFile(file: java.io.File, rows: Int)
+
+  private def wrapOut(raw: java.io.OutputStream): java.io.OutputStream =
+    if (org.apache.spark.SparkEnv.get != null) {
+      org.apache.spark.io.CompressionCodec
+        .createCodec(org.apache.spark.SparkEnv.get.conf).compressedOutputStream(raw)
+    } else raw
+
+  private def wrapIn(raw: java.io.InputStream): java.io.InputStream =
+    if (org.apache.spark.SparkEnv.get != null) {
+      org.apache.spark.io.CompressionCodec
+        .createCodec(org.apache.spark.SparkEnv.get.conf).compressedInputStream(raw)
+    } else raw
+
+  /** Write the sorted block (bufs gathered through idx) as one run. */
+  def writeRun(
+      bufs: Array[ColBuf], idx: Array[Int], n: Int): SpillFile = {
+    val file =
+      if (org.apache.spark.SparkEnv.get != null) {
+        org.apache.spark.SparkEnv.get.blockManager.diskBlockManager.createTempLocalBlock()._2
+      } else java.io.File.createTempFile("graft-sort-spill", ".run")
+    val out = new java.io.DataOutputStream(wrapOut(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file), 1 << 16)))
+    try {
+      out.writeInt(n)
+      var i = 0
+      while (i < n) {
+        val r = idx(i)
+        var c = 0
+        while (c < bufs.length) { bufs(c).writeSlot(r, out); c += 1 }
+        i += 1
+      }
+    } finally out.close()
+    SpillFile(file, n)
+  }
+
+  private final class DiskRun(spill: SpillFile, kinds: Array[Int]) extends SortedRun {
+    val cur = new RunCursor(kinds.length)
+    private val in = new java.io.DataInputStream(wrapIn(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(spill.file), 1 << 16)))
+    private val total = in.readInt()
+    private var read = 0
+    require(total == spill.rows, s"spill run header $total != recorded ${spill.rows}")
+    override def advance(): Boolean = {
+      if (read >= total) return false
+      read += 1
+      var c = 0
+      while (c < kinds.length) {
+        val nl = in.readBoolean()
+        cur.nulls(c) = nl
+        if (!nl) kinds(c) match {
+          case 0 => cur.longs(c) = in.readLong()
+          case 1 => cur.dbls(c) = in.readDouble()
+          case _ =>
+            val len = in.readInt()
+            val b = new Array[Byte](len)
+            in.readFully(b)
+            cur.strs(c) = b
+        }
+        c += 1
+      }
+      true
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Key compare of two run cursors under the sort specs. */
+  private def cmpCursors(
+      specs: Array[TopKKeySpec], kinds: Array[Int], a: RunCursor, b: RunCursor): Int = {
+    var k = 0
+    while (k < specs.length) {
+      val s = specs(k)
+      val c = s.col
+      val an = a.nulls(c)
+      val bn = b.nulls(c)
+      val r =
+        if (an && bn) 0
+        else if (an) { if (s.nullsFirst) -1 else 1 }
+        else if (bn) { if (s.nullsFirst) 1 else -1 }
+        else {
+          val base = kinds(c) match {
+            case 0 => java.lang.Long.compare(a.longs(c), b.longs(c))
+            case 1 => SQLOrderingUtil.compareDoubles(a.dbls(c), b.dbls(c))
+            case _ => java.util.Arrays.compareUnsigned(a.strs(c), b.strs(c))
+          }
+          if (s.desc) -base else base
+        }
+      if (r != 0) return r
+      k += 1
+    }
+    0
+  }
+
+  /** K-way merge of sorted runs into output batches. Ties between runs
+    * are broken arbitrarily (SQL sort is not stability-sensitive). */
+  private def mergeRuns(
+      runsIn: Seq[SortedRun], specs: Array[TopKKeySpec], kinds: Array[Int],
+      colTypes: Array[DataType], onBatch: () => Unit): Iterator[ColumnarBatch] = {
+    // binary min-heap of runs keyed by their current cursor
+    val heap = new Array[SortedRun](runsIn.size)
+    var heapSize = 0
+    def lt(x: SortedRun, y: SortedRun): Boolean = cmpCursors(specs, kinds, x.cur, y.cur) < 0
+    def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && lt(heap(i), heap((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val t = heap(i); heap(i) = heap(p); heap(p) = t
+        i = p
+      }
+    }
+    def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < heapSize && lt(heap(l), heap(m))) m = l
+        if (r < heapSize && lt(heap(r), heap(m))) m = r
+        if (m == i) done = true
+        else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+      }
+    }
+    runsIn.foreach { run =>
+      if (run.advance()) { heap(heapSize) = run; heapSize += 1; siftUp(heapSize - 1) }
+      else run.close()
+    }
+    val nCols = colTypes.length
+    new Iterator[ColumnarBatch] {
+      override def hasNext: Boolean = heapSize > 0
+      override def next(): ColumnarBatch = {
+        val cap = batchRows
+        val nulls = Array.ofDim[Boolean](nCols, cap)
+        val longs = kinds.map(k => if (k == 0) new Array[Long](cap) else null)
+        val dbls = kinds.map(k => if (k == 1) new Array[Double](cap) else null)
+        // string lanes: one concatenated buffer + offset/length per column
+        var strBytes = kinds.map(k => if (k == 2) new Array[Byte](1 << 12) else null)
+        val strUsed = new Array[Int](nCols)
+        val strOffs = kinds.map(k => if (k == 2) new Array[Int](cap) else null)
+        val strLens = kinds.map(k => if (k == 2) new Array[Int](cap) else null)
+        var m = 0
+        while (m < cap && heapSize > 0) {
+          val top = heap(0)
+          val cur = top.cur
+          var c = 0
+          while (c < nCols) {
+            val nl = cur.nulls(c)
+            nulls(c)(m) = nl
+            if (!nl) kinds(c) match {
+              case 0 => longs(c)(m) = cur.longs(c)
+              case 1 => dbls(c)(m) = cur.dbls(c)
+              case _ =>
+                val b = cur.strs(c)
+                if (strUsed(c) + b.length > strBytes(c).length) {
+                  strBytes(c) = java.util.Arrays.copyOf(strBytes(c),
+                    math.max(strBytes(c).length * 2, strUsed(c) + b.length))
+                }
+                System.arraycopy(b, 0, strBytes(c), strUsed(c), b.length)
+                strOffs(c)(m) = strUsed(c)
+                strLens(c)(m) = b.length
+                strUsed(c) += b.length
+            }
+            c += 1
+          }
+          m += 1
+          if (top.advance()) siftDown()
+          else {
+            top.close()
+            heapSize -= 1
+            if (heapSize > 0) { heap(0) = heap(heapSize); heap(heapSize) = null; siftDown() }
+          }
+        }
+        val cols = new Array[ColumnVector](nCols)
+        var c = 0
+        while (c < nCols) {
+          cols(c) = kinds(c) match {
+            case 0 => new LongBuildVector(colTypes(c), longs(c), nulls(c), m)
+            case 1 => new DoubleBuildVector(colTypes(c), dbls(c), nulls(c), m)
+            case _ => new ByteSliceStringVector(strBytes(c), strOffs(c), strLens(c), nulls(c), m)
+          }
+          c += 1
+        }
+        onBatch()
+        new ColumnarBatch(cols, m)
       }
     }
   }

@@ -245,14 +245,17 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case _ => j
         }
 
-      // Columnar INNER shuffled hash join over the same co-located
-      // layout — default ON (winning A/B: the row twin is not a fused
-      // scan pipeline here, so zero-copy stream gathers beat its
-      // per-row ColumnarToRow; see the exec's scaladoc).
+      // Columnar INNER / LEFT OUTER shuffled hash join over the same
+      // co-located layout — default ON (winning A/B: the row twin is not
+      // a fused scan pipeline here, so zero-copy stream gathers beat its
+      // per-row ColumnarToRow; see the exec's scaladoc). LEFT OUTER is
+      // the same probe with misses emitting one null-build row.
       case j @ joins.ShuffledHashJoinExec(
-          lks, rks, org.apache.spark.sql.catalyst.plans.Inner,
-          org.apache.spark.sql.catalyst.optimizer.BuildRight,
-          None, left, right, false) if innerShjEnabled(session) =>
+          lks, rks, jtI, org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          None, left, right, false)
+          if (jtI == org.apache.spark.sql.catalyst.plans.Inner ||
+            jtI == org.apache.spark.sql.catalyst.plans.LeftOuter) &&
+            innerShjEnabled(session) =>
         val build = right match {
           case r: org.apache.spark.sql.execution.RowToColumnarExec => r.child
           case p => p
@@ -281,12 +284,14 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               attrs.map(_.dataType),
               org.apache.spark.sql.types.StructType(build.output.map(at =>
                 org.apache.spark.sql.types.StructField(at.name, at.dataType, at.nullable))),
-              streamOrBuild, left, right)
+              streamOrBuild,
+              leftOuter = jtI == org.apache.spark.sql.catalyst.plans.LeftOuter,
+              left, right)
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
-              "inner shuffled join not columnar-probeable (needs integral " +
-                "attribute keys packing into 8 bytes or a single string key, " +
-                "and supported build column types)"); j
+              "inner/left-outer shuffled join not columnar-probeable (needs " +
+                "integral attribute keys packing into 8 bytes or a single " +
+                "string key, and supported build column types)"); j
           case _ => j
         }
 
@@ -357,30 +362,21 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // ColumnarToRow + SortExec with the typed index sort
       // (GraftColumnarSortExec). Sort keys must be plain attributes and
       // EVERY output column a bufferable type (long/double family or
-      // string) — the operator decomposes batches column-wise. Only
-      // fires when the child is columnar, i.e. a scan-bounded partition
-      // (no disk spill — see the exec's scaladoc).
+      // string) — the operator decomposes batches column-wise. Oversized
+      // partitions spill sorted runs and merge (see the exec's scaladoc).
       case s: org.apache.spark.sql.execution.SortExec
           if s.child.supportsColumnar && (sortEnabled(session) ||
             (narrowSortEnabled(session) && s.output.length <= 4 &&
               s.output.forall(a => org.apache.spark.sql.execution.graft
                 .GraftColumnarSortExec.numericColType(a.dataType)))) =>
         import org.apache.spark.sql.execution.graft.{GraftColumnarSortExec, TopKKeySpec}
-        // Spill-safety gate: the columnar sort buffers its whole
-        // partition with NO spill, so the swap requires a partition
-        // provably bounded by a scan split (maxPartitionBytes): a
-        // NON-bucketed file scan under row-bounded columnar ops.
-        // supportsColumnar alone is NOT enough — a bucketed scan is one
-        // partition per bucket (size-unbounded) and a columnar join
-        // probe's output can exceed its input block.
-        def scanBlockBounded(p: SparkPlan): Boolean = p match {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.relation.bucketSpec.isEmpty || !f.bucketedScan
-          case u: GraftColumnarFilterExec => scanBlockBounded(u.child)
-          case u: GraftColumnarProjectExec => scanBlockBounded(u.child)
-          case u: GraftColumnarSelectExec => scanBlockBounded(u.child)
-          case _ => false
-        }
+        // No spill-safety gate needed: the columnar sort spills sorted
+        // runs to disk on task-memory refusal or past its byte threshold
+        // (see the exec's scaladoc), so bucketed scans (one unbounded
+        // partition per bucket) and row-expanding columnar children
+        // (join probes) are safe to swap — an oversized partition
+        // degrades to run merge IO, exactly like the row SortExec's
+        // UnsafeExternalSorter.
         val keySpecs: Seq[Either[String, TopKKeySpec]] = s.sortOrder.map { so =>
           so.child match {
             case a: AttributeReference
@@ -402,11 +398,6 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             s.setTagValue(fallbackReasonTag,
               "sort output has a non-bufferable column type (long/double " +
                 "family and string only)"); s
-          case None if !scanBlockBounded(s.child) =>
-            s.setTagValue(fallbackReasonTag,
-              "sort child is not a scan-bounded columnar block (bucketed " +
-                "scan or row-expanding operator below) — the no-spill " +
-                "buffer needs a maxPartitionBytes-bounded partition"); s
           case None =>
             GraftColumnarSortExec(
               keySpecs.collect { case scala.Right(k) => k }, s.sortOrder, s.global, s.child)

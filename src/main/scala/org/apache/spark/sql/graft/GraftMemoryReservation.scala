@@ -27,9 +27,8 @@ import org.apache.spark.memory.{MemoryConsumer, MemoryMode, TaskMemoryManager}
   * `spill` returns 0 and pressure surfaces to the CALLER as
   * `reserve = false`: the grouped agg answers by flushing its partial
   * groups early (always correct — the final merge combines duplicates),
-  * the sort by logging once and proceeding (its partition is
-  * scan-block-bounded by the planning gate, so the overshoot is bounded
-  * by one scan split). On a shortfall the partial grant is KEPT, not
+  * the sort by spilling the current block as a sorted run to disk and
+  * restarting its buffers empty. On a shortfall the partial grant is KEPT, not
   * returned: the arrays exist either way, so accounting stays as close
   * to truth as the manager allows.
   *

@@ -241,21 +241,60 @@ class EngineSuite extends GraftTestBase {
       s"columnar sort leaked ${currentReserved.get()} reserved bytes past task end")
   }
 
-  test("columnar sort swap refuses a non-scan-bounded child (no-spill safety gate)") {
-    // A columnar join probe's output is not bounded by one scan split, so
-    // the opt-in sort swap must leave the row SortExec (which spills) and
-    // tag the reason.
-    withSQLConf("spark.graft.columnar.sort.enabled" -> "true") {
-      val li = Tables.t(spark, sfDir, "lineitem")
-      val keys = Tables.t(spark, sfDir, "orders").select($"o_orderkey")
-      val joined = li.join(broadcast(keys), li("l_orderkey") === keys("o_orderkey"))
-        .select($"l_orderkey", $"l_quantity")
-        .orderBy($"l_quantity")
-      joined.collect() // the row path executes fine
-      assert(findExec(joined) {
+  test("columnar sort swaps above a columnar join probe (spill makes it partition-size-safe)") {
+    // A columnar join probe's output is not bounded by one scan split;
+    // the sort kernel is still safe to swap because it spills sorted
+    // runs to disk under memory pressure / past its byte threshold
+    // (previously this shape was gate-refused as a no-spill hazard).
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val keys = Tables.t(spark, sfDir, "orders").select($"o_orderkey")
+    def q() = li.join(broadcast(keys), li("l_orderkey") === keys("o_orderkey"), "left_semi")
+      .select($"l_orderkey", $"l_quantity")
+      .sortWithinPartitions($"l_quantity", $"l_orderkey")
+    val on = withSQLConf(GraftColumnarRule.sortEnabledKey -> "true") {
+      val df = q()
+      val rows = df.collect()
+      assert(findExec(df) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
-      }.isEmpty, s"columnar sort must not swap above a join probe:\n${joined.queryExecution.executedPlan}")
+      }.isDefined, s"columnar sort should swap above the semi probe:\n${df.queryExecution.executedPlan}")
+      rows
     }
+    val off = withSQLConf(
+      GraftColumnarRule.sortEnabledKey -> "false",
+      GraftColumnarRule.narrowSortEnabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "columnar sort above a join probe diverged from the row sort")
+  }
+
+  test("columnar sort spills sorted runs past the threshold and merges them correctly") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.execution.graft.GraftColumnarSortExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-sortspill").toString
+    // unique (k, id) total key -> deterministic order on both paths;
+    // strings + nulls + doubles exercise every run-serialization lane
+    (1 to 20000).map { i =>
+      (if (i % 7 == 0) None else Some(s"key_${i % 613}_${"x" * (i % 23)}"),
+        i.toLong, if (i % 11 == 0) None else Some(i * 1.25 - 9999))
+    }.toDF("k", "id", "v").repartition(1).write.mode("overwrite").parquet(dir)
+    def q() = spark.read.parquet(dir).sortWithinPartitions($"k".desc_nulls_first, $"id")
+    val spilled = withSQLConf(
+      GraftColumnarRule.sortEnabledKey -> "true",
+      GraftColumnarSortExec.spillThresholdKey -> "65536") {
+      val df = q()
+      val rows = df.collect()
+      val exec = findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+      }
+      assert(exec.isDefined, "expected the columnar sort in the plan")
+      assert(exec.get.metrics("spillCount").value > 0,
+        "the 64 KiB threshold must force at least one spilled run")
+      assert(exec.get.metrics("spillBytes").value > 0)
+      rows
+    }
+    val row = withSQLConf(
+      GraftColumnarRule.sortEnabledKey -> "false",
+      GraftColumnarRule.narrowSortEnabledKey -> "false") { q().collect() }
+    assert(spilled.toSeq == row.toSeq, "spill-merge output diverged from the row sort")
   }
 
   test("GraftColumnarGroupedAgg matches the row path incl. null keys, NaN, flush") {
@@ -705,6 +744,25 @@ class EngineSuite extends GraftTestBase {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec => e
       }.isEmpty, "innerShj flag must gate the swap")
     }
+    // LEFT OUTER variant: same probe, misses and the null-key row
+    // survive with every build lane null
+    def louter() = spark.table("colshj_stream")
+      .join(buildWide, $"k" === $"bk", "left_outer")
+    val cdfO = louter()
+    cdfO.collect()
+    assert(findExec(cdfO) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec
+          if e.leftOuter => e
+    }.isDefined, s"expected columnar left-outer SHJ in:\n${cdfO.queryExecution.executedPlan}")
+    val onO = canon(cdfO)
+    val offO = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(louter()) }
+    assert(onO == offO, s"left-outer SHJ: columnar=$onO row=$offO")
+    // 5 inner matches + null-key id 3 + misses ids 4 (99) and 6 (30) = 8
+    assert(onO.size == 8, s"expected 8 left-outer rows, got: $onO")
+    assert(louter().filter($"bk".isNull).select($"id").collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L, 6L)),
+      "unmatched stream rows must survive with null build lanes")
     spark.sql("DROP TABLE IF EXISTS colshj_stream")
     spark.sql("DROP TABLE IF EXISTS colshj_stream_s")
   }
@@ -823,13 +881,20 @@ class EngineSuite extends GraftTestBase {
       (6L, Option(Double.NegativeInfinity), Option("beta")),
       (7L, Option(3.5), Option("Alpha")),
       (8L, Option(Double.PositiveInfinity), Option("zz")))
-      .toDF("id", "d", "s").coalesce(1)
+      .toDF("id", "d", "s")
+      // Decimal64 lane: unscaled-long order == numeric order for a
+      // fixed (p, s); negatives + a null exercise sign flip + placement
+      .withColumn("dec", when($"id" === 3L, lit(null))
+        .otherwise($"id" * lit(1.15) - lit(4.5)).cast("decimal(12,3)"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/t")
     val sorts: Seq[(String, Seq[org.apache.spark.sql.Column])] = Seq(
       "double-nulls-first" -> Seq($"d".asc_nulls_first, $"id"),
       "double-desc-nulls-last" -> Seq($"d".desc_nulls_last, $"id"),
       "string-asc" -> Seq($"s".asc_nulls_last, $"id"),
       "string-desc-nulls-first" -> Seq($"s".desc_nulls_first, $"id"),
+      "decimal-asc-nulls-first" -> Seq($"dec".asc_nulls_first, $"id"),
+      "decimal-desc-nulls-last" -> Seq($"dec".desc_nulls_last, $"id"),
       "id-desc" -> Seq($"id".desc))
     for ((label, keys) <- sorts) {
       def sorted() = spark.read.parquet(s"$dir/t").sortWithinPartitions(keys: _*)

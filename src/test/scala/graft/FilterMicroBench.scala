@@ -363,6 +363,13 @@ object FilterMicroBench {
           .filter($"o_orderpriority".startsWith("1"))
           .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").hint("shuffle_hash")
         spark.table(bktTbl).join(dim, $"l_orderkey" === $"o_orderkey")
+      }),
+      "shj-louter-bkt" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "orders")
+          .filter($"o_orderpriority".startsWith("1"))
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").hint("shuffle_hash")
+        spark.table(bktTbl).join(dim, $"l_orderkey" === $"o_orderkey", "left_outer")
       }))
     sel(shjInnerShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.innerShjEnabledKey, "false")

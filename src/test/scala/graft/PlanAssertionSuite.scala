@@ -403,6 +403,31 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(exchanges.size <= 2, s"stream side must not shuffle:\n$p")
   }
 
+  test("q171 bucketed shuffled left-outer join probes columnar with a single build-side exchange") {
+    val df = run("q171_bucketed_shuffled_left_outer")
+    df.collect()
+    val p = planString(df)
+    // deep traversal: AQE wraps the final plan in AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def deep(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: QueryStageExec => deep(q.plan)
+      case other => other +: other.children.flatMap(deep)
+    }
+    val probe = deep(df.queryExecution.executedPlan).collectFirst {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec => e
+    }
+    assert(probe.exists(_.leftOuter),
+      s"expected the columnar shuffled left-outer probe in:\n$p")
+    // the bucketed stream side joins in place: exchanges = build side +
+    // the final aggregation's at most
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 2, s"stream side must not shuffle:\n$p")
+  }
+
   test("q164 sorted-run export swaps the scan-side local sort for the columnar kernel") {
     val df = run("q164_sorted_run_export")
     df.collect()
