@@ -439,6 +439,40 @@ object OperatorExtraQueries {
       doc = "Shuffled hash LEFT OUTER join with a bucketed stream side: every fact row survives (misses carry null build lanes into an UNMATCHED bucket) while only the filtered dimension shuffles — GraftColumnarShuffledInnerJoinExec with leftOuter=true."),
 
     QueryDef(
+      "q172_bucketed_sorted_export",
+      (s, dir) => {
+        import s.implicits._
+        // Bucket-aligned sorted export: per-bucket local sort with NO
+        // exchange over a bucketed table — the layout-maintenance write
+        // shape (re-sort each bucket's file for downstream merge/SMJ
+        // reads). A bucketed scan is ONE partition per bucket,
+        // size-unbounded, so this shape was gate-refused while the
+        // columnar sort couldn't spill; with sorted-run spill + k-way
+        // merge it swaps (plan-pinned), and an oversized bucket degrades
+        // to run IO exactly like Tungsten's external sorter. The oracle
+        // verifies the row SET (per-bucket order is not
+        // oracle-checkable).
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        val (ot, ct) = (s"g_orders_bkt_$sfx", s"g_customer_bkt_$sfx")
+        ensureBucketed(s, dir, ot, ct)
+        // A plain sort exploits no bucketing, so Spark's
+        // DisableUnnecessaryBucketedScan would fall back to file-split
+        // partitions; a layout-maintenance job wants the per-BUCKET
+        // read, so pin it on a cloned session (runtime confs copied —
+        // the dual-run axes survive; tables live in the shared catalog).
+        val s2 = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v) catch { case _: Exception => () }
+        }
+        s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        s2.table(ot)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .sortWithinPartitions("o_custkey", "o_totalprice", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_totalprice FROM orders"),
+      doc = "Bucket-aligned sorted export: per-bucket local sort with zero exchanges over the bucketed orders layout — swaps to GraftColumnarSortExec (pinned) now that sorted-run spill makes unbounded bucket partitions safe; narrow all-numeric output rides the default-ON radix path."),
+
+    QueryDef(
       "q114_aqe_skew_join",
       (s, dir) => {
         import s.implicits._

@@ -264,11 +264,24 @@ object GraftColumnarTopKExec {
     def cmp(a: AnyRef, b: AnyRef): Int =
       a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
   }
+  /** Decimal64 key: all values of a column share one (p, s), so the
+    * unscaled long compares in numeric order — boxed as Long. */
+  private final class DecimalOps(p: Int, s: Int) extends KeyOps {
+    def extract(v: ColumnVector, i: Int): AnyRef =
+      java.lang.Long.valueOf(v.getDecimal(i, p, s).toUnscaledLong)
+    def cmpVec(v: ColumnVector, i: Int, b: AnyRef): Int =
+      java.lang.Long.compare(v.getDecimal(i, p, s).toUnscaledLong,
+        b.asInstanceOf[java.lang.Long].longValue())
+    def cmp(a: AnyRef, b: AnyRef): Int =
+      java.lang.Long.compare(a.asInstanceOf[java.lang.Long].longValue(),
+        b.asInstanceOf[java.lang.Long].longValue())
+  }
 
   def supportedKeyType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | BooleanType |
          DateType | TimestampType | TimestampNTZType |
          DoubleType | FloatType => true
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => true
     case StringType => dt == StringType // default collation only
     case _ => false
   }
@@ -282,6 +295,8 @@ object GraftColumnarTopKExec {
     case DoubleType => DoubleOps
     case FloatType => FloatOps
     case StringType => StringOps
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      new DecimalOps(d.precision, d.scale)
     case other => throw new IllegalStateException(s"unsupported top-k key type $other")
   }
 

@@ -1418,7 +1418,12 @@ class EngineSuite extends GraftTestBase {
       (5L, Option(0.0), Option.empty[String]), (6L, Option(5.0), Option("日本")),
       (7L, Option(-3.5), Option("A")), (8L, Option.empty[Double], Option("z")),
       (9L, Option(12.25), Option("b")), (10L, Option(5.0), Option("")))
-      .toDF("id", "score", "tag").write.mode("overwrite").parquet(dir)
+      .toDF("id", "score", "tag")
+      // Decimal64 key lane: negatives + nulls, fixed (12,2) scale
+      // (NaN guarded: ANSI would reject the NaN→decimal cast)
+      .withColumn("amt", when($"id" === 5L || isnan($"score"), lit(null))
+        .otherwise($"score" * lit(-3.0) + $"id").cast("decimal(12,2)"))
+      .write.mode("overwrite").parquet(dir)
     def q(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
       mk(spark.read.parquet(dir))
     val shapes: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
@@ -1427,6 +1432,8 @@ class EngineSuite extends GraftTestBase {
       _.orderBy($"score".asc, $"id".desc).limit(5),               // -0.0 == 0.0 tie → id desc
       _.orderBy($"tag".asc_nulls_first, $"id").limit(4),          // string binary order
       _.filter($"id" =!= 9L).orderBy($"id".desc).limit(3),        // long key over columnar filter
+      _.orderBy($"amt".desc_nulls_last, $"id").limit(4),          // Decimal64 unscaled-long key
+      _.orderBy($"amt".asc_nulls_first, $"id".desc).limit(5),     // decimal asc + null first
       _.orderBy($"score".desc, $"id").limit(100))                 // k > #rows
     shapes.zipWithIndex.foreach { case (mk, i) =>
       val cdf = q(mk)

@@ -428,6 +428,22 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(exchanges.size <= 2, s"stream side must not shuffle:\n$p")
   }
 
+  test("q172 bucketed sorted export swaps the per-bucket sort columnar with zero exchanges") {
+    val df = run("q172_bucketed_sorted_export")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarSort"),
+      s"expected the columnar sort kernel over the bucketed scan in:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"expected a bucketed scan in:\n$p")
+    // the whole point: per-bucket sorted runs, no exchange anywhere
+    assert(!p.contains("Exchange"), s"bucketed sorted export must not shuffle:\n$p")
+    val rowSort = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.SortExec => true
+      case _ => false
+    }
+    assert(!rowSort, s"row SortExec must be swapped:\n$p")
+  }
+
   test("q164 sorted-run export swaps the scan-side local sort for the columnar kernel") {
     val df = run("q164_sorted_run_export")
     df.collect()
