@@ -38,7 +38,10 @@ class PlanStabilitySuite extends GraftTestBase {
     // PlanAssertionSuite)
     "q164_sorted_run_export", "q165_bucketed_shuffled_semi",
     "q168_rank_group_limit", "q169_dense_rank_group_limit",
-    "q170_bucketed_shuffled_inner")
+    "q170_bucketed_shuffled_inner",
+    // round-8: the left-outer shuffled probe and the spill-unlocked
+    // bucketed sorted export
+    "q171_bucketed_shuffled_left_outer", "q172_bucketed_sorted_export")
 
   private def skeleton(p: LogicalPlan, depth: Int = 0): String = {
     val self = ("  " * depth) + p.nodeName
