@@ -66,6 +66,11 @@ object SimilarityQueries {
     var cent = e.filter($"vec_id" < k)
       .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))
     (1 to iters).foreach { _ =>
+      // localCheckpoint the K-row centroid table per iteration (the
+      // repo's iterative-pipeline convention, same as q157's codebook
+      // loop): without it each iteration's broadcast re-evaluates every
+      // PRIOR iteration's full assignment lineage — at 100 TB that is
+      // iters-squared corpus passes instead of iters.
       cent = assign(cent)
         .select($"cid", posexplode($"embedding").as(Seq("pos", "v")))
         .groupBy($"cid", $"pos")
@@ -73,6 +78,7 @@ object SimilarityQueries {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
           x => x.getField("m").cast("float")).as("cvec"))
+        .localCheckpoint()
     }
     (cent, assign(cent))
   }
