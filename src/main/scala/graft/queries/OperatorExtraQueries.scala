@@ -473,6 +473,37 @@ object OperatorExtraQueries {
       doc = "Bucket-aligned sorted export: per-bucket local sort with zero exchanges over the bucketed orders layout — swaps to GraftColumnarSortExec (pinned) now that sorted-run spill makes unbounded bucket partitions safe; narrow all-numeric output rides the default-ON radix path."),
 
     QueryDef(
+      "q173_date_key_semi",
+      (s, dir) => {
+        import s.implicits._
+        // Time-dim semi join on a TIMESTAMP equi-key: the partition-date
+        // shape (keep fact rows whose day is in a flagged-day dim).
+        // Date/timestamp keys are not IntegralType, so Spark never packs
+        // them into a LongHashedRelation — the columnar semi probe goes
+        // through the 1-field UnsafeRow path against the same
+        // UnsafeHashedRelation the row join would probe. The dim is
+        // tiny (one month of distinct ship dates) and broadcast.
+        val li = Tables.t(s, dir, "lineitem")
+        val dim = li
+          .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1995-02-01").cast("timestamp"))
+          .select($"l_shipdate".as("flag_day")).distinct()
+        li.join(broadcast(dim), $"l_shipdate" === $"flag_day", "left_semi")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_shipdate IN (
+          SELECT DISTINCT l_shipdate FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1995-02-01')
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Flagged-day semi join on a timestamp equi-key: broadcast time dim probed columnar through the 1-field UnsafeRow path (date/timestamp keys never pack into a LongHashedRelation) — the partition-date join shape at corpus scale."),
+
+    QueryDef(
       "q114_aqe_skew_join",
       (s, dir) => {
         import s.implicits._

@@ -122,8 +122,34 @@ object GraftColumnarBHJExec {
     * the opt-in broadcast inner-probe gate, whose match-buffer cost
     * dominates either way.
     */
+  /** Single-key types probed through a 1-field UnsafeRow against the
+    * UnsafeHashedRelation Spark builds when the key cannot rewrite into
+    * a long: default-collation strings and the date/time family
+    * (DateType/TimestampType are not IntegralType, so
+    * HashJoin.rewriteKeyExpr leaves them unpacked — the partition-date
+    * and event-time dim-join keys). Float/double keys never reach here:
+    * NormalizeFloatingNumbers wraps them in KnownFloatingPointNormalized,
+    * so the plain-attribute gate already keeps those joins on the row
+    * path. */
+  val unsafeSingleKeyTypes: Set[DataType] =
+    Set(StringType, DateType, TimestampType, TimestampNTZType)
+
   def semiProbeKeyShapeOk(dts: Seq[DataType]): Boolean =
-    dts == Seq(StringType) || canPackKeys(dts)
+    canPackKeys(dts) || (dts.length == 1 && unsafeSingleKeyTypes(dts.head))
+
+  /** Loader writing vector slot i of the single unsafe key into row(0).
+    * Primitive lanes box per row — the same per-row cost class as the
+    * string path's UTF8String view; the projection then lays the value
+    * out exactly as the build side's key generator did. */
+  def unsafeKeyLoader(c: org.apache.spark.sql.vectorized.ColumnVector, dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.GenericInternalRow): Int => Unit =
+    dt match {
+      case StringType => i => row.update(0, c.getUTF8String(i))
+      case DateType => i => row.update(0, java.lang.Integer.valueOf(c.getInt(i)))
+      case TimestampType | TimestampNTZType =>
+        i => row.update(0, java.lang.Long.valueOf(c.getLong(i)))
+      case other => throw new IllegalStateException(s"bad unsafe probe key type $other")
+    }
 
   def supportedBuildType(dt: DataType): Boolean =
     longFamily(dt) || doubleFamily(dt) || dt == StringType
@@ -396,19 +422,20 @@ case class GraftColumnarSemiBHJExec(
     val keyTypes = streamKeyTypes.toArray
     val ords = streamOrds.toArray
     val isAnti = anti
-    val isString = keyTypes.length == 1 && keyTypes(0) == StringType
+    val canPack = GraftColumnarBHJExec.canPackKeys(keyTypes)
     val (batchM, rowM, probeM) =
       (metrics("numBatches"), metrics("numOutputRows"), metrics("numProbedRows"))
 
     left.executeColumnar().mapPartitionsInternal { iter =>
       val rel = broadcastRel.value.asReadOnlyCopy()
       var sel = new Array[Int](1 << 10)
-      // String-key probe state (UnsafeHashedRelation): one reusable
-      // 1-field row + the same UnsafeProjection layout the row join's
-      // streamedKeys would generate, so probe bytes == build bytes.
+      // Unsafe-single-key probe state (UnsafeHashedRelation — string /
+      // date / timestamp keys): one reusable 1-field row + the same
+      // UnsafeProjection layout the row join's streamedKeys would
+      // generate, so probe bytes == build bytes.
       val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val keyProj: UnsafeProjection =
-        if (isString) UnsafeProjection.create(Array[DataType](StringType)) else null
+        if (canPack) null else UnsafeProjection.create(Array[DataType](keyTypes(0)))
 
       iter.flatMap { batch =>
         val n = batch.numRows()
@@ -418,17 +445,20 @@ case class GraftColumnarSemiBHJExec(
         // hasMatch(i) assumes no key column is null at i (checked by
         // the caller: a null equi-key never matches).
         val hasMatch: Int => Boolean =
-          if (isString) { i =>
-            // the vector's UTF8String view aliases batch memory — used
-            // only within this probe call, never retained
-            keyRow.update(0, keys(0).getUTF8String(i))
-            val it = rel.get(keyProj(keyRow))
-            it != null && it.hasNext
-          } else {
+          if (canPack) {
             // integral key(s): the packed-long layout of the broadcast
             // LongHashedRelation (HashJoin.rewriteKeyExpr)
             val getKey = GraftColumnarBHJExec.packedKeyGetter(keys, keyTypes)
             i => { val it = rel.get(getKey(i)); it != null && it.hasNext }
+          } else {
+            // the loaded value (e.g. a UTF8String view) aliases batch
+            // memory — used only within this probe call, never retained
+            val load = GraftColumnarBHJExec.unsafeKeyLoader(keys(0), keyTypes(0), keyRow)
+            i => {
+              load(i)
+              val it = rel.get(keyProj(keyRow))
+              it != null && it.hasNext
+            }
           }
         def anyNull(i: Int): Boolean = {
           var j = 0

@@ -84,7 +84,7 @@ case class GraftColumnarShuffledSemiJoinExec(
     val keyTypes = streamKeyTypes.toArray
     val ords = streamOrds.toArray
     val isAnti = anti
-    val isString = keyTypes.length == 1 && keyTypes(0) == StringType
+    val canPack = GraftColumnarBHJExec.canPackKeys(keyTypes)
     // Build keys go through Spark's OWN rewriteKeyExpr when the integral
     // set packs into 8 bytes, so HashedRelation.apply builds the same
     // LongHashedRelation (same packed layout) the row SHJ probes;
@@ -129,7 +129,7 @@ case class GraftColumnarShuffledSemiJoinExec(
       var sel = new Array[Int](1 << 10)
       val keyRow = new GenericInternalRow(1)
       val keyProj: UnsafeProjection =
-        if (isString) UnsafeProjection.create(Array[DataType](StringType)) else null
+        if (canPack) null else UnsafeProjection.create(Array[DataType](keyTypes(0)))
 
       batches.flatMap { batch =>
         val n = batch.numRows()
@@ -138,13 +138,16 @@ case class GraftColumnarShuffledSemiJoinExec(
         val keys = keyOrds.map(batch.column)
         // hasMatch(i) assumes the caller checked nulls first
         val hasMatch: Int => Boolean =
-          if (isString) { i =>
-            keyRow.update(0, keys(0).getUTF8String(i))
-            val it = rel.get(keyProj(keyRow))
-            it != null && it.hasNext
-          } else {
+          if (canPack) {
             val getKey = GraftColumnarBHJExec.packedKeyGetter(keys, keyTypes)
             i => { val it = rel.get(getKey(i)); it != null && it.hasNext }
+          } else {
+            val load = GraftColumnarBHJExec.unsafeKeyLoader(keys(0), keyTypes(0), keyRow)
+            i => {
+              load(i)
+              val it = rel.get(keyProj(keyRow))
+              it != null && it.hasNext
+            }
           }
         def anyNull(i: Int): Boolean = {
           var j = 0
@@ -245,7 +248,7 @@ case class GraftColumnarShuffledInnerJoinExec(
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
     val keyOrds = streamKeyOrds.toArray
     val keyTypes = streamKeyTypes.toArray
-    val isString = keyTypes.length == 1 && keyTypes(0) == StringType
+    val canPack = GraftColumnarBHJExec.canPackKeys(keyTypes)
     val plan = streamOrBuild.toArray
     val buildTypes = buildSideStruct.fields.map(_.dataType)
     val boundBuildKeys: Seq[Expression] = {
@@ -299,19 +302,19 @@ case class GraftColumnarShuffledInnerJoinExec(
       }
       val keyRow = new GenericInternalRow(1)
       val keyProj: UnsafeProjection =
-        if (isString) UnsafeProjection.create(Array[DataType](StringType)) else null
+        if (canPack) null else UnsafeProjection.create(Array[DataType](keyTypes(0)))
 
       batches.flatMap { batch =>
         val n = batch.numRows()
         probeM.add(n)
         val keys = keyOrds.map(batch.column)
         val getIter: Int => Iterator[InternalRow] =
-          if (isString) { i =>
-            keyRow.update(0, keys(0).getUTF8String(i))
-            rel.get(keyProj(keyRow))
-          } else {
+          if (canPack) {
             val getKey = GraftColumnarBHJExec.packedKeyGetter(keys, keyTypes)
             i => rel.get(getKey(i))
+          } else {
+            val load = GraftColumnarBHJExec.unsafeKeyLoader(keys(0), keyTypes(0), keyRow)
+            i => { load(i); rel.get(keyProj(keyRow)) }
           }
         def anyNull(i: Int): Boolean = {
           var j = 0

@@ -204,7 +204,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
               "semi/anti broadcast join not columnar-probeable (needs integral " +
-                "attribute keys packing into 8 bytes, or a single string key)"); j
+                "attribute keys packing into 8 bytes, or a single string/date/" +
+                "timestamp key)"); j
           case _ => j
         }
 
@@ -241,7 +242,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
               "shuffled semi/anti join not columnar-probeable (needs integral " +
-                "attribute keys packing into 8 bytes, or a single string key)"); j
+                "attribute keys packing into 8 bytes, or a single string/date/" +
+                "timestamp key)"); j
           case _ => j
         }
 
@@ -291,7 +293,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             j.setTagValue(fallbackReasonTag,
               "inner/left-outer shuffled join not columnar-probeable (needs " +
                 "integral attribute keys packing into 8 bytes or a single " +
-                "string key, and supported build column types)"); j
+                "string/date/timestamp key, and supported build column types)"); j
           case _ => j
         }
 

@@ -820,6 +820,66 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("columnar join probes: date and timestamp single keys probe the unsafe relation") {
+    // DateType/TimestampType are not IntegralType, so Spark never packs
+    // them into a LongHashedRelation — the probes go through the
+    // 1-field UnsafeRow path (the partition-date / event-time dim-join
+    // shape). Nulls and misses exercise anti semantics.
+    val dir = java.nio.file.Files.createTempDirectory("graft-coldatekey").toString
+    Seq(
+      (1L, Option("2024-01-01"), Option("2024-01-01 10:00:00")),
+      (2L, Option("2024-01-02"), Option("2024-01-02 10:00:00")),
+      (3L, Option.empty[String], Option.empty[String]),
+      (4L, Option("2024-03-09"), Option("2024-03-09 10:00:00")),
+      (5L, Option("2024-01-01"), Option("2024-01-01 10:00:00")))
+      .toDF("id", "ds", "tss")
+      .select($"id", $"ds".cast("date").as("d"), $"tss".cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/stream")
+    val build = Seq(
+      ("2024-01-01", "2024-01-01 10:00:00"),
+      ("2024-01-02", "2024-01-02 10:00:00"),
+      ("2024-12-31", "2024-12-31 10:00:00"))
+      .toDF("bds", "btss").select($"bds".cast("date").as("bd"),
+        $"btss".cast("timestamp").as("bts"))
+    // broadcast semi/anti on the DATE key
+    def bcast(tpe: String) = spark.read.parquet(s"$dir/stream")
+      .join(broadcast(build.select($"bd")), $"d" === $"bd", tpe)
+    for (tpe <- Seq("left_semi", "left_anti")) {
+      val cdf = bcast(tpe)
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSemiBHJExec => e
+      }.isDefined, s"$tpe date key: expected columnar probe in:\n${cdf.queryExecution.executedPlan}")
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(bcast(tpe)) }
+      assert(on == off, s"$tpe date key: columnar=$on row=$off")
+    }
+    assert(bcast("left_semi").select($"id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 5L)))
+    assert(bcast("left_anti").select($"id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(3L, 4L)))
+    // bucketed-stream shuffled INNER on the TIMESTAMP key
+    val wh = java.nio.file.Files.createTempDirectory("graft-coltskey").toString
+    spark.read.parquet(s"$dir/stream").write.format("parquet")
+      .bucketBy(4, "ts").option("path", s"$wh/bkt")
+      .mode("overwrite").saveAsTable("coldate_stream")
+    def shj() = spark.table("coldate_stream")
+      .join(build.select($"bts", lit("x").as("tag")).hint("shuffle_hash"),
+        $"ts" === $"bts")
+    val cdfI = shj()
+    cdfI.collect()
+    assert(findExec(cdfI) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec => e
+    }.isDefined, s"timestamp-key inner SHJ expected in:\n${cdfI.queryExecution.executedPlan}")
+    val onI = canon(cdfI)
+    val offI = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { canon(shj()) }
+    assert(onI == offI, s"timestamp-key inner SHJ: columnar=$onI row=$offI")
+    assert(onI.size == 3, s"ids 1,2,5 match on timestamp: $onI")
+    spark.sql("DROP TABLE IF EXISTS coldate_stream")
+  }
+
   test("columnar join probes: packed composite (int,int) keys incl. negatives parity") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colpack").toString
     // negatives exercise the sign-extension (head key) and masking

@@ -444,6 +444,14 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(!rowSort, s"row SortExec must be swapped:\n$p")
   }
 
+  test("q173 timestamp-key semi join probes columnar through the unsafe-key path") {
+    val df = run("q173_date_key_semi")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarSemiBHJ"),
+      s"expected the columnar semi probe on the timestamp key in:\n$p")
+  }
+
   test("q164 sorted-run export swaps the scan-side local sort for the columnar kernel") {
     val df = run("q164_sorted_run_export")
     df.collect()
