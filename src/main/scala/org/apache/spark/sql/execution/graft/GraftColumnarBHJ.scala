@@ -96,32 +96,29 @@ object GraftColumnarBHJExec {
       DateType, TimestampType, TimestampNTZType)
   val doubleFamily: Set[DataType] = Set(FloatType, DoubleType)
 
-  /** Stream-key types the columnar probe supports: exactly the
-    * single-key shapes Spark rewrites into a LongHashedRelation —
-    * HashJoin.canRewriteAsLongType requires IntegralType (verified in
-    * spark-sql 4.1.2). A Date/Timestamp/Boolean equi-key broadcasts an
-    * UnsafeHashedRelation whose get(Long) throws, so those joins must
-    * stay on the row path.
+  /** Key types Spark rewrites into a LongHashedRelation
+    * (HashJoin.canRewriteAsLongType requires IntegralType, verified in
+    * spark-sql 4.1.2) — the packed fast path of the probes. Anything
+    * else probes through [[unsafeSingleKeyTypes]] or stays on the row
+    * path.
     */
   val probeKeyTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
 
-  /** THE key-shape gate for the semi/anti/shuffled-inner probes (the
-    * planning rule calls this — keep rule and exec from drifting): a
-    * single STRING key, or an integral key set Spark packs into one
-    * long. The string case is the common dedup-join shape (doc-id/url
-    * anti joins): a string equi-key broadcasts an UnsafeHashedRelation,
-    * probed with a 1-field UnsafeRow built by the same UnsafeProjection
-    * the row join's streamedKeys would generate, so the binary key
-    * layout matches the build side bit-for-bit. A/B (FilterMicroBench
-    * sf0.1, ~6k distinct string keys over full lineitem, half kept,
-    * repeated runs): bhj-semi-str a consistent 0.86-0.90x win;
-    * bhj-anti-str parity (0.92-1.16x, median ~1.0, run-noise-dominated
-    * — anti emits the complement so selection pays back less). Shares
-    * the semi gate's default-ON: win on semi, no loss on anti. Kept OFF
-    * the opt-in broadcast inner-probe gate, whose match-buffer cost
-    * dominates either way.
-    */
+  // THE key-shape gate for the semi/anti/shuffled probes is
+  // semiProbeKeyShapeOk below (the planning rule calls it — keeps rule
+  // and exec from drifting): an integral key set Spark packs into one
+  // long, or a single unsafe key. The string case is the common
+  // dedup-join shape (doc-id/url anti joins); its probe row layout
+  // matches the build side bit-for-bit (same UnsafeProjection the row
+  // join's streamedKeys would generate). A/B (FilterMicroBench sf0.1,
+  // ~6k distinct string keys over full lineitem, half kept, repeated
+  // runs): bhj-semi-str a consistent 0.86-0.90x win; bhj-anti-str
+  // parity (0.92-1.16x, median ~1.0, run-noise-dominated — anti emits
+  // the complement so selection pays back less). Shares the semi
+  // gate's default-ON: win on semi, no loss on anti. Kept OFF the
+  // opt-in broadcast inner-probe gate, whose match-buffer cost
+  // dominates either way.
   /** Single-key types probed through a 1-field UnsafeRow against the
     * UnsafeHashedRelation Spark builds when the key cannot rewrite into
     * a long: default-collation strings and the date/time family
@@ -151,8 +148,10 @@ object GraftColumnarBHJExec {
       case other => throw new IllegalStateException(s"bad unsafe probe key type $other")
     }
 
-  def supportedBuildType(dt: DataType): Boolean =
-    longFamily(dt) || doubleFamily(dt) || dt == StringType
+  def supportedBuildType(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS // unscaled-long lane
+    case _ => longFamily(dt) || doubleFamily(dt) || dt == StringType
+  }
 
   /** Multi-key shapes Spark still rewrites into ONE long
     * (HashJoin.canRewriteAsLongType): all integral, total width <= 8
@@ -318,6 +317,9 @@ case class GraftColumnarBHJExec(
                     case BooleanType => buildL(c)(m) = if (row.getBoolean(c)) 1L else 0L
                     case DoubleType => buildD(c)(m) = row.getDouble(c)
                     case FloatType => buildD(c)(m) = row.getFloat(c).toDouble
+                    // Decimal64 rides the long lane as its unscaled value
+                    case d: DecimalType =>
+                      buildL(c)(m) = row.getDecimal(c, d.precision, d.scale).toUnscaledLong
                     case StringType => buildS(c)(m) = row.getUTF8String(c)
                     case other => throw new IllegalStateException(s"bad build type $other")
                   }

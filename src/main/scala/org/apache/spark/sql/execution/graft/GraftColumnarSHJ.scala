@@ -354,6 +354,9 @@ case class GraftColumnarShuffledInnerJoinExec(
                     case BooleanType => buildL(c)(m) = if (row.getBoolean(c)) 1L else 0L
                     case DoubleType => buildD(c)(m) = row.getDouble(c)
                     case FloatType => buildD(c)(m) = row.getFloat(c).toDouble
+                    // Decimal64 rides the long lane as its unscaled value
+                    case d: DecimalType =>
+                      buildL(c)(m) = row.getDecimal(c, d.precision, d.scale).toUnscaledLong
                     // the relation rows live in task memory for the whole
                     // partition, so the UTF8String views stay valid until
                     // the snapshot copy below

@@ -721,7 +721,11 @@ class EngineSuite extends GraftTestBase {
     // incl. string + double columns, null stream keys dropped
     val buildWide = Seq(
       (10L, "a", 1.5), (10L, "b", 2.5), (20L, "c", Double.NaN), (77L, "", -0.0))
-      .toDF("bk", "bs", "bv").hint("shuffle_hash")
+      .toDF("bk", "bs", "bv")
+      // Decimal64 build column rides the long lane (NaN guarded for ANSI)
+      .withColumn("bm", when(isnan($"bv"), lit(null))
+        .otherwise($"bv" * lit(-2.0) + $"bk").cast("decimal(10,2)"))
+      .hint("shuffle_hash")
     def inner() = spark.table("colshj_stream").join(buildWide, $"k" === $"bk")
     val cdfI = inner()
     cdfI.collect()
