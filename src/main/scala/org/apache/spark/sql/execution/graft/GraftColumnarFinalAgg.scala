@@ -265,6 +265,10 @@ case class GraftColumnarFinalAggExec(
                   GraftColumnarAgg.addLong(st.longAcc(si)(gid), r.getLong(col), ansi)
                 st.seen(si)(gid) = true
               }
+            case AggSpec.MomentsSpec(_) =>
+              // unreachable: compileFinal never emits MomentsSpec (the
+              // final stage's divisor/NaN edges stay on the row path)
+              throw new IllegalStateException("MomentsSpec has no final merge")
           }
           si += 1
         }
@@ -390,6 +394,8 @@ case class GraftColumnarFinalAggExec(
                     else cols(c).putNull(i)
                     i += 1
                   }
+                case AggSpec.MomentsSpec(_) =>
+                  throw new IllegalStateException("MomentsSpec has no final merge")
               }
           }
           c += 1

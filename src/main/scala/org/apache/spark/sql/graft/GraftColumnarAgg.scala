@@ -57,6 +57,17 @@ object AggSpec {
     */
   final case class SumLongSpec(col: Int, in: DataType, ansi: Boolean)
       extends AggSpec { def slots = 1 }
+  /** stddev_pop/stddev_samp/var_pop/var_samp partial: Spark's
+    * CentralMomentAgg buffer (n: Double, avg: Double, m2: Double) via
+    * the same Welford update expression tree — newN = n + 1; delta =
+    * x - avg; deltaN = delta / newN; avg += deltaN; m2 += delta *
+    * (delta - deltaN) — evaluated in row order, so the partial buffers
+    * are bit-identical to the row path's. ONE spec serves all four
+    * functions: their PARTIAL buffers are the same, the (unswapped row)
+    * final stage differentiates divisor and null/NaN edges. n is held
+    * as an exact long and emitted as double.
+    */
+  final case class MomentsSpec(col: Int) extends AggSpec { def slots = 3 }
 }
 
 /** Columnar partial HashAggregate for GLOBAL (no grouping keys)
@@ -229,6 +240,23 @@ case class GraftColumnarPartialAggExec(
               }
               i += 1
             }
+          case MomentsSpec(col) =>
+            val v = batch.column(col)
+            var arr = objAcc(si).asInstanceOf[Array[Double]]
+            if (arr == null) { arr = new Array[Double](2); objAcc(si) = arr }
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                val x = v.getDouble(i)
+                val newN = longAcc(si) + 1
+                val delta = x - arr(0)
+                val deltaN = delta / newN
+                arr(0) += deltaN
+                arr(1) += delta * (delta - deltaN)
+                longAcc(si) = newN
+              }
+              i += 1
+            }
         }
         si += 1
       }
@@ -296,6 +324,13 @@ case class GraftColumnarPartialAggExec(
           slot += 1
         case SumLongSpec(_, _, _) =>
           out(slot) = if (seen(si)) longAcc(si) else null; slot += 1
+        case MomentsSpec(_) =>
+          // CentralMomentAgg buffers are non-nullable, initialized 0.0
+          val arr = objAcc(si).asInstanceOf[Array[Double]]
+          out(slot) = longAcc(si).toDouble
+          out(slot + 1) = if (arr == null) 0.0 else arr(0)
+          out(slot + 2) = if (arr == null) 0.0 else arr(1)
+          slot += 3
       }
       si += 1
     }
@@ -440,6 +475,7 @@ object GraftColumnarAgg {
     case SumDec64Spec(_, _, buf, _) => Seq(buf, BooleanType)
     case MinMaxDec64Spec(_, dt, _) => Seq(dt)
     case SumLongSpec(_, _, _) => Seq(LongType)
+    case MomentsSpec(_) => Seq(DoubleType, DoubleType, DoubleType)
   }
 
   private val longFamily: Set[DataType] =
@@ -501,6 +537,14 @@ object GraftColumnarAgg {
         scala.Right(MinMaxStringSpec(ord(a), isMin = false))
       case Average(a: AttributeReference, _) if ord(a) >= 0 && numeric(a.dataType) =>
         scala.Right(AvgSpec(ord(a), a.dataType))
+      case f: CentralMomentAgg
+          if (f.isInstanceOf[StddevPop] || f.isInstanceOf[StddevSamp] ||
+            f.isInstanceOf[VariancePop] || f.isInstanceOf[VarianceSamp]) &&
+            f.child.isInstanceOf[AttributeReference] &&
+            ord(f.child) >= 0 && f.child.dataType == DoubleType =>
+        // analysis casts non-double inputs (Cast child → fallback);
+        // skewness/kurtosis need m3/m4 lanes and keep the row path
+        scala.Right(MomentsSpec(ord(f.child)))
       case other =>
         scala.Left(s"unsupported aggregate: ${other.getClass.getSimpleName}" +
           s"(${other.children.map(_.getClass.getSimpleName).mkString(",")})")
@@ -520,6 +564,9 @@ object GraftColumnarAgg {
     case SumDec64Spec(_, _, buf, _) => buf
     case MinMaxDec64Spec(_, dt, _) => dt
     case SumLongSpec(_, _, _) => LongType
+    // unreachable: compileFinal never emits MomentsSpec (the final
+    // stage's divisor/NaN edges stay on the row path)
+    case MomentsSpec(_) => DoubleType
   }
 
   /** Compile one FINAL-mode AggregateExpression into a spec whose `col`

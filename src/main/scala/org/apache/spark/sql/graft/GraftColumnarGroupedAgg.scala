@@ -309,6 +309,19 @@ case class GraftColumnarGroupedAggExec(
                 i += 1
               }
               slot += 1
+            case MomentsSpec(_) =>
+              // CentralMomentAgg buffers are non-nullable, init 0.0 —
+              // a group exists only after ≥1 input row, but that row's
+              // value may have been NULL (arr stays unallocated)
+              var i = 0
+              while (i < g) {
+                val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
+                cols(slot).putDouble(i, st.longAcc(si)(i).toDouble)
+                cols(slot + 1).putDouble(i, if (arr == null) 0.0 else arr(0))
+                cols(slot + 2).putDouble(i, if (arr == null) 0.0 else arr(1))
+                i += 1
+              }
+              slot += 3
           }
           si += 1
         }
@@ -567,6 +580,30 @@ case class GraftColumnarGroupedAggExec(
                   st.longAcc(si)(gid) =
                     GraftColumnarAgg.addLong(st.longAcc(si)(gid), get(j), ansi)
                   st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case MomentsSpec(col) =>
+              // Welford per group: n in the long lane (exact), (avg, m2)
+              // in a per-group double[2] in the object lane — allocated
+              // on the group's first non-null input, cleared by reset()
+              val v = batch.column(col)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
+                  if (arr == null) {
+                    arr = new Array[Double](2)
+                    st.objAcc(si)(gid) = arr
+                  }
+                  val x = v.getDouble(j)
+                  val newN = st.longAcc(si)(gid) + 1
+                  val delta = x - arr(0)
+                  val deltaN = delta / newN
+                  arr(0) += deltaN
+                  arr(1) += delta * (delta - deltaN)
+                  st.longAcc(si)(gid) = newN
                 }
                 j += 1
               }

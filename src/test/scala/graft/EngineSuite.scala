@@ -297,6 +297,59 @@ class EngineSuite extends GraftTestBase {
     assert(spilled.toSeq == row.toSeq, "spill-merge output diverged from the row sort")
   }
 
+  test("columnar moments partial: stddev/variance family parity, grouped + global") {
+    // MomentsSpec replicates Spark's CentralMomentAgg Welford update
+    // expressions in row order, so the partial buffers (n, avg, m2) are
+    // bit-identical to the row path's — parity is EXACT, not rounded.
+    val dir = java.nio.file.Files.createTempDirectory("graft-moments").toString
+    val rnd = new scala.util.Random(11)
+    (1 to 10000).map { i =>
+      val g = (i % 37).toLong
+      // group 5: all nulls (n=0 → null/NaN edges at the final stage);
+      // group 7: single value (samp divisor-zero edge); magnitudes vary
+      val v =
+        if (g == 5L) Option.empty[Double]
+        else if (g == 7L && i != 7) Option.empty[Double]
+        else if (rnd.nextInt(19) == 0) Option.empty[Double]
+        else Option((rnd.nextDouble() - 0.5) * math.pow(10, i % 7))
+      (g, v)
+    }.toDF("g", "v").coalesce(2).write.mode("overwrite").parquet(dir)
+    def grouped() = spark.read.parquet(dir).groupBy($"g").agg(
+      stddev_samp($"v").as("ss"), stddev_pop($"v").as("sp"),
+      var_samp($"v").as("vs"), var_pop($"v").as("vp"),
+      count($"v").as("n")).orderBy($"g")
+    val gdf = grouped()
+    gdf.collect()
+    assert(findExec(gdf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"expected columnar grouped agg for moments in:\n${gdf.queryExecution.executedPlan}")
+    val gOn = grouped().collect().map(_.toString).toSeq
+    val gOff = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      grouped().collect().map(_.toString).toSeq
+    }
+    assert(gOn == gOff, s"grouped moments diverged:\n on=$gOn\noff=$gOff")
+    def global() = spark.read.parquet(dir).agg(
+      stddev_samp($"v").as("ss"), var_pop($"v").as("vp"), avg($"v").as("a"))
+    val bdf = global()
+    bdf.collect()
+    assert(findExec(bdf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarPartialAggExec => e
+    }.isDefined, s"expected columnar global partial agg for moments in:\n${bdf.queryExecution.executedPlan}")
+    val bOn = global().collect().map(_.toString).toSeq
+    val bOff = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      global().collect().map(_.toString).toSeq
+    }
+    assert(bOn == bOff, s"global moments diverged: on=$bOn off=$bOff")
+    // skewness keeps the row path (m3 lane not implemented)
+    val skew = spark.read.parquet(dir).groupBy($"g").agg(skewness($"v"))
+    skew.collect()
+    assert(findExec(skew) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isEmpty, "skewness must keep the row path")
+  }
+
   test("GraftColumnarGroupedAgg matches the row path incl. null keys, NaN, flush") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colgrpagg").toString
     Seq(
