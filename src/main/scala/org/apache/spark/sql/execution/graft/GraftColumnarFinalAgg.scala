@@ -265,10 +265,10 @@ case class GraftColumnarFinalAggExec(
                   GraftColumnarAgg.addLong(st.longAcc(si)(gid), r.getLong(col), ansi)
                 st.seen(si)(gid) = true
               }
-            case AggSpec.MomentsSpec(_) =>
-              // unreachable: compileFinal never emits MomentsSpec (the
-              // final stage's divisor/NaN edges stay on the row path)
-              throw new IllegalStateException("MomentsSpec has no final merge")
+            case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) =>
+              // unreachable: compileFinal never emits the moment-family
+              // specs (final-stage divisor/NaN edges stay on the row path)
+              throw new IllegalStateException("moment specs have no final merge")
           }
           si += 1
         }
@@ -394,8 +394,8 @@ case class GraftColumnarFinalAggExec(
                     else cols(c).putNull(i)
                     i += 1
                   }
-                case AggSpec.MomentsSpec(_) =>
-                  throw new IllegalStateException("MomentsSpec has no final merge")
+                case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) =>
+                  throw new IllegalStateException("moment specs have no final merge")
               }
           }
           c += 1

@@ -68,6 +68,14 @@ object AggSpec {
     * as an exact long and emitted as double.
     */
   final case class MomentsSpec(col: Int) extends AggSpec { def slots = 3 }
+  /** covar_pop/covar_samp partial: Spark's Covariance buffer (n, xAvg,
+    * yAvg, ck) via the same bivariate Welford update tree — rows update
+    * only when BOTH inputs are non-null (Spark's co-moment null
+    * semantics). One spec serves both divisor variants. */
+  final case class CovSpec(xCol: Int, yCol: Int) extends AggSpec { def slots = 4 }
+  /** corr partial: PearsonCorrelation buffer (n, xAvg, yAvg, ck, xMk,
+    * yMk) — the Covariance update plus per-axis m2 lanes. */
+  final case class CorrSpec(xCol: Int, yCol: Int) extends AggSpec { def slots = 6 }
 }
 
 /** Columnar partial HashAggregate for GLOBAL (no grouping keys)
@@ -257,6 +265,32 @@ case class GraftColumnarPartialAggExec(
               }
               i += 1
             }
+          case CovSpec(xCol, yCol) =>
+            val vx = batch.column(xCol)
+            val vy = batch.column(yCol)
+            var arr = objAcc(si).asInstanceOf[Array[Double]]
+            if (arr == null) { arr = new Array[Double](3); objAcc(si) = arr }
+            var i = 0
+            while (i < m) {
+              if (!vx.isNullAt(i) && !vy.isNullAt(i)) {
+                longAcc(si) = GraftColumnarAgg.covUpdate(
+                  arr, longAcc(si), vx.getDouble(i), vy.getDouble(i), corr = false)
+              }
+              i += 1
+            }
+          case CorrSpec(xCol, yCol) =>
+            val vx = batch.column(xCol)
+            val vy = batch.column(yCol)
+            var arr = objAcc(si).asInstanceOf[Array[Double]]
+            if (arr == null) { arr = new Array[Double](5); objAcc(si) = arr }
+            var i = 0
+            while (i < m) {
+              if (!vx.isNullAt(i) && !vy.isNullAt(i)) {
+                longAcc(si) = GraftColumnarAgg.covUpdate(
+                  arr, longAcc(si), vx.getDouble(i), vy.getDouble(i), corr = true)
+              }
+              i += 1
+            }
         }
         si += 1
       }
@@ -331,6 +365,15 @@ case class GraftColumnarPartialAggExec(
           out(slot + 1) = if (arr == null) 0.0 else arr(0)
           out(slot + 2) = if (arr == null) 0.0 else arr(1)
           slot += 3
+        case s @ (CovSpec(_, _) | CorrSpec(_, _)) =>
+          val arr = objAcc(si).asInstanceOf[Array[Double]]
+          out(slot) = longAcc(si).toDouble
+          var k = 1
+          while (k < s.slots) {
+            out(slot + k) = if (arr == null) 0.0 else arr(k - 1)
+            k += 1
+          }
+          slot += s.slots
       }
       si += 1
     }
@@ -458,6 +501,28 @@ object GraftColumnarAgg {
     * java.lang.Double.compare (so -0.0 < 0.0, matching the ordering the
     * codegen'd least/greatest use).
     */
+  /** One bivariate Welford step matching Spark's Covariance /
+    * PearsonCorrelation update expressions term-for-term (same term
+    * order → bit-identical partial buffers). `arr` = (xAvg, yAvg, ck)
+    * plus (xMk, yMk) when `corr`. Returns the new n. */
+  def covUpdate(arr: Array[Double], n: Long, x: Double, y: Double, corr: Boolean): Long = {
+    val newN = n + 1
+    val dx = x - arr(0)
+    val dxN = dx / newN
+    val dy = y - arr(1)
+    val dyN = dy / newN
+    val newXAvg = arr(0) + dxN
+    val newYAvg = arr(1) + dyN
+    arr(2) += dx * (y - newYAvg)
+    if (corr) {
+      arr(3) += dx * (x - newXAvg)
+      arr(4) += dy * (y - newYAvg)
+    }
+    arr(0) = newXAvg
+    arr(1) = newYAvg
+    newN
+  }
+
   def nanSafeLt(a: Double, b: Double): Boolean =
     if (java.lang.Double.isNaN(a)) false
     else if (java.lang.Double.isNaN(b)) true
@@ -476,6 +541,7 @@ object GraftColumnarAgg {
     case MinMaxDec64Spec(_, dt, _) => Seq(dt)
     case SumLongSpec(_, _, _) => Seq(LongType)
     case MomentsSpec(_) => Seq(DoubleType, DoubleType, DoubleType)
+    case s @ (CovSpec(_, _) | CorrSpec(_, _)) => Seq.fill(s.slots)(DoubleType)
   }
 
   private val longFamily: Set[DataType] =
@@ -545,6 +611,15 @@ object GraftColumnarAgg {
         // analysis casts non-double inputs (Cast child → fallback);
         // skewness/kurtosis need m3/m4 lanes and keep the row path
         scala.Right(MomentsSpec(ord(f.child)))
+      case f: Covariance
+          if (f.isInstanceOf[CovPopulation] || f.isInstanceOf[CovSample]) &&
+            f.children.forall(c => c.isInstanceOf[AttributeReference] &&
+              ord(c) >= 0 && c.dataType == DoubleType) =>
+        scala.Right(CovSpec(ord(f.children(0)), ord(f.children(1))))
+      case f: Corr
+          if f.children.forall(c => c.isInstanceOf[AttributeReference] &&
+            ord(c) >= 0 && c.dataType == DoubleType) =>
+        scala.Right(CorrSpec(ord(f.children(0)), ord(f.children(1))))
       case other =>
         scala.Left(s"unsupported aggregate: ${other.getClass.getSimpleName}" +
           s"(${other.children.map(_.getClass.getSimpleName).mkString(",")})")
@@ -564,9 +639,9 @@ object GraftColumnarAgg {
     case SumDec64Spec(_, _, buf, _) => buf
     case MinMaxDec64Spec(_, dt, _) => dt
     case SumLongSpec(_, _, _) => LongType
-    // unreachable: compileFinal never emits MomentsSpec (the final
-    // stage's divisor/NaN edges stay on the row path)
-    case MomentsSpec(_) => DoubleType
+    // unreachable: compileFinal never emits the moment-family specs
+    // (the final stage's divisor/NaN edges stay on the row path)
+    case MomentsSpec(_) | CovSpec(_, _) | CorrSpec(_, _) => DoubleType
   }
 
   /** Compile one FINAL-mode AggregateExpression into a spec whose `col`

@@ -322,6 +322,19 @@ case class GraftColumnarGroupedAggExec(
                 i += 1
               }
               slot += 3
+            case s @ (CovSpec(_, _) | CorrSpec(_, _)) =>
+              var i = 0
+              while (i < g) {
+                val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
+                cols(slot).putDouble(i, st.longAcc(si)(i).toDouble)
+                var k = 1
+                while (k < s.slots) {
+                  cols(slot + k).putDouble(i, if (arr == null) 0.0 else arr(k - 1))
+                  k += 1
+                }
+                i += 1
+              }
+              slot += s.slots
           }
           si += 1
         }
@@ -604,6 +617,40 @@ case class GraftColumnarGroupedAggExec(
                   arr(0) += deltaN
                   arr(1) += delta * (delta - deltaN)
                   st.longAcc(si)(gid) = newN
+                }
+                j += 1
+              }
+            case CovSpec(xCol, yCol) =>
+              val vx = batch.column(xCol)
+              val vy = batch.column(yCol)
+              var j = 0
+              while (j < m) {
+                if (!vx.isNullAt(j) && !vy.isNullAt(j)) {
+                  val gid = gids(j)
+                  var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
+                  if (arr == null) {
+                    arr = new Array[Double](3)
+                    st.objAcc(si)(gid) = arr
+                  }
+                  st.longAcc(si)(gid) = GraftColumnarAgg.covUpdate(
+                    arr, st.longAcc(si)(gid), vx.getDouble(j), vy.getDouble(j), corr = false)
+                }
+                j += 1
+              }
+            case CorrSpec(xCol, yCol) =>
+              val vx = batch.column(xCol)
+              val vy = batch.column(yCol)
+              var j = 0
+              while (j < m) {
+                if (!vx.isNullAt(j) && !vy.isNullAt(j)) {
+                  val gid = gids(j)
+                  var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
+                  if (arr == null) {
+                    arr = new Array[Double](5)
+                    st.objAcc(si)(gid) = arr
+                  }
+                  st.longAcc(si)(gid) = GraftColumnarAgg.covUpdate(
+                    arr, st.longAcc(si)(gid), vx.getDouble(j), vy.getDouble(j), corr = true)
                 }
                 j += 1
               }

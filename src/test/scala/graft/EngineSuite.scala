@@ -312,11 +312,18 @@ class EngineSuite extends GraftTestBase {
         else if (g == 7L && i != 7) Option.empty[Double]
         else if (rnd.nextInt(19) == 0) Option.empty[Double]
         else Option((rnd.nextDouble() - 0.5) * math.pow(10, i % 7))
-      (g, v)
-    }.toDF("g", "v").coalesce(2).write.mode("overwrite").parquet(dir)
+      // second axis for corr/covar: independent nulls — a row counts
+      // only when BOTH sides are non-null
+      val w =
+        if (rnd.nextInt(13) == 0) Option.empty[Double]
+        else Option(rnd.nextDouble() * 40 - 15 + i % 11)
+      (g, v, w)
+    }.toDF("g", "v", "w").coalesce(2).write.mode("overwrite").parquet(dir)
     def grouped() = spark.read.parquet(dir).groupBy($"g").agg(
       stddev_samp($"v").as("ss"), stddev_pop($"v").as("sp"),
       var_samp($"v").as("vs"), var_pop($"v").as("vp"),
+      corr($"v", $"w").as("cr"), covar_pop($"v", $"w").as("cvp"),
+      covar_samp($"v", $"w").as("cvs"),
       count($"v").as("n")).orderBy($"g")
     val gdf = grouped()
     gdf.collect()

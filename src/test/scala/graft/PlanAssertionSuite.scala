@@ -444,6 +444,14 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(!rowSort, s"row SortExec must be swapped:\n$p")
   }
 
+  test("q37 variance family aggregates columnar (moments + covariance partials)") {
+    val df = run("q37_agg_variance")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"expected the columnar grouped partial agg for the stddev/corr/covar family in:\n$p")
+  }
+
   test("q173 timestamp-key semi join probes columnar through the unsafe-key path") {
     val df = run("q173_date_key_semi")
     df.collect()
