@@ -265,7 +265,8 @@ case class GraftColumnarFinalAggExec(
                   GraftColumnarAgg.addLong(st.longAcc(si)(gid), r.getLong(col), ansi)
                 st.seen(si)(gid) = true
               }
-            case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) =>
+            case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
+                AggSpec.AvgDec64Spec(_, _, _) =>
               // unreachable: compileFinal never emits the moment-family
               // specs (final-stage divisor/NaN edges stay on the row path)
               throw new IllegalStateException("moment specs have no final merge")
@@ -394,7 +395,8 @@ case class GraftColumnarFinalAggExec(
                     else cols(c).putNull(i)
                     i += 1
                   }
-                case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) =>
+                case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
+                AggSpec.AvgDec64Spec(_, _, _) =>
                   throw new IllegalStateException("moment specs have no final merge")
               }
           }

@@ -76,6 +76,12 @@ object AggSpec {
   /** corr partial: PearsonCorrelation buffer (n, xAvg, yAvg, ck, xMk,
     * yMk) — the Covariance update plus per-axis m2 lanes. */
   final case class CorrSpec(xCol: Int, yCol: Int) extends AggSpec { def slots = 6 }
+  /** avg over a Decimal64 input: buffer = (sum: DecimalType
+    * bounded(p+10, s) initialized to ZERO, count: Long) — the SumDec64
+    * exact unscaled-long kernel (BigInteger escape, precision clamp to
+    * null on overflow) plus a count lane. TRY mode keeps the row path. */
+  final case class AvgDec64Spec(col: Int, in: DecimalType, buf: DecimalType)
+      extends AggSpec { def slots = 2 }
 }
 
 /** Columnar partial HashAggregate for GLOBAL (no grouping keys)
@@ -291,6 +297,28 @@ case class GraftColumnarPartialAggExec(
               }
               i += 1
             }
+          case AvgDec64Spec(col, in, _) =>
+            // the SumDec64 add-with-escape on the sum lane; count rides
+            // the (otherwise unused) double lane — exact below 2^53
+            val v = batch.column(col)
+            val get = GraftColumnarAgg.dec64VecGetter(v, in)
+            var i = 0
+            while (i < m) {
+              if (!v.isNullAt(i)) {
+                val x = get(i)
+                val big = objAcc(si)
+                if (big == null) {
+                  val s0 = longAcc(si); val r = s0 + x
+                  if (((s0 ^ r) & (x ^ r)) < 0L)
+                    objAcc(si) = java.math.BigInteger.valueOf(s0)
+                      .add(java.math.BigInteger.valueOf(x))
+                  else longAcc(si) = r
+                } else objAcc(si) = big.asInstanceOf[java.math.BigInteger]
+                  .add(java.math.BigInteger.valueOf(x))
+                dblAcc(si) += 1
+              }
+              i += 1
+            }
         }
         si += 1
       }
@@ -374,6 +402,23 @@ case class GraftColumnarPartialAggExec(
             k += 1
           }
           slot += s.slots
+        case AvgDec64Spec(_, _, buf) =>
+          // Average's decimal buffer initializes sum to ZERO; a null
+          // sum means exactly one thing — overflow past the buffer
+          // precision (same clamp as the SumDec64 path)
+          out(slot) = objAcc(si) match {
+            case null =>
+              if (GraftColumnarAgg.fitsPrecision(longAcc(si), buf.precision))
+                Decimal.createUnsafe(longAcc(si), buf.precision, buf.scale)
+              else null
+            case bi: java.math.BigInteger =>
+              if (GraftColumnarAgg.fitsPrecision(bi, buf.precision))
+                Decimal(new java.math.BigDecimal(bi, buf.scale))
+              else null
+            case _ => null
+          }
+          out(slot + 1) = dblAcc(si).toLong
+          slot += 2
       }
       si += 1
     }
@@ -542,6 +587,7 @@ object GraftColumnarAgg {
     case SumLongSpec(_, _, _) => Seq(LongType)
     case MomentsSpec(_) => Seq(DoubleType, DoubleType, DoubleType)
     case s @ (CovSpec(_, _) | CorrSpec(_, _)) => Seq.fill(s.slots)(DoubleType)
+    case AvgDec64Spec(_, _, buf) => Seq(buf, LongType)
   }
 
   private val longFamily: Set[DataType] =
@@ -603,6 +649,14 @@ object GraftColumnarAgg {
         scala.Right(MinMaxStringSpec(ord(a), isMin = false))
       case Average(a: AttributeReference, _) if ord(a) >= 0 && numeric(a.dataType) =>
         scala.Right(AvgSpec(ord(a), a.dataType))
+      case Average(a: AttributeReference, em) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] &&
+          a.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS &&
+          em != EvalMode.TRY =>
+        val in = a.dataType.asInstanceOf[DecimalType]
+        // Average's decimal sum buffer type: bounded(p + 10, s)
+        scala.Right(AvgDec64Spec(ord(a), in,
+          DecimalType.bounded(in.precision + 10, in.scale)))
       case f: CentralMomentAgg
           if (f.isInstanceOf[StddevPop] || f.isInstanceOf[StddevSamp] ||
             f.isInstanceOf[VariancePop] || f.isInstanceOf[VarianceSamp]) &&
@@ -642,6 +696,9 @@ object GraftColumnarAgg {
     // unreachable: compileFinal never emits the moment-family specs
     // (the final stage's divisor/NaN edges stay on the row path)
     case MomentsSpec(_) | CovSpec(_, _) | CorrSpec(_, _) => DoubleType
+    // unreachable: compileFinal never emits AvgDec64Spec (the final
+    // divide's rounding/ANSI edges stay on the row path)
+    case AvgDec64Spec(_, _, buf) => buf
   }
 
   /** Compile one FINAL-mode AggregateExpression into a spec whose `col`

@@ -335,6 +335,17 @@ case class GraftColumnarGroupedAggExec(
                 i += 1
               }
               slot += s.slots
+            case AvgDec64Spec(_, _, buf) =>
+              // buffer = (sum starting at ZERO, count) — null sum means
+              // overflow past the buffer precision, nothing else
+              var i = 0
+              while (i < g) {
+                GraftColumnarAgg.putPartialDecSum(
+                  cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
+                cols(slot + 1).putLong(i, st.dblAcc(si)(i).toLong)
+                i += 1
+              }
+              slot += 2
           }
           si += 1
         }
@@ -651,6 +662,29 @@ case class GraftColumnarGroupedAggExec(
                   }
                   st.longAcc(si)(gid) = GraftColumnarAgg.covUpdate(
                     arr, st.longAcc(si)(gid), vx.getDouble(j), vy.getDouble(j), corr = true)
+                }
+                j += 1
+              }
+            case AvgDec64Spec(col, in, _) =>
+              // SumDec64's add-with-escape on the sum lane; count rides
+              // the double lane (exact below 2^53)
+              val v = batch.column(col)
+              val get = GraftColumnarAgg.dec64VecGetter(v, in)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  val x = get(j)
+                  val big = st.objAcc(si)(gid)
+                  if (big == null) {
+                    val s0 = st.longAcc(si)(gid); val r = s0 + x
+                    if (((s0 ^ r) & (x ^ r)) < 0L)
+                      st.objAcc(si)(gid) = java.math.BigInteger.valueOf(s0)
+                        .add(java.math.BigInteger.valueOf(x))
+                    else st.longAcc(si)(gid) = r
+                  } else st.objAcc(si)(gid) = big.asInstanceOf[java.math.BigInteger]
+                    .add(java.math.BigInteger.valueOf(x))
+                  st.dblAcc(si)(gid) += 1
                 }
                 j += 1
               }

@@ -357,6 +357,44 @@ class EngineSuite extends GraftTestBase {
     }.isEmpty, "skewness must keep the row path")
   }
 
+  test("columnar avg over Decimal64 parity, grouped + global") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avgdec").toString
+    (1 to 5000).map { i =>
+      val g = (i % 13).toLong
+      // group 4: all nulls → avg = null (count 0); negatives included
+      val d = if (g == 4L || i % 7 == 0) Option.empty[Long] else Option(i * 37L - 90000L)
+      (g, d)
+    }.toDF("g", "cents")
+      .withColumn("d", ($"cents" / lit(100.0)).cast("decimal(12,2)"))
+      .select($"g", $"d")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    def grouped() = spark.read.parquet(dir).groupBy($"g")
+      .agg(avg($"d").as("a"), count($"d").as("n")).orderBy($"g")
+    val gdf = grouped()
+    gdf.collect()
+    assert(findExec(gdf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"expected columnar grouped agg for avg(decimal) in:\n${gdf.queryExecution.executedPlan}")
+    val gOn = grouped().collect().map(_.toString).toSeq
+    val gOff = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      grouped().collect().map(_.toString).toSeq
+    }
+    assert(gOn == gOff, s"grouped avg(decimal) diverged:\n on=$gOn\noff=$gOff")
+    def global() = spark.read.parquet(dir).agg(avg($"d").as("a"))
+    val bdf = global()
+    bdf.collect()
+    assert(findExec(bdf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarPartialAggExec => e
+    }.isDefined, s"expected columnar global partial agg for avg(decimal) in:\n${bdf.queryExecution.executedPlan}")
+    val bOn = global().collect().map(_.toString).toSeq
+    val bOff = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      global().collect().map(_.toString).toSeq
+    }
+    assert(bOn == bOff, s"global avg(decimal) diverged: on=$bOn off=$bOff")
+  }
+
   test("GraftColumnarGroupedAgg matches the row path incl. null keys, NaN, flush") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colgrpagg").toString
     Seq(
