@@ -504,6 +504,33 @@ object OperatorExtraQueries {
       doc = "Flagged-day semi join on a timestamp equi-key: broadcast time dim probed columnar through the 1-field UnsafeRow path (date/timestamp keys never pack into a LongHashedRelation) — the partition-date join shape at corpus scale."),
 
     QueryDef(
+      "q174_decimal_avg",
+      (s, dir) => {
+        import s.implicits._
+        // Money-column averages through the EXACT Decimal64 kernel:
+        // avg(decimal p<=18) partial-aggregates columnar as (unscaled
+        // long sum with BigInteger escape, count) — Spark's Average
+        // decimal buffer — so the mean is exact before the final
+        // divide. Results surface as doubles for the DuckDB oracle
+        // (DuckDB's avg(DECIMAL) is DOUBLE; 6-sig-fig compare).
+        Tables.t(s, dir, "lineitem")
+          .select($"l_linestatus",
+            $"l_quantity".cast("decimal(12,2)").as("qty"),
+            $"l_extendedprice".cast("decimal(14,2)").as("price"))
+          .groupBy($"l_linestatus")
+          .agg(avg($"qty").cast("double").as("avg_qty"),
+            avg($"price").cast("double").as("avg_price"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+          CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS avg_qty,
+          CAST(avg(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS avg_price,
+          count(*) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+      doc = "Decimal64 money averages: avg(decimal p<=18) partial-aggregates columnar on the exact unscaled-long kernel (AvgDec64Spec) — sums never round before the final divide."),
+
+    QueryDef(
       "q114_aqe_skew_join",
       (s, dir) => {
         import s.implicits._

@@ -452,6 +452,14 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the columnar grouped partial agg for the stddev/corr/covar family in:\n$p")
   }
 
+  test("q174 decimal averages partial-aggregate columnar on the Decimal64 kernel") {
+    val df = run("q174_decimal_avg")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"expected the columnar grouped partial agg for avg(decimal) in:\n$p")
+  }
+
   test("q173 timestamp-key semi join probes columnar through the unsafe-key path") {
     val df = run("q173_date_key_semi")
     df.collect()
