@@ -64,6 +64,15 @@ object FilterMicroBench {
         Tables.t(spark, sfDir, "lineitem")
           .groupBy($"l_orderkey") // ~15k groups/partition at sf0.1
           .agg(count(lit(1)), sum($"l_discount"), max($"l_quantity"))
+      }),
+      // the variance-family Welford kernels (MomentsSpec/CovSpec/CorrSpec)
+      "grouped-agg-moments" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(stddev_samp($"l_extendedprice"), var_pop($"l_quantity"),
+            corr($"l_quantity", $"l_extendedprice"),
+            covar_samp($"l_quantity", $"l_discount"))
       }))
 
     // MICRO_ONLY=prefix1,prefix2 runs just matching shapes (the full
