@@ -266,7 +266,8 @@ case class GraftColumnarFinalAggExec(
                 st.seen(si)(gid) = true
               }
             case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
-                AggSpec.AvgDec64Spec(_, _, _) =>
+                AggSpec.AvgDec64Spec(_, _, _) |
+                AggSpec.FirstLastSpec(_, _, _, _) =>
               // unreachable: compileFinal never emits the moment-family
               // specs (final-stage divisor/NaN edges stay on the row path)
               throw new IllegalStateException("moment specs have no final merge")
@@ -396,7 +397,8 @@ case class GraftColumnarFinalAggExec(
                     i += 1
                   }
                 case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
-                AggSpec.AvgDec64Spec(_, _, _) =>
+                AggSpec.AvgDec64Spec(_, _, _) |
+                AggSpec.FirstLastSpec(_, _, _, _) =>
                   throw new IllegalStateException("moment specs have no final merge")
               }
           }

@@ -84,6 +84,15 @@ object AggSpec {
     * null on overflow) plus a count lane. TRY mode keeps the row path. */
   final case class AvgDec64Spec(col: Int, in: DecimalType, buf: DecimalType)
       extends AggSpec { def slots = 2 }
+  /** first/last partial: Spark's (value: T, valueSet: Boolean) buffer.
+    * Row order within the partition == batch order, so the captured
+    * value matches the row path's exactly. With ignoreNulls=false the
+    * captured value may itself be NULL (the first/last ROW's value) —
+    * the object lane marks that case. `last` overwrites per qualifying
+    * row (strings clone per capture — the simple correct form; the
+    * first variant stops capturing once set). */
+  final case class FirstLastSpec(col: Int, dt: DataType, isFirst: Boolean,
+      ignoreNulls: Boolean) extends AggSpec { def slots = 2 }
 }
 
 /** Columnar partial HashAggregate for GLOBAL (no grouping keys)
@@ -321,6 +330,25 @@ case class GraftColumnarPartialAggExec(
               }
               i += 1
             }
+          case FirstLastSpec(col, dt, isFirst, ignoreNulls) =>
+            if (!(isFirst && seen(si))) {
+              val v = batch.column(col)
+              var i = 0
+              var break = false
+              while (i < m && !break) {
+                val isNull = v.isNullAt(i)
+                if (!ignoreNulls || !isNull) {
+                  if (isNull) objAcc(si) = java.lang.Boolean.TRUE
+                  else {
+                    objAcc(si) = null
+                    GraftColumnarAgg.captureSlot(v, i, dt, longAcc, dblAcc, strAcc, si)
+                  }
+                  seen(si) = true
+                  if (isFirst) break = true
+                }
+                i += 1
+              }
+            }
         }
         si += 1
       }
@@ -420,6 +448,22 @@ case class GraftColumnarPartialAggExec(
             case _ => null
           }
           out(slot + 1) = dblAcc(si).toLong
+          slot += 2
+        case FirstLastSpec(_, dt, _, _) =>
+          out(slot) =
+            if (!seen(si) || (objAcc(si) ne null)) null
+            else dt match {
+              case DoubleType => dblAcc(si)
+              case FloatType => dblAcc(si).toFloat
+              case StringType => strAcc(si)
+              case d: DecimalType => Decimal.createUnsafe(longAcc(si), d.precision, d.scale)
+              case ByteType => longAcc(si).toByte
+              case ShortType => longAcc(si).toShort
+              case IntegerType | DateType => longAcc(si).toInt
+              case BooleanType => java.lang.Boolean.valueOf(longAcc(si) != 0L)
+              case _ => longAcc(si)
+            }
+          out(slot + 1) = java.lang.Boolean.valueOf(seen(si))
           slot += 2
       }
       si += 1
@@ -570,6 +614,21 @@ object GraftColumnarAgg {
     newN
   }
 
+  /** Capture vector slot `i` into the spec's typed lane (first/last). */
+  def captureSlot(v: org.apache.spark.sql.vectorized.ColumnVector, i: Int, dt: DataType,
+      longAcc: Array[Long], dblAcc: Array[Double], strAcc: Array[UTF8String], si: Int): Unit =
+    dt match {
+      case DoubleType => dblAcc(si) = v.getDouble(i)
+      case FloatType => dblAcc(si) = v.getFloat(i).toDouble
+      case StringType => strAcc(si) = v.getUTF8String(i).clone()
+      case d: DecimalType => longAcc(si) = v.getDecimal(i, d.precision, d.scale).toUnscaledLong
+      case IntegerType | DateType => longAcc(si) = v.getInt(i).toLong
+      case ShortType => longAcc(si) = v.getShort(i).toLong
+      case ByteType => longAcc(si) = v.getByte(i).toLong
+      case BooleanType => longAcc(si) = if (v.getBoolean(i)) 1L else 0L
+      case _ => longAcc(si) = v.getLong(i)
+    }
+
   def nanSafeLt(a: Double, b: Double): Boolean =
     if (java.lang.Double.isNaN(a)) false
     else if (java.lang.Double.isNaN(b)) true
@@ -590,12 +649,19 @@ object GraftColumnarAgg {
     case MomentsSpec(_) => Seq(DoubleType, DoubleType, DoubleType)
     case s @ (CovSpec(_, _) | CorrSpec(_, _)) => Seq.fill(s.slots)(DoubleType)
     case AvgDec64Spec(_, _, buf) => Seq(buf, LongType)
+    case FirstLastSpec(_, dt, _, _) => Seq(dt, BooleanType)
   }
 
   private val longFamily: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType, DateType, TimestampType, TimestampNTZType)
   private val numeric: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+
+  private def firstLastType(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
+    case StringType | DoubleType | FloatType | BooleanType => true
+    case t => longFamily(t)
+  }
 
   /** Compile one Partial-mode AggregateExpression into a spec, or a
     * fallback reason. `ord` resolves an attribute to a child column.
@@ -676,6 +742,12 @@ object GraftColumnarAgg {
           if f.children.forall(c => c.isInstanceOf[AttributeReference] &&
             ord(c) >= 0 && c.dataType == DoubleType) =>
         scala.Right(CorrSpec(ord(f.children(0)), ord(f.children(1))))
+      case f @ First(a: AttributeReference, _)
+          if ord(a) >= 0 && firstLastType(a.dataType) =>
+        scala.Right(FirstLastSpec(ord(a), a.dataType, isFirst = true, f.ignoreNulls))
+      case f @ Last(a: AttributeReference, _)
+          if ord(a) >= 0 && firstLastType(a.dataType) =>
+        scala.Right(FirstLastSpec(ord(a), a.dataType, isFirst = false, f.ignoreNulls))
       case other =>
         scala.Left(s"unsupported aggregate: ${other.getClass.getSimpleName}" +
           s"(${other.children.map(_.getClass.getSimpleName).mkString(",")})")
@@ -701,6 +773,8 @@ object GraftColumnarAgg {
     // unreachable: compileFinal never emits AvgDec64Spec (the final
     // divide's rounding/ANSI edges stay on the row path)
     case AvgDec64Spec(_, _, buf) => buf
+    // unreachable: compileFinal never emits FirstLastSpec
+    case FirstLastSpec(_, dt, _, _) => dt
   }
 
   /** Compile one FINAL-mode AggregateExpression into a spec whose `col`

@@ -346,6 +346,30 @@ case class GraftColumnarGroupedAggExec(
                 i += 1
               }
               slot += 2
+            case FirstLastSpec(_, dt, _, _) =>
+              // buffer = (value — may be a captured NULL when
+              // ignoreNulls=false (object-lane marker), valueSet)
+              var i = 0
+              while (i < g) {
+                if (!st.seen(si)(i) || (st.objAcc(si)(i) ne null)) cols(slot).putNull(i)
+                else dt match {
+                  case StringType =>
+                    cols(slot).putByteArray(i, st.strAcc(si)(i).getBytes)
+                  case DoubleType => cols(slot).putDouble(i, st.dblAcc(si)(i))
+                  case FloatType => cols(slot).putFloat(i, st.dblAcc(si)(i).toFloat)
+                  case d: DecimalType => cols(slot).putDecimal(i,
+                    Decimal.createUnsafe(st.longAcc(si)(i), d.precision, d.scale),
+                    d.precision)
+                  case ByteType => cols(slot).putByte(i, st.longAcc(si)(i).toByte)
+                  case ShortType => cols(slot).putShort(i, st.longAcc(si)(i).toShort)
+                  case IntegerType | DateType => cols(slot).putInt(i, st.longAcc(si)(i).toInt)
+                  case BooleanType => cols(slot).putBoolean(i, st.longAcc(si)(i) != 0L)
+                  case _ => cols(slot).putLong(i, st.longAcc(si)(i))
+                }
+                cols(slot + 1).putBoolean(i, st.seen(si)(i))
+                i += 1
+              }
+              slot += 2
           }
           si += 1
         }
@@ -685,6 +709,37 @@ case class GraftColumnarGroupedAggExec(
                   } else st.objAcc(si)(gid) = big.asInstanceOf[java.math.BigInteger]
                     .add(java.math.BigInteger.valueOf(x))
                   st.dblAcc(si)(gid) += 1
+                }
+                j += 1
+              }
+            case FirstLastSpec(col, dt, isFirst, ignoreNulls) =>
+              val v = batch.column(col)
+              var j = 0
+              while (j < m) {
+                val gid = gids(j)
+                if (!(isFirst && st.seen(si)(gid))) {
+                  val isNull = v.isNullAt(j)
+                  if (!ignoreNulls || !isNull) {
+                    if (isNull) st.objAcc(si)(gid) = java.lang.Boolean.TRUE
+                    else {
+                      st.objAcc(si)(gid) = null
+                      dt match {
+                        case DoubleType => st.dblAcc(si)(gid) = v.getDouble(j)
+                        case FloatType => st.dblAcc(si)(gid) = v.getFloat(j).toDouble
+                        case StringType => st.strAcc(si)(gid) = v.getUTF8String(j).clone()
+                        case d: DecimalType =>
+                          st.longAcc(si)(gid) =
+                            v.getDecimal(j, d.precision, d.scale).toUnscaledLong
+                        case IntegerType | DateType => st.longAcc(si)(gid) = v.getInt(j).toLong
+                        case ShortType => st.longAcc(si)(gid) = v.getShort(j).toLong
+                        case ByteType => st.longAcc(si)(gid) = v.getByte(j).toLong
+                        case BooleanType =>
+                          st.longAcc(si)(gid) = if (v.getBoolean(j)) 1L else 0L
+                        case _ => st.longAcc(si)(gid) = v.getLong(j)
+                      }
+                    }
+                    st.seen(si)(gid) = true
+                  }
                 }
                 j += 1
               }

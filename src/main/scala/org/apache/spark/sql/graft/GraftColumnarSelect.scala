@@ -591,55 +591,81 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             }
         }
 
-      // Grouped partial aggregation (HashAggregate only — swapping a
-      // SortAggregate would orphan the sort the planner put below it):
-      // attribute-only keys of long-family/string types, compilable
-      // functions, plain buffer layout. Memory-bounded by maxGroups
-      // (early flush of partial rows — the final merge dedups).
-      case agg: HashAggregateExec
-          if agg.groupingExpressions.nonEmpty && agg.child.supportsColumnar =>
+      // Grouped partial aggregation: attribute-only keys of long-family/
+      // string types, compilable functions, plain buffer layout.
+      // Memory-bounded by maxGroups (early flush of partial rows — the
+      // final merge dedups). HashAggregate swaps over its columnar child
+      // directly; a partial SortAggregate (string/immutable buffer types
+      // — min/max/first/last over strings) sits on a map-side Sort the
+      // hash kernel does not need, so the swap absorbs BOTH nodes (the
+      // WindowGroupLimit move) when the sort's input is columnar.
+      case agg: BaseAggregateExec
+          if (agg.isInstanceOf[HashAggregateExec] ||
+            agg.isInstanceOf[SortAggregateExec]) &&
+            agg.groupingExpressions.nonEmpty && {
+              agg match {
+                case _: HashAggregateExec => agg.child.supportsColumnar
+                case _ => true // sort-agg shape checked below
+              }
+            } =>
         // aggregateExpressions may be EMPTY: a DISTINCT's partial
         // HashAggregate is keys-only, and the kernel's zero-spec case
         // is exactly per-partition dedup (maxGroups flush stays safe —
         // the final stage re-dedups).
-        val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
-          case a: AttributeReference => agg.child.output.indexWhere(_.exprId == a.exprId)
-          case _ => -1
-        }
-        val keySpecs = agg.groupingExpressions.map {
-          case a: AttributeReference
-              if ord(a) >= 0 && GraftColumnarGroupedAggExec.supportedKeyTypes(a.dataType) =>
-            scala.Right(GroupKeySpec(ord(a), a.dataType))
-          case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
-        }
-        val compiled = agg.aggregateExpressions.map(ae => GraftColumnarAgg.compile(ae, ord))
-        (keySpecs ++ compiled).collectFirst { case scala.Left(e) => e } match {
-          case Some(reason) =>
-            agg.setTagValue(fallbackReasonTag, reason); agg
-          case None =>
-            val ks = keySpecs.collect { case scala.Right(k) => k }
-            val specs = compiled.collect { case scala.Right(s) => s }
-            // exprId-exact key prefix: same-typed keys can legally be
-            // REORDERED in resultExpressions (e.g. a keys-only distinct
-            // under a projection) — a type-only check would emit the
-            // kernel's grouping order under the wrong output attributes
-            val keyIds = agg.groupingExpressions.collect {
-              case a: AttributeReference => a.exprId }
-            val layoutOk =
-              agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
-                agg.resultExpressions.take(keyIds.size).collect {
-                  case a: Attribute => a.exprId } == keyIds &&
-                (agg.groupingExpressions.map(_.dataType) ++
-                  specs.flatMap(GraftColumnarAgg.slotTypes)) == agg.output.map(_.dataType)
-            if (layoutOk) {
-              val maxGroups = session.conf
-                .getOption(GraftColumnarGroupedAggExec.maxGroupsKey)
-                .map(_.toInt).getOrElse(GraftColumnarGroupedAggExec.defaultMaxGroups)
-              GraftColumnarGroupedAggExec(agg.output, ks, specs, agg.child, maxGroups)
-            } else {
-              agg.setTagValue(fallbackReasonTag,
-                "partial output is not keys ++ plain buffer attributes"); agg
+        val base: SparkPlan = agg match {
+          case _: HashAggregateExec => agg.child
+          case _ =>
+            agg.child match {
+              case st: org.apache.spark.sql.execution.SortExec
+                  if !st.global && st.child.supportsColumnar => st.child
+              // transformUp may already have swapped the map-side sort
+              // for the columnar kernel — absorb it too
+              case gs: org.apache.spark.sql.execution.graft.GraftColumnarSortExec
+                  if !gs.global => gs.child
+              case _ => null
             }
+        }
+        if (base == null) agg
+        else {
+          val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
+            case a: AttributeReference => base.output.indexWhere(_.exprId == a.exprId)
+            case _ => -1
+          }
+          val keySpecs = agg.groupingExpressions.map {
+            case a: AttributeReference
+                if ord(a) >= 0 && GraftColumnarGroupedAggExec.supportedKeyTypes(a.dataType) =>
+              scala.Right(GroupKeySpec(ord(a), a.dataType))
+            case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
+          }
+          val compiled = agg.aggregateExpressions.map(ae => GraftColumnarAgg.compile(ae, ord))
+          (keySpecs ++ compiled).collectFirst { case scala.Left(e) => e } match {
+            case Some(reason) =>
+              agg.setTagValue(fallbackReasonTag, reason); agg
+            case None =>
+              val ks = keySpecs.collect { case scala.Right(k) => k }
+              val specs = compiled.collect { case scala.Right(s) => s }
+              // exprId-exact key prefix: same-typed keys can legally be
+              // REORDERED in resultExpressions (e.g. a keys-only distinct
+              // under a projection) — a type-only check would emit the
+              // kernel's grouping order under the wrong output attributes
+              val keyIds = agg.groupingExpressions.collect {
+                case a: AttributeReference => a.exprId }
+              val layoutOk =
+                agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
+                  agg.resultExpressions.take(keyIds.size).collect {
+                    case a: Attribute => a.exprId } == keyIds &&
+                  (agg.groupingExpressions.map(_.dataType) ++
+                    specs.flatMap(GraftColumnarAgg.slotTypes)) == agg.output.map(_.dataType)
+              if (layoutOk) {
+                val maxGroups = session.conf
+                  .getOption(GraftColumnarGroupedAggExec.maxGroupsKey)
+                  .map(_.toInt).getOrElse(GraftColumnarGroupedAggExec.defaultMaxGroups)
+                GraftColumnarGroupedAggExec(agg.output, ks, specs, base, maxGroups)
+              } else {
+                agg.setTagValue(fallbackReasonTag,
+                  "partial output is not keys ++ plain buffer attributes"); agg
+              }
+          }
         }
 
       // Global partial aggregation: both HashAggregate and SortAggregate

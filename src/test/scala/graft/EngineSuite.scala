@@ -395,6 +395,39 @@ class EngineSuite extends GraftTestBase {
     assert(bOn == bOff, s"global avg(decimal) diverged: on=$bOn off=$bOff")
   }
 
+  test("columnar first/last partials parity incl. ignoreNulls and captured nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-firstlast").toString
+    // one input partition: the partial capture IS the total answer, so
+    // parity is deterministic; group 3 starts with nulls (ignoreNulls
+    // flip visible), group 6 is all-null
+    (1 to 3000).map { i =>
+      val g = (i % 9).toLong
+      val v =
+        if (g == 6L) Option.empty[String]
+        else if (g == 3L && i < 300) Option.empty[String]
+        else if (i % 11 == 0) Option.empty[String]
+        else Option(s"s${i}_${g}")
+      val d = v.map(_ => i * 0.5 - 700)
+      (g, v, d)
+    }.toDF("g", "v", "d").coalesce(1).write.mode("overwrite").parquet(dir)
+    def q() = spark.read.parquet(dir).groupBy($"g").agg(
+      first($"v").as("f_any"), first($"v", ignoreNulls = true).as("f_nn"),
+      last($"v").as("l_any"), last($"v", ignoreNulls = true).as("l_nn"),
+      first($"d", ignoreNulls = true).as("fd"), last($"d").as("ld"),
+      count($"v").as("n")).orderBy($"g")
+    val cdf = q()
+    cdf.collect()
+    assert(findExec(cdf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"expected columnar grouped agg for first/last in:\n${cdf.queryExecution.executedPlan}")
+    val on = q().collect().map(_.toString).toSeq
+    val off = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      q().collect().map(_.toString).toSeq
+    }
+    assert(on == off, s"first/last diverged:\n on=$on\noff=$off")
+  }
+
   test("GraftColumnarGroupedAgg matches the row path incl. null keys, NaN, flush") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colgrpagg").toString
     Seq(
