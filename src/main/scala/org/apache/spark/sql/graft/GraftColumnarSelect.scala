@@ -599,6 +599,10 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // — min/max/first/last over strings) sits on a map-side Sort the
       // hash kernel does not need, so the swap absorbs BOTH nodes (the
       // WindowGroupLimit move) when the sort's input is columnar.
+      // A/B (FilterMicroBench grouped-agg-sortabsorb*, sf0.1, 3 runs):
+      // low-card string min/max/last 0.56-0.58x (the eliminated sort
+      // dominates); hi-card 0.81-1.05x — parity within run noise (flush
+      // epochs trade against the radix sort's long-key speed).
       case agg: BaseAggregateExec
           if (agg.isInstanceOf[HashAggregateExec] ||
             agg.isInstanceOf[SortAggregateExec]) &&

@@ -73,6 +73,22 @@ object FilterMicroBench {
           .agg(stddev_samp($"l_extendedprice"), var_pop($"l_quantity"),
             corr($"l_quantity", $"l_extendedprice"),
             covar_samp($"l_quantity", $"l_discount"))
+      }),
+      // string buffers force the row planner onto Sort + SortAggregate;
+      // the columnar swap absorbs both (hash kernel needs no order)
+      "grouped-agg-sortabsorb" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(min($"l_returnflag"), max($"l_linestatus"),
+            first($"l_returnflag", ignoreNulls = true), count(lit(1)))
+      }),
+      "grouped-agg-sortabsorb-low" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(min($"l_linestatus"), max($"l_linestatus"),
+            last($"l_linestatus", ignoreNulls = true), count(lit(1)))
       }))
 
     // MICRO_ONLY=prefix1,prefix2 runs just matching shapes (the full
