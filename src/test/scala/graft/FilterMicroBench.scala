@@ -335,7 +335,13 @@ object FilterMicroBench {
       "sort-narrow-4col-2key" -> (() =>
         Tables.t(spark, sfDir, "lineitem")
           .select($"l_orderkey", $"l_extendedprice", $"l_quantity", $"l_discount")
-          .sortWithinPartitions($"l_quantity", $"l_extendedprice".desc)))
+          .sortWithinPartitions($"l_quantity", $"l_extendedprice".desc)),
+      // Decimal64 key on the unscaled-long lane (narrow default surface)
+      "sort-narrow-dec" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey",
+            $"l_extendedprice".cast("decimal(12,2)").as("price"))
+          .sortWithinPartitions($"price".desc, $"l_orderkey")))
     sel(sortShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.sortEnabledKey, "false")
       spark.conf.set(GraftColumnarRule.narrowSortEnabledKey, "false")
