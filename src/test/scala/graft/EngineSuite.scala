@@ -276,25 +276,34 @@ class EngineSuite extends GraftTestBase {
       (if (i % 7 == 0) None else Some(s"key_${i % 613}_${"x" * (i % 23)}"),
         i.toLong, if (i % 11 == 0) None else Some(i * 1.25 - 9999))
     }.toDF("k", "id", "v").repartition(1).write.mode("overwrite").parquet(dir)
-    def q() = spark.read.parquet(dir).sortWithinPartitions($"k".desc_nulls_first, $"id")
-    val spilled = withSQLConf(
-      GraftColumnarRule.sortEnabledKey -> "true",
-      GraftColumnarSortExec.spillThresholdKey -> "65536") {
-      val df = q()
-      val rows = df.collect()
-      val exec = findExec(df) {
-        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+    // several orderings exercise every merge-comparator lane: string
+    // desc + nulls-first primary, double asc + nulls-last primary with a
+    // desc string secondary, and a long primary with tie runs
+    val orderings: Seq[(String, Seq[org.apache.spark.sql.Column])] = Seq(
+      "string-desc-nf" -> Seq($"k".desc_nulls_first, $"id"),
+      "double-asc-nl-strsec" -> Seq($"v".asc_nulls_last, $"k".desc, $"id"),
+      "string-ties-desc-sec" -> Seq($"k".asc_nulls_last, $"id".desc))
+    for ((label, keys) <- orderings) {
+      def qq() = spark.read.parquet(dir).sortWithinPartitions(keys: _*)
+      val spilled = withSQLConf(
+        GraftColumnarRule.sortEnabledKey -> "true",
+        GraftColumnarSortExec.spillThresholdKey -> "65536") {
+        val df = qq()
+        val rows = df.collect()
+        val exec = findExec(df) {
+          case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+        }
+        assert(exec.isDefined, s"$label: expected the columnar sort in the plan:\n${df.queryExecution.executedPlan}")
+        assert(exec.get.metrics("spillCount").value > 0,
+          s"$label: the 64 KiB threshold must force at least one spilled run")
+        assert(exec.get.metrics("spillBytes").value > 0)
+        rows
       }
-      assert(exec.isDefined, "expected the columnar sort in the plan")
-      assert(exec.get.metrics("spillCount").value > 0,
-        "the 64 KiB threshold must force at least one spilled run")
-      assert(exec.get.metrics("spillBytes").value > 0)
-      rows
+      val row = withSQLConf(
+        GraftColumnarRule.sortEnabledKey -> "false",
+        GraftColumnarRule.narrowSortEnabledKey -> "false") { qq().collect() }
+      assert(spilled.toSeq == row.toSeq, s"$label: spill-merge diverged from the row sort")
     }
-    val row = withSQLConf(
-      GraftColumnarRule.sortEnabledKey -> "false",
-      GraftColumnarRule.narrowSortEnabledKey -> "false") { q().collect() }
-    assert(spilled.toSeq == row.toSeq, "spill-merge output diverged from the row sort")
   }
 
   test("columnar moments partial: stddev/variance family parity, grouped + global") {
