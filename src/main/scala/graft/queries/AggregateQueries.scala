@@ -413,6 +413,39 @@ object AggregateQueries {
           round(regr_syy(l_extendedprice, l_quantity) / 1e6, 2) AS syy_m,
           round(regr_sxy(l_extendedprice, l_quantity) / 1e6, 2) AS sxy_m
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "regr_* linear-regression aggregate family (count/slope/intercept/r2/avgx/avgy/sxx/syy/sxy): single-pass mergeable moments, partial-before-shuffle; second moments scaled before rounding for merge-order independence.")
+      doc = "regr_* linear-regression aggregate family (count/slope/intercept/r2/avgx/avgy/sxx/syy/sxy): single-pass mergeable moments, partial-before-shuffle; second moments scaled before rounding for merge-order independence."),
+
+    QueryDef(
+      "q175_string_minmax_agg",
+      (s, dir) => {
+        import s.implicits._
+        // String min/max buffers are immutable, so vanilla Spark plans the
+        // PARTIAL stage as Sort + SortAggregate (ObjectHashAggregate only
+        // applies to TypedImperativeAggregate). This is exactly the shape
+        // the round-8 absorption targets: the columnar grouped-agg kernel
+        // needs no map-side order, so both nodes collapse into
+        // GraftColumnarGroupedAggExec (pinned in PlanAssertionSuite).
+        // first(p_brand) is deterministic — constant within its group.
+        // All agg inputs are plain attributes (the gate's requirement).
+        Tables.t(s, dir, "part")
+          .groupBy($"p_brand")
+          .agg(
+            min($"p_name").as("min_name"),
+            max($"p_name").as("max_name"),
+            min($"p_type").as("min_type"),
+            max($"p_type").as("max_type"),
+            first($"p_brand").as("fst_brand"),
+            min($"p_size").cast("long").as("min_size"),
+            count(lit(1)).as("n"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand,
+          min(p_name) AS min_name, max(p_name) AS max_name,
+          min(p_type) AS min_type, max(p_type) AS max_type,
+          first(p_brand) AS fst_brand,
+          CAST(min(p_size) AS BIGINT) AS min_size,
+          count(*) AS n
+        FROM part GROUP BY p_brand ORDER BY p_brand"""),
+      doc = "Grouped string min/max + group-constant first: the partial stage that vanilla Spark plans as Sort + SortAggregate, absorbed whole into the columnar grouped-agg kernel (map-side sort eliminated; 0.56-0.58x A/B on low-card keys).")
   )
 }

@@ -460,6 +460,23 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the columnar grouped partial agg for avg(decimal) in:\n$p")
   }
 
+  test("q175 partial SortAggregate + map-side sort absorbed into the columnar grouped agg") {
+    val df = run("q175_string_minmax_agg")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"expected the partial string min/max stage absorbed by the columnar kernel in:\n$p")
+    // Exactly one SortAggregate survives in the executed plan: the FINAL
+    // stage above the exchange (string buffers stay immutable there). If
+    // the partial one reappears, the absorption gate regressed. (The
+    // formatted explain is not used here — its "Initial Plan" section and
+    // per-node details repeat the name.)
+    val ep = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val sortAggs = "SortAggregate".r.findAllIn(ep).size
+    assert(sortAggs == 1, s"expected only the final SortAggregate, found $sortAggs in:\n$ep")
+  }
+
   test("q173 timestamp-key semi join probes columnar through the unsafe-key path") {
     val df = run("q173_date_key_semi")
     df.collect()
