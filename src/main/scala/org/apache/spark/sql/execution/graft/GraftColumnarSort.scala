@@ -180,7 +180,18 @@ case class GraftColumnarSortExec(
           }
         }
       } else {
-        // spilled: k-way merge the disk runs + the final in-memory block
+        // spilled: k-way merge the disk runs + the final in-memory block.
+        // Bounded fan-in: above mergeFanIn runs, intermediate passes
+        // merge groups to single files first (fd- and buffer-bounded,
+        // UnsafeExternalSorter's multi-pass shape); `spills` is mutated
+        // in place so the completion listener deletes the live set.
+        while (spills.length > mergeFanIn) {
+          val merged = spills.toSeq.grouped(mergeFanIn).map { g =>
+            if (g.length == 1) g.head else mergeSpillGroup(g, specs, kinds)
+          }.toSeq
+          spills.clear()
+          spills ++= merged
+        }
         val runs = scala.collection.mutable.ArrayBuffer.empty[SortedRun]
         if (n > 0) {
           res.foreach(_.reserve(4L * n))
@@ -212,6 +223,12 @@ case class GraftColumnarSortExec(
 object GraftColumnarSortExec {
   /** Output batch chunk size for the sorted gather. */
   val batchRows = 4096
+
+  /** Max simultaneous spill-run streams in one merge; beyond this the
+    * intermediate merge-to-disk pass runs first. 64 runs × 64 KiB read
+    * buffers = 4 MiB per task — comfortably inside executor memory
+    * even at 32 concurrent tasks, and far under any fd ulimit. */
+  val mergeFanIn = 64
 
   /** Buffered-bytes threshold above which the partition spills a sorted
     * run to disk (a spill is also forced by task-memory refusal
@@ -767,7 +784,111 @@ object GraftColumnarSortExec {
       }
       true
     }
-    override def close(): Unit = in.close()
+    private var closed = false
+    override def close(): Unit = if (!closed) { closed = true; in.close() }
+  }
+
+  /** Binary min-heap of sorted runs keyed by their current cursor —
+    * shared by the batch-emitting merge and the intermediate
+    * merge-to-disk pass. Runs that are exhausted (or empty on entry)
+    * are closed as they drain; [[closeAll]] closes the rest (wired to
+    * the TaskCompletionListener so a partially-consumed merge — e.g. a
+    * LIMIT above the sort — cannot leak file descriptors).
+    */
+  private final class RunHeap(
+      runsIn: Seq[SortedRun], specs: Array[TopKKeySpec], kinds: Array[Int]) {
+    private val heap = new Array[SortedRun](runsIn.size)
+    var size = 0
+    private def lt(x: SortedRun, y: SortedRun): Boolean =
+      cmpCursors(specs, kinds, x.cur, y.cur) < 0
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && lt(heap(i), heap((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val t = heap(i); heap(i) = heap(p); heap(p) = t
+        i = p
+      }
+    }
+    private def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < size && lt(heap(l), heap(m))) m = l
+        if (r < size && lt(heap(r), heap(m))) m = r
+        if (m == i) done = true
+        else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+      }
+    }
+    runsIn.foreach { run =>
+      if (run.advance()) { heap(size) = run; size += 1; siftUp(size - 1) }
+      else run.close()
+    }
+    def top: SortedRun = heap(0)
+    /** Advance past the top's current (consumed) row. */
+    def step(): Unit = {
+      val t = heap(0)
+      if (t.advance()) siftDown()
+      else {
+        t.close()
+        size -= 1
+        if (size > 0) { heap(0) = heap(size); heap(size) = null; siftDown() }
+      }
+    }
+    def closeAll(): Unit = {
+      var i = 0
+      while (i < size) {
+        try heap(i).close() catch { case _: java.io.IOException => () }
+        heap(i) = null
+        i += 1
+      }
+      size = 0
+    }
+  }
+
+  /** Merge a group of spilled runs into ONE new spill file (same on-disk
+    * format), deleting the inputs. Bounds the final merge's fan-in the
+    * way UnsafeExternalSorter's multi-pass merge does: without it a
+    * large partition under a small spill threshold opens every run's
+    * stream simultaneously and can exhaust file descriptors.
+    */
+  private def mergeSpillGroup(
+      group: Seq[SpillFile], specs: Array[TopKKeySpec], kinds: Array[Int]): SpillFile = {
+    val total = java.lang.Math.toIntExact(group.map(_.rows.toLong).sum)
+    val file =
+      if (org.apache.spark.SparkEnv.get != null) {
+        org.apache.spark.SparkEnv.get.blockManager.diskBlockManager.createTempLocalBlock()._2
+      } else java.io.File.createTempFile("graft-sort-spill", ".run")
+    val out = new java.io.DataOutputStream(wrapOut(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file), 1 << 16)))
+    val h = new RunHeap(group.map(sp => new DiskRun(sp, kinds)), specs, kinds)
+    try {
+      out.writeInt(total)
+      while (h.size > 0) {
+        val cur = h.top.cur
+        var c = 0
+        while (c < kinds.length) {
+          val nl = cur.nulls(c)
+          out.writeBoolean(nl)
+          if (!nl) kinds(c) match {
+            case 0 => out.writeLong(cur.longs(c))
+            case 1 => out.writeDouble(cur.dbls(c))
+            case _ =>
+              out.writeInt(cur.strs(c).length)
+              out.write(cur.strs(c))
+          }
+          c += 1
+        }
+        h.step()
+      }
+    } finally {
+      h.closeAll()
+      out.close()
+    }
+    group.foreach(_.file.delete())
+    SpillFile(file, total)
   }
 
   /** Key compare of two run cursors under the sort specs. */
@@ -802,38 +923,14 @@ object GraftColumnarSortExec {
   private def mergeRuns(
       runsIn: Seq[SortedRun], specs: Array[TopKKeySpec], kinds: Array[Int],
       colTypes: Array[DataType], onBatch: () => Unit): Iterator[ColumnarBatch] = {
-    // binary min-heap of runs keyed by their current cursor
-    val heap = new Array[SortedRun](runsIn.size)
-    var heapSize = 0
-    def lt(x: SortedRun, y: SortedRun): Boolean = cmpCursors(specs, kinds, x.cur, y.cur) < 0
-    def siftUp(i0: Int): Unit = {
-      var i = i0
-      while (i > 0 && lt(heap(i), heap((i - 1) / 2))) {
-        val p = (i - 1) / 2
-        val t = heap(i); heap(i) = heap(p); heap(p) = t
-        i = p
-      }
-    }
-    def siftDown(): Unit = {
-      var i = 0
-      var done = false
-      while (!done) {
-        val l = 2 * i + 1
-        val r = l + 1
-        var m = i
-        if (l < heapSize && lt(heap(l), heap(m))) m = l
-        if (r < heapSize && lt(heap(r), heap(m))) m = r
-        if (m == i) done = true
-        else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
-      }
-    }
-    runsIn.foreach { run =>
-      if (run.advance()) { heap(heapSize) = run; heapSize += 1; siftUp(heapSize - 1) }
-      else run.close()
-    }
+    val h = new RunHeap(runsIn, specs, kinds)
+    // a LIMIT above the sort can abandon this iterator mid-merge —
+    // close whatever streams remain open at task end
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => h.closeAll()))
     val nCols = colTypes.length
     new Iterator[ColumnarBatch] {
-      override def hasNext: Boolean = heapSize > 0
+      override def hasNext: Boolean = h.size > 0
       override def next(): ColumnarBatch = {
         val cap = batchRows
         val nulls = Array.ofDim[Boolean](nCols, cap)
@@ -845,9 +942,8 @@ object GraftColumnarSortExec {
         val strOffs = kinds.map(k => if (k == 2) new Array[Int](cap) else null)
         val strLens = kinds.map(k => if (k == 2) new Array[Int](cap) else null)
         var m = 0
-        while (m < cap && heapSize > 0) {
-          val top = heap(0)
-          val cur = top.cur
+        while (m < cap && h.size > 0) {
+          val cur = h.top.cur
           var c = 0
           while (c < nCols) {
             val nl = cur.nulls(c)
@@ -869,12 +965,7 @@ object GraftColumnarSortExec {
             c += 1
           }
           m += 1
-          if (top.advance()) siftDown()
-          else {
-            top.close()
-            heapSize -= 1
-            if (heapSize > 0) { heap(0) = heap(heapSize); heap(heapSize) = null; siftDown() }
-          }
+          h.step()
         }
         val cols = new Array[ColumnVector](nCols)
         var c = 0

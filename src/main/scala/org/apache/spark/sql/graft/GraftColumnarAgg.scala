@@ -721,6 +721,20 @@ object GraftColumnarAgg {
           a.dataType.isInstanceOf[DecimalType] &&
           a.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS &&
           em != EvalMode.TRY =>
+        // ANSI is safe to admit: the kernel nulls a partial sum that
+        // overflows the bounded(p+10, s) buffer — the same clamp
+        // UnsafeRow.setDecimal applies on the row partial — and the
+        // FINAL stage is always the row Average (compileFinal never
+        // emits this spec), whose DecimalDivideWithOverflowCheck
+        // (verified in the 4.1.2 bytecode: eval throws when the sum is
+        // null and nullOnOverflow=false) raises ARITHMETIC_OVERFLOW on
+        // the merged null exactly as it would for a row-produced one.
+        // Same emission-time-vs-per-write clamp nuance as SumDec64Spec:
+        // a sum that transiently exceeds p+10 mid-partition and returns
+        // in range emits the exact value where the row path would have
+        // poisoned the buffer — exact-where-Spark-clamps, never the
+        // reverse. TRY keeps the row path (its null contract is the
+        // final's, not the buffer's).
         val in = a.dataType.asInstanceOf[DecimalType]
         // Average's decimal sum buffer type: bounded(p + 10, s)
         scala.Right(AvgDec64Spec(ord(a), in,

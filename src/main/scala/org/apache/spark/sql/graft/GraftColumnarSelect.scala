@@ -603,73 +603,42 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // low-card string min/max/last 0.56-0.58x (the eliminated sort
       // dominates); hi-card 0.81-1.05x — parity within run noise (flush
       // epochs trade against the radix sort's long-key speed).
-      case agg: BaseAggregateExec
-          if (agg.isInstanceOf[HashAggregateExec] ||
-            agg.isInstanceOf[SortAggregateExec]) &&
-            agg.groupingExpressions.nonEmpty && {
-              agg match {
-                case _: HashAggregateExec => agg.child.supportsColumnar
-                case _ => true // sort-agg shape checked below
-              }
-            } =>
-        // aggregateExpressions may be EMPTY: a DISTINCT's partial
-        // HashAggregate is keys-only, and the kernel's zero-spec case
-        // is exactly per-partition dedup (maxGroups flush stays safe —
-        // the final stage re-dedups).
-        val base: SparkPlan = agg match {
-          case _: HashAggregateExec => agg.child
-          case _ =>
-            agg.child match {
-              case st: org.apache.spark.sql.execution.SortExec
-                  if !st.global && st.child.supportsColumnar => st.child
-              // transformUp may already have swapped the map-side sort
-              // for the columnar kernel — absorb it too
-              case gs: org.apache.spark.sql.execution.graft.GraftColumnarSortExec
-                  if !gs.global => gs.child
-              case _ => null
-            }
+      //
+      // aggregateExpressions may be EMPTY: a DISTINCT's partial
+      // HashAggregate is keys-only, and the kernel's zero-spec case
+      // is exactly per-partition dedup (maxGroups flush stays safe —
+      // the final stage re-dedups).
+      case agg: HashAggregateExec
+          if agg.groupingExpressions.nonEmpty && agg.child.supportsColumnar =>
+        swapGroupedPartial(agg, agg.child)
+
+      // Partial SortAggregate absorption is matched ON THE EXCHANGE (the
+      // WindowGroupLimit pattern above), never on the bare node:
+      // SortAggregateExec's outputOrdering (grouping keys) can satisfy a
+      // downstream requiredChildOrdering when NO shuffle intervenes
+      // (group-by on a bucketed table's sorted bucket column, a
+      // single-partition plan) — EnsureRequirements has already run, so
+      // swapping in the hash kernel (outputOrdering = Nil) there would
+      // feed the final SortAggregate unsorted rows and silently produce
+      // duplicate groups. Under a shuffle the map-side ordering is
+      // destroyed anyway, so absorbing Sort + SortAggregate is safe.
+      case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if ex.child.isInstanceOf[SortAggregateExec] &&
+            ex.child.asInstanceOf[SortAggregateExec].groupingExpressions.nonEmpty =>
+        val agg = ex.child.asInstanceOf[SortAggregateExec]
+        val base: SparkPlan = agg.child match {
+          case st: org.apache.spark.sql.execution.SortExec
+              if !st.global && st.child.supportsColumnar => st.child
+          // transformUp may already have swapped the map-side sort
+          // for the columnar kernel — absorb it too
+          case gs: org.apache.spark.sql.execution.graft.GraftColumnarSortExec
+              if !gs.global => gs.child
+          case _ => null
         }
-        if (base == null) agg
+        if (base == null) ex
         else {
-          val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
-            case a: AttributeReference => base.output.indexWhere(_.exprId == a.exprId)
-            case _ => -1
-          }
-          val keySpecs = agg.groupingExpressions.map {
-            case a: AttributeReference
-                if ord(a) >= 0 && GraftColumnarGroupedAggExec.supportedKeyTypes(a.dataType) =>
-              scala.Right(GroupKeySpec(ord(a), a.dataType))
-            case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
-          }
-          val compiled = agg.aggregateExpressions.map(ae => GraftColumnarAgg.compile(ae, ord))
-          (keySpecs ++ compiled).collectFirst { case scala.Left(e) => e } match {
-            case Some(reason) =>
-              agg.setTagValue(fallbackReasonTag, reason); agg
-            case None =>
-              val ks = keySpecs.collect { case scala.Right(k) => k }
-              val specs = compiled.collect { case scala.Right(s) => s }
-              // exprId-exact key prefix: same-typed keys can legally be
-              // REORDERED in resultExpressions (e.g. a keys-only distinct
-              // under a projection) — a type-only check would emit the
-              // kernel's grouping order under the wrong output attributes
-              val keyIds = agg.groupingExpressions.collect {
-                case a: AttributeReference => a.exprId }
-              val layoutOk =
-                agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
-                  agg.resultExpressions.take(keyIds.size).collect {
-                    case a: Attribute => a.exprId } == keyIds &&
-                  (agg.groupingExpressions.map(_.dataType) ++
-                    specs.flatMap(GraftColumnarAgg.slotTypes)) == agg.output.map(_.dataType)
-              if (layoutOk) {
-                val maxGroups = session.conf
-                  .getOption(GraftColumnarGroupedAggExec.maxGroupsKey)
-                  .map(_.toInt).getOrElse(GraftColumnarGroupedAggExec.defaultMaxGroups)
-                GraftColumnarGroupedAggExec(agg.output, ks, specs, base, maxGroups)
-              } else {
-                agg.setTagValue(fallbackReasonTag,
-                  "partial output is not keys ++ plain buffer attributes"); agg
-              }
-          }
+          val swapped = swapGroupedPartial(agg, base)
+          if (swapped eq agg) ex else ex.withNewChildren(Seq(swapped))
         }
 
       // Global partial aggregation: both HashAggregate and SortAggregate
@@ -699,6 +668,55 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 "partial output is not a plain buffer-attribute row"); agg
             }
         }
+    }
+
+    /** Shared grouped-partial swap body for the direct HashAggregate
+      * match and the exchange-gated SortAggregate absorption. Returns
+      * the columnar kernel over `base`, or `agg` itself (tagged with
+      * the fallback reason) when any key/function/layout check fails.
+      */
+    private def swapGroupedPartial(
+        agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec,
+        base: SparkPlan): SparkPlan = {
+      val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
+        case a: AttributeReference => base.output.indexWhere(_.exprId == a.exprId)
+        case _ => -1
+      }
+      val keySpecs = agg.groupingExpressions.map {
+        case a: AttributeReference
+            if ord(a) >= 0 && GraftColumnarGroupedAggExec.supportedKeyTypes(a.dataType) =>
+          scala.Right(GroupKeySpec(ord(a), a.dataType))
+        case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
+      }
+      val compiled = agg.aggregateExpressions.map(ae => GraftColumnarAgg.compile(ae, ord))
+      (keySpecs ++ compiled).collectFirst { case scala.Left(e) => e } match {
+        case Some(reason) =>
+          agg.setTagValue(fallbackReasonTag, reason); agg
+        case None =>
+          val ks = keySpecs.collect { case scala.Right(k) => k }
+          val specs = compiled.collect { case scala.Right(s) => s }
+          // exprId-exact key prefix: same-typed keys can legally be
+          // REORDERED in resultExpressions (e.g. a keys-only distinct
+          // under a projection) — a type-only check would emit the
+          // kernel's grouping order under the wrong output attributes
+          val keyIds = agg.groupingExpressions.collect {
+            case a: AttributeReference => a.exprId }
+          val layoutOk =
+            agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
+              agg.resultExpressions.take(keyIds.size).collect {
+                case a: Attribute => a.exprId } == keyIds &&
+              (agg.groupingExpressions.map(_.dataType) ++
+                specs.flatMap(GraftColumnarAgg.slotTypes)) == agg.output.map(_.dataType)
+          if (layoutOk) {
+            val maxGroups = session.conf
+              .getOption(GraftColumnarGroupedAggExec.maxGroupsKey)
+              .map(_.toInt).getOrElse(GraftColumnarGroupedAggExec.defaultMaxGroups)
+            GraftColumnarGroupedAggExec(agg.output, ks, specs, base, maxGroups)
+          } else {
+            agg.setTagValue(fallbackReasonTag,
+              "partial output is not keys ++ plain buffer attributes"); agg
+          }
+      }
     }
   }
 }

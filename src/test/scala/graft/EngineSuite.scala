@@ -306,6 +306,40 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("columnar sort multi-pass merge: run count above the fan-in cap stays correct") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.execution.graft.GraftColumnarSortExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-sortfanin").toString
+    (1 to 300000).map { i =>
+      (if (i % 5 == 0) None else Some(s"s_${i % 811}"), i.toLong, i * 0.75 - 123)
+    }.toDF("k", "id", "v").repartition(1).write.mode("overwrite").parquet(dir)
+    def qq() = spark.read.parquet(dir)
+      .sortWithinPartitions($"k".desc_nulls_first, $"v".asc, $"id")
+    // spills trigger at most once per input batch (~4096 scan rows), so
+    // 300k rows in one partition under a 4 KiB threshold → ~73 runs,
+    // above the 64-run fan-in cap → the intermediate mergeSpillGroup
+    // pass must run; parity vs the row sort proves the re-serialized
+    // intermediate format round-trips every lane
+    val spilled = withSQLConf(
+      GraftColumnarRule.sortEnabledKey -> "true",
+      GraftColumnarSortExec.spillThresholdKey -> "4096") {
+      val df = qq()
+      val rows = df.collect()
+      val exec = findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+      }
+      assert(exec.isDefined)
+      val runCount = exec.get.metrics("spillCount").value
+      assert(runCount > GraftColumnarSortExec.mergeFanIn,
+        s"need > ${GraftColumnarSortExec.mergeFanIn} runs to exercise the multi-pass merge, got $runCount")
+      rows
+    }
+    val row = withSQLConf(
+      GraftColumnarRule.sortEnabledKey -> "false",
+      GraftColumnarRule.narrowSortEnabledKey -> "false") { qq().collect() }
+    assert(spilled.toSeq == row.toSeq, "multi-pass spill merge diverged from the row sort")
+  }
+
   test("columnar moments partial: stddev/variance family parity, grouped + global") {
     // MomentsSpec replicates Spark's CentralMomentAgg Welford update
     // expressions in row order, so the partial buffers (n, avg, m2) are

@@ -477,6 +477,40 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(sortAggs == 1, s"expected only the final SortAggregate, found $sortAggs in:\n$ep")
   }
 
+  test("partial SortAggregate is NOT absorbed when no shuffle sits above it") {
+    // Bucketed-but-unsorted input on the grouping key: the scan's
+    // HashPartitioning satisfies the aggregation's distribution, so
+    // EnsureRequirements inserts a map-side Sort below the partial
+    // SortAggregate but NO exchange between partial and final — the
+    // final's requiredChildOrdering is met by the partial's own
+    // outputOrdering. Absorbing Sort + partial into the (unordered)
+    // hash kernel here would feed the final SortAggregate unsorted
+    // rows → silent duplicate groups. The rule matches on the exchange
+    // precisely to keep this shape on the row path.
+    import org.apache.spark.sql.functions.{min, max}
+    val tbl = "nation_bucketed_unsorted_gate"
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.bucketBy(4, "n_regionkey").mode("overwrite").saveAsTable(tbl)
+    try {
+      val df = spark.table(tbl).groupBy("n_regionkey")
+        .agg(min("n_name").as("min_n"), max("n_name").as("max_n"))
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // if the planner ever shuffles here the shape no longer exercises
+      // the gate, so make that visible instead of passing vacuously
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free bucketed group-by plan, got:\n$plan")
+      assert(!plan.contains("GraftColumnarGroupedAgg"),
+        s"SortAggregate absorbed without a shuffle above it:\n$plan")
+      // correctness regardless of shape: one row per distinct key
+      val expected = spark.table(tbl).select("n_regionkey").distinct().count()
+      assert(rows.length == expected,
+        s"duplicate groups: got ${rows.length} rows for $expected keys")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("q173 timestamp-key semi join probes columnar through the unsafe-key path") {
     val df = run("q173_date_key_semi")
     df.collect()
