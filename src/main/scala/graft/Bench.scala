@@ -11,6 +11,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // 1-min load BEFORE the session starts = background box load, the
+    // discriminator bench_compare uses to separate machine noise from
+    // plan regressions (r7 q96/q97 and r8 q92 were both busy-box noise).
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -80,7 +88,9 @@ object Bench {
     // (committed next round, auditable either way), and the printed line
     // stays compact — totals, the errors map, and per-query numbers for
     // just the TPC-H set graded against BASELINE.md.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size}}"""
+    val loadEnd = loadAvg()
+    val envJson = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"runs":$runs,"cpus":"${esc(cpus)}""""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size},$envJson}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json"))
     try java.nio.file.Files.writeString(detailPath, fullJson + "\n")
@@ -91,7 +101,7 @@ object Bench {
     // file's full "queries" map, so no consumer can silently read the
     // 21-query subset where it expects all of them.
     val tq = tpch.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","tpch_queries_detail":$tq,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size},"n_queries":${timings.size},"detail":"${esc(detailPath.toString)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","tpch_queries_detail":$tq,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size},"n_queries":${timings.size},"detail":"${esc(detailPath.toString)}",$envJson}""")
     spark.stop()
   }
 }

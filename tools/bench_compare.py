@@ -26,6 +26,15 @@ Tolerance notes (investigated outliers — keep before widening tol):
     every sub-second query is ~100% scheduling overhead at sf0.1. Verdict:
     sub-second queries are only meaningful here via min-of-N or when the
     whole-sweep total moves too.
+  - r8 driver sweep flagged q92_dedup_jaccard_capped 0.85->5.39s (6.3x),
+    q91 2.4x, q95 1.5x, with 0 improvements and the whole sweep ~15%
+    slow. Did NOT reproduce in r9: three isolated min-of-3 runs put q92
+    at 1.04-1.07s (machine load 1.5-4.2 during the confirm runs — the
+    box has background activity). The AQE-decided sizes joins did not
+    flip plans; busy-box signature again. Bench now records
+    loadavg_start in its JSON and this guard prints the noise signature
+    when the pattern (scattered slowdowns, zero improvements, slowed
+    total, loaded box) appears.
 """
 import json
 import sys
@@ -61,6 +70,21 @@ def main() -> int:
           f"{len(set(nq) & set(bq))} compared "
           f"(tol {tol}x; totals: baseline {base['value']:.1f}s -> new {new['value']:.1f}s; "
           f"tpch {base.get('tpch_total', 0):.1f}s -> {new.get('tpch_total', 0):.1f}s)")
+    if regressed:
+        markers = []
+        total_ratio = new["value"] / base["value"] if base.get("value") else 1.0
+        if not improved and total_ratio > 1.1:
+            markers.append(f"whole sweep {total_ratio:.2f}x slower with 0 improvements")
+        load = new.get("loadavg_start", -1.0)
+        if load > 1.5:
+            markers.append(f"box already loaded at bench start (1-min load {load:.1f})")
+        if new.get("runs", 1) < 2:
+            markers.append("single-run timings (no min-of-N)")
+        if markers:
+            print("NOISE-SIGNATURE: " + "; ".join(markers)
+                  + " — confirm each flagged query with isolated min-of-N runs "
+                  "on a quiet box before treating it as a plan regression "
+                  "(r7 q96/q97 7-8x and r8 q92 6.3x both cleared this way)")
     return 1 if regressed or (set(bq) - set(nq)) else 0
 
 
