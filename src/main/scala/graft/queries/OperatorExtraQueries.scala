@@ -439,6 +439,73 @@ object OperatorExtraQueries {
       doc = "Shuffled hash LEFT OUTER join with a bucketed stream side: every fact row survives (misses carry null build lanes into an UNMATCHED bucket) while only the filtered dimension shuffles — GraftColumnarShuffledInnerJoinExec with leftOuter=true."),
 
     QueryDef(
+      "q177_bucketed_shuffled_right_outer",
+      (s, dir) => {
+        import s.implicits._
+        // RIGHT OUTER twin of q170: the BUILD side is preserved — every
+        // high-balance customer survives even with zero qualifying
+        // orders. The probe is GraftColumnarShuffledInnerJoinExec with
+        // buildOuter=true: matched keys marked in a BitSet during the
+        // probe, then an end-of-stream sweep over valuesWithKeyIndex
+        // emits unmatched build rows once with null stream lanes (the
+        // row SHJ's own SPARK-36612 mechanism). At 100 TB this is the
+        // dimension-coverage audit: which dimension rows does the fact
+        // table never reference — fact joins in place, only the
+        // dimension shuffles.
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        val (ot, ct) = (s"g_orders_bkt_$sfx", s"g_customer_bkt_$sfx")
+        ensureBucketed(s, dir, ot, ct)
+        val highBal = s.table(ct).filter($"c_acctbal" > 5000.0)
+          .select($"c_custkey", $"c_mktsegment").hint("shuffle_hash")
+        s.table(ot)
+          .join(highBal, $"o_custkey" === $"c_custkey", "right_outer")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            count($"o_orderkey").as("n_orders"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          count(o_orderkey) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders RIGHT JOIN (
+          SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0) d
+          ON o_custkey = d.c_custkey
+        GROUP BY 1 ORDER BY 1"""),
+      doc = "Shuffled hash RIGHT OUTER join with a bucketed stream side: unmatched build (dimension) rows are swept out with null stream lanes after the probe — GraftColumnarShuffledInnerJoinExec with buildOuter=true (matched-key BitSet + valuesWithKeyIndex sweep)."),
+
+    QueryDef(
+      "q178_bucketed_shuffled_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        // FULL OUTER twin: both sides preserved — orders outside the
+        // high-balance dimension land in UNMATCHED, customers with no
+        // orders carry null order lanes. leftOuter + buildOuter
+        // together: null-build rows per stream miss AND the
+        // unmatched-build sweep.
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        val (ot, ct) = (s"g_orders_bkt_$sfx", s"g_customer_bkt_$sfx")
+        ensureBucketed(s, dir, ot, ct)
+        val highBal = s.table(ct).filter($"c_acctbal" > 5000.0)
+          .select($"c_custkey", $"c_mktsegment").hint("shuffle_hash")
+        s.table(ot)
+          .join(highBal, $"o_custkey" === $"c_custkey", "full_outer")
+          .groupBy(coalesce($"c_mktsegment", lit("UNMATCHED")).as("segment"))
+          .agg(count(lit(1)).as("n"),
+            count($"o_orderkey").as("n_orders"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy($"segment")
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment, count(*) AS n,
+          count(o_orderkey) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders FULL JOIN (
+          SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0) d
+          ON o_custkey = d.c_custkey
+        GROUP BY 1 ORDER BY 1"""),
+      doc = "Shuffled hash FULL OUTER join with a bucketed stream side: stream misses carry null build lanes AND unmatched build rows are swept with null stream lanes — GraftColumnarShuffledInnerJoinExec with leftOuter and buildOuter both set."),
+
+    QueryDef(
       "q172_bucketed_sorted_export",
       (s, dir) => {
         import s.implicits._

@@ -508,6 +508,44 @@ object RelationalQueries {
         ORDER BY o_orderkey"""),
       doc = "RANGE window frame with numeric offset."),
 
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q176_window_streaming_agg",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // The columnar/streaming window swap (GraftColumnarWindowExec):
+        // sum/count/min/max/avg over the running ROWS frame on native
+        // long/double inputs — unlike q22's decimal-cast sum, these
+        // compile to the streaming kernel (pinned in
+        // PlanAssertionSuite). Double accumulation is deterministic:
+        // the frame fixes the row order.
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_orderkey" < 4000)
+          .select($"l_orderkey", $"l_linenumber",
+            round(sum($"l_quantity").over(w), 4).as("run_qty"),
+            count($"l_quantity").over(w).as("run_n"),
+            sum($"l_partkey").over(w).as("run_pk"),
+            round(min($"l_extendedprice").over(w), 4).as("run_min_price"),
+            round(max($"l_extendedprice").over(w), 4).as("run_max_price"),
+            round(avg($"l_discount").over(w), 6).as("run_avg_disc"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          round(sum(l_quantity) OVER w, 4) AS run_qty,
+          count(l_quantity) OVER w AS run_n,
+          sum(l_partkey) OVER w AS run_pk,
+          round(min(l_extendedprice) OVER w, 4) AS run_min_price,
+          round(max(l_extendedprice) OVER w, 4) AS run_max_price,
+          round(avg(l_discount) OVER w, 6) AS run_avg_disc
+        FROM lineitem WHERE l_orderkey < 4000
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY l_orderkey, l_linenumber"""),
+      doc = "Streaming window aggregation (running ROWS frame) on the GraftColumnarWindowExec swap — long + double sum/count/min/max/avg."),
+
     QueryDef(
       "q86_pivot",
       (s, dir) => {

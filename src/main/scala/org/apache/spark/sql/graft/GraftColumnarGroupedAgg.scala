@@ -309,7 +309,7 @@ case class GraftColumnarGroupedAggExec(
                 i += 1
               }
               slot += 1
-            case MomentsSpec(_) =>
+            case MomentsSpec(_, order) =>
               // CentralMomentAgg buffers are non-nullable, init 0.0 —
               // a group exists only after ≥1 input row, but that row's
               // value may have been NULL (arr stays unallocated)
@@ -317,11 +317,14 @@ case class GraftColumnarGroupedAggExec(
               while (i < g) {
                 val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
                 cols(slot).putDouble(i, st.longAcc(si)(i).toDouble)
-                cols(slot + 1).putDouble(i, if (arr == null) 0.0 else arr(0))
-                cols(slot + 2).putDouble(i, if (arr == null) 0.0 else arr(1))
+                var k = 0
+                while (k < order) {
+                  cols(slot + 1 + k).putDouble(i, if (arr == null) 0.0 else arr(k))
+                  k += 1
+                }
                 i += 1
               }
-              slot += 3
+              slot += order + 1
             case s @ (CovSpec(_, _) | CorrSpec(_, _)) =>
               var i = 0
               while (i < g) {
@@ -631,10 +634,11 @@ case class GraftColumnarGroupedAggExec(
                 }
                 j += 1
               }
-            case MomentsSpec(col) =>
-              // Welford per group: n in the long lane (exact), (avg, m2)
-              // in a per-group double[2] in the object lane — allocated
-              // on the group's first non-null input, cleared by reset()
+            case MomentsSpec(col, order) =>
+              // CentralMomentAgg per group: n in the long lane (exact),
+              // (avg, m2[, m3[, m4]]) in a per-group double[order] in
+              // the object lane — allocated on the group's first
+              // non-null input, cleared by reset()
               val v = batch.column(col)
               var j = 0
               while (j < m) {
@@ -642,16 +646,11 @@ case class GraftColumnarGroupedAggExec(
                   val gid = gids(j)
                   var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
                   if (arr == null) {
-                    arr = new Array[Double](2)
+                    arr = new Array[Double](order)
                     st.objAcc(si)(gid) = arr
                   }
-                  val x = v.getDouble(j)
-                  val newN = st.longAcc(si)(gid) + 1
-                  val delta = x - arr(0)
-                  val deltaN = delta / newN
-                  arr(0) += deltaN
-                  arr(1) += delta * (delta - deltaN)
-                  st.longAcc(si)(gid) = newN
+                  st.longAcc(si)(gid) = GraftColumnarAgg.momUpdate(
+                    arr, st.longAcc(si)(gid), v.getDouble(j), order)
                 }
                 j += 1
               }

@@ -247,16 +247,20 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case _ => j
         }
 
-      // Columnar INNER / LEFT OUTER shuffled hash join over the same
-      // co-located layout — default ON (winning A/B: the row twin is not
-      // a fused scan pipeline here, so zero-copy stream gathers beat its
-      // per-row ColumnarToRow; see the exec's scaladoc). LEFT OUTER is
-      // the same probe with misses emitting one null-build row.
+      // Columnar INNER / LEFT OUTER / RIGHT OUTER / FULL OUTER shuffled
+      // hash join over the same co-located layout — default ON (winning
+      // A/B: the row twin is not a fused scan pipeline here, so
+      // zero-copy stream gathers beat its per-row ColumnarToRow; see
+      // the exec's scaladoc). LEFT OUTER adds one null-build row per
+      // miss; RIGHT/FULL OUTER add the row SHJ's build-outer mechanism
+      // (matched-key BitSet + end-of-stream sweep, SPARK-36612).
       case j @ joins.ShuffledHashJoinExec(
           lks, rks, jtI, org.apache.spark.sql.catalyst.optimizer.BuildRight,
           None, left, right, false)
           if (jtI == org.apache.spark.sql.catalyst.plans.Inner ||
-            jtI == org.apache.spark.sql.catalyst.plans.LeftOuter) &&
+            jtI == org.apache.spark.sql.catalyst.plans.LeftOuter ||
+            jtI == org.apache.spark.sql.catalyst.plans.RightOuter ||
+            jtI == org.apache.spark.sql.catalyst.plans.FullOuter) &&
             innerShjEnabled(session) =>
         val build = right match {
           case r: org.apache.spark.sql.execution.RowToColumnarExec => r.child
@@ -287,11 +291,14 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               org.apache.spark.sql.types.StructType(build.output.map(at =>
                 org.apache.spark.sql.types.StructField(at.name, at.dataType, at.nullable))),
               streamOrBuild,
-              leftOuter = jtI == org.apache.spark.sql.catalyst.plans.LeftOuter,
+              leftOuter = jtI == org.apache.spark.sql.catalyst.plans.LeftOuter ||
+                jtI == org.apache.spark.sql.catalyst.plans.FullOuter,
+              buildOuter = jtI == org.apache.spark.sql.catalyst.plans.RightOuter ||
+                jtI == org.apache.spark.sql.catalyst.plans.FullOuter,
               left, right)
           case (_, true) =>
             j.setTagValue(fallbackReasonTag,
-              "inner/left-outer shuffled join not columnar-probeable (needs " +
+              "inner/outer shuffled join not columnar-probeable (needs " +
                 "integral attribute keys packing into 8 bytes or a single " +
                 "string/date/timestamp key, and supported build column types)"); j
           case _ => j
@@ -591,6 +598,99 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             }
         }
 
+      // Window aggregation over the RUNNING ROWS frame (UNBOUNDED
+      // PRECEDING .. CURRENT ROW): the row WindowExec copies every
+      // partition group into a (spillable) buffer before computing;
+      // the swap streams ONE accumulator set per function over input
+      // EnsureRequirements already ordered by (partition, order) —
+      // batch kernels over a columnar child (scan-side window), an
+      // InternalRow pass over the shuffled row shape (reference
+      // analogue: CometWindowExec.scala:41-388 whitelist). All window
+      // expressions must compile or none swap (the node is atomic).
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if windowAggEnabled(session) =>
+        import org.apache.spark.sql.execution.graft.{GraftColumnarWindowExec, WinAggSpec}
+        import org.apache.spark.sql.catalyst.expressions.{WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame, RowFrame, UnboundedPreceding, CurrentRow}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Sum, Min, Max, Count, Average}
+        import org.apache.spark.sql.catalyst.expressions.EvalMode
+        import org.apache.spark.sql.types._
+        val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
+          case a: AttributeReference => w.child.output.indexWhere(_.exprId == a.exprId)
+          case _ => -1
+        }
+        val longFam: DataType => Boolean = {
+          case ByteType | ShortType | IntegerType | LongType | BooleanType |
+              DateType | TimestampType | TimestampNTZType => true
+          case d: org.apache.spark.sql.types.DecimalType =>
+            d.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS
+          case _ => false
+        }
+        val pKeys = w.partitionSpec.map {
+          case a: AttributeReference if ord(a) >= 0 &&
+              org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+                .supportedPartType(a.dataType) =>
+            scala.Right((ord(a), a.dataType))
+          case other => scala.Left(s"unsupported window partition key: $other")
+        }
+        val compiled: Seq[Either[String, WinAggSpec]] = w.windowExpression.map {
+          case Alias(WindowExpression(
+              AggregateExpression(af, Complete, false, None, _),
+              WindowSpecDefinition(_, _,
+                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _) =>
+            af match {
+              case s @ Sum(a: AttributeReference, ctx) if ord(a) >= 0 &&
+                  (a.dataType == ByteType || a.dataType == ShortType ||
+                    a.dataType == IntegerType || a.dataType == LongType) &&
+                  ctx.evalMode != EvalMode.TRY =>
+                scala.Right(WinAggSpec(0, ord(a), 0, s.dataType,
+                  ctx.evalMode == EvalMode.ANSI))
+              case s @ Sum(a: AttributeReference, _) if ord(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinAggSpec(0, ord(a), 1, s.dataType, ansi = false))
+              case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
+                  if l.value != null =>
+                scala.Right(WinAggSpec(5, -1, 2, LongType, ansi = false))
+              case Count(Seq(a: AttributeReference)) if ord(a) >= 0 =>
+                scala.Right(WinAggSpec(1, ord(a), 2, LongType, ansi = false))
+              case m @ Min(a: AttributeReference) if ord(a) >= 0 && longFam(a.dataType) =>
+                scala.Right(WinAggSpec(2, ord(a), 0, m.dataType, ansi = false))
+              case m @ Min(a: AttributeReference) if ord(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinAggSpec(2, ord(a), 1, m.dataType, ansi = false))
+              case m @ Max(a: AttributeReference) if ord(a) >= 0 && longFam(a.dataType) =>
+                scala.Right(WinAggSpec(3, ord(a), 0, m.dataType, ansi = false))
+              case m @ Max(a: AttributeReference) if ord(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinAggSpec(3, ord(a), 1, m.dataType, ansi = false))
+              case av @ Average(a: AttributeReference, em) if ord(a) >= 0 &&
+                  (longFam(a.dataType) && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+                    a.dataType != DateType && a.dataType != TimestampType &&
+                    a.dataType != TimestampNTZType && a.dataType != BooleanType ||
+                    a.dataType == DoubleType || a.dataType == FloatType) &&
+                  em != EvalMode.TRY =>
+                val lane = if (a.dataType == DoubleType || a.dataType == FloatType) 1 else 0
+                scala.Right(WinAggSpec(4, ord(a), lane, av.dataType, ansi = false))
+              case other =>
+                scala.Left(s"unsupported window aggregate: $other (${other.dataType})")
+            }
+          case other =>
+            scala.Left(s"unsupported window expression shape: ${other.getClass.getSimpleName}" +
+              " (running ROWS frame over Complete agg only)")
+        }
+        (pKeys ++ compiled).collectFirst { case scala.Left(e) => e } match {
+          case Some(reason) =>
+            w.setTagValue(fallbackReasonTag, reason); w
+          case None if pKeys.isEmpty =>
+            // a windowless-partition spec means ONE global group — the
+            // row exec's single-partition plan; no win, keep it
+            w.setTagValue(fallbackReasonTag, "empty PARTITION BY"); w
+          case None =>
+            val pk = pKeys.collect { case scala.Right(p) => p }
+            GraftColumnarWindowExec(w.output,
+              pk.map(_._1), pk.map(_._2),
+              compiled.collect { case scala.Right(s) => s }, w.child)
+        }
+
       // Grouped partial aggregation: attribute-only keys of long-family/
       // string types, compilable functions, plain buffer layout.
       // Memory-bounded by maxGroups (early flush of partial rows — the
@@ -733,6 +833,14 @@ object GraftColumnarRule {
   val enabledKey = "spark.graft.columnar.enabled"
   def enabled(session: SparkSession): Boolean =
     session.conf.getOption(enabledKey).forall(_.toBoolean)
+
+  /** Columnar window aggregation over running ROWS frames — default ON
+    * (streaming accumulators over the columnar sort's batches replace
+    * the row WindowExec's whole-group buffering; A/B in
+    * GraftColumnarWindowExec's scaladoc). */
+  val windowAggEnabledKey = "spark.graft.columnar.window.enabled"
+  def windowAggEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(windowAggEnabledKey).forall(_.toBoolean)
 
   /** The columnar broadcast-join probe is opt-in (see the rule case):
     * correct and A/B-verified, but measurably slower than Spark's

@@ -23,17 +23,31 @@ import org.apache.spark.memory.{MemoryConsumer, MemoryMode, TaskMemoryManager}
   * Tungsten consumers now see the pressure (and spill sooner), and the
   * graft operators see Tungsten's pressure as a failed [[reserve]].
   *
-  * This consumer cannot spill (its arrays are live mid-operator), so
-  * `spill` returns 0 and pressure surfaces to the CALLER as
-  * `reserve = false`: the grouped agg answers by flushing its partial
-  * groups early (always correct — the final merge combines duplicates),
-  * the sort by spilling the current block as a sorted run to disk and
-  * restarting its buffers empty. On a shortfall the partial grant is KEPT, not
-  * returned: the arrays exist either way, so accounting stays as close
-  * to truth as the manager allows.
+  * Pressure flows BOTH ways (the CometTaskMemoryManager contract,
+  * CometExecIterator.scala:293-326):
+  *  - the operator's own `reserve` returns false on a shortfall — the
+  *    grouped agg answers by flushing its partial groups early (always
+  *    correct — the final merge combines duplicates), the sort by
+  *    spilling the current block as a sorted run;
+  *  - a FOREIGN consumer's allocation (a Tungsten shuffle writer, an
+  *    UnsafeExternalSorter) can reclaim this consumer's memory through
+  *    [[spill]] when the owner has ARMED a spill handler: the sort arms
+  *    "flush the current block as a run" during its build phase and
+  *    disarms before emission (when the buffers are live output state).
+  *    With no handler armed, spill returns 0 and pressure surfaces only
+  *    through reserve.
+  * All spill invocations happen on the task's own thread (Spark
+  * triggers them inside acquireExecutionMemory), so the handler runs at
+  * a consistent point of the single-threaded operator loop. A
+  * SELF-triggered spill returns 0 — the owner's reserve=false path
+  * already covers its own pressure, and double-handling would corrupt
+  * the caller's accounting mid-reserve.
   *
-  * All reservations are released at task end via the task-completion
-  * listener installed by [[GraftMemoryReservation.forTask]].
+  * On a reserve shortfall the partial grant is KEPT, not returned: the
+  * arrays exist either way, so accounting stays as close to truth as
+  * the manager allows. All reservations are released at task end via
+  * the task-completion listener installed by
+  * [[GraftMemoryReservation.forTask]].
   */
 final class GraftMemoryReservation(tmm: TaskMemoryManager)
     extends MemoryConsumer(tmm, MemoryMode.ON_HEAP) with Logging {
@@ -42,7 +56,27 @@ final class GraftMemoryReservation(tmm: TaskMemoryManager)
 
   private var warned = false
 
-  override def spill(size: Long, trigger: MemoryConsumer): Long = 0L
+  @volatile private var spillHandler: () => Long = null
+
+  /** Arm `f` as the response to a foreign consumer's memory pressure;
+    * it must free buffered state and return the bytes released. */
+  def armSpillHandler(f: () => Long): Unit = spillHandler = f
+
+  /** Disarm before the owner's buffers become live output state. */
+  def disarmSpillHandler(): Unit = spillHandler = null
+
+  override def spill(size: Long, trigger: MemoryConsumer): Long = {
+    val h = spillHandler
+    if (h == null || size <= 0L || (trigger eq this)) 0L
+    else {
+      val freed = h()
+      if (freed > 0) {
+        logInfo(s"graft columnar buffers spilled $freed bytes under " +
+          s"foreign memory pressure (requested $size)")
+      }
+      freed
+    }
+  }
 
   /** Grow the reservation by `bytes`; false on a shortfall (the partial
     * grant is kept — see class doc). */

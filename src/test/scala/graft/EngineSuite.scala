@@ -340,6 +340,174 @@ class EngineSuite extends GraftTestBase {
     assert(spilled.toSeq == row.toSeq, "multi-pass spill merge diverged from the row sort")
   }
 
+  test("columnar window agg: running ROWS frame parity vs the row WindowExec") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winagg").toString
+    val rnd = new scala.util.Random(7)
+    // k: 7 long groups incl. a NULL group (nulls are one partition);
+    // one hot key (k=1) carries most rows so its group spans multiple
+    // 4096-row batches — the cross-batch carry must hold the boundary.
+    // vl: nullable ints (sum→long, count skips nulls); vd: nullable
+    // doubles incl. NaN (row Min/Max order NaN greatest); vf: floats.
+    (1 to 50000).map { i =>
+      val k = if (i % 13 == 0) None else Some(if (i % 3 != 0) 1L else (i % 7).toLong)
+      val vl = if (i % 11 == 0) None else Some(i % 1000 - 500)
+      val vd =
+        if (i % 17 == 0) None
+        else if (i % 23 == 0) Some(Double.NaN)
+        else Some(rnd.nextDouble() * 200 - 100)
+      val vf = if (i % 19 == 0) None else Some((i % 77).toFloat / 7f)
+      (k, i.toLong, vl, vd, vf)
+    }.toDF("k", "o", "vl", "vd", "vf")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def qq() = {
+      val s = spark
+      import s.implicits._
+      val w = Window.partitionBy($"k").orderBy($"o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spark.read.parquet(dir).select($"k", $"o",
+        sum($"vl").over(w).as("s_l"),
+        sum($"vd").over(w).as("s_d"),
+        count($"vl").over(w).as("c_l"),
+        count(lit(1)).over(w).as("c_star"),
+        min($"vl").over(w).as("mn_l"),
+        max($"vl").over(w).as("mx_l"),
+        min($"vd").over(w).as("mn_d"),
+        max($"vd").over(w).as("mx_d"),
+        avg($"vl").over(w).as("a_l"),
+        avg($"vf").over(w).as("a_f"),
+        min($"vf").over(w).as("mn_f"))
+        .orderBy($"o")
+    }
+    val on = withSQLConf(GraftColumnarRule.sortEnabledKey -> "true") {
+      val df = qq()
+      val rows = df.collect()
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isDefined, s"expected the columnar window agg:\n${df.queryExecution.executedPlan}")
+      rows
+    }
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false",
+      GraftColumnarRule.sortEnabledKey -> "true") { qq().collect() }
+    // double running sums accumulate in identical row order on both
+    // paths (same sort) → bit-exact comparison is valid
+    assert(on.toSeq == off.toSeq, "columnar window agg diverged from the row WindowExec")
+  }
+
+  test("columnar window agg: string + composite partition keys, batch-spanning groups") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winagg2").toString
+    (1 to 30000).map { i =>
+      (if (i % 29 == 0) None else Some(s"g_${i % 5}"), (i % 3).toLong, i.toLong,
+        if (i % 7 == 0) None else Some(i.toDouble / 3))
+    }.toDF("ks", "k2", "o", "v")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def qq() = {
+      val s = spark
+      import s.implicits._
+      val w = Window.partitionBy($"ks", $"k2").orderBy($"o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spark.read.parquet(dir).select($"ks", $"k2", $"o",
+        sum($"v").over(w).as("s_v"), count($"v").over(w).as("c_v"))
+        .orderBy($"o")
+    }
+    val on = withSQLConf(GraftColumnarRule.sortEnabledKey -> "true") {
+      val df = qq()
+      val rows = df.collect()
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isDefined, s"expected the columnar window agg:\n${df.queryExecution.executedPlan}")
+      rows
+    }
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false",
+      GraftColumnarRule.sortEnabledKey -> "true") { qq().collect() }
+    assert(on.toSeq == off.toSeq,
+      "columnar window agg (string/composite keys) diverged from the row WindowExec")
+  }
+
+  test("columnar window agg: columnar face over a bucketed scan + columnar sort") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val tbl = "winagg_bucketed"
+    (1 to 40000).map { i =>
+      ((i % 11).toLong, i.toLong,
+        if (i % 7 == 0) None else Some(i % 500 - 250),
+        if (i % 13 == 0) None else Some(i * 0.5 - 999))
+    }.toDF("k", "o", "vl", "vd")
+      .write.bucketBy(4, "k").mode("overwrite").saveAsTable(tbl)
+    try {
+      def qq() = {
+        val w = Window.partitionBy($"k").orderBy($"o")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spark.table(tbl).select($"k", $"o",
+          sum($"vl").over(w).as("s_l"), sum($"vd").over(w).as("s_d"),
+          min($"vd").over(w).as("mn_d"), avg($"vl").over(w).as("a_l"))
+          .orderBy($"o")
+      }
+      val on = withSQLConf(GraftColumnarRule.sortEnabledKey -> "true") {
+        val df = qq()
+        val rows = df.collect()
+        val win = findExec(df) {
+          case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+        }
+        assert(win.isDefined, s"expected the columnar window agg:\n${df.queryExecution.executedPlan}")
+        // bucketed scan satisfies the distribution → no exchange → the
+        // local sort swapped columnar → the window's COLUMNAR face runs
+        assert(win.get.child.isInstanceOf[org.apache.spark.sql.execution.graft.GraftColumnarSortExec],
+          s"expected the columnar sort under the window (columnar face):\n${df.queryExecution.executedPlan}")
+        rows
+      }
+      val off = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false",
+        GraftColumnarRule.sortEnabledKey -> "false",
+        GraftColumnarRule.narrowSortEnabledKey -> "false") { qq().collect() }
+      assert(on.toSeq == off.toSeq,
+        "columnar-face window agg diverged from the row path")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("columnar window agg: unsupported frames and functions keep the row path") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val df0 = (1 to 1000).map(i => ((i % 5).toLong, i.toLong, i * 1.5)).toDF("k", "o", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winagg3").toString
+    df0.repartition(1).write.mode("overwrite").parquet(dir)
+    withSQLConf(GraftColumnarRule.sortEnabledKey -> "true") {
+      // default frame with ORDER BY = RANGE (peer groups) → no swap
+      val wRange = Window.partitionBy($"k").orderBy($"o")
+      val d1 = spark.read.parquet(dir).select($"k", sum($"v").over(wRange).as("s"))
+      d1.collect()
+      assert(findExec(d1) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isEmpty, "RANGE frame must not swap")
+      // sliding ROWS frame → no swap
+      val wSlide = Window.partitionBy($"k").orderBy($"o").rowsBetween(-3, 0)
+      val d2 = spark.read.parquet(dir).select($"k", sum($"v").over(wSlide).as("s"))
+      d2.collect()
+      assert(findExec(d2) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isEmpty, "sliding frame must not swap")
+      // rank-family function mixed in → whole node stays on the row path
+      val wRun = Window.partitionBy($"k").orderBy($"o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d3 = spark.read.parquet(dir).select($"k",
+        sum($"v").over(wRun).as("s"),
+        row_number().over(Window.partitionBy($"k").orderBy($"o")).as("rn"))
+      d3.collect()
+      assert(findExec(d3) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isEmpty, "a node mixing row_number must not swap")
+    }
+  }
+
   test("columnar moments partial: stddev/variance family parity, grouped + global") {
     // MomentsSpec replicates Spark's CentralMomentAgg Welford update
     // expressions in row order, so the partial buffers (n, avg, m2) are
@@ -392,12 +560,39 @@ class EngineSuite extends GraftTestBase {
       global().collect().map(_.toString).toSeq
     }
     assert(bOn == bOff, s"global moments diverged: on=$bOn off=$bOff")
-    // skewness keeps the row path (m3 lane not implemented)
-    val skew = spark.read.parquet(dir).groupBy($"g").agg(skewness($"v"))
-    skew.collect()
-    assert(findExec(skew) {
+    // skewness/kurtosis: the m3/m4 lanes replicate CentralMomentAgg's
+    // higher-moment update terms, so a MIXED variance+skew+kurt
+    // aggregation swaps whole and parity stays exact (bit-identical
+    // buffers — no rounding in the compare)
+    def higher() = spark.read.parquet(dir).groupBy($"g").agg(
+      skewness($"v").as("sk"), kurtosis($"v").as("ku"),
+      stddev_samp($"v").as("ss"), count($"v").as("n")).orderBy($"g")
+    val hdf = higher()
+    hdf.collect()
+    assert(findExec(hdf) {
       case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
-    }.isEmpty, "skewness must keep the row path")
+    }.isDefined,
+      s"expected columnar grouped agg for skew/kurt in:\n${hdf.queryExecution.executedPlan}")
+    val hOn = higher().collect().map(_.toString).toSeq
+    val hOff = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      higher().collect().map(_.toString).toSeq
+    }
+    assert(hOn == hOff, s"skew/kurt diverged:\n on=$hOn\noff=$hOff")
+    // global skew/kurt partial too
+    def hglobal() = spark.read.parquet(dir).agg(
+      skewness($"v").as("sk"), kurtosis($"v").as("ku"))
+    val hb = hglobal()
+    hb.collect()
+    assert(findExec(hb) {
+      case e: org.apache.spark.sql.graft.GraftColumnarPartialAggExec => e
+    }.isDefined, s"expected columnar global partial for skew/kurt in:\n${hb.queryExecution.executedPlan}")
+    val hbOn = hglobal().collect().map(_.toString).toSeq
+    val hbOff = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      hglobal().collect().map(_.toString).toSeq
+    }
+    assert(hbOn == hbOff, s"global skew/kurt diverged: on=$hbOn off=$hbOff")
   }
 
   test("columnar avg over Decimal64 parity, grouped + global") {
@@ -943,6 +1138,53 @@ class EngineSuite extends GraftTestBase {
       "unmatched stream rows must survive with null build lanes")
     spark.sql("DROP TABLE IF EXISTS colshj_stream")
     spark.sql("DROP TABLE IF EXISTS colshj_stream_s")
+  }
+
+  test("GraftColumnarShuffledInnerJoinExec: RIGHT/FULL OUTER build-side sweep parity") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-colshj-outer").toString
+    // stream (bucketed, preserved only under full outer): includes a
+    // null key and keys missing from the build
+    Seq(
+      (1L, Option(10L)), (2L, Option(20L)), (3L, Option.empty[Long]),
+      (4L, Option(99L)), (5L, Option(10L)))
+      .toDF("id", "k")
+      .write.format("parquet").bucketBy(4, "k")
+      .option("path", s"$wh/stream_bkt").mode("overwrite")
+      .saveAsTable("colshj_outer_stream")
+    // build: duplicate keys (10 twice), a null build key (must survive
+    // the sweep), and keys the stream never probes (33)
+    val build = Seq(
+      (Option(10L), "a", 1.5), (Option(10L), "b", 2.5), (Option(20L), "c", 3.5),
+      (Option.empty[Long], "nullkey", -1.0), (Option(33L), "lonely", 9.0))
+      .toDF("bk", "bs", "bv").hint("shuffle_hash")
+    def join(tpe: String) =
+      spark.table("colshj_outer_stream").join(build, $"k" === $"bk", tpe)
+    for (tpe <- Seq("right_outer", "full_outer")) {
+      val cdf = join(tpe)
+      cdf.collect()
+      val exec = findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec => e
+      }
+      assert(exec.isDefined,
+        s"$tpe: expected the columnar SHJ in:\n${cdf.queryExecution.executedPlan}")
+      assert(exec.get.buildOuter, s"$tpe: buildOuter flag must be set")
+      assert(exec.get.leftOuter == (tpe == "full_outer"))
+      val on = canon(cdf)
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        canon(join(tpe))
+      }
+      assert(on == off, s"$tpe: columnar=$on row=$off")
+    }
+    // right outer: 5 matches (ids 1,5 × 2 build rows for k=10; id 2 ×
+    // k=20) + swept build rows (null bk, lonely 33) with null stream = 7
+    assert(join("right_outer").collect().length == 7)
+    assert(join("right_outer").filter($"id".isNull).select($"bs").collect()
+      .map(_.getString(0)).sorted.sameElements(Array("lonely", "nullkey")),
+      "unmatched build rows (incl. the null-key row) must be swept with null stream lanes")
+    // full outer adds stream misses: ids 3 (null key) and 4 (99) = 9
+    assert(join("full_outer").collect().length == 9)
+    spark.sql("DROP TABLE IF EXISTS colshj_outer_stream")
   }
 
   test("GraftColumnarRankGroupLimitExec: rank/dense_rank parity incl. heavy ties, nulls") {

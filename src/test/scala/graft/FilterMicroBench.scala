@@ -271,6 +271,52 @@ object FilterMicroBench {
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
 
+    // Streaming window agg (GraftColumnarWindowExec) vs the row
+    // WindowExec's buffer-the-group-then-walk on the running ROWS frame
+    val winShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      // many tiny groups (~4 rows each): swap overhead floor
+      "winagg-smallgrp" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey", sum($"l_quantity").over(w).as("s"),
+            count(lit(1)).over(w).as("n"))
+      }),
+      // 3 giant groups (~200k rows each at sf0.1): the row exec buffers
+      // each whole group — the structural case
+      "winagg-hotgrp" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag", sum($"l_extendedprice").over(w).as("s"))
+      }),
+      // 6 functions over one pass (q176's shape)
+      "winagg-6fn" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey",
+            sum($"l_quantity").over(w).as("sq"),
+            count($"l_quantity").over(w).as("cq"),
+            sum($"l_partkey").over(w).as("sp"),
+            min($"l_extendedprice").over(w).as("mn"),
+            max($"l_extendedprice").over(w).as("mx"),
+            avg($"l_discount").over(w).as("ad"))
+      }))
+    sel(winShapes).foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.windowAggEnabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.windowAggEnabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
+
     // Staged string-keyed fact table (the fixture's lineitem carries no
     // high-cardinality string): ~6k distinct synthetic keys over the
     // full lineitem row count, written to parquet once so the stream is
@@ -401,6 +447,23 @@ object FilterMicroBench {
           .filter($"o_orderpriority".startsWith("1"))
           .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").hint("shuffle_hash")
         spark.table(bktTbl).join(dim, $"l_orderkey" === $"o_orderkey", "left_outer")
+      }),
+      // build-outer variants: the probe adds a matched-key BitSet and
+      // an end-of-stream sweep (unsafe-relation path even for packed
+      // keys — the row SHJ pays the same under SPARK-36612)
+      "shj-router-bkt" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "orders")
+          .filter($"o_orderpriority".startsWith("1"))
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").hint("shuffle_hash")
+        spark.table(bktTbl).join(dim, $"l_orderkey" === $"o_orderkey", "right_outer")
+      }),
+      "shj-fouter-bkt" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dim = Tables.t(spark, sfDir, "orders")
+          .filter($"o_orderpriority".startsWith("1"))
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").hint("shuffle_hash")
+        spark.table(bktTbl).join(dim, $"l_orderkey" === $"o_orderkey", "full_outer")
       }))
     sel(shjInnerShapes).foreach { case (name, f) =>
       spark.conf.set(GraftColumnarRule.innerShjEnabledKey, "false")

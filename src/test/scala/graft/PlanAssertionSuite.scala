@@ -389,6 +389,25 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(!mapSideSort, s"no sort may remain below the columnar dense_rank probe:\n$p")
   }
 
+  test("q177/q178 bucketed right/full-outer joins probe columnar with the build-outer sweep") {
+    for ((name, wantLeftOuter) <- Seq(
+        "q177_bucketed_shuffled_right_outer" -> false,
+        "q178_bucketed_shuffled_full_outer" -> true)) {
+      val df = run(name)
+      df.collect()
+      val p = planString(df)
+      assert(p.contains("GraftColumnarShuffledInnerJoin"),
+        s"$name: expected the columnar shuffled probe in:\n$p")
+      // the swap carries the build-outer flags (plan string shows args)
+      assert(p.contains(s"$wantLeftOuter, true"),
+        s"$name: expected leftOuter=$wantLeftOuter buildOuter=true in:\n$p")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 2, s"$name: stream side must not shuffle:\n$p")
+    }
+  }
+
   test("q170 bucketed shuffled inner join probes columnar with a single build-side exchange") {
     val df = run("q170_bucketed_shuffled_inner")
     df.collect()
@@ -460,6 +479,14 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the columnar grouped partial agg for avg(decimal) in:\n$p")
   }
 
+  test("q130 skewness/kurtosis partial stage swaps columnar (m3/m4 lanes)") {
+    val df = run("q130_higher_moments")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"expected the columnar grouped partial agg for skew/kurt in:\n$p")
+  }
+
   test("q175 partial SortAggregate + map-side sort absorbed into the columnar grouped agg") {
     val df = run("q175_string_minmax_agg")
     df.collect()
@@ -509,6 +536,17 @@ class PlanAssertionSuite extends GraftTestBase {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
+  }
+
+  test("q176 running-frame window aggregation swaps to the streaming window exec") {
+    val df = run("q176_window_streaming_agg")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftColumnarWindow"),
+      s"expected the streaming window agg swap in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0,
+      s"no row WindowExec should remain for the running frame:\n$p")
   }
 
   test("q173 timestamp-key semi join probes columnar through the unsafe-key path") {
