@@ -546,6 +546,38 @@ object RelationalQueries {
         ORDER BY l_orderkey, l_linenumber"""),
       doc = "Streaming window aggregation (running ROWS frame) on the GraftColumnarWindowExec swap — long + double sum/count/min/max/avg."),
 
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q179_window_range_peers",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // The DEFAULT frame under ORDER BY: RANGE UNBOUNDED..CURRENT —
+        // peer rows (order-key ties) share one value computed over ALL
+        // peers. l_linenumber has 7 distinct values per flag, so peer
+        // groups are large and the deferred (peer-buffer) path of
+        // GraftColumnarWindowExec does real work (pinned; double order
+        // keys are excluded from peer detection — -0.0/NaN equality —
+        // so the key is integral).
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_linenumber")
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_orderkey" < 2000)
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+            round(sum($"l_extendedprice").over(w), 4).as("run_price"),
+            count(lit(1)).over(w).as("run_n"),
+            round(avg($"l_discount").over(w), 6).as("run_disc"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+          round(sum(l_extendedprice) OVER w, 4) AS run_price,
+          count(*) OVER w AS run_n,
+          round(avg(l_discount) OVER w, 6) AS run_disc
+        FROM lineitem WHERE l_orderkey < 2000
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_linenumber
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY l_orderkey, l_linenumber"""),
+      doc = "RANGE running frame (the default under ORDER BY): peer-group deferred evaluation on GraftColumnarWindowExec — ties share the value closed at the peer group's end."),
+
     QueryDef(
       "q86_pivot",
       (s, dir) => {

@@ -12,8 +12,7 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-/** One window aggregate over the running ROWS frame
-  * (UNBOUNDED PRECEDING .. CURRENT ROW).
+/** One window aggregate over a supported frame.
   *
   * `fn`: 0=sum 1=count(col) 2=min 3=max 4=avg 5=count(*).
   * `lane`: 0 = long-family input (integral/date/ts/bool/Decimal64
@@ -22,9 +21,15 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * sum(float)=double, min/max=input type, count=long, avg=double).
   * `ansi` drives sum-over-integral overflow: throw (Spark's Add
   * semantics) vs two's-complement wrap.
+  * `kind`: 0 = ROWS UNBOUNDED PRECEDING..CURRENT ROW (streaming,
+  * per-row value), 1 = RANGE UNBOUNDED PRECEDING..CURRENT ROW (the
+  * DEFAULT frame under ORDER BY: value closes at the peer group's
+  * end), 2 = whole partition (UNBOUNDED..UNBOUNDED, the no-ORDER-BY
+  * default: value closes at the partition's end).
   */
 final case class WinAggSpec(
-    fn: Int, col: Int, lane: Int, outType: DataType, ansi: Boolean)
+    fn: Int, col: Int, lane: Int, outType: DataType, ansi: Boolean,
+    kind: Int = 0)
 
 /** Columnar window aggregation over running ROWS frames (reference
   * analogue: CometWindowExec.scala:41-388, agg whitelist :108-147; the
@@ -49,20 +54,34 @@ final case class WinAggSpec(
   *
   * The swap fires on any WindowExec whose expressions all compile —
   * EnsureRequirements has already ordered the child by
-  * (partition, order) — and only for the ROWS running frame where every
-  * emitted row's value is final the moment it is read. RANGE frames
-  * (peer groups) and bounded/sliding frames keep the row path.
+  * (partition, order). Three frame kinds:
+  *  - ROWS UNBOUNDED..CURRENT (kind 0): fully streaming, per-row value;
+  *  - RANGE UNBOUNDED..CURRENT (kind 1, the DEFAULT frame under ORDER
+  *    BY): a peer group's value closes at its last row, so rows buffer
+  *    ONE PEER GROUP in Spark's own spill-backed
+  *    ExternalAppendOnlyUnsafeRowArray — vs the row WindowExec's whole
+  *    partition;
+  *  - UNBOUNDED..UNBOUNDED (kind 2, the no-ORDER-BY default): the
+  *    partition's value closes at its end — both engines buffer the
+  *    partition, with the same spill machinery.
+  * Kinds must be homogeneous per node (mixed streaming + deferred would
+  * need per-row value storage); bounded/sliding frames keep the row
+  * path.
   *
-  * A/B (FilterMicroBench winagg-*, sf0.1, 3 runs of min-of-5): many
-  * tiny groups 0.81-0.95x, three ~200k-row hot groups 0.93-0.94x,
-  * six-function pass 0.94-1.05x — win-to-parity on every shape, so the
-  * swap defaults ON (spark.graft.columnar.window.enabled=false to keep
-  * the row WindowExec).
+  * A/B (FilterMicroBench winagg-*, sf0.1, 3 runs of min-of-5):
+  * streaming — many tiny groups 0.81-0.95x, three ~200k-row hot groups
+  * 0.93-0.94x, six-function pass 0.94-1.05x; deferred — RANGE heavy
+  * ties 0.97-0.99x, whole-partition 0.78-0.98x. Win-to-parity on every
+  * shape, so the swap defaults ON
+  * (spark.graft.columnar.window.enabled=false to keep the row
+  * WindowExec).
   */
 case class GraftColumnarWindowExec(
     output: Seq[Attribute],
     partIdx: Seq[Int],
     partTypes: Seq[DataType],
+    orderIdx: Seq[Int],
+    orderTypes: Seq[DataType],
     specs: Seq[WinAggSpec],
     child: SparkPlan)
     extends UnaryExecNode {
@@ -71,8 +90,11 @@ case class GraftColumnarWindowExec(
   // or sortWithinPartitions) the pass is batch kernels; over the
   // standard shuffled shape (Exchange → row Sort → Window) it streams
   // InternalRows — the structural win (no per-group buffering) is the
-  // same in both domains.
-  override def supportsColumnar: Boolean = child.supportsColumnar
+  // same in both domains. Deferred frames (RANGE peers / whole
+  // partition) run the row face only: their group buffer is Spark's
+  // own spill-backed ExternalAppendOnlyUnsafeRowArray.
+  override def supportsColumnar: Boolean =
+    child.supportsColumnar && specs.forall(_.kind == 0)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering = child.outputOrdering
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -256,13 +278,16 @@ case class GraftColumnarWindowExec(
     }
   }
 
+  override protected def doExecute(): RDD[InternalRow] =
+    if (specs.forall(_.kind == 0)) streamingRowPath() else deferredRowPath()
+
   /** Streaming row face for the shuffled window shape: one pass, one
     * accumulator set, a JoinedRow per input row — where the row
     * WindowExec first copies every group into an
     * ExternalAppendOnlyUnsafeRowArray (spilling on big groups) before
     * computing the identical running values.
     */
-  override protected def doExecute(): RDD[InternalRow] = {
+  private def streamingRowPath(): RDD[InternalRow] = {
     val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
     val pIdx = partIdx.toArray
     val pTypes = partTypes.toArray
@@ -409,6 +434,234 @@ case class GraftColumnarWindowExec(
           s += 1
         }
         proj(joined(row, aggRow))
+      }
+    }
+  }
+
+  /** Deferred row face for RANGE-running (peer groups — the DEFAULT
+    * frame under ORDER BY) and whole-partition frames: rows buffer in
+    * Spark's own spill-backed ExternalAppendOnlyUnsafeRowArray until
+    * the group closes (peer group or partition — the rule admits only
+    * homogeneous kinds), then every buffered row emits the same closed
+    * value. The buffer bound is ONE peer group for RANGE (ties —
+    * usually tiny) vs the row WindowExec's whole partition; for
+    * whole-partition frames both buffer the partition, with the same
+    * spill machinery.
+    */
+  private def deferredRowPath(): RDD[InternalRow] = {
+    val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
+    val pIdx = partIdx.toArray
+    val pTypes = partTypes.toArray
+    val oIdx = orderIdx.toArray
+    val oTypes = orderTypes.toArray
+    val ss = specs.toArray
+    val childOut = child.output
+    val inTypes = ss.map(s => if (s.col >= 0) childOut(s.col).dataType else null)
+    val outAll = output
+    val byPeer = ss.head.kind == 1
+    val inMemThreshold = conf.windowExecBufferInMemoryThreshold
+    val spillThreshold = conf.windowExecBufferSpillThreshold
+    val spillSizeThreshold = conf.windowExecBufferSpillSizeThreshold
+    child.execute().mapPartitionsInternal { rows =>
+      val nS = ss.length
+      def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
+        case ByteType => r.getByte(ord).toLong
+        case ShortType => r.getShort(ord).toLong
+        case IntegerType | DateType => r.getInt(ord).toLong
+        case BooleanType => if (r.getBoolean(ord)) 1L else 0L
+        case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        case _ => r.getLong(ord)
+      }
+      def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
+        case FloatType => r.getFloat(ord).toDouble
+        case ByteType => r.getByte(ord).toDouble
+        case ShortType => r.getShort(ord).toDouble
+        case IntegerType => r.getInt(ord).toDouble
+        case LongType => r.getLong(ord).toDouble
+        case _ => r.getDouble(ord)
+      }
+      /** Generic key-set comparator state: null-safe equality vs the
+        * previous row (peers/partitions group nulls together). */
+      final class KeyCarry(idx: Array[Int], types: Array[DataType]) {
+        private val longs = new Array[Long](idx.length)
+        private val strs = new Array[org.apache.spark.unsafe.types.UTF8String](idx.length)
+        private val nulls = new Array[Boolean](idx.length)
+        def differs(r: InternalRow): Boolean = {
+          var k = 0
+          while (k < idx.length) {
+            val nl = r.isNullAt(idx(k))
+            val d =
+              if (nl != nulls(k)) true
+              else if (nl) false
+              else if (types(k) == StringType)
+                r.getUTF8String(idx(k)).compareTo(strs(k)) != 0
+              else rowLong(r, idx(k), types(k)) != longs(k)
+            if (d) return true
+            k += 1
+          }
+          false
+        }
+        def carry(r: InternalRow): Unit = {
+          var k = 0
+          while (k < idx.length) {
+            val nl = r.isNullAt(idx(k))
+            nulls(k) = nl
+            if (!nl) {
+              if (types(k) == StringType) strs(k) = r.getUTF8String(idx(k)).clone()
+              else longs(k) = rowLong(r, idx(k), types(k))
+            }
+            k += 1
+          }
+        }
+      }
+      val partCarry = new KeyCarry(pIdx, pTypes)
+      val peerCarry = if (byPeer) new KeyCarry(oIdx, oTypes) else null
+      var anyRow = false
+      val accLong = new Array[Long](nS)
+      val accDbl = new Array[Double](nS)
+      val accCnt = new Array[Long](nS)
+      val accSeen = new Array[Boolean](nS)
+      def reset(): Unit = {
+        java.util.Arrays.fill(accLong, 0L)
+        java.util.Arrays.fill(accDbl, 0.0)
+        java.util.Arrays.fill(accCnt, 0L)
+        java.util.Arrays.fill(accSeen, false)
+      }
+      val aggRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(nS)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAll.map(_.dataType).toArray)
+      def update(row: InternalRow): Unit = {
+        var s = 0
+        while (s < nS) {
+          val sp = ss(s)
+          val nullIn = sp.col >= 0 && row.isNullAt(sp.col)
+          sp.fn match {
+            case 0 =>
+              if (!nullIn) {
+                if (sp.lane == 0) {
+                  val x = rowLong(row, sp.col, inTypes(s))
+                  if (sp.ansi) {
+                    try accLong(s) = Math.addExact(accLong(s), x)
+                    catch {
+                      case _: ArithmeticException =>
+                        throw org.apache.spark.sql.errors.QueryExecutionErrors
+                          .arithmeticOverflowError("long overflow", "try_add", null)
+                    }
+                  } else accLong(s) += x
+                } else accDbl(s) += rowDbl(row, sp.col, inTypes(s))
+                accSeen(s) = true
+              }
+            case 1 => if (!nullIn) accCnt(s) += 1
+            case 5 => accCnt(s) += 1
+            case 2 | 3 =>
+              if (!nullIn) {
+                if (sp.lane == 0) {
+                  val x = rowLong(row, sp.col, inTypes(s))
+                  if (!accSeen(s) ||
+                    (if (sp.fn == 2) x < accLong(s) else x > accLong(s)))
+                    accLong(s) = x
+                } else {
+                  val x = rowDbl(row, sp.col, inTypes(s))
+                  val c = SQLOrderingUtil.compareDoubles(x, accDbl(s))
+                  if (!accSeen(s) || (if (sp.fn == 2) c < 0 else c > 0))
+                    accDbl(s) = x
+                }
+                accSeen(s) = true
+              }
+            case _ =>
+              if (!nullIn) {
+                accDbl(s) += (if (sp.lane == 0) rowLong(row, sp.col, inTypes(s)).toDouble
+                  else rowDbl(row, sp.col, inTypes(s)))
+                accCnt(s) += 1
+              }
+          }
+          s += 1
+        }
+      }
+      def emitLong(s: Int, v: Long): Unit = ss(s).outType match {
+        case LongType | TimestampType | TimestampNTZType => aggRow.update(s, v)
+        case IntegerType | DateType => aggRow.update(s, v.toInt)
+        case ShortType => aggRow.update(s, v.toShort)
+        case ByteType => aggRow.update(s, v.toByte)
+        case BooleanType => aggRow.update(s, v != 0L)
+        case d: DecimalType =>
+          aggRow.update(s, org.apache.spark.sql.types.Decimal
+            .createUnsafe(v, d.precision, d.scale))
+        case _ => aggRow.update(s, v)
+      }
+      def closeGroupValues(): Unit = {
+        var s = 0
+        while (s < nS) {
+          val sp = ss(s)
+          sp.fn match {
+            case 1 | 5 => aggRow.update(s, accCnt(s))
+            case 4 =>
+              if (accCnt(s) > 0) aggRow.update(s, accDbl(s) / accCnt(s))
+              else aggRow.setNullAt(s)
+            case _ =>
+              if (accSeen(s)) {
+                if (sp.lane == 0) emitLong(s, accLong(s))
+                else if (sp.outType == FloatType) aggRow.update(s, accDbl(s).toFloat)
+                else aggRow.update(s, accDbl(s))
+              } else aggRow.setNullAt(s)
+          }
+          s += 1
+        }
+      }
+      new Iterator[InternalRow] {
+        private val buffer = new org.apache.spark.sql.execution
+          .ExternalAppendOnlyUnsafeRowArray(inMemThreshold, Long.MaxValue,
+            spillThreshold, spillSizeThreshold)
+        private var emitIter: Iterator[org.apache.spark.sql.catalyst.expressions.UnsafeRow] =
+          Iterator.empty
+        private var held: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+        private var heldIsNewPartition = false
+        private def advance(): Unit = {
+          if (!rows.hasNext && held == null) return
+          buffer.clear()
+          if (held != null) {
+            if (heldIsNewPartition) { reset(); grpM.add(1) }
+            update(held)
+            partCarry.carry(held)
+            if (byPeer) peerCarry.carry(held)
+            buffer.add(held)
+            held = null
+          }
+          while (rows.hasNext) {
+            val row = rows.next().asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+            inM.add(1)
+            val newPart = !anyRow || partCarry.differs(row)
+            val newPeer = byPeer && !newPart && buffer.length > 0 && peerCarry.differs(row)
+            if (anyRow && (newPart || newPeer) && buffer.length > 0) {
+              // close the current group BEFORE consuming this row
+              held = row.copy()
+              heldIsNewPartition = newPart
+              closeGroupValues()
+              emitIter = buffer.generateIterator()
+              return
+            }
+            if (newPart) { reset(); grpM.add(1) }
+            anyRow = true
+            update(row)
+            partCarry.carry(row)
+            if (byPeer) peerCarry.carry(row)
+            buffer.add(row)
+          }
+          if (buffer.length > 0) {
+            closeGroupValues()
+            emitIter = buffer.generateIterator()
+          }
+        }
+        override def hasNext: Boolean = {
+          if (emitIter.hasNext) true
+          else { advance(); emitIter.hasNext }
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          proj(joined(emitIter.next(), aggRow))
+        }
       }
     }
   }

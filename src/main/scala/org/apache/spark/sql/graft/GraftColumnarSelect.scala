@@ -632,36 +632,47 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             scala.Right((ord(a), a.dataType))
           case other => scala.Left(s"unsupported window partition key: $other")
         }
+        import org.apache.spark.sql.catalyst.expressions.{RangeFrame, UnboundedFollowing}
+        // frame → evaluation kind: 0 streams per row; 1 closes at the
+        // peer group's end (the DEFAULT frame under ORDER BY); 2 closes
+        // at the partition's end (the no-ORDER-BY default)
+        def frameKind(f: org.apache.spark.sql.catalyst.expressions.WindowFrame): Option[Int] =
+          f match {
+            case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => Some(0)
+            case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => Some(1)
+            case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => Some(2)
+            case _ => None
+          }
         val compiled: Seq[Either[String, WinAggSpec]] = w.windowExpression.map {
           case Alias(WindowExpression(
               AggregateExpression(af, Complete, false, None, _),
-              WindowSpecDefinition(_, _,
-                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _) =>
+              WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).isDefined =>
+            val kind = frameKind(frame).get
             af match {
               case s @ Sum(a: AttributeReference, ctx) if ord(a) >= 0 &&
                   (a.dataType == ByteType || a.dataType == ShortType ||
                     a.dataType == IntegerType || a.dataType == LongType) &&
                   ctx.evalMode != EvalMode.TRY =>
                 scala.Right(WinAggSpec(0, ord(a), 0, s.dataType,
-                  ctx.evalMode == EvalMode.ANSI))
+                  ctx.evalMode == EvalMode.ANSI, kind))
               case s @ Sum(a: AttributeReference, _) if ord(a) >= 0 &&
                   (a.dataType == DoubleType || a.dataType == FloatType) =>
-                scala.Right(WinAggSpec(0, ord(a), 1, s.dataType, ansi = false))
+                scala.Right(WinAggSpec(0, ord(a), 1, s.dataType, ansi = false, kind))
               case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
                   if l.value != null =>
-                scala.Right(WinAggSpec(5, -1, 2, LongType, ansi = false))
+                scala.Right(WinAggSpec(5, -1, 2, LongType, ansi = false, kind))
               case Count(Seq(a: AttributeReference)) if ord(a) >= 0 =>
-                scala.Right(WinAggSpec(1, ord(a), 2, LongType, ansi = false))
+                scala.Right(WinAggSpec(1, ord(a), 2, LongType, ansi = false, kind))
               case m @ Min(a: AttributeReference) if ord(a) >= 0 && longFam(a.dataType) =>
-                scala.Right(WinAggSpec(2, ord(a), 0, m.dataType, ansi = false))
+                scala.Right(WinAggSpec(2, ord(a), 0, m.dataType, ansi = false, kind))
               case m @ Min(a: AttributeReference) if ord(a) >= 0 &&
                   (a.dataType == DoubleType || a.dataType == FloatType) =>
-                scala.Right(WinAggSpec(2, ord(a), 1, m.dataType, ansi = false))
+                scala.Right(WinAggSpec(2, ord(a), 1, m.dataType, ansi = false, kind))
               case m @ Max(a: AttributeReference) if ord(a) >= 0 && longFam(a.dataType) =>
-                scala.Right(WinAggSpec(3, ord(a), 0, m.dataType, ansi = false))
+                scala.Right(WinAggSpec(3, ord(a), 0, m.dataType, ansi = false, kind))
               case m @ Max(a: AttributeReference) if ord(a) >= 0 &&
                   (a.dataType == DoubleType || a.dataType == FloatType) =>
-                scala.Right(WinAggSpec(3, ord(a), 1, m.dataType, ansi = false))
+                scala.Right(WinAggSpec(3, ord(a), 1, m.dataType, ansi = false, kind))
               case av @ Average(a: AttributeReference, em) if ord(a) >= 0 &&
                   (longFam(a.dataType) && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
                     a.dataType != DateType && a.dataType != TimestampType &&
@@ -669,13 +680,13 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                     a.dataType == DoubleType || a.dataType == FloatType) &&
                   em != EvalMode.TRY =>
                 val lane = if (a.dataType == DoubleType || a.dataType == FloatType) 1 else 0
-                scala.Right(WinAggSpec(4, ord(a), lane, av.dataType, ansi = false))
+                scala.Right(WinAggSpec(4, ord(a), lane, av.dataType, ansi = false, kind))
               case other =>
                 scala.Left(s"unsupported window aggregate: $other (${other.dataType})")
             }
           case other =>
             scala.Left(s"unsupported window expression shape: ${other.getClass.getSimpleName}" +
-              " (running ROWS frame over Complete agg only)")
+              " (running ROWS/RANGE or whole-partition frame over Complete agg only)")
         }
         (pKeys ++ compiled).collectFirst { case scala.Left(e) => e } match {
           case Some(reason) =>
@@ -686,9 +697,34 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             w.setTagValue(fallbackReasonTag, "empty PARTITION BY"); w
           case None =>
             val pk = pKeys.collect { case scala.Right(p) => p }
-            GraftColumnarWindowExec(w.output,
-              pk.map(_._1), pk.map(_._2),
-              compiled.collect { case scala.Right(s) => s }, w.child)
+            val sp = compiled.collect { case scala.Right(s) => s }
+            val kinds = sp.map(_.kind).distinct
+            // deferred kinds (1: peer-group close, 2: partition close)
+            // need group buffering with one shared close point — mixing
+            // evaluation kinds in one node would need per-row value
+            // storage, so only homogeneous nodes swap
+            if (kinds.size > 1) {
+              w.setTagValue(fallbackReasonTag,
+                "mixed window frame kinds in one node (streaming + deferred)"); w
+            } else if (kinds.head == 1 && (w.orderSpec.isEmpty || !w.orderSpec.forall {
+              so => so.child match {
+                case a: AttributeReference =>
+                  ord(a) >= 0 && org.apache.spark.sql.execution.graft
+                    .GraftColumnarWindowExec.supportedPartType(a.dataType)
+                case _ => false
+              }
+            })) {
+              w.setTagValue(fallbackReasonTag,
+                "RANGE running frame needs attribute ORDER BY keys of " +
+                  "long-family/string types for peer detection"); w
+            } else {
+              val ok = if (kinds.head == 1) w.orderSpec.map(_.child
+                .asInstanceOf[AttributeReference]) else Seq.empty
+              GraftColumnarWindowExec(w.output,
+                pk.map(_._1), pk.map(_._2),
+                ok.map(a => ord(a)), ok.map(_.dataType),
+                sp, w.child)
+            }
         }
 
       // Grouped partial aggregation: attribute-only keys of long-family/

@@ -306,6 +306,35 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("columnar sort key+gather hybrid (opt-in): wide-row parity incl. strings + nulls") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.execution.graft.GraftColumnarSortExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-sortkg").toString
+    (1 to 25000).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) None else Some(s"v_${i % 311}_${"y" * (i % 17)}"),
+        if (i % 11 == 0) None else Some(i * 1.5 - 999),
+        (i % 127).toShort, i % 2 == 0,
+        if (i % 13 == 0) None else Some((i * 31 % 100000).toLong))
+    }.toDF("k", "s", "d", "sh", "b", "l2")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def qq() = spark.read.parquet(dir).sortWithinPartitions($"k".desc)
+    val kg = withSQLConf(
+      GraftColumnarRule.sortEnabledKey -> "true",
+      GraftColumnarSortExec.keyGatherKey -> "true") {
+      val df = qq()
+      val rows = df.collect()
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarSortExec => e
+      }.isDefined)
+      rows
+    }
+    val row = withSQLConf(
+      GraftColumnarRule.sortEnabledKey -> "false",
+      GraftColumnarRule.narrowSortEnabledKey -> "false") { qq().collect() }
+    assert(kg.toSeq == row.toSeq, "key+gather sort diverged from the row sort")
+  }
+
   test("columnar sort multi-pass merge: run count above the fan-in cap stays correct") {
     import org.apache.spark.sql.graft.GraftColumnarRule
     import org.apache.spark.sql.execution.graft.GraftColumnarSortExec
@@ -472,6 +501,93 @@ class EngineSuite extends GraftTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("columnar window agg: RANGE running frame (peer groups) parity incl. heavy ties") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winrange").toString
+    // o has HEAVY ties (i % 9): every peer group shares one closed
+    // value computed over ALL its peers — the defining RANGE-vs-ROWS
+    // difference; group 3 is all-ties (one giant peer group per
+    // partition); null order keys are their own peer group
+    (1 to 40000).map { i =>
+      val k = (i % 6).toLong
+      val o = if (k == 3L) Some(7L)
+        else if (i % 31 == 0) None else Some((i % 9).toLong)
+      val v = if (i % 7 == 0) None else Some(i % 1000 - 300)
+      val vd = if (i % 11 == 0) None else Some(i * 0.25 - 100)
+      (k, o, i.toLong, v, vd)
+    }.toDF("k", "o", "tie", "vl", "vd")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def qq() = {
+      val s = spark
+      import s.implicits._
+      // DEFAULT frame under ORDER BY = RANGE UNBOUNDED..CURRENT ROW
+      val w = Window.partitionBy($"k").orderBy($"o")
+      spark.read.parquet(dir).select($"k", $"o", $"tie",
+        sum($"vl").over(w).as("s_l"),
+        sum($"vd").over(w).as("s_d"),
+        count($"vl").over(w).as("c_l"),
+        min($"vl").over(w).as("mn"),
+        max($"vd").over(w).as("mx"),
+        avg($"vl").over(w).as("av"))
+        .orderBy($"k", $"o", $"tie")
+    }
+    val on = {
+      val df = qq()
+      val rows = df.collect()
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isDefined, s"expected the deferred window agg:\n${df.queryExecution.executedPlan}")
+      rows
+    }
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qq().collect() }
+    assert(on.toSeq == off.toSeq, "RANGE running frame diverged from the row WindowExec")
+  }
+
+  test("columnar window agg: whole-partition frame parity (no ORDER BY + explicit)") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winwhole").toString
+    (1 to 30000).map { i =>
+      ((i % 8).toLong, i.toLong,
+        if (i % 5 == 0) None else Some(i % 700 - 350),
+        if (i % 9 == 0) None else Some(i * 0.4 - 60))
+    }.toDF("k", "id", "vl", "vd")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def qNoOrder() = {
+      val s = spark
+      import s.implicits._
+      // no ORDER BY → default frame is the whole partition
+      val w = Window.partitionBy($"k")
+      spark.read.parquet(dir).select($"k", $"id",
+        sum($"vl").over(w).as("s_l"), min($"vd").over(w).as("mn"),
+        max($"vl").over(w).as("mx"), avg($"vd").over(w).as("av"),
+        count(lit(1)).over(w).as("n"))
+        .orderBy($"id")
+    }
+    def qExplicit() = {
+      val s = spark
+      import s.implicits._
+      // explicit ROWS UNBOUNDED..UNBOUNDED with ORDER BY present
+      val w = Window.partitionBy($"k").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      spark.read.parquet(dir).select($"k", $"id",
+        sum($"vd").over(w).as("s_d"), max($"vd").over(w).as("mx"))
+        .orderBy($"id")
+    }
+    for ((label, q) <- Seq("no-order" -> (() => qNoOrder()), "explicit" -> (() => qExplicit()))) {
+      val df = q()
+      val on = df.collect()
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isDefined, s"$label: expected the deferred window agg:\n${df.queryExecution.executedPlan}")
+      val off = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { q().collect() }
+      assert(on.toSeq == off.toSeq, s"$label: whole-partition frame diverged")
+    }
+  }
+
   test("columnar window agg: unsupported frames and functions keep the row path") {
     import org.apache.spark.sql.graft.GraftColumnarRule
     import org.apache.spark.sql.expressions.Window
@@ -481,13 +597,17 @@ class EngineSuite extends GraftTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-winagg3").toString
     df0.repartition(1).write.mode("overwrite").parquet(dir)
     withSQLConf(GraftColumnarRule.sortEnabledKey -> "true") {
-      // default frame with ORDER BY = RANGE (peer groups) → no swap
+      // mixed kinds in one node (streaming ROWS + deferred RANGE over
+      // the same spec) → no swap: one close point cannot serve both
+      val wRows = Window.partitionBy($"k").orderBy($"o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wRange = Window.partitionBy($"k").orderBy($"o")
-      val d1 = spark.read.parquet(dir).select($"k", sum($"v").over(wRange).as("s"))
+      val d1 = spark.read.parquet(dir).select($"k",
+        sum($"v").over(wRows).as("sr"), sum($"v").over(wRange).as("sg"))
       d1.collect()
       assert(findExec(d1) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
-      }.isEmpty, "RANGE frame must not swap")
+      }.isEmpty, "mixed streaming + deferred kinds must not swap")
       // sliding ROWS frame → no swap
       val wSlide = Window.partitionBy($"k").orderBy($"o").rowsBetween(-3, 0)
       val d2 = spark.read.parquet(dir).select($"k", sum($"v").over(wSlide).as("s"))

@@ -294,6 +294,25 @@ object FilterMicroBench {
         Tables.t(spark, sfDir, "lineitem")
           .select($"l_returnflag", sum($"l_extendedprice").over(w).as("s"))
       }),
+      // DEFAULT frame under ORDER BY (RANGE running, peer groups):
+      // l_quantity has ~50 distinct values → heavy ties per order key
+      "winagg-range" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag", sum($"l_extendedprice").over(w).as("s"),
+            avg($"l_discount").over(w).as("a"))
+      }),
+      // whole-partition frame (no ORDER BY): per-key min/max/sum
+      "winagg-whole" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_orderkey")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey", sum($"l_quantity").over(w).as("s"),
+            max($"l_extendedprice").over(w).as("mx"))
+      }),
       // 6 functions over one pass (q176's shape)
       "winagg-6fn" -> (() => {
         import org.apache.spark.sql.expressions.Window
@@ -397,6 +416,29 @@ object FilterMicroBench {
       val on = timeIt(f)
       spark.conf.unset(GraftColumnarRule.narrowSortEnabledKey)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
+
+    // Wide-row key+gather hybrid (EXPERIMENTAL, opt-in): three-way —
+    // row SortExec vs buffered columnar vs keys-in-memory +
+    // non-key-columns-on-disk gather
+    val kgShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "sortkg-1key" -> (() =>
+        Tables.t(spark, sfDir, "lineitem").sortWithinPartitions($"l_orderkey")),
+      "sortkg-2key" -> (() =>
+        Tables.t(spark, sfDir, "lineitem")
+          .sortWithinPartitions($"l_extendedprice".desc, $"l_orderkey")))
+    sel(kgShapes).foreach { case (name, f) =>
+      import org.apache.spark.sql.execution.graft.GraftColumnarSortExec
+      spark.conf.set(GraftColumnarRule.sortEnabledKey, "false")
+      spark.conf.set(GraftColumnarRule.narrowSortEnabledKey, "false")
+      val row = timeIt(f)
+      spark.conf.set(GraftColumnarRule.sortEnabledKey, "true")
+      val buffered = timeIt(f)
+      spark.conf.set(GraftColumnarSortExec.keyGatherKey, "true")
+      val kg = timeIt(f)
+      spark.conf.unset(GraftColumnarSortExec.keyGatherKey)
+      spark.conf.set(GraftColumnarRule.sortEnabledKey, "false")
+      println(f"MICRO $name%-14s row=$row%.3fs buffered=$buffered%.3fs (${buffered / row}%.2fx) keygather=$kg%.3fs (${kg / row}%.2fx)")
     }
 
     // Shuffled semi/anti probe over a bucketed stream (vs the row SHJ on

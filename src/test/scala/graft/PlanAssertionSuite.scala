@@ -549,6 +549,17 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the running frame:\n$p")
   }
 
+  test("q179 RANGE running frame swaps to the deferred streaming window exec") {
+    val df = run("q179_window_range_peers")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftColumnarWindow"),
+      s"expected the deferred window agg swap in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0,
+      s"no row WindowExec should remain for the RANGE running frame:\n$p")
+  }
+
   test("q173 timestamp-key semi join probes columnar through the unsafe-key path") {
     val df = run("q173_date_key_semi")
     df.collect()
