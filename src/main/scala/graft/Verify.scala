@@ -23,6 +23,9 @@ object Verify {
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+      // progress marker interleaves with executor WARN lines in the same
+      // stderr stream — maps stage-numbered log noise back to a query
+      System.err.println(s"[verify] running $name")
       // repartition(1), not coalesce(1): coalesce would also collapse the
       // upstream stage's parallelism when no exchange precedes the write.
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")

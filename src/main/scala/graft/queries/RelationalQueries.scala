@@ -578,6 +578,109 @@ object RelationalQueries {
         ORDER BY l_orderkey, l_linenumber"""),
       doc = "RANGE running frame (the default under ORDER BY): peer-group deferred evaluation on GraftColumnarWindowExec — ties share the value closed at the peer group's end."),
 
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q180_window_lag_lead",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Streaming lag/lead (GraftWindowOffsetExec, pinned): the
+        // sessionization/CDC lookback shape — previous/next event per
+        // key with O(k) ring state instead of the row WindowExec's
+        // whole buffered partition. Defaults exercise partition edges.
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_orderkey" < 3000)
+          .select($"l_orderkey", $"l_linenumber",
+            round(lag($"l_extendedprice", 1).over(w), 4).as("prev_price"),
+            round(lead($"l_extendedprice", 1, -1.0).over(w), 4).as("next_price"),
+            lag($"l_partkey", 2).over(w).as("prev2_part"),
+            lead($"l_returnflag", 1, "NONE").over(w).as("next_flag"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          round(lag(l_extendedprice, 1) OVER w, 4) AS prev_price,
+          round(lead(l_extendedprice, 1, -1.0) OVER w, 4) AS next_price,
+          lag(l_partkey, 2) OVER w AS prev2_part,
+          lead(l_returnflag, 1, 'NONE') OVER w AS next_flag
+        FROM lineitem WHERE l_orderkey < 3000
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        ORDER BY l_orderkey, l_linenumber"""),
+      doc = "Streaming lag/lead on GraftWindowOffsetExec: O(maxLag+maxLead+1) ring state replaces the row WindowExec's whole-partition buffer — the sessionization lookback shape."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q181_window_ranking_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Pure ranking nodes: the SCD2 / pick-latest shape. Unlike q23
+        // (whose node also holds ntile/percent_rank/cume_dist and keeps
+        // the row path), BOTH nodes here hold only streaming functions
+        // and swap to GraftColumnarWindowExec: O(1) state per partition
+        // vs the row WindowExec's whole buffered group. Two specs on
+        // purpose — row_number and the running count need a UNIQUE
+        // ordering (tie order is engine-dependent), while rank /
+        // dense_rank run over the tie-PRONE date ordering (peers share
+        // the value, so ties are deterministic — and actually exercise
+        // peer detection).
+        val wUniq = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        val wTies = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+        Tables.t(s, dir, "orders")
+          .filter($"o_custkey" < 500)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+            row_number().over(wUniq).as("rn"),
+            rank().over(wTies).as("rnk"),
+            dense_rank().over(wTies).as("drnk"),
+            count(lit(1)).over(wUniq.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("seen"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+          row_number() OVER wu AS rn, rank() OVER wt AS rnk,
+          dense_rank() OVER wt AS drnk,
+          count(1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+        FROM orders WHERE o_custkey < 500
+        WINDOW wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wt AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        ORDER BY o_orderkey"""),
+      doc = "Streaming ranking functions (row_number/rank/dense_rank + running count in ONE swapped node) — beyond the reference (it falls back on ranking)."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q182_window_sliding",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Sliding ROWS frames — the moving-average / rolling-metric
+        // shape — on GraftWindowSlidingExec: a frame-wide ring of rows
+        // replaces the row WindowExec's whole buffered partition. Four
+        // frames in ONE node: trailing avg, centered sum, trailing
+        // count, lookahead max (specs carry per-expression [lo, hi]).
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_orderkey" < 5000)
+          .select($"l_orderkey", $"l_linenumber",
+            round(avg($"l_quantity").over(w.rowsBetween(-2, 0)), 6).as("ma3"),
+            round(sum($"l_extendedprice").over(w.rowsBetween(-1, 1)), 4).as("csum"),
+            count($"l_partkey").over(w.rowsBetween(-3, -1)).as("trail_cnt"),
+            max($"l_suppkey").over(w.rowsBetween(0, 2)).as("ahead_max"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          round(avg(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3,
+          round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS csum,
+          count(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail_cnt,
+          max(l_suppkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+            ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS ahead_max
+        FROM lineitem WHERE l_orderkey < 5000
+        ORDER BY l_orderkey, l_linenumber"""),
+      doc = "Sliding ROWS-frame window aggregation (moving avg / centered sum / trailing count / lookahead max in ONE GraftWindowSlidingExec node) — the reference falls back on sliding frames."),
+
     QueryDef(
       "q86_pivot",
       (s, dir) => {

@@ -125,6 +125,11 @@ case class GraftColumnarShuffledSemiJoinExec(
         taskMemoryManager = TaskContext.get().taskMemoryManager(),
         // existence probe: one build row per key is enough
         ignoresDuplicatedKey = true)
+      // release the relation's Tungsten pages at task end — the row
+      // ShuffledHashJoinExec's buildHashedRelation registers the same
+      // listener; without it every probe task trips the executor's
+      // managed-memory-leak warning
+      TaskContext.get().addTaskCompletionListener[Unit](_ => rel.close())
       buildM.add((System.nanoTime() - t0) / 1000000)
       var sel = new Array[Int](1 << 10)
       val keyRow = new GenericInternalRow(1)
@@ -303,6 +308,8 @@ case class GraftColumnarShuffledInnerJoinExec(
         boundBuildKeys,
         taskMemoryManager = TaskContext.get().taskMemoryManager(),
         allowsNullKey = isBuildOuter)
+      // same task-end close the row ShuffledHashJoinExec registers
+      TaskContext.get().addTaskCompletionListener[Unit](_ => rel.close())
       buildM.add((System.nanoTime() - t0) / 1000000)
       val matchedKeys = if (isBuildOuter) new java.util.BitSet() else null
       // growable match buffers, reused across batches (the broadcast

@@ -14,9 +14,13 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** One window aggregate over a supported frame.
   *
-  * `fn`: 0=sum 1=count(col) 2=min 3=max 4=avg 5=count(*).
+  * `fn`: 0=sum 1=count(col) 2=min 3=max 4=avg 5=count(*),
+  * 6=row_number 7=rank 8=dense_rank (ranking: col = -1, always kind 0 —
+  * their value closes AT the row; 7/8 need the node's ORDER BY keys for
+  * peer detection, threaded via orderIdx/orderTypes).
   * `lane`: 0 = long-family input (integral/date/ts/bool/Decimal64
-  * unscaled), 1 = double-family input.
+  * unscaled), 1 = double-family input, 2 = no input lane (counts,
+  * ranking).
   * `outType` is the row path's exact result type (sum(int)=long,
   * sum(float)=double, min/max=input type, count=long, avg=double).
   * `ansi` drives sum-over-integral overflow: throw (Spark's Add
@@ -68,13 +72,22 @@ final case class WinAggSpec(
   * need per-row value storage); bounded/sliding frames keep the row
   * path.
   *
-  * A/B (FilterMicroBench winagg-*, sf0.1, 3 runs of min-of-5):
-  * streaming — many tiny groups 0.81-0.95x, three ~200k-row hot groups
-  * 0.93-0.94x, six-function pass 0.94-1.05x; deferred — RANGE heavy
-  * ties 0.97-0.99x, whole-partition 0.78-0.98x. Win-to-parity on every
-  * shape, so the swap defaults ON
-  * (spark.graft.columnar.window.enabled=false to keep the row
-  * WindowExec).
+  * Ranking functions (row_number/rank/dense_rank — the SCD2 /
+  * pick-latest / top-k-per-group shape) ride the same kind-0 streaming
+  * pass as per-node specs: row_number is the partition row counter,
+  * rank/dense_rank add peer detection against the previous row's ORDER
+  * BY keys — all O(1) state where the row WindowExec buffers the group.
+  * (The reference falls back on ranking entirely —
+  * CometWindowExec.scala:108-147 whitelists aggregates only.)
+  *
+  * A/B (FilterMicroBench winagg-* and winrank-*, sf0.1, 3 runs of
+  * min-of-5): streaming — many tiny groups 0.81-0.95x, three ~200k-row
+  * hot groups 0.93-0.94x, six-function pass 0.94-1.05x; deferred —
+  * RANGE heavy ties 0.97-0.99x, whole-partition 0.78-0.98x; ranking —
+  * row_number over ~4-row groups 0.90-0.95x, rank+dense_rank+row_number
+  * over three hot groups 0.96-1.07x. Win-to-parity on every shape, so
+  * the swap defaults ON (spark.graft.columnar.window.enabled=false to
+  * keep the row WindowExec).
   */
 case class GraftColumnarWindowExec(
     output: Seq[Attribute],
@@ -126,27 +139,41 @@ case class GraftColumnarWindowExec(
     val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
     val pIdx = partIdx.toArray
     val pTypes = partTypes.toArray
+    val oIdx = orderIdx.toArray
+    val oTypes = orderTypes.toArray
     val ss = specs.toArray
     val nIn = child.output.length
+    // rank/dense_rank need the previous row's ORDER BY keys to detect
+    // peer-group starts; row_number needs only the partition counter
+    val needPeers = ss.exists(s => s.fn == 7 || s.fn == 8)
     child.executeColumnar().mapPartitionsInternal { batches =>
       val nP = pIdx.length
+      val nO = if (needPeers) oIdx.length else 0
       val nS = ss.length
       // carried partition key of the previous row (survives batches —
       // string keys are COPIED because a child may recycle its vectors)
       val prevLong = new Array[Long](nP)
       val prevStr = new Array[org.apache.spark.unsafe.types.UTF8String](nP)
       val prevNull = new Array[Boolean](nP)
+      val oPrevLong = new Array[Long](nO)
+      val oPrevStr = new Array[org.apache.spark.unsafe.types.UTF8String](nO)
+      val oPrevNull = new Array[Boolean](nO)
       var anyRow = false
       // accumulators, one set per window spec
       val accLong = new Array[Long](nS)
       val accDbl = new Array[Double](nS)
       val accCnt = new Array[Long](nS)
       val accSeen = new Array[Boolean](nS)
+      // ranking counters, shared across specs (per-partition)
+      var rkRowNum = 0L
+      var rkRank = 0L
+      var rkDense = 0L
       def reset(): Unit = {
         java.util.Arrays.fill(accLong, 0L)
         java.util.Arrays.fill(accDbl, 0.0)
         java.util.Arrays.fill(accCnt, 0L)
         java.util.Arrays.fill(accSeen, false)
+        rkRowNum = 0L; rkRank = 0L; rkDense = 0L
       }
       batches.map { batch =>
         val n = batch.numRows()
@@ -154,6 +181,10 @@ case class GraftColumnarWindowExec(
         val pCols = pIdx.map(batch.column)
         val pGetL: Array[Int => Long] = Array.tabulate(nP) { k =>
           if (pTypes(k) == StringType) null else longGetter(pCols(k), pTypes(k))
+        }
+        val oCols = Array.tabulate(nO)(k => batch.column(oIdx(k)))
+        val oGetL: Array[Int => Long] = Array.tabulate(nO) { k =>
+          if (oTypes(k) == StringType) null else longGetter(oCols(k), oTypes(k))
         }
         val vCols = ss.map(s => if (s.col >= 0) batch.column(s.col) else null)
         val vGetL: Array[Int => Long] = Array.tabulate(nS) { k =>
@@ -166,9 +197,9 @@ case class GraftColumnarWindowExec(
           if (s.col >= 0 && s.lane == 1) dblGetter(vCols(k), child.output(s.col).dataType)
           else null
         }
-        // output lane: counts are long, avg is double, sum/min/max follow
-        // the input lane
-        val outL = ss.map(s => if (s.fn == 1 || s.fn == 5 ||
+        // output lane: counts and ranking are long, avg is double,
+        // sum/min/max follow the input lane
+        val outL = ss.map(s => if (s.fn == 1 || s.fn == 5 || s.fn >= 6 ||
           ((s.fn == 0 || s.fn == 2 || s.fn == 3) && s.lane == 0))
           new Array[Long](n) else null)
         val outD = ss.map(s => if (s.fn == 4 ||
@@ -189,6 +220,20 @@ case class GraftColumnarWindowExec(
               else pCols(k).getUTF8String(i).compareTo(prevStr(k)) != 0
             k += 1
           }
+          // a new peer group starts when the partition changes OR any
+          // ORDER BY key differs (nulls are peers of nulls) — decide
+          // BEFORE carrying this row's keys
+          var newPeer = boundary
+          k = 0
+          while (needPeers && !newPeer && k < nO) {
+            val nl = oCols(k).isNullAt(i)
+            newPeer =
+              if (nl != oPrevNull(k)) true
+              else if (nl) false
+              else if (oGetL(k) ne null) oGetL(k)(i) != oPrevLong(k)
+              else oCols(k).getUTF8String(i).compareTo(oPrevStr(k)) != 0
+            k += 1
+          }
           if (boundary) { reset(); grpM.add(1) }
           // carry this row's key
           k = 0
@@ -201,7 +246,20 @@ case class GraftColumnarWindowExec(
             }
             k += 1
           }
+          k = 0
+          while (k < nO) {
+            val nl = oCols(k).isNullAt(i)
+            oPrevNull(k) = nl
+            if (!nl) {
+              if (oGetL(k) ne null) oPrevLong(k) = oGetL(k)(i)
+              else oPrevStr(k) = oCols(k).getUTF8String(i).clone()
+            }
+            k += 1
+          }
           anyRow = true
+          rkRowNum += 1
+          if (boundary) { rkRank = 1; rkDense = 1 }
+          else if (newPeer) { rkRank = rkRowNum; rkDense += 1 }
           // update + emit each window function
           var s = 0
           while (s < nS) {
@@ -232,6 +290,9 @@ case class GraftColumnarWindowExec(
               case 5 => // count(*)
                 accCnt(s) += 1
                 outL(s)(i) = accCnt(s)
+              case 6 => outL(s)(i) = rkRowNum // row_number
+              case 7 => outL(s)(i) = rkRank // rank
+              case 8 => outL(s)(i) = rkDense // dense_rank
               case 2 | 3 => // min / max
                 if (!nullIn) {
                   if (sp.lane == 0) {
@@ -291,12 +352,18 @@ case class GraftColumnarWindowExec(
     val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
     val pIdx = partIdx.toArray
     val pTypes = partTypes.toArray
+    val oIdx = orderIdx.toArray
+    val oTypes = orderTypes.toArray
     val ss = specs.toArray
     val childOut = child.output
     val inTypes = ss.map(s => if (s.col >= 0) childOut(s.col).dataType else null)
     val outAll = output
+    // rank/dense_rank need the previous row's ORDER BY keys for peer
+    // detection; row_number needs only the partition counter
+    val needPeers = ss.exists(s => s.fn == 7 || s.fn == 8)
     child.execute().mapPartitionsInternal { rows =>
       val nP = pIdx.length
+      val nO = if (needPeers) oIdx.length else 0
       val nS = ss.length
       def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
         case ByteType => r.getByte(ord).toLong
@@ -317,16 +384,23 @@ case class GraftColumnarWindowExec(
       val prevLong = new Array[Long](nP)
       val prevStr = new Array[org.apache.spark.unsafe.types.UTF8String](nP)
       val prevNull = new Array[Boolean](nP)
+      val oPrevLong = new Array[Long](nO)
+      val oPrevStr = new Array[org.apache.spark.unsafe.types.UTF8String](nO)
+      val oPrevNull = new Array[Boolean](nO)
       var anyRow = false
       val accLong = new Array[Long](nS)
       val accDbl = new Array[Double](nS)
       val accCnt = new Array[Long](nS)
       val accSeen = new Array[Boolean](nS)
+      var rkRowNum = 0L
+      var rkRank = 0L
+      var rkDense = 0L
       def reset(): Unit = {
         java.util.Arrays.fill(accLong, 0L)
         java.util.Arrays.fill(accDbl, 0.0)
         java.util.Arrays.fill(accCnt, 0L)
         java.util.Arrays.fill(accSeen, false)
+        rkRowNum = 0L; rkRank = 0L; rkDense = 0L
       }
       val aggRow = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(nS)
@@ -362,6 +436,20 @@ case class GraftColumnarWindowExec(
             else rowLong(row, pIdx(k), pTypes(k)) != prevLong(k)
           k += 1
         }
+        // peer-group start: partition change OR any ORDER BY key differs
+        // (nulls are peers of nulls) — decided BEFORE carrying the keys
+        var newPeer = boundary
+        k = 0
+        while (needPeers && !newPeer && k < nO) {
+          val nl = row.isNullAt(oIdx(k))
+          newPeer =
+            if (nl != oPrevNull(k)) true
+            else if (nl) false
+            else if (oTypes(k) == StringType)
+              row.getUTF8String(oIdx(k)).compareTo(oPrevStr(k)) != 0
+            else rowLong(row, oIdx(k), oTypes(k)) != oPrevLong(k)
+          k += 1
+        }
         if (boundary) { reset(); grpM.add(1) }
         k = 0
         while (k < nP) {
@@ -374,7 +462,21 @@ case class GraftColumnarWindowExec(
           }
           k += 1
         }
+        k = 0
+        while (k < nO) {
+          val nl = row.isNullAt(oIdx(k))
+          oPrevNull(k) = nl
+          if (!nl) {
+            if (oTypes(k) == StringType)
+              oPrevStr(k) = row.getUTF8String(oIdx(k)).clone()
+            else oPrevLong(k) = rowLong(row, oIdx(k), oTypes(k))
+          }
+          k += 1
+        }
         anyRow = true
+        rkRowNum += 1
+        if (boundary) { rkRank = 1; rkDense = 1 }
+        else if (newPeer) { rkRank = rkRowNum; rkDense += 1 }
         var s = 0
         while (s < nS) {
           val sp = ss(s)
@@ -404,6 +506,9 @@ case class GraftColumnarWindowExec(
             case 5 =>
               accCnt(s) += 1
               aggRow.update(s, accCnt(s))
+            case 6 => aggRow.update(s, rkRowNum.toInt) // row_number
+            case 7 => aggRow.update(s, rkRank.toInt) // rank
+            case 8 => aggRow.update(s, rkDense.toInt) // dense_rank
             case 2 | 3 =>
               if (!nullIn) {
                 if (sp.lane == 0) {
@@ -614,6 +719,12 @@ case class GraftColumnarWindowExec(
         private val buffer = new org.apache.spark.sql.execution
           .ExternalAppendOnlyUnsafeRowArray(inMemThreshold, Long.MaxValue,
             spillThreshold, spillSizeThreshold)
+        // release the last group's pages at task end — advance() only
+        // clears on the NEXT group, so the final (or LIMIT-abandoned)
+        // buffer would otherwise trip the executor's managed-memory-leak
+        // warning at completion
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => buffer.clear()))
         private var emitIter: Iterator[org.apache.spark.sql.catalyst.expressions.UnsafeRow] =
           Iterator.empty
         private var held: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
@@ -668,6 +779,491 @@ case class GraftColumnarWindowExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): GraftColumnarWindowExec =
     copy(child = newChild)
+}
+
+/** One lag/lead column: `offset` is SIGNED (negative = lag, positive =
+  * lead — the FrameLessOffsetWindowFunction convention), `default` is
+  * the pre-evaluated literal default (catalyst internal value or null),
+  * `dt` the input/result type. */
+final case class WinOffsetSpec(col: Int, offset: Int, default: Any, dt: DataType)
+
+/** Streaming lag/lead (reference analogue: CometWindowExec's offset
+  * whitelist; Spark twin: WindowExec with FrameLessOffsetWindowFrame).
+  *
+  * The row WindowExec copies EVERY partition group into its
+  * ExternalAppendOnlyUnsafeRowArray before evaluating even a 1-row
+  * lag — on a skewed partition key that buffer is the whole hot group.
+  * lag(k)/lead(k) only ever need maxLag + maxLead + 1 rows of context,
+  * so this operator holds exactly that ring of row copies and emits
+  * each row once its furthest lead is in the ring (or the partition
+  * closed): O(k) memory under any skew, one pass, no spill machinery
+  * needed at all.
+  *
+  * Restrictions (the rule falls back otherwise): literal offsets,
+  * literal defaults, ignoreNulls=false, attribute inputs of
+  * long/double/string-family types, and a node holding ONLY lag/lead
+  * (Spark plans mixed agg+offset functions into one WindowExec; those
+  * keep the row path).
+  *
+  * A/B (FilterMicroBench winoff-*, sf0.1, 3 runs of min-of-5): lag(1)
+  * over ~4-row groups 0.79-0.86x, lag+lead over three ~200k-row hot
+  * groups 0.92-1.00x — win-to-parity, ON by default under the shared
+  * spark.graft.columnar.window.enabled gate.
+  */
+case class GraftWindowOffsetExec(
+    output: Seq[Attribute],
+    partIdx: Seq[Int],
+    partTypes: Seq[DataType],
+    specs: Seq[WinOffsetSpec],
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering = child.outputOrdering
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output.drop(child.output.length))
+
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numPartitionGroups" -> SQLMetrics.createMetric(sparkContext, "window partition groups"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
+    val pIdx = partIdx.toArray
+    val pTypes = partTypes.toArray
+    val ss = specs.toArray
+    val outAll = output
+    val maxLead = (0 +: ss.map(_.offset).filter(_ > 0).toSeq).max
+    val maxLag = (0 +: ss.map(s => -s.offset).filter(_ > 0).toSeq).max
+    val cap = maxLag + maxLead + 1
+    child.execute().mapPartitionsInternal { rows =>
+      import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+      def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
+        case ByteType => r.getByte(ord).toLong
+        case ShortType => r.getShort(ord).toLong
+        case IntegerType | DateType => r.getInt(ord).toLong
+        case BooleanType => if (r.getBoolean(ord)) 1L else 0L
+        case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        case _ => r.getLong(ord)
+      }
+      /** Boxed catalyst value of one column — feeds the GenericInternalRow. */
+      def readBoxed(r: InternalRow, ord: Int, dt: DataType): Any =
+        if (r.isNullAt(ord)) null
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType => r.getLong(ord)
+          case IntegerType | DateType => r.getInt(ord)
+          case ShortType => r.getShort(ord)
+          case ByteType => r.getByte(ord)
+          case BooleanType => r.getBoolean(ord)
+          case DoubleType => r.getDouble(ord)
+          case FloatType => r.getFloat(ord)
+          case d: DecimalType => r.getDecimal(ord, d.precision, d.scale)
+          case StringType => r.getUTF8String(ord)
+          case other => throw new IllegalStateException(s"bad offset type $other")
+        }
+      val prevLong = new Array[Long](pIdx.length)
+      val prevStr = new Array[org.apache.spark.unsafe.types.UTF8String](pIdx.length)
+      val prevNull = new Array[Boolean](pIdx.length)
+      var anyRow = false
+      def partDiffers(r: InternalRow): Boolean = {
+        var k = 0
+        while (k < pIdx.length) {
+          val nl = r.isNullAt(pIdx(k))
+          val d =
+            if (nl != prevNull(k)) true
+            else if (nl) false
+            else if (pTypes(k) == StringType)
+              r.getUTF8String(pIdx(k)).compareTo(prevStr(k)) != 0
+            else rowLong(r, pIdx(k), pTypes(k)) != prevLong(k)
+          if (d) return true
+          k += 1
+        }
+        false
+      }
+      def partCarry(r: InternalRow): Unit = {
+        var k = 0
+        while (k < pIdx.length) {
+          val nl = r.isNullAt(pIdx(k))
+          prevNull(k) = nl
+          if (!nl) {
+            if (pTypes(k) == StringType) prevStr(k) = r.getUTF8String(pIdx(k)).clone()
+            else prevLong(k) = rowLong(r, pIdx(k), pTypes(k))
+          }
+          k += 1
+        }
+      }
+      val ring = new Array[UnsafeRow](cap)
+      val aggRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(ss.length)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAll.map(_.dataType).toArray)
+      new Iterator[InternalRow] {
+        private var cons = 0L // rows consumed in the current partition
+        private var emitE = 0L // rows emitted in the current partition
+        private var flushN = -1L // ≥0: partition closed at this row count
+        private var held: UnsafeRow = _
+        private def canEmit: Boolean = cons - emitE > maxLead
+        /** Drive the state machine until something is emittable or input
+          * is truly exhausted. MUST loop internally: a partition
+          * boundary with no deferred rows pending (lag-only nodes emit
+          * each row as it is consumed, so emitE == cons at the boundary)
+          * completes its zero-row flush and must immediately seed the
+          * next partition and keep consuming — returning there would end
+          * the iterator after the first partition.
+          */
+        private def advance(): Unit = {
+          var looping = true
+          while (looping) {
+            looping = false
+            if (flushN >= 0) {
+              if (emitE < flushN) return // flush pending → emittable
+              // flush done: start the next partition with the held row
+              flushN = -1; cons = 0; emitE = 0
+              if (held != null) {
+                grpM.add(1)
+                partCarry(held)
+                ring(0) = held
+                cons = 1
+                held = null
+              } else return // input exhausted
+            }
+            var boundary = false
+            while (!canEmit && !boundary && rows.hasNext) {
+              val row = rows.next().asInstanceOf[UnsafeRow].copy()
+              inM.add(1)
+              if (anyRow && partDiffers(row)) {
+                held = row
+                flushN = cons
+                boundary = true
+              } else {
+                if (!anyRow) grpM.add(1)
+                anyRow = true
+                partCarry(row)
+                ring((cons % cap).toInt) = row
+                cons += 1
+              }
+            }
+            if (canEmit && flushN < 0) return
+            if (boundary) {
+              if (emitE < flushN) return // deferred tail → emittable
+              looping = true // zero-row flush: restart with held now
+            } else if (cons > emitE) {
+              // input exhausted with a deferred tail
+              flushN = cons
+              return
+            } else return // truly done
+          }
+        }
+        override def hasNext: Boolean = {
+          if ((flushN >= 0 && emitE < flushN) || canEmit) true
+          else { advance(); (flushN >= 0 && emitE < flushN) || canEmit }
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val bound = if (flushN >= 0) flushN else Long.MaxValue
+          val e = emitE
+          emitE += 1
+          var s = 0
+          while (s < ss.length) {
+            val sp = ss(s)
+            val t = e + sp.offset
+            if (t < 0 || t >= bound) aggRow.update(s, sp.default)
+            else aggRow.update(s, readBoxed(ring((t % cap).toInt), sp.col, sp.dt))
+            s += 1
+          }
+          proj(joined(ring((e % cap).toInt), aggRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftWindowOffsetExec =
+    copy(child = newChild)
+}
+
+object GraftWindowOffsetExec {
+  /** Input/result types the boxed reader handles. */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+        DateType | TimestampType | TimestampNTZType |
+        DoubleType | FloatType | StringType => true
+    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
+    case _ => false
+  }
+}
+
+/** One sliding-frame aggregate: frame is ROWS BETWEEN `lo` AND `hi`
+  * (row-relative, both finite; lo <= 0 <= no constraint on hi's sign —
+  * trailing [-5,-2] and centered [-1,1] both valid). `fn`/`lane`/
+  * `outType`/`ansi` follow [[WinAggSpec]] (0=sum 1=count(col) 2=min
+  * 3=max 4=avg 5=count(*)). */
+final case class WinSlideSpec(
+    fn: Int, col: Int, lane: Int, outType: DataType, ansi: Boolean,
+    lo: Long, hi: Long)
+
+/** Sliding ROWS-frame window aggregation (moving averages / rolling
+  * sums — reference analogue: CometWindowExec.scala:41-388 whitelists
+  * running aggregates only and falls back on sliding frames; Spark twin:
+  * WindowExec with SlidingWindowFunctionFrame).
+  *
+  * The row WindowExec buffers EVERY partition group in its spill-backed
+  * ExternalAppendOnlyUnsafeRowArray before evaluating even a 3-row
+  * moving average. A ROWS [lo, hi] frame only ever needs
+  * max(hi,0)+1-min(lo,0) rows of context, so this operator holds
+  * exactly that ring of row copies (the [[GraftWindowOffsetExec]] state
+  * machine) and emits each row once its furthest FOLLOWING row is in
+  * the ring or the partition closed: O(frame) memory under any skew.
+  *
+  * Each emitted row recomputes its aggregate over the ring slice in
+  * ascending row order — the exact evaluation order of Spark's
+  * SlidingWindowFunctionFrame (which also recomputes per slide), so
+  * double results are bit-identical and long sums wrap/throw
+  * identically. O(n * frame) compute, same as the row path.
+  *
+  * Restrictions (the rule falls back otherwise): finite literal ROWS
+  * bounds with frame width <= 65536 (wider frames keep the row path —
+  * the ring is allocated eagerly), sum/count/min/max/avg over
+  * long/double-family attributes, supported partition keys, and a node
+  * holding ONLY sliding-frame aggregates.
+  *
+  * A/B (FilterMicroBench winslide-*, sf0.1, 3 runs of min-of-5):
+  * 3-row moving avg over ~4-row groups 0.80-0.88x, centered sum+min+max
+  * over three ~200k-row hot groups 0.82-0.93x — win on both shapes, ON
+  * by default under the shared spark.graft.columnar.window.enabled gate.
+  */
+case class GraftWindowSlidingExec(
+    output: Seq[Attribute],
+    partIdx: Seq[Int],
+    partTypes: Seq[DataType],
+    specs: Seq[WinSlideSpec],
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering = child.outputOrdering
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output.drop(child.output.length))
+
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numPartitionGroups" -> SQLMetrics.createMetric(sparkContext, "window partition groups"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
+    val pIdx = partIdx.toArray
+    val pTypes = partTypes.toArray
+    val ss = specs.toArray
+    val childOut = child.output
+    val inTypes = ss.map(s => if (s.col >= 0) childOut(s.col).dataType else null)
+    val outAll = output
+    val maxLead = math.max(0L, ss.map(_.hi).max)
+    val minLo = math.min(0L, ss.map(_.lo).min)
+    val cap = (maxLead + 1L - minLo).toInt
+    child.execute().mapPartitionsInternal { rows =>
+      import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+      def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
+        case ByteType => r.getByte(ord).toLong
+        case ShortType => r.getShort(ord).toLong
+        case IntegerType | DateType => r.getInt(ord).toLong
+        case BooleanType => if (r.getBoolean(ord)) 1L else 0L
+        case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        case _ => r.getLong(ord)
+      }
+      def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
+        case FloatType => r.getFloat(ord).toDouble
+        case ByteType => r.getByte(ord).toDouble
+        case ShortType => r.getShort(ord).toDouble
+        case IntegerType => r.getInt(ord).toDouble
+        case LongType => r.getLong(ord).toDouble
+        case _ => r.getDouble(ord)
+      }
+      val prevLong = new Array[Long](pIdx.length)
+      val prevStr = new Array[org.apache.spark.unsafe.types.UTF8String](pIdx.length)
+      val prevNull = new Array[Boolean](pIdx.length)
+      var anyRow = false
+      def partDiffers(r: InternalRow): Boolean = {
+        var k = 0
+        while (k < pIdx.length) {
+          val nl = r.isNullAt(pIdx(k))
+          val d =
+            if (nl != prevNull(k)) true
+            else if (nl) false
+            else if (pTypes(k) == StringType)
+              r.getUTF8String(pIdx(k)).compareTo(prevStr(k)) != 0
+            else rowLong(r, pIdx(k), pTypes(k)) != prevLong(k)
+          if (d) return true
+          k += 1
+        }
+        false
+      }
+      def partCarry(r: InternalRow): Unit = {
+        var k = 0
+        while (k < pIdx.length) {
+          val nl = r.isNullAt(pIdx(k))
+          prevNull(k) = nl
+          if (!nl) {
+            if (pTypes(k) == StringType) prevStr(k) = r.getUTF8String(pIdx(k)).clone()
+            else prevLong(k) = rowLong(r, pIdx(k), pTypes(k))
+          }
+          k += 1
+        }
+      }
+      val ring = new Array[UnsafeRow](cap)
+      val aggRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(ss.length)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAll.map(_.dataType).toArray)
+      def emitLong(s: Int, v: Long): Unit = ss(s).outType match {
+        case LongType | TimestampType | TimestampNTZType => aggRow.update(s, v)
+        case IntegerType | DateType => aggRow.update(s, v.toInt)
+        case ShortType => aggRow.update(s, v.toShort)
+        case ByteType => aggRow.update(s, v.toByte)
+        case BooleanType => aggRow.update(s, v != 0L)
+        case d: DecimalType =>
+          aggRow.update(s, org.apache.spark.sql.types.Decimal
+            .createUnsafe(v, d.precision, d.scale))
+        case _ => aggRow.update(s, v)
+      }
+      /** Recompute spec `s` over partition-relative rows [from, to] (in
+        * ascending order — Spark's sliding-frame evaluation order). */
+      def evalSlice(s: Int, from: Long, to: Long): Unit = {
+        val sp = ss(s)
+        if (sp.fn == 5) { // count(*): frame size, no input column
+          aggRow.update(s, math.max(0L, to - from + 1L))
+          return
+        }
+        var accL = 0L
+        var accD = 0.0
+        var cnt = 0L
+        var seen = false
+        var t = from
+        while (t <= to) {
+          val r = ring((t % cap).toInt)
+          if (!r.isNullAt(sp.col)) {
+            sp.fn match {
+              case 0 | 4 => // sum / avg share the accumulation lane
+                if (sp.lane == 0) {
+                  val x = rowLong(r, sp.col, inTypes(s))
+                  if (sp.ansi) {
+                    try accL = Math.addExact(accL, x)
+                    catch {
+                      case _: ArithmeticException =>
+                        throw org.apache.spark.sql.errors.QueryExecutionErrors
+                          .arithmeticOverflowError("long overflow", "try_add", null)
+                    }
+                  } else accL += x
+                } else accD += rowDbl(r, sp.col, inTypes(s))
+              case 1 => // count(col): cnt below is the value
+              case _ => // min / max
+                if (sp.lane == 0) {
+                  val x = rowLong(r, sp.col, inTypes(s))
+                  if (!seen || (if (sp.fn == 2) x < accL else x > accL)) accL = x
+                } else {
+                  val x = rowDbl(r, sp.col, inTypes(s))
+                  val c = SQLOrderingUtil.compareDoubles(x, accD)
+                  if (!seen || (if (sp.fn == 2) c < 0 else c > 0)) accD = x
+                }
+            }
+            cnt += 1
+            seen = true
+          }
+          t += 1
+        }
+        sp.fn match {
+          case 1 => aggRow.update(s, cnt)
+          case 4 =>
+            if (cnt > 0) {
+              aggRow.update(s,
+                (if (sp.lane == 0) accL.toDouble else accD) / cnt)
+            } else aggRow.setNullAt(s)
+          case _ =>
+            if (seen) {
+              if (sp.lane == 0) emitLong(s, accL)
+              else if (sp.outType == FloatType) aggRow.update(s, accD.toFloat)
+              else aggRow.update(s, accD)
+            } else aggRow.setNullAt(s)
+        }
+      }
+      new Iterator[InternalRow] {
+        private var cons = 0L
+        private var emitE = 0L
+        private var flushN = -1L
+        private var held: UnsafeRow = _
+        private def canEmit: Boolean = cons - emitE > maxLead
+        // the GraftWindowOffsetExec state machine verbatim — see its
+        // advance() doc for why the boundary restart MUST loop
+        private def advance(): Unit = {
+          var looping = true
+          while (looping) {
+            looping = false
+            if (flushN >= 0) {
+              if (emitE < flushN) return
+              flushN = -1; cons = 0; emitE = 0
+              if (held != null) {
+                grpM.add(1)
+                partCarry(held)
+                ring(0) = held
+                cons = 1
+                held = null
+              } else return
+            }
+            var boundary = false
+            while (!canEmit && !boundary && rows.hasNext) {
+              val row = rows.next().asInstanceOf[UnsafeRow].copy()
+              inM.add(1)
+              if (anyRow && partDiffers(row)) {
+                held = row
+                flushN = cons
+                boundary = true
+              } else {
+                if (!anyRow) grpM.add(1)
+                anyRow = true
+                partCarry(row)
+                ring((cons % cap).toInt) = row
+                cons += 1
+              }
+            }
+            if (canEmit && flushN < 0) return
+            if (boundary) {
+              if (emitE < flushN) return
+              looping = true
+            } else if (cons > emitE) {
+              flushN = cons
+              return
+            } else return
+          }
+        }
+        override def hasNext: Boolean = {
+          if ((flushN >= 0 && emitE < flushN) || canEmit) true
+          else { advance(); (flushN >= 0 && emitE < flushN) || canEmit }
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val bound = if (flushN >= 0) flushN else Long.MaxValue
+          val e = emitE
+          emitE += 1
+          var s = 0
+          while (s < ss.length) {
+            val sp = ss(s)
+            evalSlice(s, math.max(0L, e + sp.lo), math.min(bound - 1L, e + sp.hi))
+            s += 1
+          }
+          proj(joined(ring((e % cap).toInt), aggRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftWindowSlidingExec =
+    copy(child = newChild)
+}
+
+object GraftWindowSlidingExec {
+  /** Ring width cap: frames wider than this keep the row path (the ring
+    * is allocated eagerly per task). */
+  val maxFrameRows = 65536L
 }
 
 object GraftColumnarWindowExec {

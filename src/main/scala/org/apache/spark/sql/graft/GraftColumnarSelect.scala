@@ -598,6 +598,163 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             }
         }
 
+      // Streaming lag/lead: a node holding ONLY FrameLessOffset
+      // functions needs maxLag + maxLead + 1 rows of context, not the
+      // row WindowExec's whole buffered partition — O(k) memory under
+      // any partition-key skew (the sessionization/CDC shape).
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if windowAggEnabled(session) && w.windowExpression.forall {
+            case Alias(org.apache.spark.sql.catalyst.expressions.WindowExpression(
+              f: org.apache.spark.sql.catalyst.expressions.FrameLessOffsetWindowFunction,
+              _), _) =>
+              f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Lag] ||
+                f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Lead]
+            case _ => false
+          } =>
+        import org.apache.spark.sql.catalyst.expressions.{WindowExpression, FrameLessOffsetWindowFunction, Literal => Lit}
+        import org.apache.spark.sql.execution.graft.{GraftWindowOffsetExec, WinOffsetSpec}
+        val ordW: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
+          case a: AttributeReference => w.child.output.indexWhere(_.exprId == a.exprId)
+          case _ => -1
+        }
+        val pKeysO = w.partitionSpec.map {
+          case a: AttributeReference if ordW(a) >= 0 &&
+              org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+                .supportedPartType(a.dataType) =>
+            scala.Right((ordW(a), a.dataType))
+          case other => scala.Left(s"unsupported window partition key: $other")
+        }
+        val offCompiled: Seq[Either[String, WinOffsetSpec]] = w.windowExpression.map {
+          case Alias(WindowExpression(f: FrameLessOffsetWindowFunction, _), _) =>
+            (f.input, f.offset, f.default) match {
+              case (a: AttributeReference,
+                  Lit(off: Int, org.apache.spark.sql.types.IntegerType), dflt)
+                  if ordW(a) >= 0 && !f.ignoreNulls &&
+                    GraftWindowOffsetExec.supportedType(a.dataType) &&
+                    (dflt == null || dflt.isInstanceOf[Lit]) =>
+                val d = dflt match {
+                  case l: Lit => l.value
+                  case _ => null
+                }
+                scala.Right(WinOffsetSpec(ordW(a), off, d, a.dataType))
+              case _ =>
+                scala.Left(s"unsupported lag/lead shape: $f (needs an attribute " +
+                  "input of long/double/string family, literal offset, literal " +
+                  "default, ignoreNulls=false)")
+            }
+          case other => scala.Left(s"unexpected window expression: $other")
+        }
+        (pKeysO ++ offCompiled).collectFirst { case scala.Left(e) => e } match {
+          case Some(reason) =>
+            w.setTagValue(fallbackReasonTag, reason); w
+          case None if pKeysO.isEmpty =>
+            w.setTagValue(fallbackReasonTag, "empty PARTITION BY"); w
+          case None =>
+            val pk = pKeysO.collect { case scala.Right(p) => p }
+            GraftWindowOffsetExec(w.output, pk.map(_._1), pk.map(_._2),
+              offCompiled.collect { case scala.Right(s) => s }, w.child)
+        }
+
+      // Sliding ROWS-frame aggregation (moving averages / rolling
+      // sums): a finite [lo, hi] frame needs only a frame-wide ring of
+      // rows, not the row WindowExec's whole buffered partition —
+      // O(frame) memory under any partition-key skew. Guard: EVERY
+      // window expression is a Complete aggregate over a finite literal
+      // ROWS frame (running/unbounded frames fall through to the
+      // streaming case below; mixed nodes keep the row path).
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if windowAggEnabled(session) && w.windowExpression.forall {
+            case Alias(org.apache.spark.sql.catalyst.expressions.WindowExpression(
+              _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression,
+              org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition(_, _,
+                org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
+                  org.apache.spark.sql.catalyst.expressions.RowFrame, lo, hi))), _) =>
+              slideBound(lo).isDefined && slideBound(hi).isDefined
+            case _ => false
+          } =>
+        import org.apache.spark.sql.execution.graft.{GraftWindowSlidingExec, WinSlideSpec}
+        import org.apache.spark.sql.catalyst.expressions.{WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Sum, Min, Max, Count, Average}
+        import org.apache.spark.sql.catalyst.expressions.EvalMode
+        import org.apache.spark.sql.types._
+        val ordS: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
+          case a: AttributeReference => w.child.output.indexWhere(_.exprId == a.exprId)
+          case _ => -1
+        }
+        val longFamS: DataType => Boolean = {
+          case ByteType | ShortType | IntegerType | LongType | BooleanType |
+              DateType | TimestampType | TimestampNTZType => true
+          case d: org.apache.spark.sql.types.DecimalType =>
+            d.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS
+          case _ => false
+        }
+        val pKeysS = w.partitionSpec.map {
+          case a: AttributeReference if ordS(a) >= 0 &&
+              org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+                .supportedPartType(a.dataType) =>
+            scala.Right((ordS(a), a.dataType))
+          case other => scala.Left(s"unsupported window partition key: $other")
+        }
+        val slideCompiled: Seq[Either[String, WinSlideSpec]] = w.windowExpression.map {
+          case Alias(WindowExpression(
+              AggregateExpression(af, Complete, false, None, _),
+              WindowSpecDefinition(_, _, SpecifiedWindowFrame(_, loB, hiB))), _) =>
+            val lo = slideBound(loB).get
+            val hi = slideBound(hiB).get
+            if (lo > hi) scala.Left(s"degenerate frame [$lo, $hi]")
+            else if (math.max(0L, hi) - math.min(0L, lo) + 1L >
+              org.apache.spark.sql.execution.graft.GraftWindowSlidingExec.maxFrameRows)
+              scala.Left(s"frame [$lo, $hi] wider than the ring cap")
+            else af match {
+              case s @ Sum(a: AttributeReference, ctx) if ordS(a) >= 0 &&
+                  (a.dataType == ByteType || a.dataType == ShortType ||
+                    a.dataType == IntegerType || a.dataType == LongType) &&
+                  ctx.evalMode != EvalMode.TRY =>
+                scala.Right(WinSlideSpec(0, ordS(a), 0, s.dataType,
+                  ctx.evalMode == EvalMode.ANSI, lo, hi))
+              case s @ Sum(a: AttributeReference, _) if ordS(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinSlideSpec(0, ordS(a), 1, s.dataType, ansi = false, lo, hi))
+              case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
+                  if l.value != null =>
+                scala.Right(WinSlideSpec(5, -1, 2, LongType, ansi = false, lo, hi))
+              case Count(Seq(a: AttributeReference)) if ordS(a) >= 0 =>
+                scala.Right(WinSlideSpec(1, ordS(a), 2, LongType, ansi = false, lo, hi))
+              case m @ Min(a: AttributeReference) if ordS(a) >= 0 && longFamS(a.dataType) =>
+                scala.Right(WinSlideSpec(2, ordS(a), 0, m.dataType, ansi = false, lo, hi))
+              case m @ Min(a: AttributeReference) if ordS(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinSlideSpec(2, ordS(a), 1, m.dataType, ansi = false, lo, hi))
+              case m @ Max(a: AttributeReference) if ordS(a) >= 0 && longFamS(a.dataType) =>
+                scala.Right(WinSlideSpec(3, ordS(a), 0, m.dataType, ansi = false, lo, hi))
+              case m @ Max(a: AttributeReference) if ordS(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinSlideSpec(3, ordS(a), 1, m.dataType, ansi = false, lo, hi))
+              case av @ Average(a: AttributeReference, em) if ordS(a) >= 0 &&
+                  (longFamS(a.dataType) && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+                    a.dataType != DateType && a.dataType != TimestampType &&
+                    a.dataType != TimestampNTZType && a.dataType != BooleanType ||
+                    a.dataType == DoubleType || a.dataType == FloatType) &&
+                  em != EvalMode.TRY =>
+                val lane = if (a.dataType == DoubleType || a.dataType == FloatType) 1 else 0
+                scala.Right(WinSlideSpec(4, ordS(a), lane, av.dataType, ansi = false, lo, hi))
+              case other =>
+                scala.Left(s"unsupported sliding window aggregate: $other (${other.dataType})")
+            }
+          case other =>
+            scala.Left(s"unexpected sliding window expression: $other")
+        }
+        (pKeysS ++ slideCompiled).collectFirst { case scala.Left(e) => e } match {
+          case Some(reason) =>
+            w.setTagValue(fallbackReasonTag, reason); w
+          case None if pKeysS.isEmpty =>
+            w.setTagValue(fallbackReasonTag, "empty PARTITION BY"); w
+          case None =>
+            val pk = pKeysS.collect { case scala.Right(p) => p }
+            GraftWindowSlidingExec(w.output, pk.map(_._1), pk.map(_._2),
+              slideCompiled.collect { case scala.Right(s) => s }, w.child)
+        }
+
       // Window aggregation over the RUNNING ROWS frame (UNBOUNDED
       // PRECEDING .. CURRENT ROW): the row WindowExec copies every
       // partition group into a (spillable) buffer before computing;
@@ -684,9 +841,25 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               case other =>
                 scala.Left(s"unsupported window aggregate: $other (${other.dataType})")
             }
+          // ranking functions: per-row streaming values (their frame is
+          // ROWS UNBOUNDED..CURRENT by definition); rank/dense_rank peer
+          // detection is validated below against the node's ORDER BY
+          case Alias(WindowExpression(
+              _: org.apache.spark.sql.catalyst.expressions.RowNumber,
+              WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(0) =>
+            scala.Right(WinAggSpec(6, -1, 2, IntegerType, ansi = false, 0))
+          case Alias(WindowExpression(
+              _: org.apache.spark.sql.catalyst.expressions.Rank,
+              WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(0) =>
+            scala.Right(WinAggSpec(7, -1, 2, IntegerType, ansi = false, 0))
+          case Alias(WindowExpression(
+              _: org.apache.spark.sql.catalyst.expressions.DenseRank,
+              WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(0) =>
+            scala.Right(WinAggSpec(8, -1, 2, IntegerType, ansi = false, 0))
           case other =>
             scala.Left(s"unsupported window expression shape: ${other.getClass.getSimpleName}" +
-              " (running ROWS/RANGE or whole-partition frame over Complete agg only)")
+              " (running ROWS/RANGE or whole-partition frame over Complete agg," +
+              " or row_number/rank/dense_rank, only)")
         }
         (pKeys ++ compiled).collectFirst { case scala.Left(e) => e } match {
           case Some(reason) =>
@@ -703,10 +876,13 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             // need group buffering with one shared close point — mixing
             // evaluation kinds in one node would need per-row value
             // storage, so only homogeneous nodes swap
+            // RANGE running frames AND rank/dense_rank both detect peer
+            // groups on the node's ORDER BY keys
+            val needPeerKeys = kinds.head == 1 || sp.exists(s => s.fn == 7 || s.fn == 8)
             if (kinds.size > 1) {
               w.setTagValue(fallbackReasonTag,
                 "mixed window frame kinds in one node (streaming + deferred)"); w
-            } else if (kinds.head == 1 && (w.orderSpec.isEmpty || !w.orderSpec.forall {
+            } else if (needPeerKeys && (w.orderSpec.isEmpty || !w.orderSpec.forall {
               so => so.child match {
                 case a: AttributeReference =>
                   ord(a) >= 0 && org.apache.spark.sql.execution.graft
@@ -715,10 +891,10 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               }
             })) {
               w.setTagValue(fallbackReasonTag,
-                "RANGE running frame needs attribute ORDER BY keys of " +
-                  "long-family/string types for peer detection"); w
+                "peer detection (RANGE running frame / rank / dense_rank) " +
+                  "needs attribute ORDER BY keys of long-family/string types"); w
             } else {
-              val ok = if (kinds.head == 1) w.orderSpec.map(_.child
+              val ok = if (needPeerKeys) w.orderSpec.map(_.child
                 .asInstanceOf[AttributeReference]) else Seq.empty
               GraftColumnarWindowExec(w.output,
                 pk.map(_._1), pk.map(_._2),
@@ -804,6 +980,18 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 "partial output is not a plain buffer-attribute row"); agg
             }
         }
+    }
+
+    /** Finite row offset of a ROWS-frame bound: CurrentRow is 0,
+      * literal ints/longs are themselves, unbounded ends are None. */
+    private def slideBound(
+        e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] = e match {
+      case org.apache.spark.sql.catalyst.expressions.CurrentRow => Some(0L)
+      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+        org.apache.spark.sql.types.IntegerType) => Some(i.toLong)
+      case org.apache.spark.sql.catalyst.expressions.Literal(l: Long,
+        org.apache.spark.sql.types.LongType) => Some(l)
+      case _ => None
     }
 
     /** Shared grouped-partial swap body for the direct HashAggregate

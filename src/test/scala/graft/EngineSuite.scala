@@ -588,6 +588,194 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("streaming lag/lead: parity vs the row WindowExec incl. defaults + tiny partitions") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winoff").toString
+    // k=0 is a 1-row partition (every offset hits the default); k=1 is
+    // hot (multi-batch); null partition keys group together; values
+    // include nulls (lag of a null row is null — NOT the default) and
+    // strings
+    (1 to 30000).map { i =>
+      val k = if (i == 17) Some(0L)
+        else if (i % 13 == 0) None else Some(if (i % 3 != 0) 1L else (i % 5 + 2).toLong)
+      val v = if (i % 7 == 0) None else Some(i % 997)
+      val s = if (i % 11 == 0) None else Some(s"s_${i % 41}")
+      (k, i.toLong, v, s, i * 0.5)
+    }.toDF("k", "o", "v", "s", "d")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def qq() = {
+      val sp = spark
+      import sp.implicits._
+      val w = Window.partitionBy($"k").orderBy($"o")
+      spark.read.parquet(dir).select($"k", $"o",
+        lag($"v", 1).over(w).as("lag1"),
+        lag($"v", 3, -1).over(w).as("lag3d"),
+        lead($"s", 2).over(w).as("lead2"),
+        lead($"d", 1, 0.0).over(w).as("lead1d"),
+        lag($"s", 2, "EDGE").over(w).as("lag2d"))
+        .orderBy($"o")
+    }
+    val on = {
+      val df = qq()
+      val rows = df.collect()
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.execution.graft.GraftWindowOffsetExec => e
+      }.isDefined, s"expected the streaming offset exec:\n${df.queryExecution.executedPlan}")
+      rows
+    }
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qq().collect() }
+    assert(on.toSeq == off.toSeq, "streaming lag/lead diverged from the row WindowExec")
+    // LAG-ONLY regression (maxLead = 0): every row emits as it is
+    // consumed, so a partition boundary arrives with a ZERO-row flush —
+    // the state machine must restart the next partition inside the same
+    // hasNext instead of ending the iterator (the q67 row-loss bug:
+    // only the first partition per task survived)
+    def lagOnly() = {
+      val sp = spark
+      import sp.implicits._
+      val w = Window.partitionBy($"k").orderBy($"o")
+      spark.read.parquet(dir).select($"k", $"o", lag($"v", 1).over(w).as("lg"))
+        .orderBy($"o")
+    }
+    val loDf = lagOnly()
+    val lo = loDf.collect()
+    assert(findExec(loDf) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowOffsetExec => e
+    }.isDefined, s"lag-only must swap:\n${loDf.queryExecution.executedPlan}")
+    val loOff = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { lagOnly().collect() }
+    assert(lo.length == loOff.length,
+      s"lag-only lost rows: ${lo.length} vs ${loOff.length}")
+    assert(lo.toSeq == loOff.toSeq, "lag-only diverged from the row WindowExec")
+    // mixed agg + offset in one node keeps the row path
+    val sp2 = spark
+    import sp2.implicits._
+    val w2 = Window.partitionBy($"k").orderBy($"o")
+    val mixed = spark.read.parquet(dir).select($"k",
+      lag($"v", 1).over(w2).as("lg"),
+      sum($"v").over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sm"))
+    mixed.collect()
+    assert(findExec(mixed) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowOffsetExec => e
+    }.isEmpty, "a mixed agg+offset node must not swap to the offset exec")
+  }
+
+  test("streaming ranking: parity vs the row WindowExec incl. ties, nulls, string order keys") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winrank").toString
+    // tie-heavy order values (o % 7) with nulls; null partition keys;
+    // a 1-row partition (i == 23); string tiebreak key; hot partition
+    // k=1 spans many batches
+    (1 to 40000).map { i =>
+      val k = if (i == 23) Some(-1L)
+        else if (i % 17 == 0) None else Some(if (i % 4 != 0) 1L else (i % 6 + 2).toLong)
+      val o = if (i % 19 == 0) None else Some((i % 7).toLong)
+      val st = if (i % 13 == 0) None else Some(s"g_${i % 5}")
+      (k, o, st, i.toLong, i % 103)
+    }.toDF("k", "o", "st", "u", "v")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    // one node: rank trio over tie-prone (o, st) + running sum — all
+    // kind-0 streaming, swaps whole; u breaks ties for row_number
+    def qq() = {
+      val sp = spark
+      import sp.implicits._
+      val wT = Window.partitionBy($"k").orderBy($"o", $"st")
+      val wU = Window.partitionBy($"k").orderBy($"o", $"st", $"u")
+      spark.read.parquet(dir).select($"k", $"u",
+        rank().over(wT).as("rnk"),
+        dense_rank().over(wT).as("drnk"),
+        row_number().over(wU).as("rn"),
+        sum($"v").over(wU.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("rsum"))
+        .orderBy($"k", $"u")
+    }
+    val onDf = qq()
+    val on = onDf.collect()
+    assert(findExec(onDf) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+          if e.specs.exists(_.fn >= 6) => e
+    }.isDefined, s"expected a ranking window swap:\n${onDf.queryExecution.executedPlan}")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r
+      .findAllIn(onDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).size
+    assert(rowWindows == 0,
+      s"both nodes should swap:\n${onDf.queryExecution.executedPlan}")
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qq().collect() }
+    assert(on.toSeq == off.toSeq, "streaming ranking diverged from the row WindowExec")
+    // row_number alone needs NO peer keys: it swaps even when the ORDER
+    // BY key type (double) is outside the peer-detection whitelist...
+    val sp2 = spark
+    import sp2.implicits._
+    val wD = Window.partitionBy($"k").orderBy($"u".cast("double"))
+    val rnOnly = spark.read.parquet(dir)
+      .select($"k", $"u", row_number().over(wD).as("rn"))
+    rnOnly.collect()
+    assert(findExec(rnOnly) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+    }.isDefined, s"row_number-only over a double order key must swap:\n${
+      rnOnly.queryExecution.executedPlan}")
+    // ...but rank over the same key falls back (peer detection needs a
+    // long-family/string order key)
+    val rkDouble = spark.read.parquet(dir)
+      .select($"k", rank().over(wD).as("rnk"))
+    rkDouble.collect()
+    assert(findExec(rkDouble) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+    }.isEmpty, s"rank over a double order key must keep the row path:\n${
+      rkDouble.queryExecution.executedPlan}")
+  }
+
+  test("sliding ROWS frames: parity vs the row WindowExec incl. empty frames, nulls, partition edges") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winslide").toString
+    // 1-row partitions (every lookahead/trailing frame is empty or
+    // degenerate), a hot multi-batch partition, null values, null
+    // partition keys
+    (1 to 30000).map { i =>
+      val k = if (i % 31 == 0) Some(-i.toLong) // many 1-row partitions
+        else if (i % 11 == 0) None else Some(if (i % 3 != 0) 1L else (i % 4 + 2).toLong)
+      val v = if (i % 7 == 0) None else Some((i % 211).toLong)
+      val d = if (i % 5 == 0) None else Some(i * 0.25)
+      (k, i.toLong, v, d)
+    }.toDF("k", "o", "v", "d")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def qq() = {
+      val sp = spark
+      import sp.implicits._
+      val w = Window.partitionBy($"k").orderBy($"o")
+      spark.read.parquet(dir).select($"k", $"o",
+        sum($"v").over(w.rowsBetween(-2, 0)).as("ts"),
+        avg($"d").over(w.rowsBetween(-1, 1)).as("ca"),
+        min($"v").over(w.rowsBetween(-3, -1)).as("tmin"),
+        max($"d").over(w.rowsBetween(1, 3)).as("amax"),
+        count($"v").over(w.rowsBetween(-2, 2)).as("cnt"),
+        count(lit(1)).over(w.rowsBetween(-4, -2)).as("cstar"))
+        .orderBy($"o")
+    }
+    val onDf = qq()
+    val on = onDf.collect()
+    assert(findExec(onDf) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowSlidingExec => e
+    }.isDefined, s"expected the sliding window exec:\n${onDf.queryExecution.executedPlan}")
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qq().collect() }
+    assert(on.toSeq == off.toSeq, "sliding frames diverged from the row WindowExec")
+    // an over-wide frame keeps the row path (ring is allocated eagerly)
+    val sp2 = spark
+    import sp2.implicits._
+    val wWide = Window.partitionBy($"k").orderBy($"o").rowsBetween(-100000, 0)
+    val wide = spark.read.parquet(dir).select($"k", sum($"v").over(wWide).as("s"))
+    wide.collect()
+    assert(findExec(wide) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowSlidingExec => e
+    }.isEmpty, "a frame wider than the ring cap must keep the row path")
+  }
+
   test("columnar window agg: unsupported frames and functions keep the row path") {
     import org.apache.spark.sql.graft.GraftColumnarRule
     import org.apache.spark.sql.expressions.Window
@@ -615,16 +803,19 @@ class EngineSuite extends GraftTestBase {
       assert(findExec(d2) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
       }.isEmpty, "sliding frame must not swap")
-      // rank-family function mixed in → whole node stays on the row path
+      // partition-size-dependent function (ntile needs the partition
+      // count up front — not streamable) mixed in → whole node stays on
+      // the row path (row_number/rank/dense_rank DO swap — see the
+      // streaming ranking parity test)
       val wRun = Window.partitionBy($"k").orderBy($"o")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val d3 = spark.read.parquet(dir).select($"k",
         sum($"v").over(wRun).as("s"),
-        row_number().over(Window.partitionBy($"k").orderBy($"o")).as("rn"))
+        ntile(4).over(Window.partitionBy($"k").orderBy($"o")).as("qt"))
       d3.collect()
       assert(findExec(d3) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
-      }.isEmpty, "a node mixing row_number must not swap")
+      }.isEmpty, "a node mixing ntile must not swap")
     }
   }
 

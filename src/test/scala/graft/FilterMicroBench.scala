@@ -313,6 +313,68 @@ object FilterMicroBench {
           .select($"l_orderkey", sum($"l_quantity").over(w).as("s"),
             max($"l_extendedprice").over(w).as("mx"))
       }),
+      // streaming lag/lead (GraftWindowOffsetExec, O(k) ring vs the
+      // row WindowExec's whole-group buffer)
+      "winoff-lag1" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey", lag($"l_extendedprice", 1).over(w).as("prev"))
+      }),
+      "winoff-hot" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        // 3 giant partitions: the row exec buffers ~200k rows per group
+        // for a 1-row lookback + 2-row lookahead
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_orderkey", $"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag", lag($"l_quantity", 1).over(w).as("prev"),
+            lead($"l_quantity", 2, -1.0).over(w).as("nxt2"))
+      }),
+      // streaming ranking (row_number/rank/dense_rank as kind-0 specs)
+      "winrank-scd2" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        // the pick-latest SCD2 shape: many ~4-row groups
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey", row_number().over(w).as("rn"))
+      }),
+      "winrank-hot" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        // 3 giant partitions, tie-prone order key: rank + dense_rank
+        // peer detection + row_number in one node
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_shipdate")
+        val wu = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag", rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"), row_number().over(wu).as("rn"))
+      }),
+      // sliding ROWS frames (GraftWindowSlidingExec ring vs the row
+      // WindowExec's whole-group buffer + SlidingWindowFunctionFrame)
+      "winslide-ma3" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey",
+            avg($"l_quantity").over(w.rowsBetween(-2, 0)).as("ma3"))
+      }),
+      "winslide-hot" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        // 3 giant partitions, centered frame, 3 aggs in one node
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag",
+            sum($"l_extendedprice").over(w.rowsBetween(-1, 1)).as("cs"),
+            min($"l_quantity").over(w.rowsBetween(-2, 2)).as("mn"),
+            max($"l_quantity").over(w.rowsBetween(-2, 2)).as("mx"))
+      }),
       // 6 functions over one pass (q176's shape)
       "winagg-6fn" -> (() => {
         import org.apache.spark.sql.expressions.Window

@@ -560,6 +560,37 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the RANGE running frame:\n$p")
   }
 
+  test("q182 sliding frames swap to the ring-buffer window exec") {
+    val df = run("q182_window_sliding")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftWindowSliding"),
+      s"expected the sliding window exec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0, s"no row WindowExec should remain:\n$p")
+  }
+
+  test("q181 ranking nodes swap to the streaming window exec") {
+    val df = run("q181_window_ranking_stream")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftColumnarWindow"),
+      s"expected the streaming window exec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0,
+      s"both ranking nodes (unique-order and tie-prone) should swap:\n$p")
+  }
+
+  test("q180 lag/lead swaps to the streaming offset exec") {
+    val df = run("q180_window_lag_lead")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftWindowOffset"),
+      s"expected the streaming offset exec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0, s"no row WindowExec should remain:\n$p")
+  }
+
   test("q173 timestamp-key semi join probes columnar through the unsafe-key path") {
     val df = run("q173_date_key_semi")
     df.collect()
