@@ -681,6 +681,43 @@ object RelationalQueries {
         ORDER BY l_orderkey, l_linenumber"""),
       doc = "Sliding ROWS-frame window aggregation (moving avg / centered sum / trailing count / lookahead max in ONE GraftWindowSlidingExec node) — the reference falls back on sliding frames."),
 
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q183_window_ffill",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Forward-fill / first-last-nth on the boxed window lane: the
+        // gap-filling shape (sensor/CDC streams carry sparse readings;
+        // last+ignoreNulls over the running frame fills them). All four
+        // functions stream in ONE swapped node — the reference falls
+        // back on first/last/nth_value entirely.
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_orderkey" < 5000)
+          .select($"l_orderkey", $"l_linenumber",
+            round(last(when($"l_quantity" >= 10, $"l_extendedprice"),
+              ignoreNulls = true).over(w), 4).as("ffill_price"),
+            first($"l_returnflag").over(w).as("first_flag"),
+            round(first(when($"l_quantity" >= 25, $"l_discount"),
+              ignoreNulls = true).over(w), 4).as("first_big_disc"),
+            nth_value($"l_partkey", 2).over(w).as("second_part"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          round(last_value(CASE WHEN l_quantity >= 10 THEN l_extendedprice END IGNORE NULLS)
+            OVER w, 4) AS ffill_price,
+          first_value(l_returnflag) OVER w AS first_flag,
+          round(first_value(CASE WHEN l_quantity >= 25 THEN l_discount END IGNORE NULLS)
+            OVER w, 4) AS first_big_disc,
+          nth_value(l_partkey, 2) OVER w AS second_part
+        FROM lineitem WHERE l_orderkey < 5000
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY l_orderkey, l_linenumber"""),
+      doc = "Forward-fill + first/last/nth_value window functions (boxed streaming lane, ONE swapped node) — the reference falls back on all of them."),
+
     QueryDef(
       "q86_pivot",
       (s, dir) => {

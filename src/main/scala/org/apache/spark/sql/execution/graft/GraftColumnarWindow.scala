@@ -17,10 +17,15 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * `fn`: 0=sum 1=count(col) 2=min 3=max 4=avg 5=count(*),
   * 6=row_number 7=rank 8=dense_rank (ranking: col = -1, always kind 0 —
   * their value closes AT the row; 7/8 need the node's ORDER BY keys for
-  * peer detection, threaded via orderIdx/orderTypes).
+  * peer detection, threaded via orderIdx/orderTypes),
+  * 9=first 10=last (`ign` = ignoreNulls; last+ign is the forward-fill
+  * shape — row faces only, the boxed lane has no output vector),
+  * 11=nth_value (`nth` = 1-based frame row; Spark rewrites
+  * first_value without ignoreNulls into nth_value(x, 1, false)).
   * `lane`: 0 = long-family input (integral/date/ts/bool/Decimal64
   * unscaled), 1 = double-family input, 2 = no input lane (counts,
-  * ranking).
+  * ranking), 3 = boxed catalyst value (first/last — any offset-supported
+  * type incl. strings).
   * `outType` is the row path's exact result type (sum(int)=long,
   * sum(float)=double, min/max=input type, count=long, avg=double).
   * `ansi` drives sum-over-integral overflow: throw (Spark's Add
@@ -33,7 +38,7 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   */
 final case class WinAggSpec(
     fn: Int, col: Int, lane: Int, outType: DataType, ansi: Boolean,
-    kind: Int = 0)
+    kind: Int = 0, ign: Boolean = false, nth: Int = 0)
 
 /** Columnar window aggregation over running ROWS frames (reference
   * analogue: CometWindowExec.scala:41-388, agg whitelist :108-147; the
@@ -80,14 +85,24 @@ final case class WinAggSpec(
   * (The reference falls back on ranking entirely —
   * CometWindowExec.scala:108-147 whitelists aggregates only.)
   *
-  * A/B (FilterMicroBench winagg-* and winrank-*, sf0.1, 3 runs of
-  * min-of-5): streaming — many tiny groups 0.81-0.95x, three ~200k-row
-  * hot groups 0.93-0.94x, six-function pass 0.94-1.05x; deferred —
-  * RANGE heavy ties 0.97-0.99x, whole-partition 0.78-0.98x; ranking —
-  * row_number over ~4-row groups 0.90-0.95x, rank+dense_rank+row_number
-  * over three hot groups 0.96-1.07x. Win-to-parity on every shape, so
-  * the swap defaults ON (spark.graft.columnar.window.enabled=false to
-  * keep the row WindowExec).
+  * first/last/nth_value run on a BOXED value lane (fn 9-11, any
+  * offset-supported type incl. strings) across all three kinds —
+  * last + ignoreNulls over the running frame is the forward-fill /
+  * as-of-join shape (q82's plan swaps through it). Note Spark rewrites
+  * first_value without ignoreNulls into nth_value(x, 1, false). Boxed
+  * specs keep the row faces (no output vector), so a node holding one
+  * runs doExecute even over a columnar child.
+  *
+  * A/B (FilterMicroBench winagg-, winrank-, winfl- prefixes; sf0.1,
+  * 3 runs of min-of-5): streaming — many tiny
+  * groups 0.81-0.95x, three ~200k-row hot groups 0.93-0.94x,
+  * six-function pass 0.94-1.05x; deferred — RANGE heavy ties
+  * 0.97-0.99x, whole-partition 0.78-0.98x; ranking — row_number over
+  * ~4-row groups 0.90-0.95x, rank+dense_rank+row_number over three hot
+  * groups 0.96-1.07x; forward-fill first+last 0.86-0.96x.
+  * Win-to-parity on every shape, so the swap defaults ON
+  * (spark.graft.columnar.window.enabled=false to keep the row
+  * WindowExec).
   */
 case class GraftColumnarWindowExec(
     output: Seq[Attribute],
@@ -107,7 +122,7 @@ case class GraftColumnarWindowExec(
   // partition) run the row face only: their group buffer is Spark's
   // own spill-backed ExternalAppendOnlyUnsafeRowArray.
   override def supportsColumnar: Boolean =
-    child.supportsColumnar && specs.forall(_.kind == 0)
+    child.supportsColumnar && specs.forall(s => s.kind == 0 && s.fn <= 8)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering = child.outputOrdering
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -392,6 +407,10 @@ case class GraftColumnarWindowExec(
       val accDbl = new Array[Double](nS)
       val accCnt = new Array[Long](nS)
       val accSeen = new Array[Boolean](nS)
+      // boxed lane (first/last): catalyst value, with a separate
+      // "observed" flag because the stored value itself may be null
+      // (first over a leading null row with ignoreNulls=false)
+      val accAny = new Array[Any](nS)
       var rkRowNum = 0L
       var rkRank = 0L
       var rkDense = 0L
@@ -400,8 +419,25 @@ case class GraftColumnarWindowExec(
         java.util.Arrays.fill(accDbl, 0.0)
         java.util.Arrays.fill(accCnt, 0L)
         java.util.Arrays.fill(accSeen, false)
+        java.util.Arrays.fill(accAny.asInstanceOf[Array[AnyRef]], null)
         rkRowNum = 0L; rkRank = 0L; rkDense = 0L
       }
+      /** Boxed catalyst value of one input column — UTF8Strings CLONED
+        * (the child may reuse its row buffer across iterations). */
+      def readBoxed(r: InternalRow, ord: Int, dt: DataType): Any =
+        if (r.isNullAt(ord)) null
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType => r.getLong(ord)
+          case IntegerType | DateType => r.getInt(ord)
+          case ShortType => r.getShort(ord)
+          case ByteType => r.getByte(ord)
+          case BooleanType => r.getBoolean(ord)
+          case DoubleType => r.getDouble(ord)
+          case FloatType => r.getFloat(ord)
+          case d: DecimalType => r.getDecimal(ord, d.precision, d.scale)
+          case StringType => r.getUTF8String(ord).clone()
+          case other => throw new IllegalStateException(s"bad first/last type $other")
+        }
       val aggRow = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(nS)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
@@ -509,6 +545,27 @@ case class GraftColumnarWindowExec(
             case 6 => aggRow.update(s, rkRowNum.toInt) // row_number
             case 7 => aggRow.update(s, rkRank.toInt) // rank
             case 8 => aggRow.update(s, rkDense.toInt) // dense_rank
+            case 9 => // first (ign: first non-null; else first row's value)
+              if (!accSeen(s) && !(sp.ign && nullIn)) {
+                accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                accSeen(s) = true
+              }
+              if (accSeen(s)) aggRow.update(s, accAny(s)) else aggRow.setNullAt(s)
+            case 10 => // last (ign: last non-null; else current row's value)
+              if (!(sp.ign && nullIn)) {
+                accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                accSeen(s) = true
+              }
+              if (accSeen(s)) aggRow.update(s, accAny(s)) else aggRow.setNullAt(s)
+            case 11 => // nth_value: the nth (1-based) qualifying frame row
+              if (!(sp.ign && nullIn)) {
+                accCnt(s) += 1
+                if (accCnt(s) == sp.nth) {
+                  accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                  accSeen(s) = true
+                }
+              }
+              if (accSeen(s)) aggRow.update(s, accAny(s)) else aggRow.setNullAt(s)
             case 2 | 3 =>
               if (!nullIn) {
                 if (sp.lane == 0) {
@@ -626,12 +683,30 @@ case class GraftColumnarWindowExec(
       val accDbl = new Array[Double](nS)
       val accCnt = new Array[Long](nS)
       val accSeen = new Array[Boolean](nS)
+      val accAny = new Array[Any](nS)
       def reset(): Unit = {
         java.util.Arrays.fill(accLong, 0L)
         java.util.Arrays.fill(accDbl, 0.0)
         java.util.Arrays.fill(accCnt, 0L)
         java.util.Arrays.fill(accSeen, false)
+        java.util.Arrays.fill(accAny.asInstanceOf[Array[AnyRef]], null)
       }
+      /** Boxed catalyst value — UTF8Strings CLONED (buffered rows may
+        * outlive the child's reused row buffer). */
+      def readBoxed(r: InternalRow, ord: Int, dt: DataType): Any =
+        if (r.isNullAt(ord)) null
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType => r.getLong(ord)
+          case IntegerType | DateType => r.getInt(ord)
+          case ShortType => r.getShort(ord)
+          case ByteType => r.getByte(ord)
+          case BooleanType => r.getBoolean(ord)
+          case DoubleType => r.getDouble(ord)
+          case FloatType => r.getFloat(ord)
+          case d: DecimalType => r.getDecimal(ord, d.precision, d.scale)
+          case StringType => r.getUTF8String(ord).clone()
+          case other => throw new IllegalStateException(s"bad first/last type $other")
+        }
       val aggRow = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(nS)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
@@ -675,6 +750,24 @@ case class GraftColumnarWindowExec(
                 }
                 accSeen(s) = true
               }
+            case 9 => // first
+              if (!accSeen(s) && !(sp.ign && nullIn)) {
+                accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                accSeen(s) = true
+              }
+            case 10 => // last
+              if (!(sp.ign && nullIn)) {
+                accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                accSeen(s) = true
+              }
+            case 11 => // nth_value
+              if (!(sp.ign && nullIn)) {
+                accCnt(s) += 1
+                if (accCnt(s) == sp.nth) {
+                  accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                  accSeen(s) = true
+                }
+              }
             case _ =>
               if (!nullIn) {
                 accDbl(s) += (if (sp.lane == 0) rowLong(row, sp.col, inTypes(s)).toDouble
@@ -705,6 +798,8 @@ case class GraftColumnarWindowExec(
             case 4 =>
               if (accCnt(s) > 0) aggRow.update(s, accDbl(s) / accCnt(s))
               else aggRow.setNullAt(s)
+            case 9 | 10 | 11 =>
+              if (accSeen(s)) aggRow.update(s, accAny(s)) else aggRow.setNullAt(s)
             case _ =>
               if (accSeen(s)) {
                 if (sp.lane == 0) emitLong(s, accLong(s))

@@ -838,6 +838,22 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                   em != EvalMode.TRY =>
                 val lane = if (a.dataType == DoubleType || a.dataType == FloatType) 1 else 0
                 scala.Right(WinAggSpec(4, ord(a), lane, av.dataType, ansi = false, kind))
+              // first/last on the boxed lane (last + ignoreNulls over
+              // the running frame is the forward-fill / as-of shape)
+              case f: org.apache.spark.sql.catalyst.expressions.aggregate.First
+                  if f.child.isInstanceOf[AttributeReference] &&
+                    ord(f.child) >= 0 &&
+                    org.apache.spark.sql.execution.graft.GraftWindowOffsetExec
+                      .supportedType(f.child.dataType) =>
+                scala.Right(WinAggSpec(9, ord(f.child), 3, f.child.dataType,
+                  ansi = false, kind, ign = f.ignoreNulls))
+              case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last
+                  if l.child.isInstanceOf[AttributeReference] &&
+                    ord(l.child) >= 0 &&
+                    org.apache.spark.sql.execution.graft.GraftWindowOffsetExec
+                      .supportedType(l.child.dataType) =>
+                scala.Right(WinAggSpec(10, ord(l.child), 3, l.child.dataType,
+                  ansi = false, kind, ign = l.ignoreNulls))
               case other =>
                 scala.Left(s"unsupported window aggregate: $other (${other.dataType})")
             }
@@ -856,6 +872,19 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               _: org.apache.spark.sql.catalyst.expressions.DenseRank,
               WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(0) =>
             scala.Right(WinAggSpec(8, -1, 2, IntegerType, ansi = false, 0))
+          // nth_value (note: Spark rewrites first_value WITHOUT
+          // ignoreNulls into nth_value(x, 1, false)); boxed lane
+          case Alias(WindowExpression(
+              org.apache.spark.sql.catalyst.expressions.NthValue(
+                a: AttributeReference,
+                org.apache.spark.sql.catalyst.expressions.Literal(n: Int, IntegerType),
+                ign),
+              WindowSpecDefinition(_, _, frame)), _)
+              if frameKind(frame).isDefined && ord(a) >= 0 && n > 0 &&
+                org.apache.spark.sql.execution.graft.GraftWindowOffsetExec
+                  .supportedType(a.dataType) =>
+            scala.Right(WinAggSpec(11, ord(a), 3, a.dataType, ansi = false,
+              frameKind(frame).get, ign = ign, nth = n))
           case other =>
             scala.Left(s"unsupported window expression shape: ${other.getClass.getSimpleName}" +
               " (running ROWS/RANGE or whole-partition frame over Complete agg," +

@@ -776,6 +776,80 @@ class EngineSuite extends GraftTestBase {
     }.isEmpty, "a frame wider than the ring cap must keep the row path")
   }
 
+  test("window first/last: parity incl. ignoreNulls forward-fill, strings, all three frame kinds") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winfl").toString
+    // null-heavy values (forward-fill has real gaps), leading nulls per
+    // partition (first+ignoreNulls vs first diverge), string values
+    (1 to 30000).map { i =>
+      val k = if (i % 29 == 0) None else Some((i % 9).toLong)
+      val v = if (i % 3 != 2) None else Some((i % 199).toLong)
+      val st = if (i % 4 != 3) None else Some(s"v_${i % 53}")
+      (k, i.toLong, v, st, i * 0.125)
+    }.toDF("k", "o", "v", "st", "d")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    // one query per frame kind: a WindowExec node holds EVERY frame of
+    // its (partition, order) spec, and mixed evaluation kinds in one
+    // node keep the row path by design
+    val sp0 = spark
+    import sp0.implicits._
+    val wBase = Window.partitionBy($"k").orderBy($"o")
+    val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      // kind 0 (ROWS running): forward-fill incl. strings + nth_value
+      // (first() without ignoreNulls IS nth_value(x,1,false) after
+      // Spark's rewrite)
+      "rows-running" -> (() => {
+        val w = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spark.read.parquet(dir).select($"k", $"o",
+          last($"v", ignoreNulls = true).over(w).as("ffill"),
+          last($"st", ignoreNulls = true).over(w).as("ffill_s"),
+          first($"v").over(w).as("fst"),
+          first($"d", ignoreNulls = true).over(w).as("fst_nn"),
+          nth_value($"st", 2).over(w).as("second_s")).orderBy($"o")
+      }),
+      // kind 1 (RANGE running, the default under ORDER BY)
+      "range-running" -> (() => {
+        spark.read.parquet(dir).select($"k", $"o",
+          first($"v", ignoreNulls = true).over(wBase).as("fst_nn"),
+          last($"d").over(wBase).as("lst_peer"),
+          nth_value($"v", 3).over(wBase).as("third")).orderBy($"o")
+      }),
+      // kind 2 (whole partition)
+      "whole-part" -> (() => {
+        val w = wBase.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        spark.read.parquet(dir).select($"k", $"o",
+          first($"st").over(w).as("fst_all"),
+          last($"v", ignoreNulls = true).over(w).as("lst_all"),
+          nth_value($"d", 2, ignoreNulls = true).over(w).as("snd_nn")).orderBy($"o")
+      }))
+    shapes.foreach { case (name, f) =>
+      val onDf = f()
+      val on = onDf.collect()
+      assert(findExec(onDf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+            if e.specs.exists(_.fn >= 9) => e
+      }.isDefined, s"$name should swap:\n${onDf.queryExecution.executedPlan}")
+      val off = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { f().collect() }
+      assert(on.toSeq == off.toSeq, s"$name diverged from the row WindowExec")
+    }
+    // the as-of join shape (q82): last + ignoreNulls over the running
+    // frame swaps — assert on the production helper itself
+    val probes = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("user_id", "ts", "tag")
+    val quotes = Seq((1L, 8L, 1.0), (1L, 15L, 2.0), (2L, 9L, 3.0))
+      .toDF("user_id", "qts", "price")
+    val asof = graft.queries.TemporalJoinQueries.asofJoin(
+      probes, quotes, "user_id", "ts", "qts", "price")
+    asof.collect()
+    assert(findExec(asof) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+          if e.specs.exists(_.fn == 10) => e
+    }.isDefined, s"the as-of forward-fill window should swap:\n${
+      asof.queryExecution.executedPlan}")
+  }
+
   test("columnar window agg: unsupported frames and functions keep the row path") {
     import org.apache.spark.sql.graft.GraftColumnarRule
     import org.apache.spark.sql.expressions.Window

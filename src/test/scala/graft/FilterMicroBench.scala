@@ -375,6 +375,18 @@ object FilterMicroBench {
             min($"l_quantity").over(w.rowsBetween(-2, 2)).as("mn"),
             max($"l_quantity").over(w.rowsBetween(-2, 2)).as("mx"))
       }),
+      // first/last/nth boxed lane (forward-fill shape)
+      "winfl-ffill" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey",
+            last(when($"l_quantity" >= 10, $"l_extendedprice"),
+              ignoreNulls = true).over(w).as("ffill"),
+            first($"l_returnflag").over(w).as("ff"))
+      }),
       // 6 functions over one pass (q176's shape)
       "winagg-6fn" -> (() => {
         import org.apache.spark.sql.expressions.Window

@@ -560,6 +560,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the RANGE running frame:\n$p")
   }
 
+  test("q183 forward-fill / first-last-nth swaps to the boxed streaming lane") {
+    val df = run("q183_window_ffill")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftColumnarWindow"),
+      s"expected the streaming window exec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0, s"no row WindowExec should remain:\n$p")
+  }
+
   test("q182 sliding frames swap to the ring-buffer window exec") {
     val df = run("q182_window_sliding")
     df.collect()
