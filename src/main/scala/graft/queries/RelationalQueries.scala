@@ -718,6 +718,39 @@ object RelationalQueries {
         ORDER BY l_orderkey, l_linenumber"""),
       doc = "Forward-fill + first/last/nth_value window functions (boxed streaming lane, ONE swapped node) — the reference falls back on all of them."),
 
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q184_window_range_rolling",
+      (s, dir) => {
+        import s.implicits._
+        // Rolling time-range window (RANGE + interval bounds over a
+        // timestamp key) — the "orders in the trailing 30 days per
+        // customer" shape — on GraftWindowRangeSlideExec: a
+        // value-bounded ring (O(window occupancy) memory) replaces the
+        // row WindowExec's whole buffered partition. Hour-denominated
+        // interval keeps the bound arithmetic exact micros on both
+        // engines; frames are value-SETS, so o_orderdate ties are
+        // deterministic.
+        val frame = "(PARTITION BY o_custkey ORDER BY o_orderdate RANGE " +
+          "BETWEEN INTERVAL '720' HOUR PRECEDING AND CURRENT ROW)"
+        Tables.t(s, dir, "orders")
+          .filter($"o_custkey" < 500)
+          .selectExpr("o_orderkey", "o_custkey", "o_orderdate",
+            s"count(1) OVER $frame AS n30d",
+            s"round(sum(o_totalprice) OVER $frame, 2) AS rev30d",
+            s"round(max(o_totalprice) OVER $frame, 2) AS top30d")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+          count(1) OVER w AS n30d,
+          round(sum(o_totalprice) OVER w, 2) AS rev30d,
+          round(max(o_totalprice) OVER w, 2) AS top30d
+        FROM orders WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 720 HOURS PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey"""),
+      doc = "Rolling 30-day time-range window (RANGE + interval bounds, value-bounded ring memory) — the reference falls back on sliding RANGE frames."),
+
     QueryDef(
       "q86_pivot",
       (s, dir) => {

@@ -1361,6 +1361,417 @@ object GraftWindowSlidingExec {
   val maxFrameRows = 65536L
 }
 
+/** Sliding RANGE-frame window aggregation — the rolling time/value
+  * window shape (`RANGE BETWEEN 7 PRECEDING AND CURRENT ROW` over a
+  * numeric key, `INTERVAL '1' HOUR PRECEDING` over a timestamp).
+  * Reference analogue: none — CometWindowExec whitelists running
+  * aggregates only; Spark twin: WindowExec with
+  * RangeBoundedWindowFunctionFrame over its whole buffered partition.
+  *
+  * Semantics (pinned by the parity suite against the row WindowExec):
+  * a row's frame holds the rows whose ORDER BY value v_j satisfies
+  * lo <= (v_j - v_e) * dir <= hi (dir = +1 ASC, -1 DESC — bounds are
+  * direction-relative); rows with a NULL order value form their own
+  * peer block (their frame is exactly the null block, and they appear
+  * in no non-null row's frame); ties share identical frames.
+  *
+  * Memory is O(max frame occupancy + emission lag), not O(partition):
+  * a growable ring holds only rows between the oldest unfinished frame
+  * start and the consumption point, evicting as the lower bound
+  * advances — registered with the task memory manager via
+  * [[org.apache.spark.sql.graft.GraftMemoryReservation]] so Tungsten
+  * sees the footprint. Degenerates to partition-sized only when the
+  * range spans the whole partition (where the row path buffers the
+  * same rows, though with spill). Each emission recomputes its slice
+  * in ascending row order — Spark's evaluation order, so doubles are
+  * bit-identical. Specs reuse [[WinSlideSpec]] with lo/hi as
+  * ORDER-BY-value deltas (per-expression frames supported).
+  *
+  * A/B (FilterMicroBench winrange-*, sf0.1, 3 runs of min-of-5):
+  * 7-unit trailing sum over ~4-row groups 0.87-0.92x; 24h window over
+  * three ~200k-row groups with date-granularity ties 0.86-1.01x —
+  * the tie-group frame cache is what holds the hot shape (1.12-1.21x
+  * loss without it: Spark amortizes tie groups by adding rows
+  * incrementally, so per-row slice recompute must reuse identical
+  * frames). Win-to-parity on both shapes, ON by default under the
+  * shared spark.graft.columnar.window.enabled gate.
+  */
+case class GraftWindowRangeSlideExec(
+    output: Seq[Attribute],
+    partIdx: Seq[Int],
+    partTypes: Seq[DataType],
+    ordIdx: Int,
+    ordType: DataType,
+    dir: Int,
+    nullsFirst: Boolean,
+    specs: Seq[WinSlideSpec],
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering = child.outputOrdering
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output.drop(child.output.length))
+
+  override lazy val metrics = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numPartitionGroups" -> SQLMetrics.createMetric(sparkContext, "window partition groups"),
+    "peakBufferedRows" -> SQLMetrics.createMetric(sparkContext, "peak buffered rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
+    val peakM = metrics("peakBufferedRows")
+    val pIdx = partIdx.toArray
+    val pTypes = partTypes.toArray
+    val ss = specs.toArray
+    val childOut = child.output
+    val inTypes = ss.map(s => if (s.col >= 0) childOut(s.col).dataType else null)
+    val outAll = output
+    val oIdx = ordIdx
+    val oType = ordType
+    val direction = dir
+    val nFirst = nullsFirst
+    val maxHi = ss.map(_.hi).max
+    child.execute().mapPartitionsInternal { rows =>
+      import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+      val nS = ss.length
+      def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
+        case ByteType => r.getByte(ord).toLong
+        case ShortType => r.getShort(ord).toLong
+        case IntegerType | DateType => r.getInt(ord).toLong
+        case BooleanType => if (r.getBoolean(ord)) 1L else 0L
+        case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        case _ => r.getLong(ord)
+      }
+      def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
+        case FloatType => r.getFloat(ord).toDouble
+        case ByteType => r.getByte(ord).toDouble
+        case ShortType => r.getShort(ord).toDouble
+        case IntegerType => r.getInt(ord).toDouble
+        case LongType => r.getLong(ord).toDouble
+        case _ => r.getDouble(ord)
+      }
+      val prevLong = new Array[Long](pIdx.length)
+      val prevStr = new Array[org.apache.spark.unsafe.types.UTF8String](pIdx.length)
+      val prevNull = new Array[Boolean](pIdx.length)
+      var anyRow = false
+      def partDiffers(r: InternalRow): Boolean = {
+        var k = 0
+        while (k < pIdx.length) {
+          val nl = r.isNullAt(pIdx(k))
+          val d =
+            if (nl != prevNull(k)) true
+            else if (nl) false
+            else if (pTypes(k) == StringType)
+              r.getUTF8String(pIdx(k)).compareTo(prevStr(k)) != 0
+            else rowLong(r, pIdx(k), pTypes(k)) != prevLong(k)
+          if (d) return true
+          k += 1
+        }
+        false
+      }
+      def partCarry(r: InternalRow): Unit = {
+        var k = 0
+        while (k < pIdx.length) {
+          val nl = r.isNullAt(pIdx(k))
+          prevNull(k) = nl
+          if (!nl) {
+            if (pTypes(k) == StringType) prevStr(k) = r.getUTF8String(pIdx(k)).clone()
+            else prevLong(k) = rowLong(r, pIdx(k), pTypes(k))
+          }
+          k += 1
+        }
+      }
+      val reservation = org.apache.spark.sql.graft.GraftMemoryReservation.forTask()
+      // per-spec typed readers hoisted out of the slice loop — the
+      // per-element dt dispatch dominates on wide frames otherwise
+      val getL: Array[UnsafeRow => Long] = Array.tabulate(nS) { s =>
+        if (ss(s).col < 0 || ss(s).lane != 0) null
+        else {
+          val c = ss(s).col
+          inTypes(s) match {
+            case ByteType => r => r.getByte(c).toLong
+            case ShortType => r => r.getShort(c).toLong
+            case IntegerType | DateType => r => r.getInt(c).toLong
+            case BooleanType => r => if (r.getBoolean(c)) 1L else 0L
+            case d: DecimalType =>
+              r => r.getDecimal(c, d.precision, d.scale).toUnscaledLong
+            case _ => r => r.getLong(c)
+          }
+        }
+      }
+      val getD: Array[UnsafeRow => Double] = Array.tabulate(nS) { s =>
+        if (ss(s).col < 0 || ss(s).lane != 1) null
+        else {
+          val c = ss(s).col
+          inTypes(s) match {
+            case FloatType => r => r.getFloat(c).toDouble
+            case ByteType => r => r.getByte(c).toDouble
+            case ShortType => r => r.getShort(c).toDouble
+            case IntegerType => r => r.getInt(c).toDouble
+            case LongType => r => r.getLong(c).toDouble
+            case _ => r => r.getDouble(c)
+          }
+        }
+      }
+      // growable ring over partition-relative indices [minKeep, cons)
+      var cap = 1 << 10
+      var ring = new Array[UnsafeRow](cap)
+      var ordVals = new Array[Long](cap)
+      var ordNulls = new Array[Boolean](cap)
+      def grow(minKeep: Long, cons: Long): Unit = {
+        val nCap = cap << 1
+        val nRing = new Array[UnsafeRow](nCap)
+        val nVals = new Array[Long](nCap)
+        val nNulls = new Array[Boolean](nCap)
+        var i = minKeep
+        while (i < cons) {
+          val o = (i % cap).toInt; val n = (i % nCap).toInt
+          nRing(n) = ring(o); nVals(n) = ordVals(o); nNulls(n) = ordNulls(o)
+          i += 1
+        }
+        ring = nRing; ordVals = nVals; ordNulls = nNulls; cap = nCap
+        reservation.foreach(_.reserve(nCap.toLong * 128))
+        peakM.set(math.max(peakM.value, nCap))
+      }
+      val aggRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(nS)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAll.map(_.dataType).toArray)
+      def emitLong(s: Int, v: Long): Unit = ss(s).outType match {
+        case LongType | TimestampType | TimestampNTZType => aggRow.update(s, v)
+        case IntegerType | DateType => aggRow.update(s, v.toInt)
+        case ShortType => aggRow.update(s, v.toShort)
+        case ByteType => aggRow.update(s, v.toByte)
+        case BooleanType => aggRow.update(s, v != 0L)
+        case d: DecimalType =>
+          aggRow.update(s, org.apache.spark.sql.types.Decimal
+            .createUnsafe(v, d.precision, d.scale))
+        case _ => aggRow.update(s, v)
+      }
+      // per-spec frame cache: ties share identical frames (value-based
+      // bounds), so consecutive rows of a tie group — the common case
+      // for date-granularity keys — reuse the computed aggregate
+      // instead of rescanning the slice (Spark's sliding frame
+      // amortizes the same way by adding rows incrementally)
+      val cFrom = Array.fill(nS)(Long.MinValue)
+      val cTo = Array.fill(nS)(Long.MinValue)
+      val cL = new Array[Long](nS)
+      val cD = new Array[Double](nS)
+      val cCnt = new Array[Long](nS)
+      val cSeen = new Array[Boolean](nS)
+      def writeOut(s: Int): Unit = {
+        val sp = ss(s)
+        sp.fn match {
+          case 5 => aggRow.update(s, math.max(0L, cTo(s) - cFrom(s) + 1L))
+          case 1 => aggRow.update(s, cCnt(s))
+          case 4 =>
+            if (cCnt(s) > 0) {
+              aggRow.update(s, (if (ss(s).lane == 0) cL(s).toDouble else cD(s)) / cCnt(s))
+            } else aggRow.setNullAt(s)
+          case _ =>
+            if (cSeen(s)) {
+              if (sp.lane == 0) emitLong(s, cL(s))
+              else if (sp.outType == FloatType) aggRow.update(s, cD(s).toFloat)
+              else aggRow.update(s, cD(s))
+            } else aggRow.setNullAt(s)
+        }
+      }
+      def evalSlice(s: Int, from: Long, to: Long): Unit = {
+        val sp = ss(s)
+        if (from == cFrom(s) && to == cTo(s)) { writeOut(s); return }
+        cFrom(s) = from; cTo(s) = to
+        if (sp.fn == 5) { writeOut(s); return }
+        var accL = 0L
+        var accD = 0.0
+        var cnt = 0L
+        var seen = false
+        val col = sp.col
+        val gl = getL(s)
+        val gd = getD(s)
+        var t = from
+        while (t <= to) {
+          val r = ring((t % cap).toInt)
+          if (!r.isNullAt(col)) {
+            sp.fn match {
+              case 0 | 4 =>
+                if (sp.lane == 0) {
+                  val x = gl(r)
+                  if (sp.ansi) {
+                    try accL = Math.addExact(accL, x)
+                    catch {
+                      case _: ArithmeticException =>
+                        throw org.apache.spark.sql.errors.QueryExecutionErrors
+                          .arithmeticOverflowError("long overflow", "try_add", null)
+                    }
+                  } else accL += x
+                } else accD += gd(r)
+              case 1 =>
+              case _ =>
+                if (sp.lane == 0) {
+                  val x = gl(r)
+                  if (!seen || (if (sp.fn == 2) x < accL else x > accL)) accL = x
+                } else {
+                  val x = gd(r)
+                  val c = SQLOrderingUtil.compareDoubles(x, accD)
+                  if (!seen || (if (sp.fn == 2) c < 0 else c > 0)) accD = x
+                }
+            }
+            cnt += 1
+            seen = true
+          }
+          t += 1
+        }
+        cL(s) = accL; cD(s) = accD; cCnt(s) = cnt; cSeen(s) = seen
+        writeOut(s)
+      }
+      new Iterator[InternalRow] {
+        private var cons = 0L // rows consumed in the current partition
+        private var emitE = 0L // rows emitted in the current partition
+        private var flushN = -1L // >=0: partition closed at this count
+        private var held: UnsafeRow = _
+        // partition-relative layout: [0, nnStart) leading nulls (nulls
+        // first), [nnStart/0, nullTail) non-null run, [nullTail, ...)
+        // trailing nulls (nulls last); -1 = not seen yet
+        private var nnStart = -1L
+        private var nullTail = -1L
+        private val loPtrS = new Array[Long](nS)
+        private val hiPtrS = new Array[Long](nS)
+        private def resetPart(): Unit = {
+          cons = 0; emitE = 0; nnStart = -1; nullTail = -1
+          java.util.Arrays.fill(loPtrS, 0L)
+          java.util.Arrays.fill(hiPtrS, -1L)
+          // indices restart per partition — a stale cache would
+          // false-hit on the same (from, to) pair
+          java.util.Arrays.fill(cFrom, Long.MinValue)
+          java.util.Arrays.fill(cTo, Long.MinValue)
+        }
+        /** Can the head row (emitE) be emitted with input seen so far? */
+        private def headReady: Boolean = {
+          if (emitE >= cons) return false
+          if (flushN >= 0) return true
+          val eo = (emitE % cap).toInt
+          if (ordNulls(eo)) {
+            // null block: closed once the non-null run starts AFTER it
+            // (nulls-first); trailing nulls close only at flush
+            nFirst && nnStart >= 0
+          } else {
+            val lastO = ((cons - 1) % cap).toInt
+            if (ordNulls(lastO)) !nFirst // a trailing null closes all non-nulls
+            else (ordVals(lastO) - ordVals(eo)) * direction > maxHi
+          }
+        }
+        private def consumeOne(): Boolean = {
+          if (!rows.hasNext) return false
+          val row = rows.next().asInstanceOf[UnsafeRow].copy()
+          inM.add(1)
+          if (anyRow && partDiffers(row)) {
+            held = row
+            flushN = cons
+            return false
+          }
+          if (!anyRow) grpM.add(1)
+          anyRow = true
+          partCarry(row)
+          // evict: rows below every frame pointer AND already emitted
+          var minKeep = emitE
+          var s = 0
+          while (s < nS) { if (loPtrS(s) < minKeep) minKeep = loPtrS(s); s += 1 }
+          if (cons - minKeep >= cap) grow(minKeep, cons)
+          val o = (cons % cap).toInt
+          ring(o) = row
+          val nl = row.isNullAt(oIdx)
+          ordNulls(o) = nl
+          ordVals(o) = if (nl) 0L else rowLong(row, oIdx, oType)
+          if (!nl && nnStart < 0) nnStart = cons
+          if (nl && nnStart >= 0 && nullTail < 0) nullTail = cons
+          cons += 1
+          true
+        }
+        private def advance(): Unit = {
+          var looping = true
+          while (looping) {
+            looping = false
+            if (flushN >= 0 && emitE >= flushN) {
+              // flush done: seed next partition with the held row
+              flushN = -1
+              resetPart()
+              if (held != null) {
+                grpM.add(1)
+                partCarry(held)
+                ring(0) = held
+                val nl = held.isNullAt(oIdx)
+                ordNulls(0) = nl
+                ordVals(0) = if (nl) 0L else rowLong(held, oIdx, oType)
+                if (!nl) nnStart = 0L
+                cons = 1
+                held = null
+              } else return
+            }
+            while (!headReady && flushN < 0 && consumeOne()) {}
+            if (headReady) return
+            if (flushN < 0) {
+              if (held == null && !rows.hasNext) {
+                // input exhausted: flush the tail
+                if (cons > emitE) { flushN = cons; return }
+                else return
+              }
+              // partition boundary hit inside consumeOne (flushN set) or
+              // nothing pending — re-check loop conditions
+              if (flushN < 0 && cons == emitE && held == null) return
+            }
+            if (flushN >= 0 && emitE < flushN) return
+            if (flushN >= 0 && emitE >= flushN) looping = true
+          }
+        }
+        override def hasNext: Boolean = {
+          if (headReady) true
+          else { advance(); headReady }
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val bound = if (flushN >= 0) flushN else cons
+          val e = emitE
+          val eo = (e % cap).toInt
+          val eNull = ordNulls(eo)
+          // non-null run limits within [0, bound)
+          val runStart = if (nnStart >= 0) nnStart else bound
+          val runEnd = if (nullTail >= 0) nullTail else bound // exclusive
+          var s = 0
+          while (s < nS) {
+            if (eNull) {
+              // the null block's frame is exactly the null block; an
+              // all-null partition (nnStart < 0) is one block either way
+              val from = if (nFirst || nnStart < 0) 0L else runEnd
+              val to = (if (nFirst && nnStart >= 0) runStart else bound) - 1L
+              evalSlice(s, from, to)
+            } else {
+              val sp = ss(s)
+              // frame: lo <= (v_j - v_e) * dir <= hi within the run
+              var lp = math.max(loPtrS(s), runStart)
+              while (lp < runEnd && lp < cons &&
+                (ordVals((lp % cap).toInt) - ordVals(eo)) * direction < sp.lo) lp += 1
+              loPtrS(s) = lp
+              var hp = math.max(hiPtrS(s), lp - 1)
+              while (hp + 1 < runEnd && hp + 1 < cons &&
+                (ordVals(((hp + 1) % cap).toInt) - ordVals(eo)) * direction <= sp.hi) hp += 1
+              hiPtrS(s) = hp
+              evalSlice(s, lp, hp)
+            }
+            s += 1
+          }
+          emitE += 1
+          proj(joined(ring(eo), aggRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftWindowRangeSlideExec =
+    copy(child = newChild)
+}
+
 object GraftColumnarWindowExec {
   /** Partition-key types the streaming boundary check handles: the
     * long-family lane plus strings. Double keys are excluded — NaN/-0.0

@@ -755,6 +755,125 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               slideCompiled.collect { case scala.Right(s) => s }, w.child)
         }
 
+      // Sliding RANGE-frame aggregation (rolling time/value windows:
+      // RANGE 7 PRECEDING over a numeric key, INTERVAL '1' HOUR over a
+      // timestamp): a value-bounded ring holds only the rows inside the
+      // widest live frame — O(occupancy) memory vs the row WindowExec's
+      // whole buffered partition. Guard: every expression is a Complete
+      // aggregate over a finite RANGE frame whose bounds convert to
+      // ORDER-BY-value deltas, single attribute ORDER BY key.
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if windowAggEnabled(session) && w.orderSpec.size == 1 &&
+            w.orderSpec.head.child.isInstanceOf[AttributeReference] &&
+            w.windowExpression.forall {
+              case Alias(org.apache.spark.sql.catalyst.expressions.WindowExpression(
+                _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression,
+                org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition(_, _,
+                  org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
+                    org.apache.spark.sql.catalyst.expressions.RangeFrame, lo, hi))), _) =>
+                val ot = w.orderSpec.head.child.dataType
+                rangeBound(lo, ot).isDefined && rangeBound(hi, ot).isDefined
+              case _ => false
+            } =>
+        import org.apache.spark.sql.execution.graft.{GraftWindowRangeSlideExec, WinSlideSpec}
+        import org.apache.spark.sql.catalyst.expressions.{WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Sum, Min, Max, Count, Average}
+        import org.apache.spark.sql.catalyst.expressions.EvalMode
+        import org.apache.spark.sql.types._
+        val ordR: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
+          case a: AttributeReference => w.child.output.indexWhere(_.exprId == a.exprId)
+          case _ => -1
+        }
+        val longFamR: DataType => Boolean = {
+          case ByteType | ShortType | IntegerType | LongType | BooleanType |
+              DateType | TimestampType | TimestampNTZType => true
+          case d: org.apache.spark.sql.types.DecimalType =>
+            d.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS
+          case _ => false
+        }
+        val so = w.orderSpec.head
+        val oAttr = so.child.asInstanceOf[AttributeReference]
+        val oType = oAttr.dataType
+        val orderableKey = oType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+              TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+        val pKeysR = w.partitionSpec.map {
+          case a: AttributeReference if ordR(a) >= 0 &&
+              org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+                .supportedPartType(a.dataType) =>
+            scala.Right((ordR(a), a.dataType))
+          case other => scala.Left(s"unsupported window partition key: $other")
+        }
+        val rangeCompiled: Seq[Either[String, WinSlideSpec]] = w.windowExpression.map {
+          case Alias(WindowExpression(
+              AggregateExpression(af, Complete, false, None, _),
+              WindowSpecDefinition(_, _, SpecifiedWindowFrame(_, loB, hiB))), _) =>
+            val lo = rangeBound(loB, oType).get
+            val hi = rangeBound(hiB, oType).get
+            if (lo > hi) scala.Left(s"degenerate RANGE frame [$lo, $hi]")
+            else af match {
+              case s @ Sum(a: AttributeReference, ctx) if ordR(a) >= 0 &&
+                  (a.dataType == ByteType || a.dataType == ShortType ||
+                    a.dataType == IntegerType || a.dataType == LongType) &&
+                  ctx.evalMode != EvalMode.TRY =>
+                scala.Right(WinSlideSpec(0, ordR(a), 0, s.dataType,
+                  ctx.evalMode == EvalMode.ANSI, lo, hi))
+              case s @ Sum(a: AttributeReference, _) if ordR(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinSlideSpec(0, ordR(a), 1, s.dataType, ansi = false, lo, hi))
+              case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
+                  if l.value != null =>
+                scala.Right(WinSlideSpec(5, -1, 2, LongType, ansi = false, lo, hi))
+              case Count(Seq(a: AttributeReference)) if ordR(a) >= 0 =>
+                scala.Right(WinSlideSpec(1, ordR(a), 2, LongType, ansi = false, lo, hi))
+              case m @ Min(a: AttributeReference) if ordR(a) >= 0 && longFamR(a.dataType) =>
+                scala.Right(WinSlideSpec(2, ordR(a), 0, m.dataType, ansi = false, lo, hi))
+              case m @ Min(a: AttributeReference) if ordR(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinSlideSpec(2, ordR(a), 1, m.dataType, ansi = false, lo, hi))
+              case m @ Max(a: AttributeReference) if ordR(a) >= 0 && longFamR(a.dataType) =>
+                scala.Right(WinSlideSpec(3, ordR(a), 0, m.dataType, ansi = false, lo, hi))
+              case m @ Max(a: AttributeReference) if ordR(a) >= 0 &&
+                  (a.dataType == DoubleType || a.dataType == FloatType) =>
+                scala.Right(WinSlideSpec(3, ordR(a), 1, m.dataType, ansi = false, lo, hi))
+              case av @ Average(a: AttributeReference, em) if ordR(a) >= 0 &&
+                  (longFamR(a.dataType) && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+                    a.dataType != DateType && a.dataType != TimestampType &&
+                    a.dataType != TimestampNTZType && a.dataType != BooleanType ||
+                    a.dataType == DoubleType || a.dataType == FloatType) &&
+                  em != EvalMode.TRY =>
+                val lane = if (a.dataType == DoubleType || a.dataType == FloatType) 1 else 0
+                scala.Right(WinSlideSpec(4, ordR(a), lane, av.dataType, ansi = false, lo, hi))
+              case other =>
+                scala.Left(s"unsupported RANGE window aggregate: $other (${other.dataType})")
+            }
+          case other =>
+            scala.Left(s"unexpected RANGE window expression: $other")
+        }
+        val keyOk =
+          if (!orderableKey) scala.Seq(scala.Left(
+            s"unsupported RANGE order key type: $oType"))
+          else if (ordR(oAttr) < 0) scala.Seq(scala.Left(
+            "RANGE order key is not a child attribute"))
+          else scala.Seq.empty
+        (pKeysR ++ keyOk ++ rangeCompiled).collectFirst { case scala.Left(e) => e } match {
+          case Some(reason) =>
+            w.setTagValue(fallbackReasonTag, reason); w
+          case None if pKeysR.isEmpty =>
+            w.setTagValue(fallbackReasonTag, "empty PARTITION BY"); w
+          case None =>
+            val pk = pKeysR.collect { case scala.Right(p) => p }
+            val dirSign = if (so.direction ==
+              org.apache.spark.sql.catalyst.expressions.Ascending) 1 else -1
+            val nFirst = so.nullOrdering ==
+              org.apache.spark.sql.catalyst.expressions.NullsFirst
+            GraftWindowRangeSlideExec(w.output, pk.map(_._1), pk.map(_._2),
+              ordR(oAttr), oType, dirSign, nFirst,
+              rangeCompiled.collect { case scala.Right(s) => s }, w.child)
+        }
+
       // Window aggregation over the RUNNING ROWS frame (UNBOUNDED
       // PRECEDING .. CURRENT ROW): the row WindowExec copies every
       // partition group into a (spillable) buffer before computing;
@@ -1021,6 +1140,47 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       case org.apache.spark.sql.catalyst.expressions.Literal(l: Long,
         org.apache.spark.sql.types.LongType) => Some(l)
       case _ => None
+    }
+
+    /** Finite RANGE-frame bound as an ORDER-BY-value delta (order-key
+      * units: days for dates, micros for timestamps, the value itself
+      * for integrals). CurrentRow is 0; literal ints/longs pair with
+      * numeric keys; day-time interval and pure calendar-interval
+      * literals pair with date/timestamp keys where the arithmetic is
+      * exact (no months; no day component on timestamps — that
+      * addition is timezone-dependent on the row path). Unbounded ends
+      * and anything else are None.
+      */
+    private def rangeBound(
+        e: org.apache.spark.sql.catalyst.expressions.Expression,
+        orderType: org.apache.spark.sql.types.DataType): Option[Long] = {
+      import org.apache.spark.sql.types._
+      val microsPerDay = 86400L * 1000000L
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.CurrentRow => Some(0L)
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, dt) =>
+          (orderType, dt, v) match {
+            case (ByteType | ShortType | IntegerType | LongType, IntegerType, i: Int) =>
+              Some(i.toLong)
+            case (ByteType | ShortType | IntegerType | LongType, LongType, l: Long) =>
+              Some(l)
+            case (DateType, _: DayTimeIntervalType, us: Long)
+                if us % microsPerDay == 0 =>
+              Some(us / microsPerDay)
+            case (DateType, CalendarIntervalType,
+                c: org.apache.spark.unsafe.types.CalendarInterval)
+                if c.months == 0 && c.microseconds == 0 =>
+              Some(c.days.toLong)
+            case (TimestampType | TimestampNTZType, _: DayTimeIntervalType, us: Long) =>
+              Some(us)
+            case (TimestampType | TimestampNTZType, CalendarIntervalType,
+                c: org.apache.spark.unsafe.types.CalendarInterval)
+                if c.months == 0 && c.days == 0 =>
+              Some(c.microseconds)
+            case _ => None
+          }
+        case _ => None
+      }
     }
 
     /** Shared grouped-partial swap body for the direct HashAggregate

@@ -850,6 +850,80 @@ class EngineSuite extends GraftTestBase {
       asof.queryExecution.executedPlan}")
   }
 
+  test("sliding RANGE frames: parity incl. ties, null order keys, DESC, intervals") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winrange").toString
+    // order values with heavy ties (o = i/7), gaps, null order keys,
+    // null inputs, 1-row partitions, a hot multi-batch partition
+    (1 to 30000).map { i =>
+      val k = if (i % 41 == 0) Some(-i.toLong)
+        else if (i % 13 == 0) None else Some(if (i % 3 != 0) 1L else (i % 4 + 2).toLong)
+      val o = if (i % 17 == 0) None else Some((i / 7 + (i % 5) * 11).toLong)
+      val v = if (i % 6 == 0) None else Some((i % 251).toLong)
+      (k, o, v, i * 0.5, i.toLong)
+    }.toDF("k", "o", "v", "d", "u")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def check(name: String, f: () => org.apache.spark.sql.DataFrame,
+        expectSwap: Boolean = true): Unit = {
+      val onDf = f()
+      val on = onDf.collect()
+      val found = findExec(onDf) {
+        case e: org.apache.spark.sql.execution.graft.GraftWindowRangeSlideExec => e
+      }
+      if (expectSwap) assert(found.isDefined,
+        s"$name should swap:\n${onDf.queryExecution.executedPlan}")
+      else assert(found.isEmpty,
+        s"$name must keep the row path:\n${onDf.queryExecution.executedPlan}")
+      val off = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { f().collect() }
+      assert(on.toSeq == off.toSeq, s"$name diverged from the row WindowExec")
+    }
+    val sp0 = spark
+    import sp0.implicits._
+    check("asc trailing", () => {
+      val w = Window.partitionBy($"k").orderBy($"o").rangeBetween(-10, 0)
+      spark.read.parquet(dir).select($"k", $"u",
+        sum($"v").over(w).as("s"), count($"v").over(w).as("c"),
+        min($"v").over(w).as("mn"), avg($"d").over(w).as("av"))
+        .orderBy($"k", $"u")
+    })
+    check("asc centered + lookahead + both-preceding", () => {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      spark.read.parquet(dir).select($"k", $"u",
+        sum($"v").over(w.rangeBetween(-5, 5)).as("cs"),
+        max($"v").over(w.rangeBetween(1, 20)).as("ahead"),
+        count(lit(1)).over(w.rangeBetween(-20, -3)).as("behind"))
+        .orderBy($"k", $"u")
+    })
+    check("desc trailing", () => {
+      val w = Window.partitionBy($"k").orderBy($"o".desc).rangeBetween(-10, 0)
+      spark.read.parquet(dir).select($"k", $"u",
+        sum($"v").over(w).as("s"), count(lit(1)).over(w).as("c"))
+        .orderBy($"k", $"u")
+    })
+    // timestamp order + interval bounds (exact micros arithmetic);
+    // the DataFrame rangeBetween only takes longs, so SQL syntax
+    check("timestamp interval window", () => {
+      spark.read.parquet(dir)
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(($"o" * 60000000L) + 1700000000000000L))
+        .selectExpr("k", "u",
+          "count(v) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN" +
+            " INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS c",
+          "sum(v) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN" +
+            " INTERVAL '30' MINUTE PRECEDING AND INTERVAL '10' MINUTE FOLLOWING) AS s")
+        .orderBy($"k", $"u")
+    })
+    // double order key is valid Spark but outside the integral whitelist
+    check("double order key falls back", () => {
+      spark.read.parquet(dir).selectExpr("k", "u",
+        "sum(v) OVER (PARTITION BY k ORDER BY d RANGE BETWEEN" +
+          " 10.0 PRECEDING AND CURRENT ROW) AS s")
+        .orderBy($"k", $"u")
+    }, expectSwap = false)
+  }
+
   test("columnar window agg: unsupported frames and functions keep the row path") {
     import org.apache.spark.sql.graft.GraftColumnarRule
     import org.apache.spark.sql.expressions.Window

@@ -387,6 +387,26 @@ object FilterMicroBench {
               ignoreNulls = true).over(w).as("ffill"),
             first($"l_returnflag").over(w).as("ff"))
       }),
+      // sliding RANGE frames (value-bounded ring vs the row WindowExec)
+      "winrange-7u" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        // 7-unit trailing sum per order (many ~4-row groups)
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+          .rangeBetween(-7, 0)
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey", sum($"l_quantity").over(w).as("s7"))
+      }),
+      "winrange-hot" -> (() => {
+        import org.apache.spark.sql.functions._
+        // 3 giant partitions, hour-wide interval window over shipdate
+        val frame = "(PARTITION BY l_returnflag ORDER BY l_shipdate RANGE " +
+          "BETWEEN INTERVAL '24' HOUR PRECEDING AND CURRENT ROW)"
+        Tables.t(spark, sfDir, "lineitem")
+          .selectExpr("l_returnflag",
+            s"count(1) OVER $frame AS c",
+            s"sum(l_quantity) OVER $frame AS s")
+      }),
       // 6 functions over one pass (q176's shape)
       "winagg-6fn" -> (() => {
         import org.apache.spark.sql.expressions.Window

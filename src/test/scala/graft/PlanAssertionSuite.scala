@@ -560,6 +560,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the RANGE running frame:\n$p")
   }
 
+  test("q184 rolling time-range window swaps to the value-bounded ring exec") {
+    val df = run("q184_window_range_rolling")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftWindowRangeSlide"),
+      s"expected the RANGE-slide exec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0, s"no row WindowExec should remain:\n$p")
+  }
+
   test("q183 forward-fill / first-last-nth swaps to the boxed streaming lane") {
     val df = run("q183_window_ffill")
     df.collect()
