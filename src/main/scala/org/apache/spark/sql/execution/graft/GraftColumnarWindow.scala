@@ -21,7 +21,15 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * 9=first 10=last (`ign` = ignoreNulls; last+ign is the forward-fill
   * shape — row faces only, the boxed lane has no output vector),
   * 11=nth_value (`nth` = 1-based frame row; Spark rewrites
-  * first_value without ignoreNulls into nth_value(x, 1, false)).
+  * first_value without ignoreNulls into nth_value(x, 1, false)),
+  * 12=lag/lead (`off` = SIGNED row offset, `dflt` = literal default —
+  * for nodes MIXING offsets with other streaming functions; pure
+  * offset nodes take the dedicated [[GraftWindowOffsetExec]]).
+  * `excl` marks the exclusive running frame ROWS UNBOUNDED
+  * PRECEDING..1 PRECEDING (fn 0-5): the value closes one row EARLIER —
+  * the distributed-prefix-sum shape. Offset/excl/boxed specs run the
+  * row face (emission lags consumption by the ring, fed from per-slot
+  * accumulator snapshots).
   * `lane`: 0 = long-family input (integral/date/ts/bool/Decimal64
   * unscaled), 1 = double-family input, 2 = no input lane (counts,
   * ranking), 3 = boxed catalyst value (first/last — any offset-supported
@@ -38,7 +46,8 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   */
 final case class WinAggSpec(
     fn: Int, col: Int, lane: Int, outType: DataType, ansi: Boolean,
-    kind: Int = 0, ign: Boolean = false, nth: Int = 0)
+    kind: Int = 0, ign: Boolean = false, nth: Int = 0,
+    off: Int = 0, dflt: Any = null, excl: Boolean = false)
 
 /** Columnar window aggregation over running ROWS frames (reference
   * analogue: CometWindowExec.scala:41-388, agg whitelist :108-147; the
@@ -93,13 +102,23 @@ final case class WinAggSpec(
   * specs keep the row faces (no output vector), so a node holding one
   * runs doExecute even over a columnar child.
   *
-  * A/B (FilterMicroBench winagg-, winrank-, winfl- prefixes; sf0.1,
-  * 3 runs of min-of-5): streaming — many tiny
+  * Nodes MIXING lag/lead with other streaming functions (the SCD2
+  * row_number + lead + running-sum shape, q132) and EXCLUSIVE running
+  * frames (UNBOUNDED..1 PRECEDING — the distributed-prefix-sum shape,
+  * q112) run a ring + per-slot accumulator-snapshot machine on the row
+  * face: emission lags consumption by maxLead rows, reading each row's
+  * own accumulator snapshot (the previous row's for exclusive frames)
+  * and the ring rows for offsets. Peer keys extend to double/float via
+  * normalized-bits equality (the row path's SQLOrderingUtil classes).
+  *
+  * A/B (FilterMicroBench winagg-, winrank-, winfl-, winmix- prefixes;
+  * sf0.1, 3 runs of min-of-5): streaming — many tiny
   * groups 0.81-0.95x, three ~200k-row hot groups 0.93-0.94x,
   * six-function pass 0.94-1.05x; deferred — RANGE heavy ties
   * 0.97-0.99x, whole-partition 0.78-0.98x; ranking — row_number over
   * ~4-row groups 0.90-0.95x, rank+dense_rank+row_number over three hot
-  * groups 0.96-1.07x; forward-fill first+last 0.86-0.96x.
+  * groups 0.96-1.07x; forward-fill first+last 0.86-0.96x; mixed
+  * ranking+lead+running-sum 0.86-0.99x.
   * Win-to-parity on every shape, so the swap defaults ON
   * (spark.graft.columnar.window.enabled=false to keep the row
   * WindowExec).
@@ -122,7 +141,7 @@ case class GraftColumnarWindowExec(
   // partition) run the row face only: their group buffer is Spark's
   // own spill-backed ExternalAppendOnlyUnsafeRowArray.
   override def supportsColumnar: Boolean =
-    child.supportsColumnar && specs.forall(s => s.kind == 0 && s.fn <= 8)
+    child.supportsColumnar && specs.forall(s => s.kind == 0 && s.fn <= 8 && !s.excl)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering = child.outputOrdering
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -138,6 +157,9 @@ case class GraftColumnarWindowExec(
     case IntegerType | DateType => v.getInt(_).toLong
     case BooleanType => i => if (v.getBoolean(i)) 1L else 0L
     case d: DecimalType => i => v.getDecimal(i, d.precision, d.scale).toUnscaledLong
+    // double/float reach here only as PEER keys (normalized bits)
+    case DoubleType => i => GraftColumnarWindowExec.peerBits(v.getDouble(i))
+    case FloatType => i => GraftColumnarWindowExec.peerBits(v.getFloat(i).toDouble)
     case _ => v.getLong
   }
 
@@ -386,6 +408,9 @@ case class GraftColumnarWindowExec(
         case IntegerType | DateType => r.getInt(ord).toLong
         case BooleanType => if (r.getBoolean(ord)) 1L else 0L
         case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        // double/float reach here only as PEER keys (normalized bits)
+        case DoubleType => GraftColumnarWindowExec.peerBits(r.getDouble(ord))
+        case FloatType => GraftColumnarWindowExec.peerBits(r.getFloat(ord).toDouble)
         case _ => r.getLong(ord)
       }
       def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
@@ -458,7 +483,16 @@ case class GraftColumnarWindowExec(
         case FloatType => aggRow.update(s, v.toFloat)
         case _ => aggRow.update(s, v)
       }
-      rows.map { row =>
+      // lag/lead specs (fn 12) and exclusive frames defer emission
+      // behind the consumption point; everything else emits per row
+      val maxLead = ss.foldLeft(0L)((m, s) =>
+        if (s.fn == 12 && s.off > 0) math.max(m, s.off.toLong) else m)
+      val maxLag = ss.foldLeft(0L)((m, s) =>
+        if (s.fn == 12 && s.off < 0) math.max(m, -s.off.toLong) else m)
+      val anyExcl = ss.exists(_.excl)
+      // +1 slot when exclusive frames read the PREVIOUS row's snapshot
+      val cap = (maxLag + maxLead + 1L + (if (anyExcl) 1L else 0L)).toInt
+      if (cap == 1) rows.map { row =>
         inM.add(1)
         var boundary = !anyRow
         var k = 0
@@ -597,6 +631,266 @@ case class GraftColumnarWindowExec(
         }
         proj(joined(row, aggRow))
       }
+      else {
+        // ring + per-slot accumulator snapshots: lag/lead specs force
+        // emission to lag consumption by maxLead rows, so running
+        // values for row e must be e's — not the consumption point's —
+        // accumulator state. Each consumed row snapshots the
+        // accumulators into its ring slot; emission reads the snapshot
+        // (the previous row's for exclusive frames) and the ring rows
+        // for offsets. The GraftWindowOffsetExec state machine drives
+        // consumption/flush.
+        import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+        val ring = new Array[UnsafeRow](cap)
+        val snapL = Array.ofDim[Long](cap, nS)
+        val snapD = Array.ofDim[Double](cap, nS)
+        val snapCnt = Array.ofDim[Long](cap, nS)
+        val snapSeen = Array.ofDim[Boolean](cap, nS)
+        val snapAny = Array.ofDim[Any](cap, nS)
+        val snapRn = new Array[Long](cap)
+        val snapRank = new Array[Long](cap)
+        val snapDense = new Array[Long](cap)
+        // mutation-only twin of the fast path's interleaved update+emit
+        def updAccs(row: InternalRow): Unit = {
+          var s = 0
+          while (s < nS) {
+            val sp = ss(s)
+            val nullIn = sp.col >= 0 && row.isNullAt(sp.col)
+            sp.fn match {
+              case 0 =>
+                if (!nullIn) {
+                  if (sp.lane == 0) {
+                    val x = rowLong(row, sp.col, inTypes(s))
+                    if (sp.ansi) {
+                      try accLong(s) = Math.addExact(accLong(s), x)
+                      catch {
+                        case _: ArithmeticException =>
+                          throw org.apache.spark.sql.errors.QueryExecutionErrors
+                            .arithmeticOverflowError("long overflow", "try_add", null)
+                      }
+                    } else accLong(s) += x
+                  } else accDbl(s) += rowDbl(row, sp.col, inTypes(s))
+                  accSeen(s) = true
+                }
+              case 1 => if (!nullIn) accCnt(s) += 1
+              case 5 => accCnt(s) += 1
+              case 2 | 3 =>
+                if (!nullIn) {
+                  if (sp.lane == 0) {
+                    val x = rowLong(row, sp.col, inTypes(s))
+                    if (!accSeen(s) ||
+                      (if (sp.fn == 2) x < accLong(s) else x > accLong(s)))
+                      accLong(s) = x
+                  } else {
+                    val x = rowDbl(row, sp.col, inTypes(s))
+                    val c = SQLOrderingUtil.compareDoubles(x, accDbl(s))
+                    if (!accSeen(s) || (if (sp.fn == 2) c < 0 else c > 0))
+                      accDbl(s) = x
+                  }
+                  accSeen(s) = true
+                }
+              case 4 =>
+                if (!nullIn) {
+                  accDbl(s) += (if (sp.lane == 0) rowLong(row, sp.col, inTypes(s)).toDouble
+                    else rowDbl(row, sp.col, inTypes(s)))
+                  accCnt(s) += 1
+                }
+              case 9 =>
+                if (!accSeen(s) && !(sp.ign && nullIn)) {
+                  accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                  accSeen(s) = true
+                }
+              case 10 =>
+                if (!(sp.ign && nullIn)) {
+                  accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                  accSeen(s) = true
+                }
+              case 11 =>
+                if (!(sp.ign && nullIn)) {
+                  accCnt(s) += 1
+                  if (accCnt(s) == sp.nth) {
+                    accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                    accSeen(s) = true
+                  }
+                }
+              case _ => () // fn 12 offsets carry no accumulator
+            }
+            s += 1
+          }
+        }
+        def snapshot(slot: Int): Unit = {
+          var s = 0
+          while (s < nS) {
+            snapL(slot)(s) = accLong(s); snapD(slot)(s) = accDbl(s)
+            snapCnt(slot)(s) = accCnt(s); snapSeen(slot)(s) = accSeen(s)
+            snapAny(slot)(s) = accAny(s)
+            s += 1
+          }
+          snapRn(slot) = rkRowNum; snapRank(slot) = rkRank; snapDense(slot) = rkDense
+        }
+        def writeFromSnap(s: Int, slot: Int): Unit = {
+          val sp = ss(s)
+          sp.fn match {
+            case 0 | 2 | 3 =>
+              if (snapSeen(slot)(s)) {
+                if (sp.lane == 0) emitLong(s, snapL(slot)(s))
+                else emitDbl(s, snapD(slot)(s))
+              } else aggRow.setNullAt(s)
+            case 1 | 5 => aggRow.update(s, snapCnt(slot)(s))
+            case 4 =>
+              if (snapCnt(slot)(s) > 0)
+                aggRow.update(s, snapD(slot)(s) / snapCnt(slot)(s))
+              else aggRow.setNullAt(s)
+            case 6 => aggRow.update(s, snapRn(slot).toInt)
+            case 7 => aggRow.update(s, snapRank(slot).toInt)
+            case 8 => aggRow.update(s, snapDense(slot).toInt)
+            case _ =>
+              if (snapSeen(slot)(s)) aggRow.update(s, snapAny(slot)(s))
+              else aggRow.setNullAt(s)
+          }
+        }
+        /** Empty-accumulator output — an exclusive frame on the first
+          * partition row. */
+        def writeEmpty(s: Int): Unit = ss(s).fn match {
+          case 1 | 5 => aggRow.update(s, 0L)
+          case _ => aggRow.setNullAt(s)
+        }
+        /** Full consumption step for a row KNOWN to be in the current
+          * partition (boundary handled by the caller). */
+        def ingest(row: UnsafeRow, boundary: Boolean): Unit = {
+          var newPeer = boundary
+          var k = 0
+          while (needPeers && !newPeer && k < nO) {
+            val nl = row.isNullAt(oIdx(k))
+            newPeer =
+              if (nl != oPrevNull(k)) true
+              else if (nl) false
+              else if (oTypes(k) == StringType)
+                row.getUTF8String(oIdx(k)).compareTo(oPrevStr(k)) != 0
+              else rowLong(row, oIdx(k), oTypes(k)) != oPrevLong(k)
+            k += 1
+          }
+          k = 0
+          while (k < nP) {
+            val nl = row.isNullAt(pIdx(k))
+            prevNull(k) = nl
+            if (!nl) {
+              if (pTypes(k) == StringType)
+                prevStr(k) = row.getUTF8String(pIdx(k)).clone()
+              else prevLong(k) = rowLong(row, pIdx(k), pTypes(k))
+            }
+            k += 1
+          }
+          k = 0
+          while (k < nO) {
+            val nl = row.isNullAt(oIdx(k))
+            oPrevNull(k) = nl
+            if (!nl) {
+              if (oTypes(k) == StringType)
+                oPrevStr(k) = row.getUTF8String(oIdx(k)).clone()
+              else oPrevLong(k) = rowLong(row, oIdx(k), oTypes(k))
+            }
+            k += 1
+          }
+          anyRow = true
+          rkRowNum += 1
+          if (boundary) { rkRank = 1; rkDense = 1 }
+          else if (newPeer) { rkRank = rkRowNum; rkDense += 1 }
+          updAccs(row)
+        }
+        new Iterator[InternalRow] {
+          private var cons = 0L
+          private var emitE = 0L
+          private var flushN = -1L
+          private var held: UnsafeRow = _
+          private def canEmit: Boolean = cons - emitE > maxLead
+          private def store(row: UnsafeRow): Unit = {
+            val slot = (cons % cap).toInt
+            ring(slot) = row
+            snapshot(slot)
+            cons += 1
+          }
+          // the GraftWindowOffsetExec state machine — see its advance()
+          // doc for why the boundary restart MUST loop
+          private def advance(): Unit = {
+            var looping = true
+            while (looping) {
+              looping = false
+              if (flushN >= 0) {
+                if (emitE < flushN) return
+                flushN = -1; cons = 0; emitE = 0
+                if (held != null) {
+                  grpM.add(1)
+                  reset()
+                  ingest(held, boundary = true)
+                  store(held)
+                  held = null
+                } else return
+              }
+              var boundary = false
+              while (!canEmit && !boundary && rows.hasNext) {
+                val row = rows.next().asInstanceOf[UnsafeRow].copy()
+                inM.add(1)
+                var newPart = !anyRow
+                var k = 0
+                while (!newPart && k < nP) {
+                  val nl = row.isNullAt(pIdx(k))
+                  newPart =
+                    if (nl != prevNull(k)) true
+                    else if (nl) false
+                    else if (pTypes(k) == StringType)
+                      row.getUTF8String(pIdx(k)).compareTo(prevStr(k)) != 0
+                    else rowLong(row, pIdx(k), pTypes(k)) != prevLong(k)
+                  k += 1
+                }
+                if (anyRow && newPart) {
+                  held = row
+                  flushN = cons
+                  boundary = true
+                } else {
+                  if (!anyRow) grpM.add(1)
+                  if (newPart) reset()
+                  ingest(row, boundary = newPart)
+                  store(row)
+                }
+              }
+              if (canEmit && flushN < 0) return
+              if (boundary) {
+                if (emitE < flushN) return
+                looping = true
+              } else if (cons > emitE) {
+                flushN = cons
+                return
+              } else return
+            }
+          }
+          override def hasNext: Boolean = {
+            if ((flushN >= 0 && emitE < flushN) || canEmit) true
+            else { advance(); (flushN >= 0 && emitE < flushN) || canEmit }
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val bound = if (flushN >= 0) flushN else Long.MaxValue
+            val e = emitE
+            emitE += 1
+            val se = (e % cap).toInt
+            var s = 0
+            while (s < nS) {
+              val sp = ss(s)
+              if (sp.fn == 12) {
+                val t = e + sp.off
+                if (t < 0 || t >= bound) aggRow.update(s, sp.dflt)
+                else aggRow.update(s, readBoxed(ring((t % cap).toInt), sp.col, inTypes(s)))
+              } else if (sp.excl) {
+                if (e == 0) writeEmpty(s)
+                else writeFromSnap(s, ((e - 1) % cap).toInt)
+              } else writeFromSnap(s, se)
+              s += 1
+            }
+            proj(joined(ring(se), aggRow))
+          }
+        }
+      }
     }
   }
 
@@ -632,6 +926,9 @@ case class GraftColumnarWindowExec(
         case IntegerType | DateType => r.getInt(ord).toLong
         case BooleanType => if (r.getBoolean(ord)) 1L else 0L
         case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        // double/float reach here only as PEER keys (normalized bits)
+        case DoubleType => GraftColumnarWindowExec.peerBits(r.getDouble(ord))
+        case FloatType => GraftColumnarWindowExec.peerBits(r.getFloat(ord).toDouble)
         case _ => r.getLong(ord)
       }
       def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
@@ -939,6 +1236,9 @@ case class GraftWindowOffsetExec(
         case IntegerType | DateType => r.getInt(ord).toLong
         case BooleanType => if (r.getBoolean(ord)) 1L else 0L
         case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        // double/float reach here only as PEER keys (normalized bits)
+        case DoubleType => GraftColumnarWindowExec.peerBits(r.getDouble(ord))
+        case FloatType => GraftColumnarWindowExec.peerBits(r.getFloat(ord).toDouble)
         case _ => r.getLong(ord)
       }
       /** Boxed catalyst value of one column — feeds the GenericInternalRow. */
@@ -1163,6 +1463,9 @@ case class GraftWindowSlidingExec(
         case IntegerType | DateType => r.getInt(ord).toLong
         case BooleanType => if (r.getBoolean(ord)) 1L else 0L
         case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        // double/float reach here only as PEER keys (normalized bits)
+        case DoubleType => GraftColumnarWindowExec.peerBits(r.getDouble(ord))
+        case FloatType => GraftColumnarWindowExec.peerBits(r.getFloat(ord).toDouble)
         case _ => r.getLong(ord)
       }
       def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
@@ -1441,6 +1744,9 @@ case class GraftWindowRangeSlideExec(
         case IntegerType | DateType => r.getInt(ord).toLong
         case BooleanType => if (r.getBoolean(ord)) 1L else 0L
         case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        // double/float reach here only as PEER keys (normalized bits)
+        case DoubleType => GraftColumnarWindowExec.peerBits(r.getDouble(ord))
+        case FloatType => GraftColumnarWindowExec.peerBits(r.getFloat(ord).toDouble)
         case _ => r.getLong(ord)
       }
       def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
@@ -1783,4 +2089,20 @@ object GraftColumnarWindowExec {
     case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => true
     case _ => false
   }
+
+  /** ORDER BY key types for PEER detection (RANGE running frames,
+    * rank/dense_rank): the partition-key lane plus double/float, whose
+    * equality runs on normalized bits (-0.0 folded to 0.0, NaN
+    * canonicalized) — exactly SQLOrderingUtil's compare==0 classes, the
+    * ordering the row WindowExec groups peers with. Doubles stay
+    * excluded from partition GROUPING, whose hashing semantics are a
+    * different contract. */
+  def supportedPeerType(dt: DataType): Boolean =
+    supportedPartType(dt) || dt == DoubleType || dt == FloatType
+
+  /** Normalized order-key bits for a double: bit-equality ⇔
+    * SQLOrderingUtil.compareDoubles == 0. */
+  def peerBits(d: Double): Long =
+    java.lang.Double.doubleToLongBits(
+      if (java.lang.Double.isNaN(d)) Double.NaN else if (d == 0.0) 0.0 else d)
 }

@@ -919,12 +919,23 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => Some(2)
             case _ => None
           }
+        // the EXCLUSIVE running frame (UNBOUNDED..1 PRECEDING — the
+        // distributed-prefix-sum shape): kind 0, value closes one row
+        // early (the previous row's accumulator snapshot)
+        def isExclFrame(f: org.apache.spark.sql.catalyst.expressions.WindowFrame): Boolean =
+          f match {
+            case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              org.apache.spark.sql.catalyst.expressions.Literal(-1, IntegerType)) => true
+            case _ => false
+          }
         val compiled: Seq[Either[String, WinAggSpec]] = w.windowExpression.map {
           case Alias(WindowExpression(
               AggregateExpression(af, Complete, false, None, _),
-              WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).isDefined =>
-            val kind = frameKind(frame).get
-            af match {
+              WindowSpecDefinition(_, _, frame)), _)
+              if frameKind(frame).isDefined || isExclFrame(frame) =>
+            val excl = isExclFrame(frame)
+            val kind = if (excl) 0 else frameKind(frame).get
+            val base: Either[String, WinAggSpec] = af match {
               case s @ Sum(a: AttributeReference, ctx) if ord(a) >= 0 &&
                   (a.dataType == ByteType || a.dataType == ShortType ||
                     a.dataType == IntegerType || a.dataType == LongType) &&
@@ -975,6 +986,34 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                   ansi = false, kind, ign = l.ignoreNulls))
               case other =>
                 scala.Left(s"unsupported window aggregate: $other (${other.dataType})")
+            }
+            if (excl) base.map(_.copy(excl = true)) else base
+          // lag/lead mixed with other streaming functions (a PURE
+          // offset node took the GraftWindowOffsetExec case above):
+          // fn-12 specs read the emission ring directly
+          case Alias(WindowExpression(
+              f: org.apache.spark.sql.catalyst.expressions.FrameLessOffsetWindowFunction,
+              _), _)
+              if f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Lag] ||
+                f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Lead] =>
+            (f.input, f.offset, f.default) match {
+              case (a: AttributeReference,
+                  org.apache.spark.sql.catalyst.expressions.Literal(off: Int, IntegerType),
+                  dflt)
+                  if ord(a) >= 0 && !f.ignoreNulls &&
+                    org.apache.spark.sql.execution.graft.GraftWindowOffsetExec
+                      .supportedType(a.dataType) &&
+                    (dflt == null ||
+                      dflt.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]) =>
+                val d = dflt match {
+                  case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value
+                  case _ => null
+                }
+                scala.Right(WinAggSpec(12, ord(a), 3, a.dataType, ansi = false, 0,
+                  off = off, dflt = d))
+              case _ =>
+                scala.Left(s"unsupported mixed lag/lead shape: $f (needs an attribute " +
+                  "input, literal offset, literal default, ignoreNulls=false)")
             }
           // ranking functions: per-row streaming values (their frame is
           // ROWS UNBOUNDED..CURRENT by definition); rank/dense_rank peer
@@ -1034,13 +1073,14 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               so => so.child match {
                 case a: AttributeReference =>
                   ord(a) >= 0 && org.apache.spark.sql.execution.graft
-                    .GraftColumnarWindowExec.supportedPartType(a.dataType)
+                    .GraftColumnarWindowExec.supportedPeerType(a.dataType)
                 case _ => false
               }
             })) {
               w.setTagValue(fallbackReasonTag,
                 "peer detection (RANGE running frame / rank / dense_rank) " +
-                  "needs attribute ORDER BY keys of long-family/string types"); w
+                  "needs attribute ORDER BY keys of long-family/string/" +
+                  "double types"); w
             } else {
               val ok = if (needPeerKeys) w.orderSpec.map(_.child
                 .asInstanceOf[AttributeReference]) else Seq.empty

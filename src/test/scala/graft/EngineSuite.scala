@@ -718,15 +718,20 @@ class EngineSuite extends GraftTestBase {
       case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
     }.isDefined, s"row_number-only over a double order key must swap:\n${
       rnOnly.queryExecution.executedPlan}")
-    // ...but rank over the same key falls back (peer detection needs a
-    // long-family/string order key)
-    val rkDouble = spark.read.parquet(dir)
-      .select($"k", rank().over(wD).as("rnk"))
-    rkDouble.collect()
+    // ...and rank over the same double key swaps too: peer equality on
+    // normalized bits (-0.0 == 0.0, NaN == NaN) matches the row path's
+    // SQLOrderingUtil ordering classes
+    def rkD() = spark.read.parquet(dir)
+      .select($"k", $"u", rank().over(wD).as("rnk")).orderBy($"k", $"u")
+    val rkDouble = rkD()
+    val rkOn = rkDouble.collect()
     assert(findExec(rkDouble) {
       case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
-    }.isEmpty, s"rank over a double order key must keep the row path:\n${
+    }.isDefined, s"rank over a double order key should swap:\n${
       rkDouble.queryExecution.executedPlan}")
+    val rkOff = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { rkD().collect() }
+    assert(rkOn.toSeq == rkOff.toSeq, "double-key rank diverged from the row WindowExec")
   }
 
   test("sliding ROWS frames: parity vs the row WindowExec incl. empty frames, nulls, partition edges") {
@@ -922,6 +927,64 @@ class EngineSuite extends GraftTestBase {
           " 10.0 PRECEDING AND CURRENT ROW) AS s")
         .orderBy($"k", $"u")
     }, expectSwap = false)
+  }
+
+  test("mixed streaming nodes: lag/lead + running aggs + ranking, and exclusive frames") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winmix").toString
+    (1 to 30000).map { i =>
+      val k = if (i == 99) Some(0L)
+        else if (i % 13 == 0) None else Some(if (i % 3 != 0) 1L else (i % 5 + 2).toLong)
+      val v = if (i % 7 == 0) None else Some((i % 997).toLong)
+      val st = if (i % 11 == 0) None else Some(s"m_${i % 37}")
+      (k, i.toLong, v, st, i * 0.5)
+    }.toDF("k", "o", "v", "st", "d")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def check(name: String, f: () => org.apache.spark.sql.DataFrame): Unit = {
+      val onDf = f()
+      val on = onDf.collect()
+      assert(findExec(onDf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+            if e.specs.exists(s => s.fn == 12 || s.excl) => e
+      }.isDefined, s"$name should swap:\n${onDf.queryExecution.executedPlan}")
+      val rowWindows = "(?<!GraftColumnar)Window \\[".r
+        .findAllIn(onDf.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head).size
+      assert(rowWindows == 0, s"$name: no row WindowExec should remain:\n${
+        onDf.queryExecution.executedPlan}")
+      val off = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { f().collect() }
+      assert(on.toSeq == off.toSeq, s"$name diverged from the row WindowExec")
+    }
+    val sp0 = spark
+    import sp0.implicits._
+    val w = Window.partitionBy($"k").orderBy($"o")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the SCD2 shape: row_number + lead in one node, plus a running sum
+    check("scd2 row_number+lead", () =>
+      spark.read.parquet(dir).select($"k", $"o",
+        row_number().over(w).as("version"),
+        lead($"o", 1).over(w).as("valid_to"),
+        lag($"st", 1, "NONE").over(w).as("prev_st"),
+        sum($"v").over(wRun).as("cum"))
+        .orderBy($"o"))
+    // the distributed-prefix-sum shape: exclusive running frames
+    check("exclusive prefix sums", () =>
+      spark.read.parquet(dir).select($"k", $"o",
+        sum($"v").over(w.rowsBetween(Window.unboundedPreceding, -1)).as("excl_sum"),
+        count($"v").over(w.rowsBetween(Window.unboundedPreceding, -1)).as("excl_cnt"),
+        avg($"d").over(w.rowsBetween(Window.unboundedPreceding, -1)).as("excl_avg"),
+        sum($"v").over(wRun).as("incl_sum"),
+        lead($"v", 2, -7L).over(w).as("nxt2"))
+        .orderBy($"o"))
+    // boxed + offsets: forward-fill with the previous raw value beside it
+    check("ffill + lag", () =>
+      spark.read.parquet(dir).select($"k", $"o",
+        last($"v", ignoreNulls = true).over(wRun).as("ffill"),
+        lag($"v", 1).over(w).as("prev_raw"),
+        first($"st", ignoreNulls = true).over(wRun).as("first_st"))
+        .orderBy($"o"))
   }
 
   test("columnar window agg: unsupported frames and functions keep the row path") {

@@ -407,6 +407,19 @@ object FilterMicroBench {
             s"count(1) OVER $frame AS c",
             s"sum(l_quantity) OVER $frame AS s")
       }),
+      // mixed node: ranking + offsets + running agg (the SCD2 shape,
+      // snapshot machine) — previously whole-node row fallback
+      "winmix-scd2" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_orderkey",
+            row_number().over(w).as("version"),
+            lead($"l_shipdate", 1).over(w).as("valid_to"),
+            sum($"l_quantity").over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      }),
       // 6 functions over one pass (q176's shape)
       "winagg-6fn" -> (() => {
         import org.apache.spark.sql.expressions.Window
