@@ -24,7 +24,11 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * first_value without ignoreNulls into nth_value(x, 1, false)),
   * 12=lag/lead (`off` = SIGNED row offset, `dflt` = literal default —
   * for nodes MIXING offsets with other streaming functions; pure
-  * offset nodes take the dedicated [[GraftWindowOffsetExec]]).
+  * offset nodes take the dedicated [[GraftWindowOffsetExec]]),
+  * 13=sliding ROWS aggregate in a MIXED node (`sLo`/`sHi` = finite row
+  * bounds; the winnowing min-over-window + lead shape; `lane` 3 adds
+  * string min/max via UTF8String compare — pure sliding nodes take the
+  * dedicated [[GraftWindowSlidingExec]]).
   * `excl` marks the exclusive running frame ROWS UNBOUNDED
   * PRECEDING..1 PRECEDING (fn 0-5): the value closes one row EARLIER —
   * the distributed-prefix-sum shape. Offset/excl/boxed specs run the
@@ -47,7 +51,12 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 final case class WinAggSpec(
     fn: Int, col: Int, lane: Int, outType: DataType, ansi: Boolean,
     kind: Int = 0, ign: Boolean = false, nth: Int = 0,
-    off: Int = 0, dflt: Any = null, excl: Boolean = false)
+    off: Int = 0, dflt: Any = null, excl: Boolean = false,
+    sLo: Int = 0, sHi: Int = 0) {
+  /** fn 13 reuses `off` as the inner aggregate op (the fn 0-5 codes). */
+  def fn13Op: Int = off
+  def fn13IsCountStar: Boolean = off == 5
+}
 
 /** Columnar window aggregation over running ROWS frames (reference
   * analogue: CometWindowExec.scala:41-388, agg whitelist :108-147; the
@@ -483,12 +492,23 @@ case class GraftColumnarWindowExec(
         case FloatType => aggRow.update(s, v.toFloat)
         case _ => aggRow.update(s, v)
       }
-      // lag/lead specs (fn 12) and exclusive frames defer emission
-      // behind the consumption point; everything else emits per row
-      val maxLead = ss.foldLeft(0L)((m, s) =>
-        if (s.fn == 12 && s.off > 0) math.max(m, s.off.toLong) else m)
-      val maxLag = ss.foldLeft(0L)((m, s) =>
-        if (s.fn == 12 && s.off < 0) math.max(m, -s.off.toLong) else m)
+      // lag/lead (fn 12), sliding-in-mixed-node (fn 13), and exclusive
+      // frames defer emission behind the consumption point; everything
+      // else emits per row
+      val maxLead = ss.foldLeft(0L) { (m, s) =>
+        val lead =
+          if (s.fn == 12) math.max(0L, s.off.toLong)
+          else if (s.fn == 13) math.max(0L, s.sHi.toLong)
+          else 0L
+        math.max(m, lead)
+      }
+      val maxLag = ss.foldLeft(0L) { (m, s) =>
+        val lag =
+          if (s.fn == 12) math.max(0L, -s.off.toLong)
+          else if (s.fn == 13) math.max(0L, -s.sLo.toLong)
+          else 0L
+        math.max(m, lag)
+      }
       val anyExcl = ss.exists(_.excl)
       // +1 slot when exclusive frames read the PREVIOUS row's snapshot
       val cap = (maxLag + maxLead + 1L + (if (anyExcl) 1L else 0L)).toInt
@@ -881,6 +901,70 @@ case class GraftColumnarWindowExec(
                 val t = e + sp.off
                 if (t < 0 || t >= bound) aggRow.update(s, sp.dflt)
                 else aggRow.update(s, readBoxed(ring((t % cap).toInt), sp.col, inTypes(s)))
+              } else if (sp.fn == 13) {
+                // sliding slice recompute over the ring (the dedicated
+                // GraftWindowSlidingExec semantics, plus a string lane)
+                val from = math.max(0L, e + sp.sLo)
+                val to = math.min(bound - 1L, e + sp.sHi)
+                if (sp.fn13IsCountStar) aggRow.update(s, math.max(0L, to - from + 1L))
+                else {
+                  var accL = 0L
+                  var accD = 0.0
+                  var accS: org.apache.spark.unsafe.types.UTF8String = null
+                  var cnt = 0L
+                  var seen = false
+                  var t = from
+                  while (t <= to) {
+                    val r = ring((t % cap).toInt)
+                    if (!r.isNullAt(sp.col)) {
+                      sp.fn13Op match {
+                        case 0 => // sum / avg accumulation
+                          if (sp.lane == 0) {
+                            val x = rowLong(r, sp.col, inTypes(s))
+                            if (sp.ansi) {
+                              try accL = Math.addExact(accL, x)
+                              catch {
+                                case _: ArithmeticException =>
+                                  throw org.apache.spark.sql.errors.QueryExecutionErrors
+                                    .arithmeticOverflowError("long overflow", "try_add", null)
+                              }
+                            } else accL += x
+                          } else accD += rowDbl(r, sp.col, inTypes(s))
+                        case 1 => // count(col): cnt below
+                        case 4 =>
+                          accD += (if (sp.lane == 0) rowLong(r, sp.col, inTypes(s)).toDouble
+                            else rowDbl(r, sp.col, inTypes(s)))
+                        case _ => // min / max (2 | 3)
+                          if (sp.lane == 3) {
+                            val x = r.getUTF8String(sp.col)
+                            if (!seen || (if (sp.fn13Op == 2) x.compareTo(accS) < 0
+                              else x.compareTo(accS) > 0)) accS = x
+                          } else if (sp.lane == 0) {
+                            val x = rowLong(r, sp.col, inTypes(s))
+                            if (!seen || (if (sp.fn13Op == 2) x < accL else x > accL)) accL = x
+                          } else {
+                            val x = rowDbl(r, sp.col, inTypes(s))
+                            val c = SQLOrderingUtil.compareDoubles(x, accD)
+                            if (!seen || (if (sp.fn13Op == 2) c < 0 else c > 0)) accD = x
+                          }
+                      }
+                      cnt += 1
+                      seen = true
+                    }
+                    t += 1
+                  }
+                  sp.fn13Op match {
+                    case 1 => aggRow.update(s, cnt)
+                    case 4 =>
+                      if (cnt > 0) aggRow.update(s, accD / cnt) else aggRow.setNullAt(s)
+                    case _ =>
+                      if (seen) {
+                        if (sp.lane == 3) aggRow.update(s, accS)
+                        else if (sp.lane == 0) emitLong(s, accL)
+                        else emitDbl(s, accD)
+                      } else aggRow.setNullAt(s)
+                  }
+                }
               } else if (sp.excl) {
                 if (e == 0) writeEmpty(s)
                 else writeFromSnap(s, ((e - 1) % cap).toInt)

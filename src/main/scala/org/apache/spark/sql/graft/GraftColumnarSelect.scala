@@ -928,11 +928,19 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               org.apache.spark.sql.catalyst.expressions.Literal(-1, IntegerType)) => true
             case _ => false
           }
-        val compiled: Seq[Either[String, WinAggSpec]] = w.windowExpression.map {
-          case Alias(WindowExpression(
-              AggregateExpression(af, Complete, false, None, _),
-              WindowSpecDefinition(_, _, frame)), _)
-              if frameKind(frame).isDefined || isExclFrame(frame) =>
+        // finite ROWS frame in a MIXED node (a pure-sliding node took
+        // the GraftWindowSlidingExec case above): fn-13 slice specs
+        def slideFrame(f: org.apache.spark.sql.catalyst.expressions.WindowFrame)
+            : Option[(Long, Long)] = f match {
+          case SpecifiedWindowFrame(org.apache.spark.sql.catalyst.expressions.RowFrame,
+              loB, hiB) =>
+            for { lo <- slideBound(loB); hi <- slideBound(hiB) } yield (lo, hi)
+          case _ => None
+        }
+        def compileRunning(
+            af: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+            frame: org.apache.spark.sql.catalyst.expressions.WindowFrame)
+            : Either[String, WinAggSpec] = {
             val excl = isExclFrame(frame)
             val kind = if (excl) 0 else frameKind(frame).get
             val base: Either[String, WinAggSpec] = af match {
@@ -988,6 +996,66 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 scala.Left(s"unsupported window aggregate: $other (${other.dataType})")
             }
             if (excl) base.map(_.copy(excl = true)) else base
+        }
+        val compiled: Seq[Either[String, WinAggSpec]] = w.windowExpression.map {
+          case Alias(WindowExpression(
+              AggregateExpression(af, Complete, false, None, _),
+              WindowSpecDefinition(_, _, frame)), _)
+              if frameKind(frame).isDefined || isExclFrame(frame) ||
+                slideFrame(frame).isDefined =>
+            val slide = slideFrame(frame)
+            if (slide.isDefined) {
+              val (lo, hi) = slide.get
+              def sp13(op: Int, col: Int, lane: Int, ot: DataType,
+                  ansi: Boolean = false): Either[String, WinAggSpec] =
+                scala.Right(WinAggSpec(13, col, lane, ot, ansi, 0,
+                  off = op, sLo = lo.toInt, sHi = hi.toInt))
+              if (lo > hi) scala.Left(s"degenerate frame [$lo, $hi]")
+              else if (math.max(0L, hi) - math.min(0L, lo) + 1L >
+                org.apache.spark.sql.execution.graft.GraftWindowSlidingExec.maxFrameRows)
+                scala.Left(s"mixed-node sliding frame [$lo, $hi] wider than the ring cap")
+              else af match {
+                case s @ Sum(a: AttributeReference, ctx) if ord(a) >= 0 &&
+                    (a.dataType == ByteType || a.dataType == ShortType ||
+                      a.dataType == IntegerType || a.dataType == LongType) &&
+                    ctx.evalMode != EvalMode.TRY =>
+                  sp13(0, ord(a), 0, s.dataType, ctx.evalMode == EvalMode.ANSI)
+                case s @ Sum(a: AttributeReference, _) if ord(a) >= 0 &&
+                    (a.dataType == DoubleType || a.dataType == FloatType) =>
+                  sp13(0, ord(a), 1, s.dataType)
+                case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
+                    if l.value != null =>
+                  sp13(5, -1, 2, LongType)
+                case Count(Seq(a: AttributeReference)) if ord(a) >= 0 =>
+                  sp13(1, ord(a), 2, LongType)
+                case m @ Min(a: AttributeReference) if ord(a) >= 0 && longFam(a.dataType) =>
+                  sp13(2, ord(a), 0, m.dataType)
+                case m @ Min(a: AttributeReference) if ord(a) >= 0 &&
+                    (a.dataType == DoubleType || a.dataType == FloatType) =>
+                  sp13(2, ord(a), 1, m.dataType)
+                case m @ Min(a: AttributeReference) if ord(a) >= 0 &&
+                    a.dataType == StringType =>
+                  sp13(2, ord(a), 3, m.dataType)
+                case m @ Max(a: AttributeReference) if ord(a) >= 0 && longFam(a.dataType) =>
+                  sp13(3, ord(a), 0, m.dataType)
+                case m @ Max(a: AttributeReference) if ord(a) >= 0 &&
+                    (a.dataType == DoubleType || a.dataType == FloatType) =>
+                  sp13(3, ord(a), 1, m.dataType)
+                case m @ Max(a: AttributeReference) if ord(a) >= 0 &&
+                    a.dataType == StringType =>
+                  sp13(3, ord(a), 3, m.dataType)
+                case av @ Average(a: AttributeReference, em) if ord(a) >= 0 &&
+                    (longFam(a.dataType) && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+                      a.dataType != DateType && a.dataType != TimestampType &&
+                      a.dataType != TimestampNTZType && a.dataType != BooleanType ||
+                      a.dataType == DoubleType || a.dataType == FloatType) &&
+                    em != EvalMode.TRY =>
+                  val lane = if (a.dataType == DoubleType || a.dataType == FloatType) 1 else 0
+                  sp13(4, ord(a), lane, av.dataType)
+                case other =>
+                  scala.Left(s"unsupported mixed-node sliding aggregate: $other")
+              }
+            } else compileRunning(af, frame)
           // lag/lead mixed with other streaming functions (a PURE
           // offset node took the GraftWindowOffsetExec case above):
           // fn-12 specs read the emission ring directly

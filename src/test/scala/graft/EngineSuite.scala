@@ -985,6 +985,16 @@ class EngineSuite extends GraftTestBase {
         lag($"v", 1).over(w).as("prev_raw"),
         first($"st", ignoreNulls = true).over(wRun).as("first_st"))
         .orderBy($"o"))
+    // the winnowing shape: sliding STRING min + lead in one node
+    // (fn 13 string lane), plus numeric sliding aggs beside an offset
+    check("winnowing min+lead", () =>
+      spark.read.parquet(dir).select($"k", $"o",
+        min($"st").over(w.rowsBetween(0, 2)).as("winmin"),
+        lead($"st", 2).over(w).as("l2"),
+        max($"st").over(w.rowsBetween(-1, 1)).as("winmax"),
+        sum($"v").over(w.rowsBetween(-2, 0)).as("ts"),
+        avg($"d").over(w.rowsBetween(-3, -1)).as("ta"))
+        .orderBy($"o"))
   }
 
   test("columnar window agg: unsupported frames and functions keep the row path") {

@@ -560,6 +560,19 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the RANGE running frame:\n$p")
   }
 
+  test("q156 winnowing windows all leave the row WindowExec") {
+    // 6-gram assembly = pure-lead nodes (GraftWindowOffsetExec);
+    // fingerprint selection = sliding string-min + lead in ONE node
+    // (fn-13 mixed machine)
+    val df = run("q156_winnowing_dedup")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftWindowOffset") || p.contains("GraftColumnarWindow"),
+      s"expected streaming window execs in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0, s"no row WindowExec should remain:\n$p")
+  }
+
   test("q184 rolling time-range window swaps to the value-bounded ring exec") {
     val df = run("q184_window_range_rolling")
     df.collect()
