@@ -1818,7 +1818,6 @@ case class GraftWindowRangeSlideExec(
     val oType = ordType
     val direction = dir
     val nFirst = nullsFirst
-    val maxHi = ss.map(_.hi).max
     child.execute().mapPartitionsInternal { rows =>
       import org.apache.spark.sql.catalyst.expressions.UnsafeRow
       val nS = ss.length
@@ -1873,6 +1872,49 @@ case class GraftWindowRangeSlideExec(
         }
       }
       val reservation = org.apache.spark.sql.graft.GraftMemoryReservation.forTask()
+      // Order-value comparisons, abstracted over the key family:
+      // integral keys use exact long deltas along the sort direction;
+      // DOUBLE keys replicate the row path bit-for-bit — boundary =
+      // v_e ± bound with IEEE adds (a - b == a + (-b) exactly), frame
+      // inclusion via SQLOrderingUtil.compareDoubles (NaN greatest,
+      // -0.0 == 0.0 — the same ordering classes Spark's bound
+      // projection compares with). Double ordVals carry normalized
+      // bits from rowLong; normalization never changes the arithmetic
+      // (-0.0 + x == 0.0 + x, NaN + x == NaN).
+      val isDbl = oType == DoubleType
+      // "before/beyond the frame" are ITERATION-order notions: ASC the
+      // frame's first row is the value-space low end (e + lo), DESC it
+      // is the high end (e - lo) — delta*dir in [lo, hi] ⇔ v in
+      // [e - hi, e - lo] for DESC
+      def belowLo(vB: Long, eB: Long, sp: WinSlideSpec): Boolean =
+        if (isDbl) {
+          val v = java.lang.Double.longBitsToDouble(vB)
+          val e = java.lang.Double.longBitsToDouble(eB)
+          if (direction == 1)
+            SQLOrderingUtil.compareDoubles(v,
+              e + java.lang.Double.longBitsToDouble(sp.lo)) < 0
+          else
+            SQLOrderingUtil.compareDoubles(v,
+              e - java.lang.Double.longBitsToDouble(sp.lo)) > 0
+        } else (vB - eB) * direction < sp.lo
+      def aboveHi(vB: Long, eB: Long, sp: WinSlideSpec): Boolean =
+        if (isDbl) {
+          val v = java.lang.Double.longBitsToDouble(vB)
+          val e = java.lang.Double.longBitsToDouble(eB)
+          if (direction == 1)
+            SQLOrderingUtil.compareDoubles(v,
+              e + java.lang.Double.longBitsToDouble(sp.hi)) > 0
+          else
+            SQLOrderingUtil.compareDoubles(v,
+              e - java.lang.Double.longBitsToDouble(sp.hi)) < 0
+        } else (vB - eB) * direction > sp.hi
+      /** The head row's every frame is complete once the latest
+        * consumed value is beyond every spec's upper bound. */
+      def closesAll(lastB: Long, eB: Long): Boolean = {
+        var s = 0
+        while (s < nS) { if (!aboveHi(lastB, eB, ss(s))) return false; s += 1 }
+        true
+      }
       // per-spec typed readers hoisted out of the slice loop — the
       // per-element dt dispatch dominates on wide frames otherwise
       val getL: Array[UnsafeRow => Long] = Array.tabulate(nS) { s =>
@@ -2049,7 +2091,7 @@ case class GraftWindowRangeSlideExec(
           } else {
             val lastO = ((cons - 1) % cap).toInt
             if (ordNulls(lastO)) !nFirst // a trailing null closes all non-nulls
-            else (ordVals(lastO) - ordVals(eo)) * direction > maxHi
+            else closesAll(ordVals(lastO), ordVals(eo))
           }
         }
         private def consumeOne(): Boolean = {
@@ -2141,11 +2183,11 @@ case class GraftWindowRangeSlideExec(
               // frame: lo <= (v_j - v_e) * dir <= hi within the run
               var lp = math.max(loPtrS(s), runStart)
               while (lp < runEnd && lp < cons &&
-                (ordVals((lp % cap).toInt) - ordVals(eo)) * direction < sp.lo) lp += 1
+                belowLo(ordVals((lp % cap).toInt), ordVals(eo), sp)) lp += 1
               loPtrS(s) = lp
               var hp = math.max(hiPtrS(s), lp - 1)
               while (hp + 1 < runEnd && hp + 1 < cons &&
-                (ordVals(((hp + 1) % cap).toInt) - ordVals(eo)) * direction <= sp.hi) hp += 1
+                !aboveHi(ordVals(((hp + 1) % cap).toInt), ordVals(eo), sp)) hp += 1
               hiPtrS(s) = hp
               evalSlice(s, lp, hp)
             }

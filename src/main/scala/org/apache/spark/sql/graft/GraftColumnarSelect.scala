@@ -796,7 +796,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         val oType = oAttr.dataType
         val orderableKey = oType match {
           case ByteType | ShortType | IntegerType | LongType | DateType |
-              TimestampType | TimestampNTZType => true
+              TimestampType | TimestampNTZType | DoubleType => true
           case _ => false
         }
         val pKeysR = w.partitionSpec.map {
@@ -812,7 +812,12 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               WindowSpecDefinition(_, _, SpecifiedWindowFrame(_, loB, hiB))), _) =>
             val lo = rangeBound(loB, oType).get
             val hi = rangeBound(hiB, oType).get
-            if (lo > hi) scala.Left(s"degenerate RANGE frame [$lo, $hi]")
+            // double bounds travel as bits — decode for the sanity check
+            val degenerate =
+              if (oType == DoubleType)
+                java.lang.Double.longBitsToDouble(lo) > java.lang.Double.longBitsToDouble(hi)
+              else lo > hi
+            if (degenerate) scala.Left(s"degenerate RANGE frame [$lo, $hi]")
             else af match {
               case s @ Sum(a: AttributeReference, ctx) if ordR(a) >= 0 &&
                   (a.dataType == ByteType || a.dataType == ShortType ||
@@ -1285,6 +1290,14 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 c: org.apache.spark.unsafe.types.CalendarInterval)
                 if c.months == 0 && c.days == 0 =>
               Some(c.microseconds)
+            // DOUBLE order keys: the bound travels as raw double bits
+            // (the exec decodes; CurrentRow's 0L IS doubleToLongBits(0.0))
+            case (DoubleType, DoubleType, d: Double) =>
+              Some(java.lang.Double.doubleToLongBits(d))
+            case (DoubleType, IntegerType, i: Int) =>
+              Some(java.lang.Double.doubleToLongBits(i.toDouble))
+            case (DoubleType, LongType, l: Long) =>
+              Some(java.lang.Double.doubleToLongBits(l.toDouble))
             case _ => None
           }
         case _ => None

@@ -920,13 +920,28 @@ class EngineSuite extends GraftTestBase {
             " INTERVAL '30' MINUTE PRECEDING AND INTERVAL '10' MINUTE FOLLOWING) AS s")
         .orderBy($"k", $"u")
     })
-    // double order key is valid Spark but outside the integral whitelist
-    check("double order key falls back", () => {
-      spark.read.parquet(dir).selectExpr("k", "u",
-        "sum(v) OVER (PARTITION BY k ORDER BY d RANGE BETWEEN" +
-          " 10.0 PRECEDING AND CURRENT ROW) AS s")
+    // DOUBLE order keys: boundary arithmetic and inclusion must be
+    // bit-for-bit the row path's (IEEE adds + compareDoubles classes);
+    // NaN rows (greatest, mutual peers) and fractional bounds included
+    check("double order asc + NaN tail", () => {
+      spark.read.parquet(dir)
+        .withColumn("dk", org.apache.spark.sql.functions
+          .when($"u" % 977 === 0, org.apache.spark.sql.functions.lit(Double.NaN))
+          .otherwise($"d" / 3.0))
+        .selectExpr("k", "u",
+          "sum(v) OVER (PARTITION BY k ORDER BY dk RANGE BETWEEN" +
+            " 10.5 PRECEDING AND CURRENT ROW) AS s",
+          "count(1) OVER (PARTITION BY k ORDER BY dk RANGE BETWEEN" +
+            " 0.25 PRECEDING AND 0.75 FOLLOWING) AS c")
         .orderBy($"k", $"u")
-    }, expectSwap = false)
+    })
+    check("double order desc", () => {
+      spark.read.parquet(dir)
+        .selectExpr("k", "u",
+          "sum(v) OVER (PARTITION BY k ORDER BY d DESC RANGE BETWEEN" +
+            " 7.5 PRECEDING AND CURRENT ROW) AS s")
+        .orderBy($"k", $"u")
+    })
   }
 
   test("mixed streaming nodes: lag/lead + running aggs + ranking, and exclusive frames") {

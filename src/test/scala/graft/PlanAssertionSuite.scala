@@ -573,6 +573,16 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(rowWindows == 0, s"no row WindowExec should remain:\n$p")
   }
 
+  test("q24 double-key value-range window swaps to the ring exec") {
+    val df = run("q24_window_range")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftWindowRangeSlide"),
+      s"expected the RANGE-slide exec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0, s"no row WindowExec should remain:\n$p")
+  }
+
   test("q184 rolling time-range window swaps to the value-bounded ring exec") {
     val df = run("q184_window_range_rolling")
     df.collect()
