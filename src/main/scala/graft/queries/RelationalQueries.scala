@@ -516,35 +516,46 @@ object RelationalQueries {
         import org.apache.spark.sql.expressions.Window
         // The columnar/streaming window swap (GraftColumnarWindowExec):
         // sum/count/min/max/avg over the running ROWS frame on native
-        // long/double inputs — unlike q22's decimal-cast sum, these
-        // compile to the streaming kernel (pinned in
-        // PlanAssertionSuite). Double accumulation is deterministic:
-        // the frame fixes the row order.
+        // long/double inputs — these compile to the streaming kernel
+        // (pinned in PlanAssertionSuite).
+        // ORACLE-ROBUSTNESS: every check column here is EXACT —
+        // accumulated lanes run over integral inputs (long sums never
+        // lose bits; avg-over-long is an exact-integer double sum < 2^53
+        // divided once), and the double lanes appear only as min/max
+        // (pure selection, no accumulation). Cross-engine hash equality
+        // on ROUNDED accumulated doubles is the wrong contract — a
+        // different (legal) accumulation association in the oracle can
+        // flip an x.xxxx5 rounding boundary, which is exactly what a
+        // driver-side flake flagged in round 9 while the engine was
+        // bit-identical in isolation. The double ACCUMULATION kernels
+        // stay covered Spark-vs-Spark by DualRunSuite/EngineSuite,
+        // where both sides share one association.
         val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 4000)
+          .withColumn("qty_l", $"l_quantity".cast("long"))
           .select($"l_orderkey", $"l_linenumber",
-            round(sum($"l_quantity").over(w), 4).as("run_qty"),
+            sum($"qty_l").over(w).as("run_qty"),
             count($"l_quantity").over(w).as("run_n"),
             sum($"l_partkey").over(w).as("run_pk"),
             round(min($"l_extendedprice").over(w), 4).as("run_min_price"),
             round(max($"l_extendedprice").over(w), 4).as("run_max_price"),
-            round(avg($"l_discount").over(w), 6).as("run_avg_disc"))
+            round(avg($"qty_l").over(w), 6).as("run_avg_qty"))
           .orderBy($"l_orderkey", $"l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber,
-          round(sum(l_quantity) OVER w, 4) AS run_qty,
+          sum(CAST(l_quantity AS BIGINT)) OVER w AS run_qty,
           count(l_quantity) OVER w AS run_n,
           sum(l_partkey) OVER w AS run_pk,
           round(min(l_extendedprice) OVER w, 4) AS run_min_price,
           round(max(l_extendedprice) OVER w, 4) AS run_max_price,
-          round(avg(l_discount) OVER w, 6) AS run_avg_disc
+          round(avg(CAST(l_quantity AS BIGINT)) OVER w, 6) AS run_avg_qty
         FROM lineitem WHERE l_orderkey < 4000
         WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY l_orderkey, l_linenumber"""),
-      doc = "Streaming window aggregation (running ROWS frame) on the GraftColumnarWindowExec swap — long + double sum/count/min/max/avg."),
+      doc = "Streaming window aggregation (running ROWS frame) on the GraftColumnarWindowExec swap — long sum/avg, count, double min/max; every lane exact so the oracle check never rides an FP rounding boundary."),
 
     // ----------------------------------------------------------------
     QueryDef(

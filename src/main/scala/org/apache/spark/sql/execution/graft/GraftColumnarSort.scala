@@ -326,6 +326,18 @@ case class GraftColumnarSortExec(
         timeM.add((System.nanoTime() - t0) / 1000000)
         val ch = java.nio.channels.FileChannel.open(
           file.toPath, java.nio.file.StandardOpenOption.READ)
+        // single-map bound: offsets index the one mapped buffer with an
+        // Int, so a partition whose non-key bytes exceed 2 GiB cannot
+        // take this path — name the opt-in config instead of surfacing
+        // the raw NIO IllegalArgumentException the oversized map() throws
+        if (ch.size() > Int.MaxValue) {
+          ch.close()
+          throw new IllegalStateException(
+            s"graft key-gather sort: partition non-key row file is ${file.length()} bytes, " +
+              s"over the 2 GiB single-map bound of this experimental path — disable " +
+              s"$keyGatherKey (default off) or raise spark.sql.files.maxPartitionBytes " +
+              "granularity so per-task partitions shrink")
+        }
         val mapped = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size())
         ch.close()
         val keyVectors = keyBufs.map(_.vector())

@@ -1625,7 +1625,15 @@ case class GraftWindowSlidingExec(
           val r = ring((t % cap).toInt)
           if (!r.isNullAt(sp.col)) {
             sp.fn match {
-              case 0 | 4 => // sum / avg share the accumulation lane
+              case 4 =>
+                // avg matches Spark's Average over EVERY input family: a
+                // DoubleType sum built from incremental double adds (long
+                // inputs are cast per-row, never summed exactly — a
+                // long-lane exact sum diverges in ulps for large values
+                // and wraps silently past Long.MaxValue)
+                accD += (if (sp.lane == 0) rowLong(r, sp.col, inTypes(s)).toDouble
+                  else rowDbl(r, sp.col, inTypes(s)))
+              case 0 =>
                 if (sp.lane == 0) {
                   val x = rowLong(r, sp.col, inTypes(s))
                   if (sp.ansi) {
@@ -1656,10 +1664,8 @@ case class GraftWindowSlidingExec(
         sp.fn match {
           case 1 => aggRow.update(s, cnt)
           case 4 =>
-            if (cnt > 0) {
-              aggRow.update(s,
-                (if (sp.lane == 0) accL.toDouble else accD) / cnt)
-            } else aggRow.setNullAt(s)
+            if (cnt > 0) aggRow.update(s, accD / cnt)
+            else aggRow.setNullAt(s)
           case _ =>
             if (seen) {
               if (sp.lane == 0) emitLong(s, accL)
@@ -1999,9 +2005,8 @@ case class GraftWindowRangeSlideExec(
           case 5 => aggRow.update(s, math.max(0L, cTo(s) - cFrom(s) + 1L))
           case 1 => aggRow.update(s, cCnt(s))
           case 4 =>
-            if (cCnt(s) > 0) {
-              aggRow.update(s, (if (ss(s).lane == 0) cL(s).toDouble else cD(s)) / cCnt(s))
-            } else aggRow.setNullAt(s)
+            if (cCnt(s) > 0) aggRow.update(s, cD(s) / cCnt(s))
+            else aggRow.setNullAt(s)
           case _ =>
             if (cSeen(s)) {
               if (sp.lane == 0) emitLong(s, cL(s))
@@ -2027,7 +2032,12 @@ case class GraftWindowRangeSlideExec(
           val r = ring((t % cap).toInt)
           if (!r.isNullAt(col)) {
             sp.fn match {
-              case 0 | 4 =>
+              case 4 =>
+                // avg = DoubleType sum with incremental double adds over
+                // every input family — Spark's Average (see the sliding
+                // exec's evalSlice note)
+                accD += (if (sp.lane == 0) gl(r).toDouble else gd(r))
+              case 0 =>
                 if (sp.lane == 0) {
                   val x = gl(r)
                   if (sp.ansi) {

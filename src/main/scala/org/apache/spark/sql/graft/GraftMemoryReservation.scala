@@ -57,17 +57,32 @@ final class GraftMemoryReservation(tmm: TaskMemoryManager)
   private var warned = false
 
   @volatile private var spillHandler: () => Long = null
+  @volatile private var ownerThread: Thread = null
 
   /** Arm `f` as the response to a foreign consumer's memory pressure;
-    * it must free buffered state and return the bytes released. */
-  def armSpillHandler(f: () => Long): Unit = spillHandler = f
+    * it must free buffered state and return the bytes released. The
+    * calling thread is recorded as the owner: only ITS allocations may
+    * run the handler (see [[spill]]). */
+  def armSpillHandler(f: () => Long): Unit = {
+    ownerThread = Thread.currentThread()
+    spillHandler = f
+  }
 
   /** Disarm before the owner's buffers become live output state. */
   def disarmSpillHandler(): Unit = spillHandler = null
 
   override def spill(size: Long, trigger: MemoryConsumer): Long = {
     val h = spillHandler
-    if (h == null || size <= 0L || (trigger eq this)) 0L
+    // The handler mutates the owner's buffered state (bufs/n/reserved)
+    // without a lock — safe only because Spark invokes spill() inside
+    // acquireExecutionMemory ON the allocating thread. A same-task
+    // HELPER thread allocating through the shared TaskMemoryManager
+    // (e.g. a Python runner's writer thread) would run the handler
+    // concurrently with the owner's build loop, so a foreign-THREAD
+    // trigger degrades to 0 (pressure then surfaces to that consumer as
+    // a short grant, exactly like the disarmed case).
+    if (h == null || size <= 0L || (trigger eq this) ||
+      (Thread.currentThread() ne ownerThread)) 0L
     else {
       val freed = h()
       if (freed > 0) {
