@@ -294,45 +294,32 @@ case class GraftColumnarBHJExec(
           case ByteType => i => keys.getByte(i).toLong
           case other => throw new IllegalStateException(s"bad key type $other")
         }
-        var m = 0 // match count
-        var i = 0
-        while (i < n) {
-          if (!keys.isNullAt(i)) {
-            val it = rel.get(getKey(i))
-            if (it != null) while (it.hasNext) {
-              val row = it.next()
-              if (m == cap) grow(cap * 2)
-              sel(m) = i
-              var c = 0
-              while (c < nBuild) {
-                if (row.isNullAt(c)) { buildN(c)(m) = true }
-                else {
-                  buildN(c)(m) = false
-                  buildTypes(c) match {
-                    case LongType | TimestampType | TimestampNTZType =>
-                      buildL(c)(m) = row.getLong(c)
-                    case IntegerType | DateType => buildL(c)(m) = row.getInt(c).toLong
-                    case ShortType => buildL(c)(m) = row.getShort(c).toLong
-                    case ByteType => buildL(c)(m) = row.getByte(c).toLong
-                    case BooleanType => buildL(c)(m) = if (row.getBoolean(c)) 1L else 0L
-                    case DoubleType => buildD(c)(m) = row.getDouble(c)
-                    case FloatType => buildD(c)(m) = row.getFloat(c).toDouble
-                    // Decimal64 rides the long lane as its unscaled value
-                    case d: DecimalType =>
-                      buildL(c)(m) = row.getDecimal(c, d.precision, d.scale).toUnscaledLong
-                    case StringType => buildS(c)(m) = row.getUTF8String(c)
-                    case other => throw new IllegalStateException(s"bad build type $other")
-                  }
-                }
-                c += 1
+        def writeBuildRow(row: InternalRow, m: Int): Unit = {
+          var c = 0
+          while (c < nBuild) {
+            if (row.isNullAt(c)) { buildN(c)(m) = true }
+            else {
+              buildN(c)(m) = false
+              buildTypes(c) match {
+                case LongType | TimestampType | TimestampNTZType =>
+                  buildL(c)(m) = row.getLong(c)
+                case IntegerType | DateType => buildL(c)(m) = row.getInt(c).toLong
+                case ShortType => buildL(c)(m) = row.getShort(c).toLong
+                case ByteType => buildL(c)(m) = row.getByte(c).toLong
+                case BooleanType => buildL(c)(m) = if (row.getBoolean(c)) 1L else 0L
+                case DoubleType => buildD(c)(m) = row.getDouble(c)
+                case FloatType => buildD(c)(m) = row.getFloat(c).toDouble
+                // Decimal64 rides the long lane as its unscaled value
+                case d: DecimalType =>
+                  buildL(c)(m) = row.getDecimal(c, d.precision, d.scale).toUnscaledLong
+                case StringType => buildS(c)(m) = row.getUTF8String(c)
+                case other => throw new IllegalStateException(s"bad build type $other")
               }
-              m += 1
             }
+            c += 1
           }
-          i += 1
         }
-        if (m == 0) None
-        else {
+        def mkBatch(m: Int): ColumnarBatch = {
           // snapshot the match buffers: downstream may hold the batch
           // while we refill for the next one
           val selOut = java.util.Arrays.copyOf(sel, m)
@@ -355,7 +342,45 @@ case class GraftColumnarBHJExec(
             o += 1
           }
           batchM.add(1); rowM.add(m)
-          Some(new ColumnarBatch(cols, m))
+          new ColumnarBatch(cols, m)
+        }
+        // CHUNKED probe (the shuffled inner probe's scheme): buffers are
+        // bounded at maxBatchRows — a skewed build key (K duplicates)
+        // otherwise turns one input batch into a 4096*K-row unregistered
+        // ColumnarBatch. Probing suspends mid-match-iterator and resumes
+        // after each emission.
+        val chunk = GraftColumnarShuffledInnerJoinExec.maxBatchRows
+        new Iterator[ColumnarBatch] {
+          private var i = 0
+          private var liveIt: Iterator[InternalRow] = null
+          private var pending: ColumnarBatch = _
+          private def fill(): Unit = {
+            var m = 0
+            while (m < chunk && (liveIt != null || i < n)) {
+              if (liveIt == null) {
+                if (!keys.isNullAt(i)) liveIt = rel.get(getKey(i))
+                if (liveIt == null) i += 1
+              } else if (liveIt.hasNext) {
+                val row = liveIt.next()
+                if (m == cap) grow(cap * 2)
+                sel(m) = i
+                writeBuildRow(row, m)
+                m += 1
+              } else {
+                liveIt = null
+                i += 1
+              }
+            }
+            pending = if (m == 0) null else mkBatch(m)
+          }
+          override def hasNext: Boolean = {
+            while (pending == null && (liveIt != null || i < n)) fill()
+            pending != null
+          }
+          override def next(): ColumnarBatch = {
+            if (!hasNext) throw new NoSuchElementException
+            val b = pending; pending = null; b
+          }
         }
       }
     }

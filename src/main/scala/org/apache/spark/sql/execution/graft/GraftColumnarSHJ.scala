@@ -225,6 +225,12 @@ case class GraftColumnarShuffledSemiJoinExec(
   * Build-side strings are cloned at batch-snapshot time: the per-task
   * relation's memory (unlike a broadcast's) is freed at task end, and a
   * downstream operator may hold the emitted batch longer.
+  * Match buffers are BOUNDED at [[GraftColumnarShuffledInnerJoinExec.maxBatchRows]]:
+  * probing suspends (mid-batch, mid-match-iterator) to emit whenever the
+  * bound fills, so build-side key skew — one hot key with K duplicate
+  * rows — cannot balloon a single output ColumnarBatch to 4096*K rows of
+  * unregistered heap (the row SHJ streams match-at-a-time and never
+  * materializes; this is the columnar equivalent of that property).
   */
 case class GraftColumnarShuffledInnerJoinExec(
     output: Seq[Attribute],
@@ -444,33 +450,71 @@ case class GraftColumnarShuffledInnerJoinExec(
           var c = 0
           while (c < nBuild) { buildN(c)(m) = true; c += 1 }
         }
-        var m = 0
-        var i = 0
-        while (i < n) {
-          if (!anyNull(i)) {
-            val it = getIter(i)
-            var matched = false
-            if (it != null) while (it.hasNext) {
-              val row = it.next()
-              matched = true
-              if (m == cap) grow(cap * 2)
-              sel(m) = i
-              writeBuildRow(row, m)
-              m += 1
+        // CHUNKED probe: the match buffers are bounded at maxBatchRows —
+        // when an input batch's matches cross the bound (a skewed build
+        // key with K duplicates turns a 4096-row stream batch into
+        // 4096*K matches), the buffer is emitted as a batch and probing
+        // RESUMES mid-batch, mid-match-iterator. Without the bound one
+        // hot key grows an arbitrary ColumnarBatch unregistered with the
+        // task memory manager; the row SHJ streams match-at-a-time and
+        // never materializes. Multiple emitted batches share the input
+        // batch's stream vectors zero-copy (same lifetime contract as
+        // the single-batch scheme: consumed before the next input batch
+        // is loaded).
+        val chunk = GraftColumnarShuffledInnerJoinExec.maxBatchRows
+        new Iterator[ColumnarBatch] {
+          private var i = 0
+          private var liveIt: Iterator[InternalRow] = null
+          private var matchedCur = false
+          private var pending: ColumnarBatch = _
+          private def fill(): Unit = {
+            var m = 0
+            while (m < chunk && (liveIt != null || i < n)) {
+              if (liveIt == null) {
+                if (!anyNull(i)) {
+                  matchedCur = false
+                  liveIt = getIter(i)
+                  if (liveIt == null) {
+                    if (isOuter) {
+                      if (m == cap) grow(cap * 2)
+                      emitNullBuild(i, m); m += 1
+                    }
+                    i += 1
+                  }
+                } else {
+                  if (isOuter) {
+                    if (m == cap) grow(cap * 2)
+                    emitNullBuild(i, m); m += 1
+                  }
+                  i += 1
+                }
+              } else if (liveIt.hasNext) {
+                val row = liveIt.next()
+                matchedCur = true
+                if (m == cap) grow(cap * 2)
+                sel(m) = i
+                writeBuildRow(row, m)
+                m += 1
+              } else {
+                if (isOuter && !matchedCur) {
+                  if (m == cap) grow(cap * 2)
+                  emitNullBuild(i, m); m += 1
+                }
+                liveIt = null
+                i += 1
+              }
             }
-            if (isOuter && !matched) {
-              if (m == cap) grow(cap * 2)
-              emitNullBuild(i, m)
-              m += 1
-            }
-          } else if (isOuter) {
-            if (m == cap) grow(cap * 2)
-            emitNullBuild(i, m)
-            m += 1
+            pending = if (m == 0) null else mkBatch(m, batch)
           }
-          i += 1
+          override def hasNext: Boolean = {
+            while (pending == null && (liveIt != null || i < n)) fill()
+            pending != null
+          }
+          override def next(): ColumnarBatch = {
+            if (!hasNext) throw new NoSuchElementException
+            val b = pending; pending = null; b
+          }
         }
-        if (m == 0) None else Some(mkBatch(m, batch))
       }
       if (!isBuildOuter) probed
       else probed ++ {
@@ -516,6 +560,16 @@ case class GraftColumnarShuffledInnerJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): GraftColumnarShuffledInnerJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object GraftColumnarShuffledInnerJoinExec {
+  /** Probe match-buffer emission bound: an output batch is emitted and
+    * the buffers reset once this many matches accumulate, so build-side
+    * key skew (one hot key with K duplicate rows) cannot grow an
+    * unbounded ColumnarBatch from a single 4096-row input batch. 64K
+    * rows keeps batches big enough to amortize per-batch overhead while
+    * bounding the buffers at ~64K * lanes * 8 B. */
+  val maxBatchRows: Int = 1 << 16
 }
 
 /** All-null column of any type: the stream lanes of build-outer sweep

@@ -1734,6 +1734,54 @@ class EngineSuite extends GraftTestBase {
     spark.sql("DROP TABLE IF EXISTS colshj_outer_stream")
   }
 
+  test("columnar SHJ probe: hot build key emits bounded chunked batches, parity holds") {
+    import org.apache.spark.sql.execution.graft.GraftColumnarShuffledInnerJoinExec
+    val chunk = GraftColumnarShuffledInnerJoinExec.maxBatchRows
+    val wh = java.nio.file.Files.createTempDirectory("graft-colshj-skew").toString
+    // stream: 8192 rows on the hot key + a miss + a null key
+    (1 to 8192).map(i => (i.toLong, Option(10L)))
+      .:+((9000L, Option(99L))).:+((9001L, Option.empty[Long]))
+      .toDF("id", "k")
+      .write.format("parquet").bucketBy(4, "k")
+      .option("path", s"$wh/stream_bkt").mode("overwrite")
+      .saveAsTable("colshj_skew_stream")
+    // build: the hot key duplicated 50x → 8192 * 50 = 409,600 matches
+    // from ONE stream batch family — far past the 64K emission bound
+    val build = (1 to 50).map(j => (10L, j.toLong)).toDF("bk", "bv")
+      .hint("shuffle_hash")
+    def inner() = spark.table("colshj_skew_stream").join(build, $"k" === $"bk")
+    val cdf = inner()
+    val total = cdf.count()
+    assert(total == 8192L * 50, s"expected 409600 matches, got $total")
+    val agg = inner().agg(sum($"id" * $"bv"), count(lit(1))).collect()(0)
+    cdf.collect()
+    val exec = findExec(cdf) {
+      case e: GraftColumnarShuffledInnerJoinExec => e
+    }
+    assert(exec.isDefined, s"expected columnar SHJ in:\n${cdf.queryExecution.executedPlan}")
+    val batches = exec.get.metrics("numBatches").value
+    val rows = exec.get.metrics("numOutputRows").value
+    assert(rows == 8192L * 50)
+    // boundedness: every emitted batch holds at most `chunk` rows, so
+    // the probe must have emitted at least ceil(rows/chunk) batches
+    // (the old one-batch-per-input-batch scheme emits ~4 giant ones)
+    assert(batches >= (rows + chunk - 1) / chunk,
+      s"matches must be chunked: $rows rows in only $batches batches (bound $chunk)")
+    val offAgg = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      inner().agg(sum($"id" * $"bv"), count(lit(1))).collect()(0)
+    }
+    assert(agg == offAgg, s"skew parity: columnar=$agg row=$offAgg")
+    // LEFT OUTER across chunk suspensions: the miss and null-key rows
+    // survive exactly once each
+    def louter() = spark.table("colshj_skew_stream")
+      .join(build, $"k" === $"bk", "left_outer")
+    assert(louter().count() == 8192L * 50 + 2)
+    assert(louter().filter($"bk".isNull).select($"id").collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(9000L, 9001L)))
+    spark.sql("DROP TABLE IF EXISTS colshj_skew_stream")
+  }
+
   test("GraftColumnarRankGroupLimitExec: rank/dense_rank parity incl. heavy ties, nulls") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colrank").toString
     // tie-heavy: many groups share repeated order-key values; group 2 is
