@@ -1771,14 +1771,23 @@ object GraftWindowSlidingExec {
   * Memory is O(max frame occupancy + emission lag), not O(partition):
   * a growable ring holds only rows between the oldest unfinished frame
   * start and the consumption point, evicting as the lower bound
-  * advances — registered with the task memory manager via
+  * advances — registered delta-by-delta (measured row sizes) with the
+  * task memory manager via
   * [[org.apache.spark.sql.graft.GraftMemoryReservation]] so Tungsten
-  * sees the footprint. Degenerates to partition-sized only when the
-  * range spans the whole partition (where the row path buffers the
-  * same rows, though with spill). Each emission recomputes its slice
-  * in ascending row order — Spark's evaluation order, so doubles are
-  * bit-identical. Specs reuse [[WinSlideSpec]] with lo/hi as
-  * ORDER-BY-value deltas (per-expression frames supported).
+  * sees the footprint. The ring is BOUNDED: a refused reservation
+  * (executor memory pressure) or crossing
+  * [[GraftWindowRangeSlideExec.maxRingBytesKey]] (default 1 GiB)
+  * degrades the CURRENT partition to Spark's spill-backed
+  * ExternalAppendOnlyUnsafeRowArray — the row WindowExec's own buffer —
+  * plus 9 B/row flat order-key arrays, so the degenerate shape (a range
+  * spanning a huge slice of a hot partition) spills where it would
+  * previously have grown unaccounted heap; slice re-reads through the
+  * spilled buffer trade time for bounded memory, and the partition's
+  * end releases the buffer and returns to ring mode. Each emission
+  * recomputes its slice in ascending row order — Spark's evaluation
+  * order, so doubles are bit-identical. Specs reuse [[WinSlideSpec]]
+  * with lo/hi as ORDER-BY-value deltas (per-expression frames
+  * supported).
   *
   * A/B (FilterMicroBench winrange-*, sf0.1, 3 runs of min-of-5):
   * 7-unit trailing sum over ~4-row groups 0.87-0.92x; 24h window over
@@ -1809,11 +1818,19 @@ case class GraftWindowRangeSlideExec(
   override lazy val metrics = Map(
     "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
     "numPartitionGroups" -> SQLMetrics.createMetric(sparkContext, "window partition groups"),
-    "peakBufferedRows" -> SQLMetrics.createMetric(sparkContext, "peak buffered rows"))
+    "peakBufferedRows" -> SQLMetrics.createMetric(sparkContext, "peak buffered rows"),
+    "degradedPartitions" -> SQLMetrics.createMetric(sparkContext,
+      "partitions degraded to the spill-backed buffer"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
     val peakM = metrics("peakBufferedRows")
+    val degM = metrics("degradedPartitions")
+    val inMemThreshold = conf.windowExecBufferInMemoryThreshold
+    val spillThreshold = conf.windowExecBufferSpillThreshold
+    val spillSizeThreshold = conf.windowExecBufferSpillSizeThreshold
+    val maxRingBytes = conf.getConfString(
+      GraftWindowRangeSlideExec.maxRingBytesKey, "1073741824").toLong
     val pIdx = partIdx.toArray
     val pTypes = partTypes.toArray
     val ss = specs.toArray
@@ -1957,8 +1974,91 @@ case class GraftWindowRangeSlideExec(
       var ring = new Array[UnsafeRow](cap)
       var ordVals = new Array[Long](cap)
       var ordNulls = new Array[Boolean](cap)
+      // measured row footprint for reservation sizing (exact UnsafeRow
+      // bytes + per-slot overhead: ring ref 8 + ordVal 8 + ordNull 1 +
+      // ~39 object/array headers)
+      var rowBytesSum = 0L
+      var rowCount = 0L
+      var accountedBytes = 0L
+      def perRowEstimate: Long =
+        math.max(64L, (if (rowCount == 0) 0L else rowBytesSum / rowCount) + 56L)
+      // DEGRADED-PARTITION state: when the ring's reservation is refused
+      // (executor memory pressure) or the ring would cross maxRingBytes,
+      // the CURRENT partition falls back to Spark's spill-backed
+      // ExternalAppendOnlyUnsafeRowArray — the same buffer the row
+      // WindowExec uses — plus flat primitive order-key arrays
+      // (9 B/row, ~20x smaller than the rows; the buffer accounts the
+      // row bytes with the task memory manager and spills them).
+      // Frame slices then re-read through generateIterator, which is
+      // O(position) once spilled — the degenerate shape trades time for
+      // bounded memory, exactly where the alternative is an OOM.
+      var degraded = false
+      var degBase = 0L
+      var degBuf: org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray = null
+      var degVals: Array[Long] = null
+      var degNulls: Array[Boolean] = null
+      var degCap = 0
+      def degrade(minKeep: Long, cons: Long): Unit = {
+        degM.add(1)
+        degBuf = new org.apache.spark.sql.execution
+          .ExternalAppendOnlyUnsafeRowArray(inMemThreshold, Long.MaxValue,
+            spillThreshold, spillSizeThreshold)
+        // the final partition's buffer is cleared at task end (the
+        // partition-end clear only runs on the NEXT flush)
+        Option(org.apache.spark.TaskContext.get()).foreach { tc =>
+          val b = degBuf
+          tc.addTaskCompletionListener[Unit](_ => b.clear())
+        }
+        degBase = minKeep
+        val n = (cons - minKeep).toInt
+        degCap = math.max(1 << 10, java.lang.Integer.highestOneBit(math.max(1, n)) << 2)
+        degVals = new Array[Long](degCap)
+        degNulls = new Array[Boolean](degCap)
+        var i = minKeep
+        while (i < cons) {
+          val o = (i % cap).toInt
+          degBuf.add(ring(o))
+          degVals((i - minKeep).toInt) = ordVals(o)
+          degNulls((i - minKeep).toInt) = ordNulls(o)
+          i += 1
+        }
+        // the ring is dead: release its arrays and its reservation (the
+        // spill-backed buffer carries its own accounting)
+        ring = null; ordVals = null; ordNulls = null
+        accountedBytes = 0L
+        reservation.foreach(_.freeAll())
+        degraded = true
+      }
+      def appendDeg(row: UnsafeRow, nl: Boolean, v: Long, cons: Long): Unit = {
+        val idx = cons - degBase
+        if (idx >= degCap) {
+          val nCap = degCap << 1
+          degVals = java.util.Arrays.copyOf(degVals, nCap)
+          degNulls = java.util.Arrays.copyOf(degNulls, nCap)
+          degCap = nCap
+        }
+        degBuf.add(row)
+        degVals(idx.toInt) = v
+        degNulls(idx.toInt) = nl
+        peakM.set(math.max(peakM.value, idx + 1))
+      }
+      def ordValAt(t: Long): Long =
+        if (degraded) degVals((t - degBase).toInt) else ordVals((t % cap).toInt)
+      def ordNullAt(t: Long): Boolean =
+        if (degraded) degNulls((t - degBase).toInt) else ordNulls((t % cap).toInt)
       def grow(minKeep: Long, cons: Long): Unit = {
         val nCap = cap << 1
+        // delta-only reservation against MEASURED row sizes; a refusal
+        // (or crossing the ring-bytes cap) degrades this partition to
+        // the spill-backed buffer instead of growing unaccounted heap
+        val perRow = perRowEstimate
+        val target = nCap.toLong * perRow
+        if (target > maxRingBytes ||
+          !reservation.forall(_.reserve(target - accountedBytes))) {
+          degrade(minKeep, cons)
+          return
+        }
+        accountedBytes = target
         val nRing = new Array[UnsafeRow](nCap)
         val nVals = new Array[Long](nCap)
         val nNulls = new Array[Boolean](nCap)
@@ -1969,7 +2069,6 @@ case class GraftWindowRangeSlideExec(
           i += 1
         }
         ring = nRing; ordVals = nVals; ordNulls = nNulls; cap = nCap
-        reservation.foreach(_.reserve(nCap.toLong * 128))
         peakM.set(math.max(peakM.value, nCap))
       }
       val aggRow = new org.apache.spark.sql.catalyst.expressions
@@ -2027,9 +2126,15 @@ case class GraftWindowRangeSlideExec(
         val col = sp.col
         val gl = getL(s)
         val gd = getD(s)
+        // degraded partitions read slice rows sequentially from the
+        // spill-backed buffer; each generateIterator invalidates the
+        // previous one, which is fine — slices are consumed one at a time
+        val degIt =
+          if (degraded && from <= to) degBuf.generateIterator((from - degBase).toInt)
+          else null
         var t = from
         while (t <= to) {
-          val r = ring((t % cap).toInt)
+          val r = if (degIt != null) degIt.next() else ring((t % cap).toInt)
           if (!r.isNullAt(col)) {
             sp.fn match {
               case 4 =>
@@ -2088,20 +2193,28 @@ case class GraftWindowRangeSlideExec(
           // false-hit on the same (from, to) pair
           java.util.Arrays.fill(cFrom, Long.MinValue)
           java.util.Arrays.fill(cTo, Long.MinValue)
+          if (degraded) {
+            // the pressured partition is done: release its spill-backed
+            // buffer and return to ring mode at the initial capacity
+            degBuf.clear(); degBuf = null; degVals = null; degNulls = null
+            degraded = false; degBase = 0L; degCap = 0
+            cap = 1 << 10
+            ring = new Array[UnsafeRow](cap)
+            ordVals = new Array[Long](cap)
+            ordNulls = new Array[Boolean](cap)
+          }
         }
         /** Can the head row (emitE) be emitted with input seen so far? */
         private def headReady: Boolean = {
           if (emitE >= cons) return false
           if (flushN >= 0) return true
-          val eo = (emitE % cap).toInt
-          if (ordNulls(eo)) {
+          if (ordNullAt(emitE)) {
             // null block: closed once the non-null run starts AFTER it
             // (nulls-first); trailing nulls close only at flush
             nFirst && nnStart >= 0
           } else {
-            val lastO = ((cons - 1) % cap).toInt
-            if (ordNulls(lastO)) !nFirst // a trailing null closes all non-nulls
-            else closesAll(ordVals(lastO), ordVals(eo))
+            if (ordNullAt(cons - 1)) !nFirst // a trailing null closes all non-nulls
+            else closesAll(ordValAt(cons - 1), ordValAt(emitE))
           }
         }
         private def consumeOne(): Boolean = {
@@ -2116,16 +2229,24 @@ case class GraftWindowRangeSlideExec(
           if (!anyRow) grpM.add(1)
           anyRow = true
           partCarry(row)
-          // evict: rows below every frame pointer AND already emitted
-          var minKeep = emitE
-          var s = 0
-          while (s < nS) { if (loPtrS(s) < minKeep) minKeep = loPtrS(s); s += 1 }
-          if (cons - minKeep >= cap) grow(minKeep, cons)
-          val o = (cons % cap).toInt
-          ring(o) = row
+          rowBytesSum += row.getSizeInBytes
+          rowCount += 1
           val nl = row.isNullAt(oIdx)
-          ordNulls(o) = nl
-          ordVals(o) = if (nl) 0L else rowLong(row, oIdx, oType)
+          val v = if (nl) 0L else rowLong(row, oIdx, oType)
+          if (!degraded) {
+            // evict: rows below every frame pointer AND already emitted
+            var minKeep = emitE
+            var s = 0
+            while (s < nS) { if (loPtrS(s) < minKeep) minKeep = loPtrS(s); s += 1 }
+            if (cons - minKeep >= cap) grow(minKeep, cons) // may degrade
+          }
+          if (degraded) appendDeg(row, nl, v, cons)
+          else {
+            val o = (cons % cap).toInt
+            ring(o) = row
+            ordNulls(o) = nl
+            ordVals(o) = v
+          }
           if (!nl && nnStart < 0) nnStart = cons
           if (nl && nnStart >= 0 && nullTail < 0) nullTail = cons
           cons += 1
@@ -2175,8 +2296,8 @@ case class GraftWindowRangeSlideExec(
           if (!hasNext) throw new NoSuchElementException
           val bound = if (flushN >= 0) flushN else cons
           val e = emitE
-          val eo = (e % cap).toInt
-          val eNull = ordNulls(eo)
+          val eNull = ordNullAt(e)
+          val eVal = ordValAt(e)
           // non-null run limits within [0, bound)
           val runStart = if (nnStart >= 0) nnStart else bound
           val runEnd = if (nullTail >= 0) nullTail else bound // exclusive
@@ -2193,18 +2314,23 @@ case class GraftWindowRangeSlideExec(
               // frame: lo <= (v_j - v_e) * dir <= hi within the run
               var lp = math.max(loPtrS(s), runStart)
               while (lp < runEnd && lp < cons &&
-                belowLo(ordVals((lp % cap).toInt), ordVals(eo), sp)) lp += 1
+                belowLo(ordValAt(lp), eVal, sp)) lp += 1
               loPtrS(s) = lp
               var hp = math.max(hiPtrS(s), lp - 1)
               while (hp + 1 < runEnd && hp + 1 < cons &&
-                !aboveHi(ordVals(((hp + 1) % cap).toInt), ordVals(eo), sp)) hp += 1
+                !aboveHi(ordValAt(hp + 1), eVal, sp)) hp += 1
               hiPtrS(s) = hp
               evalSlice(s, lp, hp)
             }
             s += 1
           }
           emitE += 1
-          proj(joined(ring(eo), aggRow))
+          // emission row LAST: in degraded mode its generateIterator
+          // invalidates the slice iterators evalSlice already consumed
+          val outRow =
+            if (!degraded) ring((e % cap).toInt)
+            else degBuf.generateIterator((e - degBase).toInt).next()
+          proj(joined(outRow, aggRow))
         }
       }
     }
@@ -2212,6 +2338,14 @@ case class GraftWindowRangeSlideExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): GraftWindowRangeSlideExec =
     copy(child = newChild)
+}
+
+object GraftWindowRangeSlideExec {
+  /** Ceiling on the in-heap ring's estimated footprint (default 1 GiB):
+    * crossing it — or a refused task-memory reservation — degrades the
+    * current partition to the spill-backed buffer instead of growing
+    * unspillable heap. Tests shrink it to force the degraded path. */
+  val maxRingBytesKey = "spark.graft.columnar.window.rangeslide.maxRingBytes"
 }
 
 object GraftColumnarWindowExec {

@@ -944,6 +944,56 @@ class EngineSuite extends GraftTestBase {
     })
   }
 
+  test("sliding RANGE frames: pressured ring degrades to the spill-backed buffer, parity holds") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.execution.graft.{GraftWindowRangeSlideExec => RS}
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winrange-press").toString
+    // one hot partition whose 300-unit trailing frame holds ~2400 rows
+    // (o advances 1 per 8 rows — heavy ties exercise the frame cache in
+    // degraded mode), null order keys at the head, then small
+    // partitions that must return to ring mode after the degrade
+    (1 to 24000).map { i =>
+      val k = if (i <= 20000) 1L else (i % 7 + 2).toLong
+      val o = if (k == 1L && i % 1013 == 0) None else Some((i / 8).toLong)
+      val v = if (i % 6 == 0) None else Some((i % 251).toLong)
+      (k, o, v, i * 0.5, i.toLong)
+    }.toDF("k", "o", "v", "d", "u")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val sp0 = spark
+    import sp0.implicits._
+    def q() = {
+      val w = Window.partitionBy($"k").orderBy($"o").rangeBetween(-300, 0)
+      spark.read.parquet(dir).select($"k", $"u",
+        sum($"v").over(w).as("s"), count($"v").over(w).as("c"),
+        min($"v").over(w).as("mn"), max($"v").over(w).as("mx"),
+        avg($"d").over(w).as("av"))
+        .orderBy($"k", $"u")
+    }
+    // a ~32 KB ring cap refuses the first doubling (1024 slots already
+    // exceed it at measured row sizes) — the degrade path MUST engage
+    // and still match the row WindowExec bit-for-bit
+    val on = withSQLConf(RS.maxRingBytesKey -> (32 * 1024).toString) {
+      val onDf = q()
+      val rows = onDf.collect()
+      val exec = findExec(onDf) { case e: RS => e }
+      assert(exec.isDefined,
+        s"expected the range-slide swap:\n${onDf.queryExecution.executedPlan}")
+      assert(exec.get.metrics("degradedPartitions").value >= 1,
+        "the pressured ring must have degraded at least one partition")
+      rows
+    }
+    assert(org.apache.spark.sql.graft.GraftMemoryReservation.currentReserved.get() == 0L,
+      "all ring reservations must be released at task end")
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq,
+      "degraded range-slide diverged from the row WindowExec")
+    // and the unpressured columnar run agrees too
+    val onFull = q().collect()
+    assert(on.toSeq == onFull.toSeq, "degraded vs ring-mode runs diverged")
+  }
+
   test("mixed streaming nodes: lag/lead + running aggs + ranking, and exclusive frames") {
     import org.apache.spark.sql.graft.GraftColumnarRule
     import org.apache.spark.sql.expressions.Window
