@@ -530,21 +530,28 @@ object RelationalQueries {
         // bit-identical in isolation. The double ACCUMULATION kernels
         // stay covered Spark-vs-Spark by DualRunSuite/EngineSuite,
         // where both sides share one association.
-        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        // ORDER BY is a verified TOTAL order — (l_linenumber) alone has
+        // ~20% duplicate keys within an l_orderkey in the synthetic
+        // data, and a ROWS frame assigns tied rows engine-arbitrary
+        // prefixes (the actual root of round 9's unreproducible driver
+        // flag on this query: both engines are right under either tie
+        // order). (ln, pk, sk) totalizes it.
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 4000)
           .withColumn("qty_l", $"l_quantity".cast("long"))
-          .select($"l_orderkey", $"l_linenumber",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
             sum($"qty_l").over(w).as("run_qty"),
             count($"l_quantity").over(w).as("run_n"),
             sum($"l_partkey").over(w).as("run_pk"),
             round(min($"l_extendedprice").over(w), 4).as("run_min_price"),
             round(max($"l_extendedprice").over(w), 4).as("run_max_price"),
             round(avg($"qty_l").over(w), 6).as("run_avg_qty"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
           sum(CAST(l_quantity AS BIGINT)) OVER w AS run_qty,
           count(l_quantity) OVER w AS run_n,
           sum(l_partkey) OVER w AS run_pk,
@@ -552,9 +559,10 @@ object RelationalQueries {
           round(max(l_extendedprice) OVER w, 4) AS run_max_price,
           round(avg(CAST(l_quantity AS BIGINT)) OVER w, 6) AS run_avg_qty
         FROM lineitem WHERE l_orderkey < 4000
-        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey"""),
       doc = "Streaming window aggregation (running ROWS frame) on the GraftColumnarWindowExec swap — long sum/avg, count, double min/max; every lane exact so the oracle check never rides an FP rounding boundary."),
 
     // ----------------------------------------------------------------
@@ -599,7 +607,11 @@ object RelationalQueries {
         // sessionization/CDC lookback shape — previous/next event per
         // key with O(k) ring state instead of the row WindowExec's
         // whole buffered partition. Defaults exercise partition edges.
-        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        // (l_linenumber) alone is NOT a total order in the synthetic data
+        // (~20% duplicate (ok, ln) keys) and lag/lead over ties is
+        // engine-arbitrary — (ln, pk, sk) is verified unique
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 3000)
           .select($"l_orderkey", $"l_linenumber",
@@ -615,7 +627,8 @@ object RelationalQueries {
           lag(l_partkey, 2) OVER w AS prev2_part,
           lead(l_returnflag, 1, 'NONE') OVER w AS next_flag
         FROM lineitem WHERE l_orderkey < 3000
-        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey)
         ORDER BY l_orderkey, l_linenumber"""),
       doc = "Streaming lag/lead on GraftWindowOffsetExec: O(maxLag+maxLead+1) ring state replaces the row WindowExec's whole-partition buffer — the sessionization lookback shape."),
 
@@ -669,7 +682,10 @@ object RelationalQueries {
         // replaces the row WindowExec's whole buffered partition. Four
         // frames in ONE node: trailing avg, centered sum, trailing
         // count, lookahead max (specs carry per-expression [lo, hi]).
-        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        // total order: (ln, pk, sk) — ROWS frames over tied keys are
+        // engine-arbitrary (see q176)
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 5000)
           .select($"l_orderkey", $"l_linenumber",
@@ -680,13 +696,17 @@ object RelationalQueries {
           .orderBy($"l_orderkey", $"l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber,
-          round(avg(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          round(avg(l_quantity) OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3,
-          round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey
             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS csum,
-          count(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          count(l_partkey) OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey
             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail_cnt,
-          max(l_suppkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          max(l_suppkey) OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey
             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS ahead_max
         FROM lineitem WHERE l_orderkey < 5000
         ORDER BY l_orderkey, l_linenumber"""),
@@ -703,7 +723,10 @@ object RelationalQueries {
         // last+ignoreNulls over the running frame fills them). All four
         // functions stream in ONE swapped node — the reference falls
         // back on first/last/nth_value entirely.
-        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        // total order: (ln, pk, sk) — forward-fill over tied keys is
+        // engine-arbitrary (see q176)
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 5000)
@@ -724,7 +747,8 @@ object RelationalQueries {
             OVER w, 4) AS first_big_disc,
           nth_value(l_partkey, 2) OVER w AS second_part
         FROM lineitem WHERE l_orderkey < 5000
-        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        WINDOW w AS (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_partkey, l_suppkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY l_orderkey, l_linenumber"""),
       doc = "Forward-fill + first/last/nth_value window functions (boxed streaming lane, ONE swapped node) — the reference falls back on all of them."),
@@ -742,25 +766,75 @@ object RelationalQueries {
         // interval keeps the bound arithmetic exact micros on both
         // engines; frames are value-SETS, so o_orderdate ties are
         // deterministic.
+        // Revenue sums on an exact CENTS lane (q176's oracle-robustness
+        // lesson: accumulated rounded doubles can legally flip an
+        // x.xxxx5 boundary under a different oracle association —
+        // DuckDB's windowed sum is segment-tree evaluated); max stays
+        // double (pure selection, no accumulation).
         val frame = "(PARTITION BY o_custkey ORDER BY o_orderdate RANGE " +
           "BETWEEN INTERVAL '720' HOUR PRECEDING AND CURRENT ROW)"
         Tables.t(s, dir, "orders")
           .filter($"o_custkey" < 500)
+          .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
           .selectExpr("o_orderkey", "o_custkey", "o_orderdate",
             s"count(1) OVER $frame AS n30d",
-            s"round(sum(o_totalprice) OVER $frame, 2) AS rev30d",
+            s"sum(cents) OVER $frame AS rev30d_c",
             s"round(max(o_totalprice) OVER $frame, 2) AS top30d")
           .orderBy($"o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderdate,
           count(1) OVER w AS n30d,
-          round(sum(o_totalprice) OVER w, 2) AS rev30d,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS rev30d_c,
           round(max(o_totalprice) OVER w, 2) AS top30d
         FROM orders WHERE o_custkey < 500
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
           RANGE BETWEEN INTERVAL 720 HOURS PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey"""),
-      doc = "Rolling 30-day time-range window (RANGE + interval bounds, value-bounded ring memory) — the reference falls back on sliding RANGE frames."),
+      doc = "Rolling 30-day time-range window (RANGE + interval bounds, value-bounded ring memory) — the reference falls back on sliding RANGE frames. Revenue on an exact cents lane so the oracle check never rides an FP rounding boundary."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
+      "q185_window_rolling_wide",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // WIDE sliding ROWS frames (1,000-row rolling sum/min/max/count)
+        // on GraftWindowSlidingExec's O(n) invertible kernels: exact
+        // add/subtract for the long sum/counts, monotonic deques for
+        // min/max — total work O(n) where both the recompute path and
+        // Spark's SlidingWindowFunctionFrame pay O(n·frame) (here
+        // 1,000x the value ops). Frames this wide previously kept the
+        // row path (65,536-row eager-ring cap; invertible cap is 2M).
+        // All check lanes exact: long sum/avg-free, min/max selection.
+        // ORDER BY must be a TOTAL order for a cross-engine ROWS-frame
+        // check: (l_orderkey, l_linenumber) alone has ~20% duplicate
+        // keys in the synthetic data, and tied rows land in frames
+        // engine-arbitrarily — (ok, ln, pk, sk) is verified unique.
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        Tables.t(s, dir, "lineitem")
+          .withColumn("qty_l", $"l_quantity".cast("long"))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+            sum($"qty_l").over(w.rowsBetween(-999, 0)).as("roll_qty"),
+            min($"l_extendedprice").over(w.rowsBetween(-999, 0)).as("roll_min"),
+            max($"l_extendedprice").over(w.rowsBetween(-499, 500)).as("roll_max"),
+            count($"qty_l").over(w.rowsBetween(-999, 0)).as("roll_n"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+          sum(CAST(l_quantity AS BIGINT)) OVER wt AS roll_qty,
+          min(l_extendedprice) OVER wt AS roll_min,
+          max(l_extendedprice) OVER wc AS roll_max,
+          count(CAST(l_quantity AS BIGINT)) OVER wt AS roll_n
+        FROM lineitem
+        WINDOW wt AS (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+                      ROWS BETWEEN 999 PRECEDING AND CURRENT ROW),
+               wc AS (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+                      ROWS BETWEEN 499 PRECEDING AND 500 FOLLOWING)
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+      doc = "1,000-row rolling window aggregates over hot partitions — O(n) invertible sliding kernels (exact sum add/subtract + monotonic min/max deques) vs the O(n*frame) recompute both Spark and the ring path pay; frames this wide previously fell back to the row WindowExec."),
 
     QueryDef(
       "q86_pivot",

@@ -1494,21 +1494,35 @@ final case class WinSlideSpec(
   * machine) and emits each row once its furthest FOLLOWING row is in
   * the ring or the partition closed: O(frame) memory under any skew.
   *
-  * Each emitted row recomputes its aggregate over the ring slice in
-  * ascending row order — the exact evaluation order of Spark's
-  * SlidingWindowFunctionFrame (which also recomputes per slide), so
-  * double results are bit-identical and long sums wrap/throw
-  * identically. O(n * frame) compute, same as the row path.
+  * TWO evaluation modes, chosen per node:
+  *  - FAST (every spec [[GraftWindowSlidingExec.invertible]]): O(n)
+  *    total work — exact add/subtract updates for long sums/counts
+  *    (modular arithmetic is order-free; ANSI sums use plain adds while
+  *    |v| ≤ 2^41, exact-recomputing from the value ring when a bigger
+  *    value appears, preserving the throw-on-any-prefix contract) and a
+  *    monotonic deque for min/max. The row ring shrinks to the emission
+  *    lag (maxLead+1 rows); PRECEDING context survives only as 9 B/row
+  *    primitive value rings, so frames up to maxInvertibleFrameRows
+  *    (2M rows) are admitted with plan-constant memory. Spark's
+  *    SlidingWindowFunctionFrame re-aggregates each frame — O(n·frame) —
+  *    so this is an ASYMPTOTIC win (winslide-wide1k: 0.09x = ~11x
+  *    faster on 1,000-row rolling sums at sf0.1).
+  *  - RECOMPUTE (a double/float sum or any avg in the node): each
+  *    emitted row recomputes its aggregate over the ring slice in
+  *    ascending row order — the exact evaluation order of Spark's
+  *    SlidingWindowFunctionFrame, so double results are bit-identical.
+  *    O(n·frame) compute, same as the row path; frame width ≤ 65536
+  *    (the full-row ring is allocated eagerly).
   *
   * Restrictions (the rule falls back otherwise): finite literal ROWS
-  * bounds with frame width <= 65536 (wider frames keep the row path —
-  * the ring is allocated eagerly), sum/count/min/max/avg over
+  * bounds within the mode's width cap, sum/count/min/max/avg over
   * long/double-family attributes, supported partition keys, and a node
   * holding ONLY sliding-frame aggregates.
   *
   * A/B (FilterMicroBench winslide-*, sf0.1, 3 runs of min-of-5):
   * 3-row moving avg over ~4-row groups 0.80-0.88x, centered sum+min+max
-  * over three ~200k-row hot groups 0.82-0.93x — win on both shapes, ON
+  * over three ~200k-row hot groups 0.82-0.93x, 1,000-row rolling
+  * sum+min+count over the hot groups 0.09x — win on every shape, ON
   * by default under the shared spark.graft.columnar.window.enabled gate.
   */
 case class GraftWindowSlidingExec(
@@ -1538,7 +1552,17 @@ case class GraftWindowSlidingExec(
     val outAll = output
     val maxLead = math.max(0L, ss.map(_.hi).max)
     val minLo = math.min(0L, ss.map(_.lo).min)
-    val cap = (maxLead + 1L - minLo).toInt
+    // FAST MODE: every spec invertible (exact long sum/count add-subtract,
+    // min/max monotonic deque) → O(n) total work instead of O(n·frame)
+    // recompute, and the row ring shrinks to the emission lag
+    // (maxLead+1 rows) — PRECEDING rows survive only as 9 B/row primitive
+    // values, which is what lifts the frame cap to
+    // maxInvertibleFrameRows. Doubles sums/avgs are NOT invertible
+    // (subtraction breaks bit-equality with the row path's left-to-right
+    // recompute) and ANSI sums must observe per-prefix overflow, so
+    // those nodes keep the slice recompute and the 65,536-row cap.
+    val fastMode = ss.forall(GraftWindowSlidingExec.invertible)
+    val cap = (if (fastMode) maxLead + 1L else maxLead + 1L - minLo).toInt
     child.execute().mapPartitionsInternal { rows =>
       import org.apache.spark.sql.catalyst.expressions.UnsafeRow
       def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
@@ -1592,6 +1616,89 @@ case class GraftWindowSlidingExec(
         }
       }
       val ring = new Array[UnsafeRow](cap)
+      // fast-mode per-spec state: value rings (sized to cover every
+      // index between a spec's lowest live frame start and the
+      // consumption point), running sum/count, and a monotonic deque of
+      // candidate indices for min/max. The footprint is a PLAN constant
+      // (frame bounds are literals), registered once with the task
+      // memory manager below — a shortfall is logged by the reservation
+      // but cannot grow: unlike the range-slide ring this state is not
+      // data-dependent.
+      val nS = ss.length
+      val vCapS = new Array[Int](nS)
+      val vLongS = new Array[Array[Long]](nS)
+      val vDblS = new Array[Array[Double]](nS)
+      val vNullS = new Array[Array[Boolean]](nS)
+      val dqS = new Array[Array[Long]](nS)
+      val dqCapS = new Array[Int](nS)
+      val dqHead = new Array[Int](nS)
+      val dqLen = new Array[Int](nS)
+      val accLF = new Array[Long](nS)
+      val cntF = new Array[Long](nS)
+      val loF = new Array[Long](nS)
+      val hiF = new Array[Long](nS)
+      // per-partition sticky: an ANSI long sum saw |v| > 2^41 — its
+      // frames recompute left-to-right with addExact from the value
+      // ring (Spark's exact evaluation, incl. the throw position)
+      val bigSeenS = new Array[Boolean](nS)
+      if (fastMode) {
+        def pow2(x: Long): Int =
+          java.lang.Long.highestOneBit(math.max(4L, x * 2 - 1)).toInt
+        var s = 0
+        var fixedBytes = cap.toLong * 64
+        while (s < nS) {
+          val sp = ss(s)
+          if (sp.fn != 5) {
+            val vc = pow2(maxLead - math.min(0L, sp.lo) + 2L)
+            vCapS(s) = vc
+            vNullS(s) = new Array[Boolean](vc)
+            fixedBytes += vc
+            if (sp.lane == 1) { vDblS(s) = new Array[Double](vc); fixedBytes += vc * 8L }
+            else if (sp.fn != 1) { vLongS(s) = new Array[Long](vc); fixedBytes += vc * 8L }
+            if (sp.fn == 2 || sp.fn == 3) {
+              val dc = pow2(sp.hi - sp.lo + 3L)
+              dqCapS(s) = dc
+              dqS(s) = new Array[Long](dc)
+              fixedBytes += dc * 8L
+            }
+          }
+          s += 1
+        }
+        java.util.Arrays.fill(hiF, -1L)
+        org.apache.spark.sql.graft.GraftMemoryReservation.forTask()
+          .foreach(_.reserve(fixedBytes))
+      }
+      def storeVals(row: UnsafeRow, idx: Long): Unit = {
+        var s = 0
+        while (s < nS) {
+          val sp = ss(s)
+          if (sp.fn != 5) {
+            val o = (idx % vCapS(s)).toInt
+            val nl = row.isNullAt(sp.col)
+            vNullS(s)(o) = nl
+            if (!nl) {
+              if (sp.lane == 1) vDblS(s)(o) = rowDbl(row, sp.col, inTypes(s))
+              else if (vLongS(s) != null) {
+                val x = rowLong(row, sp.col, inTypes(s))
+                vLongS(s)(o) = x
+                if (sp.fn == 0 && sp.ansi &&
+                  (x > GraftWindowSlidingExec.ansiSafeAbs ||
+                    x < -GraftWindowSlidingExec.ansiSafeAbs)) bigSeenS(s) = true
+              }
+            }
+          }
+          s += 1
+        }
+      }
+      def resetFast(): Unit = {
+        java.util.Arrays.fill(accLF, 0L)
+        java.util.Arrays.fill(cntF, 0L)
+        java.util.Arrays.fill(loF, 0L)
+        java.util.Arrays.fill(hiF, -1L)
+        java.util.Arrays.fill(dqHead, 0)
+        java.util.Arrays.fill(dqLen, 0)
+        java.util.Arrays.fill(bigSeenS, false)
+      }
       val aggRow = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(ss.length)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
@@ -1607,6 +1714,110 @@ case class GraftWindowSlidingExec(
           aggRow.update(s, org.apache.spark.sql.types.Decimal
             .createUnsafe(v, d.precision, d.scale))
         case _ => aggRow.update(s, v)
+      }
+      /** O(1)-amortized update of spec `s` to frame [from, to]: exact
+        * add/subtract on the long sum/count lanes (modular arithmetic is
+        * order-free, so results equal the recompute path bit-for-bit) and
+        * a monotonic deque for min/max (keeps the FIRST minimal/maximal
+        * index among compare-equal values — the recompute path's strict-<
+        * tie rule). */
+      def evalFast(s: Int, from: Long, to: Long): Unit = {
+        val sp = ss(s)
+        if (sp.fn == 5) { aggRow.update(s, math.max(0L, to - from + 1L)); return }
+        val vc = vCapS(s)
+        val nls = vNullS(s)
+        sp.fn match {
+          case 0 if sp.ansi && bigSeenS(s) =>
+            // rare: the partition holds |v| > 2^41, so a prefix COULD
+            // overflow — recompute this frame left-to-right with
+            // addExact, Spark's exact evaluation (and throw position)
+            val vl = vLongS(s)
+            var acc = 0L
+            var cnt = 0L
+            var t = from
+            while (t <= to) {
+              val o = (t % vc).toInt
+              if (!nls(o)) {
+                try acc = Math.addExact(acc, vl(o))
+                catch {
+                  case _: ArithmeticException =>
+                    throw org.apache.spark.sql.errors.QueryExecutionErrors
+                      .arithmeticOverflowError("long overflow", "try_add", null)
+                }
+                cnt += 1
+              }
+              t += 1
+            }
+            if (cnt > 0) emitLong(s, acc) else aggRow.setNullAt(s)
+          case 0 | 1 =>
+            val vl = vLongS(s)
+            while (hiF(s) < to) {
+              hiF(s) += 1
+              val o = (hiF(s) % vc).toInt
+              if (!nls(o)) { cntF(s) += 1; if (sp.fn == 0) accLF(s) += vl(o) }
+            }
+            while (loF(s) < from) {
+              val o = (loF(s) % vc).toInt
+              if (!nls(o)) { cntF(s) -= 1; if (sp.fn == 0) accLF(s) -= vl(o) }
+              loF(s) += 1
+            }
+            if (sp.fn == 1) aggRow.update(s, cntF(s))
+            else if (cntF(s) > 0) emitLong(s, accLF(s))
+            else aggRow.setNullAt(s)
+          case _ => // min/max: monotonic deque of candidate indices
+            val dq = dqS(s)
+            val dc = dqCapS(s)
+            val isMin = sp.fn == 2
+            if (sp.lane == 0) {
+              val vl = vLongS(s)
+              while (hiF(s) < to) {
+                hiF(s) += 1
+                val o = (hiF(s) % vc).toInt
+                if (!nls(o)) {
+                  val x = vl(o)
+                  var len = dqLen(s)
+                  while (len > 0 && {
+                    val b = vl((dq((dqHead(s) + len - 1) % dc) % vc).toInt)
+                    if (isMin) b > x else b < x
+                  }) len -= 1
+                  dq((dqHead(s) + len) % dc) = hiF(s)
+                  dqLen(s) = len + 1
+                }
+              }
+            } else {
+              val vd = vDblS(s)
+              while (hiF(s) < to) {
+                hiF(s) += 1
+                val o = (hiF(s) % vc).toInt
+                if (!nls(o)) {
+                  val x = vd(o)
+                  var len = dqLen(s)
+                  while (len > 0 && {
+                    val c = SQLOrderingUtil.compareDoubles(
+                      vd((dq((dqHead(s) + len - 1) % dc) % vc).toInt), x)
+                    if (isMin) c > 0 else c < 0
+                  }) len -= 1
+                  dq((dqHead(s) + len) % dc) = hiF(s)
+                  dqLen(s) = len + 1
+                }
+              }
+            }
+            loF(s) = from
+            while (dqLen(s) > 0 && dq(dqHead(s)) < from) {
+              dqHead(s) = (dqHead(s) + 1) % dc
+              dqLen(s) -= 1
+            }
+            if (dqLen(s) == 0) aggRow.setNullAt(s)
+            else {
+              val idx = dq(dqHead(s))
+              if (sp.lane == 0) emitLong(s, vLongS(s)((idx % vc).toInt))
+              else {
+                val x = vDblS(s)((idx % vc).toInt)
+                if (sp.outType == FloatType) aggRow.update(s, x.toFloat)
+                else aggRow.update(s, x)
+              }
+            }
+        }
       }
       /** Recompute spec `s` over partition-relative rows [from, to] (in
         * ascending order — Spark's sliding-frame evaluation order). */
@@ -1689,10 +1900,12 @@ case class GraftWindowSlidingExec(
             if (flushN >= 0) {
               if (emitE < flushN) return
               flushN = -1; cons = 0; emitE = 0
+              if (fastMode) resetFast()
               if (held != null) {
                 grpM.add(1)
                 partCarry(held)
                 ring(0) = held
+                if (fastMode) storeVals(held, 0L)
                 cons = 1
                 held = null
               } else return
@@ -1710,6 +1923,7 @@ case class GraftWindowSlidingExec(
                 anyRow = true
                 partCarry(row)
                 ring((cons % cap).toInt) = row
+                if (fastMode) storeVals(row, cons)
                 cons += 1
               }
             }
@@ -1735,7 +1949,9 @@ case class GraftWindowSlidingExec(
           var s = 0
           while (s < ss.length) {
             val sp = ss(s)
-            evalSlice(s, math.max(0L, e + sp.lo), math.min(bound - 1L, e + sp.hi))
+            val from = math.max(0L, e + sp.lo)
+            val to = math.min(bound - 1L, e + sp.hi)
+            if (fastMode) evalFast(s, from, to) else evalSlice(s, from, to)
             s += 1
           }
           proj(joined(ring((e % cap).toInt), aggRow))
@@ -1749,9 +1965,37 @@ case class GraftWindowSlidingExec(
 }
 
 object GraftWindowSlidingExec {
-  /** Ring width cap: frames wider than this keep the row path (the ring
-    * is allocated eagerly per task). */
+  /** Ring width cap for RECOMPUTE nodes (any double/ANSI sum or avg
+    * spec): frames wider than this keep the row path — the row ring is
+    * allocated eagerly per task and every emission rescans its slice. */
   val maxFrameRows = 65536L
+
+  /** Frame cap when EVERY spec is [[invertible]]: the O(n) kernels hold
+    * only 9 B/row primitive value rings plus a maxLead+1-row emission
+    * ring, so 2M-row frames cost ~36 MB/spec of plan-constant state —
+    * and beat both this operator's recompute path and Spark's
+    * SlidingWindowFunctionFrame (each O(n·frame)) asymptotically. */
+  val maxInvertibleFrameRows = 1L << 21
+
+  /** Specs evaluable by exact O(1) frame updates: long-lane sums
+    * (non-ANSI wrap is modular arithmetic, order-free; ANSI sums ride
+    * the incremental path while every |value| stays ≤ 2^41 — no prefix
+    * of ≤ 2^21 such values can overflow, so plain adds equal addExact —
+    * and fall back to exact left-to-right addExact recompute over the
+    * value ring once a partition shows a bigger value, preserving
+    * Spark's throw-on-any-prefix semantics bit-for-bit), counts, and
+    * min/max on either lane (monotonic deque — pure selection, no
+    * accumulation). Double sums are excluded (subtraction breaks IEEE
+    * bit-equality with the row path's left-to-right recompute), as is
+    * avg (double accumulation on every lane — Spark's Average). */
+  def invertible(sp: WinSlideSpec): Boolean =
+    sp.fn == 1 || sp.fn == 5 ||
+      (sp.fn == 0 && sp.lane == 0) ||
+      sp.fn == 2 || sp.fn == 3
+
+  /** |value| bound for the incremental ANSI-sum path: 2^41, so any
+    * prefix of up to maxInvertibleFrameRows (2^21) values is ≤ 2^62. */
+  val ansiSafeAbs = 1L << 41
 }
 
 /** Sliding RANGE-frame window aggregation — the rolling time/value

@@ -701,10 +701,10 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               WindowSpecDefinition(_, _, SpecifiedWindowFrame(_, loB, hiB))), _) =>
             val lo = slideBound(loB).get
             val hi = slideBound(hiB).get
+            // the width cap is checked AFTER compilation: invertible
+            // nodes (O(n) kernels) admit far wider frames than
+            // recompute nodes — see the node-level check below
             if (lo > hi) scala.Left(s"degenerate frame [$lo, $hi]")
-            else if (math.max(0L, hi) - math.min(0L, lo) + 1L >
-              org.apache.spark.sql.execution.graft.GraftWindowSlidingExec.maxFrameRows)
-              scala.Left(s"frame [$lo, $hi] wider than the ring cap")
             else af match {
               case s @ Sum(a: AttributeReference, ctx) if ordS(a) >= 0 &&
                   (a.dataType == ByteType || a.dataType == ShortType ||
@@ -751,8 +751,27 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             w.setTagValue(fallbackReasonTag, "empty PARTITION BY"); w
           case None =>
             val pk = pKeysS.collect { case scala.Right(p) => p }
-            GraftWindowSlidingExec(w.output, pk.map(_._1), pk.map(_._2),
-              slideCompiled.collect { case scala.Right(s) => s }, w.child)
+            val sps = slideCompiled.collect { case scala.Right(s) => s }
+            // node-wide width vs the mode's cap: all-invertible nodes
+            // run the O(n) kernels (9 B/row value rings) and admit 2M-row
+            // frames; a double/ANSI-sum or avg spec forces the slice
+            // recompute whose eager row ring stays capped at 64K
+            val span = math.max(0L, sps.map(_.hi).max) + 1L -
+              math.min(0L, sps.map(_.lo).min)
+            val capRows =
+              if (sps.forall(org.apache.spark.sql.execution.graft
+                .GraftWindowSlidingExec.invertible))
+                org.apache.spark.sql.execution.graft
+                  .GraftWindowSlidingExec.maxInvertibleFrameRows
+              else org.apache.spark.sql.execution.graft
+                .GraftWindowSlidingExec.maxFrameRows
+            if (span > capRows) {
+              w.setTagValue(fallbackReasonTag,
+                s"frame span $span wider than the ring cap $capRows"); w
+            } else {
+              GraftWindowSlidingExec(w.output, pk.map(_._1), pk.map(_._2),
+                sps, w.child)
+            }
         }
 
       // Sliding RANGE-frame aggregation (rolling time/value windows:

@@ -770,15 +770,83 @@ class EngineSuite extends GraftTestBase {
     val off = withSQLConf(
       GraftColumnarRule.windowAggEnabledKey -> "false") { qq().collect() }
     assert(on.toSeq == off.toSeq, "sliding frames diverged from the row WindowExec")
-    // an over-wide frame keeps the row path (ring is allocated eagerly)
+    // an over-64K INVERTIBLE frame (sum/min/count) now SWAPS: the O(n)
+    // kernels hold 9 B/row value rings, not a row ring — and must match
+    // the row path's O(n·frame) recompute bit-for-bit
     val sp2 = spark
     import sp2.implicits._
-    val wWide = Window.partitionBy($"k").orderBy($"o").rowsBetween(-100000, 0)
-    val wide = spark.read.parquet(dir).select($"k", sum($"v").over(wWide).as("s"))
-    wide.collect()
-    assert(findExec(wide) {
+    def wide() = {
+      val wWide = Window.partitionBy($"k").orderBy($"o").rowsBetween(-100000, 0)
+      spark.read.parquet(dir).select($"k", $"o",
+        sum($"v").over(wWide).as("s"),
+        min($"v").over(wWide).as("mn"),
+        count($"v").over(wWide).as("c"))
+        .orderBy($"o")
+    }
+    val wideDf = wide()
+    val wideOn = wideDf.collect()
+    assert(findExec(wideDf) {
       case e: org.apache.spark.sql.execution.graft.GraftWindowSlidingExec => e
-    }.isEmpty, "a frame wider than the ring cap must keep the row path")
+    }.isDefined, s"an invertible wide frame must swap:\n${wideDf.queryExecution.executedPlan}")
+    val wideOff = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { wide().collect() }
+    assert(wideOn.toSeq == wideOff.toSeq, "wide invertible frame diverged from the row path")
+    // past even the invertible cap → row path
+    val wHuge = Window.partitionBy($"k").orderBy($"o").rowsBetween(-3000000, 0)
+    val huge = spark.read.parquet(dir).select($"k", sum($"v").over(wHuge).as("s"))
+    huge.collect()
+    assert(findExec(huge) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowSlidingExec => e
+    }.isEmpty, "a frame wider than the invertible cap must keep the row path")
+    // a RECOMPUTE spec (avg) in the node keeps the 64K cap
+    val wAvg = Window.partitionBy($"k").orderBy($"o").rowsBetween(-100000, 0)
+    val avgWide = spark.read.parquet(dir).select($"k", avg($"d").over(wAvg).as("a"))
+    avgWide.collect()
+    assert(findExec(avgWide) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowSlidingExec => e
+    }.isEmpty, "a wide recompute (avg) frame must keep the row path")
+  }
+
+  test("sliding ROWS fast kernels: ANSI big-value sums, deque ties, pure-invertible nodes") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winslide-fast").toString
+    // values past the 2^41 incremental-ANSI bound (forces the exact
+    // addExact recompute lane mid-partition), duplicate min/max values
+    // (deque tie handling), negatives, nulls
+    (1 to 20000).map { i =>
+      val k = if (i % 17 == 0) None else Some((i % 7).toLong)
+      val v = if (i % 9 == 0) None
+        else if (i % 499 == 0) Some((1L << 45) + i)
+        else if (i % 307 == 0) Some(-(1L << 44) - i)
+        else Some((i % 13).toLong - 6L)
+      val d = if (i % 5 == 0) None
+        else Some(if (i % 3 == 0) -0.0 else (i % 11).toDouble / 4.0)
+      (k, i.toLong, v, d)
+    }.toDF("k", "o", "v", "d")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val sp0 = spark
+    import sp0.implicits._
+    def q() = {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      spark.read.parquet(dir).select($"k", $"o",
+        sum($"v").over(w.rowsBetween(-500, 0)).as("s"),
+        min($"v").over(w.rowsBetween(-200, 100)).as("mn"),
+        max($"v").over(w.rowsBetween(-200, 100)).as("mx"),
+        min($"d").over(w.rowsBetween(-50, 50)).as("dmn"),
+        max($"d").over(w.rowsBetween(-50, 50)).as("dmx"),
+        count($"v").over(w.rowsBetween(-500, 0)).as("c"),
+        count(lit(1)).over(w.rowsBetween(2, 400)).as("cs"))
+        .orderBy($"o")
+    }
+    val onDf = q()
+    val on = onDf.collect()
+    assert(findExec(onDf) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowSlidingExec => e
+    }.isDefined, s"pure-invertible node must swap:\n${onDf.queryExecution.executedPlan}")
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "fast kernels diverged from the row WindowExec")
   }
 
   test("window first/last: parity incl. ignoreNulls forward-fill, strings, all three frame kinds") {

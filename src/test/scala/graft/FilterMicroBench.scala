@@ -375,6 +375,23 @@ object FilterMicroBench {
             min($"l_quantity").over(w.rowsBetween(-2, 2)).as("mn"),
             max($"l_quantity").over(w.rowsBetween(-2, 2)).as("mx"))
       }),
+      "winslide-wide1k" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        // 1,000-row rolling frames over 3 hot partitions: the O(n)
+        // invertible kernels (sum add/subtract + min deque) vs the row
+        // WindowExec's O(n·frame) SlidingWindowFunctionFrame — the
+        // asymptotic win shape (frame 1000x the per-row work on the
+        // row path)
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+        Tables.t(spark, sfDir, "lineitem")
+          .withColumn("qty_l", $"l_quantity".cast("long"))
+          .select($"l_returnflag",
+            sum($"qty_l").over(w.rowsBetween(-999, 0)).as("rs"),
+            min($"l_extendedprice").over(w.rowsBetween(-999, 0)).as("mn"),
+            count($"qty_l").over(w.rowsBetween(-999, 0)).as("c"))
+      }),
       // first/last/nth boxed lane (forward-fill shape)
       "winfl-ffill" -> (() => {
         import org.apache.spark.sql.expressions.Window

@@ -549,6 +549,17 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the running frame:\n$p")
   }
 
+  test("q185 wide rolling frames swap to the O(n) sliding window exec") {
+    val df = run("q185_window_rolling_wide")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftWindowSliding"),
+      s"expected the 1,000-row frames on the invertible sliding kernels in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0,
+      s"no row WindowExec should remain for the wide sliding frames:\n$p")
+  }
+
   test("q179 RANGE running frame swaps to the deferred streaming window exec") {
     val df = run("q179_window_range_peers")
     df.collect()
