@@ -107,9 +107,11 @@ final case class WinAggSpec(
   * offset-supported type incl. strings) across all three kinds —
   * last + ignoreNulls over the running frame is the forward-fill /
   * as-of-join shape (q82's plan swaps through it). Note Spark rewrites
-  * first_value without ignoreNulls into nth_value(x, 1, false). Boxed
-  * specs keep the row faces (no output vector), so a node holding one
-  * runs doExecute even over a columnar child.
+  * first_value without ignoreNulls into nth_value(x, 1, false). On the
+  * BATCH face the carried boxed value maps onto the long/double/string
+  * output vectors by input type, so forward-fill over a bucketed
+  * columnar child stays columnar end-to-end (kind 0; deferred kinds
+  * keep the row face's spill-backed group buffer).
   *
   * Nodes MIXING lag/lead with other streaming functions (the SCD2
   * row_number + lead + running-sum shape, q132) and EXCLUSIVE running
@@ -148,9 +150,13 @@ case class GraftColumnarWindowExec(
   // InternalRows — the structural win (no per-group buffering) is the
   // same in both domains. Deferred frames (RANGE peers / whole
   // partition) run the row face only: their group buffer is Spark's
-  // own spill-backed ExternalAppendOnlyUnsafeRowArray.
+  // own spill-backed ExternalAppendOnlyUnsafeRowArray. Boxed
+  // first/last/nth specs (fn 9-11) ride the batch face too: their
+  // carried value maps onto the long/double/string output vectors by
+  // input type (the forward-fill shape stays columnar end-to-end over
+  // a bucketed child).
   override def supportsColumnar: Boolean =
-    child.supportsColumnar && specs.forall(s => s.kind == 0 && s.fn <= 8 && !s.excl)
+    child.supportsColumnar && specs.forall(s => s.kind == 0 && s.fn <= 11 && !s.excl)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering = child.outputOrdering
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -210,6 +216,22 @@ case class GraftColumnarWindowExec(
       val accDbl = new Array[Double](nS)
       val accCnt = new Array[Long](nS)
       val accSeen = new Array[Boolean](nS)
+      // boxed lane (first/last/nth): the carried value rides the
+      // long/double/string accumulator for its input type; the value
+      // itself may be NULL (captured null under ignoreNulls=false), so
+      // a separate flag tracks that
+      val accStr = new Array[org.apache.spark.unsafe.types.UTF8String](nS)
+      val accValNull = new Array[Boolean](nS)
+      // output storage lane for boxed specs: 0 long-family, 1
+      // double-family, 2 string, -1 not boxed
+      val boxLane = ss.map { s =>
+        if (s.fn < 9 || s.fn > 11) -1
+        else child.output(s.col).dataType match {
+          case DoubleType | FloatType => 1
+          case StringType => 2
+          case _ => 0
+        }
+      }
       // ranking counters, shared across specs (per-partition)
       var rkRowNum = 0L
       var rkRank = 0L
@@ -219,6 +241,8 @@ case class GraftColumnarWindowExec(
         java.util.Arrays.fill(accDbl, 0.0)
         java.util.Arrays.fill(accCnt, 0L)
         java.util.Arrays.fill(accSeen, false)
+        java.util.Arrays.fill(accStr.asInstanceOf[Array[AnyRef]], null)
+        java.util.Arrays.fill(accValNull, false)
         rkRowNum = 0L; rkRank = 0L; rkDense = 0L
       }
       batches.map { batch =>
@@ -235,22 +259,33 @@ case class GraftColumnarWindowExec(
         val vCols = ss.map(s => if (s.col >= 0) batch.column(s.col) else null)
         val vGetL: Array[Int => Long] = Array.tabulate(nS) { k =>
           val s = ss(k)
-          if (s.col >= 0 && s.lane == 0) longGetter(vCols(k), child.output(s.col).dataType)
+          if (s.col >= 0 && (s.lane == 0 || boxLane(k) == 0))
+            longGetter(vCols(k), child.output(s.col).dataType)
           else null
         }
         val vGetD: Array[Int => Double] = Array.tabulate(nS) { k =>
           val s = ss(k)
-          if (s.col >= 0 && s.lane == 1) dblGetter(vCols(k), child.output(s.col).dataType)
+          if (s.col >= 0 && (s.lane == 1 || boxLane(k) == 1))
+            dblGetter(vCols(k), child.output(s.col).dataType)
           else null
         }
         // output lane: counts and ranking are long, avg is double,
-        // sum/min/max follow the input lane
-        val outL = ss.map(s => if (s.fn == 1 || s.fn == 5 || s.fn >= 6 ||
-          ((s.fn == 0 || s.fn == 2 || s.fn == 3) && s.lane == 0))
-          new Array[Long](n) else null)
-        val outD = ss.map(s => if (s.fn == 4 ||
-          ((s.fn == 0 || s.fn == 2 || s.fn == 3) && s.lane == 1))
-          new Array[Double](n) else null)
+        // sum/min/max follow the input lane, boxed first/last/nth
+        // follow boxLane
+        val outL = ss.zipWithIndex.map { case (s, k) =>
+          if (s.fn == 1 || s.fn == 5 || (s.fn >= 6 && s.fn <= 8) ||
+            ((s.fn == 0 || s.fn == 2 || s.fn == 3) && s.lane == 0) ||
+            boxLane(k) == 0) new Array[Long](n) else null
+        }
+        val outD = ss.zipWithIndex.map { case (s, k) =>
+          if (s.fn == 4 ||
+            ((s.fn == 0 || s.fn == 2 || s.fn == 3) && s.lane == 1) ||
+            boxLane(k) == 1) new Array[Double](n) else null
+        }
+        val outS = ss.zipWithIndex.map { case (_, k) =>
+          if (boxLane(k) == 2)
+            new Array[org.apache.spark.unsafe.types.UTF8String](n) else null
+        }
         val outNull = ss.map(_ => new Array[Boolean](n))
         var i = 0
         while (i < n) {
@@ -339,6 +374,35 @@ case class GraftColumnarWindowExec(
               case 6 => outL(s)(i) = rkRowNum // row_number
               case 7 => outL(s)(i) = rkRank // rank
               case 8 => outL(s)(i) = rkDense // dense_rank
+              case 9 | 10 | 11 => // boxed first / last / nth_value
+                def capture(): Unit = {
+                  accValNull(s) = nullIn
+                  if (!nullIn) boxLane(s) match {
+                    case 0 => accLong(s) = vGetL(s)(i)
+                    case 1 => accDbl(s) = vGetD(s)(i)
+                    // clone: the child may recycle its vectors
+                    case _ => accStr(s) = vCols(s).getUTF8String(i).clone()
+                  }
+                }
+                sp.fn match {
+                  case 9 => // first (ign: first non-null; else first row)
+                    if (!accSeen(s) && !(sp.ign && nullIn)) {
+                      capture(); accSeen(s) = true
+                    }
+                  case 10 => // last (ign: last non-null; else current row)
+                    if (!(sp.ign && nullIn)) { capture(); accSeen(s) = true }
+                  case _ => // nth_value: nth (1-based) qualifying row
+                    if (!(sp.ign && nullIn)) {
+                      accCnt(s) += 1
+                      if (accCnt(s) == sp.nth) { capture(); accSeen(s) = true }
+                    }
+                }
+                if (!accSeen(s) || accValNull(s)) outNull(s)(i) = true
+                else boxLane(s) match {
+                  case 0 => outL(s)(i) = accLong(s)
+                  case 1 => outD(s)(i) = accDbl(s)
+                  case _ => outS(s)(i) = accStr(s)
+                }
               case 2 | 3 => // min / max
                 if (!nullIn) {
                   if (sp.lane == 0) {
@@ -376,7 +440,9 @@ case class GraftColumnarWindowExec(
         while (s < nS) {
           val sp = ss(s)
           cols(nIn + s) =
-            if (outL(s) ne null) new LongBuildVector(sp.outType, outL(s), outNull(s), n)
+            if (outS(s) ne null)
+              new org.apache.spark.sql.graft.StringArrayVector(outS(s), outNull(s), n)
+            else if (outL(s) ne null) new LongBuildVector(sp.outType, outL(s), outNull(s), n)
             else new DoubleBuildVector(sp.outType, outD(s), outNull(s), n)
           s += 1
         }

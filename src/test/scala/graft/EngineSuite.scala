@@ -467,8 +467,9 @@ class EngineSuite extends GraftTestBase {
     (1 to 40000).map { i =>
       ((i % 11).toLong, i.toLong,
         if (i % 7 == 0) None else Some(i % 500 - 250),
-        if (i % 13 == 0) None else Some(i * 0.5 - 999))
-    }.toDF("k", "o", "vl", "vd")
+        if (i % 13 == 0) None else Some(i * 0.5 - 999),
+        if (i % 5 == 0) None else Some(s"s_${i % 97}"))
+    }.toDF("k", "o", "vl", "vd", "st")
       .write.bucketBy(4, "k").mode("overwrite").saveAsTable(tbl)
     try {
       def qq() = {
@@ -498,6 +499,40 @@ class EngineSuite extends GraftTestBase {
         GraftColumnarRule.narrowSortEnabledKey -> "false") { qq().collect() }
       assert(on.toSeq == off.toSeq,
         "columnar-face window agg diverged from the row path")
+      // BOXED lanes (first/last/nth, q183's forward-fill shape) on the
+      // BATCH face: long, double and STRING carried values, incl.
+      // captured-null under ignoreNulls=false and leading-null groups
+      def qb() = {
+        val w = Window.partitionBy($"k").orderBy($"o")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spark.table(tbl)
+          .select($"k", $"o",
+            last($"vd", ignoreNulls = true).over(w).as("ffill_d"),
+            last($"st", ignoreNulls = true).over(w).as("ffill_s"),
+            first($"vl").over(w).as("fst_l"),
+            first($"st", ignoreNulls = true).over(w).as("fst_s"),
+            nth_value($"vl", 3).over(w).as("third_l"),
+            sum($"vl").over(w).as("s_l"))
+          .orderBy($"o")
+      }
+      val onB = withSQLConf(GraftColumnarRule.sortEnabledKey -> "true") {
+        val df = qb()
+        val rows = df.collect()
+        val win = findExec(df) {
+          case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+        }
+        assert(win.isDefined,
+          s"expected the columnar window agg for boxed lanes:\n${df.queryExecution.executedPlan}")
+        assert(win.get.supportsColumnar && win.get.child.supportsColumnar,
+          s"boxed lanes must ride the BATCH face over the bucketed child:\n${df.queryExecution.executedPlan}")
+        rows
+      }
+      val offB = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false",
+        GraftColumnarRule.sortEnabledKey -> "false",
+        GraftColumnarRule.narrowSortEnabledKey -> "false") { qb().collect() }
+      assert(onB.toSeq == offB.toSeq,
+        "batch-face boxed window lanes diverged from the row path")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
