@@ -882,6 +882,26 @@ class EngineSuite extends GraftTestBase {
     val off = withSQLConf(
       GraftColumnarRule.windowAggEnabledKey -> "false") { q().collect() }
     assert(on.toSeq == off.toSeq, "fast kernels diverged from the row WindowExec")
+    // the incremental RANGE kernels hit the same big-value ANSI flip:
+    // value windows with mixed tie groups, the 2^45 values forcing the
+    // rescan lane mid-partition, deques across gaps
+    def qr() = {
+      val w = Window.partitionBy($"k").orderBy($"o").rangeBetween(-800, 0)
+      spark.read.parquet(dir).select($"k", $"o",
+        sum($"v").over(w).as("rs"),
+        min($"v").over(w).as("rmn"),
+        max($"d").over(w).as("rmx"),
+        count($"v").over(w).as("rc"))
+        .orderBy($"o")
+    }
+    val onR = qr()
+    val onRr = onR.collect()
+    assert(findExec(onR) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowRangeSlideExec => e
+    }.isDefined, s"range node must swap:\n${onR.queryExecution.executedPlan}")
+    val offR = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qr().collect() }
+    assert(onRr.toSeq == offR.toSeq, "incremental RANGE kernels diverged from the row WindowExec")
   }
 
   test("window first/last: parity incl. ignoreNulls forward-fill, strings, all three frame kinds") {

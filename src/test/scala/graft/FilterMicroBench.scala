@@ -375,6 +375,24 @@ object FilterMicroBench {
             min($"l_quantity").over(w.rowsBetween(-2, 2)).as("mn"),
             max($"l_quantity").over(w.rowsBetween(-2, 2)).as("mx"))
       }),
+      "winrange-wide" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        // near-tie-free wide value window (~1k rows per frame: ~0.33
+        // rows per orderkey unit within a returnflag partition) over 3
+        // hot partitions: the incremental RANGE kernels (add/subtract +
+        // min deque) vs evalSlice's O(frame) rescan per emission — the
+        // tie cache can't help here (nearly every row starts a new
+        // frame)
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_orderkey")
+          .rangeBetween(-3000, 0)
+        Tables.t(spark, sfDir, "lineitem")
+          .withColumn("qty_l", $"l_quantity".cast("long"))
+          .select($"l_returnflag",
+            sum($"qty_l").over(w).as("rs"),
+            count($"qty_l").over(w).as("c"),
+            min($"l_extendedprice").over(w).as("mn"))
+      }),
       "winslide-wide1k" -> (() => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._

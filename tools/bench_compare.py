@@ -35,6 +35,15 @@ Tolerance notes (investigated outliers — keep before widening tol):
     loadavg_start in its JSON and this guard prints the noise signature
     when the pattern (scattered slowdowns, zero improvements, slowed
     total, loaded box) appears.
+  - r9 driver sweep flagged q153_quality_classifier 0.70->1.10s (1.57x)
+    with the same signature (load 1.9, whole sweep 1.14x slow, 0
+    improvements). r10 confirm: in-sweep q153 0.74s (1.06x, guard 0
+    regressed / 0 improved). An ISOLATED SPARK_GRAFT_BENCH_ONLY
+    min-of-3 run showed 1.09s — NOT a regression but isolated-run
+    bias: a single-query session pays ~0.3-0.4s of shared warmup
+    (first shuffle / broadcast machinery init) that the committed
+    in-sweep baseline amortizes across 180+ queries. Compare isolated
+    numbers only with isolated numbers; in-sweep against the baseline.
 """
 import json
 import sys
