@@ -44,6 +44,13 @@ Tolerance notes (investigated outliers — keep before widening tol):
     (first shuffle / broadcast machinery init) that the committed
     in-sweep baseline amortizes across 180+ queries. Compare isolated
     numbers only with isolated numbers; in-sweep against the baseline.
+  - Baseline refreshed r10 (2026-08-14, load 0.52): 79.2s full / 12.1s
+    TPC-H over 185 queries. The prior 69.4s baseline (df456e3) was a
+    load-0.16 outlier run: every sweep since (r9 driver 78.9s, three r10
+    runs 78.9/79.2/79.4s at loads 0.5-1.7) lands at ~79s with scattered
+    single-query flags that never reproduce (r10: q124 1.63x -> 0.81s on
+    the next sweep). The box carries a steady ~14% background tax vs
+    that outlier; treat ~79s as the comparable total.
 """
 import json
 import sys
