@@ -443,4 +443,51 @@ object FuzzProps extends Properties("graft") {
         }
     }
   }
+
+  // sliding/rolling window kernels: ANY frame bounds (empty, both-
+  // preceding, both-following, wider than partitions), null-heavy
+  // values, and occasional |v| > 2^41 (flips the ANSI sum off the
+  // incremental lane mid-partition) must match the row WindowExec
+  // exactly — the invertible add/subtract + deque kernels vs Spark's
+  // per-frame recompute
+  private val winFrameGen: Gen[(List[(Long, Option[Long], Option[Double])], Int, Int)] =
+    for {
+      n <- Gen.choose(40, 300)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 4L)
+        v <- Gen.frequency(
+          10 -> Gen.choose(-1000L, 1000L).map(Option(_)),
+          2 -> Gen.const(Option.empty[Long]),
+          1 -> Gen.oneOf(Option(1L << 45), Option(-(1L << 44))))
+        d <- Gen.frequency(
+          5 -> Gen.chooseNum(-100.0, 100.0).map(Option(_)),
+          1 -> Gen.const(Option.empty[Double]))
+      } yield (k, v, d))
+      lo <- Gen.choose(-80, 80)
+      hi <- Gen.choose(lo, 80)
+    } yield (rows, lo, hi)
+
+  property("sliding + range window kernels match the row WindowExec for any frame") =
+    forAll(winFrameGen) { case (rows, lo, hi) =>
+      rows.isEmpty || {
+        import org.apache.spark.sql.expressions.Window
+        val df = rows.zipWithIndex
+          .map { case ((k, v, d), i) => (k, i.toLong, v, d) }
+          .toDF("k", "o", "v", "d")
+        val w = Window.partitionBy($"k").orderBy($"o").rowsBetween(lo, hi)
+        val wr = Window.partitionBy($"k").orderBy($"o").rangeBetween(lo, hi)
+        def q(): Seq[org.apache.spark.sql.Row] = df.select($"k", $"o",
+          sum($"v").over(w).as("s"), min($"v").over(w).as("mn"),
+          max($"d").over(w).as("mx"), count($"v").over(w).as("c"),
+          sum($"v").over(wr).as("rs"), min($"d").over(wr).as("rmn"),
+          count(lit(1)).over(wr).as("rc"))
+          .orderBy($"k", $"o").collect().toSeq
+        val on = q()
+        val off = try {
+          spark.conf.set("spark.graft.columnar.window.enabled", "false")
+          q()
+        } finally spark.conf.unset("spark.graft.columnar.window.enabled")
+        on == off
+      }
+    }
 }
