@@ -227,6 +227,75 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(updateState)
   }
 
+  /** One rolling-window output row: the aggregates over the user's last
+    * `n` events (including this one) at this event's arrival. */
+  final case class RollingRow(user_id: Long, event_id: Long, ts: Timestamp,
+      roll_sum: Double, roll_min: Double, roll_n: Long)
+
+  /** Streaming rolling last-`n`-events aggregates per key — the
+    * incremental twin of the batch sliding ROWS frame (and of
+    * GraftWindowSlidingExec's O(n) ring kernels on the batch side): for
+    * every event, sum/min/count over the user's trailing `n` events.
+    * The rate/health metric shape (rolling request value, rolling
+    * floor) a 100 TB/day ingest runs per key.
+    *
+    * State is ONE ≤(n-1)-entry ring per active key — O(active keys x
+    * n), never the event history — and an event-time timer evicts a key
+    * idle past the watermark delay entirely, so state is bounded by
+    * RECENTLY-active keys. Within a micro-batch, rows process in
+    * (ts, event_id) order; the window follows event order, so with all
+    * data in one batch the output equals the batch twin
+    * `agg OVER (PARTITION BY user ORDER BY ts, event_id
+    *            ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW)`
+    * exactly — double sums fold oldest→newest, the same ascending
+    * association as both Spark's frame recompute and the graft sliding
+    * kernels (StreamingSuite pins the agreement and the cross-batch
+    * ring carry). A cross-batch LATE row (older than a later batch's
+    * emitted rows) appends in its arrival batch — the standard
+    * streaming compromise, documented rather than hidden.
+    */
+  def rollingPerKeyStream(events: Dataset[Event], n: Int,
+      idleEvictSeconds: Long = 3600): Dataset[RollingRow] = {
+    import events.sparkSession.implicits._
+    require(n >= 1, s"window must hold at least 1 row, got $n")
+    val evictMs = idleEvictSeconds * 1000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[Seq[(Long, Long, Double)]]): Iterator[RollingRow] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      // ring: oldest..newest (tsMs, event_id, value), ≤ n-1 entries
+      var ring = state.getOption.getOrElse(Seq.empty)
+      var lastTs = 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        ring = (ring :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(n)
+        lastTs = math.max(lastTs, e.ts.getTime)
+        // fold oldest→newest: the ascending association every batch
+        // evaluator uses, so doubles are bit-identical; min keeps the
+        // FIRST minimal under compareDoubles (-0.0/NaN ties) like the
+        // batch evaluators' strict compare
+        var s = 0.0
+        var mn = 0.0
+        var seen = false
+        ring.foreach { r =>
+          s += r._3
+          if (!seen || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(r._3, mn) < 0) { mn = r._3; seen = true }
+        }
+        RollingRow(userId, e.event_id, e.ts, s, mn, ring.length.toLong)
+      }
+      state.update(ring.takeRight(math.max(0, n - 1)))
+      val wm = try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => Long.MinValue }
+      state.setTimeoutTimestamp(math.max(lastTs + evictMs, wm + 1))
+      out.iterator
+    }
+
+    events.withWatermark("ts", s"$idleEvictSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** One entry of a user's live top-k leaderboard. */
   final case class TopKEntry(event_id: Long, tsMs: Long, value: Double)
 

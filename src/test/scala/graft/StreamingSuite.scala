@@ -493,6 +493,47 @@ class StreamingSuite extends GraftTestBase {
     } finally q.stop()
   }
 
+  test("rollingPerKeyStream: last-n aggregates match the batch sliding frame, ring carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val n = 3
+    // in-order per user across batches: the ring must CARRY (user 7's
+    // batch-2 windows span batch-1 events); user 8 exercises a window
+    // still filling; values include negatives and repeats
+    val b1 = Seq(
+      Event(1, ts(10), 7, "c", 2.0), Event(2, ts(20), 7, "c", -1.0),
+      Event(3, ts(30), 7, "c", 5.0), Event(4, ts(40), 7, "c", 5.0),
+      Event(10, ts(15), 8, "c", 4.0))
+    val b2 = Seq(
+      Event(5, ts(50), 7, "c", 0.5), Event(6, ts(60), 7, "c", -3.0),
+      Event(11, ts(55), 8, "c", 1.0))
+    val q = StreamingOps.rollingPerKeyStream(input.toDS(), n)
+      .writeStream.format("memory").queryName("rollw").outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("rollw").collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          (r.getAs[Double]("roll_sum"), r.getAs[Double]("roll_min"),
+            r.getAs[Long]("roll_n")))).toMap
+      // batch twin: the sliding ROWS frame over ALL events — the exact
+      // shape GraftWindowSlidingExec's O(n) kernels run on the batch side
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id").rowsBetween(-(n - 1), 0)
+      val expected = (b1 ++ b2).toDF()
+        .select($"event_id",
+          org.apache.spark.sql.functions.sum($"value").over(w).as("s"),
+          org.apache.spark.sql.functions.min($"value").over(w).as("mn"),
+          org.apache.spark.sql.functions.count($"value").over(w).as("c"))
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          (r.getAs[Double]("s"), r.getAs[Double]("mn"), r.getAs[Long]("c")))).toMap
+      assert(got == expected, s"stream=$got batch=$expected")
+      // exactly one output row per event (append mode, no retraction)
+      assert(spark.table("rollw").count() == (b1 ++ b2).size)
+    } finally q.stop()
+  }
+
   test("quotaLimitStream (transformWithState): admits <= limit per user-window, matches batch twin") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
