@@ -837,6 +837,42 @@ object RelationalQueries {
       doc = "1,000-row rolling window aggregates over hot partitions — O(n) invertible sliding kernels (exact sum add/subtract + monotonic min/max deques) vs the O(n*frame) recompute both Spark and the ring path pay; frames this wide previously fell back to the row WindowExec."),
 
     QueryDef(
+      "q186_window_range_wide",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // WIDE value-range frames (~1k rows per frame at this key
+        // density) on GraftWindowRangeSlideExec's incremental kernels:
+        // monotonic frame pointers + exact add/subtract and min/max
+        // deques — O(n) where the rescan (and Spark's frame machinery)
+        // pays O(n·frame). Order-key ties (several lines per orderkey)
+        // are fine for a RANGE frame: peers share the frame by VALUE,
+        // so outputs are deterministic without a total order. All
+        // check lanes exact (long sum/count, min/max selection).
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_orderkey")
+          .rangeBetween(-3000, 0)
+        Tables.t(s, dir, "lineitem")
+          .withColumn("qty_l", $"l_quantity".cast("long"))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+            sum($"qty_l").over(w).as("win_qty"),
+            min($"l_extendedprice").over(w).as("win_min"),
+            max($"l_extendedprice").over(w).as("win_max"),
+            count($"qty_l").over(w).as("win_n"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+          sum(CAST(l_quantity AS BIGINT)) OVER w AS win_qty,
+          min(l_extendedprice) OVER w AS win_min,
+          max(l_extendedprice) OVER w AS win_max,
+          count(CAST(l_quantity AS BIGINT)) OVER w AS win_n
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey
+                     RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+      doc = "Wide rolling value-range window (~1k rows per frame) — the incremental O(n) RANGE kernels (exact sum add/subtract + min/max deques on monotonic frame pointers) vs the O(n*frame) rescan; value-based frames make tie handling deterministic without a total order."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
       "q86_pivot",
       (s, dir) => {
         import s.implicits._

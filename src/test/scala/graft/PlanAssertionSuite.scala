@@ -560,6 +560,17 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the wide sliding frames:\n$p")
   }
 
+  test("q186 wide value-range frames swap to the incremental range-slide exec") {
+    val df = run("q186_window_range_wide")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftWindowRangeSlide"),
+      s"expected the wide RANGE frames on the incremental kernels in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0,
+      s"no row WindowExec should remain for the wide RANGE frames:\n$p")
+  }
+
   test("q179 RANGE running frame swaps to the deferred streaming window exec") {
     val df = run("q179_window_range_peers")
     df.collect()
