@@ -578,23 +578,39 @@ object OperatorExtraQueries {
         // avg(decimal p<=18) partial-aggregates columnar as (unscaled
         // long sum with BigInteger escape, count) — Spark's Average
         // decimal buffer — so the mean is exact before the final
-        // divide. Results surface as doubles for the DuckDB oracle
-        // (DuckDB's avg(DECIMAL) is DOUBLE; 6-sig-fig compare).
+        // divide. The check columns stay DECIMAL end-to-end: Spark's
+        // avg(decimal(p,s)) is decimal(p+4,s+4) with one HALF_UP
+        // rounding at the final divide, and the oracle reproduces that
+        // exact quantization from DuckDB's exact decimal SUM via
+        // unscaled-hugeint arithmetic (floor((2*su*10^4 + n)/(2n)) ==
+        // round-half-up for the positive sums here). DuckDB's own
+        // avg(DECIMAL)/decimal-division return DOUBLE (double
+        // accumulation, ~1e-8 off the exact quantized mean), so a
+        // double-surfaced comparison would ride the normalizer's
+        // 6-sig-digit boundary — the q176 flake class.
         Tables.t(s, dir, "lineitem")
           .select($"l_linestatus",
             $"l_quantity".cast("decimal(12,2)").as("qty"),
             $"l_extendedprice".cast("decimal(14,2)").as("price"))
           .groupBy($"l_linestatus")
-          .agg(avg($"qty").cast("double").as("avg_qty"),
-            avg($"price").cast("double").as("avg_price"),
+          .agg(avg($"qty").as("avg_qty"),
+            avg($"price").as("avg_price"),
             count(lit(1)).as("n"))
           .orderBy($"l_linestatus")
       },
-      Some("""SELECT l_linestatus,
-          CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS avg_qty,
-          CAST(avg(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS avg_price,
-          count(*) AS n
-        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+      Some("""WITH g AS (
+          SELECT l_linestatus,
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100, 0) AS HUGEINT) AS sq,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100, 0) AS HUGEINT) AS sp,
+            count(*) AS n
+          FROM lineitem GROUP BY l_linestatus)
+        SELECT l_linestatus,
+          CAST(CAST((sq * 20000 + n) // (2*n) AS DECIMAL(22,0))
+               * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(16,6)) AS avg_qty,
+          CAST(CAST((sp * 20000 + n) // (2*n) AS DECIMAL(24,0))
+               * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS avg_price,
+          n
+        FROM g ORDER BY l_linestatus"""),
       doc = "Decimal64 money averages: avg(decimal p<=18) partial-aggregates columnar on the exact unscaled-long kernel (AvgDec64Spec) — sums never round before the final divide."),
 
     QueryDef(
