@@ -3,6 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftColumnarGroupedAggExec
 import graft.engine.MinHashAggregator
 import graft.queries.{DedupQueries, TemporalJoinQueries}
 
@@ -489,5 +490,95 @@ object FuzzProps extends Properties("graft") {
         } finally spark.conf.unset("spark.graft.columnar.window.enabled")
         on == off
       }
+    }
+
+  // ── join kernels: random data × all 6 types × all 3 physical joins ──
+  // Null keys (never match, but outer rows must survive), a hot build
+  // key (duplicate matches → chunked probe emission), negative keys
+  // (sign-extension in the packed layout), and string keys (unsafe-row
+  // relations) — engine-on must equal engine-off for broadcast, shuffled
+  // hash (hint), and sort-merge (hint) plans alike.
+  private val joinGen: Gen[(List[(Option[Long], Long)], List[(Option[Long], Long)], String, String)] =
+    for {
+      nb <- Gen.choose(0, 25)
+      ns <- Gen.choose(0, 60)
+      keyG = Gen.frequency(
+        8 -> Gen.choose(-30L, 30L).map(Option(_)),
+        3 -> Gen.const(Option(7L)), // hot key
+        2 -> Gen.const(Option.empty[Long]))
+      build <- Gen.listOfN(nb, Gen.zip(keyG, Gen.choose(0L, 999L)))
+      stream <- Gen.listOfN(ns, Gen.zip(keyG, Gen.choose(0L, 999L)))
+      tpe <- Gen.oneOf("inner", "left_outer", "right_outer", "full_outer",
+        "left_semi", "left_anti")
+      hint <- Gen.oneOf("", "shuffle_hash", "merge")
+    } yield (build, stream, tpe, hint)
+
+  private def canonRows(rows: Array[org.apache.spark.sql.Row]): List[String] =
+    rows.map(_.toString).sorted.toList
+
+  property("join kernels match the row joins for any data, type, and physical plan") =
+    forAll(joinGen) { case (build, stream, tpe, hint) =>
+      val bdf0 = build.toDF("bk", "bv")
+      val bdf = if (hint.isEmpty) bdf0 else bdf0.hint(hint)
+      val sdf = stream.toDF("k", "v")
+      // long keys and derived string keys share the same match structure
+      val sdfS = sdf.select(concat(lit("s"), $"k").as("ks"), $"v")
+      val bdfS = bdf.select(concat(lit("s"), $"bk").as("bks"), $"bv")
+      def q(): (List[String], List[String]) = (
+        canonRows(sdf.join(bdf, $"k" === $"bk", tpe).collect()),
+        canonRows(sdfS.join(bdfS, $"ks" === $"bks", tpe).collect()))
+      val on = q()
+      val off = try {
+        spark.conf.set("spark.graft.columnar.enabled", "false")
+        q()
+      } finally spark.conf.unset("spark.graft.columnar.enabled")
+      Prop(on == off) :| s"tpe=$tpe hint=$hint nb=${build.size} ns=${stream.size}"
+    }
+
+  // ── grouped-agg kernels: forced flush boundaries ──
+  // Tiny maxGroups makes the partial kernel flush mid-partition (multiple
+  // buffer rows per key — the 100 TB high-cardinality degrade path);
+  // |v| > 2^43 inputs ride the wide-value lanes; null keys form their own
+  // group; only EXACT aggregates (long/decimal) are compared, so the
+  // flush-order difference cannot legitimately perturb results — the
+  // final merge must reassemble identical totals either way.
+  private val aggGen: Gen[(List[(Option[Long], Option[Long], Option[Double])], Int)] =
+    for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.frequency(
+          6 -> Gen.choose(0L, 15L).map(Option(_)),
+          2 -> Gen.const(Option(3L)),
+          1 -> Gen.const(Option.empty[Long]))
+        v <- Gen.frequency(
+          8 -> Gen.choose(-100000L, 100000L).map(Option(_)),
+          1 -> Gen.const(Option.empty[Long]),
+          1 -> Gen.oneOf(Option(1L << 44), Option(-(1L << 43))))
+        d <- Gen.frequency(
+          5 -> Gen.chooseNum(-1000.0, 1000.0).map(Option(_)),
+          1 -> Gen.const(Option.empty[Double]))
+      } yield (k, v, d))
+      maxGroups <- Gen.oneOf(1, 2, 7, 1 << 20)
+    } yield (rows, maxGroups)
+
+  property("grouped-agg kernels match the row HashAggregate under forced flushes") =
+    forAll(aggGen) { case (rows, maxGroups) =>
+      val df = rows.toDF("k", "v", "d")
+        .withColumn("dec", ($"v" % 10000).cast("decimal(12,2)"))
+      def q(): List[String] = canonRows(
+        df.groupBy($"k")
+          .agg(sum($"v").as("s"), count($"v").as("c"), min($"v").as("mn"),
+            max($"v").as("mx"), sum($"dec").as("sdec"), avg($"dec").as("adec"),
+            count(lit(1)).as("n"))
+          .collect())
+      val on = try {
+        spark.conf.set(GraftColumnarGroupedAggExec.maxGroupsKey, maxGroups.toString)
+        q()
+      } finally spark.conf.unset(GraftColumnarGroupedAggExec.maxGroupsKey)
+      val off = try {
+        spark.conf.set("spark.graft.columnar.enabled", "false")
+        q()
+      } finally spark.conf.unset("spark.graft.columnar.enabled")
+      Prop(on == off) :| s"maxGroups=$maxGroups n=${rows.size}"
     }
 }
