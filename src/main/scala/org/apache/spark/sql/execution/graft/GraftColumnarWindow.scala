@@ -2087,17 +2087,22 @@ object GraftWindowSlidingExec {
   * sees the footprint. The ring is BOUNDED: a refused reservation
   * (executor memory pressure) or crossing
   * [[GraftWindowRangeSlideExec.maxRingBytesKey]] (default 1 GiB)
-  * degrades the CURRENT partition to Spark's spill-backed
-  * ExternalAppendOnlyUnsafeRowArray — the row WindowExec's own buffer —
-  * plus 9 B/row flat order-key arrays, so the degenerate shape (a range
-  * spanning a huge slice of a hot partition) spills where it would
-  * previously have grown unaccounted heap; slice re-reads through the
-  * spilled buffer trade time for bounded memory, and the partition's
-  * end releases the buffer and returns to ring mode. Each emission
-  * recomputes its slice in ascending row order — Spark's evaluation
-  * order, so doubles are bit-identical. Specs reuse [[WinSlideSpec]]
-  * with lo/hi as ORDER-BY-value deltas (per-expression frames
-  * supported).
+  * degrades the CURRENT partition: rows stream to a sequential spill
+  * FILE (framed UnsafeRow bytes, written once on consume, read back
+  * once in emission order — O(n) IO, no random access), while the
+  * kernels read per-spec FLAT VALUE ARRAYS (~9 B per spec per row,
+  * captured at consume) that COMPACT to the live span before doubling,
+  * so in-heap state is bounded by the frame width — the same bound
+  * Spark's SlidingWindowFunctionFrame keeps as whole rows in its
+  * unspillable ArrayDeque, at a fraction of the bytes. (An earlier
+  * design re-opened an ExternalAppendOnlyUnsafeRowArray spill reader
+  * per emitted row and per slice — O(position) reads and a ~1 MiB
+  * reader-buffer allocation each; the DualRunSuite pressure axis OOMed
+  * it.) The partition's end releases the file and arrays and returns
+  * to ring mode. Each emission recomputes its slice in ascending row
+  * order — Spark's evaluation order, so doubles are bit-identical.
+  * Specs reuse [[WinSlideSpec]] with lo/hi as ORDER-BY-value deltas
+  * (per-expression frames supported).
   *
   * Invertible specs (long sums incl. the ANSI safe-bound/rescan split,
   * counts, min/max via a monotonic index deque — the
@@ -2105,8 +2110,9 @@ object GraftWindowSlidingExec {
   * INCREMENTALLY: the per-spec frame pointers only ever advance, so
   * each emission add/subtracts the delta instead of rescanning the
   * slice — O(n) total where the rescan (and Spark's frame machinery)
-  * pays O(n·frame). Doubles/avg keep the rescan + tie cache;
-  * degraded (spill-backed) partitions always rescan.
+  * pays O(n·frame). Doubles/avg keep the rescan + tie cache. The
+  * kernels read values through mode-dispatching accessors, so the
+  * incremental path keeps running in degraded partitions too.
   *
   * A/B (FilterMicroBench winrange-*, sf0.1, 3 runs of min-of-5):
   * 7-unit trailing sum over ~4-row groups 0.87-0.93x; 24h window over
@@ -2146,9 +2152,6 @@ case class GraftWindowRangeSlideExec(
     val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
     val peakM = metrics("peakBufferedRows")
     val degM = metrics("degradedPartitions")
-    val inMemThreshold = conf.windowExecBufferInMemoryThreshold
-    val spillThreshold = conf.windowExecBufferSpillThreshold
-    val spillSizeThreshold = conf.windowExecBufferSpillSizeThreshold
     val maxRingBytes = conf.getConfString(
       GraftWindowRangeSlideExec.maxRingBytesKey, "1073741824").toLong
     val pIdx = partIdx.toArray
@@ -2304,69 +2307,184 @@ case class GraftWindowRangeSlideExec(
         math.max(64L, (if (rowCount == 0) 0L else rowBytesSum / rowCount) + 56L)
       // DEGRADED-PARTITION state: when the ring's reservation is refused
       // (executor memory pressure) or the ring would cross maxRingBytes,
-      // the CURRENT partition falls back to Spark's spill-backed
-      // ExternalAppendOnlyUnsafeRowArray — the same buffer the row
-      // WindowExec uses — plus flat primitive order-key arrays
-      // (9 B/row, ~20x smaller than the rows; the buffer accounts the
-      // row bytes with the task memory manager and spills them).
-      // Frame slices then re-read through generateIterator, which is
-      // O(position) once spilled — the degenerate shape trades time for
-      // bounded memory, exactly where the alternative is an OOM.
+      // the CURRENT partition stops holding UnsafeRows on the heap:
+      //  - rows stream to a sequential spill FILE (length-prefixed
+      //    frames), appended once on consume and read back once, in
+      //    order, for emission — no random access, no per-row reader
+      //    construction (the EAOURA design this replaces re-opened a
+      //    spill reader per emitted row/slice: O(position) reads each
+      //    plus a ~1 MiB reader buffer per call — the DualRunSuite
+      //    pressure axis OOMed it);
+      //  - the kernels (slice rescans, incremental sums, min/max
+      //    deques) read per-spec flat VALUE arrays (8 B value + 1 B
+      //    null per spec per row, captured at consume; doubles as raw
+      //    bits) through the spec*At accessors — frame evaluation
+      //    never touches a buffered row again. The arrays compact to
+      //    the live span [min(frame pointers, emission head), cons)
+      //    before doubling, so their footprint is frame-bounded (the
+      //    same bound Spark's SlidingWindowFunctionFrame keeps as
+      //    whole rows in its unspillable ArrayDeque), with best-effort
+      //    delta reservations — the row mass itself is on disk.
       var degraded = false
-      var degBase = 0L
-      var degBuf: org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray = null
+      var degValBase = 0L
       var degVals: Array[Long] = null
       var degNulls: Array[Boolean] = null
+      var degSpecVals: Array[Array[Long]] = null
+      var degSpecNulls: Array[Array[Boolean]] = null
       var degCap = 0
-      def degrade(minKeep: Long, cons: Long): Unit = {
-        degM.add(1)
-        degBuf = new org.apache.spark.sql.execution
-          .ExternalAppendOnlyUnsafeRowArray(inMemThreshold, Long.MaxValue,
-            spillThreshold, spillSizeThreshold)
-        // the final partition's buffer is cleared at task end (the
-        // partition-end clear only runs on the NEXT flush)
-        Option(org.apache.spark.TaskContext.get()).foreach { tc =>
-          val b = degBuf
-          tc.addTaskCompletionListener[Unit](_ => b.clear())
+      var degFile: java.io.File = null
+      var degOut: java.io.DataOutputStream = null
+      var degIn: java.io.DataInputStream = null
+      var degWritten = 0L // rows appended to the file
+      var degFlushed = 0L // rows guaranteed visible to the reader
+      var degRead = 0L // rows consumed by emission
+      var degReadBuf = new Array[Byte](1 << 12)
+      val degCopyBuf = new Array[Byte](1 << 12)
+      val degOutRow = new UnsafeRow(childOut.size)
+      def degPerRowBytes: Long = 9L + 9L * nS
+      def writeDegRow(r: UnsafeRow): Unit = {
+        degOut.writeInt(r.getSizeInBytes)
+        r.writeToStream(degOut, degCopyBuf)
+        degWritten += 1
+      }
+      def readDegRow(): UnsafeRow = {
+        if (degIn == null)
+          degIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(degFile), 1 << 16))
+        if (degRead >= degFlushed) { degOut.flush(); degFlushed = degWritten }
+        val len = degIn.readInt()
+        if (degReadBuf.length < len)
+          degReadBuf = new Array[Byte](java.lang.Integer.highestOneBit(len) << 1)
+        degIn.readFully(degReadBuf, 0, len)
+        degOutRow.pointTo(degReadBuf, len)
+        degRead += 1
+        degOutRow
+      }
+      /** Capture spec `s`'s input value of `row` as long bits (0 for
+        * specs whose kernel only consumes the null bit, e.g. count). */
+      def specBits(s: Int, row: UnsafeRow): Long =
+        if (ss(s).lane == 0) { val g = getL(s); if (g == null) 0L else g(row) }
+        else { val g = getD(s)
+          if (g == null) 0L else java.lang.Double.doubleToRawLongBits(g(row)) }
+      def captureSpecs(row: UnsafeRow, k: Int): Unit = {
+        var s = 0
+        while (s < nS) {
+          if (ss(s).col >= 0) {
+            val nl = row.isNullAt(ss(s).col)
+            degSpecNulls(s)(k) = nl
+            if (!nl) degSpecVals(s)(k) = specBits(s, row)
+          }
+          s += 1
         }
-        degBase = minKeep
+      }
+      def degrade(minKeep: Long, emitFrom: Long, cons: Long): Unit = {
+        degM.add(1)
+        degFile = java.io.File.createTempFile("graft-winrange-deg", ".bin")
+        degOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(degFile), 1 << 16))
+        // the final partition's file is released at task end (the
+        // partition-end cleanup only runs on the NEXT flush)
+        Option(org.apache.spark.TaskContext.get()).foreach { tc =>
+          val f = degFile
+          tc.addTaskCompletionListener[Unit] { _ => f.delete(); () }
+        }
+        degValBase = minKeep
         val n = (cons - minKeep).toInt
         degCap = math.max(1 << 10, java.lang.Integer.highestOneBit(math.max(1, n)) << 2)
         degVals = new Array[Long](degCap)
         degNulls = new Array[Boolean](degCap)
+        degSpecVals = Array.tabulate(nS)(s =>
+          if (ss(s).col >= 0) new Array[Long](degCap) else null)
+        degSpecNulls = Array.tabulate(nS)(s =>
+          if (ss(s).col >= 0) new Array[Boolean](degCap) else null)
+        degWritten = 0L; degFlushed = 0L; degRead = 0L
         var i = minKeep
         while (i < cons) {
           val o = (i % cap).toInt
-          degBuf.add(ring(o))
-          degVals((i - minKeep).toInt) = ordVals(o)
-          degNulls((i - minKeep).toInt) = ordNulls(o)
+          val r = ring(o)
+          val k = (i - minKeep).toInt
+          degVals(k) = ordVals(o)
+          degNulls(k) = ordNulls(o)
+          captureSpecs(r, k)
+          // rows below the emission head are already out; only their
+          // VALUES are still frame-relevant
+          if (i >= emitFrom) writeDegRow(r)
           i += 1
         }
-        // the ring is dead: release its arrays and its reservation (the
-        // spill-backed buffer carries its own accounting)
+        // the ring is dead: release its arrays and its reservation,
+        // then account the (much smaller) flat value arrays
         ring = null; ordVals = null; ordNulls = null
         accountedBytes = 0L
         reservation.foreach(_.freeAll())
+        reservation.foreach(_.reserve(degCap * degPerRowBytes))
         degraded = true
       }
-      def appendDeg(row: UnsafeRow, nl: Boolean, v: Long, cons: Long): Unit = {
-        val idx = cons - degBase
+      def appendDeg(row: UnsafeRow, nl: Boolean, v: Long, cons: Long,
+          minKeep: Long): Unit = {
+        var idx = cons - degValBase
         if (idx >= degCap) {
-          val nCap = degCap << 1
-          degVals = java.util.Arrays.copyOf(degVals, nCap)
-          degNulls = java.util.Arrays.copyOf(degNulls, nCap)
-          degCap = nCap
+          val live = cons - minKeep
+          if (live <= (degCap >> 1)) {
+            // compact to the live span instead of doubling — bounds the
+            // arrays by frame width, not partition length
+            val shift = (minKeep - degValBase).toInt
+            val n = live.toInt
+            System.arraycopy(degVals, shift, degVals, 0, n)
+            System.arraycopy(degNulls, shift, degNulls, 0, n)
+            var s = 0
+            while (s < nS) {
+              if (degSpecVals(s) != null) {
+                System.arraycopy(degSpecVals(s), shift, degSpecVals(s), 0, n)
+                System.arraycopy(degSpecNulls(s), shift, degSpecNulls(s), 0, n)
+              }
+              s += 1
+            }
+            degValBase = minKeep
+          } else {
+            val nCap = degCap << 1
+            // best-effort delta accounting; a refusal here has no
+            // cheaper fallback left (the rows are already on disk) and
+            // the arrays are ~an order smaller than the rows they shadow
+            reservation.foreach(_.reserve(degCap * degPerRowBytes))
+            degVals = java.util.Arrays.copyOf(degVals, nCap)
+            degNulls = java.util.Arrays.copyOf(degNulls, nCap)
+            var s = 0
+            while (s < nS) {
+              if (degSpecVals(s) != null) {
+                degSpecVals(s) = java.util.Arrays.copyOf(degSpecVals(s), nCap)
+                degSpecNulls(s) = java.util.Arrays.copyOf(degSpecNulls(s), nCap)
+              }
+              s += 1
+            }
+            degCap = nCap
+          }
+          idx = cons - degValBase
         }
-        degBuf.add(row)
-        degVals(idx.toInt) = v
-        degNulls(idx.toInt) = nl
+        val k = idx.toInt
+        degVals(k) = v
+        degNulls(k) = nl
+        captureSpecs(row, k)
+        writeDegRow(row)
         peakM.set(math.max(peakM.value, idx + 1))
       }
       def ordValAt(t: Long): Long =
-        if (degraded) degVals((t - degBase).toInt) else ordVals((t % cap).toInt)
+        if (degraded) degVals((t - degValBase).toInt) else ordVals((t % cap).toInt)
       def ordNullAt(t: Long): Boolean =
-        if (degraded) degNulls((t - degBase).toInt) else ordNulls((t % cap).toInt)
-      def grow(minKeep: Long, cons: Long): Unit = {
+        if (degraded) degNulls((t - degValBase).toInt) else ordNulls((t % cap).toInt)
+      // spec-input accessors — mode-dispatching, so every kernel
+      // (slice rescan, incremental add/subtract, deque push/emit) works
+      // identically over ring rows and degraded flat arrays
+      def specNullAt(s: Int, t: Long): Boolean =
+        if (degraded) degSpecNulls(s)((t - degValBase).toInt)
+        else ring((t % cap).toInt).isNullAt(ss(s).col)
+      def specLAt(s: Int, t: Long): Long =
+        if (degraded) degSpecVals(s)((t - degValBase).toInt)
+        else getL(s)(ring((t % cap).toInt))
+      def specDAt(s: Int, t: Long): Double =
+        if (degraded) java.lang.Double.longBitsToDouble(
+          degSpecVals(s)((t - degValBase).toInt))
+        else getD(s)(ring((t % cap).toInt))
+      def grow(minKeep: Long, emitFrom: Long, cons: Long): Unit = {
         val nCap = cap << 1
         // delta-only reservation against MEASURED row sizes; a refusal
         // (or crossing the ring-bytes cap) degrades this partition to
@@ -2375,7 +2493,7 @@ case class GraftWindowRangeSlideExec(
         val target = nCap.toLong * perRow
         if (target > maxRingBytes ||
           !reservation.forall(_.reserve(target - accountedBytes))) {
-          degrade(minKeep, cons)
+          degrade(minKeep, emitFrom, cons)
           return
         }
         accountedBytes = target
@@ -2426,8 +2544,10 @@ case class GraftWindowRangeSlideExec(
       // emission. Doubles/avg keep the rescan (bit-equality); ANSI
       // sums flip to the rescan for the rest of a partition once it
       // shows |v| > 2^41 (plain adds equal addExact below that — see
-      // GraftWindowSlidingExec.ansiSafeAbs); degraded (spill-backed)
-      // partitions always rescan. fn 5 (count(*)) is already O(1).
+      // GraftWindowSlidingExec.ansiSafeAbs). The kernels read through
+      // the mode-dispatching spec*At accessors, so degraded partitions
+      // keep the incremental path too (values live in flat arrays
+      // there). fn 5 (count(*)) is already O(1).
       val invS = ss.map(sp => sp.fn != 5 && sp.fn != 4 &&
         GraftWindowSlidingExec.invertible(sp))
       val iFrom = new Array[Long](nS)
@@ -2458,17 +2578,15 @@ case class GraftWindowRangeSlideExec(
         // the FIRST minimal/maximal among compare-equal — the rescan
         // path's strict-compare tie rule)
         if (sp.lane == 0) {
-          val gl = getL(s)
-          val x = gl(ring((idx % cap).toInt))
+          val x = specLAt(s, idx)
           while (rDqLen(s) > 0 && {
-            val b = gl(ring((dq((rDqHead(s) + rDqLen(s) - 1) % dq.length) % cap).toInt))
+            val b = specLAt(s, dq((rDqHead(s) + rDqLen(s) - 1) % dq.length))
             if (isMin) b > x else b < x
           }) rDqLen(s) -= 1
         } else {
-          val gd = getD(s)
-          val x = gd(ring((idx % cap).toInt))
+          val x = specDAt(s, idx)
           while (rDqLen(s) > 0 && {
-            val b = gd(ring((dq((rDqHead(s) + rDqLen(s) - 1) % dq.length) % cap).toInt))
+            val b = specDAt(s, dq((rDqHead(s) + rDqLen(s) - 1) % dq.length))
             val c = SQLOrderingUtil.compareDoubles(b, x)
             if (isMin) c > 0 else c < 0
           }) rDqLen(s) -= 1
@@ -2485,9 +2603,8 @@ case class GraftWindowRangeSlideExec(
       }
       def incInclude(s: Int, idx: Long): Unit = {
         val sp = ss(s)
-        val r = ring((idx % cap).toInt)
-        if (!r.isNullAt(sp.col)) sp.fn match {
-          case 0 => iAccL(s) += getL(s)(r); iCnt(s) += 1
+        if (!specNullAt(s, idx)) sp.fn match {
+          case 0 => iAccL(s) += specLAt(s, idx); iCnt(s) += 1
           case 1 => iCnt(s) += 1
           case _ => dqPush(s, idx)
         }
@@ -2495,9 +2612,8 @@ case class GraftWindowRangeSlideExec(
       def incExclude(s: Int, idx: Long): Unit = {
         val sp = ss(s)
         if (sp.fn == 0 || sp.fn == 1) {
-          val r = ring((idx % cap).toInt)
-          if (!r.isNullAt(sp.col)) {
-            if (sp.fn == 0) iAccL(s) -= getL(s)(r)
+          if (!specNullAt(s, idx)) {
+            if (sp.fn == 0) iAccL(s) -= specLAt(s, idx)
             iCnt(s) -= 1
           }
         } // min/max deque heads evict by index bound at emit
@@ -2525,10 +2641,10 @@ case class GraftWindowRangeSlideExec(
             }
             if (rDqLen(s) == 0) aggRow.setNullAt(s)
             else {
-              val r = ring((dq(rDqHead(s)) % cap).toInt)
-              if (sp.lane == 0) emitLong(s, getL(s)(r))
+              val hd = dq(rDqHead(s))
+              if (sp.lane == 0) emitLong(s, specLAt(s, hd))
               else {
-                val x = getD(s)(r)
+                val x = specDAt(s, hd)
                 if (sp.outType == FloatType) aggRow.update(s, x.toFloat)
                 else aggRow.update(s, x)
               }
@@ -2560,28 +2676,22 @@ case class GraftWindowRangeSlideExec(
         var accD = 0.0
         var cnt = 0L
         var seen = false
-        val col = sp.col
-        val gl = getL(s)
-        val gd = getD(s)
-        // degraded partitions read slice rows sequentially from the
-        // spill-backed buffer; each generateIterator invalidates the
-        // previous one, which is fine — slices are consumed one at a time
-        val degIt =
-          if (degraded && from <= to) degBuf.generateIterator((from - degBase).toInt)
-          else null
+        // values read through the mode-dispatching accessors: ring rows
+        // normally, flat value arrays in degraded partitions — the scan
+        // order (ascending t) is Spark's evaluation order either way,
+        // so double accumulation stays bit-identical
         var t = from
         while (t <= to) {
-          val r = if (degIt != null) degIt.next() else ring((t % cap).toInt)
-          if (!r.isNullAt(col)) {
+          if (!specNullAt(s, t)) {
             sp.fn match {
               case 4 =>
                 // avg = DoubleType sum with incremental double adds over
                 // every input family — Spark's Average (see the sliding
                 // exec's evalSlice note)
-                accD += (if (sp.lane == 0) gl(r).toDouble else gd(r))
+                accD += (if (sp.lane == 0) specLAt(s, t).toDouble else specDAt(s, t))
               case 0 =>
                 if (sp.lane == 0) {
-                  val x = gl(r)
+                  val x = specLAt(s, t)
                   if (sp.ansi) {
                     try accL = Math.addExact(accL, x)
                     catch {
@@ -2590,14 +2700,14 @@ case class GraftWindowRangeSlideExec(
                           .arithmeticOverflowError("long overflow", "try_add", null)
                     }
                   } else accL += x
-                } else accD += gd(r)
+                } else accD += specDAt(s, t)
               case 1 =>
               case _ =>
                 if (sp.lane == 0) {
-                  val x = gl(r)
+                  val x = specLAt(s, t)
                   if (!seen || (if (sp.fn == 2) x < accL else x > accL)) accL = x
                 } else {
-                  val x = gd(r)
+                  val x = specDAt(s, t)
                   val c = SQLOrderingUtil.compareDoubles(x, accD)
                   if (!seen || (if (sp.fn == 2) c < 0 else c > 0)) accD = x
                 }
@@ -2632,10 +2742,16 @@ case class GraftWindowRangeSlideExec(
           java.util.Arrays.fill(cTo, Long.MinValue)
           resetInc()
           if (degraded) {
-            // the pressured partition is done: release its spill-backed
-            // buffer and return to ring mode at the initial capacity
-            degBuf.clear(); degBuf = null; degVals = null; degNulls = null
-            degraded = false; degBase = 0L; degCap = 0
+            // the pressured partition is done: release its spill file,
+            // streams and value arrays, and return to ring mode at the
+            // initial capacity
+            if (degOut != null) { degOut.close(); degOut = null }
+            if (degIn != null) { degIn.close(); degIn = null }
+            if (degFile != null) { degFile.delete(); degFile = null }
+            degVals = null; degNulls = null
+            degSpecVals = null; degSpecNulls = null
+            degraded = false; degValBase = 0L; degCap = 0
+            reservation.foreach(_.freeAll()) // the value-array grants
             cap = 1 << 10
             ring = new Array[UnsafeRow](cap)
             ordVals = new Array[Long](cap)
@@ -2683,14 +2799,14 @@ case class GraftWindowRangeSlideExec(
           }
           val nl = row.isNullAt(oIdx)
           val v = if (nl) 0L else rowLong(row, oIdx, oType)
-          if (!degraded) {
-            // evict: rows below every frame pointer AND already emitted
-            var minKeep = emitE
-            var s = 0
-            while (s < nS) { if (loPtrS(s) < minKeep) minKeep = loPtrS(s); s += 1 }
-            if (cons - minKeep >= cap) grow(minKeep, cons) // may degrade
-          }
-          if (degraded) appendDeg(row, nl, v, cons)
+          // live span: rows below every frame pointer AND already
+          // emitted are dead (ring eviction / degraded-array compaction)
+          var minKeep = emitE
+          var s = 0
+          while (s < nS) { if (loPtrS(s) < minKeep) minKeep = loPtrS(s); s += 1 }
+          if (!degraded && cons - minKeep >= cap)
+            grow(minKeep, emitE, cons) // may degrade
+          if (degraded) appendDeg(row, nl, v, cons, minKeep)
           else {
             val o = (cons % cap).toInt
             ring(o) = row
@@ -2770,17 +2886,17 @@ case class GraftWindowRangeSlideExec(
               while (hp + 1 < runEnd && hp + 1 < cons &&
                 !aboveHi(ordValAt(hp + 1), eVal, sp)) hp += 1
               hiPtrS(s) = hp
-              if (invS(s) && !degraded && !rBigSeen(s)) evalInc(s, lp, hp)
+              if (invS(s) && !rBigSeen(s)) evalInc(s, lp, hp)
               else evalSlice(s, lp, hp)
             }
             s += 1
           }
           emitE += 1
-          // emission row LAST: in degraded mode its generateIterator
-          // invalidates the slice iterators evalSlice already consumed
+          // degraded rows come back from the spill file strictly in
+          // emission order — one sequential framed read per row
           val outRow =
             if (!degraded) ring((e % cap).toInt)
-            else degBuf.generateIterator((e - degBase).toInt).next()
+            else readDegRow()
           proj(joined(outRow, aggRow))
         }
       }

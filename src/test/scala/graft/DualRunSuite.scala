@@ -36,6 +36,24 @@ class DualRunSuite extends GraftTestBase {
         q.run(spark, sfDir),
         Seq("spark.sql.adaptive.enabled" -> "false"))
     }
+    test(s"${q.name}: invariant under memory pressure (forced flush/spill/degrade)") {
+      // Crank every degrade knob at once: the grouped-agg partial flushes
+      // mid-partition, the columnar sort spills and k-way merges runs,
+      // the window-group-limit probe bails on group blowup, the
+      // range-slide ring degrades to the spill-backed buffer, and
+      // Spark's own window/EAOURA buffers spill every few rows. This is
+      // the 100 TB posture (every operator under executor memory
+      // pressure) exercised on EVERY query — results must not move.
+      checkInvariantUnder(
+        q.run(spark, sfDir),
+        Seq(
+          org.apache.spark.sql.graft.GraftColumnarGroupedAggExec.maxGroupsKey -> "7",
+          org.apache.spark.sql.graft.GraftColumnarRule.wglMaxGroupsKey -> "4",
+          org.apache.spark.sql.execution.graft.GraftColumnarSortExec.spillThresholdKey -> "65536",
+          org.apache.spark.sql.execution.graft.GraftWindowRangeSlideExec.maxRingBytesKey -> "65536",
+          "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+          "spark.sql.windowExec.buffer.spill.threshold" -> "64"))
+    }
     test(s"${q.name}: invariant under columnar off") {
       // The graft columnar runtime (filter/project/agg/joins/topk/wgl/
       // distinct swaps) must never change a result — every query
