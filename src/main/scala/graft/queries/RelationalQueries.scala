@@ -871,6 +871,55 @@ object RelationalQueries {
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
       doc = "Wide rolling value-range window (~1k rows per frame) — the incremental O(n) RANGE kernels (exact sum add/subtract + min/max deques on monotonic frame pointers) vs the O(n*frame) rescan; value-based frames make tie handling deterministic without a total order."),
 
+    QueryDef(
+      "q187_window_sizebased",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // SIZE-BASED window functions (ntile / percent_rank / cume_dist
+        // — SizeBasedWindowFunction: values need the partition row
+        // count) on GraftColumnarWindowExec's partition-buffered face:
+        // the buffer is Spark's own spill-backed row array (the row
+        // WindowExec buffers identically for these), but emission is
+        // one streaming cursor (kind-0 node: ntile buckets + rank-based
+        // percent_rank) plus a peer-scout cursor (kind-1 node:
+        // cume_dist + RANGE-running aggs close at the peer group end).
+        // Two nodes by design: ntile needs a TOTAL order (bucket =
+        // row position, so ties would be engine-arbitrary —
+        // (ok,ln,pk,sk) is verified unique), while cume_dist is about
+        // tie MASS, so it rides the heavily-tied l_quantity order where
+        // every value is deterministic (peer groups share values).
+        // percent_rank/cume_dist emit single divisions of exact
+        // integers — bit-identical cross-engine, no rounding needed;
+        // the running revenue lane is exact cents.
+        val wt = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+        Tables.t(s, dir, "lineitem")
+          .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+            ntile(7).over(wt).as("sept"),
+            percent_rank().over(wt).as("pr"),
+            rank().over(wt).as("rk"),
+            cume_dist().over(wq).as("cd_qty"),
+            sum($"cents").over(wq).as("rev_upto_qty"),
+            count(lit(1)).over(wq).as("n_upto_qty"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+          ntile(7) OVER wt AS sept,
+          percent_rank() OVER wt AS pr,
+          rank() OVER wt AS rk,
+          cume_dist() OVER wq AS cd_qty,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER wq AS rev_upto_qty,
+          count(*) OVER wq AS n_upto_qty
+        FROM lineitem
+        WINDOW wt AS (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey),
+               wq AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+      doc = "Size-based window functions (ntile/percent_rank/cume_dist need the partition row count) — partition-buffered streaming emission with a peer-scout cursor for the RANGE-running cume_dist node; exact integer-division and cents check lanes."),
+
     // ----------------------------------------------------------------
     QueryDef(
       "q86_pivot",

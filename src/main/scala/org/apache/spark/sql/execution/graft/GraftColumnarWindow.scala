@@ -28,7 +28,12 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * 13=sliding ROWS aggregate in a MIXED node (`sLo`/`sHi` = finite row
   * bounds; the winnowing min-over-window + lead shape; `lane` 3 adds
   * string min/max via UTF8String compare — pure sliding nodes take the
-  * dedicated [[GraftWindowSlidingExec]]).
+  * dedicated [[GraftWindowSlidingExec]]),
+  * 14=ntile (`nth` = bucket count), 15=percent_rank, 16=cume_dist —
+  * the SIZE-BASED functions (SizeBasedWindowFunction: their value needs
+  * the partition row count, so the node runs the partition-buffered
+  * row face; 14/15 close at the row — kind 0 frames; 16 closes at the
+  * peer group's end — kind 1).
   * `excl` marks the exclusive running frame ROWS UNBOUNDED
   * PRECEDING..1 PRECEDING (fn 0-5): the value closes one row EARLIER —
   * the distributed-prefix-sum shape. Offset/excl/boxed specs run the
@@ -452,7 +457,9 @@ case class GraftColumnarWindowExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] =
-    if (specs.forall(_.kind == 0)) streamingRowPath() else deferredRowPath()
+    if (specs.exists(_.fn >= 14)) sizeBasedRowPath()
+    else if (specs.forall(_.kind == 0)) streamingRowPath()
+    else deferredRowPath()
 
   /** Streaming row face for the shuffled window shape: one pass, one
     * accumulator set, a JoinedRow per input row — where the row
@@ -1314,6 +1321,343 @@ case class GraftColumnarWindowExec(
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
           proj(joined(emitIter.next(), aggRow))
+        }
+      }
+    }
+  }
+
+  /** Size-based row face — any spec is ntile/percent_rank/cume_dist
+    * (fn 14-16): their value depends on the PARTITION row count, so the
+    * partition buffers whole in Spark's own spill-backed
+    * ExternalAppendOnlyUnsafeRowArray (exactly the row WindowExec's
+    * bound for these functions — SizeBasedWindowFunction forces it to
+    * buffer too; no memory regression, and the shared machinery spills
+    * under pressure). Emission then walks the buffer ONCE per cursor:
+    *  - kind-0 nodes (ntile/percent_rank + streaming aggs/ranking): a
+    *    single cursor re-runs the streaming update per row — ntile
+    *    buckets and percent_rank close at the row once `n` is known;
+    *  - kind-1 nodes (cume_dist + RANGE-running aggs): a second
+    *    sequential SCOUT cursor over the same buffer advances one peer
+    *    group ahead of emission, accumulating through the group's end —
+    *    cume_dist = peer-end row number / n, and the aggregate
+    *    accumulators hold the group-closed values the deferred path
+    *    would compute. Both cursors are strictly sequential (a spilled
+    *    buffer pays two ordered reads, never per-row reader churn).
+    */
+  private def sizeBasedRowPath(): RDD[InternalRow] = {
+    val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
+    val pIdx = partIdx.toArray
+    val pTypes = partTypes.toArray
+    val oIdx = orderIdx.toArray
+    val oTypes = orderTypes.toArray
+    val ss = specs.toArray
+    val childOut = child.output
+    val inTypes = ss.map(s => if (s.col >= 0) childOut(s.col).dataType else null)
+    val outAll = output
+    val kind1 = ss.exists(_.kind == 1)
+    val inMemThreshold = conf.windowExecBufferInMemoryThreshold
+    val spillThreshold = conf.windowExecBufferSpillThreshold
+    val spillSizeThreshold = conf.windowExecBufferSpillSizeThreshold
+    child.execute().mapPartitionsInternal { rows =>
+      val nS = ss.length
+      def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
+        case ByteType => r.getByte(ord).toLong
+        case ShortType => r.getShort(ord).toLong
+        case IntegerType | DateType => r.getInt(ord).toLong
+        case BooleanType => if (r.getBoolean(ord)) 1L else 0L
+        case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        // double/float reach here only as PEER keys (normalized bits)
+        case DoubleType => GraftColumnarWindowExec.peerBits(r.getDouble(ord))
+        case FloatType => GraftColumnarWindowExec.peerBits(r.getFloat(ord).toDouble)
+        case _ => r.getLong(ord)
+      }
+      def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
+        case FloatType => r.getFloat(ord).toDouble
+        case ByteType => r.getByte(ord).toDouble
+        case ShortType => r.getShort(ord).toDouble
+        case IntegerType => r.getInt(ord).toDouble
+        case LongType => r.getLong(ord).toDouble
+        case _ => r.getDouble(ord)
+      }
+      final class KeyCarry(idx: Array[Int], types: Array[DataType]) {
+        private val longs = new Array[Long](idx.length)
+        private val strs = new Array[org.apache.spark.unsafe.types.UTF8String](idx.length)
+        private val nulls = new Array[Boolean](idx.length)
+        def differs(r: InternalRow): Boolean = {
+          var k = 0
+          while (k < idx.length) {
+            val nl = r.isNullAt(idx(k))
+            val d =
+              if (nl != nulls(k)) true
+              else if (nl) false
+              else if (types(k) == StringType)
+                r.getUTF8String(idx(k)).compareTo(strs(k)) != 0
+              else rowLong(r, idx(k), types(k)) != longs(k)
+            if (d) return true
+            k += 1
+          }
+          false
+        }
+        def carry(r: InternalRow): Unit = {
+          var k = 0
+          while (k < idx.length) {
+            val nl = r.isNullAt(idx(k))
+            nulls(k) = nl
+            if (!nl) {
+              if (types(k) == StringType) strs(k) = r.getUTF8String(idx(k)).clone()
+              else longs(k) = rowLong(r, idx(k), types(k))
+            }
+            k += 1
+          }
+        }
+      }
+      val partCarry = new KeyCarry(pIdx, pTypes)
+      // ranking (7/8) and percent_rank need peer detection on the
+      // emission cursor; kind-1 nodes detect peers to drive the scout
+      val needPeers = kind1 || ss.exists(s => s.fn == 7 || s.fn == 8 || s.fn == 15)
+      val peerCarry = if (needPeers) new KeyCarry(oIdx, oTypes) else null
+      val accLong = new Array[Long](nS)
+      val accDbl = new Array[Double](nS)
+      val accCnt = new Array[Long](nS)
+      val accSeen = new Array[Boolean](nS)
+      val accAny = new Array[Any](nS)
+      def reset(): Unit = {
+        java.util.Arrays.fill(accLong, 0L)
+        java.util.Arrays.fill(accDbl, 0.0)
+        java.util.Arrays.fill(accCnt, 0L)
+        java.util.Arrays.fill(accSeen, false)
+        java.util.Arrays.fill(accAny.asInstanceOf[Array[AnyRef]], null)
+      }
+      def readBoxed(r: InternalRow, ord: Int, dt: DataType): Any =
+        if (r.isNullAt(ord)) null
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType => r.getLong(ord)
+          case IntegerType | DateType => r.getInt(ord)
+          case ShortType => r.getShort(ord)
+          case ByteType => r.getByte(ord)
+          case BooleanType => r.getBoolean(ord)
+          case DoubleType => r.getDouble(ord)
+          case FloatType => r.getFloat(ord)
+          case d: DecimalType => r.getDecimal(ord, d.precision, d.scale)
+          case StringType => r.getUTF8String(ord).clone()
+          case other => throw new IllegalStateException(s"bad first/last type $other")
+        }
+      val aggRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(nS)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAll.map(_.dataType).toArray)
+      def update(row: InternalRow): Unit = {
+        var s = 0
+        while (s < nS) {
+          val sp = ss(s)
+          if (sp.fn < 6 || (sp.fn >= 9 && sp.fn <= 11)) {
+            val nullIn = sp.col >= 0 && row.isNullAt(sp.col)
+            sp.fn match {
+              case 0 =>
+                if (!nullIn) {
+                  if (sp.lane == 0) {
+                    val x = rowLong(row, sp.col, inTypes(s))
+                    if (sp.ansi) {
+                      try accLong(s) = Math.addExact(accLong(s), x)
+                      catch {
+                        case _: ArithmeticException =>
+                          throw org.apache.spark.sql.errors.QueryExecutionErrors
+                            .arithmeticOverflowError("long overflow", "try_add", null)
+                      }
+                    } else accLong(s) += x
+                  } else accDbl(s) += rowDbl(row, sp.col, inTypes(s))
+                  accSeen(s) = true
+                }
+              case 1 => if (!nullIn) accCnt(s) += 1
+              case 5 => accCnt(s) += 1
+              case 2 | 3 =>
+                if (!nullIn) {
+                  if (sp.lane == 0) {
+                    val x = rowLong(row, sp.col, inTypes(s))
+                    if (!accSeen(s) ||
+                      (if (sp.fn == 2) x < accLong(s) else x > accLong(s)))
+                      accLong(s) = x
+                  } else {
+                    val x = rowDbl(row, sp.col, inTypes(s))
+                    val c = SQLOrderingUtil.compareDoubles(x, accDbl(s))
+                    if (!accSeen(s) || (if (sp.fn == 2) c < 0 else c > 0))
+                      accDbl(s) = x
+                  }
+                  accSeen(s) = true
+                }
+              case 9 => // first
+                if (!accSeen(s) && !(sp.ign && nullIn)) {
+                  accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                  accSeen(s) = true
+                }
+              case 10 => // last
+                if (!(sp.ign && nullIn)) {
+                  accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                  accSeen(s) = true
+                }
+              case 11 => // nth_value
+                if (!(sp.ign && nullIn)) {
+                  accCnt(s) += 1
+                  if (accCnt(s) == sp.nth) {
+                    accAny(s) = readBoxed(row, sp.col, inTypes(s))
+                    accSeen(s) = true
+                  }
+                }
+              case _ => // avg
+                if (!nullIn) {
+                  accDbl(s) += (if (sp.lane == 0) rowLong(row, sp.col, inTypes(s)).toDouble
+                    else rowDbl(row, sp.col, inTypes(s)))
+                  accCnt(s) += 1
+                }
+            }
+          }
+          s += 1
+        }
+      }
+      def emitLong(s: Int, v: Long): Unit = ss(s).outType match {
+        case LongType | TimestampType | TimestampNTZType => aggRow.update(s, v)
+        case IntegerType | DateType => aggRow.update(s, v.toInt)
+        case ShortType => aggRow.update(s, v.toShort)
+        case ByteType => aggRow.update(s, v.toByte)
+        case BooleanType => aggRow.update(s, v != 0L)
+        case d: DecimalType =>
+          aggRow.update(s, org.apache.spark.sql.types.Decimal
+            .createUnsafe(v, d.precision, d.scale))
+        case _ => aggRow.update(s, v)
+      }
+      /** Aggregate (fn 0-5, 9-11) lanes from the accumulators — the
+        * accumulated state IS the emitted value for both kinds (kind 0:
+        * updated through the current row; kind 1: through the scout's
+        * peer-group end). */
+      def writeAggValues(): Unit = {
+        var s = 0
+        while (s < nS) {
+          val sp = ss(s)
+          if (sp.fn < 6 || (sp.fn >= 9 && sp.fn <= 11)) sp.fn match {
+            case 1 | 5 => aggRow.update(s, accCnt(s))
+            case 4 =>
+              if (accCnt(s) > 0) aggRow.update(s, accDbl(s) / accCnt(s))
+              else aggRow.setNullAt(s)
+            case 9 | 10 | 11 =>
+              if (accSeen(s)) aggRow.update(s, accAny(s)) else aggRow.setNullAt(s)
+            case _ =>
+              if (accSeen(s)) {
+                if (sp.lane == 0) emitLong(s, accLong(s))
+                else if (sp.outType == FloatType) aggRow.update(s, accDbl(s).toFloat)
+                else aggRow.update(s, accDbl(s))
+              } else aggRow.setNullAt(s)
+          }
+          s += 1
+        }
+      }
+      /** Spark NTile bucketing: n/b even buckets, the first n%b take one
+        * extra row (when n < b every row is its own bucket). */
+      def ntileBucket(rowNum: Long, n: Long, b: Int): Int = {
+        val bucketSize = n / b
+        val rem = n % b
+        val idx0 = rowNum - 1
+        val thresh = rem * (bucketSize + 1)
+        if (idx0 < thresh) (idx0 / (bucketSize + 1) + 1).toInt
+        else (rem + (idx0 - thresh) / bucketSize + 1).toInt
+      }
+      new Iterator[InternalRow] {
+        private val buffer = new org.apache.spark.sql.execution
+          .ExternalAppendOnlyUnsafeRowArray(inMemThreshold, Long.MaxValue,
+            spillThreshold, spillSizeThreshold)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => buffer.clear()))
+        private var emitIter: Iterator[org.apache.spark.sql.catalyst.expressions.UnsafeRow] =
+          Iterator.empty
+        private var scout: Iterator[org.apache.spark.sql.catalyst.expressions.UnsafeRow] = _
+        private var scoutPending: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+        private var held: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+        private var n = 0L
+        private var rowNum = 0L
+        private var rkRank = 0L
+        private var rkDense = 0L
+        private var scoutPos = 0L
+        private def advancePartition(): Unit = {
+          if (!rows.hasNext && held == null) { emitIter = Iterator.empty; return }
+          buffer.clear()
+          reset()
+          rowNum = 0L; rkRank = 0L; rkDense = 0L
+          scoutPos = 0L; scoutPending = null
+          if (held != null) { partCarry.carry(held); buffer.add(held); held = null }
+          var open = true
+          while (open && rows.hasNext) {
+            val row = rows.next().asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+            inM.add(1)
+            if (buffer.length > 0 && partCarry.differs(row)) {
+              held = row.copy(); open = false
+            } else { partCarry.carry(row); buffer.add(row) }
+          }
+          n = buffer.length
+          grpM.add(1)
+          // all writes to the buffer are done — BOTH iterators below see
+          // a frozen array (EAOURA invalidates iterators on modification,
+          // not on sibling iterator creation)
+          emitIter = buffer.generateIterator()
+          scout = if (kind1) buffer.generateIterator() else null
+        }
+        /** Accumulate the scout through the emission row's whole peer
+          * group (peerCarry holds its keys); leaves the first
+          * non-peer row pending for the next group. */
+        private def scoutThroughPeers(): Unit = {
+          var scanning = true
+          while (scanning) {
+            if (scoutPending != null) {
+              if (peerCarry.differs(scoutPending)) scanning = false
+              else { update(scoutPending); scoutPos += 1; scoutPending = null }
+            } else if (scout.hasNext) {
+              val sr = scout.next()
+              if (peerCarry.differs(sr)) { scoutPending = sr.copy(); scanning = false }
+              else { update(sr); scoutPos += 1 }
+            } else scanning = false
+          }
+        }
+        override def hasNext: Boolean = {
+          if (emitIter.hasNext) true
+          else { advancePartition(); emitIter.hasNext }
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = emitIter.next()
+          rowNum += 1
+          val newPeer = needPeers && (rowNum == 1L || peerCarry.differs(r))
+          if (newPeer) peerCarry.carry(r)
+          if (kind1) {
+            // peer-group-closed values: the scout accumulates through
+            // this group's end exactly once, at its first row
+            if (newPeer) {
+              scoutThroughPeers()
+              writeAggValues()
+              var s = 0
+              while (s < nS) {
+                if (ss(s).fn == 16)
+                  aggRow.update(s, scoutPos.toDouble / n) // cume_dist
+                s += 1
+              }
+            }
+          } else {
+            if (newPeer) { rkRank = rowNum; rkDense += 1 }
+            update(r)
+            writeAggValues()
+            var s = 0
+            while (s < nS) {
+              ss(s).fn match {
+                case 6 => aggRow.update(s, rowNum.toInt) // row_number
+                case 7 => aggRow.update(s, rkRank.toInt) // rank
+                case 8 => aggRow.update(s, rkDense.toInt) // dense_rank
+                case 14 => aggRow.update(s, ntileBucket(rowNum, n, ss(s).nth))
+                case 15 => aggRow.update(s, // percent_rank
+                  if (n > 1L) (rkRank - 1L).toDouble / (n - 1L).toDouble else 0.0)
+                case _ =>
+              }
+              s += 1
+            }
+          }
+          proj(joined(r, aggRow))
         }
       }
     }

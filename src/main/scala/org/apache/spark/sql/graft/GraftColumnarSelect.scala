@@ -1122,6 +1122,28 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               _: org.apache.spark.sql.catalyst.expressions.DenseRank,
               WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(0) =>
             scala.Right(WinAggSpec(8, -1, 2, IntegerType, ansi = false, 0))
+          // size-based functions (SizeBasedWindowFunction — need the
+          // partition row count): the node runs the partition-buffered
+          // row face; ntile/percent_rank close at the row (ROWS frame),
+          // cume_dist at the peer group's end (RANGE frame)
+          case Alias(WindowExpression(
+              nt: org.apache.spark.sql.catalyst.expressions.NTile,
+              WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(0) =>
+            nt.buckets match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(b: Int, IntegerType)
+                  if b > 0 =>
+                scala.Right(WinAggSpec(14, -1, 2, IntegerType, ansi = false, 0, nth = b))
+              case other =>
+                scala.Left(s"ntile bucket count must be a positive int literal: $other")
+            }
+          case Alias(WindowExpression(
+              _: org.apache.spark.sql.catalyst.expressions.PercentRank,
+              WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(0) =>
+            scala.Right(WinAggSpec(15, -1, 2, DoubleType, ansi = false, 0))
+          case Alias(WindowExpression(
+              _: org.apache.spark.sql.catalyst.expressions.CumeDist,
+              WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(1) =>
+            scala.Right(WinAggSpec(16, -1, 2, DoubleType, ansi = false, 1))
           // nth_value (note: Spark rewrites first_value WITHOUT
           // ignoreNulls into nth_value(x, 1, false)); boxed lane
           case Alias(WindowExpression(
@@ -1157,10 +1179,19 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             // storage, so only homogeneous nodes swap
             // RANGE running frames AND rank/dense_rank both detect peer
             // groups on the node's ORDER BY keys
-            val needPeerKeys = kinds.head == 1 || sp.exists(s => s.fn == 7 || s.fn == 8)
+            val needPeerKeys = kinds.head == 1 ||
+              sp.exists(s => s.fn == 7 || s.fn == 8 || s.fn == 15)
             if (kinds.size > 1) {
               w.setTagValue(fallbackReasonTag,
                 "mixed window frame kinds in one node (streaming + deferred)"); w
+            } else if (sp.exists(_.fn >= 14) &&
+              sp.exists(s => s.excl || s.fn == 12 || s.fn == 13)) {
+              // the size-based path's emission cursors replay plain
+              // streaming updates only — not the offset ring / sliding
+              // slice machines
+              w.setTagValue(fallbackReasonTag,
+                "size-based window function (ntile/percent_rank/cume_dist) " +
+                  "mixed with offset/sliding/exclusive specs"); w
             } else if (needPeerKeys && (w.orderSpec.isEmpty || !w.orderSpec.forall {
               so => so.child match {
                 case a: AttributeReference =>

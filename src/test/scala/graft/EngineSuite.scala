@@ -769,6 +769,80 @@ class EngineSuite extends GraftTestBase {
     assert(rkOn.toSeq == rkOff.toSeq, "double-key rank diverged from the row WindowExec")
   }
 
+  test("size-based window functions: parity vs the row WindowExec incl. n<buckets, 1-row partitions, ties") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winsize").toString
+    // many 1-row partitions (percent_rank 0.0 / cume_dist 1.0 / ntile
+    // bucket 1), small partitions BELOW the bucket count (n < b: every
+    // row its own bucket), a hot multi-batch partition, null partition
+    // keys, heavy order-key ties (fat peer groups for cume_dist), null
+    // aggregate inputs
+    (1 to 30000).map { i =>
+      val k = if (i % 37 == 0) Some(-i.toLong) // 1-row partitions
+        else if (i % 13 == 0) None // one null-key partition
+        else if (i % 5 == 0) Some((i % 7 + 10).toLong) // ~850-row mids
+        else Some(1L) // one hot ~18k-row partition
+      val v = if (i % 7 == 0) None else Some((i % 211).toLong)
+      (k, i.toLong, (i % 17).toLong, v)
+    }.toDF("k", "o", "t", "v")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val sp = spark
+    import sp.implicits._
+    // kind-0 node: ntile/percent_rank + ranking + a running ROWS agg
+    def q0() = {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      spark.read.parquet(dir).select($"k", $"o",
+        ntile(7).over(w).as("sept"),
+        percent_rank().over(w).as("pr"),
+        rank().over(w).as("rk"),
+        sum($"v").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("rs"))
+        .orderBy($"k", $"o")
+    }
+    // kind-1 node: cume_dist + RANGE-running aggs over a TIED order key
+    // (peer-scout cursor accumulates whole peer groups)
+    def q1() = {
+      val w = Window.partitionBy($"k").orderBy($"t")
+      spark.read.parquet(dir).select($"k", $"o", $"t",
+        cume_dist().over(w).as("cd"),
+        sum($"v").over(w).as("s"),
+        count(lit(1)).over(w).as("n"),
+        first($"v").over(w).as("fv"))
+        .orderBy($"k", $"o", $"t")
+    }
+    for ((q, label) <- Seq(q0 _ -> "kind-0", q1 _ -> "kind-1")) {
+      val onDf = q()
+      val on = onDf.collect()
+      assert(findExec(onDf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isDefined, s"$label size-based node should swap:\n${
+        onDf.queryExecution.executedPlan}")
+      val off = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { q().collect() }
+      assert(on.toSeq == off.toSeq,
+        s"$label size-based node diverged from the row WindowExec")
+    }
+    // same parity with the partition buffer forced to SPILL (the
+    // two-cursor emission reads a spilled EAOURA sequentially)
+    val spilled = withSQLConf(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "64") { q1().collect() }
+    val plain = q1().collect()
+    assert(spilled.toSeq == plain.toSeq,
+      "size-based emission over a spilled partition buffer diverged")
+    // a node MIXING size-based kinds (ntile ROWS + cume_dist RANGE over
+    // one window spec) stays on the row WindowExec — and still answers
+    val wMix = Window.partitionBy($"k").orderBy($"o")
+    val mixDf = spark.read.parquet(dir).select($"k",
+      ntile(4).over(wMix).as("b"), cume_dist().over(wMix).as("cd"))
+    mixDf.collect()
+    assert(findExec(mixDf) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+    }.isEmpty, s"mixed-kind size-based node must keep the row path:\n${
+      mixDf.queryExecution.executedPlan}")
+  }
+
   test("sliding ROWS frames: parity vs the row WindowExec incl. empty frames, nulls, partition edges") {
     import org.apache.spark.sql.graft.GraftColumnarRule
     import org.apache.spark.sql.expressions.Window

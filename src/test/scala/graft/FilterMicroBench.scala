@@ -455,6 +455,30 @@ object FilterMicroBench {
             sum($"l_quantity").over(w.rowsBetween(
               Window.unboundedPreceding, Window.currentRow)).as("cum"))
       }),
+      // size-based functions (partition-buffered face): kind-0 node —
+      // ntile/percent_rank/rank over 3 giant partitions (the row exec
+      // buffers the same partitions; the win is the single streaming
+      // emission cursor vs per-function frame walks)
+      "winsize-ntile" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag", ntile(10).over(w).as("dec"),
+            percent_rank().over(w).as("pr"), rank().over(w).as("rk"))
+      }),
+      // kind-1 node: cume_dist + RANGE-running aggs (peer-scout cursor
+      // over the tied l_quantity order — ~50 fat peer groups)
+      "winsize-cume" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag", cume_dist().over(w).as("cd"),
+            sum($"l_extendedprice").over(w).as("s"),
+            count(lit(1)).over(w).as("n"))
+      }),
       // 6 functions over one pass (q176's shape)
       "winagg-6fn" -> (() => {
         import org.apache.spark.sql.expressions.Window

@@ -571,6 +571,21 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the wide RANGE frames:\n$p")
   }
 
+  test("q187 size-based window functions swap to the partition-buffered face") {
+    // BOTH nodes leave the row exec: the kind-0 ntile/percent_rank/rank
+    // node (single emission cursor) and the kind-1 cume_dist +
+    // RANGE-running-agg node (peer-scout cursor)
+    val df = run("q187_window_sizebased")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val swapped = "GraftColumnarWindow".r.findAllIn(p).size
+    assert(swapped >= 2,
+      s"expected both size-based window nodes on GraftColumnarWindowExec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0,
+      s"no row WindowExec should remain for the size-based functions:\n$p")
+  }
+
   test("q179 RANGE running frame swaps to the deferred streaming window exec") {
     val df = run("q179_window_range_peers")
     df.collect()
