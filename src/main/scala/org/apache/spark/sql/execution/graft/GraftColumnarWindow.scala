@@ -1343,6 +1343,11 @@ case class GraftColumnarWindowExec(
     *    accumulators hold the group-closed values the deferred path
     *    would compute. Both cursors are strictly sequential (a spilled
     *    buffer pays two ordered reads, never per-row reader churn).
+    *
+    * A/B (FilterMicroBench winsize-*, sf0.1, 3 runs of min-of-5):
+    * ntile(10)+percent_rank+rank over 3 giant partitions 0.85-0.94x;
+    * cume_dist+RANGE-running sum/count over ~50 fat peer groups
+    * 0.99-1.04x — win-to-parity, ON by default.
     */
   private def sizeBasedRowPath(): RDD[InternalRow] = {
     val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
