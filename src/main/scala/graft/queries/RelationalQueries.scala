@@ -920,6 +920,52 @@ object RelationalQueries {
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
       doc = "Size-based window functions (ntile/percent_rank/cume_dist need the partition row count) — partition-buffered streaming emission with a peer-scout cursor for the RANGE-running cume_dist node; exact integer-division and cents check lanes."),
 
+    QueryDef(
+      "q188_window_mixed_kinds",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // MIXED evaluation kinds in ONE window spec — the shape Spark
+        // always produces when a query mixes `x OVER w` styles, since
+        // every expression sharing (PARTITION BY, ORDER BY) lands in a
+        // single WindowExec: a ROWS-running sum + row_number (streaming
+        // kind), lag + a finite ROWS min (streaming machines), ntile
+        // (size-based, partition-buffered), and two default-frame
+        // aggregates (RANGE running — deferred peer-close kind). No
+        // homogeneous exec can take the node whole; the mixed-kind
+        // splitter chains three per-kind nodes over the one sort and
+        // the plan pin asserts all three swapped. The ORDER BY is a
+        // verified total order, so every lane (incl. lag and ntile) is
+        // deterministic; money lanes are exact cents.
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        Tables.t(s, dir, "lineitem")
+          .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+            sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("run_cents"),
+            row_number().over(w).as("rn"),
+            lag($"l_orderkey", 1).over(w).as("prev_ok"),
+            min($"l_partkey").over(w.rowsBetween(-3, 0)).as("min_pk_4"),
+            ntile(5).over(w).as("quint"),
+            sum($"cents").over(w).as("range_cents"),
+            count(lit(1)).over(w).as("range_n"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+          sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
+          row_number() OVER w AS rn,
+          lag(l_orderkey, 1) OVER w AS prev_ok,
+          min(l_partkey) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS min_pk_4,
+          ntile(5) OVER w AS quint,
+          sum(cents) OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS range_cents,
+          count(*) OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS range_n
+        FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+      doc = "Mixed window evaluation kinds in one spec (running ROWS + ranking + lag + finite ROWS min + ntile + default RANGE frame) — the splitter chains three homogeneous graft nodes over one sort; total-order determinism, exact cents lanes."),
+
     // ----------------------------------------------------------------
     QueryDef(
       "q86_pivot",

@@ -89,7 +89,40 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
 
   override def preColumnarTransitions: Rule[SparkPlan] = new Rule[SparkPlan] {
     override val ruleName: String = "graft.Columnar"
-    override def apply(plan: SparkPlan): SparkPlan = if (!enabled(session)) plan else plan.transformUp {
+    override def apply(plan: SparkPlan): SparkPlan = if (!enabled(session)) plan else {
+      // pass 1 — mixed-kind window SPLIT (see splitMixedWindow): chains
+      // of homogeneous WindowExecs the swap pass below can take
+      var didSplit = false
+      val pre = if (!windowAggEnabled(session)) plan else plan.transformUp {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.getTagValue(splitWindowTag).isEmpty =>
+          splitMixedWindow(w) match {
+            case Some(p) => didSplit = true; p
+            case None => w
+          }
+      }
+      // pass 2 — the per-node columnar swap
+      val swapped = pre.transformUp(swapOne)
+      // pass 3 — merge-back: two ADJACENT split products BOTH left on
+      // the row WindowExec re-fuse into one node (one partition buffer
+      // instead of two; never worse than the unsplit original)
+      if (!didSplit) swapped else swapped.transformUp {
+        case w1: org.apache.spark.sql.execution.window.WindowExec
+            if w1.getTagValue(splitWindowTag).isDefined &&
+              w1.child.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec] &&
+              w1.child.getTagValue(splitWindowTag).isDefined =>
+          val w2 = w1.child.asInstanceOf[org.apache.spark.sql.execution.window.WindowExec]
+          val m = org.apache.spark.sql.execution.window.WindowExec(
+            w2.windowExpression ++ w1.windowExpression,
+            w1.partitionSpec, w1.orderSpec, w2.child)
+          m.setTagValue(splitWindowTag, ())
+          w1.getTagValue(fallbackReasonTag).orElse(w2.getTagValue(fallbackReasonTag))
+            .foreach(r => m.setTagValue(fallbackReasonTag, r))
+          m
+      }
+    }
+
+    private val swapOne: PartialFunction[SparkPlan, SparkPlan] = {
       case ProjectExec(projectList, child)
           if child.supportsColumnar &&
             projectList.forall(p => p.isInstanceOf[AttributeReference] &&
@@ -932,35 +965,6 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             scala.Right((ord(a), a.dataType))
           case other => scala.Left(s"unsupported window partition key: $other")
         }
-        import org.apache.spark.sql.catalyst.expressions.{RangeFrame, UnboundedFollowing}
-        // frame → evaluation kind: 0 streams per row; 1 closes at the
-        // peer group's end (the DEFAULT frame under ORDER BY); 2 closes
-        // at the partition's end (the no-ORDER-BY default)
-        def frameKind(f: org.apache.spark.sql.catalyst.expressions.WindowFrame): Option[Int] =
-          f match {
-            case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => Some(0)
-            case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => Some(1)
-            case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => Some(2)
-            case _ => None
-          }
-        // the EXCLUSIVE running frame (UNBOUNDED..1 PRECEDING — the
-        // distributed-prefix-sum shape): kind 0, value closes one row
-        // early (the previous row's accumulator snapshot)
-        def isExclFrame(f: org.apache.spark.sql.catalyst.expressions.WindowFrame): Boolean =
-          f match {
-            case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
-              org.apache.spark.sql.catalyst.expressions.Literal(-1, IntegerType)) => true
-            case _ => false
-          }
-        // finite ROWS frame in a MIXED node (a pure-sliding node took
-        // the GraftWindowSlidingExec case above): fn-13 slice specs
-        def slideFrame(f: org.apache.spark.sql.catalyst.expressions.WindowFrame)
-            : Option[(Long, Long)] = f match {
-          case SpecifiedWindowFrame(org.apache.spark.sql.catalyst.expressions.RowFrame,
-              loB, hiB) =>
-            for { lo <- slideBound(loB); hi <- slideBound(hiB) } yield (lo, hi)
-          case _ => None
-        }
         def compileRunning(
             af: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
             frame: org.apache.spark.sql.catalyst.expressions.WindowFrame)
@@ -1293,6 +1297,176 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         }
     }
 
+    /** Frame → evaluation kind for the streaming window family (shared
+      * by the catch-all WindowExec compile and the mixed-kind
+      * splitter): 0 streams per row (ROWS running); 1 closes at the
+      * peer group's end (RANGE running — the DEFAULT frame under ORDER
+      * BY); 2 closes at the partition's end (the no-ORDER-BY default).
+      */
+    private def frameKind(
+        f: org.apache.spark.sql.catalyst.expressions.WindowFrame): Option[Int] = {
+      import org.apache.spark.sql.catalyst.expressions._
+      f match {
+        case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => Some(0)
+        case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => Some(1)
+        case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => Some(2)
+        case _ => None
+      }
+    }
+
+    /** The EXCLUSIVE running frame (UNBOUNDED..1 PRECEDING — the
+      * distributed-prefix-sum shape): kind 0, value closes one row
+      * early (the previous row's accumulator snapshot). */
+    private def isExclFrame(
+        f: org.apache.spark.sql.catalyst.expressions.WindowFrame): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions._
+      f match {
+        case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+          Literal(-1, org.apache.spark.sql.types.IntegerType)) => true
+        case _ => false
+      }
+    }
+
+    /** Finite ROWS frame (fn-13 slice specs in a MIXED node; a
+      * pure-sliding node takes the GraftWindowSlidingExec case). */
+    private def slideFrame(
+        f: org.apache.spark.sql.catalyst.expressions.WindowFrame)
+        : Option[(Long, Long)] = f match {
+      case org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
+          org.apache.spark.sql.catalyst.expressions.RowFrame, loB, hiB) =>
+        for { lo <- slideBound(loB); hi <- slideBound(hiB) } yield (lo, hi)
+      case _ => None
+    }
+
+    /** Syntactic evaluation-group of one window expression for the
+      * mixed-kind splitter — which homogeneous node family it would
+      * land in, derived from the FRAME SHAPE and function class alone
+      * (exactly what decides WinAggSpec.kind in the catch-all compile).
+      * Type admission stays with the per-node compile: a split group
+      * that then fails a type check keeps the row path for itself and
+      * the merge-back pass re-fuses untaken neighbours, so a
+      * misclassification can cost a planning round-trip but never a
+      * wrong plan. Returns (kind, machine, sizeBased); machine marks
+      * the offset-ring / sliding-slice / exclusive-prefix specs the
+      * size-based buffered face refuses to mix with. None = shape the
+      * engine never compiles — the node keeps today's unsplit fallback.
+      */
+    private def winExprGroup(
+        ne: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+        : Option[(Int, Boolean, Boolean)] = {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.catalyst.expressions.aggregate._
+      ne match {
+        case Alias(WindowExpression(
+            AggregateExpression(af, Complete, false, None, _),
+            WindowSpecDefinition(_, _, frame)), _) =>
+          val known = af match {
+            case _: Sum | _: Count | _: Min | _: Max | _: Average |
+                _: First | _: Last => true
+            case _ => false
+          }
+          if (!known) None
+          else if (isExclFrame(frame)) Some((0, true, false))
+          else if (frameKind(frame).isDefined) Some((frameKind(frame).get, false, false))
+          else if (slideFrame(frame).isDefined) af match {
+            // first/last are not in the fn-13 slice set — a group
+            // holding one could never compile, so don't split on it
+            case _: First | _: Last => None
+            case _ => Some((0, true, false))
+          }
+          else None
+        case Alias(WindowExpression(f: FrameLessOffsetWindowFunction, _), _)
+            if f.isInstanceOf[Lag] || f.isInstanceOf[Lead] =>
+          Some((0, true, false))
+        case Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(_, _, frame)), _)
+            if frameKind(frame).contains(0) => Some((0, false, false))
+        case Alias(WindowExpression(_: Rank, WindowSpecDefinition(_, _, frame)), _)
+            if frameKind(frame).contains(0) => Some((0, false, false))
+        case Alias(WindowExpression(_: DenseRank, WindowSpecDefinition(_, _, frame)), _)
+            if frameKind(frame).contains(0) => Some((0, false, false))
+        case Alias(WindowExpression(_: NTile, WindowSpecDefinition(_, _, frame)), _)
+            if frameKind(frame).contains(0) => Some((0, false, true))
+        case Alias(WindowExpression(_: PercentRank, WindowSpecDefinition(_, _, frame)), _)
+            if frameKind(frame).contains(0) => Some((0, false, true))
+        case Alias(WindowExpression(_: CumeDist, WindowSpecDefinition(_, _, frame)), _)
+            if frameKind(frame).contains(1) => Some((1, false, true))
+        case Alias(WindowExpression(_: NthValue, WindowSpecDefinition(_, _, frame)), _)
+            if frameKind(frame).isDefined =>
+          Some((frameKind(frame).get, false, false))
+        case _ => None
+      }
+    }
+
+    /** Spark groups EVERY window expression sharing one (PARTITION BY,
+      * ORDER BY) spec into a single WindowExec, so `row_number() OVER w`
+      * next to `sum(x) OVER w` (whose DEFAULT frame under ORDER BY is
+      * the RANGE running frame — a deferred peer-close kind) is ONE node
+      * no homogeneous streaming exec can take whole: before this pass,
+      * the engine's most common window fallback. Split such a node into
+      * a CHAIN of per-kind WindowExecs over the same child — every node
+      * in the chain emits rows in input order, so the one sort below
+      * feeds the whole chain with no extra exchange or sort — plus an
+      * attribute-only Project restoring the original column order. The
+      * swap pass then takes each homogeneous node independently (a pure
+      * lag/lead group lands on GraftWindowOffsetExec, a pure finite-ROWS
+      * group on GraftWindowSlidingExec, running/deferred groups on
+      * GraftColumnarWindowExec), and the merge-back pass re-fuses
+      * adjacent nodes left unswapped, so the degenerate outcome is never
+      * worse than today's single row WindowExec. Buffering kinds sit at
+      * the BOTTOM of the chain where rows are narrowest; the streaming
+      * kind-0 group tops it. (Reference analogue: CometWindowExec
+      * serializes whole window nodes and falls back on any unsupported
+      * expression — `spark/sql/comet/CometWindowExec.scala`; splitting
+      * is the Spark-side answer because chained WindowExecs compose for
+      * free on one sort.)
+      *
+      * A/B (FilterMicroBench winmix-kinds, sf0.1, 5 runs of min-of-5):
+      * running sum + row_number + lag beside two default-RANGE aggs
+      * 0.89-0.99x (median 0.95x; one loaded-box run 1.20x) — parity to
+      * win locally, and the split moves the streaming group from the
+      * row exec's whole-partition buffer to O(1) accumulators, so the
+      * memory win compounds with partition skew at scale.
+      */
+    private def splitMixedWindow(
+        w: org.apache.spark.sql.execution.window.WindowExec): Option[SparkPlan] = {
+      if (w.partitionSpec.isEmpty || w.windowExpression.size < 2) return None
+      // unsupported partition keys fail EVERY split node the same way —
+      // skip the chain and keep the single row node
+      val partOk = w.partitionSpec.forall {
+        case a: AttributeReference =>
+          w.child.output.exists(_.exprId == a.exprId) &&
+            org.apache.spark.sql.execution.graft.GraftColumnarWindowExec
+              .supportedPartType(a.dataType)
+        case _ => false
+      }
+      if (!partOk) return None
+      val classed = w.windowExpression.map(e => winExprGroup(e).map(g => (e, g)))
+      if (classed.exists(_.isEmpty)) return None
+      val es = classed.flatten
+      // kind-0 splits size-based functions apart from the offset/
+      // sliding/exclusive machines only when both are present (the one
+      // kind-0 mix the partition-buffered face refuses); plain
+      // streaming specs stay with the machines — the streaming face is
+      // the cheaper home
+      val k0SizeApart = es.exists { case (_, (k, _, size)) => k == 0 && size } &&
+        es.exists { case (_, (k, m, _)) => k == 0 && m }
+      def gid(g: (Int, Boolean, Boolean)): Int = g match {
+        case (2, _, _) => 3
+        case (1, _, _) => 2
+        case (_, _, size) => if (k0SizeApart && size) 1 else 0
+      }
+      val groups = es.groupBy { case (_, g) => gid(g) }
+      if (groups.size < 2) return None
+      var cur: SparkPlan = w.child
+      groups.toSeq.sortBy(-_._1).foreach { case (_, ges) =>
+        val nw = org.apache.spark.sql.execution.window.WindowExec(
+          ges.map(_._1), w.partitionSpec, w.orderSpec, cur)
+        nw.setTagValue(splitWindowTag, ())
+        cur = nw
+      }
+      Some(ProjectExec(w.output, cur))
+    }
+
     /** Finite row offset of a ROWS-frame bound: CurrentRow is 0,
       * literal ints/longs are themselves, unbounded ends are None. */
     private def slideBound(
@@ -1409,6 +1583,11 @@ object GraftColumnarRule {
   /** Reason a candidate node stayed on the row path (the reference's
     * ExtendedExplainInfo surface). */
   val fallbackReasonTag: TreeNodeTag[String] = TreeNodeTag[String]("graft.columnar.fallback")
+
+  /** Marks the WindowExec nodes the mixed-kind splitter created (and
+    * their merge-backs) so the post-pass only re-fuses its own
+    * products, never user-visible plan shapes. */
+  val splitWindowTag: TreeNodeTag[Unit] = TreeNodeTag[Unit]("graft.window.split")
 
   /** Kill switch, mirroring the reference's per-operator enable flags
     * (spark.comet.exec.*.enabled): set false to keep every candidate on

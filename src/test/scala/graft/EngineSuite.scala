@@ -832,15 +832,154 @@ class EngineSuite extends GraftTestBase {
     assert(spilled.toSeq == plain.toSeq,
       "size-based emission over a spilled partition buffer diverged")
     // a node MIXING size-based kinds (ntile ROWS + cume_dist RANGE over
-    // one window spec) stays on the row WindowExec — and still answers
+    // one window spec) SPLITS into two homogeneous nodes — both swap
     val wMix = Window.partitionBy($"k").orderBy($"o")
-    val mixDf = spark.read.parquet(dir).select($"k",
+    def qMix() = spark.read.parquet(dir).select($"k", $"o",
       ntile(4).over(wMix).as("b"), cume_dist().over(wMix).as("cd"))
-    mixDf.collect()
+      .orderBy($"k", $"o")
+    val mixDf = qMix()
+    val mixOn = mixDf.collect()
     assert(findExec(mixDf) {
       case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
-    }.isEmpty, s"mixed-kind size-based node must keep the row path:\n${
+    }.isDefined, s"mixed-kind size-based node should split and swap:\n${
       mixDf.queryExecution.executedPlan}")
+    val mixOff = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qMix().collect() }
+    assert(mixOn.toSeq == mixOff.toSeq,
+      "split ntile+cume_dist node diverged from the row WindowExec")
+  }
+
+  test("mixed-kind window split: parity, routing, partial fallback and merge-back") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def countExec(df: org.apache.spark.sql.DataFrame)(
+        pf: PartialFunction[SparkPlan, Unit]): Int = {
+      def deep(n: SparkPlan): Int = n match {
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case q: QueryStageExec => deep(q.plan)
+        case other =>
+          (if (pf.isDefinedAt(other)) 1 else 0) + other.children.map(deep).sum
+      }
+      deep(df.queryExecution.executedPlan)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-winmixkind").toString
+    val sp = spark
+    import sp.implicits._
+    // 1-row partitions, a null-key partition, a hot partition, null
+    // values, and a decimal column the window kernels never admit
+    (1 to 20000).map { i =>
+      val k = if (i % 41 == 0) Some(-i.toLong)
+        else if (i % 17 == 0) None
+        else Some((i % 3).toLong)
+      val v = if (i % 9 == 0) None else Some((i % 97).toLong)
+      (k, i.toLong, v, BigDecimal(i).setScale(2))
+    }.toDF("k", "o", "v", "d")
+      .withColumn("d", $"d".cast("decimal(22,2)"))
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def read() = spark.read.parquet(dir)
+
+    // 1) three-kind mix (streaming machines + size-based + deferred
+    //    RANGE): all three split nodes swap; parity vs the row exec
+    def q3() = {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      read().select($"k", $"o",
+        sum($"v").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("rs"),
+        row_number().over(w).as("rn"),
+        lag($"o", 2).over(w).as("lo"),
+        min($"v").over(w.rowsBetween(-3, 0)).as("mv"),
+        ntile(4).over(w).as("nt"),
+        sum($"v").over(w).as("ds"),
+        count(lit(1)).over(w).as("dn"))
+        .orderBy($"k", $"o")
+    }
+    val d3 = q3()
+    val on3 = d3.collect()
+    assert(countExec(d3) {
+      case _: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec =>
+    } == 3, s"three-kind mix should split into three swapped nodes:\n${
+      d3.queryExecution.executedPlan}")
+    assert(countExec(d3) {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+    } == 0, s"no row WindowExec after the three-kind split:\n${
+      d3.queryExecution.executedPlan}")
+    val off3 = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { q3().collect() }
+    assert(on3.toSeq == off3.toSeq, "three-kind split diverged from the row exec")
+
+    // 2) a pure lag/lead group routes to the O(k) offset exec after the
+    //    split (not the partition-buffered catch-all)
+    def qOff() = {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      read().select($"k", $"o",
+        lag($"o", 1).over(w).as("lo"),
+        lead($"o", 1).over(w).as("nx"),
+        sum($"v").over(w).as("ds"))
+        .orderBy($"k", $"o")
+    }
+    val dOff = qOff()
+    val onOff = dOff.collect()
+    assert(findExec(dOff) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowOffsetExec => e
+    }.isDefined, s"the split lag/lead group should land on GraftWindowOffsetExec:\n${
+      dOff.queryExecution.executedPlan}")
+    assert(findExec(dOff) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+    }.isDefined, "the deferred RANGE group should swap too")
+    val offOff = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qOff().collect() }
+    assert(onOff.toSeq == offOff.toSeq, "offset+deferred split diverged")
+
+    // 3) PARTIAL fallback: the deferred group's decimal(22,2) sum never
+    //    compiles — its node keeps the row path while the streaming
+    //    group swaps; results stay right
+    def qPart() = {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      read().select($"k", $"o",
+        sum($"v").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("rs"),
+        sum($"d").over(w).as("dd"))
+        .orderBy($"k", $"o")
+    }
+    val dPart = qPart()
+    val onPart = dPart.collect()
+    assert(countExec(dPart) {
+      case _: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec =>
+    } == 1, s"the streaming group should swap alone:\n${
+      dPart.queryExecution.executedPlan}")
+    assert(countExec(dPart) {
+      case _: org.apache.spark.sql.execution.window.WindowExec =>
+    } == 1, s"the decimal deferred group should keep ONE row node:\n${
+      dPart.queryExecution.executedPlan}")
+    val offPart = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qPart().collect() }
+    assert(onPart.toSeq == offPart.toSeq, "partial split diverged")
+
+    // 4) MERGE-BACK: both kinds fail type admission (decimal sums) —
+    //    the chain re-fuses into ONE row WindowExec (one partition
+    //    buffer, the unsplit original)
+    def qMerge() = {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      read().select($"k", $"o",
+        sum($"d").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("rd"),
+        sum($"d").over(w).as("dd"))
+        .orderBy($"k", $"o")
+    }
+    val dMerge = qMerge()
+    val onMerge = dMerge.collect()
+    assert(countExec(dMerge) {
+      case _: org.apache.spark.sql.execution.window.WindowExec =>
+    } == 1, s"both-fail split must merge back to ONE row WindowExec:\n${
+      dMerge.queryExecution.executedPlan}")
+    assert(countExec(dMerge) {
+      case _: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec =>
+    } == 0, "nothing should swap in the merge-back case")
+    val offMerge = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qMerge().collect() }
+    assert(onMerge.toSeq == offMerge.toSeq, "merge-back diverged")
   }
 
   test("sliding ROWS frames: parity vs the row WindowExec incl. empty frames, nulls, partition edges") {
@@ -1269,36 +1408,63 @@ class EngineSuite extends GraftTestBase {
     df0.repartition(1).write.mode("overwrite").parquet(dir)
     withSQLConf(GraftColumnarRule.sortEnabledKey -> "true") {
       // mixed kinds in one node (streaming ROWS + deferred RANGE over
-      // the same spec) → no swap: one close point cannot serve both
+      // the same spec): the SPLITTER chains two homogeneous nodes and
+      // both swap (one close point cannot serve both in one node)
       val wRows = Window.partitionBy($"k").orderBy($"o")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wRange = Window.partitionBy($"k").orderBy($"o")
-      val d1 = spark.read.parquet(dir).select($"k",
+      def q1() = spark.read.parquet(dir).select($"k", $"o",
         sum($"v").over(wRows).as("sr"), sum($"v").over(wRange).as("sg"))
-      d1.collect()
+        .orderBy($"k", $"o")
+      val d1 = q1()
+      val on1 = d1.collect()
       assert(findExec(d1) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
-      }.isEmpty, "mixed streaming + deferred kinds must not swap")
-      // sliding ROWS frame → no swap
-      val wSlide = Window.partitionBy($"k").orderBy($"o").rowsBetween(-3, 0)
-      val d2 = spark.read.parquet(dir).select($"k", sum($"v").over(wSlide).as("s"))
+      }.isDefined, s"mixed streaming + deferred kinds should split and swap:\n${
+        d1.queryExecution.executedPlan}")
+      assert(findExec(d1) {
+        case e: org.apache.spark.sql.execution.window.WindowExec => e
+      }.isEmpty, "no row WindowExec should remain after the kind split")
+      val off1 = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { q1().collect() }
+      assert(on1.toSeq == off1.toSeq, "split streaming+deferred node diverged")
+      // a window FUNCTION the engine never compiles (collect_list)
+      // poisons the whole node: no split, single row WindowExec
+      val d2 = spark.read.parquet(dir).select($"k",
+        sum($"v").over(wRows).as("s"),
+        collect_list($"v").over(wRange).as("vs"))
       d2.collect()
       assert(findExec(d2) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
-      }.isEmpty, "sliding frame must not swap")
-      // partition-size-dependent function (ntile needs the partition
-      // count up front — not streamable) mixed in → whole node stays on
-      // the row path (row_number/rank/dense_rank DO swap — see the
-      // streaming ranking parity test)
-      val wRun = Window.partitionBy($"k").orderBy($"o")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      }.isEmpty, "a node holding collect_list must keep the row path whole")
+      // a backwards running frame (CURRENT ROW..UNBOUNDED FOLLOWING) is
+      // no streaming kind at all → row path
+      val wBack = Window.partitionBy($"k").orderBy($"o")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val d3 = spark.read.parquet(dir).select($"k",
-        sum($"v").over(wRun).as("s"),
-        ntile(4).over(Window.partitionBy($"k").orderBy($"o")).as("qt"))
+        sum($"v").over(wBack).as("s"),
+        sum($"v").over(wRows).as("sr"))
       d3.collect()
       assert(findExec(d3) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
-      }.isEmpty, "a node mixing ntile must not swap")
+      }.isEmpty, "a backwards running frame must keep the row path whole")
+      // a node mixing ntile with a plain running agg swaps WHOLE on the
+      // partition-buffered face (no split needed — both are kind 0)
+      val wRun = Window.partitionBy($"k").orderBy($"o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def q4() = spark.read.parquet(dir).select($"k", $"o",
+        sum($"v").over(wRun).as("s"),
+        ntile(4).over(Window.partitionBy($"k").orderBy($"o")).as("qt"))
+        .orderBy($"k", $"o")
+      val d4 = q4()
+      val on4 = d4.collect()
+      assert(findExec(d4) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isDefined, s"ntile + running agg should swap on the buffered face:\n${
+        d4.queryExecution.executedPlan}")
+      val off4 = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { q4().collect() }
+      assert(on4.toSeq == off4.toSeq, "ntile + running agg node diverged")
     }
   }
 

@@ -455,6 +455,24 @@ object FilterMicroBench {
             sum($"l_quantity").over(w.rowsBetween(
               Window.unboundedPreceding, Window.currentRow)).as("cum"))
       }),
+      // MIXED evaluation kinds in one spec (streaming running sum +
+      // row_number + lag, and two default-RANGE deferred aggs): the
+      // splitter chains two homogeneous graft nodes over the one sort
+      // vs the row exec's single node computing all five frames
+      "winmix-kinds" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber")
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag",
+            sum($"l_partkey").over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)).as("rs"),
+            row_number().over(w).as("rn"),
+            lag($"l_orderkey", 1).over(w).as("lo"),
+            sum($"l_suppkey").over(w).as("ds"),
+            count(lit(1)).over(w).as("dn"))
+      }),
       // size-based functions (partition-buffered face): kind-0 node —
       // ntile/percent_rank/rank over 3 giant partitions (the row exec
       // buffers the same partitions; the win is the single streaming

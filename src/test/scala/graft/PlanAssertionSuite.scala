@@ -586,6 +586,26 @@ class PlanAssertionSuite extends GraftTestBase {
       s"no row WindowExec should remain for the size-based functions:\n$p")
   }
 
+  test("q188 mixed-kind window node splits into three swapped graft nodes") {
+    // one WindowExec mixing streaming (running sum/row_number/lag/
+    // sliding min), size-based (ntile) and deferred RANGE-running
+    // kinds: the splitter chains three homogeneous nodes over the one
+    // sort and every one leaves the row exec
+    val df = run("q188_window_mixed_kinds")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val swapped = "GraftColumnarWindow".r.findAllIn(p).size
+    assert(swapped >= 3,
+      s"expected the three split window nodes on GraftColumnarWindowExec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0,
+      s"no row WindowExec should remain after the mixed-kind split:\n$p")
+    // ONE sort feeds the whole chain — splitting must not add sorts
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(sorts <= 2, // the window sort + the query's output ORDER BY
+      s"the split chain must reuse the single window sort:\n$p")
+  }
+
   test("q179 RANGE running frame swaps to the deferred streaming window exec") {
     val df = run("q179_window_range_peers")
     df.collect()
