@@ -2172,8 +2172,17 @@ case class GraftWindowSlidingExec(
               if (!nls(o)) { cntF(s) += 1; if (sp.fn == 0) accLF(s) += vl(o) }
             }
             while (loF(s) < from) {
-              val o = (loF(s) % vc).toInt
-              if (!nls(o)) { cntF(s) -= 1; if (sp.fn == 0) accLF(s) -= vl(o) }
+              // subtract ONLY indexes the add loop included: an EMPTY
+              // frame (partition-end clamp pushes `from` past `to`, so
+              // hiF stops at the last row) advances `from` over indexes
+              // that were never added — reading their ring slots would
+              // subtract stale values (the winFrameGen counterexample:
+              // a 1-row partition under a 3..4 FOLLOWING frame returned
+              // count = -2 from two never-written null flags)
+              if (loF(s) <= hiF(s)) {
+                val o = (loF(s) % vc).toInt
+                if (!nls(o)) { cntF(s) -= 1; if (sp.fn == 0) accLF(s) -= vl(o) }
+              }
               loF(s) += 1
             }
             if (sp.fn == 1) aggRow.update(s, cntF(s))
@@ -2183,12 +2192,20 @@ case class GraftWindowSlidingExec(
             val dq = dqS(s)
             val dc = dqCapS(s)
             val isMin = sp.fn == 2
+            // push ONLY indexes >= this frame's start: `from` never
+            // decreases across emissions, so an index below it can
+            // never enter any future frame — and skipping them is what
+            // BOUNDS the deque at its pow2(hi-lo+3) capacity. (A
+            // FOLLOWING frame's first emissions otherwise push the
+            // whole consumed prefix before any eviction: the seed-146
+            // hunt saw a 4-slot deque wrap at 5 candidates and emit a
+            // stale suffix minimum.)
             if (sp.lane == 0) {
               val vl = vLongS(s)
               while (hiF(s) < to) {
                 hiF(s) += 1
                 val o = (hiF(s) % vc).toInt
-                if (!nls(o)) {
+                if (!nls(o) && hiF(s) >= from) {
                   val x = vl(o)
                   var len = dqLen(s)
                   while (len > 0 && {
@@ -2204,7 +2221,7 @@ case class GraftWindowSlidingExec(
               while (hiF(s) < to) {
                 hiF(s) += 1
                 val o = (hiF(s) % vc).toInt
-                if (!nls(o)) {
+                if (!nls(o) && hiF(s) >= from) {
                   val x = vd(o)
                   var len = dqLen(s)
                   while (len > 0 && {
@@ -3080,7 +3097,12 @@ case class GraftWindowRangeSlideExec(
         private var nnStart = -1L
         private var nullTail = -1L
         private val loPtrS = new Array[Long](nS)
-        private val hiPtrS = new Array[Long](nS)
+        // -1, matching resetPart: a zero-init would hand the FIRST
+        // partition's first emission hp = max(0, lp-1) — a phantom
+        // include of index 0 when a strictly-preceding frame (hi < 0)
+        // is empty before the partition's first row (the winFrameGen
+        // counterexample: count(*) = 1 over RANGE -1..-1 on one row)
+        private val hiPtrS = Array.fill(nS)(-1L)
         private def resetPart(): Unit = {
           cons = 0; emitE = 0; nnStart = -1; nullTail = -1
           java.util.Arrays.fill(loPtrS, 0L)

@@ -1348,11 +1348,16 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       * misclassification can cost a planning round-trip but never a
       * wrong plan. Returns (kind, machine, sizeBased); machine marks
       * the offset-ring / sliding-slice / exclusive-prefix specs the
-      * size-based buffered face refuses to mix with. None = shape the
-      * engine never compiles — the node keeps today's unsplit fallback.
+      * size-based buffered face refuses to mix with; kind 3 is the
+      * classifier-only bucket for finite RANGE frames (the
+      * GraftWindowRangeSlideExec family — `rangeOrderType` carries the
+      * node's single attribute ORDER BY key type when one exists, so
+      * bound conversion is checked up front). None = shape the engine
+      * never compiles — the node keeps today's unsplit fallback.
       */
     private def winExprGroup(
-        ne: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+        ne: org.apache.spark.sql.catalyst.expressions.NamedExpression,
+        rangeOrderType: Option[org.apache.spark.sql.types.DataType])
         : Option[(Int, Boolean, Boolean)] = {
       import org.apache.spark.sql.catalyst.expressions._
       import org.apache.spark.sql.catalyst.expressions.aggregate._
@@ -1365,16 +1370,29 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 _: First | _: Last => true
             case _ => false
           }
+          val noFirstLast = af match {
+            case _: First | _: Last => false
+            case _ => true
+          }
           if (!known) None
           else if (isExclFrame(frame)) Some((0, true, false))
           else if (frameKind(frame).isDefined) Some((frameKind(frame).get, false, false))
-          else if (slideFrame(frame).isDefined) af match {
+          else if (slideFrame(frame).isDefined) {
             // first/last are not in the fn-13 slice set — a group
             // holding one could never compile, so don't split on it
-            case _: First | _: Last => None
-            case _ => Some((0, true, false))
+            if (noFirstLast) Some((0, true, false)) else None
           }
-          else None
+          else frame match {
+            // finite RANGE frame (rolling time/value window): its own
+            // chain node for the GraftWindowRangeSlideExec case — the
+            // time-series SELECT mixing a rolling 7-day avg with lag()
+            // or a running total is the second most common mixed node
+            case SpecifiedWindowFrame(RangeFrame, loB, hiB)
+                if noFirstLast && rangeOrderType.exists(ot =>
+                  rangeBound(loB, ot).isDefined && rangeBound(hiB, ot).isDefined) =>
+              Some((3, false, false))
+            case _ => None
+          }
         case Alias(WindowExpression(f: FrameLessOffsetWindowFunction, _), _)
             if f.isInstanceOf[Lag] || f.isInstanceOf[Lead] =>
           Some((0, true, false))
@@ -1440,7 +1458,28 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         case _ => false
       }
       if (!partOk) return None
-      val classed = w.windowExpression.map(e => winExprGroup(e).map(g => (e, g)))
+      // a single supported attribute ORDER BY key admits finite-RANGE
+      // groups (the GraftWindowRangeSlideExec shape)
+      val rangeOrderType = w.orderSpec match {
+        case scala.Seq(so) => so.child match {
+          case a: AttributeReference if w.child.output.exists(_.exprId == a.exprId) =>
+            a.dataType match {
+              case org.apache.spark.sql.types.ByteType |
+                  org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType |
+                  org.apache.spark.sql.types.LongType |
+                  org.apache.spark.sql.types.DateType |
+                  org.apache.spark.sql.types.TimestampType |
+                  org.apache.spark.sql.types.TimestampNTZType |
+                  org.apache.spark.sql.types.DoubleType => Some(a.dataType)
+              case _ => None
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+      val classed = w.windowExpression.map(e =>
+        winExprGroup(e, rangeOrderType).map(g => (e, g)))
       if (classed.exists(_.isEmpty)) return None
       val es = classed.flatten
       // kind-0 splits size-based functions apart from the offset/
@@ -1451,6 +1490,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       val k0SizeApart = es.exists { case (_, (k, _, size)) => k == 0 && size } &&
         es.exists { case (_, (k, m, _)) => k == 0 && m }
       def gid(g: (Int, Boolean, Boolean)): Int = g match {
+        case (3, _, _) => 4 // finite RANGE — the value-bounded ring exec
         case (2, _, _) => 3
         case (1, _, _) => 2
         case (_, _, size) => if (k0SizeApart && size) 1 else 0

@@ -980,6 +980,82 @@ class EngineSuite extends GraftTestBase {
     val offMerge = withSQLConf(
       GraftColumnarRule.windowAggEnabledKey -> "false") { qMerge().collect() }
     assert(onMerge.toSeq == offMerge.toSeq, "merge-back diverged")
+
+    // 5) the time-series mix: a finite RANGE frame (rolling value
+    //    window) beside lag + a running ROWS sum — the RANGE group
+    //    lands on the value-bounded ring exec, the streaming group on
+    //    the catch-all
+    def qRange() = {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      read().select($"k", $"o",
+        sum($"v").over(w.rangeBetween(-5, 0)).as("roll"),
+        lag($"o", 1).over(w).as("lo"),
+        sum($"v").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("rs"))
+        .orderBy($"k", $"o")
+    }
+    val dRange = qRange()
+    val onRange = dRange.collect()
+    assert(findExec(dRange) {
+      case e: org.apache.spark.sql.execution.graft.GraftWindowRangeSlideExec => e
+    }.isDefined, s"the split finite-RANGE group should land on the ring exec:\n${
+      dRange.queryExecution.executedPlan}")
+    assert(findExec(dRange) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+    }.isDefined, "the streaming lag+sum group should swap too")
+    assert(countExec(dRange) {
+      case _: org.apache.spark.sql.execution.window.WindowExec =>
+    } == 0, s"no row WindowExec after the RANGE split:\n${
+      dRange.queryExecution.executedPlan}")
+    val offRange = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qRange().collect() }
+    assert(onRange.toSeq == offRange.toSeq, "finite-RANGE split diverged")
+  }
+
+  test("strictly FOLLOWING/PRECEDING frames: pinned winFrameGen counterexamples") {
+    // three minimal cases the winFrameGen fuzz falsified once the
+    // mixed-kind splitter routed ROWS+RANGE mixes onto the dedicated
+    // execs — each pins a distinct kernel bug:
+    //  1. ROWS 3..4 on a 1-row partition: the incremental sum/count
+    //     exclusion loop subtracted ring slots the inclusion loop never
+    //     wrote (count = -2 from stale null flags)
+    //  2. RANGE -1..-1 on one row: first-partition hiPtrS started 0
+    //     (not resetPart's -1), phantom-including index 0 in an empty
+    //     strictly-preceding frame (count(*) = 1)
+    //  3. ROWS 16..17 over the seed-146 value prefix: the min-deque's
+    //     pow2(frame+3) ring overflowed on unevicted prefix candidates
+    //     and emitted a stale suffix minimum (2^45 instead of -246)
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val BIG = 1L << 45
+    val NBIG = -(1L << 44)
+    def chk(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val on = df.collect().toSeq
+      val off = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { df.collect().toSeq }
+      assert(on == off, s"$label diverged:\non =$on\noff=$off")
+    }
+    val one = Seq((0L, 0L, Option.empty[Long], Option.empty[Double]))
+      .toDF("k", "o", "v", "d")
+    val w34 = Window.partitionBy($"k").orderBy($"o").rowsBetween(3, 4)
+    chk(one.select($"k", $"o", count($"v").over(w34).as("c"),
+      sum($"v").over(w34).as("s")).orderBy($"o"), "rows 3..4 one-row")
+    val wr11 = Window.partitionBy($"k").orderBy($"o").rangeBetween(-1, -1)
+    chk(one.select($"k", $"o", count(lit(1)).over(wr11).as("rc"),
+      sum($"v").over(wr11).as("rs")).orderBy($"o"), "range -1..-1 one-row")
+    val seq146 = Seq[Option[Long]](Some(-865L), Some(563L), Some(BIG), None,
+      None, Some(-256L), Some(-376L), Some(NBIG), Some(79L), None, None,
+      Some(659L), Some(NBIG), Some(-642L), Some(-696L), None, Some(-246L),
+      Some(BIG), None, None, Some(119L), Some(-674L), Some(531L), Some(NBIG),
+      Some(-619L), Some(447L), None, Some(-949L))
+    val df146 = seq146.zipWithIndex.map { case (v, i) => (3L, i.toLong, v) }
+      .toDF("k", "o", "v")
+    val w1617 = Window.partitionBy($"k").orderBy($"o").rowsBetween(16, 17)
+    chk(df146.select($"k", $"o", min($"v").over(w1617).as("mn"),
+      max($"v").over(w1617).as("mx"),
+      sum($"v").over(w1617).as("s")).orderBy($"o"), "rows 16..17 deque")
   }
 
   test("sliding ROWS frames: parity vs the row WindowExec incl. empty frames, nulls, partition edges") {

@@ -488,7 +488,9 @@ object FuzzProps extends Properties("graft") {
           spark.conf.set("spark.graft.columnar.window.enabled", "false")
           q()
         } finally spark.conf.unset("spark.graft.columnar.window.enabled")
-        on == off
+        val ok = on == off
+        if (!ok) println(s"FAILCASE lo=$lo hi=$hi rows=$rows\nON =$on\nOFF=$off")
+        ok
       }
     }
 
