@@ -966,6 +966,55 @@ object RelationalQueries {
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
       doc = "Mixed window evaluation kinds in one spec (running ROWS + ranking + lag + finite ROWS min + ntile + default RANGE frame) — the splitter chains three homogeneous graft nodes over one sort; total-order determinism, exact cents lanes."),
 
+    QueryDef(
+      "q189_window_suffix",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // SUFFIX frames (CURRENT ROW .. UNBOUNDED FOLLOWING): Spark's
+        // UnboundedFollowingWindowFunctionFrame recomputes the whole
+        // remaining aggregate for EVERY output row — O(n^2) per
+        // partition, the reason "remaining total" queries get
+        // folk-rewritten as a reverse sort + running frame. The graft
+        // face block-combines the associative lanes in O(n): per-4096-
+        // row block aggregates, right-to-left block-suffix combine,
+        // then a staged forward emission — two sequential reads of the
+        // same spill-backed buffer the row exec fills anyway. ROWS
+        // suffix lanes ride the verified-unique total order; the RANGE
+        // suffix (frame opens at the row's FIRST PEER) rides the
+        // heavily-tied l_quantity order where peer groups share exact
+        // values.
+        val wt = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+        Tables.t(s, dir, "lineitem")
+          .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+            sum($"cents").over(wt.rowsBetween(Window.currentRow,
+              Window.unboundedFollowing)).as("remaining_cents"),
+            count(lit(1)).over(wt.rowsBetween(Window.currentRow,
+              Window.unboundedFollowing)).as("remaining_n"),
+            min($"l_partkey").over(wt.rowsBetween(Window.currentRow,
+              Window.unboundedFollowing)).as("min_pk_ahead"),
+            sum($"cents").over(wq.rangeBetween(Window.currentRow,
+              Window.unboundedFollowing)).as("rev_from_qty"),
+            count(lit(1)).over(wq.rangeBetween(Window.currentRow,
+              Window.unboundedFollowing)).as("n_from_qty"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+          sum(cents) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_cents,
+          count(*) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_n,
+          min(l_partkey) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS min_pk_ahead,
+          sum(cents) OVER (wq RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rev_from_qty,
+          count(*) OVER (wq RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_from_qty
+        FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+        WINDOW wt AS (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey),
+               wq AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+      doc = "Suffix frames (CURRENT ROW .. UNBOUNDED FOLLOWING) — block-combined O(n) remaining-total/count/min vs Spark's O(n^2) per-row recompute; RANGE suffix opens at the first peer over the tied quantity order; exact cents lanes."),
+
     // ----------------------------------------------------------------
     QueryDef(
       "q86_pivot",

@@ -459,6 +459,7 @@ case class GraftColumnarWindowExec(
   override protected def doExecute(): RDD[InternalRow] =
     if (specs.exists(_.fn >= 14)) sizeBasedRowPath()
     else if (specs.forall(_.kind == 0)) streamingRowPath()
+    else if (specs.head.kind >= 3) suffixRowPath()
     else deferredRowPath()
 
   /** Streaming row face for the shuffled window shape: one pass, one
@@ -1661,6 +1662,548 @@ case class GraftColumnarWindowExec(
               }
               s += 1
             }
+          }
+          proj(joined(r, aggRow))
+        }
+      }
+    }
+  }
+
+  /** Suffix-frame row face — every spec's frame is CURRENT ROW ..
+    * UNBOUNDED FOLLOWING (kind 3 = ROWS: each row gets its own suffix;
+    * kind 4 = RANGE: the frame opens at the row's FIRST PEER, so a peer
+    * group shares its head row's value; one node may mix both). Spark's
+    * UnboundedFollowingWindowFunctionFrame RECOMPUTES the aggregate
+    * from scratch for every output row — O(n^2) per partition (the
+    * reason "remaining total" queries are folk-rewritten as a reverse
+    * sort + running frame) — while every admitted lane (non-ANSI
+    * integral sum, count, count(*), long/double min/max) is
+    * ASSOCIATIVE, so suffix values combine from per-block aggregates in
+    * O(n):
+    *  - the partition buffers in Spark's own spill-backed
+    *    ExternalAppendOnlyUnsafeRowArray (exactly the row WindowExec's
+    *    bound for this frame);
+    *  - pass 1 (forward): one aggregate per `blockRows`-row block, then
+    *    blockSuf(b) right-to-left combines block b's aggregate with
+    *    blockSuf(b+1) — n/blockRows entries;
+    *  - pass 2 (forward emission): a stager iterator one block ahead of
+    *    the emitter loads the block's 9 B/row primitive values, seeds
+    *    the block-suffix state from blockSuf(b+1), and writes each
+    *    row's final value right-to-left; the emitter then joins rows
+    *    with their staged values in input order.
+    * Heap beyond the shared spill-backed buffer: O(blockRows x specs)
+    * staging + O(n/blockRows x specs) block accumulators — bounded, not
+    * data-proportional. Doubles are admitted for min/max only
+    * (associative, no accumulation); double/ANSI sums and avg keep the
+    * row path (block association changes result bits / the overflow
+    * position). ANSI long sums ARE admitted: a partition where every
+    * |v| <= 2^41 and n <= 2^21 cannot overflow any partial sum in any
+    * order (plain adds equal addExact, the row path cannot throw), and
+    * a partition past the bound runs an exact BigInteger lane — per-
+    * block (sum, maxPrefix, minPrefix) triples, suffix-combined, then a
+    * staged right-to-left walk deriving each row's true suffix sum and
+    * its LEFT-TO-RIGHT prefix extrema, so a row throws exactly where
+    * the row path's addExact would (e.g. [1, Long.Max, -10]: the first
+    * row's prefix 1 + Max overflows even though its total fits — a
+    * naive suffix-order combine would return a value where Spark
+    * throws). Iterating the frozen buffer with sibling iterators is
+    * the size-based face's scout pattern.
+    *
+    * A/B (FilterMicroBench winsuf-*, sf0.01, 3 runs of min-of-5):
+    * ~600-row partitions 0.35-0.49x; ~20k-row hot partitions
+    * 0.01-0.02x = 65-80x faster — and the gap grows linearly with
+    * partition size (the row side is quadratic), so at 100 TB hot
+    * partitions this is the difference between finishing and not.
+    * ON by default.
+    */
+  private def suffixRowPath(): RDD[InternalRow] = {
+    val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
+    val pIdx = partIdx.toArray
+    val pTypes = partTypes.toArray
+    val oIdx = orderIdx.toArray
+    val oTypes = orderTypes.toArray
+    val ss = specs.toArray
+    val childOut = child.output
+    val inTypes = ss.map(s => if (s.col >= 0) childOut(s.col).dataType else null)
+    val outAll = output
+    val byPeer = ss.exists(_.kind == 4)
+    val inMemThreshold = conf.windowExecBufferInMemoryThreshold
+    val spillThreshold = conf.windowExecBufferSpillThreshold
+    val spillSizeThreshold = conf.windowExecBufferSpillSizeThreshold
+    val blockRows = conf.getConfString(
+      GraftColumnarWindowExec.suffixBlockRowsKey, "4096").toInt
+    child.execute().mapPartitionsInternal { rows =>
+      val nS = ss.length
+      def rowLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
+        case ByteType => r.getByte(ord).toLong
+        case ShortType => r.getShort(ord).toLong
+        case IntegerType | DateType => r.getInt(ord).toLong
+        case BooleanType => if (r.getBoolean(ord)) 1L else 0L
+        case d: DecimalType => r.getDecimal(ord, d.precision, d.scale).toUnscaledLong
+        // double/float reach here only as PEER keys (normalized bits)
+        case DoubleType => GraftColumnarWindowExec.peerBits(r.getDouble(ord))
+        case FloatType => GraftColumnarWindowExec.peerBits(r.getFloat(ord).toDouble)
+        case _ => r.getLong(ord)
+      }
+      def rowDbl(r: InternalRow, ord: Int, dt: DataType): Double = dt match {
+        case FloatType => r.getFloat(ord).toDouble
+        case ByteType => r.getByte(ord).toDouble
+        case ShortType => r.getShort(ord).toDouble
+        case IntegerType => r.getInt(ord).toDouble
+        case LongType => r.getLong(ord).toDouble
+        case _ => r.getDouble(ord)
+      }
+      final class KeyCarry(idx: Array[Int], types: Array[DataType]) {
+        private val longs = new Array[Long](idx.length)
+        private val strs = new Array[org.apache.spark.unsafe.types.UTF8String](idx.length)
+        private val nulls = new Array[Boolean](idx.length)
+        def differs(r: InternalRow): Boolean = {
+          var k = 0
+          while (k < idx.length) {
+            val nl = r.isNullAt(idx(k))
+            val d =
+              if (nl != nulls(k)) true
+              else if (nl) false
+              else if (types(k) == StringType)
+                r.getUTF8String(idx(k)).compareTo(strs(k)) != 0
+              else rowLong(r, idx(k), types(k)) != longs(k)
+            if (d) return true
+            k += 1
+          }
+          false
+        }
+        def carry(r: InternalRow): Unit = {
+          var k = 0
+          while (k < idx.length) {
+            val nl = r.isNullAt(idx(k))
+            nulls(k) = nl
+            if (!nl) {
+              if (types(k) == StringType) strs(k) = r.getUTF8String(idx(k)).clone()
+              else longs(k) = rowLong(r, idx(k), types(k))
+            }
+            k += 1
+          }
+        }
+      }
+      val partCarry = new KeyCarry(pIdx, pTypes)
+      val peerCarry = if (byPeer) new KeyCarry(oIdx, oTypes) else null
+      val aggRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(nS)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAll.map(_.dataType).toArray)
+      def emitLong(s: Int, v: Long): Unit = ss(s).outType match {
+        case LongType | TimestampType | TimestampNTZType => aggRow.update(s, v)
+        case IntegerType | DateType => aggRow.update(s, v.toInt)
+        case ShortType => aggRow.update(s, v.toShort)
+        case ByteType => aggRow.update(s, v.toByte)
+        case BooleanType => aggRow.update(s, v != 0L)
+        case d: DecimalType =>
+          aggRow.update(s, org.apache.spark.sql.types.Decimal
+            .createUnsafe(v, d.precision, d.scale))
+        case _ => aggRow.update(s, v)
+      }
+      // per-spec block-suffix accumulators (sized to the partition's
+      // block count, grown on demand, suffix-combined in place) and
+      // per-block staging (the block's input values + each row's FINAL
+      // output value/null)
+      val sufL = Array.ofDim[Array[Long]](nS)
+      val sufD = Array.ofDim[Array[Double]](nS)
+      val sufSeen = Array.ofDim[Array[Boolean]](nS)
+      val stgL = new Array[Array[Long]](nS)
+      val stgD = new Array[Array[Double]](nS)
+      val stgNull = new Array[Array[Boolean]](nS)
+      val outL = new Array[Array[Long]](nS)
+      val outD = new Array[Array[Double]](nS)
+      val outNull = new Array[Array[Boolean]](nS)
+      // kind-4 latch: the value written at the peer group's head row
+      val latchL = new Array[Long](nS)
+      val latchD = new Array[Double](nS)
+      val latchNull = new Array[Boolean](nS)
+      val latchThrow = new Array[Boolean](nS)
+      // ANSI long sums: the SAFE-BOUND fast path (every |v| <= 2^41 and
+      // n <= 2^21 means no partial sum of ANY subset in ANY order can
+      // leave [-2^62, 2^62] — plain adds equal addExact and the row
+      // path cannot throw either, so the modular block combine is
+      // exact). A partition violating the bound runs the EXACT lane:
+      // per-block BigInteger (sum, maxPrefix, minPrefix) triples,
+      // suffix-combined, then a right-to-left staged walk deriving each
+      // row's true suffix sum and its prefix extrema — row k throws
+      // exactly when the row path's left-to-right addExact from k would
+      // (its max/min true prefix leaves the long range), at the same
+      // ascending emission position.
+      import java.math.BigInteger
+      val hasAnsi = ss.exists(s => s.fn == 0 && s.ansi)
+      val bigSum = new Array[Array[BigInteger]](nS)
+      val bigMaxP = new Array[Array[BigInteger]](nS)
+      val bigMinP = new Array[Array[BigInteger]](nS)
+      val outThrow = new Array[Array[Boolean]](nS)
+      val LONG_MAX = BigInteger.valueOf(Long.MaxValue)
+      val LONG_MIN = BigInteger.valueOf(Long.MinValue)
+      var ansiExact = false
+      var s0 = 0
+      while (s0 < nS) {
+        val sp = ss(s0)
+        if (sp.fn != 5) {
+          stgNull(s0) = new Array[Boolean](blockRows)
+          if (sp.lane == 1) stgD(s0) = new Array[Double](blockRows)
+          else stgL(s0) = new Array[Long](blockRows)
+        }
+        outNull(s0) = new Array[Boolean](blockRows)
+        if (sp.lane == 1) outD(s0) = new Array[Double](blockRows)
+        else outL(s0) = new Array[Long](blockRows)
+        if (sp.fn == 0 && sp.ansi) outThrow(s0) = new Array[Boolean](blockRows)
+        s0 += 1
+      }
+      new Iterator[InternalRow] {
+        private val buffer = new org.apache.spark.sql.execution
+          .ExternalAppendOnlyUnsafeRowArray(inMemThreshold, Long.MaxValue,
+            spillThreshold, spillSizeThreshold)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => buffer.clear()))
+        private var emitIter: Iterator[org.apache.spark.sql.catalyst.expressions.UnsafeRow] =
+          Iterator.empty
+        private var stager: Iterator[org.apache.spark.sql.catalyst.expressions.UnsafeRow] = _
+        private var held: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+        private var n = 0L
+        private var nBlocks = 0
+        private var emitPos = 0L
+        private var stagedBlock = -1
+        private var anyPeerYet = false
+        private def advancePartition(): Unit = {
+          if (!rows.hasNext && held == null) { emitIter = Iterator.empty; return }
+          buffer.clear()
+          emitPos = 0L; stagedBlock = -1; anyPeerYet = false
+          var ansiBig = false
+          if (held != null) { partCarry.carry(held); buffer.add(held); held = null }
+          var open = true
+          while (open && rows.hasNext) {
+            val row = rows.next().asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+            inM.add(1)
+            if (buffer.length > 0 && partCarry.differs(row)) {
+              held = row.copy(); open = false
+            } else { partCarry.carry(row); buffer.add(row) }
+          }
+          n = buffer.length
+          grpM.add(1)
+          nBlocks = ((n + blockRows - 1) / blockRows).toInt
+          var s = 0
+          while (s < nS) {
+            if (sufL(s) == null || sufL(s).length < nBlocks) {
+              sufL(s) = new Array[Long](nBlocks)
+              sufD(s) = new Array[Double](nBlocks)
+              sufSeen(s) = new Array[Boolean](nBlocks)
+            }
+            s += 1
+          }
+          // pass 1 — per-block aggregates (forward; all lanes are
+          // associative so forward build order is free)
+          val scan = buffer.generateIterator()
+          var i = 0L
+          var b = 0
+          var accL = new Array[Long](nS)
+          var accCnt = new Array[Long](nS)
+          var accD = new Array[Double](nS)
+          var accSeen = new Array[Boolean](nS)
+          def flushBlock(): Unit = {
+            var t = 0
+            while (t < nS) {
+              val sp = ss(t)
+              sp.fn match {
+                case 1 | 5 => sufL(t)(b) = accCnt(t); sufSeen(t)(b) = true
+                case _ =>
+                  sufSeen(t)(b) = accSeen(t)
+                  if (sp.lane == 1) sufD(t)(b) = accD(t) else sufL(t)(b) = accL(t)
+              }
+              accCnt(t) = 0L; accL(t) = 0L; accD(t) = 0.0; accSeen(t) = false
+              t += 1
+            }
+          }
+          while (scan.hasNext) {
+            val r = scan.next()
+            var t = 0
+            while (t < nS) {
+              val sp = ss(t)
+              sp.fn match {
+                case 5 => accCnt(t) += 1
+                case 1 => if (!r.isNullAt(sp.col)) accCnt(t) += 1
+                case 0 =>
+                  if (!r.isNullAt(sp.col)) {
+                    val x = rowLong(r, sp.col, inTypes(t))
+                    accL(t) += x; accSeen(t) = true
+                    if (sp.ansi && (x > GraftWindowSlidingExec.ansiSafeAbs ||
+                      x < -GraftWindowSlidingExec.ansiSafeAbs)) ansiBig = true
+                  }
+                case _ => // 2 | 3 min/max
+                  if (!r.isNullAt(sp.col)) {
+                    if (sp.lane == 1) {
+                      val x = rowDbl(r, sp.col, inTypes(t))
+                      val c = SQLOrderingUtil.compareDoubles(x, accD(t))
+                      if (!accSeen(t) || (if (sp.fn == 2) c < 0 else c > 0)) accD(t) = x
+                    } else {
+                      val x = rowLong(r, sp.col, inTypes(t))
+                      if (!accSeen(t) ||
+                        (if (sp.fn == 2) x < accL(t) else x > accL(t))) accL(t) = x
+                    }
+                    accSeen(t) = true
+                  }
+              }
+              t += 1
+            }
+            i += 1
+            if (i % blockRows == 0) { flushBlock(); b += 1 }
+          }
+          if (i % blockRows != 0) flushBlock()
+          // right-to-left block-suffix combine, in place
+          var bb = nBlocks - 2
+          while (bb >= 0) {
+            var t = 0
+            while (t < nS) {
+              val sp = ss(t)
+              sp.fn match {
+                case 1 | 5 => sufL(t)(bb) += sufL(t)(bb + 1)
+                case 0 =>
+                  sufL(t)(bb) += sufL(t)(bb + 1)
+                  sufSeen(t)(bb) = sufSeen(t)(bb) || sufSeen(t)(bb + 1)
+                case _ =>
+                  if (sufSeen(t)(bb + 1)) {
+                    if (!sufSeen(t)(bb)) {
+                      if (sp.lane == 1) sufD(t)(bb) = sufD(t)(bb + 1)
+                      else sufL(t)(bb) = sufL(t)(bb + 1)
+                      sufSeen(t)(bb) = true
+                    } else if (sp.lane == 1) {
+                      val c = SQLOrderingUtil.compareDoubles(sufD(t)(bb + 1), sufD(t)(bb))
+                      if (if (sp.fn == 2) c < 0 else c > 0) sufD(t)(bb) = sufD(t)(bb + 1)
+                    } else {
+                      val x = sufL(t)(bb + 1)
+                      if (if (sp.fn == 2) x < sufL(t)(bb) else x > sufL(t)(bb))
+                        sufL(t)(bb) = x
+                    }
+                  }
+              }
+              t += 1
+            }
+            bb -= 1
+          }
+          // EXACT ANSI lane (rare: |v| > 2^41 seen or n > 2^21): one
+          // more sequential scan builds per-block BigInteger
+          // (sum, maxPrefix, minPrefix) triples, then the right-to-left
+          // combine turns them into block-START suffix triples — the
+          // stage walk's cross-block seeds
+          ansiExact = hasAnsi && (ansiBig || n > (1L << 21))
+          if (ansiExact) {
+            var t = 0
+            while (t < nS) {
+              val sp = ss(t)
+              if (sp.fn == 0 && sp.ansi) {
+                if (bigSum(t) == null || bigSum(t).length < nBlocks) {
+                  bigSum(t) = new Array[BigInteger](nBlocks)
+                  bigMaxP(t) = new Array[BigInteger](nBlocks)
+                  bigMinP(t) = new Array[BigInteger](nBlocks)
+                }
+              }
+              t += 1
+            }
+            val scan2 = buffer.generateIterator()
+            var i2 = 0L
+            var b2 = 0
+            val curS = Array.fill[BigInteger](nS)(BigInteger.ZERO)
+            val curMx = new Array[BigInteger](nS)
+            val curMn = new Array[BigInteger](nS)
+            def flush2(): Unit = {
+              var t = 0
+              while (t < nS) {
+                if (ss(t).fn == 0 && ss(t).ansi) {
+                  bigSum(t)(b2) = curS(t)
+                  bigMaxP(t)(b2) = curMx(t)
+                  bigMinP(t)(b2) = curMn(t)
+                  curS(t) = BigInteger.ZERO; curMx(t) = null; curMn(t) = null
+                }
+                t += 1
+              }
+            }
+            while (scan2.hasNext) {
+              val r = scan2.next()
+              var t = 0
+              while (t < nS) {
+                val sp = ss(t)
+                if (sp.fn == 0 && sp.ansi && !r.isNullAt(sp.col)) {
+                  curS(t) = curS(t).add(
+                    BigInteger.valueOf(rowLong(r, sp.col, inTypes(t))))
+                  if (curMx(t) == null || curS(t).compareTo(curMx(t)) > 0)
+                    curMx(t) = curS(t)
+                  if (curMn(t) == null || curS(t).compareTo(curMn(t)) < 0)
+                    curMn(t) = curS(t)
+                }
+                t += 1
+              }
+              i2 += 1
+              if (i2 % blockRows == 0) { flush2(); b2 += 1 }
+            }
+            if (i2 % blockRows != 0) flush2()
+            var b3 = nBlocks - 2
+            while (b3 >= 0) {
+              var t = 0
+              while (t < nS) {
+                if (ss(t).fn == 0 && ss(t).ansi) {
+                  val sBlk = bigSum(t)(b3)
+                  val nextMx = bigMaxP(t)(b3 + 1)
+                  val nextMn = bigMinP(t)(b3 + 1)
+                  if (nextMx != null) {
+                    val shifted = sBlk.add(nextMx)
+                    if (bigMaxP(t)(b3) == null ||
+                      shifted.compareTo(bigMaxP(t)(b3)) > 0) bigMaxP(t)(b3) = shifted
+                  }
+                  if (nextMn != null) {
+                    val shifted = sBlk.add(nextMn)
+                    if (bigMinP(t)(b3) == null ||
+                      shifted.compareTo(bigMinP(t)(b3)) < 0) bigMinP(t)(b3) = shifted
+                  }
+                  bigSum(t)(b3) = sBlk.add(bigSum(t)(b3 + 1))
+                }
+                t += 1
+              }
+              b3 -= 1
+            }
+          }
+          stager = buffer.generateIterator()
+          emitIter = buffer.generateIterator()
+        }
+        /** Load block `b`'s values through the stager (it is positioned
+          * exactly at the block's first row) and write each row's FINAL
+          * suffix value right-to-left, seeded by blockSuf(b+1). */
+        private def stageBlock(b: Int): Unit = {
+          val start = b.toLong * blockRows
+          val len = (math.min(n, start + blockRows) - start).toInt
+          var j = 0
+          while (j < len) {
+            val r = stager.next()
+            var t = 0
+            while (t < nS) {
+              val sp = ss(t)
+              if (sp.fn != 5) {
+                val nl = r.isNullAt(sp.col)
+                stgNull(t)(j) = nl
+                if (!nl) {
+                  if (sp.lane == 1) stgD(t)(j) = rowDbl(r, sp.col, inTypes(t))
+                  else stgL(t)(j) = rowLong(r, sp.col, inTypes(t))
+                }
+              }
+              t += 1
+            }
+            j += 1
+          }
+          var t = 0
+          while (t < nS) {
+            val sp = ss(t)
+            val hasNext = b + 1 < nBlocks
+            if (sp.fn == 0 && sp.ansi && ansiExact) {
+              // exact ANSI walk: true suffix sum S plus the max/min of
+              // the row path's left-to-right true prefixes —
+              //   Mrow(k) = v(k) + max(0, Mrow(k+1))   (null v: carry)
+              // a row throws exactly when its extrema leave long range
+              var s2: BigInteger = if (hasNext) bigSum(t)(b + 1) else BigInteger.ZERO
+              var mx: BigInteger = if (hasNext) bigMaxP(t)(b + 1) else null
+              var mn: BigInteger = if (hasNext) bigMinP(t)(b + 1) else null
+              var k = len - 1
+              while (k >= 0) {
+                if (!stgNull(t)(k)) {
+                  val v = BigInteger.valueOf(stgL(t)(k))
+                  s2 = s2.add(v)
+                  mx = v.add(if (mx == null || mx.signum() <= 0) BigInteger.ZERO else mx)
+                  mn = v.add(if (mn == null || mn.signum() >= 0) BigInteger.ZERO
+                    else mn)
+                }
+                if (mx == null) { // no non-null values in the suffix
+                  outNull(t)(k) = true; outThrow(t)(k) = false
+                } else if (mx.compareTo(LONG_MAX) > 0 || mn.compareTo(LONG_MIN) < 0) {
+                  outNull(t)(k) = false; outThrow(t)(k) = true
+                } else {
+                  outNull(t)(k) = false; outThrow(t)(k) = false
+                  outL(t)(k) = s2.longValue()
+                }
+                k -= 1
+              }
+              t += 1
+            } else {
+            var accL = if (hasNext) sufL(t)(b + 1) else 0L
+            var accD = if (hasNext) sufD(t)(b + 1) else 0.0
+            var seen = hasNext && sufSeen(t)(b + 1)
+            var cnt = if (hasNext && (sp.fn == 1 || sp.fn == 5)) sufL(t)(b + 1) else 0L
+            var k = len - 1
+            while (k >= 0) {
+              sp.fn match {
+                case 5 =>
+                  cnt += 1
+                  outL(t)(k) = cnt; outNull(t)(k) = false
+                case 1 =>
+                  if (!stgNull(t)(k)) cnt += 1
+                  outL(t)(k) = cnt; outNull(t)(k) = false
+                case 0 =>
+                  if (!stgNull(t)(k)) { accL += stgL(t)(k); seen = true }
+                  if (seen) { outL(t)(k) = accL; outNull(t)(k) = false }
+                  else outNull(t)(k) = true
+                case _ => // 2 | 3
+                  if (!stgNull(t)(k)) {
+                    if (sp.lane == 1) {
+                      val x = stgD(t)(k)
+                      val c = SQLOrderingUtil.compareDoubles(x, accD)
+                      if (!seen || (if (sp.fn == 2) c < 0 else c > 0)) accD = x
+                    } else {
+                      val x = stgL(t)(k)
+                      if (!seen || (if (sp.fn == 2) x < accL else x > accL)) accL = x
+                    }
+                    seen = true
+                  }
+                  if (seen) {
+                    if (sp.lane == 1) outD(t)(k) = accD else outL(t)(k) = accL
+                    outNull(t)(k) = false
+                  } else outNull(t)(k) = true
+              }
+              k -= 1
+            }
+            t += 1
+            }
+          }
+          stagedBlock = b
+        }
+        override def hasNext: Boolean = {
+          if (emitIter.hasNext) true
+          else { advancePartition(); emitIter.hasNext }
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = emitIter.next()
+          val i = emitPos
+          emitPos += 1
+          val b = (i / blockRows).toInt
+          if (b != stagedBlock) stageBlock(b)
+          val j = (i - b.toLong * blockRows).toInt
+          val newPeer = byPeer && (!anyPeerYet || peerCarry.differs(r))
+          if (byPeer && newPeer) { peerCarry.carry(r); anyPeerYet = true }
+          var t = 0
+          while (t < nS) {
+            val sp = ss(t)
+            val useLatch = sp.kind == 4
+            if (useLatch && newPeer) {
+              latchNull(t) = outNull(t)(j)
+              latchThrow(t) = outThrow(t) != null && outThrow(t)(j)
+              if (sp.lane == 1) latchD(t) = outD(t)(j) else latchL(t) = outL(t)(j)
+            }
+            // the row path evaluates rows ascending and throws at the
+            // first frame whose ANSI sum overflows — same position here
+            if (if (useLatch) latchThrow(t)
+                else outThrow(t) != null && outThrow(t)(j))
+              throw org.apache.spark.sql.errors.QueryExecutionErrors
+                .arithmeticOverflowError("long overflow", "try_add", null)
+            val isNull = if (useLatch) latchNull(t) else outNull(t)(j)
+            if (isNull) aggRow.setNullAt(t)
+            else if (sp.lane == 1) {
+              val x = if (useLatch) latchD(t) else outD(t)(j)
+              if (sp.outType == FloatType) aggRow.update(t, x.toFloat)
+              else aggRow.update(t, x)
+            } else emitLong(t, if (useLatch) latchL(t) else outL(t)(j))
+            t += 1
           }
           proj(joined(r, aggRow))
         }
@@ -3287,6 +3830,11 @@ object GraftWindowRangeSlideExec {
 }
 
 object GraftColumnarWindowExec {
+  /** Rows per suffix-frame staging block (pass-2 value arrays are this
+    * long; block-suffix accumulators number n/blockRows). 4,096 default
+    * balances staging heap (~9 B/row/spec) against block-array size. */
+  val suffixBlockRowsKey = "spark.graft.columnar.window.suffix.blockRows"
+
   /** Partition-key types the streaming boundary check handles: the
     * long-family lane plus strings. Double keys are excluded — NaN/-0.0
     * grouping equality is normalized upstream on the row path and not

@@ -1023,7 +1023,24 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               case other =>
                 scala.Left(s"unsupported window aggregate: $other (${other.dataType})")
             }
-            if (excl) base.map(_.copy(excl = true)) else base
+            val gated = base.flatMap { spec =>
+              // SUFFIX frames admit the ASSOCIATIVE lanes: block suffix
+              // combination reorders the accumulation, which is free
+              // for modular long sums / counts / min-max but changes
+              // double-sum and avg BITS — those keep the row path. ANSI
+              // long sums ARE admitted: the face runs a safe-bound fast
+              // path (no overflow possible in any order) or an exact
+              // BigInteger prefix-extrema pass reproducing the row
+              // path's throw-or-value per row
+              if (spec.kind >= 3 && !(spec.fn == 1 || spec.fn == 5 ||
+                  spec.fn == 2 || spec.fn == 3 ||
+                  (spec.fn == 0 && spec.lane == 0)))
+                scala.Left("suffix frame (CURRENT ROW .. UNBOUNDED FOLLOWING) " +
+                  "supports associative lanes only (integral sum, count, " +
+                  "min/max); double sums and avg keep the row path")
+              else scala.Right(spec)
+            }
+            if (excl) gated.map(_.copy(excl = true)) else gated
         }
         val compiled: Seq[Either[String, WinAggSpec]] = w.windowExpression.map {
           case Alias(WindowExpression(
@@ -1156,7 +1173,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 org.apache.spark.sql.catalyst.expressions.Literal(n: Int, IntegerType),
                 ign),
               WindowSpecDefinition(_, _, frame)), _)
-              if frameKind(frame).isDefined && ord(a) >= 0 && n > 0 &&
+              if frameKind(frame).exists(_ <= 2) && ord(a) >= 0 && n > 0 &&
                 org.apache.spark.sql.execution.graft.GraftWindowOffsetExec
                   .supportedType(a.dataType) =>
             scala.Right(WinAggSpec(11, ord(a), 3, a.dataType, ansi = false,
@@ -1180,12 +1197,14 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             // deferred kinds (1: peer-group close, 2: partition close)
             // need group buffering with one shared close point — mixing
             // evaluation kinds in one node would need per-row value
-            // storage, so only homogeneous nodes swap
-            // RANGE running frames AND rank/dense_rank both detect peer
-            // groups on the node's ORDER BY keys
-            val needPeerKeys = kinds.head == 1 ||
+            // storage, so only homogeneous nodes swap. Exception: the
+            // SUFFIX kinds 3 (ROWS) and 4 (RANGE) share one
+            // block-combined face and may mix freely.
+            // RANGE running frames, rank/dense_rank AND the RANGE
+            // suffix all detect peer groups on the node's ORDER BY keys
+            val needPeerKeys = kinds.head == 1 || kinds.contains(4) ||
               sp.exists(s => s.fn == 7 || s.fn == 8 || s.fn == 15)
-            if (kinds.size > 1) {
+            if (kinds.size > 1 && !kinds.forall(k => k == 3 || k == 4)) {
               w.setTagValue(fallbackReasonTag,
                 "mixed window frame kinds in one node (streaming + deferred)"); w
             } else if (sp.exists(_.fn >= 14) &&
@@ -1301,7 +1320,10 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       * by the catch-all WindowExec compile and the mixed-kind
       * splitter): 0 streams per row (ROWS running); 1 closes at the
       * peer group's end (RANGE running — the DEFAULT frame under ORDER
-      * BY); 2 closes at the partition's end (the no-ORDER-BY default).
+      * BY); 2 closes at the partition's end (the no-ORDER-BY default);
+      * 3/4 are the SUFFIX frames (CURRENT ROW .. UNBOUNDED FOLLOWING,
+      * ROWS/RANGE — block-combined O(n) where Spark's
+      * UnboundedFollowingWindowFunctionFrame recomputes O(n^2)).
       */
     private def frameKind(
         f: org.apache.spark.sql.catalyst.expressions.WindowFrame): Option[Int] = {
@@ -1310,6 +1332,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => Some(0)
         case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => Some(1)
         case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => Some(2)
+        case SpecifiedWindowFrame(RowFrame, CurrentRow, UnboundedFollowing) => Some(3)
+        case SpecifiedWindowFrame(RangeFrame, CurrentRow, UnboundedFollowing) => Some(4)
         case _ => None
       }
     }
@@ -1386,11 +1410,13 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             // finite RANGE frame (rolling time/value window): its own
             // chain node for the GraftWindowRangeSlideExec case — the
             // time-series SELECT mixing a rolling 7-day avg with lag()
-            // or a running total is the second most common mixed node
+            // or a running total is the second most common mixed node.
+            // 6 is a classifier-only bucket id (kinds 3/4 are the
+            // suffix frames, already returned by frameKind above)
             case SpecifiedWindowFrame(RangeFrame, loB, hiB)
                 if noFirstLast && rangeOrderType.exists(ot =>
                   rangeBound(loB, ot).isDefined && rangeBound(hiB, ot).isDefined) =>
-              Some((3, false, false))
+              Some((6, false, false))
             case _ => None
           }
         case Alias(WindowExpression(f: FrameLessOffsetWindowFunction, _), _)
@@ -1490,7 +1516,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       val k0SizeApart = es.exists { case (_, (k, _, size)) => k == 0 && size } &&
         es.exists { case (_, (k, m, _)) => k == 0 && m }
       def gid(g: (Int, Boolean, Boolean)): Int = g match {
-        case (3, _, _) => 4 // finite RANGE — the value-bounded ring exec
+        case (6, _, _) => 5 // finite RANGE — the value-bounded ring exec
+        case (3, _, _) | (4, _, _) => 4 // suffix frames share one face
         case (2, _, _) => 3
         case (1, _, _) => 2
         case (_, _, size) => if (k0SizeApart && size) 1 else 0

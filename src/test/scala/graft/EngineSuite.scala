@@ -1012,6 +1012,132 @@ class EngineSuite extends GraftTestBase {
     assert(onRange.toSeq == offRange.toSeq, "finite-RANGE split diverged")
   }
 
+  test("suffix frames (CURRENT ROW .. UNBOUNDED FOLLOWING): block-combined parity") {
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-winsuf").toString
+    val sp2 = spark
+    import sp2.implicits._
+    // 1-row partitions, a null-key partition, a hot multi-block
+    // partition, null values, heavy ORDER-BY ties (RANGE suffix peer
+    // groups), and |v| beyond 2^41 (sums stay modular — non-ANSI)
+    (1 to 30000).map { i =>
+      val k = if (i % 41 == 0) Some(-i.toLong)
+        else if (i % 17 == 0) None
+        else Some((i % 3).toLong)
+      val v = if (i % 9 == 0) None
+        else if (i % 401 == 0) Some(1L << 45)
+        else Some((i % 211).toLong - 100L)
+      val d = if (i % 7 == 0) None else Some((i % 97).toDouble - 48.5)
+      (k, i.toLong, (i % 13).toLong, v, d)
+    }.toDF("k", "o", "t", "v", "d")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    def read() = spark.read.parquet(dir)
+    // ROWS suffix (per-row) + RANGE suffix (per-peer-group, tied key t)
+    // in ONE node — kinds 3 and 4 share the block-combined face
+    def q() = {
+      val wr = Window.partitionBy($"k").orderBy($"t")
+      read().select($"k", $"o", $"t",
+        sum($"v").over(wr.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("sfx_sum"),
+        count($"v").over(wr.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("sfx_cnt"),
+        min($"v").over(wr.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("sfx_min"),
+        max($"d").over(wr.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("sfx_maxd"),
+        count(lit(1)).over(wr.rangeBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("peer_n"),
+        sum($"v").over(wr.rangeBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("peer_sum"))
+        .orderBy($"k", $"t", $"o")
+    }
+    // NOTE: ROWS-suffix lanes over a TIED order are engine-arbitrary per
+    // row; parity still holds because both runs see the same row order
+    // from the same single sort — the dual-run axes cover the shuffled
+    // variants via q189's total order
+    val dOn = q()
+    val on = dOn.collect()
+    assert(findExec(dOn) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+    }.isDefined, s"the suffix node should swap:\n${dOn.queryExecution.executedPlan}")
+    val off = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "suffix node diverged from the row WindowExec")
+    // tiny blocks: many block boundaries + block-suffix combines
+    val tiny = withSQLConf(
+      "spark.graft.columnar.window.suffix.blockRows" -> "16") { q().collect() }
+    assert(tiny.toSeq == off.toSeq, "16-row-block suffix emission diverged")
+    // spilled partition buffer: both passes re-read the spilled rows
+    val spilled = withSQLConf(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "64") { q().collect() }
+    assert(spilled.toSeq == off.toSeq, "spilled suffix emission diverged")
+    // suffix + running kinds in one SPEC mix: the splitter chains two
+    // swapped nodes
+    def qMix() = {
+      val w = Window.partitionBy($"k").orderBy($"o")
+      read().select($"k", $"o",
+        sum($"v").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("remaining"),
+        sum($"v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running"),
+        row_number().over(w).as("rn"))
+        .orderBy($"k", $"o")
+    }
+    val dMix = qMix()
+    val onMix = dMix.collect()
+    assert(findExec(dMix) {
+      case e: org.apache.spark.sql.execution.window.WindowExec => e
+    }.isEmpty, s"suffix+running mix should fully split and swap:\n${
+      dMix.queryExecution.executedPlan}")
+    val offMix = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qMix().collect() }
+    assert(onMix.toSeq == offMix.toSeq, "suffix+running split diverged")
+    // non-associative suffix lanes (avg, double sum) keep the row path
+    val dAvg = read().select($"k",
+      avg($"v").over(Window.partitionBy($"k").orderBy($"o")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("a"))
+    dAvg.collect()
+    assert(findExec(dAvg) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+    }.isEmpty, "avg over a suffix frame must keep the row path")
+    // exact ANSI lane, throw-parity: [1, Max, -10] overflows the row
+    // path's LEFT-TO-RIGHT prefix at the first row (1 + Max) even
+    // though the suffix-order total (Max - 9) fits — a naive
+    // right-to-left combine would return a value where Spark throws
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-winsufansi").toString
+    Seq(
+      (1L, 1L, Option(1L)), (1L, 2L, Option(Long.MaxValue)), (1L, 3L, Option(-10L)),
+      (2L, 1L, Option(Long.MaxValue)), (2L, 2L, Option(-10L)), (2L, 3L, Option(5L)),
+      (3L, 1L, Option(7L)), (3L, 2L, Option.empty[Long]), (3L, 3L, Option(9L)))
+      .toDF("k", "o", "v").repartition(1).write.mode("overwrite").parquet(dir2)
+    val wSfx = Window.partitionBy($"k").orderBy($"o")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    withSQLConf("spark.sql.ansi.enabled" -> "true") {
+      def qThrow() = spark.read.parquet(dir2).filter($"k" === 1L)
+        .select($"k", $"o", sum($"v").over(wSfx).as("s")).orderBy($"o")
+      intercept[Throwable] { qThrow().collect() }
+      withSQLConf(GraftColumnarRule.windowAggEnabledKey -> "false") {
+        intercept[Throwable] { qThrow().collect() }
+      }
+      // no-throw big-value partitions: exact values where every
+      // left-to-right prefix stays in range (same shape as qThrow, so
+      // its executed plan also proves the ANSI suffix sum swaps)
+      def qVal() = spark.read.parquet(dir2).filter($"k" > 1L)
+        .select($"k", $"o", sum($"v").over(wSfx).as("s")).orderBy($"k", $"o")
+      val dVal = qVal()
+      val bOn = dVal.collect()
+      assert(findExec(dVal) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isDefined, s"the ANSI suffix sum should swap:\n${
+        dVal.queryExecution.executedPlan}")
+      val bOff = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { qVal().collect() }
+      assert(bOn.toSeq == bOff.toSeq, "exact ANSI suffix values diverged")
+    }
+  }
+
   test("strictly FOLLOWING/PRECEDING frames: pinned winFrameGen counterexamples") {
     // three minimal cases the winFrameGen fuzz falsified once the
     // mixed-kind splitter routed ROWS+RANGE mixes onto the dedicated

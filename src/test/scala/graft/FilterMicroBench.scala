@@ -473,6 +473,35 @@ object FilterMicroBench {
             sum($"l_suppkey").over(w).as("ds"),
             count(lit(1)).over(w).as("dn"))
       }),
+      // SUFFIX frames: the row exec's UnboundedFollowingWindowFunction-
+      // Frame recomputes per row (O(n^2) per partition) vs the
+      // block-combined O(n) face. ~600-row partitions keep the row side
+      // feasible; the gap widens quadratically with partition size
+      "winsuf-remaining" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_suppkey").orderBy($"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_suppkey",
+            sum($"l_partkey").over(w).as("remaining"),
+            count(lit(1)).over(w).as("n_ahead"),
+            min($"l_orderkey").over(w).as("min_ahead"))
+      }),
+      // ~60k-row hot partitions: the row side is O(n^2) here — this
+      // shape is where the asymptotic win shows (bounded by timeIt's
+      // min-of-5, still minutes on the row path at sf0.1; sf0.01 keeps
+      // the A/B practical)
+      "winsuf-hot" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_returnflag",
+            sum($"l_partkey").over(w).as("remaining"),
+            count(lit(1)).over(w).as("n_ahead"))
+      }),
       // size-based functions (partition-buffered face): kind-0 node —
       // ntile/percent_rank/rank over 3 giant partitions (the row exec
       // buffers the same partitions; the win is the single streaming

@@ -606,6 +606,20 @@ class PlanAssertionSuite extends GraftTestBase {
       s"the split chain must reuse the single window sort:\n$p")
   }
 
+  test("q189 suffix frames swap to the block-combined face") {
+    // both nodes (ROWS suffix over the total order, RANGE suffix over
+    // the tied quantity order) leave the O(n^2) row exec
+    val df = run("q189_window_suffix")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val swapped = "GraftColumnarWindow".r.findAllIn(p).size
+    assert(swapped >= 2,
+      s"expected both suffix window nodes on GraftColumnarWindowExec in:\n$p")
+    val rowWindows = "(?<!GraftColumnar)Window \\[".r.findAllIn(p).size
+    assert(rowWindows == 0,
+      s"no row WindowExec should remain for the suffix frames:\n$p")
+  }
+
   test("q179 RANGE running frame swaps to the deferred streaming window exec") {
     val df = run("q179_window_range_peers")
     df.collect()
