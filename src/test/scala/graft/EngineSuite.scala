@@ -1639,17 +1639,27 @@ class EngineSuite extends GraftTestBase {
       assert(findExec(d2) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
       }.isEmpty, "a node holding collect_list must keep the row path whole")
-      // a backwards running frame (CURRENT ROW..UNBOUNDED FOLLOWING) is
-      // no streaming kind at all → row path
+      // a DOUBLE sum over the suffix frame never compiles (block
+      // association changes bits) — its split group keeps the row path
+      // while the running-sum group swaps beside it
       val wBack = Window.partitionBy($"k").orderBy($"o")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val d3 = spark.read.parquet(dir).select($"k",
+      def q3() = spark.read.parquet(dir).select($"k", $"o",
         sum($"v").over(wBack).as("s"),
-        sum($"v").over(wRows).as("sr"))
-      d3.collect()
+        sum($"v").over(wRows).as("sr")).orderBy($"k", $"o")
+      val d3 = q3()
+      val on3 = d3.collect()
+      assert(findExec(d3) {
+        case e: org.apache.spark.sql.execution.window.WindowExec => e
+      }.isDefined, s"the double-sum suffix group must keep a row node:\n${
+        d3.queryExecution.executedPlan}")
       assert(findExec(d3) {
         case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
-      }.isEmpty, "a backwards running frame must keep the row path whole")
+      }.isDefined, s"the running-sum group should still swap:\n${
+        d3.queryExecution.executedPlan}")
+      val off3 = withSQLConf(
+        GraftColumnarRule.windowAggEnabledKey -> "false") { q3().collect() }
+      assert(on3.toSeq == off3.toSeq, "double-suffix + running split diverged")
       // a node mixing ntile with a plain running agg swaps WHOLE on the
       // partition-buffered face (no split needed — both are kind 0)
       val wRun = Window.partitionBy($"k").orderBy($"o")

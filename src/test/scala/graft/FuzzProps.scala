@@ -477,11 +477,25 @@ object FuzzProps extends Properties("graft") {
           .toDF("k", "o", "v", "d")
         val w = Window.partitionBy($"k").orderBy($"o").rowsBetween(lo, hi)
         val wr = Window.partitionBy($"k").orderBy($"o").rangeBetween(lo, hi)
+        // every expression shares (PARTITION BY k, ORDER BY o), so Spark
+        // plans ONE WindowExec mixing sliding ROWS + sliding RANGE +
+        // running + offset + size-based + both suffix kinds — the
+        // mixed-kind splitter fans it into up to five homogeneous graft
+        // nodes whose composition varies with the random frame bounds
+        val wp = Window.partitionBy($"k").orderBy($"o")
+        val wsuf = wp.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wsufR = wp.rangeBetween(Window.currentRow, Window.unboundedFollowing)
         def q(): Seq[org.apache.spark.sql.Row] = df.select($"k", $"o",
           sum($"v").over(w).as("s"), min($"v").over(w).as("mn"),
           max($"d").over(w).as("mx"), count($"v").over(w).as("c"),
           sum($"v").over(wr).as("rs"), min($"d").over(wr).as("rmn"),
-          count(lit(1)).over(wr).as("rc"))
+          count(lit(1)).over(wr).as("rc"),
+          sum($"v").over(wp.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("run"),
+          lag($"v", 1).over(wp).as("lg"),
+          ntile(3).over(wp).as("nt"),
+          sum($"v").over(wsuf).as("sfx"), min($"v").over(wsuf).as("sfxmn"),
+          count(lit(1)).over(wsufR).as("sfxrc"))
           .orderBy($"k", $"o").collect().toSeq
         val on = q()
         val off = try {
