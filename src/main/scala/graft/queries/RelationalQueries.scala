@@ -999,7 +999,10 @@ object RelationalQueries {
             sum($"cents").over(wq.rangeBetween(Window.currentRow,
               Window.unboundedFollowing)).as("rev_from_qty"),
             count(lit(1)).over(wq.rangeBetween(Window.currentRow,
-              Window.unboundedFollowing)).as("n_from_qty"))
+              Window.unboundedFollowing)).as("n_from_qty"),
+            first(when($"l_quantity" < 10, $"cents"), ignoreNulls = true)
+              .over(wt.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+              .as("bfill_small"))
           .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
@@ -1007,13 +1010,15 @@ object RelationalQueries {
           count(*) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_n,
           min(l_partkey) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS min_pk_ahead,
           sum(cents) OVER (wq RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rev_from_qty,
-          count(*) OVER (wq RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_from_qty
+          count(*) OVER (wq RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_from_qty,
+          first_value(CASE WHEN l_quantity < 10 THEN cents END IGNORE NULLS)
+            OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill_small
         FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
         WINDOW wt AS (PARTITION BY l_returnflag
                       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey),
                wq AS (PARTITION BY l_returnflag ORDER BY l_quantity)
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
-      doc = "Suffix frames (CURRENT ROW .. UNBOUNDED FOLLOWING) — block-combined O(n) remaining-total/count/min vs Spark's O(n^2) per-row recompute; RANGE suffix opens at the first peer over the tied quantity order; exact cents lanes."),
+      doc = "Suffix frames (CURRENT ROW .. UNBOUNDED FOLLOWING) — block-combined O(n) remaining-total/count/min vs Spark's O(n^2) per-row recompute; RANGE suffix opens at the first peer over the tied quantity order; a BACKFILL lane (first_value ignore-nulls over the suffix — the forward-fill mirror); exact cents lanes."),
 
     // ----------------------------------------------------------------
     QueryDef(

@@ -1792,6 +1792,22 @@ case class GraftColumnarWindowExec(
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(outAll.map(_.dataType).toArray)
+      /** Boxed catalyst value — UTF8Strings CLONED (buffered rows may
+        * outlive a spilled reader's reused buffer). */
+      def readBoxed(r: InternalRow, ord: Int, dt: DataType): Any =
+        if (r.isNullAt(ord)) null
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType => r.getLong(ord)
+          case IntegerType | DateType => r.getInt(ord)
+          case ShortType => r.getShort(ord)
+          case ByteType => r.getByte(ord)
+          case BooleanType => r.getBoolean(ord)
+          case DoubleType => r.getDouble(ord)
+          case FloatType => r.getFloat(ord)
+          case d: DecimalType => r.getDecimal(ord, d.precision, d.scale)
+          case StringType => r.getUTF8String(ord).clone()
+          case other => throw new IllegalStateException(s"bad first/last type $other")
+        }
       def emitLong(s: Int, v: Long): Unit = ss(s).outType match {
         case LongType | TimestampType | TimestampNTZType => aggRow.update(s, v)
         case IntegerType | DateType => aggRow.update(s, v.toInt)
@@ -1841,17 +1857,32 @@ case class GraftColumnarWindowExec(
       val LONG_MAX = BigInteger.valueOf(Long.MaxValue)
       val LONG_MIN = BigInteger.valueOf(Long.MinValue)
       var ansiExact = false
+      // fn 9/10 boxed lanes: first over the suffix (BACKFILL when
+      // ignoreNulls) stages boxed values and carries the next non-null
+      // right-to-left; last over the suffix is the partition tail's
+      // (non-null) value — one holder per spec, no staging at all
+      val stgA = new Array[Array[Any]](nS)
+      val outA = new Array[Array[Any]](nS)
+      val sufA = new Array[Array[Any]](nS)
+      val latchA = new Array[Any](nS)
+      val lastVal = new Array[Any](nS)
+      val lastNNVal = new Array[Any](nS)
+      val lastNNIdx = new Array[Long](nS)
       var s0 = 0
       while (s0 < nS) {
         val sp = ss(s0)
-        if (sp.fn != 5) {
+        if (sp.fn == 9) {
+          stgNull(s0) = new Array[Boolean](blockRows)
+          stgA(s0) = new Array[Any](blockRows)
+          outA(s0) = new Array[Any](blockRows)
+        } else if (sp.fn != 5 && sp.fn != 10) {
           stgNull(s0) = new Array[Boolean](blockRows)
           if (sp.lane == 1) stgD(s0) = new Array[Double](blockRows)
           else stgL(s0) = new Array[Long](blockRows)
         }
         outNull(s0) = new Array[Boolean](blockRows)
         if (sp.lane == 1) outD(s0) = new Array[Double](blockRows)
-        else outL(s0) = new Array[Long](blockRows)
+        else if (sp.fn != 9) outL(s0) = new Array[Long](blockRows)
         if (sp.fn == 0 && sp.ansi) outThrow(s0) = new Array[Boolean](blockRows)
         s0 += 1
       }
@@ -1894,6 +1925,10 @@ case class GraftColumnarWindowExec(
               sufD(s) = new Array[Double](nBlocks)
               sufSeen(s) = new Array[Boolean](nBlocks)
             }
+            if (ss(s).fn == 9 && ss(s).ign &&
+              (sufA(s) == null || sufA(s).length < nBlocks))
+              sufA(s) = new Array[Any](nBlocks)
+            lastVal(s) = null; lastNNVal(s) = null; lastNNIdx(s) = -1L
             s += 1
           }
           // pass 1 — per-block aggregates (forward; all lanes are
@@ -1901,16 +1936,20 @@ case class GraftColumnarWindowExec(
           val scan = buffer.generateIterator()
           var i = 0L
           var b = 0
-          var accL = new Array[Long](nS)
-          var accCnt = new Array[Long](nS)
-          var accD = new Array[Double](nS)
-          var accSeen = new Array[Boolean](nS)
+          val accL = new Array[Long](nS)
+          val accCnt = new Array[Long](nS)
+          val accD = new Array[Double](nS)
+          val accSeen = new Array[Boolean](nS)
+          val accFirst = new Array[Any](nS)
           def flushBlock(): Unit = {
             var t = 0
             while (t < nS) {
               val sp = ss(t)
               sp.fn match {
                 case 1 | 5 => sufL(t)(b) = accCnt(t); sufSeen(t)(b) = true
+                case 9 =>
+                  if (sp.ign) { sufA(t)(b) = accFirst(t); accFirst(t) = null }
+                case 10 => ()
                 case _ =>
                   sufSeen(t)(b) = accSeen(t)
                   if (sp.lane == 1) sufD(t)(b) = accD(t) else sufL(t)(b) = accL(t)
@@ -1934,6 +1973,16 @@ case class GraftColumnarWindowExec(
                     if (sp.ansi && (x > GraftWindowSlidingExec.ansiSafeAbs ||
                       x < -GraftWindowSlidingExec.ansiSafeAbs)) ansiBig = true
                   }
+                case 9 => // first: ign needs the block's first non-null
+                  if (sp.ign && accFirst(t) == null && !r.isNullAt(sp.col))
+                    accFirst(t) = readBoxed(r, sp.col, inTypes(t))
+                case 10 => // last: the partition tail's value
+                  if (sp.ign) {
+                    if (!r.isNullAt(sp.col)) {
+                      lastNNVal(t) = readBoxed(r, sp.col, inTypes(t))
+                      lastNNIdx(t) = i
+                    }
+                  } else lastVal(t) = readBoxed(r, sp.col, inTypes(t))
                 case _ => // 2 | 3 min/max
                   if (!r.isNullAt(sp.col)) {
                     if (sp.lane == 1) {
@@ -1965,6 +2014,9 @@ case class GraftColumnarWindowExec(
                 case 0 =>
                   sufL(t)(bb) += sufL(t)(bb + 1)
                   sufSeen(t)(bb) = sufSeen(t)(bb) || sufSeen(t)(bb + 1)
+                case 9 =>
+                  if (sp.ign && sufA(t)(bb) == null) sufA(t)(bb) = sufA(t)(bb + 1)
+                case 10 => ()
                 case _ =>
                   if (sufSeen(t)(bb + 1)) {
                     if (!sufSeen(t)(bb)) {
@@ -2081,7 +2133,11 @@ case class GraftColumnarWindowExec(
             var t = 0
             while (t < nS) {
               val sp = ss(t)
-              if (sp.fn != 5) {
+              if (sp.fn == 9) {
+                val nl = r.isNullAt(sp.col)
+                stgNull(t)(j) = nl
+                stgA(t)(j) = if (nl) null else readBoxed(r, sp.col, inTypes(t))
+              } else if (sp.fn != 5 && sp.fn != 10) {
                 val nl = r.isNullAt(sp.col)
                 stgNull(t)(j) = nl
                 if (!nl) {
@@ -2097,7 +2153,32 @@ case class GraftColumnarWindowExec(
           while (t < nS) {
             val sp = ss(t)
             val hasNext = b + 1 < nBlocks
-            if (sp.fn == 0 && sp.ansi && ansiExact) {
+            if (sp.fn == 9) {
+              if (sp.ign) {
+                // BACKFILL: next non-null at or after each row, carried
+                // right-to-left, seeded by the suffix blocks' first
+                var carry: Any = if (hasNext) sufA(t)(b + 1) else null
+                var k = len - 1
+                while (k >= 0) {
+                  if (!stgNull(t)(k)) carry = stgA(t)(k)
+                  outA(t)(k) = carry
+                  outNull(t)(k) = carry == null
+                  k -= 1
+                }
+              } else {
+                // first over [k, end] without ignoreNulls IS row k's
+                // value (possibly null)
+                var k = 0
+                while (k < len) {
+                  outA(t)(k) = stgA(t)(k)
+                  outNull(t)(k) = stgNull(t)(k)
+                  k += 1
+                }
+              }
+              t += 1
+            } else if (sp.fn == 10) {
+              t += 1 // emission computes from the partition holders
+            } else if (sp.fn == 0 && sp.ansi && ansiExact) {
               // exact ANSI walk: true suffix sum S plus the max/min of
               // the row path's left-to-right true prefixes —
               //   Mrow(k) = v(k) + max(0, Mrow(k+1))   (null v: carry)
@@ -2185,10 +2266,21 @@ case class GraftColumnarWindowExec(
           while (t < nS) {
             val sp = ss(t)
             val useLatch = sp.kind == 4
+            def fn10Val(): (Boolean, Any) =
+              if (sp.ign) {
+                val ok = lastNNIdx(t) >= 0 && i <= lastNNIdx(t)
+                (!ok, if (ok) lastNNVal(t) else null)
+              } else (lastVal(t) == null, lastVal(t))
             if (useLatch && newPeer) {
-              latchNull(t) = outNull(t)(j)
-              latchThrow(t) = outThrow(t) != null && outThrow(t)(j)
-              if (sp.lane == 1) latchD(t) = outD(t)(j) else latchL(t) = outL(t)(j)
+              sp.fn match {
+                case 9 => latchNull(t) = outNull(t)(j); latchA(t) = outA(t)(j)
+                case 10 =>
+                  val (nl, v) = fn10Val(); latchNull(t) = nl; latchA(t) = v
+                case _ =>
+                  latchNull(t) = outNull(t)(j)
+                  latchThrow(t) = outThrow(t) != null && outThrow(t)(j)
+                  if (sp.lane == 1) latchD(t) = outD(t)(j) else latchL(t) = outL(t)(j)
+              }
             }
             // the row path evaluates rows ascending and throws at the
             // first frame whose ANSI sum overflows — same position here
@@ -2196,13 +2288,22 @@ case class GraftColumnarWindowExec(
                 else outThrow(t) != null && outThrow(t)(j))
               throw org.apache.spark.sql.errors.QueryExecutionErrors
                 .arithmeticOverflowError("long overflow", "try_add", null)
-            val isNull = if (useLatch) latchNull(t) else outNull(t)(j)
-            if (isNull) aggRow.setNullAt(t)
-            else if (sp.lane == 1) {
-              val x = if (useLatch) latchD(t) else outD(t)(j)
-              if (sp.outType == FloatType) aggRow.update(t, x.toFloat)
-              else aggRow.update(t, x)
-            } else emitLong(t, if (useLatch) latchL(t) else outL(t)(j))
+            sp.fn match {
+              case 9 | 10 =>
+                val (nl, v) =
+                  if (useLatch) (latchNull(t), latchA(t))
+                  else if (sp.fn == 9) (outNull(t)(j), outA(t)(j))
+                  else fn10Val()
+                if (nl) aggRow.setNullAt(t) else aggRow.update(t, v)
+              case _ =>
+                val isNull = if (useLatch) latchNull(t) else outNull(t)(j)
+                if (isNull) aggRow.setNullAt(t)
+                else if (sp.lane == 1) {
+                  val x = if (useLatch) latchD(t) else outD(t)(j)
+                  if (sp.outType == FloatType) aggRow.update(t, x.toFloat)
+                  else aggRow.update(t, x)
+                } else emitLong(t, if (useLatch) latchL(t) else outL(t)(j))
+            }
             t += 1
           }
           proj(joined(r, aggRow))

@@ -1031,9 +1031,11 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               // long sums ARE admitted: the face runs a safe-bound fast
               // path (no overflow possible in any order) or an exact
               // BigInteger prefix-extrema pass reproducing the row
-              // path's throw-or-value per row
+              // path's throw-or-value per row. first/last ride a boxed
+              // lane (first+ignoreNulls over the suffix = BACKFILL, the
+              // forward-fill mirror; last = the partition tail's value)
               if (spec.kind >= 3 && !(spec.fn == 1 || spec.fn == 5 ||
-                  spec.fn == 2 || spec.fn == 3 ||
+                  spec.fn == 2 || spec.fn == 3 || spec.fn == 9 || spec.fn == 10 ||
                   (spec.fn == 0 && spec.lane == 0)))
                 scala.Left("suffix frame (CURRENT ROW .. UNBOUNDED FOLLOWING) " +
                   "supports associative lanes only (integral sum, count, " +
@@ -1166,18 +1168,26 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               WindowSpecDefinition(_, _, frame)), _) if frameKind(frame).contains(1) =>
             scala.Right(WinAggSpec(16, -1, 2, DoubleType, ansi = false, 1))
           // nth_value (note: Spark rewrites first_value WITHOUT
-          // ignoreNulls into nth_value(x, 1, false)); boxed lane
+          // ignoreNulls into nth_value(x, 1, false)); boxed lane.
+          // Over a SUFFIX frame only n = 1 is supported — it IS
+          // first_value there, so it maps onto the fn-9 suffix lane
           case Alias(WindowExpression(
               org.apache.spark.sql.catalyst.expressions.NthValue(
                 a: AttributeReference,
                 org.apache.spark.sql.catalyst.expressions.Literal(n: Int, IntegerType),
                 ign),
               WindowSpecDefinition(_, _, frame)), _)
-              if frameKind(frame).exists(_ <= 2) && ord(a) >= 0 && n > 0 &&
+              if frameKind(frame).exists(k => k <= 2 || n == 1) && ord(a) >= 0 &&
+                n > 0 &&
                 org.apache.spark.sql.execution.graft.GraftWindowOffsetExec
                   .supportedType(a.dataType) =>
-            scala.Right(WinAggSpec(11, ord(a), 3, a.dataType, ansi = false,
-              frameKind(frame).get, ign = ign, nth = n))
+            val k = frameKind(frame).get
+            if (k >= 3)
+              scala.Right(WinAggSpec(9, ord(a), 3, a.dataType, ansi = false,
+                k, ign = ign))
+            else
+              scala.Right(WinAggSpec(11, ord(a), 3, a.dataType, ansi = false,
+                k, ign = ign, nth = n))
           case other =>
             scala.Left(s"unsupported window expression shape: ${other.getClass.getSimpleName}" +
               " (running ROWS/RANGE or whole-partition frame over Complete agg," +

@@ -1102,6 +1102,39 @@ class EngineSuite extends GraftTestBase {
     assert(findExec(dAvg) {
       case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
     }.isEmpty, "avg over a suffix frame must keep the row path")
+    // BACKFILL and tail-value lanes: first/last (both ignoreNulls
+    // variants — Spark rewrites first without ignoreNulls into
+    // nth_value(x,1,false), mapped onto the same boxed lane) over both
+    // suffix kinds, long and string inputs, tiny blocks
+    def qFill() = {
+      val wp = Window.partitionBy($"k").orderBy($"o")
+      val rows = wp.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val rng = wp.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      read()
+        .withColumn("sv", when($"v".isNotNull, concat(lit("s"), $"v")))
+        .select($"k", $"o",
+          first($"v", ignoreNulls = true).over(rows).as("bfill"),
+          first($"v").over(rows).as("self"),
+          first($"sv", ignoreNulls = true).over(rows).as("bfill_s"),
+          last($"v", ignoreNulls = true).over(rows).as("tail_nn"),
+          last($"v").over(rows).as("tail"),
+          last($"sv", ignoreNulls = true).over(rng).as("tail_s_rng"),
+          first($"v", ignoreNulls = true).over(rng).as("bfill_rng"))
+        .orderBy($"k", $"o")
+    }
+    val dFill = qFill()
+    val onFill = dFill.collect()
+    assert(findExec(dFill) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+    }.isDefined, s"the backfill suffix node should swap:\n${
+      dFill.queryExecution.executedPlan}")
+    val offFill = withSQLConf(
+      GraftColumnarRule.windowAggEnabledKey -> "false") { qFill().collect() }
+    assert(onFill.toSeq == offFill.toSeq, "backfill lanes diverged")
+    val tinyFill = withSQLConf(
+      "spark.graft.columnar.window.suffix.blockRows" -> "16") { qFill().collect() }
+    assert(tinyFill.toSeq == offFill.toSeq, "16-row-block backfill diverged")
+
     // exact ANSI lane, throw-parity: [1, Max, -10] overflows the row
     // path's LEFT-TO-RIGHT prefix at the first row (1 + Max) even
     // though the suffix-order total (Max - 9) fits — a naive
