@@ -1709,6 +1709,10 @@ case class GraftColumnarWindowExec(
     * throws). Iterating the frozen buffer with sibling iterators is
     * the size-based face's scout pattern.
     *
+    * The fn-10 (last) holders box one value per input row during pass 1
+    * (strings clone) — O(n) short-lived allocations per partition,
+    * bounded live memory; the fn-9 lanes box only staged blocks.
+    *
     * A/B (FilterMicroBench winsuf-*, sf0.01, 3 runs of min-of-5):
     * ~600-row partitions 0.35-0.49x; ~20k-row hot partitions
     * 0.01-0.02x = 65-80x faster — and the gap grows linearly with
