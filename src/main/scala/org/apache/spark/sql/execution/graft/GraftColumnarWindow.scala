@@ -2211,6 +2211,12 @@ case class GraftColumnarWindowExec(
               }
               t += 1
             } else {
+            // safe-bound ANSI partitions share outThrow with the exact
+            // lane; clear any stale flags a prior exact-lane partition
+            // in this task left behind (emission reads them at latch
+            // heads and would throw a spurious overflow)
+            if (sp.fn == 0 && outThrow(t) != null)
+              java.util.Arrays.fill(outThrow(t), false)
             var accL = if (hasNext) sufL(t)(b + 1) else 0L
             var accD = if (hasNext) sufD(t)(b + 1) else 0.0
             var seen = hasNext && sufSeen(t)(b + 1)
@@ -3168,6 +3174,12 @@ case class GraftWindowRangeSlideExec(
     val degM = metrics("degradedPartitions")
     val maxRingBytes = conf.getConfString(
       GraftWindowRangeSlideExec.maxRingBytesKey, "1073741824").toLong
+    val ansiSafeAbsBound = conf.getConfString(
+      GraftWindowRangeSlideExec.ansiSafeAbsKey,
+      GraftWindowSlidingExec.ansiSafeAbs.toString).toLong
+    val ansiFrameRowCap = conf.getConfString(
+      GraftWindowRangeSlideExec.ansiFrameRowCapKey,
+      GraftWindowSlidingExec.maxInvertibleFrameRows.toString).toLong
     val pIdx = partIdx.toArray
     val pTypes = partTypes.toArray
     val ss = specs.toArray
@@ -3811,8 +3823,8 @@ case class GraftWindowRangeSlideExec(
             val s = ansiSumIdx(bi)
             if (!rBigSeen(s) && !row.isNullAt(ss(s).col)) {
               val x = getL(s)(row)
-              if (x > GraftWindowSlidingExec.ansiSafeAbs ||
-                x < -GraftWindowSlidingExec.ansiSafeAbs) rBigSeen(s) = true
+              if (x > ansiSafeAbsBound || x < -ansiSafeAbsBound)
+                rBigSeen(s) = true
             }
             bi += 1
           }
@@ -3905,6 +3917,15 @@ case class GraftWindowRangeSlideExec(
               while (hp + 1 < runEnd && hp + 1 < cons &&
                 !aboveHi(ordValAt(hp + 1), eVal, sp)) hp += 1
               hiPtrS(s) = hp
+              // RANGE frames are value-bounded but row-count-unbounded:
+              // the ANSI safe-bound proof needs BOTH |v| <= 2^41 AND
+              // <= 2^21 rows per frame (the planner enforces the row
+              // cap for ROWS frames only). Sticky-flip to the addExact
+              // rescan once a frame exceeds the row bound — plain adds
+              // in iAccL could silently wrap where the row path throws.
+              if (sp.fn == 0 && sp.lane == 0 && sp.ansi && !rBigSeen(s) &&
+                hp - lp + 1 > ansiFrameRowCap)
+                rBigSeen(s) = true
               if (invS(s) && !rBigSeen(s)) evalInc(s, lp, hp)
               else evalSlice(s, lp, hp)
             }
@@ -3932,6 +3953,15 @@ object GraftWindowRangeSlideExec {
     * current partition to the spill-backed buffer instead of growing
     * unspillable heap. Tests shrink it to force the degraded path. */
   val maxRingBytesKey = "spark.graft.columnar.window.rangeslide.maxRingBytes"
+
+  /** Test-only overrides of the incremental ANSI-sum safe bounds
+    * (defaults = the proof constants [[GraftWindowSlidingExec.ansiSafeAbs]]
+    * and [[GraftWindowSlidingExec.maxInvertibleFrameRows]]): the silent-wrap
+    * hazard needs |v| near 2^41 AND > 2^22 frame rows, so the parity test
+    * shrinks both to exercise the evalSlice fallback on small data. */
+  val ansiSafeAbsKey = "spark.graft.columnar.window.rangeslide.ansiSafeAbs"
+  val ansiFrameRowCapKey =
+    "spark.graft.columnar.window.rangeslide.ansiFrameRowCap"
 }
 
 object GraftColumnarWindowExec {

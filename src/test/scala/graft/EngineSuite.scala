@@ -1171,6 +1171,101 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("ANSI suffix sums: exact-lane outThrow flags don't leak across partitions") {
+    // ADVICE r10 #1: outThrow is allocated once per spec but written only
+    // by the EXACT ANSI lane; the safe-bound branch skipped it. A partition
+    // that ran exact (|v| > 2^41 seen) and legitimately flagged a non-peer-
+    // head offset (RANGE suffix latches at peer heads only, so its own
+    // emission never read the flag) left the stale true behind; the NEXT
+    // partition in the same task ran the safe-bound branch, latched the
+    // stale flag at its own peer head and threw a spurious overflow on
+    // data that cannot overflow.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    val BIG = 1L << 42
+    val dir = java.nio.file.Files.createTempDirectory("graft-winsufstale").toString
+    Seq(
+      // A (k=1), peers {o=1}, {o=2 x3}: the right-to-left exact walk flags
+      // offset 2 (its suffix prefix tops at MaxValue+1) while both peer
+      // heads (0, 1) stay clean — every frame the row path actually
+      // evaluates starts at a peer head and fits, so neither engine throws
+      (1L, 1L, 0L, 0L), (1L, 2L, 1L, -BIG),
+      (1L, 2L, 2L, Long.MaxValue), (1L, 2L, 3L, 1L),
+      // B (k=2): tiny values → safe-bound branch; every row its own peer
+      // head, so ANY stale flag at offsets 0..3 would latch and throw
+      (2L, 1L, 4L, 1L), (2L, 2L, 5L, 2L), (2L, 3L, 6L, 3L), (2L, 4L, 7L, 4L))
+      .toDF("k", "o", "u", "v").repartition(1).sortWithinPartitions("k", "o", "u")
+      .write.mode("overwrite").parquet(dir)
+    val w = Window.partitionBy($"k").orderBy($"o")
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    withSQLConf("spark.sql.ansi.enabled" -> "true",
+      // one shuffle partition: both window partitions share a task (and
+      // therefore the suffix face's staging arrays)
+      "spark.sql.shuffle.partitions" -> "1") {
+      def q() = spark.read.parquet(dir)
+        .select($"k", $"o", sum($"v").over(w).as("s")).orderBy($"k", $"o")
+      val d = q()
+      val on = d.collect()
+      assert(findExec(d) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarWindowExec => e
+      }.isDefined, s"the ANSI RANGE suffix sum should swap:\n${
+        d.queryExecution.executedPlan}")
+      val off = withSQLConf(GraftColumnarRule.windowAggEnabledKey -> "false") {
+        q().collect()
+      }
+      assert(on.toSeq == off.toSeq, "stale-outThrow parity diverged")
+    }
+  }
+
+  test("range-slide ANSI sums: frames past the row cap leave the incremental path") {
+    // ADVICE r10 #2: RANGE frames are value-bounded but row-count-
+    // unbounded; the incremental iAccL safe-bound proof needs BOTH
+    // |v| <= 2^41 AND <= 2^21 frame rows (the planner enforces the row
+    // cap for ROWS frames only). Shrunk bounds (|v| cap 2^59, row cap 8)
+    // reproduce the hazard on 24 rows: a 16-row frame of 2^59s sums to
+    // exactly 2^63 — Spark's ANSI row path throws where the unguarded
+    // incremental add silently wrapped.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    import org.apache.spark.sql.execution.graft.{GraftWindowRangeSlideExec => RS}
+    val big = 1L << 59
+    val dir = java.nio.file.Files.createTempDirectory("graft-rngcap").toString
+    (0L until 24L).map(i => (1L, i, big)).toDF("k", "o", "v")
+      .repartition(1).sortWithinPartitions("o")
+      .write.mode("overwrite").parquet(dir)
+    val w = Window.partitionBy($"k").orderBy($"o").rangeBetween(-100, 0)
+    withSQLConf("spark.sql.ansi.enabled" -> "true",
+      RS.ansiSafeAbsKey -> big.toString,
+      RS.ansiFrameRowCapKey -> "8") {
+      def q() = spark.read.parquet(dir)
+        .select($"k", $"o", sum($"v").over(w).as("s")).orderBy($"o")
+      intercept[Throwable] { q().collect() } // engine throws...
+      withSQLConf(GraftColumnarRule.windowAggEnabledKey -> "false") {
+        intercept[Throwable] { q().collect() } // ...exactly like the row path
+      }
+      // sub-overflow parity: frames capped BELOW the wrap point still
+      // cross the row cap, so the evalSlice fallback's VALUES (not just
+      // its throw) are checked against the row path
+      val w2 = Window.partitionBy($"k").orderBy($"o").rangeBetween(-11, 0)
+      def q2() = spark.read.parquet(dir)
+        .select($"k", $"o", sum($"v").over(w2).as("s")).orderBy($"o")
+      val d2 = q2()
+      val on2 = d2.collect()
+      assert(findExec(d2) {
+        case e: org.apache.spark.sql.execution.graft.GraftWindowRangeSlideExec => e
+      }.isDefined, s"the finite-RANGE ANSI sum should land on the ring exec:\n${
+        d2.queryExecution.executedPlan}")
+      val off2 = withSQLConf(GraftColumnarRule.windowAggEnabledKey -> "false") {
+        q2().collect()
+      }
+      assert(on2.toSeq == off2.toSeq, "capped-frame ANSI parity diverged")
+    }
+  }
+
   test("strictly FOLLOWING/PRECEDING frames: pinned winFrameGen counterexamples") {
     // three minimal cases the winFrameGen fuzz falsified once the
     // mixed-kind splitter routed ROWS+RANGE mixes onto the dedicated
