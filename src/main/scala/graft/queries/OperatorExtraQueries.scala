@@ -588,27 +588,43 @@ object OperatorExtraQueries {
         // accumulation, ~1e-8 off the exact quantized mean), so a
         // double-surfaced comparison would ride the normalizer's
         // 6-sig-digit boundary — the q176 flake class.
+        // SURFACE: the quantized means travel as BIGINT MICRO-UNITS
+        // (avg * 10^6, exact by construction) so the driver compares
+        // plain integers — no decimal rendering, result-scale rules,
+        // HUGEINT arithmetic, or chained decimal casts on either side
+        // (r10's driver-red q174 used all four; they are exactly where
+        // DuckDB versions diverge). The engine exercise is unchanged:
+        // avg(decimal) still runs the columnar Decimal64 kernel, and
+        // the *1e6 cast is a post-agg projection.
         Tables.t(s, dir, "lineitem")
           .select($"l_linestatus",
             $"l_quantity".cast("decimal(12,2)").as("qty"),
             $"l_extendedprice".cast("decimal(14,2)").as("price"))
           .groupBy($"l_linestatus")
-          .agg(avg($"qty").as("avg_qty"),
-            avg($"price").as("avg_price"),
+          .agg(avg($"qty").as("aq"), avg($"price").as("ap"),
             count(lit(1)).as("n"))
+          .select($"l_linestatus",
+            ($"aq" * 1000000).cast("long").as("avg_qty_micros"),
+            ($"ap" * 1000000).cast("long").as("avg_price_micros"),
+            $"n")
           .orderBy($"l_linestatus")
       },
+      // round-half-up((s*10^4)/n) in pure BIGINT div+mod (positive
+      // operands only, so floor == truncate on every DuckDB version);
+      // magnitudes stay < 2^55 through sf1 — the oracle runs at sf0.01
       Some("""WITH g AS (
           SELECT l_linestatus,
-            CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100, 0) AS HUGEINT) AS sq,
-            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100, 0) AS HUGEINT) AS sp,
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS sq,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100, 0) AS BIGINT) AS sp,
             count(*) AS n
           FROM lineitem GROUP BY l_linestatus)
         SELECT l_linestatus,
-          CAST(CAST((sq * 20000 + n) // (2*n) AS DECIMAL(22,0))
-               * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(16,6)) AS avg_qty,
-          CAST(CAST((sp * 20000 + n) // (2*n) AS DECIMAL(24,0))
-               * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS avg_price,
+          (sq * 10000) // n
+            + CASE WHEN 2 * ((sq * 10000) % n) >= n THEN 1 ELSE 0 END
+            AS avg_qty_micros,
+          (sp * 10000) // n
+            + CASE WHEN 2 * ((sp * 10000) % n) >= n THEN 1 ELSE 0 END
+            AS avg_price_micros,
           n
         FROM g ORDER BY l_linestatus"""),
       doc = "Decimal64 money averages: avg(decimal p<=18) partial-aggregates columnar on the exact unscaled-long kernel (AvgDec64Spec) — sums never round before the final divide."),

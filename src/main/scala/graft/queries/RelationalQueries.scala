@@ -78,18 +78,18 @@ object RelationalQueries {
           .filter($"l_quantity".between(10, 30) && $"l_discount" > 0.02 &&
             $"l_returnflag" =!= "A")
           .select(
-            $"l_orderkey", $"l_linenumber",
+            $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
             (dec($"l_extendedprice") * (one - dec($"l_discount")))
               .cast("double").as("revenue"),
             concat($"l_returnflag", lit("/"), $"l_linestatus").as("flag"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some(s"""SELECT l_orderkey, l_linenumber,
+      Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         CAST(CAST(l_extendedprice AS $decSql) * (CAST(1 AS $decSql) - CAST(l_discount AS $decSql)) AS DOUBLE) AS revenue,
         l_returnflag || '/' || l_linestatus AS flag
         FROM lineitem
         WHERE l_quantity BETWEEN 10 AND 30 AND l_discount > 0.02 AND l_returnflag <> 'A'
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Filter + arithmetic projection; predicate and column pruning push to the scan."),
 
     // ----------------------------------------------------------------
@@ -539,19 +539,23 @@ object RelationalQueries {
         val w = Window.partitionBy($"l_orderkey")
           .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // the FINAL presentation sort is the SAME verified-unique total
+        // order as the window's — (ok, ln, pk) alone leaves tied row
+        // pairs whose output order is engine-arbitrary, and the driver's
+        // hash is order-sensitive (the r10 driver-red root cause)
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 4000)
           .withColumn("qty_l", $"l_quantity".cast("long"))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
             sum($"qty_l").over(w).as("run_qty"),
             count($"l_quantity").over(w).as("run_n"),
             sum($"l_partkey").over(w).as("run_pk"),
             round(min($"l_extendedprice").over(w), 4).as("run_min_price"),
             round(max($"l_extendedprice").over(w), 4).as("run_max_price"),
             round(avg($"qty_l").over(w), 6).as("run_avg_qty"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           sum(CAST(l_quantity AS BIGINT)) OVER w AS run_qty,
           count(l_quantity) OVER w AS run_n,
           sum(l_partkey) OVER w AS run_pk,
@@ -562,7 +566,7 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY l_orderkey
                      ORDER BY l_linenumber, l_partkey, l_suppkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY l_orderkey, l_linenumber, l_partkey"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Streaming window aggregation (running ROWS frame) on the GraftColumnarWindowExec swap — long sum/avg, count, double min/max; every lane exact so the oracle check never rides an FP rounding boundary."),
 
     // ----------------------------------------------------------------
@@ -581,20 +585,20 @@ object RelationalQueries {
         val w = Window.partitionBy($"l_returnflag").orderBy($"l_linenumber")
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 2000)
-          .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_returnflag",
             round(sum($"l_extendedprice").over(w), 4).as("run_price"),
             count(lit(1)).over(w).as("run_n"),
             round(avg($"l_discount").over(w), 6).as("run_disc"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
           round(sum(l_extendedprice) OVER w, 4) AS run_price,
           count(*) OVER w AS run_n,
           round(avg(l_discount) OVER w, 6) AS run_disc
         FROM lineitem WHERE l_orderkey < 2000
         WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_linenumber
                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "RANGE running frame (the default under ORDER BY): peer-group deferred evaluation on GraftColumnarWindowExec — ties share the value closed at the peer group's end."),
 
     // ----------------------------------------------------------------
@@ -614,14 +618,14 @@ object RelationalQueries {
           .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 3000)
-          .select($"l_orderkey", $"l_linenumber",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
             round(lag($"l_extendedprice", 1).over(w), 4).as("prev_price"),
             round(lead($"l_extendedprice", 1, -1.0).over(w), 4).as("next_price"),
             lag($"l_partkey", 2).over(w).as("prev2_part"),
             lead($"l_returnflag", 1, "NONE").over(w).as("next_flag"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           round(lag(l_extendedprice, 1) OVER w, 4) AS prev_price,
           round(lead(l_extendedprice, 1, -1.0) OVER w, 4) AS next_price,
           lag(l_partkey, 2) OVER w AS prev2_part,
@@ -629,7 +633,7 @@ object RelationalQueries {
         FROM lineitem WHERE l_orderkey < 3000
         WINDOW w AS (PARTITION BY l_orderkey
                      ORDER BY l_linenumber, l_partkey, l_suppkey)
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Streaming lag/lead on GraftWindowOffsetExec: O(maxLag+maxLead+1) ring state replaces the row WindowExec's whole-partition buffer — the sessionization lookback shape."),
 
     // ----------------------------------------------------------------
@@ -688,14 +692,14 @@ object RelationalQueries {
           .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 5000)
-          .select($"l_orderkey", $"l_linenumber",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
             round(avg($"l_quantity").over(w.rowsBetween(-2, 0)), 6).as("ma3"),
             round(sum($"l_extendedprice").over(w.rowsBetween(-1, 1)), 4).as("csum"),
             count($"l_partkey").over(w.rowsBetween(-3, -1)).as("trail_cnt"),
             max($"l_suppkey").over(w.rowsBetween(0, 2)).as("ahead_max"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           round(avg(l_quantity) OVER (PARTITION BY l_orderkey
             ORDER BY l_linenumber, l_partkey, l_suppkey
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3,
@@ -709,7 +713,7 @@ object RelationalQueries {
             ORDER BY l_linenumber, l_partkey, l_suppkey
             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS ahead_max
         FROM lineitem WHERE l_orderkey < 5000
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Sliding ROWS-frame window aggregation (moving avg / centered sum / trailing count / lookahead max in ONE GraftWindowSlidingExec node) — the reference falls back on sliding frames."),
 
     // ----------------------------------------------------------------
@@ -730,16 +734,16 @@ object RelationalQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.t(s, dir, "lineitem")
           .filter($"l_orderkey" < 5000)
-          .select($"l_orderkey", $"l_linenumber",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
             round(last(when($"l_quantity" >= 10, $"l_extendedprice"),
               ignoreNulls = true).over(w), 4).as("ffill_price"),
             first($"l_returnflag").over(w).as("first_flag"),
             round(first(when($"l_quantity" >= 25, $"l_discount"),
               ignoreNulls = true).over(w), 4).as("first_big_disc"),
             nth_value($"l_partkey", 2).over(w).as("second_part"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           round(last_value(CASE WHEN l_quantity >= 10 THEN l_extendedprice END IGNORE NULLS)
             OVER w, 4) AS ffill_price,
           first_value(l_returnflag) OVER w AS first_flag,
@@ -750,7 +754,7 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY l_orderkey
           ORDER BY l_linenumber, l_partkey, l_suppkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Forward-fill + first/last/nth_value window functions (boxed streaming lane, ONE swapped node) — the reference falls back on all of them."),
 
     // ----------------------------------------------------------------
@@ -771,8 +775,12 @@ object RelationalQueries {
         // x.xxxx5 boundary under a different oracle association —
         // DuckDB's windowed sum is segment-tree evaluated); max stays
         // double (pure selection, no accumulation).
+        // DAY-denominated interval bound on BOTH sides: hour-denominated
+        // intervals over a DATE key (the r10 shape) are exactly where
+        // DuckDB versions diverge on RANGE-frame arithmetic — 30 DAYS
+        // over DATE is calendar-exact everywhere (r10 driver-red remedy)
         val frame = "(PARTITION BY o_custkey ORDER BY o_orderdate RANGE " +
-          "BETWEEN INTERVAL '720' HOUR PRECEDING AND CURRENT ROW)"
+          "BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)"
         Tables.t(s, dir, "orders")
           .filter($"o_custkey" < 500)
           .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
@@ -788,7 +796,7 @@ object RelationalQueries {
           round(max(o_totalprice) OVER w, 2) AS top30d
         FROM orders WHERE o_custkey < 500
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
-          RANGE BETWEEN INTERVAL 720 HOURS PRECEDING AND CURRENT ROW)
+          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey"""),
       doc = "Rolling 30-day time-range window (RANGE + interval bounds, value-bounded ring memory) — the reference falls back on sliding RANGE frames. Revenue on an exact cents lane so the oracle check never rides an FP rounding boundary."),
 
@@ -812,16 +820,20 @@ object RelationalQueries {
         // engine-arbitrarily — (ok, ln, pk, sk) is verified unique.
         val w = Window.partitionBy($"l_returnflag")
           .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        // the FINAL sort carries l_suppkey too: (ok, ln, pk, rf) leaves
+        // tied row pairs with engine-arbitrary output order, which an
+        // order-sensitive driver hash flips on (the r10 driver-red root)
         Tables.t(s, dir, "lineitem")
           .withColumn("qty_l", $"l_quantity".cast("long"))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            $"l_returnflag",
             sum($"qty_l").over(w.rowsBetween(-999, 0)).as("roll_qty"),
             min($"l_extendedprice").over(w.rowsBetween(-999, 0)).as("roll_min"),
             max($"l_extendedprice").over(w.rowsBetween(-499, 500)).as("roll_max"),
             count($"qty_l").over(w.rowsBetween(-999, 0)).as("roll_n"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
           sum(CAST(l_quantity AS BIGINT)) OVER wt AS roll_qty,
           min(l_extendedprice) OVER wt AS roll_min,
           max(l_extendedprice) OVER wc AS roll_max,
@@ -833,7 +845,7 @@ object RelationalQueries {
                wc AS (PARTITION BY l_returnflag
                       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
                       ROWS BETWEEN 499 PRECEDING AND 500 FOLLOWING)
-        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "1,000-row rolling window aggregates over hot partitions — O(n) invertible sliding kernels (exact sum add/subtract + monotonic min/max deques) vs the O(n*frame) recompute both Spark and the ring path pay; frames this wide previously fell back to the row WindowExec."),
 
     QueryDef(
@@ -853,14 +865,15 @@ object RelationalQueries {
           .rangeBetween(-3000, 0)
         Tables.t(s, dir, "lineitem")
           .withColumn("qty_l", $"l_quantity".cast("long"))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            $"l_returnflag",
             sum($"qty_l").over(w).as("win_qty"),
             min($"l_extendedprice").over(w).as("win_min"),
             max($"l_extendedprice").over(w).as("win_max"),
             count($"qty_l").over(w).as("win_n"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
           sum(CAST(l_quantity AS BIGINT)) OVER w AS win_qty,
           min(l_extendedprice) OVER w AS win_min,
           max(l_extendedprice) OVER w AS win_max,
@@ -868,7 +881,7 @@ object RelationalQueries {
         FROM lineitem
         WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey
                      RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)
-        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Wide rolling value-range window (~1k rows per frame) — the incremental O(n) RANGE kernels (exact sum add/subtract + min/max deques on monotonic frame pointers) vs the O(n*frame) rescan; value-based frames make tie handling deterministic without a total order."),
 
     QueryDef(
@@ -897,16 +910,17 @@ object RelationalQueries {
         val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
         Tables.t(s, dir, "lineitem")
           .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            $"l_returnflag",
             ntile(7).over(wt).as("sept"),
             percent_rank().over(wt).as("pr"),
             rank().over(wt).as("rk"),
             cume_dist().over(wq).as("cd_qty"),
             sum($"cents").over(wq).as("rev_upto_qty"),
             count(lit(1)).over(wq).as("n_upto_qty"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
           ntile(7) OVER wt AS sept,
           percent_rank() OVER wt AS pr,
           rank() OVER wt AS rk,
@@ -917,7 +931,7 @@ object RelationalQueries {
         WINDOW wt AS (PARTITION BY l_returnflag
                       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey),
                wq AS (PARTITION BY l_returnflag ORDER BY l_quantity)
-        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Size-based window functions (ntile/percent_rank/cume_dist need the partition row count) — partition-buffered streaming emission with a peer-scout cursor for the RANGE-running cume_dist node; exact integer-division and cents check lanes."),
 
     QueryDef(
@@ -941,7 +955,8 @@ object RelationalQueries {
           .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
         Tables.t(s, dir, "lineitem")
           .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            $"l_returnflag",
             sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
               .as("run_cents"),
             row_number().over(w).as("rn"),
@@ -950,9 +965,9 @@ object RelationalQueries {
             ntile(5).over(w).as("quint"),
             sum($"cents").over(w).as("range_cents"),
             count(lit(1)).over(w).as("range_n"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
           sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
           row_number() OVER w AS rn,
           lag(l_orderkey, 1) OVER w AS prev_ok,
@@ -963,7 +978,7 @@ object RelationalQueries {
         FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
         WINDOW w AS (PARTITION BY l_returnflag
                      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
-        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Mixed window evaluation kinds in one spec (running ROWS + ranking + lag + finite ROWS min + ntile + default RANGE frame) — the splitter chains three homogeneous graft nodes over one sort; total-order determinism, exact cents lanes."),
 
     QueryDef(
@@ -989,7 +1004,8 @@ object RelationalQueries {
         val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
         Tables.t(s, dir, "lineitem")
           .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            $"l_returnflag",
             sum($"cents").over(wt.rowsBetween(Window.currentRow,
               Window.unboundedFollowing)).as("remaining_cents"),
             count(lit(1)).over(wt.rowsBetween(Window.currentRow,
@@ -1003,9 +1019,9 @@ object RelationalQueries {
             first(when($"l_quantity" < 10, $"cents"), ignoreNulls = true)
               .over(wt.rowsBetween(Window.currentRow, Window.unboundedFollowing))
               .as("bfill_small"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
           sum(cents) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_cents,
           count(*) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_n,
           min(l_partkey) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS min_pk_ahead,
@@ -1017,7 +1033,7 @@ object RelationalQueries {
         WINDOW wt AS (PARTITION BY l_returnflag
                       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey),
                wq AS (PARTITION BY l_returnflag ORDER BY l_quantity)
-        ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Suffix frames (CURRENT ROW .. UNBOUNDED FOLLOWING) — block-combined O(n) remaining-total/count/min vs Spark's O(n^2) per-row recompute; RANGE suffix opens at the first peer over the tied quantity order; a BACKFILL lane (first_value ignore-nulls over the suffix — the forward-fill mirror); exact cents lanes."),
 
     // ----------------------------------------------------------------
