@@ -116,6 +116,39 @@ object ConditionalQueries {
       doc = "Tumbling 6h time-window aggregation over events (window() → struct start/end)."),
 
     QueryDef(
+      "q190_datetrunc_agg",
+      (s, dir) => {
+        import s.implicits._
+        // Time-bucketed aggregation — the most common pipeline agg shape
+        // (`GROUP BY date_trunc('DAY', ts)`). Spark pulls the computed
+        // key into a Project below the partial agg
+        // (PullOutGroupingExpressions); the date_trunc long kernel
+        // (floor-to-multiple micros under UTC) compiles that Project
+        // columnar, so the whole map side runs GraftColumnarProject →
+        // GraftColumnarGroupedAgg (pinned in PlanAssertionSuite). The
+        // decimal cast is pre-projected so the collapsed Project stays
+        // fully kernel-compilable; the sum surfaces as exact cents.
+        Tables.t(s, dir, "events")
+          .select($"ts", $"event_type", $"user_id",
+            $"value".cast("decimal(18,2)").as("dv"))
+          .groupBy(date_trunc("DAY", $"ts").as("day"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"dv").as("sv"),
+            min($"user_id").as("min_user"), max($"user_id").as("max_user"))
+          // surface the bucket as DATE: DuckDB's date_trunc('day')
+          // result type is version/renderer-ambiguous (DATE vs midnight
+          // TIMESTAMP) — an explicit DATE cast on BOTH sides is stable
+          .select($"day".cast("date").as("day"), $"event_type", $"n",
+            ($"sv" * 100).cast("long").as("cents_sum"),
+            $"min_user", $"max_user")
+          .orderBy($"day", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
+          CAST(round(sum(CAST(value AS DECIMAL(18,2))) * 100, 0) AS BIGINT) AS cents_sum,
+          min(user_id) AS min_user, max(user_id) AS max_user
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
+      doc = "Time-bucketed aggregation (GROUP BY date_trunc) — the computed grouping key compiles onto the columnar long kernel (floor-to-multiple micros), keeping the whole map side columnar; exact cents + count + long min/max check lanes."),
+
+    QueryDef(
       "q138_session_window",
       (s, dir) => {
         import s.implicits._

@@ -265,12 +265,86 @@ case class GraftColumnarFinalAggExec(
                   GraftColumnarAgg.addLong(st.longAcc(si)(gid), r.getLong(col), ansi)
                 st.seen(si)(gid) = true
               }
+            case MomentsFinalSpec(col, order, _, _) =>
+              // CentralMomentAgg.mergeExpressions term-for-term (same
+              // textual operation order — bit-identical combine for the
+              // same arrival order). Buffers are non-nullable doubles:
+              // (n, avg, m2[, m3[, m4]]). State: n in dblAcc, the
+              // moment lanes in a per-group double[order].
+              var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
+              if (arr == null) {
+                arr = new Array[Double](order); st.objAcc(si)(gid) = arr
+              }
+              val n1 = st.dblAcc(si)(gid)
+              val n2 = r.getDouble(col)
+              val avg2 = r.getDouble(col + 1)
+              val m2r = r.getDouble(col + 2)
+              val newN = n1 + n2
+              val delta = avg2 - arr(0)
+              val deltaN = if (newN == 0.0) 0.0 else delta / newN
+              val newAvg = arr(0) + deltaN * n2
+              val newM2 = arr(1) + m2r + delta * deltaN * n1 * n2
+              if (order >= 3) {
+                val m3r = r.getDouble(col + 3)
+                val newM3 = arr(2) + m3r +
+                  deltaN * deltaN * delta * n1 * n2 * (n1 - n2) +
+                  3.0 * deltaN * (n1 * m2r - n2 * arr(1))
+                if (order >= 4) {
+                  val m4r = r.getDouble(col + 4)
+                  arr(3) = arr(3) + m4r +
+                    deltaN * deltaN * deltaN * delta * n1 * n2 *
+                      (n1 * n1 - n1 * n2 + n2 * n2) +
+                    6.0 * deltaN * deltaN * (n1 * n1 * m2r + n2 * n2 * arr(1)) +
+                    4.0 * deltaN * (n1 * m3r - n2 * arr(2))
+                }
+                arr(2) = newM3
+              }
+              arr(0) = newAvg
+              arr(1) = newM2
+              st.dblAcc(si)(gid) = newN
+            case CovFinalSpec(col, _, _) =>
+              // Covariance.mergeExpressions: (n, xAvg, yAvg, ck)
+              var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
+              if (arr == null) {
+                arr = new Array[Double](3); st.objAcc(si)(gid) = arr
+              }
+              val n1 = st.dblAcc(si)(gid)
+              val n2 = r.getDouble(col)
+              val newN = n1 + n2
+              val dx = r.getDouble(col + 1) - arr(0)
+              val dxN = if (newN == 0.0) 0.0 else dx / newN
+              val dy = r.getDouble(col + 2) - arr(1)
+              val dyN = if (newN == 0.0) 0.0 else dy / newN
+              arr(0) = arr(0) + dxN * n2
+              arr(1) = arr(1) + dyN * n2
+              arr(2) = arr(2) + r.getDouble(col + 3) + dx * dyN * n1 * n2
+              st.dblAcc(si)(gid) = newN
+            case CorrFinalSpec(col, _, _) =>
+              // PearsonCorrelation.mergeExpressions: the Covariance
+              // merge plus the per-axis m2 lanes (xMk, yMk)
+              var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
+              if (arr == null) {
+                arr = new Array[Double](5); st.objAcc(si)(gid) = arr
+              }
+              val n1 = st.dblAcc(si)(gid)
+              val n2 = r.getDouble(col)
+              val newN = n1 + n2
+              val dx = r.getDouble(col + 1) - arr(0)
+              val dxN = if (newN == 0.0) 0.0 else dx / newN
+              val dy = r.getDouble(col + 2) - arr(1)
+              val dyN = if (newN == 0.0) 0.0 else dy / newN
+              arr(0) = arr(0) + dxN * n2
+              arr(1) = arr(1) + dyN * n2
+              arr(2) = arr(2) + r.getDouble(col + 3) + dx * dyN * n1 * n2
+              arr(3) = arr(3) + r.getDouble(col + 4) + dx * dxN * n1 * n2
+              arr(4) = arr(4) + r.getDouble(col + 5) + dy * dyN * n1 * n2
+              st.dblAcc(si)(gid) = newN
             case AggSpec.MomentsSpec(_, _) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
                 AggSpec.AvgDec64Spec(_, _, _) |
                 AggSpec.FirstLastSpec(_, _, _, _) =>
-              // unreachable: compileFinal never emits the moment-family
-              // specs (final-stage divisor/NaN edges stay on the row path)
-              throw new IllegalStateException("moment specs have no final merge")
+              // unreachable: compileFinal emits the *FinalSpec twins,
+              // never the partial moment-family specs
+              throw new IllegalStateException("partial moment specs have no final merge")
           }
           si += 1
         }
@@ -396,10 +470,83 @@ case class GraftColumnarFinalAggExec(
                     else cols(c).putNull(i)
                     i += 1
                   }
+                case MomentsFinalSpec(_, order, kind, nullOnDiv) =>
+                  // each function's evaluateExpression: n=0 → null;
+                  // sample divisors at n=1 and skew/kurt at m2=0 emit
+                  // the divide-by-zero result (null by default, NaN
+                  // under spark.sql.legacy.statisticalAggregate)
+                  def dbz(i: Int): Unit =
+                    if (nullOnDiv) cols(c).putNull(i)
+                    else cols(c).putDouble(i, Double.NaN)
+                  var i = 0
+                  while (i < g) {
+                    val n = st.dblAcc(si)(i)
+                    val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
+                    val m2 = arr(1)
+                    if (n == 0.0) cols(c).putNull(i)
+                    else kind match {
+                      case 0 => // stddev_samp
+                        if (n == 1.0) dbz(i)
+                        else cols(c).putDouble(i, math.sqrt(m2 / (n - 1.0)))
+                      case 1 => // stddev_pop
+                        cols(c).putDouble(i, math.sqrt(m2 / n))
+                      case 2 => // var_samp
+                        if (n == 1.0) dbz(i)
+                        else cols(c).putDouble(i, m2 / (n - 1.0))
+                      case 3 => // var_pop
+                        cols(c).putDouble(i, m2 / n)
+                      case 4 => // skewness
+                        if (m2 == 0.0) dbz(i)
+                        else cols(c).putDouble(i,
+                          math.sqrt(n) * arr(2) / math.sqrt(m2 * m2 * m2))
+                      case _ => // kurtosis
+                        if (m2 == 0.0) dbz(i)
+                        else cols(c).putDouble(i, n * arr(3) / (m2 * m2) - 3.0)
+                    }
+                    i += 1
+                  }
+                case CovFinalSpec(_, isSample, nullOnDiv) =>
+                  var i = 0
+                  while (i < g) {
+                    val n = st.dblAcc(si)(i)
+                    if (n == 0.0) cols(c).putNull(i)
+                    else if (isSample && n == 1.0) {
+                      if (nullOnDiv) cols(c).putNull(i)
+                      else cols(c).putDouble(i, Double.NaN)
+                    } else {
+                      val ck = st.objAcc(si)(i).asInstanceOf[Array[Double]](2)
+                      cols(c).putDouble(i, if (isSample) ck / (n - 1.0) else ck / n)
+                    }
+                    i += 1
+                  }
+                case CorrFinalSpec(_, nullOnDiv, ansi) =>
+                  var i = 0
+                  while (i < g) {
+                    val n = st.dblAcc(si)(i)
+                    if (n == 0.0) cols(c).putNull(i)
+                    else if (n == 1.0) {
+                      if (nullOnDiv) cols(c).putNull(i)
+                      else cols(c).putDouble(i, Double.NaN)
+                    } else {
+                      val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
+                      val div = math.sqrt(arr(3) * arr(4))
+                      // Corr's evaluate has no zero-divisor guard: on a
+                      // zero divisor (constant inputs) the row path's
+                      // Divide THROWS under ANSI and returns NULL in
+                      // LEGACY mode (SQL division, not IEEE)
+                      if (div == 0.0) {
+                        if (ansi)
+                          throw org.apache.spark.sql.errors.QueryExecutionErrors
+                            .divideByZeroError(org.apache.spark.sql.catalyst.trees.Origin().context)
+                        cols(c).putNull(i)
+                      } else cols(c).putDouble(i, arr(2) / div)
+                    }
+                    i += 1
+                  }
                 case AggSpec.MomentsSpec(_, _) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
                 AggSpec.AvgDec64Spec(_, _, _) |
                 AggSpec.FirstLastSpec(_, _, _, _) =>
-                  throw new IllegalStateException("moment specs have no final merge")
+                  throw new IllegalStateException("partial moment specs have no final emission")
               }
           }
           c += 1

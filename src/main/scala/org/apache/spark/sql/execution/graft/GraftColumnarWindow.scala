@@ -1709,16 +1709,20 @@ case class GraftColumnarWindowExec(
     * throws). Iterating the frozen buffer with sibling iterators is
     * the size-based face's scout pattern.
     *
-    * The fn-10 (last) holders box one value per input row during pass 1
-    * (strings clone) — O(n) short-lived allocations per partition,
-    * bounded live memory; the fn-9 lanes box only staged blocks.
+    * The fn-10 (last) pass-1 holders are UNBOXED for long/double-family
+    * inputs (primitive per-spec slots, re-materialized once at
+    * emission); strings keep the boxed holder (the UTF8String must be
+    * cloned out of the reused row regardless), so only string lanes pay
+    * O(n) short-lived pass-1 allocations. The fn-9 lanes box only
+    * staged blocks.
     *
     * A/B (FilterMicroBench winsuf-*, sf0.01, 3 runs of min-of-5):
-    * ~600-row partitions 0.35-0.49x; ~20k-row hot partitions
-    * 0.01-0.02x = 65-80x faster — and the gap grows linearly with
-    * partition size (the row side is quadratic), so at 100 TB hot
-    * partitions this is the difference between finishing and not.
-    * ON by default.
+    * ~600-row partitions 0.34-0.37x (winsuf-remaining) and 0.34-0.39x
+    * on the fn-10+backfill shape (winsuf-bfill, re-measured after the
+    * pass-1 holders unboxed); ~20k-row hot partitions 0.01-0.02x =
+    * 65-80x faster — and the gap grows linearly with partition size
+    * (the row side is quadratic), so at 100 TB hot partitions this is
+    * the difference between finishing and not. ON by default.
     */
   private def suffixRowPath(): RDD[InternalRow] = {
     val (inM, grpM) = (metrics("numInputRows"), metrics("numPartitionGroups"))
@@ -1872,6 +1876,26 @@ case class GraftColumnarWindowExec(
       val lastVal = new Array[Any](nS)
       val lastNNVal = new Array[Any](nS)
       val lastNNIdx = new Array[Long](nS)
+      // fn-10 UNBOXED pass-1 holders: readBoxed would allocate one box
+      // per input row; long/double-family inputs hold the primitive and
+      // re-materialize once at emission. Strings keep the boxed holder
+      // (the UTF8String must be cloned out of the reused row anyway);
+      // decimals too (unscaled+scale re-assembly buys nothing).
+      // lane: 0 = long-family primitive, 1 = double-family, -1 = boxed.
+      val lastUb: Array[Int] = Array.tabulate(nS) { t0 =>
+        if (ss(t0).fn != 10) -1
+        else inTypes(t0) match {
+          case ByteType | ShortType | IntegerType | LongType | BooleanType |
+              DateType | TimestampType | TimestampNTZType => 0
+          case DoubleType | FloatType => 1
+          case _ => -1
+        }
+      }
+      val lastPL = new Array[Long](nS)
+      val lastPD = new Array[Double](nS)
+      val lastPNull = new Array[Boolean](nS)
+      val lastNNPL = new Array[Long](nS)
+      val lastNNPD = new Array[Double](nS)
       var s0 = 0
       while (s0 < nS) {
         val sp = ss(s0)
@@ -1933,6 +1957,7 @@ case class GraftColumnarWindowExec(
               (sufA(s) == null || sufA(s).length < nBlocks))
               sufA(s) = new Array[Any](nBlocks)
             lastVal(s) = null; lastNNVal(s) = null; lastNNIdx(s) = -1L
+            lastPNull(s) = true
             s += 1
           }
           // pass 1 — per-block aggregates (forward; all lanes are
@@ -1983,8 +2008,19 @@ case class GraftColumnarWindowExec(
                 case 10 => // last: the partition tail's value
                   if (sp.ign) {
                     if (!r.isNullAt(sp.col)) {
-                      lastNNVal(t) = readBoxed(r, sp.col, inTypes(t))
+                      lastUb(t) match {
+                        case 0 => lastNNPL(t) = rowLong(r, sp.col, inTypes(t))
+                        case 1 => lastNNPD(t) = rowDbl(r, sp.col, inTypes(t))
+                        case _ => lastNNVal(t) = readBoxed(r, sp.col, inTypes(t))
+                      }
                       lastNNIdx(t) = i
+                    }
+                  } else if (lastUb(t) >= 0) {
+                    val nl = r.isNullAt(sp.col)
+                    lastPNull(t) = nl
+                    if (!nl) {
+                      if (lastUb(t) == 0) lastPL(t) = rowLong(r, sp.col, inTypes(t))
+                      else lastPD(t) = rowDbl(r, sp.col, inTypes(t))
                     }
                   } else lastVal(t) = readBoxed(r, sp.col, inTypes(t))
                 case _ => // 2 | 3 min/max
@@ -2276,10 +2312,29 @@ case class GraftColumnarWindowExec(
           while (t < nS) {
             val sp = ss(t)
             val useLatch = sp.kind == 4
+            def reboxPrim(fromNN: Boolean): Any =
+              if (lastUb(t) == 1) {
+                val d = if (fromNN) lastNNPD(t) else lastPD(t)
+                if (inTypes(t) == FloatType) d.toFloat else d
+              } else {
+                val v = if (fromNN) lastNNPL(t) else lastPL(t)
+                inTypes(t) match {
+                  case IntegerType | DateType => v.toInt
+                  case ShortType => v.toShort
+                  case ByteType => v.toByte
+                  case BooleanType => v != 0L
+                  case _ => v
+                }
+              }
             def fn10Val(): (Boolean, Any) =
               if (sp.ign) {
                 val ok = lastNNIdx(t) >= 0 && i <= lastNNIdx(t)
-                (!ok, if (ok) lastNNVal(t) else null)
+                if (!ok) (true, null)
+                else (false, if (lastUb(t) >= 0) reboxPrim(fromNN = true)
+                  else lastNNVal(t))
+              } else if (lastUb(t) >= 0) {
+                if (lastPNull(t)) (true, null)
+                else (false, reboxPrim(fromNN = false))
               } else (lastVal(t) == null, lastVal(t))
             if (useLatch && newPeer) {
               sp.fn match {

@@ -83,6 +83,33 @@ object AggSpec {
   /** corr partial: PearsonCorrelation buffer (n, xAvg, yAvg, ck, xMk,
     * yMk) — the Covariance update plus per-axis m2 lanes. */
   final case class CorrSpec(xCol: Int, yCol: Int) extends AggSpec { def slots = 6 }
+  /** Central-moment family FINAL: merges the shuffled (n, avg, m2[,
+    * m3[, m4]]) buffer rows with CentralMomentAgg.mergeExpressions
+    * term-for-term (same textual operation order, so the combined
+    * buffer is bit-identical to the row path's for the same arrival
+    * order) and finalizes per `kind` — completing the q130-shaped
+    * moments pipeline columnar on BOTH exchange sides. `col` is the
+    * first buffer ordinal (buffers are consecutive doubles). kind:
+    * 0 stddev_samp, 1 stddev_pop, 2 var_samp, 3 var_pop, 4 skewness,
+    * 5 kurtosis — the divisor/NaN edges live in the emission switch
+    * (n=0 → null; n=1 → NaN for the sample divisors; m2=0 → NaN for
+    * skew/kurt), replicating each function's evaluateExpression. */
+  final case class MomentsFinalSpec(col: Int, order: Int, kind: Int,
+      nullOnDiv: Boolean) extends AggSpec { def slots = order + 1 }
+  /** covar_pop/covar_samp FINAL: merges (n, xAvg, yAvg, ck) with
+    * Covariance.mergeExpressions; ck/n or ck/(n-1) at emission
+    * (n=0 → null, n=1 sample → NaN). */
+  final case class CovFinalSpec(col: Int, isSample: Boolean,
+      nullOnDiv: Boolean) extends AggSpec { def slots = 4 }
+  /** corr FINAL: merges (n, xAvg, yAvg, ck, xMk, yMk) with
+    * PearsonCorrelation.mergeExpressions; ck / sqrt(xMk*yMk) at
+    * emission (n=0 → null, n=1 → the divide-by-zero result). Unlike
+    * skewness/kurtosis, Corr has NO m2=0 guard: constant inputs give a
+    * zero divisor, and the row path's ANSI Divide THROWS there — `ansi`
+    * replicates that (IEEE NaN when off). */
+  final case class CorrFinalSpec(col: Int, nullOnDiv: Boolean, ansi: Boolean)
+      extends AggSpec { def slots = 6 }
+
   /** avg over a Decimal64 input: buffer = (sum: DecimalType
     * bounded(p+10, s) initialized to ZERO, count: Long) — the SumDec64
     * exact unscaled-long kernel (BigInteger escape, precision clamp to
@@ -678,6 +705,9 @@ object GraftColumnarAgg {
     case s @ (CovSpec(_, _) | CorrSpec(_, _)) => Seq.fill(s.slots)(DoubleType)
     case AvgDec64Spec(_, _, buf) => Seq(buf, LongType)
     case FirstLastSpec(_, dt, _, _) => Seq(dt, BooleanType)
+    // final-only specs never appear in a partial layout
+    case s @ (MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _)) =>
+      Seq.fill(s.slots)(DoubleType)
   }
 
   private val longFamily: Set[DataType] =
@@ -816,8 +846,10 @@ object GraftColumnarAgg {
     case SumDec64Spec(_, _, buf, _) => buf
     case MinMaxDec64Spec(_, dt, _) => dt
     case SumLongSpec(_, _, _) => LongType
-    // unreachable: compileFinal never emits the moment-family specs
-    // (the final stage's divisor/NaN edges stay on the row path)
+    case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _) =>
+      DoubleType
+    // unreachable: compileFinal emits the *FinalSpec twins, never the
+    // partial moment-family specs
     case MomentsSpec(_, _) | CovSpec(_, _) | CorrSpec(_, _) => DoubleType
     // unreachable: compileFinal never emits AvgDec64Spec (the final
     // divide's rounding/ANSI edges stay on the row path)
@@ -876,6 +908,48 @@ object GraftColumnarAgg {
         scala.Right(MinMaxStringSpec(c, isMin = false))
       case Average(e, _) if numeric(e.dataType) && bufs == Seq(c, c + 1) =>
         scala.Right(AvgSpec(c, e.dataType))
+      case f: CentralMomentAgg
+          if (f.isInstanceOf[StddevPop] || f.isInstanceOf[StddevSamp] ||
+            f.isInstanceOf[VariancePop] || f.isInstanceOf[VarianceSamp] ||
+            f.isInstanceOf[Skewness] || f.isInstanceOf[Kurtosis]) &&
+            bufs == Seq.tabulate(bufs.length)(c + _) =>
+        val order = f match {
+          case _: Kurtosis => 4
+          case _: Skewness => 3
+          case _ => 2
+        }
+        val kind = f match {
+          case _: StddevSamp => 0
+          case _: StddevPop => 1
+          case _: VarianceSamp => 2
+          case _: VariancePop => 3
+          case _: Skewness => 4
+          case _ => 5
+        }
+        // nullOnDivideByZero is protected on the abstract class; every
+        // concrete subtype exposes it as a case-class accessor
+        val nod = f match {
+          case x: StddevSamp => x.nullOnDivideByZero
+          case x: StddevPop => x.nullOnDivideByZero
+          case x: VarianceSamp => x.nullOnDivideByZero
+          case x: VariancePop => x.nullOnDivideByZero
+          case x: Skewness => x.nullOnDivideByZero
+          case x: Kurtosis => x.nullOnDivideByZero
+          case _ => true
+        }
+        scala.Right(MomentsFinalSpec(c, order, kind, nod))
+      case f: Covariance
+          if (f.isInstanceOf[CovPopulation] || f.isInstanceOf[CovSample]) &&
+            bufs == Seq.tabulate(4)(c + _) =>
+        val nod = f match {
+          case x: CovSample => x.nullOnDivideByZero
+          case x: CovPopulation => x.nullOnDivideByZero
+          case _ => true
+        }
+        scala.Right(CovFinalSpec(c, f.isInstanceOf[CovSample], nod))
+      case f: Corr if bufs == Seq.tabulate(6)(c + _) =>
+        scala.Right(CorrFinalSpec(c, f.nullOnDivideByZero,
+          org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
       case other =>
         scala.Left(s"unsupported final aggregate: ${other.getClass.getSimpleName}")
     }

@@ -796,6 +796,32 @@ final case class DivL(c: VecLongExpr, d: Long) extends VecLongExpr {
     while (i < n) { if (!isNull(i)) out(i) = out(i) / d; i += 1 }
   }
 }
+final case class MicrosToDaysL(c: VecLongExpr) extends VecLongExpr {
+  // timestamp→date under UTC: floorDiv micros to whole days (floorDiv,
+  // not /, so pre-epoch instants land on the correct earlier day)
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) out(i) = Math.floorDiv(out(i), 86400L * 1000L * 1000L)
+      i += 1
+    }
+  }
+}
+final case class FloorMultOffL(c: VecLongExpr, m: Long, off: Long) extends VecLongExpr {
+  // floor-to-multiple with an alignment offset: date_trunc over UTC
+  // micros (m = unit micros; off = 0, or the Monday alignment for WEEK).
+  // floorDiv (not /) keeps pre-epoch timestamps truncating DOWNWARD —
+  // the same value Spark's calendar truncation produces under UTC.
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) out(i) = Math.floorDiv(out(i) - off, m) * m + off
+      i += 1
+    }
+  }
+}
 object VecLongExpr {
   def compile(e: Expression, output: Seq[Attribute]): Either[String, VecLongExpr] = {
     def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
@@ -853,12 +879,47 @@ final class LongArrayVector(values: Array[Long], nulls: Array[Boolean], n: Int,
   override def getChild(ordinal: Int): ColumnVector = nope
 }
 
+/** DateType output over the long kernel's value array: DateType vectors
+  * are read through getInt (epoch days), so this narrows at read time —
+  * the kernel pipeline stays all-long. */
+final class DateArrayVector(values: Array[Long], nulls: Array[Boolean], n: Int)
+    extends ColumnVector(org.apache.spark.sql.types.DateType) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getInt(rowId: Int): Int = values(rowId).toInt
+  private def nope = throw new UnsupportedOperationException("date-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
 sealed trait ProjKernel extends Serializable
 final case class NumKernel(k: VecNumExpr) extends ProjKernel
 final case class StrKernel(k: VecStrExpr) extends ProjKernel
 final case class IntKernel(k: LengthI) extends ProjKernel
 final case class DecKernel(k: VecDecExpr, dt: DecimalType) extends ProjKernel
 final case class LongKernel(k: VecLongExpr, dt: org.apache.spark.sql.types.DataType) extends ProjKernel
+final case class DateKernel(k: VecLongExpr) extends ProjKernel
 
 object ProjKernel {
   /** Dispatch by result type: DOUBLE → the arithmetic kernels, STRING →
@@ -883,6 +944,50 @@ object ProjKernel {
         case m: org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp
             if m.child.dataType == LongType =>
           VecLongExpr.compile(m.child, output).map(LongKernel(_, e.dataType))
+        // date_trunc to a LINEAR unit: pure floor-to-multiple micros
+        // arithmetic — the time-bucketed GROUP BY key shape. Calendar
+        // units (MONTH/QUARTER/YEAR) are not linear in micros; ltz
+        // truncation is zone-relative, so it compiles under UTC only
+        // (ntz is zone-free by definition). WEEK aligns to Monday
+        // (epoch day 4 = 1970-01-05).
+        case t: org.apache.spark.sql.catalyst.expressions.TruncTimestamp
+            if t.timestamp.dataType == e.dataType &&
+              (e.dataType == TimestampNTZType || t.timeZoneId.exists(z =>
+                java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC)) =>
+          val mic = 1000L * 1000L
+          val unit: Option[(Long, Long)] = t.format match {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+              s.toString.toUpperCase(java.util.Locale.ROOT) match {
+                case "MICROSECOND" => Some((1L, 0L))
+                case "MILLISECOND" => Some((1000L, 0L))
+                case "SECOND" => Some((mic, 0L))
+                case "MINUTE" => Some((60L * mic, 0L))
+                case "HOUR" => Some((3600L * mic, 0L))
+                case "DAY" | "DD" => Some((86400L * mic, 0L))
+                case "WEEK" => Some((7L * 86400L * mic, 4L * 86400L * mic))
+                case _ => None
+              }
+            case _ => None
+          }
+          // unwrap the analyzer's ntz→ltz UTC retype (events tables read
+          // as TIMESTAMP_NTZ get it inserted under date_trunc): same
+          // value-identical rule as the standalone cast case below
+          val tsChild = t.timestamp match {
+            case c: org.apache.spark.sql.catalyst.expressions.Cast
+                if c.dataType == TimestampType &&
+                  c.child.dataType == TimestampNTZType &&
+                  c.timeZoneId.exists(z =>
+                    java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC) =>
+              c.child
+            case other => other
+          }
+          unit match {
+            case Some((m0, off)) =>
+              VecLongExpr.compile(tsChild, output)
+                .map(c => LongKernel(FloorMultOffL(c, m0, off), e.dataType))
+            case None => scala.Left("unsupported date_trunc unit (calendar " +
+              "units are not linear in micros — row path)")
+          }
         // ntz→ltz cast reinterprets the wall-clock in the cast's zone;
         // under UTC that is ALSO a value-identical retype of the stored
         // micros. Any other zone shifts the value — row path.
@@ -893,6 +998,18 @@ object ProjKernel {
           VecLongExpr.compile(c.child, output).map(LongKernel(_, e.dataType))
         case other =>
           scala.Left(s"unsupported timestamp projection: ${other.getClass.getSimpleName}")
+      }
+      case DateType => e match {
+        // timestamp→date (to_date(ts) resolves to this cast): local-date
+        // extraction is zone-relative for ltz — UTC only — and zone-free
+        // for ntz; both are a floorDiv of the stored micros
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+            if c.child.dataType == TimestampNTZType ||
+              (c.child.dataType == TimestampType && c.timeZoneId.exists(z =>
+                java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC)) =>
+          VecLongExpr.compile(c.child, output).map(k => DateKernel(MicrosToDaysL(k)))
+        case other =>
+          scala.Left(s"unsupported date projection: ${other.getClass.getSimpleName}")
       }
       case other =>
         scala.Left(s"unsupported projection result type $other " +
@@ -996,6 +1113,11 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
               if (outL(c) == null || outL(c).length < n) outL(c) = new Array[Long](n)
               kernel.eval(batch, n, outL(c), nulls(c, n))
               cols(c) = new LongArrayVector(outL(c), outN(c), n, dt)
+              compM.add(1)
+            case scala.Right(DateKernel(kernel)) =>
+              if (outL(c) == null || outL(c).length < n) outL(c) = new Array[Long](n)
+              kernel.eval(batch, n, outL(c), nulls(c, n))
+              cols(c) = new DateArrayVector(outL(c), outN(c), n)
               compM.add(1)
           }
           c += 1

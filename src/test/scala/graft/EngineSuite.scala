@@ -1171,6 +1171,157 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("moments final stage: columnar merge + finalize matches the row path on every edge") {
+    // the whole moments pipeline columnar on BOTH exchange sides:
+    // MomentsFinal/CovFinal/CorrFinal merge the shuffled partial buffers
+    // with the row path's mergeExpressions term-for-term and finalize
+    // incl. the divisor edges — n=0 (all-null group → null), n=1
+    // (sample divisors → divide-by-zero result), m2=0 (constant values
+    // → skew/kurt divide-by-zero), and the legacy NaN variant of all
+    // three. repartition(4) forces real cross-partition merges.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    val dir = java.nio.file.Files.createTempDirectory("graft-momfin").toString
+    // x: constant in group 4 (m2=0 — skew/kurt dbz; corr over x would
+    // THROW under ANSI on both paths, checked separately below);
+    // y/z: non-constant wherever n > 1, so corr(y, z) stays finite
+    val rows = Seq(
+      (1L, Some(1.0), Some(2.0), Some(7.0)), (1L, Some(2.5), Some(4.0), Some(1.5)),
+      (1L, Some(3.25), Some(5.5), Some(-2.0)), (1L, Some(10.5), Some(1.25), Some(3.75)),
+      (1L, Some(-7.75), Some(0.5), Some(9.0)),
+      (2L, Some(7.5), Some(3.0), Some(1.0)), // single row: n=1
+      (3L, Option.empty[Double], Option.empty[Double], Option.empty[Double]),
+      (3L, Option.empty[Double], Option.empty[Double], Option.empty[Double]),
+      (4L, Some(5.0), Some(2.0), Some(4.0)), (4L, Some(5.0), Some(3.0), Some(1.0)),
+      (4L, Some(5.0), Some(4.5), Some(8.0)), (4L, Some(5.0), Some(5.0), Some(0.25)))
+    rows.toDF("k", "x", "y", "z").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    def q() = spark.read.parquet(dir).groupBy($"k")
+      .agg(stddev($"x").as("sd"), stddev_pop($"x").as("sdp"),
+        var_samp($"x").as("vs"), var_pop($"x").as("vp"),
+        skewness($"x").as("sk"), kurtosis($"x").as("ku"),
+        covar_samp($"x", $"y").as("cs"), covar_pop($"x", $"y").as("cp"),
+        corr($"y", $"z").as("co"), count($"x").as("n"))
+      .orderBy($"k")
+    val d = q()
+    val on = d.collect()
+    assert(findExec(d) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec => e
+    }.isDefined, s"the moments FINAL stage should swap:\n${
+      d.queryExecution.executedPlan}")
+    val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, s"moments final diverged:\non =${
+      on.toSeq}\noff=${off.toSeq}")
+    // legacy NaN divide-by-zero variant
+    withSQLConf("spark.sql.legacy.statisticalAggregate" -> "true") {
+      val onL = q().collect()
+      val offL = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+      assert(onL.toSeq == offL.toSeq, "legacy-NaN moments final diverged")
+    }
+    // corr over a CONSTANT column: the row path's ANSI Divide throws on
+    // the zero divisor (no m2=0 guard in Corr) — throw-parity, and IEEE
+    // NaN parity with ANSI off
+    def qC() = spark.read.parquet(dir).filter($"k" === 4L).groupBy($"k")
+      .agg(corr($"x", $"y").as("co"))
+    intercept[Throwable] { qC().collect() }
+    withSQLConf(GraftColumnarRule.enabledKey -> "false") {
+      intercept[Throwable] { qC().collect() }
+    }
+    withSQLConf("spark.sql.ansi.enabled" -> "false") {
+      val onN = qC().collect()
+      val offN = withSQLConf(GraftColumnarRule.enabledKey -> "false") { qC().collect() }
+      assert(onN.toSeq == offN.toSeq, "non-ANSI constant-corr diverged")
+    }
+  }
+
+  test("date_trunc long kernel: linear units match the row path; calendar units fall back") {
+    // the time-bucketed GROUP BY key shape: date_trunc to a linear unit
+    // compiles onto FloorMultOffL (floor-to-multiple micros, Monday-
+    // aligned for WEEK) under the UTC session zone — parity pins
+    // pre-epoch (floorDiv, not /), the Monday boundary, sub-second
+    // units, and nulls; MONTH (calendar arithmetic) must keep the row path
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    val dir = java.nio.file.Files.createTempDirectory("graft-dtrunc").toString
+    Seq(
+      Some("1969-12-31 23:59:59.123456"), Some("1970-01-01 00:00:00"),
+      Some("1969-11-03 04:05:06.7"), // pre-epoch Monday
+      Some("1970-01-04 23:59:59.999999"), Some("1970-01-05 00:00:00.000001"),
+      Some("1995-06-17 13:45:30.654321"), Some("2024-02-29 23:00:01.5"),
+      Option.empty[String])
+      .toDF("t").select($"t".cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(dir)
+    def q(unit: String) = spark.read.parquet(dir)
+      .select($"ts", date_trunc(unit, $"ts").as("tr")).orderBy($"ts")
+    for (u <- Seq("DAY", "HOUR", "MINUTE", "SECOND", "WEEK", "MILLISECOND")) {
+      val d = q(u)
+      val on = d.collect()
+      assert(findExec(d) {
+        case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+      }.isDefined, s"date_trunc($u) should compile onto the long kernel:\n${
+        d.queryExecution.executedPlan}")
+      val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") {
+        q(u).collect()
+      }
+      assert(on.toSeq == off.toSeq, s"date_trunc($u) kernel diverged")
+    }
+    val dm = q("MONTH")
+    val onM = dm.collect()
+    assert(findExec(dm) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isEmpty, s"date_trunc(MONTH) is calendar arithmetic — row path:\n${
+      dm.queryExecution.executedPlan}")
+    val offM = withSQLConf(GraftColumnarRule.enabledKey -> "false") {
+      q("MONTH").collect()
+    }
+    assert(onM.toSeq == offM.toSeq)
+  }
+
+  test("to_date kernel + computed grouping keys keep the whole map side columnar") {
+    // to_date(ts) resolves to Cast(ts AS DATE) — epoch-micros floorDiv
+    // to days under UTC (floorDiv pins pre-epoch instants to the earlier
+    // day). DATE and STRING grouping keys are kernel-supported, so
+    // GROUP BY to_date(ts) / lower(s) pull their computed key into a
+    // Project that compiles columnar and the grouped partial swaps too.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    val dir = java.nio.file.Files.createTempDirectory("graft-todate").toString
+    Seq(Some("1969-12-31 23:59:59.999999"), Some("1970-01-01 00:00:00"),
+      Some("1969-06-15 12:00:00"), Some("2024-02-29 23:59:59.5"),
+      Some("1995-06-17 13:45:30.654321"), Option.empty[String])
+      .toDF("t").select($"t".cast("timestamp").as("ts"),
+        upper(coalesce($"t", lit("none"))).as("tag"))
+      .write.mode("overwrite").parquet(dir)
+    def q() = spark.read.parquet(dir)
+      .select($"ts", to_date($"ts").as("d")).orderBy($"ts")
+    val dq = q()
+    val on = dq.collect()
+    assert(findExec(dq) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"to_date should compile onto the date kernel:\n${
+      dq.queryExecution.executedPlan}")
+    val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "to_date kernel diverged")
+    // computed grouping keys: date bucket + string kernel key
+    def qg() = spark.read.parquet(dir)
+      .groupBy(to_date($"ts").as("d"), lower($"tag").as("lt"))
+      .agg(count(lit(1)).as("n")).orderBy($"d", $"lt")
+    val dg = qg()
+    val ong = dg.collect()
+    assert(findExec(dg) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"computed-key grouped partial should swap:\n${
+      dg.queryExecution.executedPlan}")
+    assert(findExec(dg) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, "the pulled-out key Project should be columnar")
+    val offg = withSQLConf(GraftColumnarRule.enabledKey -> "false") { qg().collect() }
+    assert(ong.toSeq == offg.toSeq, "computed-key aggregation diverged")
+  }
+
   test("ANSI suffix sums: exact-lane outThrow flags don't leak across partitions") {
     // ADVICE r10 #1: outThrow is allocated once per spec but written only
     // by the EXACT ANSI lane; the safe-bound branch skipped it. A partition

@@ -502,6 +502,21 @@ object FilterMicroBench {
             sum($"l_partkey").over(w).as("remaining"),
             count(lit(1)).over(w).as("n_ahead"))
       }),
+      // fn-10 (last) + fn-9 backfill on the suffix face: pass-1 holds
+      // UNBOXED primitive lanes for long/double inputs (one slot per
+      // spec instead of a box per input row); ~600-row partitions keep
+      // the row side's O(n^2) recompute feasible
+      "winsuf-bfill" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"l_suppkey").orderBy($"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Tables.t(spark, sfDir, "lineitem")
+          .select($"l_suppkey",
+            last($"l_partkey").over(w).as("part_at_end"),
+            first(when($"l_quantity" < 10, $"l_orderkey"), ignoreNulls = true)
+              .over(w).as("bfill_small"))
+      }),
       // size-based functions (partition-buffered face): kind-0 node —
       // ntile/percent_rank/rank over 3 giant partitions (the row exec
       // buffers the same partitions; the win is the single streaming

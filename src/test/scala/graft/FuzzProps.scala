@@ -18,9 +18,10 @@ object FuzzProps extends Properties("graft") {
   private lazy val spark = GraftTestBase.spark
   import spark.implicits._
 
-  // each case runs Spark jobs — 20 cases per property is plenty
+  // each case runs Spark jobs — 20 cases per property is plenty for CI;
+  // GRAFT_FUZZ_N=500 (etc.) soaks a longer run off the critical path
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(20)
+    p.withMinSuccessfulTests(sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(20))
 
   private val moneyGen: Gen[List[Double]] =
     Gen.listOfN(60, Gen.chooseNum(-99999.99, 99999.99).map(d => math.round(d * 100) / 100.0))
@@ -504,6 +505,78 @@ object FuzzProps extends Properties("graft") {
         } finally spark.conf.unset("spark.graft.columnar.window.enabled")
         val ok = on == off
         if (!ok) println(s"FAILCASE lo=$lo hi=$hi rows=$rows\nON =$on\nOFF=$off")
+        ok
+      }
+    }
+
+  // ── splitter composition: random FUNCTION SUBSETS over one spec ──
+  // The property above fixes the expression list and varies frames; this
+  // axis varies WHICH functions share the node, so the mixed-kind
+  // splitter's grouping (streaming / size-based / sliding / range /
+  // suffix chains), chain ordering, and merge-back (non-compilable
+  // picks like double avg/sum force row nodes beside swapped ones) are
+  // all exercised against the unsplit row WindowExec. o is unique per
+  // partition, so every pick is deterministic and the final (k, o)
+  // sort is total. Soaked clean at GRAFT_FUZZ_N=300 (2026-08-15, all 21
+  // properties, zero falsifications); failures print the full case for
+  // seeded replay (see the FAILCASE line).
+  private val winComposeGen: Gen[(List[(Long, Option[Long], Double)], Long, Long, List[Int])] =
+    for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 3L)
+        v <- Gen.frequency(
+          6 -> Gen.choose(-1000L, 1000L).map(Option(_)),
+          2 -> Gen.const(Option.empty[Long]))
+        d <- Gen.choose(-100000, 100000).map(_ / 100.0)
+      } yield (k, v, d))
+      lo <- Gen.choose(-20L, 20L)
+      span <- Gen.choose(0L, 25L)
+      picks <- Gen.someOf(0 until 17).map(_.toList)
+      if picks.nonEmpty
+    } yield (rows, lo, lo + span, picks)
+
+  property("mixed window compositions: any function subset splits/merges back exactly") =
+    forAll(winComposeGen) { case (rows, lo, hi, picks) =>
+      rows.isEmpty || {
+        import org.apache.spark.sql.expressions.Window
+        val df = rows.zipWithIndex
+          .map { case ((k, v, d), i) => (k, i.toLong, v, d) }
+          .toDF("k", "o", "v", "d")
+        val wp = Window.partitionBy($"k").orderBy($"o")
+        val w = wp.rowsBetween(lo, hi)
+        val wr = wp.rangeBetween(lo, hi)
+        val wrun = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wsuf = wp.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wsufR = wp.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        val menu: Seq[org.apache.spark.sql.Column] = Seq(
+          sum($"v").over(w).as("c0"),
+          min($"v").over(w).as("c1"),
+          avg($"d").over(w).as("c2"), // double avg: row node beside swaps
+          sum($"d").over(wr).as("c3"), // double range sum: rescan/row
+          count($"v").over(wr).as("c4"),
+          sum($"v").over(wrun).as("c5"),
+          lag($"v", 2, -1L).over(wp).as("c6"),
+          lead($"v", 1).over(wp).as("c7"),
+          row_number().over(wp).as("c8"),
+          rank().over(wp).as("c9"),
+          ntile(4).over(wp).as("c10"),
+          percent_rank().over(wp).as("c11"),
+          cume_dist().over(wp).as("c12"),
+          sum($"v").over(wsuf).as("c13"),
+          first(when($"v" > 0L, $"v"), ignoreNulls = true).over(wsuf).as("c14"),
+          last($"v").over(wrun).as("c15"),
+          count(lit(1)).over(wsufR).as("c16"))
+        val cols = Seq($"k", $"o") ++ picks.map(menu)
+        def q(): Seq[org.apache.spark.sql.Row] =
+          df.select(cols: _*).orderBy($"k", $"o").collect().toSeq
+        val on = q()
+        val off = try {
+          spark.conf.set("spark.graft.columnar.window.enabled", "false")
+          q()
+        } finally spark.conf.unset("spark.graft.columnar.window.enabled")
+        val ok = on == off
+        if (!ok) println(s"FAILCASE picks=$picks lo=$lo hi=$hi rows=$rows\nON =$on\nOFF=$off")
         ok
       }
     }

@@ -184,6 +184,17 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q155: row TakeOrderedAndProject must be swapped out:\n$p")
   }
 
+  test("q190 runs the date_trunc grouped map side fully columnar") {
+    val df = run("q190_datetrunc_agg")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarProject"),
+      s"q190: expected the pulled-out date_trunc key to compile onto the " +
+        s"long kernel's Project in:\n$p")
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q190: expected the computed-key grouped partial agg columnar in:\n$p")
+  }
+
   test("q162 runs DISTINCT columnar on both exchange sides") {
     val df = run("q162_columnar_distinct")
     df.collect()
@@ -463,12 +474,14 @@ class PlanAssertionSuite extends GraftTestBase {
     assert(!rowSort, s"row SortExec must be swapped:\n$p")
   }
 
-  test("q37 variance family aggregates columnar (moments + covariance partials)") {
+  test("q37 variance family aggregates columnar on BOTH exchange sides") {
     val df = run("q37_agg_variance")
     df.collect()
     val p = planString(df)
     assert(p.contains("GraftColumnarGroupedAgg"),
       s"expected the columnar grouped partial agg for the stddev/corr/covar family in:\n$p")
+    assert(p.contains("GraftColumnarFinalAgg"),
+      s"expected the moments/cov/corr FINAL merge columnar in:\n$p")
   }
 
   test("q174 decimal averages partial-aggregate columnar on the Decimal64 kernel") {
@@ -479,12 +492,14 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected the columnar grouped partial agg for avg(decimal) in:\n$p")
   }
 
-  test("q130 skewness/kurtosis partial stage swaps columnar (m3/m4 lanes)") {
+  test("q130 skewness/kurtosis pipeline swaps columnar on BOTH exchange sides") {
     val df = run("q130_higher_moments")
     df.collect()
     val p = planString(df)
     assert(p.contains("GraftColumnarGroupedAgg"),
       s"expected the columnar grouped partial agg for skew/kurt in:\n$p")
+    assert(p.contains("GraftColumnarFinalAgg"),
+      s"expected the moments FINAL merge columnar (MomentsFinalSpec) in:\n$p")
   }
 
   test("q175 partial SortAggregate + map-side sort absorbed into the columnar grouped agg") {
