@@ -29,6 +29,40 @@ object AggregateQueries {
   def all: Seq[QueryDef] = Seq(
 
     QueryDef(
+      "q191_computed_arg_agg",
+      (s, dir) => {
+        import s.implicits._
+        // COMPUTED aggregate arguments, aggregated columnar: Spark
+        // evaluates function inputs inline (no PullOutGrouping for
+        // args), so sum(price * (1 - disc)) historically kept the whole
+        // partial on the row path. The planner now absorbs
+        // deterministic kernel-compilable args into a
+        // GraftColumnarProject below the agg (pinned). All check lanes
+        // order-free: exact Decimal64 net-revenue sum (the q146 money
+        // discipline — WITHOUT the manual pre-projection), selection
+        // min/max over computed doubles, count.
+        val dp = $"l_extendedprice".cast("decimal(9,2)")
+        val dd = $"l_discount".cast("decimal(5,4)")
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(dp * (lit(1).cast("decimal(5,4)") - dd)).as("net_rev"),
+            min(-$"l_extendedprice").as("min_neg_price"),
+            max(abs($"l_discount" - $"l_tax")).as("max_spread"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+          sum(CAST(l_extendedprice AS DECIMAL(9,2))
+              * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS net_rev,
+          min(-l_extendedprice) AS min_neg_price,
+          max(abs(l_discount - l_tax)) AS max_spread,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "Computed aggregate arguments (sum of a decimal product, min/max of computed doubles) absorbed into a columnar kernel Project below the grouped partial agg — the TPC-H Q1 money shape swaps without manual pre-projection."),
+
+    QueryDef(
       "q36_agg_minmax_avg",
       (s, dir) => {
         import s.implicits._

@@ -51,6 +51,20 @@ object FilterMicroBench {
               $"l_discount".cast("decimal(7,4)"))).as("net"),
             $"l_extendedprice".cast("decimal(12,2)").cast("decimal(14,4)").as("base4"))
       }),
+      // computed aggregate ARGS absorbed into a kernel project below the
+      // grouped partial (vs the codegen'd row agg evaluating args inline)
+      "grouped-agg-argabsorb" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dp = Tables.t(spark, sfDir, "lineitem")
+        dp.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_extendedprice".cast("decimal(9,2)") *
+              (lit(1).cast("decimal(5,4)") - $"l_discount".cast("decimal(5,4)")))
+              .as("net"),
+            min(-$"l_extendedprice").as("mn"),
+            max(abs($"l_discount" - $"l_tax")).as("mx"),
+            count(lit(1)).as("n"))
+      }),
       // grouped partial agg (GraftColumnarGroupedAgg vs codegen'd hash agg)
       "grouped-agg" -> (() => {
         import org.apache.spark.sql.functions._

@@ -184,6 +184,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q155: row TakeOrderedAndProject must be swapped out:\n$p")
   }
 
+  test("q191 absorbs computed aggregate args into a columnar kernel project") {
+    val df = run("q191_computed_arg_agg")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarProject"),
+      s"q191: expected the absorbed-args kernel Project below the agg in:\n$p")
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q191: expected the computed-arg grouped partial agg columnar in:\n$p")
+  }
+
   test("q190 runs the date_trunc grouped map side fully columnar") {
     val df = run("q190_datetrunc_agg")
     df.collect()
