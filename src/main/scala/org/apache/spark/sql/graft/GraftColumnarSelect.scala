@@ -1305,11 +1305,14 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           if (agg.isInstanceOf[HashAggregateExec] || agg.isInstanceOf[SortAggregateExec]) &&
             agg.groupingExpressions.isEmpty && agg.child.supportsColumnar &&
             agg.aggregateExpressions.nonEmpty =>
+        // same computed-arg absorption as the grouped swap (q191 shape,
+        // without keys): sum(price*(1-disc)) over the whole table
+        val (rewrittenAes, base) = absorbAggArgs(agg.aggregateExpressions, agg.child)
         val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
-          case a: AttributeReference => agg.child.output.indexWhere(_.exprId == a.exprId)
+          case a: AttributeReference => base.output.indexWhere(_.exprId == a.exprId)
           case _ => -1
         }
-        val compiled = agg.aggregateExpressions.map(ae => GraftColumnarAgg.compile(ae, ord))
+        val compiled = rewrittenAes.map(ae => GraftColumnarAgg.compile(ae, ord))
         compiled.collectFirst { case scala.Left(e) => e } match {
           case Some(reason) =>
             agg.setTagValue(fallbackReasonTag, reason); agg
@@ -1318,12 +1321,57 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             val layoutOk =
               agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
                 specs.flatMap(GraftColumnarAgg.slotTypes) == agg.output.map(_.dataType)
-            if (layoutOk) GraftColumnarPartialAggExec(agg.output, specs, agg.child)
+            if (layoutOk) GraftColumnarPartialAggExec(agg.output, specs, base)
             else {
               agg.setTagValue(fallbackReasonTag,
                 "partial output is not a plain buffer-attribute row"); agg
             }
         }
+    }
+
+    /** ABSORB computed aggregate ARGS: Spark evaluates function inputs
+      * inline (PullOutGroupingExpressions covers keys only), so
+      * sum(price * (1 - disc)) — the TPC-H Q1 money shape — would keep
+      * the whole partial on the row path. Deterministic non-attribute
+      * args that compile as projection kernels are aliased into a
+      * GraftColumnarProjectExec below the agg and the functions are
+      * rewritten onto the new attributes; everything else flows through
+      * the attribute-only compiler unchanged. Callers fall back to the
+      * ORIGINAL agg if the rewritten aggregation still fails a gate (no
+      * stray project is inserted — the project exists only inside the
+      * swapped plan).
+      * A/B (FilterMicroBench grouped-agg-argabsorb, sf0.1, 3 runs of
+      * min-of-5): 0.53-0.59x — the Decimal64/double kernels beat the
+      * codegen'd row agg's inline arg evaluation on the money shape.
+      */
+    private def absorbAggArgs(
+        aes: Seq[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression],
+        base0: SparkPlan): (
+        Seq[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression],
+        SparkPlan) = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, NamedExpression}
+      val argAliases = scala.collection.mutable.LinkedHashMap[Expression, Alias]()
+      def absorbable(e: Expression): Boolean =
+        !e.isInstanceOf[AttributeReference] && !e.isInstanceOf[Literal] &&
+          e.deterministic && ProjKernel.compile(e, base0.output).isRight
+      val rewritten = aes.map { ae =>
+        val af = ae.aggregateFunction
+        val newChildren = af.children.map { c =>
+          if (absorbable(c)) {
+            val al = argAliases.getOrElseUpdate(c.canonicalized,
+              Alias(c, s"_graftarg${argAliases.size}")())
+            al.toAttribute
+          } else c
+        }
+        if (newChildren == af.children) ae
+        else ae.copy(aggregateFunction = af.withNewChildren(newChildren)
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
+      }
+      val base: SparkPlan =
+        if (argAliases.isEmpty) base0
+        else GraftColumnarProjectExec(
+          base0.output.map(a => a: NamedExpression) ++ argAliases.values, base0)
+      (rewritten, base)
     }
 
     /** Frame → evaluation kind for the streaming window family (shared
@@ -1613,41 +1661,9 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
     private def swapGroupedPartial(
         agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec,
         base0: SparkPlan): SparkPlan = {
-      // ABSORB computed aggregate ARGS: Spark evaluates function inputs
-      // inline (PullOutGroupingExpressions covers keys only), so
-      // sum(price * (1 - disc)) — the TPC-H Q1 money shape — would keep
-      // the whole partial on the row path. Deterministic non-attribute
-      // args that compile as projection kernels are aliased into a
-      // GraftColumnarProjectExec below the agg, and the aggregate
-      // functions are rewritten onto the new attributes; everything
-      // else flows through the attribute-only compiler unchanged. If
-      // the rewritten aggregation still fails a gate, the ORIGINAL agg
-      // falls back (no stray project is inserted).
-      // A/B (FilterMicroBench grouped-agg-argabsorb, sf0.1, 3 runs of
-      // min-of-5): 0.53-0.59x — the Decimal64/double kernels beat the
-      // codegen'd row agg's inline arg evaluation on the money shape.
-      import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, NamedExpression}
-      val argAliases = scala.collection.mutable.LinkedHashMap[Expression, Alias]()
-      def absorbable(e: Expression): Boolean =
-        !e.isInstanceOf[AttributeReference] && !e.isInstanceOf[Literal] &&
-          e.deterministic && ProjKernel.compile(e, base0.output).isRight
-      val rewrittenAes = agg.aggregateExpressions.map { ae =>
-        val af = ae.aggregateFunction
-        val newChildren = af.children.map { c =>
-          if (absorbable(c)) {
-            val al = argAliases.getOrElseUpdate(c.canonicalized,
-              Alias(c, s"_graftarg${argAliases.size}")())
-            al.toAttribute
-          } else c
-        }
-        if (newChildren == af.children) ae
-        else ae.copy(aggregateFunction = af.withNewChildren(newChildren)
-          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
-      }
-      val base: SparkPlan =
-        if (argAliases.isEmpty) base0
-        else GraftColumnarProjectExec(
-          base0.output.map(a => a: NamedExpression) ++ argAliases.values, base0)
+      // computed-arg absorption (see absorbAggArgs): sum(price*(1-disc))
+      // swaps via a kernel Project synthesized below the agg
+      val (rewrittenAes, base) = absorbAggArgs(agg.aggregateExpressions, base0)
       val ord: org.apache.spark.sql.catalyst.expressions.Expression => Int = {
         case a: AttributeReference => base.output.indexWhere(_.exprId == a.exprId)
         case _ => -1

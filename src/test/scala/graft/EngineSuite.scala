@@ -1279,6 +1279,33 @@ class EngineSuite extends GraftTestBase {
     assert(onM.toSeq == offM.toSeq)
   }
 
+  test("global partial agg absorbs computed args onto the kernel project") {
+    // the no-keys twin of q191: sum(price * (1 - disc)) over the whole
+    // table — the arg expression compiles into a kernel Project below
+    // GraftColumnarPartialAggExec instead of keeping the row path
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    def q() = Tables.t(spark, sfDir, "lineitem")
+      .agg(
+        sum($"l_extendedprice".cast("decimal(9,2)") *
+          (lit(1).cast("decimal(5,4)") - $"l_discount".cast("decimal(5,4)")))
+          .as("net"),
+        min(-$"l_extendedprice").as("mn"),
+        count(lit(1)).as("n"))
+    val d = q()
+    val on = d.collect()
+    assert(findExec(d) {
+      case e: org.apache.spark.sql.graft.GraftColumnarPartialAggExec => e
+    }.isDefined, s"the global computed-arg partial should swap:\n${
+      d.queryExecution.executedPlan}")
+    assert(findExec(d) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, "the absorbed-args kernel Project should sit below it")
+    val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "global computed-arg aggregation diverged")
+  }
+
   test("to_date kernel + computed grouping keys keep the whole map side columnar") {
     // to_date(ts) resolves to Cast(ts AS DATE) — epoch-micros floorDiv
     // to days under UTC (floorDiv pins pre-epoch instants to the earlier
