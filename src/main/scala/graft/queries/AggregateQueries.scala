@@ -53,8 +53,9 @@ object AggregateQueries {
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-          sum(CAST(l_extendedprice AS DECIMAL(9,2))
-              * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS net_rev,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+              * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+            AS DECIMAL(26,6)) AS net_rev,
           min(-l_extendedprice) AS min_neg_price,
           max(abs(l_discount - l_tax)) AS max_spread,
           count(*) AS n

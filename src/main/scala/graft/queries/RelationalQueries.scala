@@ -556,9 +556,9 @@ object RelationalQueries {
           .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-          sum(CAST(l_quantity AS BIGINT)) OVER w AS run_qty,
+          CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS run_qty,
           count(l_quantity) OVER w AS run_n,
-          sum(l_partkey) OVER w AS run_pk,
+          CAST(sum(l_partkey) OVER w AS BIGINT) AS run_pk,
           round(min(l_extendedprice) OVER w, 4) AS run_min_price,
           round(max(l_extendedprice) OVER w, 4) AS run_max_price,
           round(avg(CAST(l_quantity AS BIGINT)) OVER w, 6) AS run_avg_qty
@@ -792,7 +792,7 @@ object RelationalQueries {
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderdate,
           count(1) OVER w AS n30d,
-          sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS rev30d_c,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS rev30d_c,
           round(max(o_totalprice) OVER w, 2) AS top30d
         FROM orders WHERE o_custkey < 500
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
@@ -834,7 +834,7 @@ object RelationalQueries {
           .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
-          sum(CAST(l_quantity AS BIGINT)) OVER wt AS roll_qty,
+          CAST(sum(CAST(l_quantity AS BIGINT)) OVER wt AS BIGINT) AS roll_qty,
           min(l_extendedprice) OVER wt AS roll_min,
           max(l_extendedprice) OVER wc AS roll_max,
           count(CAST(l_quantity AS BIGINT)) OVER wt AS roll_n
@@ -874,7 +874,7 @@ object RelationalQueries {
           .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
-          sum(CAST(l_quantity AS BIGINT)) OVER w AS win_qty,
+          CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS win_qty,
           min(l_extendedprice) OVER w AS win_min,
           max(l_extendedprice) OVER w AS win_max,
           count(CAST(l_quantity AS BIGINT)) OVER w AS win_n
@@ -925,7 +925,7 @@ object RelationalQueries {
           percent_rank() OVER wt AS pr,
           rank() OVER wt AS rk,
           cume_dist() OVER wq AS cd_qty,
-          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER wq AS rev_upto_qty,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER wq AS BIGINT) AS rev_upto_qty,
           count(*) OVER wq AS n_upto_qty
         FROM lineitem
         WINDOW wt AS (PARTITION BY l_returnflag
@@ -968,12 +968,12 @@ object RelationalQueries {
           .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
-          sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
+          CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
           row_number() OVER w AS rn,
           lag(l_orderkey, 1) OVER w AS prev_ok,
           min(l_partkey) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS min_pk_4,
           ntile(5) OVER w AS quint,
-          sum(cents) OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS range_cents,
+          CAST(sum(cents) OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS range_cents,
           count(*) OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS range_n
         FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
         WINDOW w AS (PARTITION BY l_returnflag
@@ -1022,10 +1022,10 @@ object RelationalQueries {
           .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
-          sum(cents) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_cents,
+          CAST(sum(cents) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS remaining_cents,
           count(*) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_n,
           min(l_partkey) OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS min_pk_ahead,
-          sum(cents) OVER (wq RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rev_from_qty,
+          CAST(sum(cents) OVER (wq RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS rev_from_qty,
           count(*) OVER (wq RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_from_qty,
           first_value(CASE WHEN l_quantity < 10 THEN cents END IGNORE NULLS)
             OVER (wt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill_small

@@ -20,7 +20,18 @@ object GraftTestBase {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  val sfDir = "/root/testdata/sf0.001"
+  /** Data-root convention: every fixture dir hangs off one root
+    * (override with SPARK_GRAFT_DATA_ROOT on machines with the parquet
+    * elsewhere). Suites that need a non-default scale must
+    * `assume`-skip when its dir is absent rather than fail.
+    */
+  val dataRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
+  val sfDir = s"$dataRoot/sf0.001"
+  /** The driver's correctness scale (sf0.01) — order-totality and
+    * type-parity audits run here because the defects they pin do not
+    * exist at sf0.001. */
+  val sfDriverDir = s"$dataRoot/sf0.01"
 }
 
 abstract class GraftTestBase extends AnyFunSuite with BeforeAndAfterAll {

@@ -30,6 +30,31 @@ def canon(cols, rows):
     out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
     return [cols[i] for i in order], out
 
+def type_parity(con, spark_glob, sql):
+    """The r10/r11 driver-red root cause: DuckDB widens sum(BIGINT) to
+    HUGEINT (int128) and sum(DECIMAL(p,s)) to DECIMAL(38,s), while Spark
+    stays at BIGINT / DECIMAL(p+10,s). The python fetch above collapses
+    both to int/Decimal, so VALUES compare equal here while the driver's
+    hash normalization diverges on the 128-bit representation. Fail any
+    column whose DuckDB type differs across int128 or decimal width —
+    int64-safe diffs (INTEGER vs BIGINT) stay green, matching the driver.
+    Returns a list of (col, spark_type, oracle_type) offenders."""
+    def types_of(q):
+        d = con.execute(f"DESCRIBE {q}").fetchall()
+        return {r[0]: r[1] for r in d}
+    st = types_of(f"SELECT * FROM '{spark_glob}'")
+    ot = types_of(f"({sql})")
+    bad = []
+    for col in sorted(set(st) & set(ot)):
+        a, b = st[col], ot[col]
+        if a == b:
+            continue
+        huge = ("HUGEINT" in a) != ("HUGEINT" in b)
+        decw = a.startswith("DECIMAL") and b.startswith("DECIMAL")
+        if huge or decw:
+            bad.append((col, a, b))
+    return bad
+
 fails = []
 for name in sorted(oracle):
     sql = oracle[name]
@@ -52,6 +77,14 @@ for name in sorted(oracle):
     if sv != ov:
         diff = next((i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if a != b)
         fails.append((name, f"value mismatch at row {diff[0]}: spark={diff[1]} oracle={diff[2]}")); continue
+    try:
+        offenders = type_parity(con, f"{spark_dir}/*.parquet", sql)
+    except Exception as e:
+        fails.append((name, f"type-parity describe error: {e}")); continue
+    if offenders:
+        detail = "; ".join(f"{c}: spark={a} oracle={b}" for c, a, b in offenders)
+        fails.append((name, f"RESULT-TYPE divergence (driver-hash red even though "
+                            f"values match — CAST the oracle): {detail}")); continue
     print(f"OK   {name} ({len(sv)} rows)")
 
 for name, why in fails:
