@@ -1958,6 +1958,14 @@ case class GraftColumnarWindowExec(
               sufA(s) = new Array[Any](nBlocks)
             lastVal(s) = null; lastNNVal(s) = null; lastNNIdx(s) = -1L
             lastPNull(s) = true
+            // safe-bound ANSI partitions share outThrow with the exact
+            // lane; clear flags a prior exact-lane partition in this
+            // task left behind (emission reads them at latch heads and
+            // would throw a spurious overflow). Once per partition —
+            // the safe lane never writes outThrow, so a per-block
+            // clear would be redundant O(blocks*blockRows) work.
+            if (outThrow(s) != null)
+              java.util.Arrays.fill(outThrow(s), false)
             s += 1
           }
           // pass 1 — per-block aggregates (forward; all lanes are
@@ -2247,12 +2255,8 @@ case class GraftColumnarWindowExec(
               }
               t += 1
             } else {
-            // safe-bound ANSI partitions share outThrow with the exact
-            // lane; clear any stale flags a prior exact-lane partition
-            // in this task left behind (emission reads them at latch
-            // heads and would throw a spurious overflow)
-            if (sp.fn == 0 && outThrow(t) != null)
-              java.util.Arrays.fill(outThrow(t), false)
+            // (stale outThrow flags from a prior exact-lane partition
+            // are cleared once at partition reset in advancePartition)
             var accL = if (hasNext) sufL(t)(b + 1) else 0L
             var accD = if (hasNext) sufD(t)(b + 1) else 0.0
             var seen = hasNext && sufSeen(t)(b + 1)

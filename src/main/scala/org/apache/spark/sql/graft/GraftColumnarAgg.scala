@@ -106,7 +106,7 @@ object AggSpec {
     * emission (n=0 → null, n=1 → the divide-by-zero result). Unlike
     * skewness/kurtosis, Corr has NO m2=0 guard: constant inputs give a
     * zero divisor, and the row path's ANSI Divide THROWS there — `ansi`
-    * replicates that (IEEE NaN when off). */
+    * replicates that (NULL when off, SQL division semantics). */
   final case class CorrFinalSpec(col: Int, nullOnDiv: Boolean, ansi: Boolean)
       extends AggSpec { def slots = 6 }
 

@@ -811,13 +811,26 @@ final case class MicrosToDaysL(c: VecLongExpr) extends VecLongExpr {
 final case class FloorMultOffL(c: VecLongExpr, m: Long, off: Long) extends VecLongExpr {
   // floor-to-multiple with an alignment offset: date_trunc over UTC
   // micros (m = unit micros; off = 0, or the Monday alignment for WEEK).
-  // floorDiv (not /) keeps pre-epoch timestamps truncating DOWNWARD —
-  // the same value Spark's calendar truncation produces under UTC.
+  // The naive floorDiv(x - off, m) * m + off wraps when x is within
+  // `off` of Long.MIN (WEEK's off is 4 days of micros), so compute the
+  // equivalent x - floorMod(x - off, m) with the inner mod reduced
+  // safely: floorMod(x - off, m) == norm(floorMod(x, m) - floorMod(off,
+  // m)) — both operands < m, no overflow for any x. floorMod (not %)
+  // keeps pre-epoch timestamps truncating DOWNWARD — the same value
+  // Spark's calendar truncation produces under UTC. (If the true
+  // truncated instant itself is below Long.MIN micros it is not
+  // representable; Spark's row path throws on the days→micros multiply
+  // there, and such instants are outside Spark's timestamp domain.)
+  private val offMod = Math.floorMod(off, m)
   override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
     c.eval(batch, n, out, isNull)
     var i = 0
     while (i < n) {
-      if (!isNull(i)) out(i) = Math.floorDiv(out(i) - off, m) * m + off
+      if (!isNull(i)) {
+        var adj = Math.floorMod(out(i), m) - offMod
+        if (adj < 0) adj += m
+        out(i) -= adj
+      }
       i += 1
     }
   }

@@ -1279,6 +1279,29 @@ class EngineSuite extends GraftTestBase {
     assert(onM.toSeq == offM.toSeq)
   }
 
+  test("FloorMultOffL: WEEK truncation survives micros near Long.MinValue") {
+    // ADVICE r11: the naive floorDiv(x - off, m)*m + off wraps when x is
+    // within off (4 days for WEEK) of Long.MIN — it silently produced a
+    // huge POSITIVE micros value. The floorMod form must return the true
+    // truncation whenever it is representable. x = Long.MIN + 12h: the
+    // previous Monday (-9223372022400000000 micros) is in range, but
+    // x - off underflows.
+    import org.apache.spark.sql.graft.{FloorMultOffL, LitL}
+    val m = 7L * 86400 * 1000000
+    val off = 4L * 86400 * 1000000
+    val x = Long.MinValue + 43200000000L
+    val out = new Array[Long](1)
+    val nulls = new Array[Boolean](1)
+    FloorMultOffL(LitL(x), m, off).eval(null, 1, out, nulls)
+    assert(!nulls(0))
+    assert(out(0) == -9223372022400000000L,
+      s"wrapped: got ${out(0)}")
+    // and agrees with floorDiv on an ordinary in-range value
+    val y = 1697000000000000L // 2023-10-11
+    FloorMultOffL(LitL(y), m, off).eval(null, 1, out, nulls)
+    assert(out(0) == Math.floorDiv(y - off, m) * m + off)
+  }
+
   test("global partial agg absorbs computed args onto the kernel project") {
     // the no-keys twin of q191: sum(price * (1 - disc)) over the whole
     // table — the arg expression compiles into a kernel Project below
