@@ -64,6 +64,48 @@ object AggregateQueries {
       doc = "Computed aggregate arguments (sum of a decimal product, min/max of computed doubles) absorbed into a columnar kernel Project below the grouped partial agg — the TPC-H Q1 money shape swaps without manual pre-projection."),
 
     QueryDef(
+      "q192_conditional_arg_agg",
+      (s, dir) => {
+        import s.implicits._
+        // CONDITIONAL computed aggregate arguments — the TPC-H Q8/Q14
+        // market-share shape: sum(CASE WHEN flag THEN money ELSE 0).
+        // The revenue product at the spec's own DECIMAL(18,2) operand
+        // widths lands on DECIMAL(37,4) — past Decimal64 — so the
+        // absorbed kernel Project runs the int128 lane (Mul128x64 /
+        // CaseWhen128) and the partial agg accumulates int128
+        // (SumDec128Spec), the JVM twin of the reference's
+        // sum_decimal.rs. The CASE branches evaluate under a selection
+        // mask, giving the row path's lazy ANSI error semantics. The
+        // double CASE lanes (conditional sum/count) pin CaseWhenD.
+        val rev = $"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"l_returnflag" === "R", rev)
+              .otherwise(lit(0).cast("decimal(37,4)"))).as("ret_rev"),
+            sum(rev).as("rev"),
+            sum(when($"l_quantity" < 25, $"l_extendedprice").otherwise(lit(0.0)))
+              .as("small_rev"),
+            count(when($"l_returnflag" === "R", lit(1.0))).as("n_ret"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+          CAST(sum(CASE WHEN l_returnflag = 'R'
+              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              ELSE CAST(0 AS DECIMAL(37,4)) END) AS DECIMAL(38,4)) AS ret_rev,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DECIMAL(38,4)) AS rev,
+          sum(CASE WHEN l_quantity < 25 THEN l_extendedprice ELSE 0.0 END) AS small_rev,
+          count(CASE WHEN l_returnflag = 'R' THEN 1.0 END) AS n_ret,
+          count(*) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+      doc = "Conditional computed aggregate arguments (the TPC-H Q8/Q14 market-share shape): CASE-gated DECIMAL(37,4) money products absorbed into the int128 columnar lane below the grouped partial agg, plus conditional double sum/count lanes."),
+
+    QueryDef(
       "q36_agg_minmax_avg",
       (s, dir) => {
         import s.implicits._

@@ -1038,6 +1038,47 @@ object RelationalQueries {
 
     // ----------------------------------------------------------------
     QueryDef(
+      "q193_window_suffix_hicard",
+      (s, dir) => {
+        import s.implicits._
+        // q189's suffix frames on a HIGH-CARDINALITY partitioning
+        // (pmod(l_orderkey, 4096) → ~n/4096 rows per partition): the
+        // realistic per-entity shape where thousands of partitions
+        // parallelize across the cluster, vs q189's deliberate 3-key
+        // worst case whose giant partitions serialize. Together the two
+        // bench entries expose BOTH costs: q189 isolates the O(n)
+        // suffix-combine win on long partitions; this query shows the
+        // sweep-visible many-partition path (scheduling + per-partition
+        // reset dominated). The fixture's (l_orderkey, l_linenumber) is
+        // NOT unique, so the window order carries all four keys —
+        // q189's totality discipline — keeping every lane hash-stable.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(pmod($"l_orderkey", lit(4096)).as("bucket"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        Tables.t(s, dir, "lineitem")
+          .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            sum($"cents").over(w.rowsBetween(Window.currentRow,
+              Window.unboundedFollowing)).as("remaining_cents"),
+            count(lit(1)).over(w.rowsBetween(Window.currentRow,
+              Window.unboundedFollowing)).as("remaining_n"),
+            min($"l_partkey").over(w.rowsBetween(Window.currentRow,
+              Window.unboundedFollowing)).as("min_pk_ahead"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          CAST(sum(cents) OVER w AS BIGINT) AS remaining_cents,
+          count(*) OVER w AS remaining_n,
+          min(l_partkey) OVER w AS min_pk_ahead
+        FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+        WINDOW w AS (PARTITION BY l_orderkey % 4096
+                     ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
+      doc = "q189's suffix frames over a high-cardinality pmod(l_orderkey, 4096) partitioning — the many-small-partitions production shape the 3-key q189 bench entry deliberately avoids; exact cents lanes, total within-partition order."),
+
+    // ----------------------------------------------------------------
+    QueryDef(
       "q86_pivot",
       (s, dir) => {
         import s.implicits._

@@ -223,11 +223,13 @@ case class GraftColumnarFinalAggExec(
               // avg buffer = (sum: non-null double, count: non-null long)
               st.dblAcc(si)(gid) += r.getDouble(col)
               st.longAcc(si)(gid) += r.getLong(col + 1)
-            case SumDec64Spec(col, _, buf, _) =>
-              // buffer = (sum, isEmpty). Sum.mergeExpressions: an empty
-              // buffer leaves the accumulator; a non-empty NULL sum is
-              // an upstream overflow and poisons the group (null
-              // propagates through the merge Add).
+            case DecSumSpec(col, buf, _) =>
+              // buffer = (sum, isEmpty) for BOTH decimal-sum widths
+              // (the getDecimal read below is width-agnostic).
+              // Sum.mergeExpressions: an empty buffer leaves the
+              // accumulator; a non-empty NULL sum is an upstream
+              // overflow and poisons the group (null propagates
+              // through the merge Add).
               if (!r.getBoolean(col + 1)) {
                 st.seen(si)(gid) = true
                 val cur = st.objAcc(si)(gid)
@@ -424,10 +426,10 @@ case class GraftColumnarFinalAggExec(
                     else cols(c).putDouble(i, st.dblAcc(si)(i) / cnt)
                     i += 1
                   }
-                case SumDec64Spec(_, _, buf, ansi) =>
+                case DecSumSpec(_, buf, ansi) =>
                   // CheckOverflowInSum: empty group → null; overflow →
                   // throw (ANSI) or null (LEGACY). try_sum never
-                  // compiles to this spec.
+                  // compiles to either decimal-sum spec.
                   def overflow(): Unit =
                     if (ansi) throw org.apache.spark.sql.errors.QueryExecutionErrors
                       .overflowInSumOfDecimalError(null, "try_sum")

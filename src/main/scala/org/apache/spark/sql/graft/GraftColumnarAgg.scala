@@ -45,6 +45,27 @@ object AggSpec {
     */
   final case class SumDec64Spec(col: Int, in: DecimalType, buf: DecimalType,
       ansi: Boolean) extends AggSpec { def slots = 2 }
+  /** sum over a WIDE decimal input (precision 19..38 — the TPC-H money
+    * product shape, decimal(37,4)): exact two's-complement int128
+    * accumulation in a per-group (hi, lo) long pair with a BigInteger
+    * escape past 2^127, read through [[Dec128ArrayVector]]'s long-pair
+    * channel when the input column is graft-produced (the absorbed
+    * kernel project) and the getDecimal contract otherwise. Same
+    * (sum, isEmpty) buffer layout and emission-time precision clamp as
+    * [[SumDec64Spec]]. Ref: native/spark-expr sum_decimal.rs — the
+    * i128 sum accumulator this spec re-expresses on the JVM. */
+  final case class SumDec128Spec(col: Int, in: DecimalType, buf: DecimalType,
+      ansi: Boolean) extends AggSpec { def slots = 2 }
+  /** The two decimal-sum partials share the (sum, isEmpty) buffer
+    * contract; the FINAL merge reads buffers through the row's
+    * getDecimal and is representation-agnostic — match either. */
+  object DecSumSpec {
+    def unapply(s: AggSpec): Option[(Int, DecimalType, Boolean)] = s match {
+      case SumDec64Spec(col, _, buf, ansi) => Some((col, buf, ansi))
+      case SumDec128Spec(col, _, buf, ansi) => Some((col, buf, ansi))
+      case _ => None
+    }
+  }
   /** min/max over a Decimal64 input: unscaled-long comparisons (same
     * scale throughout — ordering is exact), one slot of the input type. */
   final case class MinMaxDec64Spec(col: Int, dt: DecimalType, isMin: Boolean)
@@ -273,6 +294,33 @@ case class GraftColumnarPartialAggExec(
               }
               i += 1
             }
+          case SumDec128Spec(col, in, _, _) =>
+            val v = batch.column(col)
+            v match {
+              case dv: Dec128ArrayVector =>
+                var i = 0
+                while (i < m) {
+                  if (!dv.isNullAt(i)) {
+                    GraftColumnarAgg.addDec128(objAcc, si, dv.hiAt(i), dv.loAt(i))
+                    seen(si) = true
+                  }
+                  i += 1
+                }
+              case _ =>
+                // generic columns (parquet binary-backed decimals):
+                // per-row BigInteger through the getDecimal contract
+                var i = 0
+                while (i < m) {
+                  if (!v.isNullAt(i)) {
+                    val bi = v.getDecimal(i, in.precision, in.scale)
+                      .toJavaBigDecimal.unscaledValue()
+                    GraftColumnarAgg.addDec128(objAcc, si,
+                      VecDec128Expr.hiOf(bi), VecDec128Expr.loOf(bi))
+                    seen(si) = true
+                  }
+                  i += 1
+                }
+            }
           case MinMaxDec64Spec(col, dt, isMin) =>
             val v = batch.column(col)
             val get = GraftColumnarAgg.dec64VecGetter(v, dt)
@@ -434,6 +482,14 @@ case class GraftColumnarPartialAggExec(
                 else null
               case _ => null
             }
+          out(slot + 1) = java.lang.Boolean.valueOf(!seen(si))
+          slot += 2
+        case SumDec128Spec(_, _, buf, _) =>
+          // same (sum, isEmpty) contract as SumDec64Spec: empty emits
+          // (ZERO, true); a null sum means overflow, nothing else
+          out(slot) =
+            if (!seen(si)) Decimal.createUnsafe(0L, buf.precision, buf.scale)
+            else GraftColumnarAgg.dec128SumDecimal(objAcc(si), buf)
           out(slot + 1) = java.lang.Boolean.valueOf(!seen(si))
           slot += 2
         case MinMaxDec64Spec(_, dt, _) =>
@@ -605,6 +661,52 @@ object GraftColumnarAgg {
     * buffer write applies at every update (UnsafeRow.setDecimal nulls
     * on changePrecision failure), just applied at emit time.
     */
+  /** One int128 accumulation step for a wide decimal sum. The object
+    * lane holds the running value: null = no input yet (seen carries
+    * the distinction), long[2] = (hi, lo) two's-complement int128,
+    * BigInteger = past-2^127 escape. The signed-overflow rule
+    * (operands same sign, result different) is width-generic, so it
+    * holds for the carried 128-bit add exactly as for 64. */
+  def addDec128(acc: Array[AnyRef], idx: Int, vhi: Long, vlo: Long): Unit =
+    acc(idx) match {
+      case null => acc(idx) = Array[Long](vhi, vlo)
+      case a: Array[Long] =>
+        val lo = a(1); val nl = lo + vlo
+        val carry = ((lo & vlo) | ((lo | vlo) & ~nl)) >>> 63
+        val hi = a(0); val nh = hi + vhi + carry
+        if (((hi ^ nh) & (vhi ^ nh)) < 0L)
+          acc(idx) = VecDec128Expr.big128(hi, lo).add(VecDec128Expr.big128(vhi, vlo))
+        else { a(0) = nh; a(1) = nl }
+      case bi => acc(idx) = bi.asInstanceOf[java.math.BigInteger]
+        .add(VecDec128Expr.big128(vhi, vlo))
+    }
+
+  /** Finalized partial value of a [[AggSpec.SumDec128Spec]] accumulator:
+    * the exact sum when it fits the buffer precision, null (= overflow,
+    * the UnsafeRow.setDecimal clamp) otherwise. */
+  def dec128SumDecimal(acc: AnyRef, buf: DecimalType): Decimal = acc match {
+    case a: Array[Long] =>
+      if (a(0) == (a(1) >> 63)) {
+        if (fitsPrecision(a(1), buf.precision))
+          Decimal.createUnsafe(a(1), buf.precision, buf.scale)
+        else null
+      } else {
+        val bi = VecDec128Expr.big128(a(0), a(1))
+        if (fitsPrecision(bi, buf.precision)) Decimal(new java.math.BigDecimal(bi, buf.scale))
+        else null
+      }
+    case bi: java.math.BigInteger =>
+      if (fitsPrecision(bi, buf.precision)) Decimal(new java.math.BigDecimal(bi, buf.scale))
+      else null
+    case _ => null
+  }
+
+  def putPartialDec128Sum(col: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      i: Int, acc: AnyRef, buf: DecimalType): Unit = {
+    val d = dec128SumDecimal(acc, buf)
+    if (d == null) col.putNull(i) else col.putDecimal(i, d, buf.precision)
+  }
+
   def putPartialDecSum(col: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
       i: Int, longVal: Long, obj: AnyRef, buf: DecimalType): Unit = obj match {
     case null =>
@@ -699,6 +801,7 @@ object GraftColumnarAgg {
     case MinMaxStringSpec(_, _) => Seq(StringType)
     case AvgSpec(_, _) => Seq(DoubleType, LongType)
     case SumDec64Spec(_, _, buf, _) => Seq(buf, BooleanType)
+    case SumDec128Spec(_, _, buf, _) => Seq(buf, BooleanType)
     case MinMaxDec64Spec(_, dt, _) => Seq(dt)
     case SumLongSpec(_, _, _) => Seq(LongType)
     case m: MomentsSpec => Seq.fill(m.slots)(DoubleType)
@@ -739,6 +842,11 @@ object GraftColumnarAgg {
           a.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS &&
           ctx.evalMode != EvalMode.TRY =>
         scala.Right(SumDec64Spec(ord(a), a.dataType.asInstanceOf[DecimalType],
+          s.dataType.asInstanceOf[DecimalType], ctx.evalMode == EvalMode.ANSI))
+      case s @ Sum(a: AttributeReference, ctx) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] && ctx.evalMode != EvalMode.TRY =>
+        // wide (19..38 digit) decimal input — the int128 lane
+        scala.Right(SumDec128Spec(ord(a), a.dataType.asInstanceOf[DecimalType],
           s.dataType.asInstanceOf[DecimalType], ctx.evalMode == EvalMode.ANSI))
       case Sum(a: AttributeReference, ctx) if ord(a) >= 0 &&
           (a.dataType == ByteType || a.dataType == ShortType ||
@@ -844,6 +952,7 @@ object GraftColumnarAgg {
     case MinMaxStringSpec(_, _) => StringType
     case AvgSpec(_, _) => DoubleType
     case SumDec64Spec(_, _, buf, _) => buf
+    case SumDec128Spec(_, _, buf, _) => buf
     case MinMaxDec64Spec(_, dt, _) => dt
     case SumLongSpec(_, _, _) => LongType
     case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _) =>
@@ -881,6 +990,12 @@ object GraftColumnarAgg {
           e.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS &&
           ctx.evalMode != EvalMode.TRY && bufs == Seq(c, c + 1) =>
         scala.Right(SumDec64Spec(c, e.dataType.asInstanceOf[DecimalType],
+          s.dataType.asInstanceOf[DecimalType], ctx.evalMode == EvalMode.ANSI))
+      case s @ Sum(e, ctx) if e.dataType.isInstanceOf[DecimalType] &&
+          ctx.evalMode != EvalMode.TRY && bufs == Seq(c, c + 1) =>
+        // wide-decimal final: the merge reads the (sum, isEmpty) buffer
+        // through the row getDecimal contract — width-agnostic
+        scala.Right(SumDec128Spec(c, e.dataType.asInstanceOf[DecimalType],
           s.dataType.asInstanceOf[DecimalType], ctx.evalMode == EvalMode.ANSI))
       case Min(e) if e.dataType.isInstanceOf[DecimalType] &&
           e.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS =>

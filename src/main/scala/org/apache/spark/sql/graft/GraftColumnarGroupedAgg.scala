@@ -290,6 +290,18 @@ case class GraftColumnarGroupedAggExec(
                 i += 1
               }
               slot += 2
+            case SumDec128Spec(_, _, buf, _) =>
+              // same (sum, isEmpty) contract as the Dec64 case above
+              var i = 0
+              while (i < g) {
+                if (st.seen(si)(i))
+                  GraftColumnarAgg.putPartialDec128Sum(cols(slot), i, st.objAcc(si)(i), buf)
+                else cols(slot).putDecimal(i,
+                  Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
+                cols(slot + 1).putBoolean(i, !st.seen(si)(i))
+                i += 1
+              }
+              slot += 2
             case MinMaxDec64Spec(_, dt, _) =>
               var i = 0
               while (i < g) {
@@ -606,6 +618,33 @@ case class GraftColumnarGroupedAggExec(
                   st.seen(si)(gid) = true
                 }
                 j += 1
+              }
+            case SumDec128Spec(col, in, _, _) =>
+              val v = batch.column(col)
+              v match {
+                case dv: Dec128ArrayVector =>
+                  var j = 0
+                  while (j < m) {
+                    if (!dv.isNullAt(j)) {
+                      val gid = gids(j)
+                      GraftColumnarAgg.addDec128(st.objAcc(si), gid, dv.hiAt(j), dv.loAt(j))
+                      st.seen(si)(gid) = true
+                    }
+                    j += 1
+                  }
+                case _ =>
+                  var j = 0
+                  while (j < m) {
+                    if (!v.isNullAt(j)) {
+                      val gid = gids(j)
+                      val bi = v.getDecimal(j, in.precision, in.scale)
+                        .toJavaBigDecimal.unscaledValue()
+                      GraftColumnarAgg.addDec128(st.objAcc(si), gid,
+                        VecDec128Expr.hiOf(bi), VecDec128Expr.loOf(bi))
+                      st.seen(si)(gid) = true
+                    }
+                    j += 1
+                  }
               }
             case MinMaxDec64Spec(col, dt, isMin) =>
               val v = batch.column(col)

@@ -78,7 +78,19 @@ final class VecScratch {
   private[this] var di = 0
   private[this] var bi = 0
   private[this] var li = 0
-  def reset(): Unit = { di = 0; bi = 0; li = 0 }
+  /** Row-selection mask for LAZY conditional semantics: null = every
+    * row is live. Set by CaseWhen kernels around branch evaluation;
+    * consulted ONLY at the lanes' throw sites (ANSI divide/cast), which
+    * emit null instead of raising for a masked-off row — the row path
+    * never evaluates a CASE branch for a row whose condition is false,
+    * so an eager columnar throw there would be spurious. Masked-off
+    * rows still compute (harmless garbage the selecting CaseWhen
+    * discards); leaf reads are real column data, and null/error rows
+    * carry value 0, so no intermediate can overflow the bounded
+    * decimal math on unselected rows. */
+  var mask: Array[Boolean] = null
+  def live(i: Int): Boolean = { val m = mask; m == null || m(i) }
+  def reset(): Unit = { di = 0; bi = 0; li = 0; mask = null }
   def d(n: Int): Array[Double] = {
     if (di == dPool.length) dPool = java.util.Arrays.copyOf(dPool, di * 2)
     if (dPool(di) == null || dPool(di).length < n) dPool(di) = new Array[Double](n)
@@ -160,7 +172,8 @@ object VecNumExpr {
       while (i < n) {
         if (rn(i) || isNull(i)) { isNull(i) = true; values(i) = 0d }
         else if (rv(i) == 0d) {
-          if (ansi) throw org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
+          if (ansi && s.live(i))
+            throw org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
           isNull(i) = true; values(i) = 0d
         } else values(i) /= rv(i)
         i += 1
@@ -201,6 +214,73 @@ object VecNumExpr {
         if (!isNull(i)) values(i) = VecDecExpr.decToDouble(lv(i), scale) else values(i) = 0d
         i += 1
       }
+    }
+  }
+
+  /** CASE WHEN / If over double branches, with the row path's LAZY
+    * error semantics: conditions (VecPredicate — never throws) are
+    * evaluated column-at-a-time; each branch value is evaluated over
+    * the full batch but under a selection MASK ([[VecScratch.mask]] =
+    * this branch's first-match rows ∧ the enclosing mask), so the
+    * lanes' ANSI throw sites raise only for rows the row path would
+    * actually have evaluated. Masked-off rows compute harmless values
+    * that are never copied out. A NULL condition never matches; no
+    * else and no match → NULL.
+    */
+  final case class CaseWhenD(branches: Seq[(VecPredicate, VecNumExpr)], els: Option[VecNumExpr])
+      extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val outer = s.mask
+      java.util.Arrays.fill(values, 0, n, 0d)
+      java.util.Arrays.fill(isNull, 0, n, true)
+      val undecided = s.b(n)
+      var i = 0
+      while (i < n) { undecided(i) = outer == null || outer(i); i += 1 }
+      branches.foreach { case (p, v) =>
+        val pv = s.b(n); val pn = s.b(n)
+        p.eval(b, null, n, pv, pn)
+        val sel = s.b(n)
+        var any = false
+        i = 0
+        while (i < n) {
+          sel(i) = undecided(i) && pv(i) && !pn(i)
+          if (sel(i)) { any = true; undecided(i) = false }
+          i += 1
+        }
+        if (any) {
+          val tv = s.d(n); val tn = s.b(n)
+          s.mask = sel
+          try v.eval(b, n, tv, tn, s) finally s.mask = outer
+          i = 0
+          while (i < n) {
+            if (sel(i)) { values(i) = tv(i); isNull(i) = tn(i) }
+            i += 1
+          }
+        }
+      }
+      els.foreach { e =>
+        val tv = s.d(n); val tn = s.b(n)
+        s.mask = undecided
+        try e.eval(b, n, tv, tn, s) finally s.mask = outer
+        i = 0
+        while (i < n) {
+          if (undecided(i)) { values(i) = tv(i); isNull(i) = tn(i) }
+          i += 1
+        }
+      }
+    }
+  }
+
+  /** NULL literal of the branch type — reachable only INSIDE a
+    * conditional (`when(c, x)` with no otherwise resolves the else to
+    * Literal(null); a bare null projection would be caught by the
+    * optimizer first). */
+  final case class NullD() extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      java.util.Arrays.fill(values, 0, n, 0d)
+      java.util.Arrays.fill(isNull, 0, n, true)
     }
   }
 
@@ -246,12 +326,38 @@ object VecNumExpr {
         compile(u.child, output).map(NegD)
       case ab: Abs if ab.dataType == DoubleType =>
         compile(ab.child, output).map(AbsD)
+      case iff: If if iff.dataType == DoubleType =>
+        compileCond(Seq((iff.predicate, iff.trueValue)), Some(iff.falseValue), output)
+      case cw: CaseWhen if cw.dataType == DoubleType =>
+        compileCond(cw.branches, cw.elseValue, output)
+      case Literal(null, DoubleType) => scala.Right(NullD())
       case other if other.dataType != DoubleType =>
         scala.Left(s"non-double result type ${other.dataType} " +
           "(ANSI integral overflow / decimal scale semantics stay on the row path)")
       case other =>
         scala.Left(s"unsupported projection expression: ${other.getClass.getSimpleName}")
     }
+  }
+
+  /** Shared If/CaseWhen compile: conditions onto the filter runtime's
+    * [[VecPredicate]] kernels (which never throw), branch values onto
+    * this lane — masked evaluation gives them the row path's lazy ANSI
+    * error semantics, so throwing shapes are admissible. */
+  private def compileCond(branches: Seq[(Expression, Expression)], els: Option[Expression],
+      output: Seq[Attribute]): Either[String, VecNumExpr] = {
+    val bs = branches.foldRight(
+      scala.Right(Nil): Either[String, List[(VecPredicate, VecNumExpr)]]) { (be, acc) =>
+      for {
+        t <- acc
+        p <- VecPredicate.compile(be._1, output)
+        v <- compile(be._2, output)
+      } yield (p, v) :: t
+    }
+    val ev = els match {
+      case None => scala.Right(None)
+      case Some(e) => compile(e, output).map(Some(_))
+    }
+    for { b <- bs; e <- ev } yield CaseWhenD(b, e)
   }
 }
 
@@ -426,7 +532,7 @@ object VecDecExpr {
           } else {
             val dec = Decimal(x)
             if (dec.changePrecision(p, sc)) values(i) = dec.toUnscaledLong
-            else if (ansi) {
+            else if (ansi && s.live(i)) {
               throw org.apache.spark.sql.errors.QueryExecutionErrors
                 .cannotChangeDecimalPrecisionError(Decimal(x), p, sc, null)
             } else { isNull(i) = true; values(i) = 0L }
@@ -455,7 +561,7 @@ object VecDecExpr {
           if (!isNull(i)) {
             val u = values(i)
             if (math.abs(u) > limit) {
-              if (ansi) {
+              if (ansi && s.live(i)) {
                 throw org.apache.spark.sql.errors.QueryExecutionErrors
                   .cannotChangeDecimalPrecisionError(
                     Decimal.createUnsafe(u, Decimal.MAX_LONG_DIGITS, fromScale), p, sc, null)
@@ -474,7 +580,7 @@ object VecDecExpr {
             val rem = u - q * div
             if (2L * math.abs(rem) >= div) q += (if (u >= 0L) 1L else -1L)
             if (math.abs(q) > maxAbs) {
-              if (ansi) {
+              if (ansi && s.live(i)) {
                 throw org.apache.spark.sql.errors.QueryExecutionErrors
                   .cannotChangeDecimalPrecisionError(
                     Decimal.createUnsafe(u, Decimal.MAX_LONG_DIGITS, fromScale), p, sc, null)
@@ -485,6 +591,66 @@ object VecDecExpr {
           i += 1
         }
       }
+    }
+  }
+
+  /** CASE WHEN / If over Decimal64 branches — resolved CaseWhen
+    * branches share one DecimalType, so every branch's unscaled longs
+    * are at the same scale and selection is a plain copy. Same masked
+    * lazy-error evaluation as [[VecNumExpr.CaseWhenD]] — the ANSI cast
+    * sites inside a branch raise only for rows the branch actually
+    * selects. */
+  final case class CaseWhenDec(branches: Seq[(VecPredicate, VecDecExpr)], els: Option[VecDecExpr])
+      extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val outer = s.mask
+      java.util.Arrays.fill(values, 0, n, 0L)
+      java.util.Arrays.fill(isNull, 0, n, true)
+      val undecided = s.b(n)
+      var i = 0
+      while (i < n) { undecided(i) = outer == null || outer(i); i += 1 }
+      branches.foreach { case (p, v) =>
+        val pv = s.b(n); val pn = s.b(n)
+        p.eval(b, null, n, pv, pn)
+        val sel = s.b(n)
+        var any = false
+        i = 0
+        while (i < n) {
+          sel(i) = undecided(i) && pv(i) && !pn(i)
+          if (sel(i)) { any = true; undecided(i) = false }
+          i += 1
+        }
+        if (any) {
+          val tv = s.l(n); val tn = s.b(n)
+          s.mask = sel
+          try v.eval(b, n, tv, tn, s) finally s.mask = outer
+          i = 0
+          while (i < n) {
+            if (sel(i)) { values(i) = tv(i); isNull(i) = tn(i) }
+            i += 1
+          }
+        }
+      }
+      els.foreach { e =>
+        val tv = s.l(n); val tn = s.b(n)
+        s.mask = undecided
+        try e.eval(b, n, tv, tn, s) finally s.mask = outer
+        i = 0
+        while (i < n) {
+          if (undecided(i)) { values(i) = tv(i); isNull(i) = tn(i) }
+          i += 1
+        }
+      }
+    }
+  }
+
+  /** NULL decimal literal — reachable only inside a conditional. */
+  final case class NullDec() extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      java.util.Arrays.fill(values, 0, n, 0L)
+      java.util.Arrays.fill(isNull, 0, n, true)
     }
   }
 
@@ -535,12 +701,465 @@ object VecDecExpr {
         compile(c.child, output)
           .map(DecToDec(_, dec64(c.child.dataType).get.scale, to.precision, to.scale,
             c.evalMode == EvalMode.ANSI))
+      case iff: If if dec64(iff.dataType).isDefined =>
+        compileCond(Seq((iff.predicate, iff.trueValue)), Some(iff.falseValue), output)
+      case cw: CaseWhen if dec64(cw.dataType).isDefined =>
+        compileCond(cw.branches, cw.elseValue, output)
+      case Literal(null, dt) if dec64(dt).isDefined => scala.Right(NullDec())
       case other if !dec64(other.dataType).isDefined =>
         scala.Left(s"decimal precision beyond Decimal64: ${other.dataType} " +
           "(128-bit decimal arithmetic stays on the row path)")
       case other =>
         scala.Left(s"unsupported decimal projection expression: ${other.getClass.getSimpleName}")
     }
+  }
+
+  /** Shared If/CaseWhen compile for the decimal lane — see
+    * [[VecNumExpr.compileCond]]. */
+  private def compileCond(branches: Seq[(Expression, Expression)], els: Option[Expression],
+      output: Seq[Attribute]): Either[String, VecDecExpr] = {
+    val bs = branches.foldRight(
+      scala.Right(Nil): Either[String, List[(VecPredicate, VecDecExpr)]]) { (be, acc) =>
+      for {
+        t <- acc
+        p <- VecPredicate.compile(be._1, output)
+        v <- compile(be._2, output)
+      } yield (p, v) :: t
+    }
+    val ev = els match {
+      case None => scala.Right(None)
+      case Some(e) => compile(e, output).map(Some(_))
+    }
+    for { b <- bs; e <- ev } yield CaseWhenDec(b, e)
+  }
+}
+
+/** Materialized Decimal128 vector: unscaled int128 values as two's-
+  * complement (hi, lo) long pairs at the static type's scale. Generic
+  * consumers go through getDecimal (ColumnarToRow, row operators); the
+  * graft aggregate kernels pattern-match this class and read the long
+  * pairs directly ([[AggSpec.SumDec128Spec]]).
+  */
+final class Dec128ArrayVector(hi: Array[Long], lo: Array[Long], nulls: Array[Boolean], n: Int,
+    dt: DecimalType) extends ColumnVector(dt) {
+  def hiAt(rowId: Int): Long = hi(rowId)
+  def loAt(rowId: Int): Long = lo(rowId)
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = {
+    val h = hi(rowId); val l = lo(rowId)
+    if (h == (l >> 63)) Decimal.createUnsafe(l, p, s) // fits a compact long
+    else Decimal(new java.math.BigDecimal(VecDec128Expr.big128(h, l), s), p, s)
+  }
+  private def nope = throw new UnsupportedOperationException("decimal128-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
+/** Vectorized Decimal128 expression kernels: unscaled int128 values as
+  * two's-complement (hi, lo) long pairs at each node's STATIC scale —
+  * the wide-money lane the Decimal64 kernels cannot reach. The
+  * admitted shapes are chosen so NO node can overflow int128 or round:
+  * a product of two Decimal64 operands is ≤ 10^36 < 2^120; Spark's
+  * add/subtract typing bounds every rescaled operand strictly below
+  * the 38-digit result bound (< 2^127); casts compile only when the
+  * digit arithmetic proves the target always holds the value. This is
+  * the TPC-H money shape — sum(l_extendedprice * (1 - l_discount)) at
+  * the spec's DECIMAL(15+,2) column types lands on DECIMAL(37,4) — and
+  * the JVM twin of the reference's 128-bit decimal investment
+  * (native/spark-expr sum_decimal.rs, checked_arithmetic.rs).
+  */
+sealed trait VecDec128Expr extends Serializable {
+  def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long], isNull: Array[Boolean],
+      s: VecScratch): Unit
+}
+
+object VecDec128Expr {
+  private val POW10: Array[Long] = {
+    val a = new Array[Long](19); a(0) = 1L
+    var i = 1; while (i < 19) { a(i) = a(i - 1) * 10L; i += 1 }; a
+  }
+
+  /** (hi, lo) two's-complement int128 → BigInteger. */
+  def big128(hi: Long, lo: Long): java.math.BigInteger = {
+    val bytes = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      bytes(i) = (hi >>> (56 - 8 * i)).toByte
+      bytes(8 + i) = (lo >>> (56 - 8 * i)).toByte
+      i += 1
+    }
+    new java.math.BigInteger(bytes)
+  }
+
+  /** BigInteger (|bits| ≤ 127) → (hi, lo): low 64 two's-complement bits
+    * and the next 64. */
+  def hiOf(bi: java.math.BigInteger): Long = bi.shiftRight(64).longValue()
+  def loOf(bi: java.math.BigInteger): Long = bi.longValue()
+
+  /** column at precision 19..38: fast path through a graft
+    * [[Dec128ArrayVector]], generic path via the getDecimal contract
+    * (parquet's binary-backed decimals, row-produced batches). */
+  final case class Col128(ord: Int, p: Int, sc: Int) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      b.column(ord) match {
+        case v: Dec128ArrayVector =>
+          var i = 0
+          while (i < n) {
+            if (v.isNullAt(i)) { isNull(i) = true; hi(i) = 0L; lo(i) = 0L }
+            else { isNull(i) = false; hi(i) = v.hiAt(i); lo(i) = v.loAt(i) }
+            i += 1
+          }
+        case v =>
+          var i = 0
+          while (i < n) {
+            if (v.isNullAt(i)) { isNull(i) = true; hi(i) = 0L; lo(i) = 0L }
+            else {
+              isNull(i) = false
+              val d = v.getDecimal(i, p, sc)
+              val bi = d.toJavaBigDecimal.unscaledValue()
+              hi(i) = hiOf(bi); lo(i) = loOf(bi)
+            }
+            i += 1
+          }
+      }
+    }
+  }
+
+  final case class Lit128(h: Long, l: Long) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      java.util.Arrays.fill(hi, 0, n, h)
+      java.util.Arrays.fill(lo, 0, n, l)
+      java.util.Arrays.fill(isNull, 0, n, false)
+    }
+  }
+
+  final case class Null128() extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      java.util.Arrays.fill(hi, 0, n, 0L)
+      java.util.Arrays.fill(lo, 0, n, 0L)
+      java.util.Arrays.fill(isNull, 0, n, true)
+    }
+  }
+
+  /** Decimal64 × Decimal64 → int128 product at scale s1+s2. Exact and
+    * overflow-free: |u| < 10^18 each ⇒ |product| < 10^36 < 2^120.
+    * Math.multiplyHigh IS the signed 128-bit high word. */
+  final case class Mul64x64(lk: VecDecExpr, rk: VecDecExpr) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      val lv = s.l(n)
+      lk.eval(b, n, lv, isNull, s)
+      val rv = s.l(n); val rn = s.b(n)
+      rk.eval(b, n, rv, rn, s)
+      var i = 0
+      while (i < n) {
+        isNull(i) |= rn(i)
+        lo(i) = lv(i) * rv(i)
+        hi(i) = Math.multiplyHigh(lv(i), rv(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Decimal64 → Decimal128 with an up-scale multiply by 10^k (k may be
+    * 0 — then this is a plain sign extension). The compile gate proves
+    * p64 + k ≤ p128, so the result is exact and < 2^127. */
+  final case class Widen64(c: VecDecExpr, factor: Long) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      val lv = s.l(n)
+      c.eval(b, n, lv, isNull, s)
+      var i = 0
+      while (i < n) {
+        lo(i) = lv(i) * factor
+        hi(i) = Math.multiplyHigh(lv(i), factor)
+        i += 1
+      }
+    }
+  }
+
+  /** int128 × int64 product at scale s1+s2 — the mixed-width money
+    * multiply (e.g. dec(18,2) × dec(19,2) from price × (1 − disc),
+    * where the subtract's +1 digit pushed one side past 64 bits).
+    * Compile-gated exact: p1+p2 ≤ 37 ⇒ |product| < 10^37 < 2^127. The
+    * low-128 identity for signed c=(hi,lo) times signed v:
+    * lo' = lo·v; hi' = hi·v + multiplyHigh(lo,v) + ((lo>>63) & v)
+    * (the correction term converts the signed high word to the
+    * unsigned-lo one). */
+  final case class Mul128x64(c: VecDec128Expr, k: VecDecExpr) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      c.eval(b, n, hi, lo, isNull, s)
+      val kv = s.l(n); val kn = s.b(n)
+      k.eval(b, n, kv, kn, s)
+      var i = 0
+      while (i < n) {
+        isNull(i) |= kn(i)
+        val l0 = lo(i); val v = kv(i)
+        hi(i) = hi(i) * v + Math.multiplyHigh(l0, v) + ((l0 >> 63) & v)
+        lo(i) = l0 * v
+        i += 1
+      }
+    }
+  }
+
+  /** int128 × 10^k up-scale. Compile-gated to never overflow (operand
+    * digits + k ≤ 38). The unsigned-low correction term turns the
+    * signed multiplyHigh into the unsigned high word. */
+  final case class Rescale128(c: VecDec128Expr, factor: Long) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      c.eval(b, n, hi, lo, isNull, s)
+      var i = 0
+      while (i < n) {
+        val l0 = lo(i)
+        hi(i) = hi(i) * factor + Math.multiplyHigh(l0, factor) + ((l0 >> 63) & factor)
+        lo(i) = l0 * factor
+        i += 1
+      }
+    }
+  }
+
+  /** int128 add/subtract at a shared scale — compile-gated exact
+    * (result digits ≤ 38 < 2^127, so no int128 overflow is reachable
+    * on live values; masked/null rows carry bounded values too). */
+  final case class Add128(lc: VecDec128Expr, rc: VecDec128Expr, negateRight: Boolean)
+      extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      lc.eval(b, n, hi, lo, isNull, s)
+      val rh = s.l(n); val rl = s.l(n); val rn = s.b(n)
+      rc.eval(b, n, rh, rl, rn, s)
+      var i = 0
+      while (i < n) {
+        isNull(i) |= rn(i)
+        var vh = rh(i); var vl = rl(i)
+        if (negateRight) {
+          vh = ~vh + (if (vl == 0L) 1L else 0L)
+          vl = -vl
+        }
+        val l0 = lo(i)
+        val nl = l0 + vl
+        val carry = ((l0 & vl) | ((l0 | vl) & ~nl)) >>> 63
+        hi(i) = hi(i) + vh + carry
+        lo(i) = nl
+        i += 1
+      }
+    }
+  }
+
+  final case class Neg128(c: VecDec128Expr) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      c.eval(b, n, hi, lo, isNull, s)
+      var i = 0
+      while (i < n) {
+        val l0 = lo(i)
+        hi(i) = ~hi(i) + (if (l0 == 0L) 1L else 0L)
+        lo(i) = -l0
+        i += 1
+      }
+    }
+  }
+
+  /** CASE WHEN / If over Decimal128 branches — masked lazy-error
+    * evaluation, see [[VecNumExpr.CaseWhenD]]. Resolved branches share
+    * one DecimalType: same scale everywhere, selection is two copies. */
+  final case class CaseWhen128(branches: Seq[(VecPredicate, VecDec128Expr)],
+      els: Option[VecDec128Expr]) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      val outer = s.mask
+      java.util.Arrays.fill(hi, 0, n, 0L)
+      java.util.Arrays.fill(lo, 0, n, 0L)
+      java.util.Arrays.fill(isNull, 0, n, true)
+      val undecided = s.b(n)
+      var i = 0
+      while (i < n) { undecided(i) = outer == null || outer(i); i += 1 }
+      branches.foreach { case (p, v) =>
+        val pv = s.b(n); val pn = s.b(n)
+        p.eval(b, null, n, pv, pn)
+        val sel = s.b(n)
+        var any = false
+        i = 0
+        while (i < n) {
+          sel(i) = undecided(i) && pv(i) && !pn(i)
+          if (sel(i)) { any = true; undecided(i) = false }
+          i += 1
+        }
+        if (any) {
+          val th = s.l(n); val tl = s.l(n); val tn = s.b(n)
+          s.mask = sel
+          try v.eval(b, n, th, tl, tn, s) finally s.mask = outer
+          i = 0
+          while (i < n) {
+            if (sel(i)) { hi(i) = th(i); lo(i) = tl(i); isNull(i) = tn(i) }
+            i += 1
+          }
+        }
+      }
+      els.foreach { e =>
+        val th = s.l(n); val tl = s.l(n); val tn = s.b(n)
+        s.mask = undecided
+        try e.eval(b, n, th, tl, tn, s) finally s.mask = outer
+        i = 0
+        while (i < n) {
+          if (undecided(i)) { hi(i) = th(i); lo(i) = tl(i); isNull(i) = tn(i) }
+          i += 1
+        }
+      }
+    }
+  }
+
+  private def dec64T(dt: DataType): Option[DecimalType] = dt match {
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS => Some(d)
+    case _ => None
+  }
+  private def dec128T(dt: DataType): Option[DecimalType] = dt match {
+    case d: DecimalType
+        if d.precision > Decimal.MAX_LONG_DIGITS && d.precision <= DecimalType.MAX_PRECISION =>
+      Some(d)
+    case _ => None
+  }
+
+  /** Compile a wide-decimal Catalyst expression, or name the fallback
+    * reason. Only never-overflow, never-round shapes compile: the exact
+    * 64×64 product, digit-bounded up-scale casts, exact add/subtract,
+    * and conditionals over those. Anything that would ROUND (scale-
+    * reducing cast, precision-loss multiply) or overflow stays on the
+    * row path — those carry Spark's per-mode semantics this lane
+    * deliberately does not re-implement. */
+  def compile(e: Expression, output: Seq[Attribute]): Either[String, VecDec128Expr] = {
+    def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
+    e match {
+      case a: AttributeReference if dec128T(a.dataType).isDefined && ord(a) >= 0 =>
+        val d = dec128T(a.dataType).get
+        scala.Right(Col128(ord(a), d.precision, d.scale))
+      case Literal(v, dt) if dec128T(dt).isDefined && v != null =>
+        val bi = v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue()
+        scala.Right(Lit128(hiOf(bi), loOf(bi)))
+      case Literal(null, dt) if dec128T(dt).isDefined => scala.Right(Null128())
+      case m: Multiply if dec128T(m.dataType).isDefined &&
+          m.left.dataType.isInstanceOf[DecimalType] &&
+          m.right.dataType.isInstanceOf[DecimalType] =>
+        val d = dec128T(m.dataType).get
+        val lt = m.left.dataType.asInstanceOf[DecimalType]
+        val rt = m.right.dataType.asInstanceOf[DecimalType]
+        if (d.scale != lt.scale + rt.scale)
+          scala.Left("precision-loss decimal multiply (rounded scale) — row path")
+        else if (lt.precision + rt.precision + 1 > DecimalType.MAX_PRECISION)
+          scala.Left("decimal multiply that can overflow 38 digits — row path")
+        else (dec64T(lt), dec64T(rt)) match {
+          case (Some(_), Some(_)) =>
+            for {
+              l <- VecDecExpr.compile(m.left, output)
+              r <- VecDecExpr.compile(m.right, output)
+            } yield Mul64x64(l, r)
+          case (Some(_), None) =>
+            for {
+              r <- compile(m.right, output)
+              l <- VecDecExpr.compile(m.left, output)
+            } yield Mul128x64(r, l)
+          case (None, Some(_)) =>
+            for {
+              l <- compile(m.left, output)
+              r <- VecDecExpr.compile(m.right, output)
+            } yield Mul128x64(l, r)
+          case _ => scala.Left("128×128-bit decimal multiply — row path")
+        }
+      case c: Cast if dec128T(c.dataType).isDefined =>
+        // digit-bounded up-scale only (cannot round or overflow in ANY
+        // eval mode); everything else carries per-mode semantics → row
+        compileTo(c.child, dec128T(c.dataType).get, output, headroom = 0)
+      case a: Add if dec128T(a.dataType).isDefined =>
+        // headroom 1: each rescaled operand must sit a full digit below
+        // the result precision, so |l ± r| < 2·10^(p-1) ≤ 10^p ≤ 10^38
+        // < 2^127 — the add can overflow neither the Spark type nor
+        // int128. Spark's unadjusted Add typing guarantees this; a
+        // 38-capped (precision-loss) add fails the gate → row path.
+        val to = dec128T(a.dataType).get
+        for {
+          l <- compileTo(a.left, to, output, headroom = 1)
+          r <- compileTo(a.right, to, output, headroom = 1)
+        } yield Add128(l, r, negateRight = false)
+      case sub: Subtract if dec128T(sub.dataType).isDefined =>
+        val to = dec128T(sub.dataType).get
+        for {
+          l <- compileTo(sub.left, to, output, headroom = 1)
+          r <- compileTo(sub.right, to, output, headroom = 1)
+        } yield Add128(l, r, negateRight = true)
+      case u: UnaryMinus if dec128T(u.dataType).isDefined =>
+        compile(u.child, output).map(Neg128)
+      case iff: If if dec128T(iff.dataType).isDefined =>
+        compileCond(Seq((iff.predicate, iff.trueValue)), Some(iff.falseValue), output)
+      case cw: CaseWhen if dec128T(cw.dataType).isDefined =>
+        compileCond(cw.branches, cw.elseValue, output)
+      case other =>
+        scala.Left(s"unsupported decimal128 expression: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** Compile `e` and bring it to `to`'s scale (Add/Subtract operands
+    * keep their own types in Catalyst). The gate proves the rescaled
+    * value always fits `to.precision - headroom` digits, so the
+    * up-scale multiply is exact and int128-safe for every input. */
+  private def compileTo(e: Expression, to: DecimalType, output: Seq[Attribute],
+      headroom: Int): Either[String, VecDec128Expr] = e.dataType match {
+    case f: DecimalType if f.scale > to.scale =>
+      scala.Left("scale-reducing decimal rescale (rounds) — row path")
+    case f: DecimalType if to.scale - f.scale > 18 =>
+      scala.Left("rescale factor beyond 10^18 — row path")
+    case f: DecimalType if f.precision + (to.scale - f.scale) > to.precision - headroom =>
+      scala.Left("rescaled operand may overflow the target precision — row path")
+    case f: DecimalType if f.precision <= Decimal.MAX_LONG_DIGITS =>
+      VecDecExpr.compile(e, output).map(Widen64(_, POW10(to.scale - f.scale)))
+    case f: DecimalType =>
+      compile(e, output).map { k =>
+        if (f.scale == to.scale) k else Rescale128(k, POW10(to.scale - f.scale))
+      }
+    case other => scala.Left(s"non-decimal operand $other in a decimal128 expression")
+  }
+
+  private def compileCond(branches: Seq[(Expression, Expression)], els: Option[Expression],
+      output: Seq[Attribute]): Either[String, VecDec128Expr] = {
+    val bs = branches.foldRight(
+      scala.Right(Nil): Either[String, List[(VecPredicate, VecDec128Expr)]]) { (be, acc) =>
+      for {
+        t <- acc
+        p <- VecPredicate.compile(be._1, output)
+        v <- compile(be._2, output)
+      } yield (p, v) :: t
+    }
+    val ev = els match {
+      case None => scala.Right(None)
+      case Some(e) => compile(e, output).map(Some(_))
+    }
+    for { b <- bs; e <- ev } yield CaseWhen128(b, e)
   }
 }
 
@@ -931,6 +1550,7 @@ final case class NumKernel(k: VecNumExpr) extends ProjKernel
 final case class StrKernel(k: VecStrExpr) extends ProjKernel
 final case class IntKernel(k: LengthI) extends ProjKernel
 final case class DecKernel(k: VecDecExpr, dt: DecimalType) extends ProjKernel
+final case class Dec128Kernel(k: VecDec128Expr, dt: DecimalType) extends ProjKernel
 final case class LongKernel(k: VecLongExpr, dt: org.apache.spark.sql.types.DataType) extends ProjKernel
 final case class DateKernel(k: VecLongExpr) extends ProjKernel
 
@@ -951,6 +1571,8 @@ object ProjKernel {
       }
       case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
         VecDecExpr.compile(e, output).map(DecKernel(_, dt))
+      case dt: DecimalType =>
+        VecDec128Expr.compile(e, output).map(Dec128Kernel(_, dt))
       case LongType => VecLongExpr.compile(e, output).map(LongKernel(_, LongType))
       case TimestampType | TimestampNTZType => e match {
         // value-identical retype: the long IS the stored micros
@@ -1086,6 +1708,7 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
       val outS = new Array[Array[UTF8String]](plans.length)
       val outI = new Array[Array[Int]](plans.length)
       val outL = new Array[Array[Long]](plans.length)
+      val outH = new Array[Array[Long]](plans.length) // Dec128 high words
       val outN = new Array[Array[Boolean]](plans.length)
       def nulls(c: Int, n: Int): Array[Boolean] = {
         if (outN(c) == null || outN(c).length < n) outN(c) = new Array[Boolean](n)
@@ -1121,6 +1744,13 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
               scratch.reset()
               kernel.eval(batch, n, outL(c), nulls(c, n), scratch)
               cols(c) = new DecimalArrayVector(outL(c), outN(c), n, dt)
+              compM.add(1)
+            case scala.Right(Dec128Kernel(kernel, dt)) =>
+              if (outL(c) == null || outL(c).length < n) outL(c) = new Array[Long](n)
+              if (outH(c) == null || outH(c).length < n) outH(c) = new Array[Long](n)
+              scratch.reset()
+              kernel.eval(batch, n, outH(c), outL(c), nulls(c, n), scratch)
+              cols(c) = new Dec128ArrayVector(outH(c), outL(c), outN(c), n, dt)
               compM.add(1)
             case scala.Right(LongKernel(kernel, dt)) =>
               if (outL(c) == null || outL(c).length < n) outL(c) = new Array[Long](n)

@@ -1265,7 +1265,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // is exactly per-partition dedup (maxGroups flush stays safe —
       // the final stage re-dedups).
       case agg: HashAggregateExec
-          if agg.groupingExpressions.nonEmpty && agg.child.supportsColumnar =>
+          if agg.groupingExpressions.nonEmpty &&
+            (agg.child.supportsColumnar || rowInputAggEnabled(session)) =>
         swapGroupedPartial(agg, agg.child)
 
       // Partial SortAggregate absorption is matched ON THE EXCHANGE (the
@@ -1303,7 +1304,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // semantics are identical).
       case agg: BaseAggregateExec
           if (agg.isInstanceOf[HashAggregateExec] || agg.isInstanceOf[SortAggregateExec]) &&
-            agg.groupingExpressions.isEmpty && agg.child.supportsColumnar &&
+            agg.groupingExpressions.isEmpty &&
+            (agg.child.supportsColumnar || rowInputAggEnabled(session)) &&
             agg.aggregateExpressions.nonEmpty =>
         // same computed-arg absorption as the grouped swap (q191 shape,
         // without keys): sum(price*(1-disc)) over the whole table
@@ -1739,6 +1741,19 @@ object GraftColumnarRule {
   val bhjEnabledKey = "spark.graft.columnar.bhj.enabled"
   def bhjEnabled(session: SparkSession): Boolean =
     session.conf.getOption(bhjEnabledKey).exists(_.toBoolean)
+
+  /** Accept a ROW-based child for the partial aggregation swaps (the
+    * transitions rule then inserts Spark's RowToColumnarExec below the
+    * kernel): the TPC-H join→aggregate shape, where the partial agg's
+    * input is a codegen join stage. The row→batch copy plus the broken
+    * join↔agg codegen fusion trades against the int128/Decimal64
+    * kernels' win over per-row BigDecimal math — default ON on
+    * measured win-or-parity. A/B (sf0.1, local[8], interleaved
+    * min-of-9 on/off): TPC-H Q8 0.98×, Q14 0.94×, Q5 0.97×, Q9 1.01×.
+    */
+  val rowInputAggEnabledKey = "spark.graft.columnar.agg.rowInput.enabled"
+  def rowInputAggEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(rowInputAggEnabledKey).forall(_.toBoolean)
 
   /** Grouped FINAL-mode columnar aggregation — default ON (A/B showed
     * parity: the final stage merges #groups × #map-partitions buffer

@@ -1329,6 +1329,92 @@ class EngineSuite extends GraftTestBase {
     assert(on.toSeq == off.toSeq, "global computed-arg aggregation diverged")
   }
 
+  test("conditional projection kernels: CASE/If parity on double and decimal lanes") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    def q() = Tables.t(spark, sfDir, "lineitem").select(
+      when($"l_returnflag" === "R", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .otherwise(lit(0.0)).as("cond_d"),
+      when($"l_returnflag" === "R",
+        $"l_extendedprice".cast("decimal(8,2)") *
+          (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")))
+        .otherwise(lit(0).cast("decimal(12,4)")).as("cond_dec"),
+      when($"l_quantity" < 10, $"l_extendedprice").as("no_else"),
+      when($"l_quantity" < 10, lit(1.0)).when($"l_quantity" < 30, lit(2.0))
+        .otherwise(lit(3.0)).as("multi"))
+      .orderBy($"cond_d", $"cond_dec", $"no_else", $"multi")
+    val d = q()
+    val on = d.collect()
+    assert(findExec(d) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"CASE kernels should compile the project columnar:\n${
+      d.queryExecution.executedPlan}")
+    val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "conditional projection diverged")
+  }
+
+  test("conditional kernels keep the row path's LAZY ANSI error semantics") {
+    // Branch values evaluate under a selection mask: an ANSI cast that
+    // overflows only on rows whose condition is FALSE must not raise
+    // (row CaseWhen never evaluates those); the same cast on a SELECTED
+    // row must raise on both engines. spark.sql.ansi.enabled is Spark
+    // 4's default — this is every CASE money query's live semantics.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    val li = Tables.t(spark, sfDir, "lineitem")
+    // every lineitem price is >= 900 in the fixture: decimal(4,2) holds
+    // values < 100 only, so the branch value overflows on EVERY row —
+    // safe exactly when the condition never selects one
+    def safe() = li.select(when($"l_extendedprice" < 100.0,
+      $"l_extendedprice".cast("decimal(4,2)")).as("x")).agg(count($"x"))
+    val onSafe = safe().collect()(0).getLong(0)
+    val offSafe = withSQLConf(GraftColumnarRule.enabledKey -> "false") {
+      safe().collect()(0).getLong(0)
+    }
+    assert(onSafe == offSafe, "masked-off ANSI cast diverged")
+    def boom() = li.select(when($"l_extendedprice" >= 100.0,
+      $"l_extendedprice".cast("decimal(4,2)")).as("x")).agg(count($"x"))
+    val onThrew = try { boom().collect(); false } catch { case _: Throwable => true }
+    val offThrew = withSQLConf(GraftColumnarRule.enabledKey -> "false") {
+      try { boom().collect(); false } catch { case _: Throwable => true }
+    }
+    assert(onThrew && offThrew, s"selected-row ANSI cast must raise on both " +
+      s"engines (columnar=$onThrew row=$offThrew)")
+  }
+
+  test("int128 kernel arithmetic matches BigInteger on edge values") {
+    import org.apache.spark.sql.graft.{GraftColumnarAgg, VecDec128Expr}
+    import java.math.BigInteger
+    def big(hi: Long, lo: Long) = VecDec128Expr.big128(hi, lo)
+    // big128 round-trip at the extremes
+    for (bi <- Seq(BigInteger.ZERO, BigInteger.valueOf(-1), BigInteger.valueOf(Long.MaxValue),
+        BigInteger.valueOf(Long.MinValue), new BigInteger("170141183460469231731687303715884105727"),
+        new BigInteger("-170141183460469231731687303715884105728"),
+        new BigInteger("99999999999999999999999999999999999999"),
+        new BigInteger("-99999999999999999999999999999999999999"))) {
+      assert(big(VecDec128Expr.hiOf(bi), VecDec128Expr.loOf(bi)) == bi,
+        s"big128 round-trip broke on $bi")
+    }
+    // addDec128: carries, sign crossings, and the BigInteger escape past 2^127
+    val acc = new Array[AnyRef](1)
+    val ref = Seq((0L, -1L), (1L, Long.MinValue), (-3L, 7L), (Long.MaxValue / 3, 42L),
+      (Long.MaxValue / 3, -42L), (Long.MaxValue / 2, 0L), (Long.MaxValue / 2, 99L))
+    var expect = BigInteger.ZERO
+    ref.foreach { case (h, l) =>
+      GraftColumnarAgg.addDec128(acc, 0, h, l)
+      expect = expect.add(big(h, l))
+    }
+    val got = acc(0) match {
+      case a: Array[Long] => big(a(0), a(1))
+      case bi: BigInteger => bi
+    }
+    assert(got == expect, s"addDec128 drifted: $got vs $expect")
+    assert(acc(0).isInstanceOf[BigInteger],
+      "the last add exceeds 2^127 — expected the BigInteger escape")
+  }
+
   test("to_date kernel + computed grouping keys keep the whole map side columnar") {
     // to_date(ts) resolves to Cast(ts AS DATE) — epoch-micros floorDiv
     // to days under UTC (floorDiv pins pre-epoch instants to the earlier
@@ -2395,21 +2481,37 @@ class EngineSuite extends GraftTestBase {
     assert(exec.get.metrics("numComputedColumns").value >= 1)
   }
 
-  test("GraftColumnarRule tags beyond-Decimal64 projections with the fallback reason") {
-    // (18,2) × (18,2) → decimal(37,4): 128-bit result, stays on the row
-    // path (the Decimal64 kernels only compile trees whose every node
-    // has precision ≤ 18)
-    val df = Tables.t(spark, sfDir, "lineitem")
+  test("beyond-Decimal64 money products compile on the int128 lane; rounding shapes fall back") {
+    // (18,2) × (18,2) → decimal(37,4): since r12 this compiles on the
+    // DECIMAL128 kernels (Mul64x64 — exact int128 product) and swaps
+    // columnar with row parity.
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    def q() = Tables.t(spark, sfDir, "lineitem")
       .select(($"l_extendedprice".cast("decimal(18,2)") * lit(2).cast("decimal(18,2)")).as("d2"))
-    df.collect()
-    val tagged = findExec(df) {
+      .orderBy($"d2")
+    val d = q()
+    val on = d.collect()
+    assert(findExec(d) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"decimal128 product should swap columnar:\n${d.queryExecution.executedPlan}")
+    val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "decimal128 product diverged from the row path")
+    // a scale-REDUCING decimal cast rounds — that per-mode semantics
+    // stays on the row path with the fallback reason tagged
+    val rdf = Tables.t(spark, sfDir, "lineitem")
+      .select(($"l_extendedprice".cast("decimal(18,2)") * lit(2).cast("decimal(18,2)"))
+        .cast("decimal(38,1)").as("rounded"))
+    rdf.collect()
+    val tagged = findExec(rdf) {
       case p: org.apache.spark.sql.execution.ProjectExec
-          if p.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).isDefined =>
-        p.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).get
+          if p.getTagValue(GraftColumnarRule.fallbackReasonTag).isDefined =>
+        p.getTagValue(GraftColumnarRule.fallbackReasonTag).get
     }
-    assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
-    assert(tagged.get.contains("128-bit decimal stay on the row path"),
-      s"reason: ${tagged.get}")
+    assert(tagged.isDefined,
+      s"expected fallback tag on the rounding cast in:\n${rdf.queryExecution.executedPlan}")
+    assert(tagged.get.contains("rounds"), s"reason: ${tagged.get}")
   }
 
   test("GraftColumnarBHJExec matches the row join incl. null keys, dup build keys, misses") {

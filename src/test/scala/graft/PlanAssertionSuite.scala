@@ -194,6 +194,34 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q191: expected the computed-arg grouped partial agg columnar in:\n$p")
   }
 
+  test("q192 absorbs conditional int128 money args into the columnar partial agg") {
+    val df = run("q192_conditional_arg_agg")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarProject"),
+      s"q192: expected the absorbed CASE/int128 kernel Project below the agg in:\n$p")
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q192: expected the conditional-arg grouped partial agg columnar in:\n$p")
+  }
+
+  test("q99 (TPC-H Q8) runs its market-share partial agg columnar over the row join") {
+    val df = run("q99_tpch_q8")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q99: expected the conditional int128 partial agg columnar in:\n$p")
+    assert(p.contains("RowToColumnar"),
+      s"q99: expected the row-join → batch staging below the agg kernel in:\n$p")
+  }
+
+  test("q101 (TPC-H Q14) runs its promo-share partial agg columnar over the row join") {
+    val df = run("q101_tpch_q14")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarPartialAgg"),
+      s"q101: expected the conditional int128 global partial agg columnar in:\n$p")
+  }
+
   test("q190 runs the date_trunc grouped map side fully columnar") {
     val df = run("q190_datetrunc_agg")
     df.collect()

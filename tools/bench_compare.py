@@ -51,6 +51,15 @@ Tolerance notes (investigated outliers — keep before widening tol):
     single-query flags that never reproduce (r10: q124 1.63x -> 0.81s on
     the next sweep). The box carries a steady ~14% background tax vs
     that outlier; treat ~79s as the comparable total.
+  - r11 driver sweep flagged q146_tpch_q1_dec64 0.576->0.809s (1.41x) —
+    the only flag sharing a code path with r11's computed-arg absorption.
+    r12 quiet-box confirm (load ~2.2/32): two isolated min-of-5 runs gave
+    0.682/0.659s = 1.15x of the in-sweep baseline, i.e. inside the
+    isolated-run bias band documented above (q96's isolated min-of-5 read
+    0.303 vs its 0.184 in-sweep baseline in the same session — 1.65x of a
+    query whose code path did NOT change). The absorption A/B itself
+    re-measured 0.58x (grouped-agg-argabsorb, min-of-5, columnar vs row).
+    Verdict: no regression; judge by the r12 in-sweep number.
 """
 import json
 import sys
