@@ -661,6 +661,19 @@ object GraftColumnarAgg {
     * buffer write applies at every update (UnsafeRow.setDecimal nulls
     * on changePrecision failure), just applied at emit time.
     */
+  /** True when a spec set justifies staging a ROW child through
+    * RowToColumnarExec (see rowInputAggEnabledKey): only the decimal
+    * money lanes — whose unscaled-long/int128 accumulation replaces
+    * per-row BigDecimal arithmetic — beat the fused codegen agg by more
+    * than the row→batch copy costs (interleaved min-of-9 A/B: TPC-H
+    * Q8 0.98×, Q14 0.94×, Q5 0.97×, Q9 1.01× with a money lane;
+    * Q4/Q13/Q18/Q22 — count/min/max shapes — 0.99–1.05×, the copy is
+    * pure overhead there). */
+  def paysForRowStaging(specs: Seq[AggSpec]): Boolean = specs.exists {
+    case _: SumDec64Spec | _: SumDec128Spec | _: AvgDec64Spec => true
+    case _ => false
+  }
+
   /** One int128 accumulation step for a wide decimal sum. The object
     * lane holds the running value: null = no input yet (seen carries
     * the distinction), long[2] = (hi, lo) two's-complement int128,

@@ -1323,7 +1323,14 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             val layoutOk =
               agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
                 specs.flatMap(GraftColumnarAgg.slotTypes) == agg.output.map(_.dataType)
-            if (layoutOk) GraftColumnarPartialAggExec(agg.output, specs, base)
+            if (!agg.child.supportsColumnar &&
+                !GraftColumnarAgg.paysForRowStaging(specs)) {
+              // same row-staging economics as the grouped swap
+              agg.setTagValue(fallbackReasonTag,
+                "row-input partial agg without a decimal money lane — " +
+                  "the RowToColumnar copy cannot pay for itself")
+              agg
+            } else if (layoutOk) GraftColumnarPartialAggExec(agg.output, specs, base)
             else {
               agg.setTagValue(fallbackReasonTag,
                 "partial output is not a plain buffer-attribute row"); agg
@@ -1683,6 +1690,16 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         case None =>
           val ks = keySpecs.collect { case scala.Right(k) => k }
           val specs = compiled.collect { case scala.Right(s) => s }
+          if (!base0.supportsColumnar && !GraftColumnarAgg.paysForRowStaging(specs)) {
+            // a ROW child means a RowToColumnarExec copy below the
+            // kernel — only the decimal money lanes beat the fused
+            // codegen agg by more than that copy costs (see
+            // rowInputAggEnabledKey); count/min/max shapes stay fused
+            agg.setTagValue(fallbackReasonTag,
+              "row-input partial agg without a decimal money lane — " +
+                "the RowToColumnar copy cannot pay for itself")
+            return agg
+          }
           // exprId-exact key prefix: same-typed keys can legally be
           // REORDERED in resultExpressions (e.g. a keys-only distinct
           // under a projection) — a type-only check would emit the
