@@ -334,6 +334,48 @@ object FuzzProps extends Properties("graft") {
       }
     }
 
+  // money doubles within DECIMAL(18,2): negatives, zeros, nulls — no
+  // ANSI-overflow values (the deterministic lazy-ANSI tests in
+  // EngineSuite cover the throw sites; here every case must complete)
+  private val money128Gen: Gen[Option[Double]] = Gen.frequency(
+    1 -> Gen.const(None),
+    1 -> Gen.oneOf(Some(0.0), Some(-0.0), Some(0.01), Some(-0.01)),
+    6 -> Gen.chooseNum(-1e9, 1e9).map(d => Some(math.round(d * 100) / 100.0)))
+
+  property("decimal128 kernels + conditional money sums match the row path") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.oneOf("A", "B", "R"), money128Gen, money128Gen,
+      Gen.chooseNum(1, 50)))) { rows =>
+      Prop.propBoolean(rows.nonEmpty) ==> {
+        val dir = java.nio.file.Files.createTempDirectory("graft-d128fuzz").toString
+        rows.zipWithIndex.map { case ((f, p, d, q), i) => (i.toLong, f, p, d, q) }
+          .toDF("id", "flag", "price", "disc", "qty")
+          .write.mode("overwrite").parquet(dir)
+        def dec18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+        // every dec128 node family: Mul64x64 (via the +1-digit subtract →
+        // Mul128x64), Add128/rescale (the Q9 amount shape), CaseWhen128,
+        // and the int128 partial+final sums over a grouped key
+        def q() = {
+          val df = spark.read.parquet(dir)
+          val rev = dec18(df("price")) * (lit(1).cast("decimal(18,2)") - dec18(df("disc")))
+          val amount = rev - dec18(df("qty")) * dec18(df("disc"))
+          df.groupBy(df("flag")).agg(
+            sum(when(df("flag") === "R", rev).otherwise(lit(0).cast("decimal(37,4)")))
+              .as("cond_rev"),
+            sum(rev).as("revs"),
+            sum(amount).as("amounts"),
+            min(df("qty")).as("mn"),
+            count(df("price")).as("n"))
+            .orderBy(df("flag"))
+        }
+        val on = q().collect().map(_.toString).toSeq
+        val off = withConf(
+          org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+          q().collect().map(_.toString).toSeq
+        }
+        Prop(on == off) :| s"columnar=$on row=$off"
+      }
+    }
+
   // doubles incl. NaN, +-0.0, +-Inf — the ordering edge cases SQLOrderingUtil defines
   private val keyDoubleGen: Gen[Option[Double]] = Gen.frequency(
     1 -> Gen.const(None),
