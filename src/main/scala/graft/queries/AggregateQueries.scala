@@ -106,6 +106,44 @@ object AggregateQueries {
       doc = "Conditional computed aggregate arguments (the TPC-H Q8/Q14 market-share shape): CASE-gated DECIMAL(37,4) money products absorbed into the int128 columnar lane below the grouped partial agg, plus conditional double sum/count lanes."),
 
     QueryDef(
+      "q194_filter_agg",
+      (s, dir) => {
+        import s.implicits._
+        // FILTER (WHERE) on null-ignoring aggregates — rewritten by the
+        // planner onto the masked conditional kernels (agg(x) FILTER f
+        // == agg(IF(f, x, NULL)); counts gate a non-null marker), so
+        // the previously blanket-fallback FILTER surface swaps
+        // columnar. min/max over the DECIMAL(37,4) money product pin
+        // the int128 comparison lanes on both exchange sides.
+        val rev = $"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+        Tables.t(s, dir, "lineitem")
+          .withColumn("rev", rev)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("sum(rev) FILTER (WHERE l_quantity < 25)").as("rev_small"),
+            expr("count(1) FILTER (WHERE l_linestatus = 'F')").as("n_f"),
+            expr("count(l_partkey) FILTER (WHERE l_quantity >= 25)").as("n_big"),
+            min($"rev").as("mn_rev"),
+            max($"rev").as("mx_rev"),
+            expr("round(avg(l_extendedprice) FILTER (WHERE l_quantity < 10), 4)")
+              .as("avg_small"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(sum(rev) FILTER (WHERE l_quantity < 25) AS DECIMAL(38,4)) AS rev_small,
+          count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+          count(l_partkey) FILTER (WHERE l_quantity >= 25) AS n_big,
+          CAST(min(rev) AS DECIMAL(38,4)) AS mn_rev,
+          CAST(max(rev) AS DECIMAL(38,4)) AS mx_rev,
+          round(avg(l_extendedprice) FILTER (WHERE l_quantity < 10), 4) AS avg_small
+        FROM (SELECT *, CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+          FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "FILTER (WHERE) aggregation surface: filtered sum/count/avg rewritten onto the masked conditional kernels (agg(x) FILTER f == agg(IF(f, x, NULL))), int128 min/max over the DECIMAL(37,4) money product — the whole partial swaps columnar where FILTER was previously a blanket row-path fallback."),
+
+    QueryDef(
       "q36_agg_minmax_avg",
       (s, dir) => {
         import s.implicits._

@@ -261,6 +261,18 @@ case class GraftColumnarFinalAggExec(
                   st.longAcc(si)(gid) = x
                 st.seen(si)(gid) = true
               }
+            case MinMaxDec128Spec(col, dt, isMin) =>
+              // wide-decimal buffer: a null partial means "no input on
+              // that map task" — the row merge's greatest/least skips it
+              if (!r.isNullAt(col)) {
+                val bi = r.getDecimal(col, dt.precision, dt.scale)
+                  .toJavaBigDecimal.unscaledValue()
+                GraftColumnarAgg.minMaxDec128(st.objAcc(si), gid,
+                  org.apache.spark.sql.graft.VecDec128Expr.hiOf(bi),
+                  org.apache.spark.sql.graft.VecDec128Expr.loOf(bi), isMin,
+                  st.seen(si)(gid))
+                st.seen(si)(gid) = true
+              }
             case SumLongSpec(col, _, ansi) =>
               if (!r.isNullAt(col)) {
                 st.longAcc(si)(gid) =
@@ -463,6 +475,17 @@ case class GraftColumnarFinalAggExec(
                         Decimal.createUnsafe(st.longAcc(si)(i), dt.precision, dt.scale),
                         dt.precision)
                     else cols(c).putNull(i)
+                    i += 1
+                  }
+                case MinMaxDec128Spec(_, dt, _) =>
+                  var i = 0
+                  while (i < g) {
+                    st.objAcc(si)(i) match {
+                      case a: Array[Long] if st.seen(si)(i) =>
+                        cols(c).putDecimal(i,
+                          GraftColumnarAgg.dec128Value(a(0), a(1), dt), dt.precision)
+                      case _ => cols(c).putNull(i)
+                    }
                     i += 1
                   }
                 case SumLongSpec(_, _, _) =>

@@ -56,6 +56,19 @@ object AggSpec {
     * i128 sum accumulator this spec re-expresses on the JVM. */
   final case class SumDec128Spec(col: Int, in: DecimalType, buf: DecimalType,
       ansi: Boolean) extends AggSpec { def slots = 2 }
+  /** avg over a WIDE decimal input (precision 19..38): the
+    * [[SumDec128Spec]] int128 sum in the object lane, count in the
+    * (free) long lane — buffer = (sum: bounded(p+10, s) initialized to
+    * ZERO, count: Long), the FINAL divide stays on the row Average
+    * exactly as [[AvgDec64Spec]]. TRY keeps the row path. */
+  final case class AvgDec128Spec(col: Int, in: DecimalType, buf: DecimalType)
+      extends AggSpec { def slots = 2 }
+  /** min/max over a WIDE decimal input (precision 19..38): signed
+    * int128 comparisons on (hi, lo) long pairs held in the object lane
+    * — same reading channels as [[SumDec128Spec]], one slot of the
+    * input type. Never overflows (the extremum IS an input value). */
+  final case class MinMaxDec128Spec(col: Int, dt: DecimalType, isMin: Boolean)
+      extends AggSpec { def slots = 1 }
   /** The two decimal-sum partials share the (sum, isEmpty) buffer
     * contract; the FINAL merge reads buffers through the row's
     * getDecimal and is representation-agnostic — match either. */
@@ -334,6 +347,32 @@ case class GraftColumnarPartialAggExec(
               }
               i += 1
             }
+          case MinMaxDec128Spec(col, dt, isMin) =>
+            val v = batch.column(col)
+            v match {
+              case dv: Dec128ArrayVector =>
+                var i = 0
+                while (i < m) {
+                  if (!dv.isNullAt(i)) {
+                    GraftColumnarAgg.minMaxDec128(objAcc, si, dv.hiAt(i), dv.loAt(i),
+                      isMin, seen(si))
+                    seen(si) = true
+                  }
+                  i += 1
+                }
+              case _ =>
+                var i = 0
+                while (i < m) {
+                  if (!v.isNullAt(i)) {
+                    val bi = v.getDecimal(i, dt.precision, dt.scale)
+                      .toJavaBigDecimal.unscaledValue()
+                    GraftColumnarAgg.minMaxDec128(objAcc, si,
+                      VecDec128Expr.hiOf(bi), VecDec128Expr.loOf(bi), isMin, seen(si))
+                    seen(si) = true
+                  }
+                  i += 1
+                }
+            }
           case SumLongSpec(col, in, ansi) =>
             val v = batch.column(col)
             val get = GraftColumnarAgg.longSumGetter(v, in)
@@ -404,6 +443,33 @@ case class GraftColumnarPartialAggExec(
                 dblAcc(si) += 1
               }
               i += 1
+            }
+          case AvgDec128Spec(col, in, _) =>
+            // SumDec128's int128 add in the object lane; count in the
+            // (otherwise unused) long lane
+            val v = batch.column(col)
+            v match {
+              case dv: Dec128ArrayVector =>
+                var i = 0
+                while (i < m) {
+                  if (!dv.isNullAt(i)) {
+                    GraftColumnarAgg.addDec128(objAcc, si, dv.hiAt(i), dv.loAt(i))
+                    longAcc(si) += 1
+                  }
+                  i += 1
+                }
+              case _ =>
+                var i = 0
+                while (i < m) {
+                  if (!v.isNullAt(i)) {
+                    val bi = v.getDecimal(i, in.precision, in.scale)
+                      .toJavaBigDecimal.unscaledValue()
+                    GraftColumnarAgg.addDec128(objAcc, si,
+                      VecDec128Expr.hiOf(bi), VecDec128Expr.loOf(bi))
+                    longAcc(si) += 1
+                  }
+                  i += 1
+                }
             }
           case FirstLastSpec(col, dt, isFirst, ignoreNulls) =>
             if (!(isFirst && seen(si))) {
@@ -497,6 +563,12 @@ case class GraftColumnarPartialAggExec(
             if (seen(si)) Decimal.createUnsafe(longAcc(si), dt.precision, dt.scale)
             else null
           slot += 1
+        case MinMaxDec128Spec(_, dt, _) =>
+          out(slot) = objAcc(si) match {
+            case a: Array[Long] if seen(si) => GraftColumnarAgg.dec128Value(a(0), a(1), dt)
+            case _ => null
+          }
+          slot += 1
         case SumLongSpec(_, _, _) =>
           out(slot) = if (seen(si)) longAcc(si) else null; slot += 1
         case MomentsSpec(_, order) =>
@@ -534,6 +606,15 @@ case class GraftColumnarPartialAggExec(
             case _ => null
           }
           out(slot + 1) = dblAcc(si).toLong
+          slot += 2
+        case AvgDec128Spec(_, _, buf) =>
+          // Average's decimal buffer initializes sum to ZERO; a null
+          // sum means overflow past the buffer precision, nothing else
+          out(slot) = objAcc(si) match {
+            case null => Decimal.createUnsafe(0L, buf.precision, buf.scale)
+            case acc => GraftColumnarAgg.dec128SumDecimal(acc, buf)
+          }
+          out(slot + 1) = longAcc(si)
           slot += 2
         case FirstLastSpec(_, dt, _, _) =>
           out(slot) =
@@ -694,6 +775,30 @@ object GraftColumnarAgg {
         .add(VecDec128Expr.big128(vhi, vlo))
     }
 
+  /** Signed int128 "<": high words decide, unsigned low words break. */
+  def lt128(h1: Long, l1: Long, h2: Long, l2: Long): Boolean =
+    if (h1 != h2) h1 < h2 else java.lang.Long.compareUnsigned(l1, l2) < 0
+
+  /** One min/max step over an int128 value held as long[2] in the
+    * object lane (allocated on the slot's first value). */
+  def minMaxDec128(acc: Array[AnyRef], idx: Int, vhi: Long, vlo: Long,
+      isMin: Boolean, seen: Boolean): Unit =
+    acc(idx) match {
+      case a: Array[Long] if seen =>
+        if (if (isMin) lt128(vhi, vlo, a(0), a(1)) else lt128(a(0), a(1), vhi, vlo)) {
+          a(0) = vhi; a(1) = vlo
+        }
+      case a: Array[Long] => a(0) = vhi; a(1) = vlo // reused slot, fresh group epoch
+      case _ => acc(idx) = Array[Long](vhi, vlo)
+    }
+
+  /** (hi, lo) int128 → Decimal at dt — an extremum is an input value,
+    * so it always fits its own type. */
+  def dec128Value(hi: Long, lo: Long, dt: DecimalType): Decimal =
+    if (hi == (lo >> 63)) Decimal.createUnsafe(lo, dt.precision, dt.scale)
+    else Decimal(new java.math.BigDecimal(VecDec128Expr.big128(hi, lo), dt.scale),
+      dt.precision, dt.scale)
+
   /** Finalized partial value of a [[AggSpec.SumDec128Spec]] accumulator:
     * the exact sum when it fits the buffer precision, null (= overflow,
     * the UnsafeRow.setDecimal clamp) otherwise. */
@@ -816,10 +921,12 @@ object GraftColumnarAgg {
     case SumDec64Spec(_, _, buf, _) => Seq(buf, BooleanType)
     case SumDec128Spec(_, _, buf, _) => Seq(buf, BooleanType)
     case MinMaxDec64Spec(_, dt, _) => Seq(dt)
+    case MinMaxDec128Spec(_, dt, _) => Seq(dt)
     case SumLongSpec(_, _, _) => Seq(LongType)
     case m: MomentsSpec => Seq.fill(m.slots)(DoubleType)
     case s @ (CovSpec(_, _) | CorrSpec(_, _)) => Seq.fill(s.slots)(DoubleType)
     case AvgDec64Spec(_, _, buf) => Seq(buf, LongType)
+    case AvgDec128Spec(_, _, buf) => Seq(buf, LongType)
     case FirstLastSpec(_, dt, _, _) => Seq(dt, BooleanType)
     // final-only specs never appear in a partial layout
     case s @ (MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _)) =>
@@ -880,6 +987,14 @@ object GraftColumnarAgg {
           a.dataType.isInstanceOf[DecimalType] &&
           a.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS =>
         scala.Right(MinMaxDec64Spec(ord(a), a.dataType.asInstanceOf[DecimalType], isMin = false))
+      case Min(a: AttributeReference) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] =>
+        scala.Right(MinMaxDec128Spec(ord(a), a.dataType.asInstanceOf[DecimalType],
+          isMin = true))
+      case Max(a: AttributeReference) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] =>
+        scala.Right(MinMaxDec128Spec(ord(a), a.dataType.asInstanceOf[DecimalType],
+          isMin = false))
       case Min(a: AttributeReference) if ord(a) >= 0 && longFamily(a.dataType) =>
         scala.Right(MinMaxLongSpec(ord(a), a.dataType, isMin = true))
       case Max(a: AttributeReference) if ord(a) >= 0 && longFamily(a.dataType) =>
@@ -917,6 +1032,13 @@ object GraftColumnarAgg {
         val in = a.dataType.asInstanceOf[DecimalType]
         // Average's decimal sum buffer type: bounded(p + 10, s)
         scala.Right(AvgDec64Spec(ord(a), in,
+          DecimalType.bounded(in.precision + 10, in.scale)))
+      case Average(a: AttributeReference, em) if ord(a) >= 0 &&
+          a.dataType.isInstanceOf[DecimalType] && em != EvalMode.TRY =>
+        // wide-decimal avg: int128 sum lane (same clamp contract as
+        // AvgDec64Spec above; FINAL divide stays on the row Average)
+        val in = a.dataType.asInstanceOf[DecimalType]
+        scala.Right(AvgDec128Spec(ord(a), in,
           DecimalType.bounded(in.precision + 10, in.scale)))
       case f: CentralMomentAgg
           if (f.isInstanceOf[StddevPop] || f.isInstanceOf[StddevSamp] ||
@@ -967,15 +1089,17 @@ object GraftColumnarAgg {
     case SumDec64Spec(_, _, buf, _) => buf
     case SumDec128Spec(_, _, buf, _) => buf
     case MinMaxDec64Spec(_, dt, _) => dt
+    case MinMaxDec128Spec(_, dt, _) => dt
     case SumLongSpec(_, _, _) => LongType
     case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _) =>
       DoubleType
     // unreachable: compileFinal emits the *FinalSpec twins, never the
     // partial moment-family specs
     case MomentsSpec(_, _) | CovSpec(_, _) | CorrSpec(_, _) => DoubleType
-    // unreachable: compileFinal never emits AvgDec64Spec (the final
-    // divide's rounding/ANSI edges stay on the row path)
+    // unreachable: compileFinal never emits AvgDec64Spec/AvgDec128Spec
+    // (the final divide's rounding/ANSI edges stay on the row path)
     case AvgDec64Spec(_, _, buf) => buf
+    case AvgDec128Spec(_, _, buf) => buf
     // unreachable: compileFinal never emits FirstLastSpec
     case FirstLastSpec(_, dt, _, _) => dt
   }
@@ -990,7 +1114,9 @@ object GraftColumnarAgg {
   def compileFinal(ae: AggregateExpression, bufOrd: Attribute => Int): Either[String, AggSpec] = {
     if (ae.mode != Final) return scala.Left(s"mode ${ae.mode} is not Final")
     if (ae.isDistinct) return scala.Left("DISTINCT aggregate")
-    if (ae.filter.isDefined) return scala.Left("FILTER clause")
+    // a FILTER clause gates the UPDATE stage only — Spark's
+    // mergeExpressions never reference it, so the final merge is
+    // filter-agnostic and the clause is safely ignored here
     val bufs = ae.aggregateFunction.inputAggBufferAttributes.map(bufOrd)
     if (bufs.exists(_ < 0))
       return scala.Left("input buffer attributes not found in child output")
@@ -1022,6 +1148,10 @@ object GraftColumnarAgg {
         // integral sums AND the DecimalAggregates sum(UnscaledValue(..))
         // rewrite both merge a nullable LongType buffer
         scala.Right(SumLongSpec(c, LongType, ctx.evalMode == EvalMode.ANSI))
+      case Min(e) if e.dataType.isInstanceOf[DecimalType] =>
+        scala.Right(MinMaxDec128Spec(c, e.dataType.asInstanceOf[DecimalType], isMin = true))
+      case Max(e) if e.dataType.isInstanceOf[DecimalType] =>
+        scala.Right(MinMaxDec128Spec(c, e.dataType.asInstanceOf[DecimalType], isMin = false))
       case Min(e) if longFamily(e.dataType) =>
         scala.Right(MinMaxLongSpec(c, e.dataType, isMin = true))
       case Max(e) if longFamily(e.dataType) =>

@@ -313,6 +313,18 @@ case class GraftColumnarGroupedAggExec(
                 i += 1
               }
               slot += 1
+            case MinMaxDec128Spec(_, dt, _) =>
+              var i = 0
+              while (i < g) {
+                st.objAcc(si)(i) match {
+                  case a: Array[Long] if st.seen(si)(i) =>
+                    cols(slot).putDecimal(i,
+                      GraftColumnarAgg.dec128Value(a(0), a(1), dt), dt.precision)
+                  case _ => cols(slot).putNull(i)
+                }
+                i += 1
+              }
+              slot += 1
             case SumLongSpec(_, _, _) =>
               var i = 0
               while (i < g) {
@@ -358,6 +370,18 @@ case class GraftColumnarGroupedAggExec(
                 GraftColumnarAgg.putPartialDecSum(
                   cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
                 cols(slot + 1).putLong(i, st.dblAcc(si)(i).toLong)
+                i += 1
+              }
+              slot += 2
+            case AvgDec128Spec(_, _, buf) =>
+              var i = 0
+              while (i < g) {
+                st.objAcc(si)(i) match {
+                  case null => cols(slot).putDecimal(i,
+                    Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
+                  case acc => GraftColumnarAgg.putPartialDec128Sum(cols(slot), i, acc, buf)
+                }
+                cols(slot + 1).putLong(i, st.longAcc(si)(i))
                 i += 1
               }
               slot += 2
@@ -660,6 +684,35 @@ case class GraftColumnarGroupedAggExec(
                 }
                 j += 1
               }
+            case MinMaxDec128Spec(col, dt, isMin) =>
+              val v = batch.column(col)
+              v match {
+                case dv: Dec128ArrayVector =>
+                  var j = 0
+                  while (j < m) {
+                    if (!dv.isNullAt(j)) {
+                      val gid = gids(j)
+                      GraftColumnarAgg.minMaxDec128(st.objAcc(si), gid, dv.hiAt(j),
+                        dv.loAt(j), isMin, st.seen(si)(gid))
+                      st.seen(si)(gid) = true
+                    }
+                    j += 1
+                  }
+                case _ =>
+                  var j = 0
+                  while (j < m) {
+                    if (!v.isNullAt(j)) {
+                      val gid = gids(j)
+                      val bi = v.getDecimal(j, dt.precision, dt.scale)
+                        .toJavaBigDecimal.unscaledValue()
+                      GraftColumnarAgg.minMaxDec128(st.objAcc(si), gid,
+                        VecDec128Expr.hiOf(bi), VecDec128Expr.loOf(bi), isMin,
+                        st.seen(si)(gid))
+                      st.seen(si)(gid) = true
+                    }
+                    j += 1
+                  }
+              }
             case SumLongSpec(col, in, ansi) =>
               val v = batch.column(col)
               val get = GraftColumnarAgg.longSumGetter(v, in)
@@ -749,6 +802,35 @@ case class GraftColumnarGroupedAggExec(
                   st.dblAcc(si)(gid) += 1
                 }
                 j += 1
+              }
+            case AvgDec128Spec(col, in, _) =>
+              // SumDec128's int128 add in the object lane; count in the
+              // (free) long lane
+              val v = batch.column(col)
+              v match {
+                case dv: Dec128ArrayVector =>
+                  var j = 0
+                  while (j < m) {
+                    if (!dv.isNullAt(j)) {
+                      val gid = gids(j)
+                      GraftColumnarAgg.addDec128(st.objAcc(si), gid, dv.hiAt(j), dv.loAt(j))
+                      st.longAcc(si)(gid) += 1
+                    }
+                    j += 1
+                  }
+                case _ =>
+                  var j = 0
+                  while (j < m) {
+                    if (!v.isNullAt(j)) {
+                      val gid = gids(j)
+                      val bi = v.getDecimal(j, in.precision, in.scale)
+                        .toJavaBigDecimal.unscaledValue()
+                      GraftColumnarAgg.addDec128(st.objAcc(si), gid,
+                        VecDec128Expr.hiOf(bi), VecDec128Expr.loOf(bi))
+                      st.longAcc(si)(gid) += 1
+                    }
+                    j += 1
+                  }
               }
             case FirstLastSpec(col, dt, isFirst, ignoreNulls) =>
               val v = batch.column(col)

@@ -1358,12 +1358,51 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         base0: SparkPlan): (
         Seq[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression],
         SparkPlan) = {
-      import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, NamedExpression}
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, If, Literal, NamedExpression}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Max, Min, Sum}
       val argAliases = scala.collection.mutable.LinkedHashMap[Expression, Alias]()
       def absorbable(e: Expression): Boolean =
         !e.isInstanceOf[AttributeReference] && !e.isInstanceOf[Literal] &&
           e.deterministic && ProjKernel.compile(e, base0.output).isRight
-      val rewritten = aes.map { ae =>
+      // FILTER (WHERE f) on a null-IGNORING function is the CASE-gated
+      // arg: agg(x) FILTER f == agg(IF(f, x, NULL)) — update fires for
+      // exactly the filter-true rows, and the masked If kernel keeps the
+      // row path's lazy error semantics for x. Rewrite only when the If
+      // compiles (the alias map then absorbs it); otherwise keep the
+      // original so the fallback reason stays honest. first/last are NOT
+      // null-ignoring by default and stay out.
+      val unfiltered = aes.map { ae =>
+        if (ae.filter.isEmpty || ae.isDistinct || !ae.filter.get.deterministic) ae
+        else {
+          def gated(c: Expression) = If(ae.filter.get, c, Literal(null, c.dataType))
+          val rewrittenAf = ae.aggregateFunction match {
+            case f @ (_: Sum | _: Min | _: Max | _: Average)
+                if f.children.forall(c =>
+                  ProjKernel.compile(gated(c), base0.output).isRight) =>
+              Some(f.withNewChildren(f.children.map(gated))
+                .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
+            case c: Count if c.children.size == 1 =>
+              // count gates a non-null DOUBLE marker (CountSpec only
+              // checks null, so the marker type is free — and it keeps
+              // integral/string/any-typed count args out of the value
+              // lanes): count(*) counts filter-true rows, count(x)
+              // counts filter-true AND x-non-null rows.
+              val pred = c.children.head match {
+                case _: Literal => ae.filter.get
+                case e => org.apache.spark.sql.catalyst.expressions.And(
+                  ae.filter.get,
+                  org.apache.spark.sql.catalyst.expressions.IsNotNull(e))
+              }
+              val arg = If(pred,
+                Literal(1.0d), Literal(null, org.apache.spark.sql.types.DoubleType))
+              if (ProjKernel.compile(arg, base0.output).isRight) Some(Count(Seq(arg)))
+              else None
+            case _ => None
+          }
+          rewrittenAf.map(f => ae.copy(aggregateFunction = f, filter = None)).getOrElse(ae)
+        }
+      }
+      val rewritten = unfiltered.map { ae =>
         val af = ae.aggregateFunction
         val newChildren = af.children.map { c =>
           if (absorbable(c)) {

@@ -1384,6 +1384,78 @@ class EngineSuite extends GraftTestBase {
       s"engines (columnar=$onThrew row=$offThrew)")
   }
 
+  test("FILTER (WHERE) aggregates absorb as CASE-gated args; dec128 min/max swap") {
+    // agg(x) FILTER f == agg(IF(f, x, NULL)) for null-ignoring
+    // functions — the rewrite rides the masked conditional kernels, so
+    // the whole partial (previously a blanket "FILTER clause" fallback)
+    // swaps columnar. min/max over the DECIMAL(37,4) money product pin
+    // the int128 comparison lanes.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    val rev = $"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+    def q() = Tables.t(spark, sfDir, "lineitem")
+      .withColumn("rev", rev)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("sum(rev) FILTER (WHERE l_quantity < 25)").as("rev_small"),
+        expr("count(1) FILTER (WHERE l_linestatus = 'F')").as("n_f"),
+        expr("count(l_partkey) FILTER (WHERE l_quantity >= 25)").as("n_big"),
+        min($"rev").as("mn_rev"),
+        max($"rev").as("mx_rev"),
+        expr("avg(l_extendedprice) FILTER (WHERE l_returnflag = 'R')").as("avg_r"))
+      .orderBy($"l_returnflag")
+    val d = q()
+    val on = d.collect()
+    assert(findExec(d) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"FILTER aggregates should swap via the CASE-gated rewrite:\n${
+      d.queryExecution.executedPlan}")
+    val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "FILTER aggregation diverged")
+    // global twin
+    def qg() = Tables.t(spark, sfDir, "lineitem")
+      .withColumn("rev", rev)
+      .agg(expr("sum(rev) FILTER (WHERE l_returnflag = 'R')").as("r_rev"),
+        max($"rev").as("mx"), min($"rev").as("mn"))
+    val dg = qg()
+    val ong = dg.collect()
+    assert(findExec(dg) {
+      case e: org.apache.spark.sql.graft.GraftColumnarPartialAggExec => e
+    }.isDefined, s"global FILTER agg should swap:\n${dg.queryExecution.executedPlan}")
+    val offg = withSQLConf(GraftColumnarRule.enabledKey -> "false") { qg().collect() }
+    assert(ong.toSeq == offg.toSeq, "global FILTER aggregation diverged")
+  }
+
+  test("avg over a DECIMAL(38,4) money product swaps via the int128 sum lane") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    val rev = $"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+    def q() = Tables.t(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(avg(rev).as("avg_rev"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+    val d = q()
+    val on = d.collect()
+    assert(findExec(d) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"wide-decimal avg partial should swap:\n${d.queryExecution.executedPlan}")
+    val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, "wide-decimal avg diverged")
+    // global twin
+    def qg() = Tables.t(spark, sfDir, "lineitem").agg(avg(rev).as("a"))
+    val dg = qg()
+    val ong = dg.collect()
+    assert(findExec(dg) {
+      case e: org.apache.spark.sql.graft.GraftColumnarPartialAggExec => e
+    }.isDefined, s"global wide-decimal avg should swap:\n${dg.queryExecution.executedPlan}")
+    val offg = withSQLConf(GraftColumnarRule.enabledKey -> "false") { qg().collect() }
+    assert(ong.toSeq == offg.toSeq, "global wide-decimal avg diverged")
+  }
+
   test("int128 kernel arithmetic matches BigInteger on edge values") {
     import org.apache.spark.sql.graft.{GraftColumnarAgg, VecDec128Expr}
     import java.math.BigInteger

@@ -222,6 +222,16 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q101: expected the conditional int128 global partial agg columnar in:\n$p")
   }
 
+  test("q194 absorbs FILTER aggregates onto the conditional kernels") {
+    val df = run("q194_filter_agg")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q194: expected the FILTER-rewritten grouped partial agg columnar in:\n$p")
+    assert(p.contains("MinMaxDec128Spec"),
+      s"q194: expected the int128 min/max lanes in:\n$p")
+  }
+
   test("q190 runs the date_trunc grouped map side fully columnar") {
     val df = run("q190_datetrunc_agg")
     df.collect()
