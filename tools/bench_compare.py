@@ -60,6 +60,15 @@ Tolerance notes (investigated outliers — keep before widening tol):
     query whose code path did NOT change). The absorption A/B itself
     re-measured 0.58x (grouped-agg-argabsorb, min-of-5, columnar vs row).
     Verdict: no regression; judge by the r12 in-sweep number.
+  - Baseline refreshed r12 (2026-08-15): per-query MIN of the r10 quiet
+    baseline and the r12 end-of-round sweep (94.4s at load 1.9-3.2) —
+    the min composition keeps the r10 values where the r12 sweep hit
+    its mid-run load spike (the alphabetical q48-q57 block read 2-4x
+    for one pass and cleared on min-of-5 isolated confirms) and adopts
+    the r12 values where the round's decimal128/conditional agg work
+    genuinely moved them (q87 0.83->0.58, q89 0.92->0.69, q146
+    0.576->0.539 — the r11 watch item closed BELOW its old baseline).
+    87.9s total / 11.7s TPC-H over 194 queries.
 """
 import json
 import sys
