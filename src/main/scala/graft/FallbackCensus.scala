@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.GraftExplain
+
+/** Diagnostic main: run every Catalog query at the given SF dir and
+  * aggregate [[GraftExplain.fallbackReasons]] across the whole inventory —
+  * "which row-path fallbacks fire, how often, and where" in one report.
+  * The moral twin of the reference's ExtendedExplainInfo rollup
+  * (spark/.../ExtendedExplainInfo.scala), used to pick the next columnar
+  * kernel to build: reasons that appear across many queries are engine
+  * gaps; reasons unique to one query are usually inherent to its shape.
+  *
+  * Usage: runMain graft.FallbackCensus /root/testdata/sf0.01
+  */
+object FallbackCensus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      .config(Tables.eventsReadConf._1, Tables.eventsReadConf._2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // reason -> (executions hit, distinct queries, example nodes)
+    val agg = collection.mutable.Map.empty[String, (Long, Set[String], Set[String])]
+    Catalog.validated
+      .filter(q => only.forall(_.exists(q.name.startsWith)))
+      .foreach { q =>
+        try {
+          val df = q.run(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          GraftExplain.fallbackReasons(df).foreach { case (node, reason) =>
+            val (n, qs, nodes) = agg.getOrElse(reason, (0L, Set.empty[String], Set.empty[String]))
+            agg(reason) = (n + 1, qs + q.name, nodes + node)
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[census] ${q.name} failed: ${e.getMessage}")
+        }
+      }
+
+    println("=== fallback census (reason | node-hits | queries) ===")
+    agg.toSeq.sortBy(-_._2._1).foreach { case (reason, (n, qs, nodes)) =>
+      val qlist = qs.toSeq.sorted
+      val shown = if (qlist.size > 8) qlist.take(8).mkString(",") + s",…(${qlist.size})"
+                  else qlist.mkString(",")
+      println(f"$n%5d  [${nodes.toSeq.sorted.mkString("/")}] $reason%s  <- $shown")
+    }
+    spark.stop()
+  }
+}

@@ -42,7 +42,8 @@ case class GraftColumnarTopKExec(
     keys: Seq[TopKKeySpec],
     sortOrder: Seq[SortOrder],
     projectList: Seq[NamedExpression],
-    child: SparkPlan)
+    child: SparkPlan,
+    offset: Int = 0)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = projectList.map(_.toAttribute)
@@ -118,7 +119,11 @@ case class GraftColumnarTopKExec(
       else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r.copy()) }
     }
     val proj = UnsafeProjection.create(projectList, child.output)
-    val sorted: Seq[InternalRow] = heap.dequeueAll.reverse
+    // OFFSET mirrors TakeOrderedAndProjectExec: the planner's `limit`
+    // counts from row 0 (it is fetch+offset), so the heaps track the
+    // full top-`limit` and the skip happens once, here at the sorted
+    // single-partition emit.
+    val sorted: Seq[InternalRow] = heap.dequeueAll.reverse.drop(offset)
     sorted.iterator.map { r => outM.add(1); proj(r) }
   }
 

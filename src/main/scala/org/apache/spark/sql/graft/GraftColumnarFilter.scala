@@ -204,6 +204,37 @@ object VecPredicate {
     }
   }
 
+  /** Comparison over COMPUTED string operands: both sides compile through
+    * the projection's [[VecStrExpr]] kernel language (substring, case
+    * mapping, trim, concat, integral→string cast, md5 — the
+    * hash-threshold sampling predicate `substring(md5(key),1,n) < '...'`
+    * lands here). The kernels evaluate rows 0..numRows of the batch (no
+    * selection view), so this predicate computes the full batch and then
+    * reads results through the selection — exact when it is the only /
+    * first conjunct (the sampling shape); under a pre-shrunk selection it
+    * does bounded extra work but stays correct.
+    */
+  final case class ComputedStrCmp(lk: VecStrExpr, rk: VecStrExpr, op: Int)
+      extends VecPredicate {
+    @transient private lazy val scratch = new StrScratch
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      scratch.reset()
+      val lv = scratch.s(n); val ln = scratch.b(n)
+      val rv = scratch.s(n); val rn = scratch.b(n)
+      lk.eval(b, n, lv, ln, scratch)
+      rk.eval(b, n, rv, rn, scratch)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (ln(i) || rn(i)) { isNull(j) = true; value(j) = false }
+        else { isNull(j) = false; value(j) = cmpS(lv(i), rv(i), op) }
+        j += 1
+      }
+    }
+  }
+
   /** string col StartsWith/EndsWith/Contains literal (mode 0/1/2). */
   final case class StringMatch(l: Int, litBytes: Array[Byte], mode: Int) extends VecPredicate {
     @transient private lazy val lit: UTF8String = UTF8String.fromBytes(litBytes)
@@ -390,6 +421,25 @@ object VecPredicate {
             case (lt, rt) => scala.Left(s"unsupported comparison types $lt vs $rt")
           }
         case (l: Literal, r: AttributeReference) => cmp(r, l, flip(op))
+        // computed string operands (at least one side non-trivial):
+        // delegate both sides to the projection's string kernel compiler.
+        // A/B gate (sf0.1 min-of-N, FilterMicroBench): hash-heavy shapes
+        // (md5 thresholds) win 0.92-1.02x and allocation-free view
+        // compositions (substring/trim over columns) win 0.84-0.99x, but
+        // allocation-bearing cheap kernels (concat/upper/lower) LOSE
+        // 1.05-1.09x to the fused codegen row path — those stay row
+        // with a tagged reason.
+        case (l, r) if l.dataType == StringType && r.dataType == StringType &&
+            l.deterministic && r.deterministic =>
+          for {
+            lk <- VecStrExpr.compile(l, output)
+            rk <- VecStrExpr.compile(r, output)
+            _ <- if (VecStrExpr.hashHeavy(lk) || VecStrExpr.hashHeavy(rk) ||
+                (VecStrExpr.allocFree(lk) && VecStrExpr.allocFree(rk)))
+              scala.Right(())
+            else scala.Left("allocating computed string compare (concat/case-map) " +
+              "measured slower than the codegen row path")
+          } yield ComputedStrCmp(lk, rk, op)
         case _ =>
           scala.Left(s"unsupported comparison operands: ${left.getClass.getSimpleName} vs " +
             s"${right.getClass.getSimpleName}")

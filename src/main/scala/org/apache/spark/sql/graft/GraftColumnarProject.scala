@@ -1317,6 +1317,82 @@ object VecStrExpr {
     }
   }
 
+  /** Integral column rendered as its decimal string — Spark's
+    * integral→string cast is `Long.toString` in every eval mode (no
+    * overflow, no locale), so ANSI/LEGACY/TRY agree by construction.
+    * The input ordinal is read with a width-dispatched getter so
+    * byte/short/int/long all land here.
+    */
+  final case class CastIntegralToStrS(ord: Int, dt: DataType) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      val v = b.column(ord)
+      var i = 0
+      dt match {
+        case LongType =>
+          while (i < n) {
+            if (v.isNullAt(i)) { isNull(i) = true; values(i) = null }
+            else { isNull(i) = false
+              values(i) = UTF8String.fromString(java.lang.Long.toString(v.getLong(i))) }
+            i += 1
+          }
+        case IntegerType =>
+          while (i < n) {
+            if (v.isNullAt(i)) { isNull(i) = true; values(i) = null }
+            else { isNull(i) = false
+              values(i) = UTF8String.fromString(java.lang.Integer.toString(v.getInt(i))) }
+            i += 1
+          }
+        case ShortType =>
+          while (i < n) {
+            if (v.isNullAt(i)) { isNull(i) = true; values(i) = null }
+            else { isNull(i) = false
+              values(i) = UTF8String.fromString(java.lang.Short.toString(v.getShort(i))) }
+            i += 1
+          }
+        case _ => // ByteType (gated at compile)
+          while (i < n) {
+            if (v.isNullAt(i)) { isNull(i) = true; values(i) = null }
+            else { isNull(i) = false
+              values(i) = UTF8String.fromString(java.lang.Byte.toString(v.getByte(i))) }
+            i += 1
+          }
+      }
+    }
+  }
+
+  /** md5 of the UTF-8 bytes of a string — Spark's `Md5(Cast(s, BINARY))`
+    * shape (the string→binary cast IS the UTF-8 bytes, identical in all
+    * eval modes; Md5 emits the lowercase-hex digest, Md5.nullSafeEval →
+    * commons-codec md5Hex). The hash-threshold sampling predicate
+    * (`substring(md5(key), 1, n) < '...'`) compiles through here.
+    */
+  final case class Md5HexS(c: VecStrExpr) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) {
+          md.reset()
+          val in = values(i).getBytes
+          val dig = md.digest(in)
+          val out = new Array[Byte](dig.length * 2)
+          var j = 0
+          while (j < dig.length) {
+            out(j * 2) = hex((dig(j) >> 4) & 0xf).toByte
+            out(j * 2 + 1) = hex(dig(j) & 0xf).toByte
+            j += 1
+          }
+          values(i) = UTF8String.fromBytes(out)
+        }
+        i += 1
+      }
+    }
+  }
+
   /** String concat: NULL if any input is NULL (Concat's semantics). */
   final case class ConcatS(cs: Seq[VecStrExpr]) extends VecStrExpr {
     override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
@@ -1344,6 +1420,26 @@ object VecStrExpr {
     }
   }
 
+  /** Kernel-tree cost classifiers for the FILTER-compare swap gate (the
+    * projection swap has its own A/B gating): md5 anywhere makes the
+    * per-row hash dominate (conversion savings win regardless of input
+    * shape); otherwise only allocation-free view compositions
+    * (column/literal/substring/trim) beat fused codegen.
+    */
+  def hashHeavy(k: VecStrExpr): Boolean = k match {
+    case Md5HexS(_) => true
+    case MapS(_, c) => hashHeavy(c)
+    case SubstrS(c, _, _) => hashHeavy(c)
+    case ConcatS(cs) => cs.exists(hashHeavy)
+    case _ => false
+  }
+  def allocFree(k: VecStrExpr): Boolean = k match {
+    case ColS(_) | LitS(_) => true
+    case SubstrS(c, _, _) => allocFree(c) // substringSQL = byte-range view
+    case MapS(TRIM, c) => allocFree(c)    // trim = byte-range view
+    case _ => false                       // upper/lower/concat/cast/md5 allocate
+  }
+
   /** Compile a Catalyst string expression, or name the fallback reason. */
   def compile(e: Expression, output: Seq[Attribute]): Either[String, VecStrExpr] = {
     def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
@@ -1362,6 +1458,24 @@ object VecStrExpr {
         val parts = c.children.map(compile(_, output))
         parts.collectFirst { case scala.Left(r) => scala.Left(r) }
           .getOrElse(scala.Right(ConcatS(parts.collect { case scala.Right(k) => k })))
+      case c: Cast if c.dataType == StringType =>
+        c.child match {
+          case a: AttributeReference if ord(a) >= 0 &&
+              (a.dataType == LongType || a.dataType == IntegerType ||
+               a.dataType == ShortType || a.dataType == ByteType) =>
+            scala.Right(CastIntegralToStrS(ord(a), a.dataType))
+          case other =>
+            scala.Left(s"unsupported cast-to-string input: ${other.getClass.getSimpleName}")
+        }
+      case m: Md5 =>
+        m.child match {
+          // the analyzer's implicit string→binary cast: UTF-8 bytes,
+          // identical in all eval modes — hash the string kernel directly
+          case c: Cast if c.dataType == BinaryType && c.child.dataType == StringType =>
+            compile(c.child, output).map(Md5HexS)
+          case other =>
+            scala.Left(s"unsupported md5 input: ${other.getClass.getSimpleName}")
+        }
       case other =>
         scala.Left(s"unsupported string projection: ${other.getClass.getSimpleName}")
     }

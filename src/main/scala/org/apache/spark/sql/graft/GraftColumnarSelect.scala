@@ -521,20 +521,22 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           }
         }
 
-      // Global top-k (ORDER BY + LIMIT): when the child is columnar, the
-      // row TakeOrderedAndProject would ColumnarToRow every surviving
-      // row only to discard all but k. The columnar probe compares the
-      // first sort key against the running k-th threshold straight from
-      // the vector — losers never materialize. Sort keys must be plain
-      // attributes of supported primitive/string types; OFFSET keeps the
-      // row path (rare, and the bounded-heap semantics differ).
+      // Global top-k (ORDER BY + LIMIT [OFFSET]): when the child is
+      // columnar, the row TakeOrderedAndProject would ColumnarToRow every
+      // surviving row only to discard all but k. The columnar probe
+      // compares the first sort key against the running k-th threshold
+      // straight from the vector — losers never materialize. Sort keys
+      // must be plain attributes of supported primitive/string types.
+      // OFFSET rides along: the planner's `limit` is fetch+offset, the
+      // probe keeps the full top-`limit` and drops `offset` rows at the
+      // sorted single-partition emit (exactly the row operator's shape).
       case t @ org.apache.spark.sql.execution.TakeOrderedAndProjectExec(
           limit, sortOrder, projectList, child, offset)
-          if child.supportsColumnar && topkEnabled(session) && limit > 0 =>
+          if child.supportsColumnar && topkEnabled(session) && limit > 0 &&
+            offset >= 0 && offset < limit =>
         import org.apache.spark.sql.execution.graft.{GraftColumnarTopKExec, TopKKeySpec}
         val specs: Seq[Either[String, TopKKeySpec]] =
-          if (offset != 0) Seq(scala.Left("OFFSET not supported by the columnar top-k"))
-          else sortOrder.map { so =>
+          sortOrder.map { so =>
             so.child match {
               case a: AttributeReference
                   if child.output.exists(_.exprId == a.exprId) &&
@@ -551,7 +553,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           case Some(reason) => t.setTagValue(fallbackReasonTag, reason); t
           case None =>
             GraftColumnarTopKExec(limit,
-              specs.collect { case scala.Right(s) => s }, sortOrder, projectList, child)
+              specs.collect { case scala.Right(s) => s }, sortOrder, projectList, child,
+              offset)
         }
 
       // Grouped FINAL aggregation: merge the shuffled partial-buffer

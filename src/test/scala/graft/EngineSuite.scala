@@ -159,6 +159,53 @@ class EngineSuite extends GraftTestBase {
     assert(ids(t.filter($"id".isin(1 to 12: _*))) == Set(1, 2, 3, 4, 5))
   }
 
+  test("GraftColumnarFilterExec: computed string operands compile through the kernel language") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colfilter-str").toString
+    Seq(
+      (1L, Option("Alpha"), Option("alp")), (2L, Option(" beta "), Option("bet")),
+      (3L, Option.empty[String], Option("xx")), (4L, Option("Γράφω"), Option.empty[String]),
+      (5L, Option("web-x"), Option("web")))
+      .toDF("id", "s", "p").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val got = df.select($"id").collect().map(_.getLong(0)).toSet
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+      }.isDefined, s"expected columnar filter in:\n${df.queryExecution.executedPlan}")
+      got
+    }
+    def rowIds(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      // gated-off shapes: must stay on the row path (tagged), values exact
+      df.collect()
+      assert(findExec(df) {
+        case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+      }.isEmpty, s"allocating compare must stay row:\n${df.queryExecution.executedPlan}")
+      df.select($"id").collect().map(_.getLong(0)).toSet
+    }
+    // allocation-free view compositions swap: substring/trim over columns;
+    // row 2's " beta " keeps its leading space — no match
+    assert(ids(t.filter(substring($"s", 1, 3) === substring($"p", 1, 3))) == Set(5))
+    assert(ids(t.filter(substring(trim($"s"), 1, 3) === $"p")) == Set(2, 5))
+    assert(ids(t.filter(trim($"s") < "x")) == Set(1, 2, 5)) // "γράφω" (0xCE..) > "x" binary
+    // allocation-bearing cheap kernels (upper/lower/concat) are gated OFF
+    // the swap (measured 1.05-1.09x vs codegen) but stay value-correct
+    assert(rowIds(t.filter(substring(lower($"s"), 1, 3) === $"p")) == Set(1, 5))
+    assert(rowIds(t.filter(upper(trim($"s")) === "BETA")) == Set(2))
+    assert(rowIds(t.filter(concat(lower(substring($"s", 1, 1)), lit("!")) === "w!")) == Set(5))
+    // the q109 hash-threshold sampling shape: substring(md5(cast(id)),1,n)
+    // — md5 anywhere makes the swap worth it (hash dominates)
+    val sampled = t.filter(substring(md5($"id".cast("string")), 1, 2) < "80")
+    val gotSample = ids(sampled)
+    val want = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+      t.filter(substring(md5($"id".cast("string")), 1, 2) < "80")
+        .select($"id").collect().map(_.getLong(0)).toSet
+    }
+    assert(gotSample == want, s"md5 kernel diverged: columnar=$gotSample row=$want")
+    // null operands stay three-valued: null md5 input row (id=3 has null s)
+    assert(ids(t.filter(substring(md5($"s"), 1, 32) === md5($"s"))) == Set(1, 2, 4, 5))
+  }
+
   test("GraftColumnarFilterExec surfaces input/output row SQLMetrics") {
     val docs = Tables.t(spark, sfDir, "documents")
     val df = docs.filter($"lang" === "en" && $"n_chars" > 100L)
@@ -3651,6 +3698,29 @@ class EngineSuite extends GraftTestBase {
         q(mk).collect().map(_.toString).toSeq
       }
       assert(on == off, s"shape $i: columnar=$on row=$off")
+    }
+    // OFFSET shapes: the planner folds LIMIT+OFFSET into one
+    // TakeOrderedAndProject (limit = fetch+offset); the columnar probe
+    // keeps the full top-limit and drops offset at the sorted emit —
+    // ordered parity vs the row operator is the contract
+    val offsetShapes: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      _.orderBy($"score".desc, $"id").offset(2).limit(3),     // mid-window
+      _.orderBy($"id".asc).offset(7).limit(5),                // window past #rows tail
+      _.orderBy($"tag".asc_nulls_first, $"id").offset(1).limit(2), // nulls into the skip
+      _.orderBy($"score".desc, $"id").offset(9).limit(4))     // nearly-empty emit
+    offsetShapes.zipWithIndex.foreach { case (mk, i) =>
+      val cdf = q(mk)
+      cdf.collect()
+      assert(findExec(cdf) {
+        case e: org.apache.spark.sql.execution.graft.GraftColumnarTopKExec => e
+      }.isDefined,
+        s"offset shape $i: expected columnar top-k in:\n${cdf.queryExecution.executedPlan}")
+      val on = q(mk).collect().map(_.toString).toSeq
+      val off = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") {
+        q(mk).collect().map(_.toString).toSeq
+      }
+      assert(on == off, s"offset shape $i: columnar=$on row=$off")
     }
     // computed sort key → row path with a tagged reason
     val computed = q(_.orderBy(($"score" * 2.0).desc, $"id").limit(3))

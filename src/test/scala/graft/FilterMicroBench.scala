@@ -103,6 +103,37 @@ object FilterMicroBench {
           .groupBy($"l_returnflag")
           .agg(min($"l_linestatus"), max($"l_linestatus"),
             last($"l_linestatus", ignoreNulls = true), count(lit(1)))
+      }),
+      // computed-string-operand predicate (ComputedStrCmp: md5 threshold
+      // sampling — the q109 shape; the win is the avoided ColumnarToRow
+      // of the ~7/8 dropped rows, lineitem scale)
+      "filter-str-md5-sample" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .filter(substring(md5($"l_orderkey".cast("string")), 1, 3) < "200")
+          .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      }),
+      // cheap computed string compare, higher kernel-vs-hash ratio
+      // (allocation-bearing: measured 1.05-1.09x → gated OFF the swap)
+      "filter-str-concat" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .filter(concat($"l_returnflag", $"l_linestatus") === lit("RF"))
+          .select($"l_orderkey", $"l_returnflag", $"l_linestatus")
+      }),
+      // allocation-FREE computed compare (substring is a byte-range view)
+      "filter-str-substr" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "orders")
+          .filter(substring($"o_orderpriority", 1, 1) === lit("1"))
+          .select($"o_orderkey", $"o_orderpriority")
+      }),
+      // top-k with OFFSET riding the columnar probe (limit = fetch+offset)
+      "topk-offset" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          .offset(50).limit(100)
       }))
 
     // MICRO_ONLY=prefix1,prefix2 runs just matching shapes (the full

@@ -39,8 +39,13 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected pruned ReadSchema, got: $readSchema")
   }
 
-  test("q10 top-k plans TakeOrderedAndProject (no full global sort)") {
-    assert(planString(run("q10_sort_limit_offset")).contains("TakeOrderedAndProject"))
+  test("q10 top-k plans a bounded top-k (no full global sort); OFFSET rides columnar") {
+    val p = planString(run("q10_sort_limit_offset"))
+    // OFFSET now rides the columnar probe (limit = fetch+offset, skip at
+    // the sorted emit) instead of forcing the row TakeOrderedAndProject
+    assert(p.contains("GraftColumnarTopK"),
+      s"expected the columnar top-k despite OFFSET:\n$p")
+    assert(!p.contains("TakeOrderedAndProject"), s"row top-k must be swapped out:\n$p")
   }
 
   test("dedup and similarity queries never plan a cartesian product") {
@@ -813,9 +818,13 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected l_quantity pushed to the ORC scan, got: $pushed")
   }
 
-  test("q109 hash sampling is a pure scan-filter — zero exchanges") {
+  test("q109 hash sampling is a pure scan-filter — zero exchanges, columnar predicate") {
     val p = planString(run("q109_sample_hash"))
     assert(!p.contains("Exchange"), s"deterministic sample must not shuffle:\n$p")
+    // the md5-threshold predicate compiles through the string kernel
+    // language (CastIntegralToStr → Md5Hex → Substr → ComputedStrCmp)
+    assert(p.contains("GraftColumnarFilter"),
+      s"expected the sampling predicate on the columnar filter:\n$p")
   }
 
   test("q110 stratified sampling shuffles once, on the stratum key") {
