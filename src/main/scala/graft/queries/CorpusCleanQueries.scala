@@ -278,6 +278,51 @@ object CorpusCleanQueries {
                count(*) AS n_docs
         FROM documents d JOIN st s USING (lang) JOIN mad m ON d.lang = m.lang
         GROUP BY s.lang, s.med, m.mad ORDER BY s.lang"""),
-      doc = "Robust per-lang length-outlier gate (median + MAD, 1.5x fence): exact distributed medians via value-counting + cumulative window over distinct (lang, value) pairs — no per-group value buffers, unlike Spark's own median()/percentile() aggregates, so the exact formulation survives corpus scale; the per-lang median/MAD tables are genuinely bounded dims.")
+      doc = "Robust per-lang length-outlier gate (median + MAD, 1.5x fence): exact distributed medians via value-counting + cumulative window over distinct (lang, value) pairs — no per-group value buffers, unlike Spark's own median()/percentile() aggregates, so the exact formulation survives corpus scale; the per-lang median/MAD tables are genuinely bounded dims."),
+
+    QueryDef(
+      "q196_url_canonicalize",
+      (s, dir) => {
+        import s.implicits._
+        // URL canonicalization + dedup — the crawl-hygiene op every web
+        // corpus runs before content dedup. Messy raw URLs (mixed-case
+        // scheme/host, explicit default port, utm_* tracking params,
+        // fragments, trailing slashes) are synthesized DETERMINISTICALLY
+        // from event columns, then canonicalized the real way: parse_url
+        // host (port drops with it) lowercased, path with the trailing
+        // slash stripped (case preserved — only scheme+host fold),
+        // tracking params dropped by re-extracting only the content
+        // param, fragment discarded by never reading REF. The oracle
+        // reconstructs the canonical form straight from the SOURCE
+        // columns — ground truth by construction, so any canonicalizer
+        // slip (case, port, params, slash) hash-mismatches. Pure
+        // map-side until the dedup groupBy: one shuffle on the
+        // canonical key, the 100 TB shape.
+        val ev = Tables.t(s, dir, "events")
+        val raw = concat(
+          lit("HTTPS://Site"), (col("user_id") % 50).cast("string"),
+          lit(".Example.COM"),
+          when($"event_type" === "click", lit(":443")).otherwise(lit("")),
+          lit("/Products/item"), (col("event_id") % 97).cast("string"),
+          when($"event_type" === "view", lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&id="), (col("user_id") % 7).cast("string"),
+          when($"event_type" === "error", lit("&utm_campaign=x")).otherwise(lit("")),
+          when($"event_type" === "purchase", lit("#section2")).otherwise(lit("")))
+        ev.withColumn("url", raw)
+          .select($"event_id",
+            concat(lit("https://"),
+              lower(expr("parse_url(url, 'HOST')")),
+              regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+              lit("?id="), expr("parse_url(url, 'QUERY', 'id')")).as("canonical_url"))
+          .groupBy($"canonical_url")
+          .agg(count(lit(1)).as("n_events"), min($"event_id").as("first_seen"))
+          .orderBy($"canonical_url")
+      },
+      Some("""SELECT
+          'https://site' || (user_id % 50) || '.example.com/Products/item'
+            || (event_id % 97) || '?id=' || (user_id % 7) AS canonical_url,
+          count(*) AS n_events, min(event_id) AS first_seen
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      doc = "URL canonicalization + dedup (crawl hygiene): lowercase scheme/host, default-port drop, tracking-param strip, fragment drop, trailing-slash trim via parse_url — checked against an oracle that rebuilds the canonical form from the source columns (ground truth by construction); map-side until one groupBy shuffle on the canonical key.")
   )
 }

@@ -147,6 +147,42 @@ object PipelineQueries {
         SELECT CAST(cum // 4096 AS BIGINT) AS seq_id,
           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS seq_tokens
         FROM c GROUP BY 1 ORDER BY 1"""),
-      doc = "Sequence packing for training: contiguous 4096-token chunking via a distributed two-phase prefix-sum (parallel per-partition cumsum + tiny offsets join) — no global sort, no single-partition window on the data.")
+      doc = "Sequence packing for training: contiguous 4096-token chunking via a distributed two-phase prefix-sum (parallel per-partition cumsum + tiny offsets join) — no global sort, no single-partition window on the data."),
+
+    QueryDef(
+      "q195_chunk_overlap",
+      (s, dir) => {
+        import s.implicits._
+        // Sliding-window document chunking (the RAG / context-window
+        // prep op): W=32-token chunks at stride S=24 (8-token overlap),
+        // chunk_id = start/S. Pure map-side — tokenize, generate the
+        // per-doc start offsets with sequence(), posexplode, slice: the
+        // explode factor is ceil(n_tokens/S) and NOTHING shuffles until
+        // the presentation orderBy, so a 100 TB corpus chunks at scan
+        // speed with zero coordination. slice() is a view into the
+        // token array (no per-chunk re-tokenize).
+        val W = 32
+        val S = 24
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", split(trim($"text"), "\\s+").as("tk"))
+          .withColumn("n", size($"tk"))
+          .select($"doc_id", $"tk", $"n",
+            posexplode(sequence(lit(0), $"n" - 1, lit(S))).as(Seq("chunk_id", "st")))
+          .select($"doc_id",
+            $"chunk_id".cast("long").as("chunk_id"),
+            array_join(slice($"tk", $"st" + 1, lit(W)), " ").as("chunk_text"),
+            least(lit(W), $"n" - $"st").cast("long").as("n_tokens"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        starts AS (
+          SELECT doc_id, tk, len(tk) AS n, unnest(range(0, len(tk), 24)) AS st
+          FROM toks)
+        SELECT doc_id, CAST(st / 24 AS BIGINT) AS chunk_id,
+          array_to_string(tk[st+1 : st+32], ' ') AS chunk_text,
+          least(32, n - st) AS n_tokens
+        FROM starts ORDER BY doc_id, chunk_id"""),
+      doc = "Sliding-window chunking with overlap (32-token windows, stride 24): tokenize → sequence() of start offsets → posexplode → array slice — zero-shuffle map-side explode, the RAG/context-prep shape.")
   )
 }

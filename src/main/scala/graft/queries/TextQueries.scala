@@ -508,7 +508,47 @@ object TextQueries {
         SELECT pair, CAST(count(*) AS BIGINT) AS n
         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
       doc = "BPE vocabulary induction step: corpus-wide adjacent character-pair frequencies (the argmax pair is the first merge rule); nested explode to skinny pair rows, map-side partial aggregation, top-20 by count.")
-  )
+  ) :+
+    QueryDef(
+      "q197_lr_inference",
+      (s, dir) => {
+        import s.implicits._
+        // Batch model inference — the quality-classifier scoring pass a
+        // training pipeline runs over every document (fastText/LR-style):
+        // engineered features → logistic score → per-source routing
+        // stats. Pure map-side expressions + one bounded groupBy; at
+        // 100 TB the scoring is scan-speed and only the tiny per-source
+        // rollup shuffles. Determinism discipline: weights and features
+        // are DYADIC rationals (1/1024, 1/64, 0.5, 0.25, 0.75, 1.5) and
+        // n_chars/token counts are integral, so the linear term z is
+        // EXACT in double — the z>0 decision can never straddle an ULP.
+        // Only exp() in the sigmoid may differ at 1 ULP across engines;
+        // it lands in an avg over hundreds of rows, rounded at 6dp.
+        val docs = Tables.t(s, dir, "documents")
+        val z = lit(0.5) * ($"n_chars".cast("double") / 1024.0) -
+          lit(0.25) * (size(split($"text", " ")).cast("double") / 64.0) +
+          lit(0.75) * when($"lang" === "en", 1.0).otherwise(0.0) -
+          lit(1.5)
+        docs.withColumn("z", z)
+          .withColumn("score", lit(1.0) / (lit(1.0) + exp(-$"z")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"z" > 0, 1L).otherwise(0L)).as("n_accept"),
+            round(avg($"score"), 6).as("avg_score"))
+          .orderBy($"source")
+      },
+      Some("""WITH scored AS (
+          SELECT source,
+            0.5::DOUBLE * (n_chars::DOUBLE / 1024.0::DOUBLE)
+              - 0.25::DOUBLE * (len(string_split(text, ' '))::DOUBLE / 64.0::DOUBLE)
+              + 0.75::DOUBLE * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)::DOUBLE
+              - 1.5::DOUBLE AS z
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+          round(avg(1.0::DOUBLE / (1.0::DOUBLE + exp(-z))), 6) AS avg_score
+        FROM scored GROUP BY source ORDER BY source"""),
+      doc = "Batch LR/fastText-style quality-classifier inference: dyadic-exact linear term (ULP-proof accept decision), sigmoid scoring, per-source routing stats — scan-speed map-side scoring with one bounded rollup shuffle.")
 }
 
 /** The exact regex text [[org.apache.spark.sql.graft.PiiPatterns]]

@@ -409,10 +409,12 @@ object FuzzProps extends Properties("graft") {
       }
     }
 
-  property("columnar top-k matches the row TakeOrderedAndProject on any data/ordering") =
+  property("columnar top-k matches the row TakeOrderedAndProject on any data/ordering/offset") =
     forAll(Gen.listOfN(40, Gen.zip(keyDoubleGen, strGen)),
-      Gen.choose(1, 12), Gen.choose(0, 3), Gen.oneOf(true, false)) {
-      (xs: List[(Option[Double], Option[String])], k: Int, ordMode: Int, strKey: Boolean) =>
+      Gen.choose(1, 12), Gen.choose(0, 3), Gen.oneOf(true, false),
+      Gen.choose(0, 6)) {
+      (xs: List[(Option[Double], Option[String])], k: Int, ordMode: Int,
+       strKey: Boolean, off: Int) =>
       xs.isEmpty || {
         // parquet round-trip so the scan is columnar and the swap fires
         val dir = java.nio.file.Files.createTempDirectory("graft-topkfuzz").toString
@@ -425,16 +427,62 @@ object FuzzProps extends Properties("graft") {
             case 0 => c.asc; case 1 => c.desc
             case 2 => c.asc_nulls_last; case 3 => c.desc_nulls_first
           }
-          // unique id tiebreak → fully deterministic order, compared AS ORDERED
-          spark.read.parquet(dir).orderBy(so, col("id")).limit(k)
+          // unique id tiebreak → fully deterministic order, compared AS
+          // ORDERED; OFFSET folds into the same TakeOrderedAndProject
+          val sorted = spark.read.parquet(dir).orderBy(so, col("id"))
+          (if (off > 0) sorted.offset(off) else sorted).limit(k)
             .collect().map(_.toString).toSeq
         }
         val on = run
-        val off = withConf(
+        val row = withConf(
           org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { run }
-        Prop(on == off) :| s"k=$k ord=$ordMode strKey=$strKey columnar=$on row=$off"
+        Prop(on == row) :| s"k=$k off=$off ord=$ordMode strKey=$strKey columnar=$on row=$row"
       }
     }
+
+  property("computed string filter compares match the row path for any kernel tree") = {
+    val strElem: Gen[Option[String]] = Gen.frequency(
+      3 -> Gen.alphaNumStr.map(s => Some(s.take(12))),
+      2 -> Gen.oneOf(" pad ", "", "ß日本", "web-x", "AbC", "ZZ z", " x").map(Some(_)),
+      1 -> Gen.const(None))
+    forAll(Gen.listOfN(30, strElem), Gen.choose(-3, 5), Gen.choose(0, 6),
+      Gen.choose(0, 4), Gen.choose(0, 2)) {
+      (xs: List[Option[String]], pos: Int, len: Int, shape: Int, opMode: Int) =>
+      xs.isEmpty || {
+        val dir = java.nio.file.Files.createTempDirectory("graft-strfuzz").toString
+        xs.zipWithIndex.map { case (s, i) => (i.toLong, s, s.map(_.reverse)) }
+          .toDF("id", "s", "r").write.mode("overwrite").parquet(dir)
+        def run = {
+          val t = spark.read.parquet(dir)
+          // only swap-worthy trees (md5-bearing or allocation-free views):
+          // the gated-off shapes keep the row path on both runs — still a
+          // valid parity check but exercising nothing; bias to swapping
+          val lhs = shape match {
+            case 0 => substring(col("s"), pos, math.max(len, 0))
+            case 1 => trim(col("s"))
+            case 2 => substring(trim(col("s")), pos, math.max(len, 0))
+            case 3 => md5(col("s"))
+            case _ => substring(md5(concat(col("s"), col("r"))), 1, math.max(len, 1))
+          }
+          val rhs = shape match {
+            case 0 => substring(col("r"), pos, math.max(len, 0))
+            case 1 => lit("m")
+            case 2 => col("r")
+            case 3 => md5(col("r"))
+            case _ => lit("8")
+          }
+          val pred = opMode match {
+            case 0 => lhs === rhs; case 1 => lhs < rhs; case _ => lhs >= rhs
+          }
+          t.filter(pred).select(col("id")).collect().map(_.getLong(0)).toSet
+        }
+        val on = run
+        val row = withConf(
+          org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { run }
+        Prop(on == row) :| s"shape=$shape op=$opMode pos=$pos len=$len columnar=$on row=$row"
+      }
+    }
+  }
 
   // The columnar join probes' packed composite key must match
   // HashJoin.rewriteKeyExpr's packed long BIT-FOR-BIT for every value —
