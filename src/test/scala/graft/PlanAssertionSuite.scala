@@ -818,6 +818,34 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected l_quantity pushed to the ORC scan, got: $pushed")
   }
 
+  test("q195 chunking is map-side: no exchange below the presentation sort") {
+    val p = planString(run("q195_chunk_overlap"))
+    // exactly one exchange — the rangepartitioning of the final orderBy;
+    // tokenize/sequence/posexplode/slice all ride the scan stage
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      s"chunking must not shuffle below the presentation sort:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode Generate:\n$p")
+  }
+
+  test("q196 url canonicalization shuffles once, on the canonical key") {
+    val p = planString(run("q196_url_canonicalize"))
+    // one partial+final agg pair around one exchange (+ the presentation
+    // sort's range exchange): canonicalization itself is map-side
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2,
+      s"expected agg + presentation exchanges only:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash agg on the canonical key:\n$p")
+  }
+
+  test("q197 inference scores map-side and prunes the scan to its feature columns") {
+    val p = planString(run("q197_lr_inference"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2,
+      s"expected rollup + presentation exchanges only:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("n_chars") && readSchema.contains("lang") &&
+      !readSchema.contains("doc_id"),
+      s"expected the scan pruned to feature columns, got: $readSchema")
+  }
+
   test("q109 hash sampling is a pure scan-filter — zero exchanges, columnar predicate") {
     val p = planString(run("q109_sample_hash"))
     assert(!p.contains("Exchange"), s"deterministic sample must not shuffle:\n$p")
