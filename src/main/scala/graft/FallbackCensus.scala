@@ -31,15 +31,35 @@ object FallbackCensus {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     // reason -> (executions hit, distinct queries, example nodes)
     val agg = collection.mutable.Map.empty[String, (Long, Set[String], Set[String])]
+    // "what sits directly above a ColumnarToRow" — where coverage ENDS:
+    // consumer nodeName -> distinct queries. (The tagged reasons above
+    // only cover nodes the rule CONSIDERED; this maps the row islands it
+    // never looks at.)
+    val boundary = collection.mutable.Map.empty[String, Set[String]]
     Catalog.validated
       .filter(q => only.forall(_.exists(q.name.startsWith)))
       .foreach { q =>
         try {
           val df = q.run(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
+          // collect() — NOT a noop-sink write — so THIS QueryExecution's
+          // AdaptiveSparkPlan materializes to its final plan: the
+          // columnar rules (and their tags, and the inserted
+          // transitions) only exist inside materialized query stages. A
+          // write would execute a sibling plan and leave df's own plan
+          // un-final (isFinalPlan=false, zero graft nodes) — the census
+          // would silently see nothing in every AQE query.
+          df.collect()
+          // SPARK_GRAFT_EXPLAIN=1: dump each executed plan (pairs with
+          // SPARK_GRAFT_ONLY for single-query plan reads)
+          if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+            println(s"=== ${q.name} executed plan ===\n" +
+              df.queryExecution.executedPlan.toString)
           GraftExplain.fallbackReasons(df).foreach { case (node, reason) =>
             val (n, qs, nodes) = agg.getOrElse(reason, (0L, Set.empty[String], Set.empty[String]))
             agg(reason) = (n + 1, qs + q.name, nodes + node)
+          }
+          GraftExplain.columnarBoundaries(df).foreach { consumer =>
+            boundary(consumer) = boundary.getOrElse(consumer, Set.empty) + q.name
           }
         } catch {
           case e: Throwable =>
@@ -47,12 +67,18 @@ object FallbackCensus {
         }
       }
 
+    def fmt(qs: Set[String]): String = {
+      val qlist = qs.toSeq.sorted
+      if (qlist.size > 8) qlist.take(8).mkString(",") + s",…(${qlist.size})"
+      else qlist.mkString(",")
+    }
     println("=== fallback census (reason | node-hits | queries) ===")
     agg.toSeq.sortBy(-_._2._1).foreach { case (reason, (n, qs, nodes)) =>
-      val qlist = qs.toSeq.sorted
-      val shown = if (qlist.size > 8) qlist.take(8).mkString(",") + s",…(${qlist.size})"
-                  else qlist.mkString(",")
-      println(f"$n%5d  [${nodes.toSeq.sorted.mkString("/")}] $reason%s  <- $shown")
+      println(f"$n%5d  [${nodes.toSeq.sorted.mkString("/")}] $reason%s  <- ${fmt(qs)}")
+    }
+    println("=== columnar boundary census (first row consumer | queries) ===")
+    boundary.toSeq.sortBy(-_._2.size).foreach { case (consumer, qs) =>
+      println(f"${qs.size}%5d  $consumer  <- ${fmt(qs)}")
     }
     spark.stop()
   }

@@ -40,4 +40,24 @@ object GraftExplain {
     fallbackReasons(df)
       .map { case (node, reason) => s"$node: row path — $reason" }
       .mkString("\n")
+
+  /** The first ROW-side consumer above every columnar→row transition in
+    * the executed plan — the operators where columnar coverage ends.
+    * Complements [[fallbackReasons]]: reasons cover nodes the rule
+    * considered and declined; this maps the row islands it never looks
+    * at (Generate, SortMergeJoin, row Windows over computed keys, …).
+    */
+  def columnarBoundaries(df: DataFrame): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def walk(n: SparkPlan, parent: Option[String]): Unit = n match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, parent)
+      case q: QueryStageExec => walk(q.plan, parent)
+      case other =>
+        if (other.nodeName.contains("ColumnarToRow"))
+          out += parent.getOrElse("<result>")
+        other.children.foreach(walk(_, Some(other.nodeName)))
+    }
+    walk(df.queryExecution.executedPlan, None)
+    out.result()
+  }
 }

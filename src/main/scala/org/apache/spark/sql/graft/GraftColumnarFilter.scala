@@ -97,8 +97,16 @@ object VecPredicate {
   private def cmpL(l: Long, r: Long, op: Int): Boolean = op match {
     case EQ => l == r; case LT => l < r; case LE => l <= r; case GT => l > r; case GE => l >= r
   }
-  private def cmpD(l: Double, r: Double, op: Int): Boolean = op match {
-    case EQ => l == r; case LT => l < r; case LE => l <= r; case GT => l > r; case GE => l >= r
+  private def cmpD(l: Double, r: Double, op: Int): Boolean = {
+    // Spark SQL double semantics, NOT raw IEEE: NaN equals itself and is
+    // GREATER than any other value (BinaryComparison compares through
+    // the type's ordering), -0.0 == 0.0. Plain `<`/`==` would silently
+    // drop NaN rows where the row path keeps them — caught by the
+    // CaseWhenL parity test, latent since the filter's first version.
+    val c = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(l, r)
+    op match {
+      case EQ => c == 0; case LT => c < 0; case LE => c <= 0; case GT => c > 0; case GE => c >= 0
+    }
   }
   private def cmpS(l: UTF8String, r: UTF8String, op: Int): Boolean = op match {
     case EQ => l.equals(r)

@@ -594,6 +594,39 @@ object VecDecExpr {
     }
   }
 
+  /** Narrowing 128→64 decimal cast — the TPC-H Q1 sum_charge shape
+    * `cast(dec(38,4) AS dec(18,4))`. The compile gate admits only
+    * same-or-up scale (never rounds) and pre-rescales through the 128
+    * lane, so the child arrives AT the target scale and the only job
+    * left is the precision bound: a value fits iff it is a compact long
+    * (hi == sign-extension of lo) with |lo| ≤ 10^p−1. Overflow throws
+    * under ANSI (live rows only, the masked-CASE discipline) and nulls
+    * under LEGACY/TRY — exactly Cast's decimal→decimal semantics.
+    */
+  final case class Dec128To64(c: VecDec128Expr, fromPrec: Int, p: Int, sc: Int,
+      ansi: Boolean) extends VecDecExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Long], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val hi = s.l(n); val lo = s.l(n)
+      c.eval(b, n, hi, lo, isNull, s)
+      val maxAbs = POW10(p) - 1
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) {
+          val h = hi(i); val l = lo(i)
+          if (h == (l >> 63) && l != Long.MinValue && math.abs(l) <= maxAbs) values(i) = l
+          else if (ansi && s.live(i)) {
+            throw org.apache.spark.sql.errors.QueryExecutionErrors
+              .cannotChangeDecimalPrecisionError(
+                Decimal(new java.math.BigDecimal(VecDec128Expr.big128(h, l), sc),
+                  fromPrec, sc), p, sc, null)
+          } else { isNull(i) = true; values(i) = 0L }
+        }
+        i += 1
+      }
+    }
+  }
+
   /** CASE WHEN / If over Decimal64 branches — resolved CaseWhen
     * branches share one DecimalType, so every branch's unscaled longs
     * are at the same scale and selection is a plain copy. Same masked
@@ -701,6 +734,26 @@ object VecDecExpr {
         compile(c.child, output)
           .map(DecToDec(_, dec64(c.child.dataType).get.scale, to.precision, to.scale,
             c.evalMode == EvalMode.ANSI))
+      case c: Cast if dec64(c.dataType).isDefined &&
+          c.child.dataType.isInstanceOf[DecimalType] =>
+        // 128-bit input narrowing into the Decimal64 lane (TPC-H Q1's
+        // cast(price*(1-disc) AS dec(18,4))): up-scale exactly through
+        // the 128 lane, bound-check here; a down-scale would round →
+        // row path
+        val from = c.child.dataType.asInstanceOf[DecimalType]
+        val to = dec64(c.dataType).get
+        if (to.scale < from.scale)
+          scala.Left("scale-reducing 128-to-64 decimal cast (rounds) — row path")
+        else if (from.precision + (to.scale - from.scale) > DecimalType.MAX_PRECISION)
+          scala.Left("128-to-64 cast rescale could overflow int128 — row path")
+        else
+          VecDec128Expr.compile(c.child, output).map { k =>
+            val atScale =
+              if (to.scale == from.scale) k
+              else VecDec128Expr.Rescale128(k, POW10(to.scale - from.scale))
+            Dec128To64(atScale, from.precision + (to.scale - from.scale),
+              to.precision, to.scale, c.evalMode == EvalMode.ANSI)
+          }
       case iff: If if dec64(iff.dataType).isDefined =>
         compileCond(Seq((iff.predicate, iff.trueValue)), Some(iff.falseValue), output)
       case cw: CaseWhen if dec64(cw.dataType).isDefined =>
@@ -1568,7 +1621,102 @@ final case class FloorMultOffL(c: VecLongExpr, m: Long, off: Long) extends VecLo
     }
   }
 }
+/** Narrow integral column read as long — byte/short/int widths widen
+  * exactly (the IN-lane representation is always long; the output vector
+  * re-narrows through its typed accessor). */
+final case class ColIntL(ord: Int, dt: DataType) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    val v = batch.column(ord)
+    var i = 0
+    dt match {
+      case ShortType =>
+        while (i < n) {
+          if (v.isNullAt(i)) { isNull(i) = true; out(i) = 0L }
+          else { isNull(i) = false; out(i) = v.getShort(i).toLong }
+          i += 1
+        }
+      case ByteType =>
+        while (i < n) {
+          if (v.isNullAt(i)) { isNull(i) = true; out(i) = 0L }
+          else { isNull(i) = false; out(i) = v.getByte(i).toLong }
+          i += 1
+        }
+      case _ => // IntegerType | DateType
+        while (i < n) {
+          if (v.isNullAt(i)) { isNull(i) = true; out(i) = 0L }
+          else { isNull(i) = false; out(i) = v.getInt(i).toLong }
+          i += 1
+        }
+    }
+  }
+}
+
+/** NULL integral literal — reachable only inside a conditional. */
+final case class NullL() extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    java.util.Arrays.fill(out, 0, n, 0L)
+    java.util.Arrays.fill(isNull, 0, n, true)
+  }
+}
+
+/** CASE WHEN / If over long/int branches — the conditional COUNT/FLAG
+  * aggregation argument (TPC-H Q12's `sum(CASE WHEN … THEN 1 ELSE 0)`).
+  * Every kernel on this lane is TOTAL (column reads, literals,
+  * positive-literal div, floor math — no ANSI throw sites), so branches
+  * evaluate EAGERLY over the whole batch and selection is a plain copy:
+  * no mask plumb-through is needed, unlike the decimal lanes whose
+  * branch bodies contain throwing cast sites. Per-task temps live on
+  * the (task-deserialized, single-threaded) instance.
+  */
+final case class CaseWhenL(branches: Seq[(VecPredicate, VecLongExpr)], els: Option[VecLongExpr])
+    extends VecLongExpr {
+  @transient private[this] var tv: Array[Long] = null
+  @transient private[this] var bufs: Array[Array[Boolean]] = null
+  private def longs(n: Int): Array[Long] = {
+    if (tv == null || tv.length < n) tv = new Array[Long](n)
+    tv
+  }
+  private def bools(k: Int, n: Int): Array[Boolean] = {
+    if (bufs == null) bufs = new Array[Array[Boolean]](4)
+    if (bufs(k) == null || bufs(k).length < n) bufs(k) = new Array[Boolean](n)
+    bufs(k)
+  }
+  override def eval(b: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    java.util.Arrays.fill(out, 0, n, 0L)
+    java.util.Arrays.fill(isNull, 0, n, true)
+    val undecided = bools(0, n)
+    java.util.Arrays.fill(undecided, 0, n, true)
+    val tvv = longs(n)
+    branches.foreach { case (p, v) =>
+      val pv = bools(1, n); val pn = bools(2, n)
+      p.eval(b, null, n, pv, pn)
+      val tn = bools(3, n)
+      v.eval(b, n, tvv, tn)
+      var i = 0
+      while (i < n) {
+        if (undecided(i) && pv(i) && !pn(i)) {
+          undecided(i) = false; out(i) = tvv(i); isNull(i) = tn(i)
+        }
+        i += 1
+      }
+    }
+    els.foreach { e =>
+      val tn = bools(3, n)
+      e.eval(b, n, tvv, tn)
+      var i = 0
+      while (i < n) {
+        if (undecided(i)) { out(i) = tvv(i); isNull(i) = tn(i) }
+        i += 1
+      }
+    }
+  }
+}
+
 object VecLongExpr {
+  private def intFamily(dt: DataType): Boolean =
+    dt == IntegerType || dt == ShortType || dt == ByteType
+  private def laneType(dt: DataType): Boolean = dt == LongType || intFamily(dt)
+
   def compile(e: Expression, output: Seq[Attribute]): Either[String, VecLongExpr] = {
     def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
     e match {
@@ -1576,7 +1724,16 @@ object VecLongExpr {
           if (a.dataType == LongType || a.dataType == TimestampType ||
             a.dataType == TimestampNTZType) && ord(a) >= 0 =>
         scala.Right(ColL(ord(a)))
+      case a: AttributeReference if intFamily(a.dataType) && ord(a) >= 0 =>
+        scala.Right(ColIntL(ord(a), a.dataType))
       case Literal(l: Long, LongType) => scala.Right(LitL(l))
+      case Literal(i: Int, IntegerType) => scala.Right(LitL(i.toLong))
+      case Literal(s: Short, ShortType) => scala.Right(LitL(s.toLong))
+      case Literal(x: Byte, ByteType) => scala.Right(LitL(x.toLong))
+      case Literal(null, dt) if laneType(dt) => scala.Right(NullL())
+      // widening integral cast: exact in every eval mode
+      case c: Cast if c.dataType == LongType && intFamily(c.child.dataType) =>
+        compile(c.child, output)
       case d: org.apache.spark.sql.catalyst.expressions.IntegralDivide
           if d.dataType == LongType =>
         d.right match {
@@ -1585,14 +1742,36 @@ object VecLongExpr {
           case other =>
             scala.Left(s"unsupported integral divisor: $other (positive literal only)")
         }
+      case iff: If if laneType(iff.dataType) =>
+        for {
+          p <- VecPredicate.compile(iff.predicate, output)
+          t <- compile(iff.trueValue, output)
+          f <- compile(iff.falseValue, output)
+        } yield CaseWhenL(Seq((p, t)), Some(f))
+      case cw: CaseWhen if laneType(cw.dataType) =>
+        val bs = cw.branches.foldRight(
+          scala.Right(Nil): Either[String, List[(VecPredicate, VecLongExpr)]]) { (be, acc) =>
+          for {
+            t <- acc
+            p <- VecPredicate.compile(be._1, output)
+            v <- compile(be._2, output)
+          } yield (p, v) :: t
+        }
+        val ev = cw.elseValue match {
+          case None => scala.Right(None)
+          case Some(x) => compile(x, output).map(Some(_))
+        }
+        for { b <- bs; e <- ev } yield CaseWhenL(b, e)
       case other =>
         scala.Left(s"unsupported long projection: ${other.getClass.getSimpleName}")
     }
   }
 }
 
-/** Long-backed output vector (LongType or the micros-backed timestamp
-  * types — all read through getLong). */
+/** Long-backed output vector (LongType / the micros-backed timestamp
+  * types read through getLong; IntegerType conditional-flag kernels read
+  * back through getInt — the lane computes in long, values are in-range
+  * by the static type). */
 final class LongArrayVector(values: Array[Long], nulls: Array[Boolean], n: Int,
     dt: org.apache.spark.sql.types.DataType)
     extends ColumnVector(dt) {
@@ -1610,11 +1789,11 @@ final class LongArrayVector(values: Array[Long], nulls: Array[Boolean], n: Int,
   }
   override def isNullAt(rowId: Int): Boolean = nulls(rowId)
   override def getLong(rowId: Int): Long = values(rowId)
+  override def getInt(rowId: Int): Int = values(rowId).toInt
   private def nope = throw new UnsupportedOperationException("long-only vector")
   override def getBoolean(rowId: Int): Boolean = nope
   override def getByte(rowId: Int): Byte = nope
   override def getShort(rowId: Int): Short = nope
-  override def getInt(rowId: Int): Int = nope
   override def getFloat(rowId: Int): Float = nope
   override def getDouble(rowId: Int): Double = nope
   override def getArray(rowId: Int): ColumnarArray = nope
@@ -1681,7 +1860,9 @@ object ProjKernel {
         case l: Length if l.child.dataType == StringType =>
           VecStrExpr.compile(l.child, output).map(k => IntKernel(LengthI(k)))
         case other =>
-          scala.Left(s"unsupported int projection: ${other.getClass.getSimpleName}")
+          // int-typed long-lane shapes (conditional flags, widening-free
+          // reads): the long-backed output vector serves getInt
+          VecLongExpr.compile(other, output).map(LongKernel(_, IntegerType))
       }
       case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
         VecDecExpr.compile(e, output).map(DecKernel(_, dt))

@@ -2633,6 +2633,108 @@ class EngineSuite extends GraftTestBase {
     assert(tagged.get.contains("rounds"), s"reason: ${tagged.get}")
   }
 
+  test("Dec128To64 narrowing cast: boundary fit, LEGACY/TRY null, ANSI throw, up-scale") {
+    // the TPC-H Q1 sum_charge shape: a dec128 product narrowed back into
+    // the Decimal64 lane — same-scale bound check + exact up-scale
+    val dir = java.nio.file.Files.createTempDirectory("graft-dec128to64").toString
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    // q01's exact shape: dec(18,2) × dec(18,2) → dec(37,4) product,
+    // narrowed SAME-SCALE to dec(18,4) whose bound is 99999999999999.9999.
+    // row1 lands just under (9999999999999.99 × 10.00), row2 just over
+    Seq((1L, "9999999999999.99", "10.00"),
+        (2L, "9999999999999.99", "10.01"),
+        (3L, "-9999999999999.99", "10.00"),
+        (4L, "123.45", "2.00"))
+      .toDF("id", "a", "b")
+      .select($"id", $"a".cast("decimal(18,2)").as("a"), $"b".cast("decimal(18,2)").as("b"))
+      .write.mode("overwrite").parquet(dir)
+    def q() = spark.read.parquet(dir)
+      .select($"id", ($"a" * $"b").cast("decimal(18,4)").as("narrowed"))
+      .orderBy($"id")
+    // LEGACY/TRY: overflow → null, fits → exact (row parity, swap pinned)
+    withSQLConf("spark.sql.ansi.enabled" -> "false") {
+      val d = q()
+      val on = d.collect()
+      assert(findExec(d) {
+        case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+      }.isDefined, s"narrowing cast should swap columnar:\n${d.queryExecution.executedPlan}")
+      val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+      assert(on.toSeq == off.toSeq, s"Dec128To64 diverged:\non=${on.toSeq}\noff=${off.toSeq}")
+      assert(on(1).isNullAt(1), "row 2 must overflow to null in LEGACY")
+      assert(!on(0).isNullAt(1) && !on(2).isNullAt(1), "boundary rows must fit")
+    }
+    // ANSI: both paths throw on the overflow row
+    val ansiCol = intercept[Exception] { q().collect() }
+    val ansiRow = intercept[Exception] {
+      withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    }
+    def root(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null && !c.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE") &&
+        !c.getMessage.contains("cannot be represented")) c = c.getCause
+      c.getMessage.takeWhile(_ != '\n')
+    }
+    assert(root(ansiCol).nonEmpty && root(ansiRow).nonEmpty,
+      s"expected overflow errors, got columnar=${root(ansiCol)} row=${root(ansiRow)}")
+    // up-scale through the 128 lane: dec(9,2)×dec(9,2) → (19,4) product,
+    // cast to (18,6) = exact ×100 then bound check
+    def up() = spark.read.parquet(dir).filter($"id" === 4L)
+      .select(($"a".cast("decimal(9,2)") * $"b".cast("decimal(9,2)"))
+        .cast("decimal(18,6)").as("upscaled"))
+    val got = up().collect().head.getDecimal(0)
+    val want = withSQLConf(GraftColumnarRule.enabledKey -> "false") {
+      up().collect().head.getDecimal(0) }
+    assert(got == want && got.toPlainString == "246.900000",
+      s"up-scale drifted: $got vs $want")
+  }
+
+  test("CaseWhenL: conditional flag sums swap columnar and match the row path") {
+    // the TPC-H Q12 shape — sum(CASE WHEN … THEN 1 ELSE 0) — absorbed
+    // onto the long/int conditional lane below the grouped partial
+    val dir = java.nio.file.Files.createTempDirectory("graft-casewhenl").toString
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    Seq(
+      (1L, "a", Option(10L), Option(1.5)), (2L, "a", Option(30L), Option(0.5)),
+      (3L, "b", Option.empty[Long], Option(2.5)), (4L, "b", Option(25L), Option.empty[Double]),
+      (5L, "a", Option(25L), Option(Double.NaN)))
+      .toDF("id", "g", "q", "d").write.mode("overwrite").parquet(dir)
+    def q() = spark.read.parquet(dir)
+      .groupBy($"g")
+      .agg(
+        sum(when($"q" < 25L, 1).otherwise(0)).as("n_small"),          // int flags
+        sum(when($"q" >= 25L, 1L).otherwise(0L)).as("n_big"),         // long flags
+        sum(when($"d" > 1.0, 10).when($"d" <= 1.0, 20)).as("multi"),  // no ELSE → null branch
+        sum(when($"q".isNull, $"id").otherwise(lit(0L))).as("sgn"),
+        count(lit(1)).as("n"))
+      .orderBy($"g")
+    val df = q()
+    val on = df.collect()
+    assert(findExec(df) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"conditional flag partial should swap:\n${df.queryExecution.executedPlan}")
+    val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") { q().collect() }
+    assert(on.toSeq == off.toSeq, s"CaseWhenL diverged:\non=${on.toSeq}\noff=${off.toSeq}")
+    // NaN discipline: Spark's NaN is GREATER than any value, so the
+    // NaN row takes the d>1.0 branch (this parity pinned the filter's
+    // cmpD onto SQLOrderingUtil — raw IEEE `>` silently dropped it)
+    assert(on.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // and the standalone columnar FILTER keeps the NaN row too
+    def f() = spark.read.parquet(dir).filter($"d" > 1.0).select($"id")
+    val fdf = f()
+    val fOn = fdf.collect().map(_.getLong(0)).toSet
+    assert(findExec(fdf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+    }.isDefined, s"double compare must swap:\n${fdf.queryExecution.executedPlan}")
+    val fOff = withSQLConf(GraftColumnarRule.enabledKey -> "false") {
+      f().collect().map(_.getLong(0)).toSet }
+    assert(fOn == Set(1L, 3L, 5L) && fOn == fOff,
+      s"NaN filter semantics diverged: columnar=$fOn row=$fOff")
+  }
+
   test("GraftColumnarBHJExec matches the row join incl. null keys, dup build keys, misses") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colbhj").toString
     // stream: some keys null, some missing from build, some matching dups

@@ -104,6 +104,38 @@ object FilterMicroBench {
           .agg(min($"l_linestatus"), max($"l_linestatus"),
             last($"l_linestatus", ignoreNulls = true), count(lit(1)))
       }),
+      // conditional COUNT-FLAG sums (the TPC-H Q12 shape) over a columnar
+      // scan child: CaseWhenL int/long lane absorbed below the partial
+      "grouped-agg-condflags" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            sum(when($"l_quantity" < 25, 1).otherwise(0)).as("n_small"),
+            sum(when($"l_linestatus" === "F", 1L).otherwise(0L)).as("n_f"),
+            sum(when($"l_discount" > 0.05, 1).otherwise(0)).as("n_disc"),
+            count(lit(1)).as("n"))
+      }),
+      // the VERBATIM TPC-H Q1 aggregation (decimal check-column form):
+      // both dec128 money products absorbed via the narrowing
+      // cast(dec(38,4) AS dec(18,4)) — partial fully columnar
+      "grouped-agg-tpchq1" -> (() => {
+        import org.apache.spark.sql.functions._
+        def d(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+        val l = Tables.t(spark, sfDir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        l.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(d($"l_quantity")).as("sum_qty"),
+            sum(d($"l_extendedprice")).as("sum_base_price"),
+            sum(d($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - d($"l_discount")))
+              .as("sum_disc_price"),
+            sum((d($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - d($"l_discount")))
+              .cast("decimal(18,4)") * (lit(1).cast("decimal(18,2)") + d($"l_tax")))
+              .as("sum_charge"),
+            avg(d($"l_quantity")).as("avg_qty"),
+            count(lit(1)).as("n"))
+      }),
       // computed-string-operand predicate (ComputedStrCmp: md5 threshold
       // sampling — the q109 shape; the win is the avoided ColumnarToRow
       // of the ~7/8 dropped rows, lineitem scale)
