@@ -1075,7 +1075,7 @@ object RelationalQueries {
                      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
-      doc = "q189's suffix frames over a high-cardinality pmod(l_orderkey, 4096) partitioning — the many-small-partitions production shape the 3-key q189 bench entry deliberately avoids; exact cents lanes, total within-partition order. A/B (sf0.1, min-of-3): columnar 1.30s vs row 1.46s (0.89x) here at ~146 rows/partition; on q189's ~200k-row partitions the row path's O(n^2) UnboundedFollowing recompute DID NOT COMPLETE in 17+ minutes where the O(n) suffix face takes 2.30s (>400x)."),
+      doc = "q189's suffix frames over a high-cardinality pmod(l_orderkey, 4096) partitioning — the many-small-partitions production shape the 3-key q189 bench entry deliberately avoids; exact cents lanes, total within-partition order. The COMPUTED partition key rides the canonicalization retry (materialized _graftpkey Project below, plan-pinned — before late-r12 the committed formulation silently ran the row exec because every window case required attribute keys). A/B (sf0.1, min-of-3): columnar 1.30s vs row 1.46s (0.89x) here at ~146 rows/partition; on q189's ~200k-row partitions the row path's O(n^2) UnboundedFollowing recompute DID NOT COMPLETE in 17+ minutes where the O(n) suffix face takes 2.30s (>400x)."),
 
     // ----------------------------------------------------------------
     QueryDef(

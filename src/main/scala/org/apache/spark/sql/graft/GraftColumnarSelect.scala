@@ -637,6 +637,51 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // Streaming lag/lead: a node holding ONLY FrameLessOffset
       // functions needs maxLag + maxLead + 1 rows of context, not the
       // row WindowExec's whole buffered partition — O(k) memory under
+      // COMPUTED PARTITION BY keys (pmod bucketing, expressions): every
+      // window case below requires plain attribute keys, so materialize
+      // the computed keys once in a row Project BELOW the window (free —
+      // it fuses into the stage feeding the partition buffer, and
+      // preserves the already-ensured ordering/distribution since the
+      // sort keys are semantically the same values), rewrite the spec
+      // onto the aliases, and RETRY the swap on the attribute-keyed
+      // node. Commits only when the retry actually swapped to a graft
+      // exec — otherwise the original node (with the retry's fallback
+      // reason) is kept, so the degenerate outcome is never worse. An
+      // attribute-only Project above restores the original output
+      // (itself swapped to the zero-copy columnar select when the
+      // window emits batches).
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.exists(e => !e.isInstanceOf[AttributeReference]) &&
+            w.partitionSpec.forall(_.deterministic) &&
+            w.getTagValue(computedPKeyTag).isEmpty =>
+        val aliased = w.partitionSpec.collect {
+          case e if !e.isInstanceOf[AttributeReference] =>
+            e -> Alias(e, s"_graftpkey${e.hashCode.abs % 1000}")()
+        }
+        val proj = ProjectExec(
+          w.child.output.map(a => a: org.apache.spark.sql.catalyst.expressions.NamedExpression) ++ aliased.map(_._2), w.child)
+        val newSpec = w.partitionSpec.map {
+          case a: AttributeReference => a
+          case e => aliased.collectFirst { case (k, al) if k eq e => al.toAttribute }.get
+        }
+        val inner = org.apache.spark.sql.execution.window.WindowExec(
+          w.windowExpression, newSpec, w.orderSpec,
+          swapOne.applyOrElse(proj, identity[SparkPlan]))
+        inner.setTagValue(computedPKeyTag, ())
+        w.getTagValue(splitWindowTag).foreach(_ => inner.setTagValue(splitWindowTag, ()))
+        val retried = swapOne.applyOrElse(inner, identity[SparkPlan])
+        retried match {
+          case still: org.apache.spark.sql.execution.window.WindowExec =>
+            // retry declined — keep the original node, surface the reason
+            still.getTagValue(fallbackReasonTag)
+              .foreach(r => w.setTagValue(fallbackReasonTag, r))
+            w
+          case swappedW =>
+            val restore = ProjectExec(w.output.map(a => a: org.apache.spark.sql.catalyst.expressions.NamedExpression), swappedW)
+            swapOne.applyOrElse(restore, identity[SparkPlan])
+        }
+
       // any partition-key skew (the sessionization/CDC shape).
       case w: org.apache.spark.sql.execution.window.WindowExec
           if windowAggEnabled(session) && w.windowExpression.forall {
@@ -1777,6 +1822,11 @@ object GraftColumnarRule {
     * their merge-backs) so the post-pass only re-fuses its own
     * products, never user-visible plan shapes. */
   val splitWindowTag: TreeNodeTag[Unit] = TreeNodeTag[Unit]("graft.window.split")
+
+  /** Marks a WindowExec produced by the computed-partition-key
+    * canonicalization retry — prevents the canonicalization case from
+    * ever reconsidering its own product. */
+  val computedPKeyTag: TreeNodeTag[Unit] = TreeNodeTag[Unit]("graft.window.computedPKey")
 
   /** Kill switch, mirroring the reference's per-operator enable flags
     * (spark.comet.exec.*.enabled): set false to keep every candidate on

@@ -818,6 +818,18 @@ class PlanAssertionSuite extends GraftTestBase {
       s"expected l_quantity pushed to the ORC scan, got: $pushed")
   }
 
+  test("q193 computed-partition-key window canonicalizes onto the columnar suffix kernel") {
+    // pmod(l_orderkey, 4096) PARTITION BY: the rule materializes the key
+    // in a Project below and retries — the O(n) suffix exec must swap
+    // (executed plan: the swap lives inside materialized AQE stages)
+    val df = run("q193_window_suffix_hicard")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("GraftColumnarWindow"),
+      s"computed-key window must canonicalize and swap:\n$p")
+    assert(p.contains("_graftpkey"), s"expected the materialized key below:\n$p")
+  }
+
   test("q195 chunking is map-side: no exchange below the presentation sort") {
     val p = planString(run("q195_chunk_overlap"))
     // exactly one exchange — the rangepartitioning of the final orderBy;
