@@ -652,21 +652,29 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // window emits batches).
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.nonEmpty &&
-            w.partitionSpec.exists(e => !e.isInstanceOf[AttributeReference]) &&
+            (w.partitionSpec.exists(e => !e.isInstanceOf[AttributeReference]) ||
+              w.orderSpec.exists(so => !so.child.isInstanceOf[AttributeReference])) &&
             w.partitionSpec.forall(_.deterministic) &&
+            w.orderSpec.forall(_.child.deterministic) &&
             w.getTagValue(computedPKeyTag).isEmpty =>
-        val aliased = w.partitionSpec.collect {
-          case e if !e.isInstanceOf[AttributeReference] =>
-            e -> Alias(e, s"_graftpkey${e.hashCode.abs % 1000}")()
+        val computed: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          (w.partitionSpec ++ w.orderSpec.map(_.child))
+            .filterNot(_.isInstanceOf[AttributeReference])
+        val aliased = computed.zipWithIndex.map { case (e, i) =>
+          e -> Alias(e, s"_graftpkey$i")()
+        }
+        def rewrite(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+          case a: AttributeReference => a
+          case other =>
+            aliased.collectFirst { case (k, al) if k eq other => al.toAttribute }.get
         }
         val proj = ProjectExec(
           w.child.output.map(a => a: org.apache.spark.sql.catalyst.expressions.NamedExpression) ++ aliased.map(_._2), w.child)
-        val newSpec = w.partitionSpec.map {
-          case a: AttributeReference => a
-          case e => aliased.collectFirst { case (k, al) if k eq e => al.toAttribute }.get
-        }
         val inner = org.apache.spark.sql.execution.window.WindowExec(
-          w.windowExpression, newSpec, w.orderSpec,
+          w.windowExpression,
+          w.partitionSpec.map(rewrite),
+          w.orderSpec.map(so => so.copy(child = rewrite(so.child))),
           swapOne.applyOrElse(proj, identity[SparkPlan]))
         inner.setTagValue(computedPKeyTag, ())
         w.getTagValue(splitWindowTag).foreach(_ => inner.setTagValue(splitWindowTag, ()))

@@ -560,20 +560,27 @@ object FuzzProps extends Properties("graft") {
     } yield (rows, lo, hi)
 
   property("sliding + range window kernels match the row WindowExec for any frame") =
-    forAll(winFrameGen) { case (rows, lo, hi) =>
+    forAll(winFrameGen, Gen.oneOf(true, false)) { case ((rows, lo, hi), computedKey) =>
       rows.isEmpty || {
         import org.apache.spark.sql.expressions.Window
         val df = rows.zipWithIndex
           .map { case ((k, v, d), i) => (k, i.toLong, v, d) }
           .toDF("k", "o", "v", "d")
-        val w = Window.partitionBy($"k").orderBy($"o").rowsBetween(lo, hi)
-        val wr = Window.partitionBy($"k").orderBy($"o").rangeBetween(lo, hi)
-        // every expression shares (PARTITION BY k, ORDER BY o), so Spark
-        // plans ONE WindowExec mixing sliding ROWS + sliding RANGE +
-        // running + offset + size-based + both suffix kinds — the
-        // mixed-kind splitter fans it into up to five homogeneous graft
-        // nodes whose composition varies with the random frame bounds
-        val wp = Window.partitionBy($"k").orderBy($"o")
+        // computedKey exercises the canonicalization retry: the rule
+        // materializes the pmod partition key AND the shifted order key
+        // in a Project below and re-swaps — identical groups (pmod(k+3,
+        // 5) is injective on k∈0..4) and identical order (o+5 is
+        // monotone; RANGE distances are unchanged), same row-path answer
+        val pcol = if (computedKey) pmod($"k" + lit(3L), lit(5L)) else $"k"
+        val ocol = if (computedKey) $"o" + lit(5L) else $"o"
+        val w = Window.partitionBy(pcol).orderBy(ocol).rowsBetween(lo, hi)
+        val wr = Window.partitionBy(pcol).orderBy(ocol).rangeBetween(lo, hi)
+        // every expression shares (PARTITION BY key, ORDER BY o), so
+        // Spark plans ONE WindowExec mixing sliding ROWS + sliding
+        // RANGE + running + offset + size-based + both suffix kinds —
+        // the mixed-kind splitter fans it into up to five homogeneous
+        // graft nodes whose composition varies with the random bounds
+        val wp = Window.partitionBy(pcol).orderBy(ocol)
         val wsuf = wp.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         val wsufR = wp.rangeBetween(Window.currentRow, Window.unboundedFollowing)
         def q(): Seq[org.apache.spark.sql.Row] = df.select($"k", $"o",
@@ -594,7 +601,7 @@ object FuzzProps extends Properties("graft") {
           q()
         } finally spark.conf.unset("spark.graft.columnar.window.enabled")
         val ok = on == off
-        if (!ok) println(s"FAILCASE lo=$lo hi=$hi rows=$rows\nON =$on\nOFF=$off")
+        if (!ok) println(s"FAILCASE lo=$lo hi=$hi computedKey=$computedKey rows=$rows\nON =$on\nOFF=$off")
         ok
       }
     }
