@@ -243,6 +243,37 @@ object VecPredicate {
     }
   }
 
+  /** Comparison over COMPUTED long/int operands compiled through the
+    * long-lane kernel language (size(array), size(split(text, ' ')) token
+    * counts, conditional flags) — the quality-gate predicate shape.
+    * Full-batch eval + selection-indexed compare, like [[ComputedStrCmp]].
+    * Every long-lane kernel is total and allocation-free, so no extra
+    * swap gate is needed. */
+  final case class ComputedLongCmp(lk: VecLongExpr, rk: VecLongExpr, op: Int)
+      extends VecPredicate {
+    @transient private[this] var lv: Array[Long] = null
+    @transient private[this] var ln: Array[Boolean] = null
+    @transient private[this] var rv: Array[Long] = null
+    @transient private[this] var rn: Array[Boolean] = null
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      if (lv == null || lv.length < n) {
+        lv = new Array[Long](n); ln = new Array[Boolean](n)
+        rv = new Array[Long](n); rn = new Array[Boolean](n)
+      }
+      lk.eval(b, n, lv, ln)
+      rk.eval(b, n, rv, rn)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (ln(i) || rn(i)) { isNull(j) = true; value(j) = false }
+        else { isNull(j) = false; value(j) = cmpL(lv(i), rv(i), op) }
+        j += 1
+      }
+    }
+  }
+
   /** string col StartsWith/EndsWith/Contains literal (mode 0/1/2). */
   final case class StringMatch(l: Int, litBytes: Array[Byte], mode: Int) extends VecPredicate {
     @transient private lazy val lit: UTF8String = UTF8String.fromBytes(litBytes)
@@ -396,6 +427,11 @@ object VecPredicate {
     case LT => GT; case LE => GE; case GT => LT; case GE => LE; case EQ => EQ
   }
 
+  /** types the long-lane kernel computes in (int family; the compare is
+    * exact because every lane value is a widened long) */
+  private def intLike(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
   /** Compile a Catalyst predicate to a vectorized kernel tree, or return
     * a human-readable fallback reason (the reference's `withInfo`
     * pattern, CometSparkSessionExtensions.scala:283-295).
@@ -429,6 +465,15 @@ object VecPredicate {
             case (lt, rt) => scala.Left(s"unsupported comparison types $lt vs $rt")
           }
         case (l: Literal, r: AttributeReference) => cmp(r, l, flip(op))
+        // computed long/int operands (size, token counts, conditional
+        // flags): compile both sides through the long lane — its kernels
+        // are total and allocation-free, so no extra swap gate
+        case (l, r) if intLike(l.dataType) && intLike(r.dataType) &&
+            l.deterministic && r.deterministic =>
+          for {
+            lk <- VecLongExpr.compile(l, output)
+            rk <- VecLongExpr.compile(r, output)
+          } yield ComputedLongCmp(lk, rk, op)
         // computed string operands (at least one side non-trivial):
         // delegate both sides to the projection's string kernel compiler.
         // A/B gate (sf0.1 min-of-N, FilterMicroBench): hash-heavy shapes

@@ -1370,6 +1370,60 @@ object VecStrExpr {
     }
   }
 
+  /** coalesce over string kernels: first non-null per row — pure
+    * selection, allocation-free (the winning child's value is reused). */
+  final case class CoalesceS(cs: Seq[VecStrExpr]) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      cs.head.eval(b, n, values, isNull, s)
+      cs.tail.foreach { c =>
+        var anyNull = false
+        var i = 0
+        while (i < n && !anyNull) { anyNull = isNull(i); i += 1 }
+        if (anyNull) {
+          val tv = s.s(n); val tn = s.b(n)
+          c.eval(b, n, tv, tn, s)
+          i = 0
+          while (i < n) {
+            if (isNull(i) && !tn(i)) { values(i) = tv(i); isNull(i) = false }
+            i += 1
+          }
+        }
+      }
+    }
+  }
+
+  /** concat_ws with a literal separator: null inputs are SKIPPED (unlike
+    * Concat's null-poisoning), matching ConcatWs semantics. */
+  final case class ConcatWsS(sep: UTF8String, cs: Seq[VecStrExpr]) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      val k = cs.length
+      val parts = new Array[Array[UTF8String]](k)
+      val partNull = new Array[Array[Boolean]](k)
+      var c = 0
+      while (c < k) {
+        val pv = s.s(n); val pn = s.b(n)
+        cs(c).eval(b, n, pv, pn, s)
+        parts(c) = pv; partNull(c) = pn
+        c += 1
+      }
+      val row = new Array[UTF8String](k)
+      var i = 0
+      while (i < n) {
+        var m = 0
+        var j = 0
+        while (j < k) {
+          if (!partNull(j)(i)) { row(m) = parts(j)(i); m += 1 }
+          j += 1
+        }
+        isNull(i) = false
+        values(i) = UTF8String.concatWs(sep, java.util.Arrays.copyOf(row, m): _*)
+        i += 1
+      }
+    }
+  }
+
   /** Integral column rendered as its decimal string — Spark's
     * integral→string cast is `Long.toString` in every eval mode (no
     * overflow, no locale), so ANSI/LEGACY/TRY agree by construction.
@@ -1484,12 +1538,15 @@ object VecStrExpr {
     case MapS(_, c) => hashHeavy(c)
     case SubstrS(c, _, _) => hashHeavy(c)
     case ConcatS(cs) => cs.exists(hashHeavy)
+    case ConcatWsS(_, cs) => cs.exists(hashHeavy)
+    case CoalesceS(cs) => cs.exists(hashHeavy)
     case _ => false
   }
   def allocFree(k: VecStrExpr): Boolean = k match {
     case ColS(_) | LitS(_) => true
     case SubstrS(c, _, _) => allocFree(c) // substringSQL = byte-range view
     case MapS(TRIM, c) => allocFree(c)    // trim = byte-range view
+    case CoalesceS(cs) => cs.forall(allocFree) // pure selection
     case _ => false                       // upper/lower/concat/cast/md5 allocate
   }
 
@@ -1519,6 +1576,20 @@ object VecStrExpr {
             scala.Right(CastIntegralToStrS(ord(a), a.dataType))
           case other =>
             scala.Left(s"unsupported cast-to-string input: ${other.getClass.getSimpleName}")
+        }
+      case co: Coalesce if co.dataType == StringType && co.children.nonEmpty =>
+        val parts = co.children.map(compile(_, output))
+        parts.collectFirst { case scala.Left(r) => scala.Left(r) }
+          .getOrElse(scala.Right(CoalesceS(parts.collect { case scala.Right(k) => k })))
+      case cw: ConcatWs if cw.dataType == StringType && cw.children.size >= 2 &&
+          cw.children.forall(_.dataType == StringType) =>
+        cw.children.head match {
+          case Literal(sep: UTF8String, StringType) if sep != null =>
+            val parts = cw.children.tail.map(compile(_, output))
+            parts.collectFirst { case scala.Left(r) => scala.Left(r) }
+              .getOrElse(scala.Right(
+                ConcatWsS(sep, parts.collect { case scala.Right(k) => k })))
+          case _ => scala.Left("concat_ws needs a literal string separator")
         }
       case m: Md5 =>
         m.child match {
@@ -1651,6 +1722,75 @@ final case class ColIntL(ord: Int, dt: DataType) extends VecLongExpr {
   }
 }
 
+/** size(arrayColumn): a numElements read — view-only. Null arrays follow
+  * the EXPRESSION's own resolved legacySizeOfNull flag (-1 vs NULL), so
+  * conf drift can't desync the kernel from the row path. */
+final case class SizeArrL(ord: Int, legacyNull: Boolean) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    val v = batch.column(ord)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) {
+        if (legacyNull) { isNull(i) = false; out(i) = -1L }
+        else { isNull(i) = true; out(i) = 0L }
+      } else { isNull(i) = false; out(i) = v.getArray(i).numElements().toLong }
+      i += 1
+    }
+  }
+}
+
+/** size(split(str, c, -1)) WITHOUT materializing the array: for a
+  * single-char non-metachar literal pattern the regex matches exactly
+  * that character, so the split length is occurrences(c) + 1 — the
+  * token-count shape (`size(split(text, ' '))`) counts delimiter bytes
+  * over the UTF-8 buffer (an ASCII byte never appears inside a
+  * multibyte sequence) where the codegen row path allocates the full
+  * UTF8String[] only to take its length. */
+final case class CountTokenSizeL(c: VecStrExpr, delim: Byte, legacyNull: Boolean)
+    extends VecLongExpr {
+  @transient private[this] var sv: Array[UTF8String] = null
+  @transient private[this] var scratch: StrScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (sv == null || sv.length < n) sv = new Array[UTF8String](n)
+    if (scratch == null) scratch = new StrScratch
+    scratch.reset()
+    c.eval(batch, n, sv, isNull, scratch)
+    var i = 0
+    while (i < n) {
+      if (isNull(i)) {
+        if (legacyNull) { isNull(i) = false; out(i) = -1L }
+      } else {
+        val s = sv(i)
+        var cnt = 1L
+        var j = 0
+        val nb = s.numBytes()
+        while (j < nb) { if (s.getByte(j) == delim) cnt += 1; j += 1 }
+        out(i) = cnt
+      }
+      i += 1
+    }
+  }
+}
+
+/** length(string) on the long/int lane (numChars — the same value
+  * [[LengthI]] computes for the dedicated int kernel; here it composes
+  * with the lane's conditionals, casts and compares). */
+final case class LengthL(c: VecStrExpr) extends VecLongExpr {
+  @transient private[this] var sv: Array[UTF8String] = null
+  @transient private[this] var scratch: StrScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (sv == null || sv.length < n) sv = new Array[UTF8String](n)
+    if (scratch == null) scratch = new StrScratch
+    scratch.reset()
+    c.eval(batch, n, sv, isNull, scratch)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) out(i) = sv(i).numChars().toLong
+      i += 1
+    }
+  }
+}
+
 /** NULL integral literal — reachable only inside a conditional. */
 final case class NullL() extends VecLongExpr {
   override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
@@ -1734,6 +1874,28 @@ object VecLongExpr {
       // widening integral cast: exact in every eval mode
       case c: Cast if c.dataType == LongType && intFamily(c.child.dataType) =>
         compile(c.child, output)
+      case l: Length if l.child.dataType == StringType =>
+        VecStrExpr.compile(l.child, output).map(LengthL)
+      case s: Size =>
+        s.child match {
+          case a: AttributeReference
+              if a.dataType.isInstanceOf[ArrayType] && ord(a) >= 0 =>
+            scala.Right(SizeArrL(ord(a), s.legacySizeOfNull))
+          case sp: StringSplit =>
+            (sp.regex, sp.limit) match {
+              case (Literal(p: UTF8String, StringType), Literal(-1, IntegerType))
+                  if p != null && p.numBytes == 1 && {
+                    val ch = p.getByte(0).toChar
+                    ch < 0x80 && !"\\^$.|?*+()[]{}".contains(ch)
+                  } =>
+                VecStrExpr.compile(sp.str, output)
+                  .map(CountTokenSizeL(_, p.getByte(0), s.legacySizeOfNull))
+              case _ =>
+                scala.Left("size(split(...)) only counts single-char literal delimiters")
+            }
+          case other =>
+            scala.Left(s"unsupported size input: ${other.getClass.getSimpleName}")
+        }
       case d: org.apache.spark.sql.catalyst.expressions.IntegralDivide
           if d.dataType == LongType =>
         d.right match {

@@ -2735,6 +2735,62 @@ class EngineSuite extends GraftTestBase {
       s"NaN filter semantics diverged: columnar=$fOn row=$fOff")
   }
 
+  test("Size/CoalesceS/ConcatWsS kernels match the row path incl. null arrays and empty strings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sizekernels").toString
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.graft.GraftColumnarRule
+    Seq(
+      (1L, Option("a b  c"), Option(Seq(1.0f, 2.0f)), Option("x")),
+      (2L, Option(""), Option(Seq.empty[Float]), Option.empty[String]),
+      (3L, Option.empty[String], Option.empty[Seq[Float]], Option("y")),
+      (4L, Option("solo"), Option(Seq(9.0f)), Option.empty[String]),
+      (5L, Option(" lead trail "), Option(Seq(1f, 2f, 3f)), Option("z")))
+      .toDF("id", "t", "arr", "u").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def both[A](mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        expectSwap: Boolean): (Seq[String], Seq[String]) = {
+      val df = mk(t)
+      val on = df.collect().map(_.toString).toSeq
+      if (expectSwap) {
+        val hasGraft = findExec(df) {
+          case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+          case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+        }
+        assert(hasGraft.isDefined, s"expected a kernel swap:\n${df.queryExecution.executedPlan}")
+      }
+      val off = withSQLConf(GraftColumnarRule.enabledKey -> "false") {
+        mk(t).collect().map(_.toString).toSeq
+      }
+      (on, off)
+    }
+    // size(split(text, ' ')): "a b  c" → 4 (empty token between double
+    // spaces), "" → 1, null → null (ANSI default), "solo" → 1
+    val (a, b) = both(_.select($"id", size(split($"t", " ")).as("n")).orderBy($"id"), true)
+    assert(a == b, s"size(split) diverged: $a vs $b")
+    // size(arrayColumn) incl. null array
+    val (c, d) = both(_.select($"id", size($"arr").as("n")).orderBy($"id"), true)
+    assert(c == d, s"size(array) diverged: $c vs $d")
+    // size-based FILTER (the quality-gate predicate shape)
+    val (e, f) = both(_.filter(size(split($"t", " ")) >= 2).select($"id"), true)
+    assert(e == f && e.size == 2, s"size filter diverged: $e vs $f")
+    val (g, h) = both(_.filter(size($"arr") > 1).select($"id"), true)
+    assert(g == h, s"array-size filter diverged: $g vs $h")
+    // coalesce / concat_ws with nulls skipped
+    val (i, j) = both(_.select($"id", coalesce($"u", $"t", lit("-")).as("c")).orderBy($"id"), true)
+    assert(i == j, s"coalesce diverged: $i vs $j")
+    val (k, l) = both(_.select($"id", concat_ws("|", $"u", $"t").as("w")).orderBy($"id"), true)
+    assert(k == l, s"concat_ws diverged: $k vs $l")
+    // legacy sizeOfNull=-1 mode agrees too
+    withSQLConf("spark.sql.ansi.enabled" -> "false",
+        "spark.sql.legacy.sizeOfNull" -> "true") {
+      val (m, n2) = both(_.select($"id", size($"arr").as("n"),
+        size(split($"t", " ")).as("tn")).orderBy($"id"), true)
+      assert(m == n2, s"legacy sizeOfNull diverged: $m vs $n2")
+      assert(m.exists(_.contains("-1")), s"expected -1 for null under legacy: $m")
+    }
+  }
+
   test("GraftColumnarBHJExec matches the row join incl. null keys, dup build keys, misses") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colbhj").toString
     // stream: some keys null, some missing from build, some matching dups
