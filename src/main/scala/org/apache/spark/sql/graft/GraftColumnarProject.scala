@@ -1791,6 +1791,31 @@ final case class LengthL(c: VecStrExpr) extends VecLongExpr {
   }
 }
 
+/** least/greatest over long-lane children: SKIP-null semantics (null
+  * only when every input is null — Least/Greatest, not the comparison
+  * operators' null-poisoning). Total: no throw sites, so it composes
+  * under the lane's eager CaseWhenL. */
+final case class ExtremumL(cs: Seq[VecLongExpr], greatest: Boolean) extends VecLongExpr {
+  @transient private[this] var tv: Array[Long] = null
+  @transient private[this] var tn: Array[Boolean] = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    cs.head.eval(batch, n, out, isNull)
+    if (tv == null || tv.length < n) { tv = new Array[Long](n); tn = new Array[Boolean](n) }
+    cs.tail.foreach { c =>
+      c.eval(batch, n, tv, tn)
+      var i = 0
+      while (i < n) {
+        if (!tn(i)) {
+          if (isNull(i) || (if (greatest) tv(i) > out(i) else tv(i) < out(i))) {
+            out(i) = tv(i); isNull(i) = false
+          }
+        }
+        i += 1
+      }
+    }
+  }
+}
+
 /** NULL integral literal — reachable only inside a conditional. */
 final case class NullL() extends VecLongExpr {
   override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
@@ -1876,6 +1901,16 @@ object VecLongExpr {
         compile(c.child, output)
       case l: Length if l.child.dataType == StringType =>
         VecStrExpr.compile(l.child, output).map(LengthL)
+      case le: Least if laneType(le.dataType) =>
+        val parts = le.children.map(compile(_, output))
+        parts.collectFirst { case scala.Left(r) => scala.Left(r) }
+          .getOrElse(scala.Right(
+            ExtremumL(parts.collect { case scala.Right(k) => k }, greatest = false)))
+      case gr: Greatest if laneType(gr.dataType) =>
+        val parts = gr.children.map(compile(_, output))
+        parts.collectFirst { case scala.Left(r) => scala.Left(r) }
+          .getOrElse(scala.Right(
+            ExtremumL(parts.collect { case scala.Right(k) => k }, greatest = true)))
       case s: Size =>
         s.child match {
           case a: AttributeReference

@@ -2781,6 +2781,11 @@ class EngineSuite extends GraftTestBase {
     assert(i == j, s"coalesce diverged: $i vs $j")
     val (k, l) = both(_.select($"id", concat_ws("|", $"u", $"t").as("w")).orderBy($"id"), true)
     assert(k == l, s"concat_ws diverged: $k vs $l")
+    // least/greatest: SKIP-null semantics (null only when all null)
+    val (o1, o2) = both(_.select($"id",
+      least(size(split($"t", " ")), size($"arr"), lit(3)).as("lo"),
+      greatest(size($"arr"), lit(0)).as("hi")).orderBy($"id"), true)
+    assert(o1 == o2, s"least/greatest diverged: $o1 vs $o2")
     // legacy sizeOfNull=-1 mode agrees too
     withSQLConf("spark.sql.ansi.enabled" -> "false",
         "spark.sql.legacy.sizeOfNull" -> "true") {
