@@ -3755,7 +3755,10 @@ class EngineSuite extends GraftTestBase {
   }
 
   test("GraftColumnarRule tags un-swapped filters with a fallback reason") {
-    val df = Tables.t(spark, sfDir, "documents").filter(length($"lang") > 2)
+    // regexp predicates are not kernel-compiled — the tagged row path
+    // (length(lang) > 2 USED to be this test's specimen until the
+    // ComputedLongCmp lane made it swap — asserted below)
+    val df = Tables.t(spark, sfDir, "documents").filter($"lang".rlike("^e.$"))
     df.collect()
     val tagged = findExec(df) {
       case f: org.apache.spark.sql.execution.FilterExec
@@ -3764,6 +3767,11 @@ class EngineSuite extends GraftTestBase {
     }
     assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
     assert(tagged.get.contains("unsupported"), s"reason: ${tagged.get}")
+    val lenDf = Tables.t(spark, sfDir, "documents").filter(length($"lang") > 2)
+    lenDf.collect()
+    assert(findExec(lenDf) {
+      case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+    }.isDefined, s"length predicate should swap now:\n${lenDf.queryExecution.executedPlan}")
   }
 
   test("GraftColumnarWindowGroupLimitExec: rank-1/top-k-per-key parity incl. nulls, ties, flush") {
