@@ -35,7 +35,8 @@ object Catalog {
     QualityMixQueries.all ++
     ChangeDataQueries.all ++
     LayoutQueries.all ++
-    EventAnalyticsQueries.all
+    EventAnalyticsQueries.all ++
+    ProbeQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */
