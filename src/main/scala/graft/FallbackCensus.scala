@@ -62,7 +62,9 @@ object FallbackCensus {
             boundary(consumer) = boundary.getOrElse(consumer, Set.empty) + q.name
           }
         } catch {
-          case e: Throwable =>
+          // NonFatal only: an OOM/fatal JVM error must propagate rather
+          // than be swallowed into a misleading under-count of fallbacks.
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[census] ${q.name} failed: ${e.getMessage}")
         }
       }

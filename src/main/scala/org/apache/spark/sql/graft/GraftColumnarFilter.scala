@@ -466,13 +466,19 @@ object VecPredicate {
           }
         case (l: Literal, r: AttributeReference) => cmp(r, l, flip(op))
         // computed long/int operands (size, token counts, conditional
-        // flags): compile both sides through the long lane — its kernels
-        // are total and allocation-free, so no extra swap gate
+        // flags): compile both sides through the long lane. The compare
+        // evaluates the FULL batch (including rows earlier conjuncts
+        // excluded), so both kernels must pass the explicit totality
+        // whitelist — a future throw-site kernel (ANSI overflow,
+        // narrowing cast) falls back to the row path instead of faulting
+        // on rows the row path never evaluates.
         case (l, r) if intLike(l.dataType) && intLike(r.dataType) &&
             l.deterministic && r.deterministic =>
           for {
             lk <- VecLongExpr.compile(l, output)
             rk <- VecLongExpr.compile(r, output)
+            _ <- if (VecLongExpr.total(lk) && VecLongExpr.total(rk)) scala.Right(())
+            else scala.Left("non-total long kernel in full-batch filter compare")
           } yield ComputedLongCmp(lk, rk, op)
         // computed string operands (at least one side non-trivial):
         // delegate both sides to the projection's string kernel compiler.
@@ -487,6 +493,8 @@ object VecPredicate {
           for {
             lk <- VecStrExpr.compile(l, output)
             rk <- VecStrExpr.compile(r, output)
+            _ <- if (VecStrExpr.total(lk) && VecStrExpr.total(rk)) scala.Right(())
+            else scala.Left("non-total string kernel in full-batch filter compare")
             _ <- if (VecStrExpr.hashHeavy(lk) || VecStrExpr.hashHeavy(rk) ||
                 (VecStrExpr.allocFree(lk) && VecStrExpr.allocFree(rk)))
               scala.Right(())

@@ -1550,6 +1550,25 @@ object VecStrExpr {
     case _ => false                       // upper/lower/concat/cast/md5 allocate
   }
 
+  /** Totality gate for full-batch FILTER use: [[GraftColumnarFilter]]'s
+    * ComputedStrCmp evaluates kernels over the WHOLE batch, including
+    * rows already excluded by earlier conjuncts or null-masked rows — a
+    * kernel with a throw site (e.g. a future ANSI narrowing cast) would
+    * fault on rows the row path never evaluates. Explicit whitelist like
+    * [[allocFree]]: a NEW kernel is not total until listed here, so it
+    * falls back to the row path instead of silently changing filter
+    * semantics. Every current kernel is throw-free on arbitrary input. */
+  def total(k: VecStrExpr): Boolean = k match {
+    case ColS(_) | LitS(_) | CastIntegralToStrS(_, _) => true
+    case MapS(_, c) => total(c)
+    case SubstrS(c, _, _) => total(c)
+    case Md5HexS(c) => total(c)
+    case CoalesceS(cs) => cs.forall(total)
+    case ConcatS(cs) => cs.forall(total)
+    case ConcatWsS(_, cs) => cs.forall(total)
+    case _ => false
+  }
+
   /** Compile a Catalyst string expression, or name the fallback reason. */
   def compile(e: Expression, output: Seq[Attribute]): Either[String, VecStrExpr] = {
     def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
@@ -1882,6 +1901,28 @@ object VecLongExpr {
     dt == IntegerType || dt == ShortType || dt == ByteType
   private def laneType(dt: DataType): Boolean = dt == LongType || intFamily(dt)
 
+  /** Totality gate for full-batch FILTER use (mirror of
+    * [[VecStrExpr.total]]): ComputedLongCmp evaluates kernels over the
+    * WHOLE batch, so only throw-free-on-any-input kernels may serve as
+    * filter operands. Explicit whitelist — a future kernel with an ANSI
+    * throw site (overflowing Add/Multiply, narrowing cast) stays row-path
+    * in filters until proven total here. DivL is total because compile
+    * only admits positive literal divisors; FloorMultOffL floor math has
+    * no throw site; CaseWhenL is total when its branch values and else
+    * are (its predicates come from the same total predicate language). */
+  def total(k: VecLongExpr): Boolean = k match {
+    case ColL(_) | LitL(_) | NullL() | ColIntL(_, _) => true
+    case SizeArrL(_, _) => true
+    case DivL(c, _) => total(c)
+    case MicrosToDaysL(c) => total(c)
+    case FloorMultOffL(c, _, _) => total(c)
+    case CountTokenSizeL(c, _, _) => VecStrExpr.total(c)
+    case LengthL(c) => VecStrExpr.total(c)
+    case ExtremumL(cs, _) => cs.forall(total)
+    case CaseWhenL(bs, e) => bs.forall(b => total(b._2)) && e.forall(total)
+    case _ => false
+  }
+
   def compile(e: Expression, output: Seq[Attribute]): Either[String, VecLongExpr] = {
     def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
     e match {
@@ -1986,7 +2027,16 @@ final class LongArrayVector(values: Array[Long], nulls: Array[Boolean], n: Int,
   }
   override def isNullAt(rowId: Int): Boolean = nulls(rowId)
   override def getLong(rowId: Int): Long = values(rowId)
-  override def getInt(rowId: Int): Int = values(rowId).toInt
+  override def getInt(rowId: Int): Int = {
+    // getInt is only reached for int-family/date output types whose lane
+    // values are in-range by the STATIC type today; if arithmetic is
+    // ever added to the long lane an int-typed expression could overflow
+    // — fail loudly instead of wrapping in non-row-path-equivalent ways.
+    val v = values(rowId)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      throw new ArithmeticException(s"long-lane value $v out of int range (dt=$dt)")
+    v.toInt
+  }
   private def nope = throw new UnsupportedOperationException("long-only vector")
   override def getBoolean(rowId: Int): Boolean = nope
   override def getByte(rowId: Int): Byte = nope

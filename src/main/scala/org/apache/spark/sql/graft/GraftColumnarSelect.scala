@@ -667,7 +667,17 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             : org.apache.spark.sql.catalyst.expressions.Expression = e match {
           case a: AttributeReference => a
           case other =>
-            aliased.collectFirst { case (k, al) if k eq other => al.toAttribute }.get
+            // Reference-equality lookup first (the exact instances from
+            // partitionSpec/orderSpec flow through); semanticEquals as
+            // the safety net if a future transformation copies the spec
+            // expressions between the guard and this rewrite; the
+            // original expression as last resort (the attribute-only
+            // retry guard then simply declines — never worse).
+            aliased.collectFirst { case (k, al) if k eq other => al.toAttribute }
+              .orElse(aliased.collectFirst {
+                case (k, al) if k.semanticEquals(other) => al.toAttribute
+              })
+              .getOrElse(other)
         }
         val proj = ProjectExec(
           w.child.output.map(a => a: org.apache.spark.sql.catalyst.expressions.NamedExpression) ++ aliased.map(_._2), w.child)
