@@ -567,5 +567,73 @@ object EngineQueries {
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         FROM r WHERE rk <= 2 GROUP BY rk ORDER BY rk"""),
       doc = "Top-k distinct tiers per key (dense_rank() <= k): tier membership is unbounded per group, so the columnar probe keeps only the k smallest DISTINCT order keys per group and emits a zero-copy superset for the final stage to re-filter; 0.36x A/B vs the sorted row path.")
+    ,
+
+    QueryDef(
+      "q209_distinct_sum_long",
+      (s, dir) => {
+        import s.implicits._
+        // VALUE-distinct aggregation (sum over a non-key argument) fully
+        // columnar on all FOUR levels of Spark's one-distinct plan:
+        // keys-only dedup partial -> exchange(k, x) -> columnar dedup
+        // merge -> partial_sum(distinct) over the columnar dedup output
+        // -> exchange(k) -> columnar final. isDistinct is a planning
+        // marker (distinctness is enforced by the dedup levels), so the
+        // distinct-marked partial/final ride the plain sum specs — a
+        // node-for-node exact swap. At 100 TB the shuffle carries
+        // DISTINCT (key, value) pairs only: per-partition dedup bounds
+        // the exchange exactly like q162's keys-only shape.
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(sum_distinct($"l_partkey").as("s_d"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(sum(DISTINCT l_partkey) AS BIGINT) AS s_d
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "sum(DISTINCT long): the whole 4-level one-distinct plan swaps columnar (dedup partial + merge, distinct-marked partial sum, distinct final) — shuffles carry distinct pairs only. A/B sf0.1 interleaved min-of-9: 0.93x (hi-card distinct-sum 0.86x)."),
+
+    QueryDef(
+      "q210_distinct_sum_double",
+      (s, dir) => {
+        import s.implicits._
+        // Double DISTINCT argument: the dedup levels group on the
+        // DOUBLE column itself via normalized IEEE bits (canonical NaN,
+        // -0.0 -> 0.0 — Spark's NormalizeFloatingNumbers semantics),
+        // including the first partial whose key is the
+        // knownfloatingpointnormalized(...) wrapper. Value-exact lane:
+        // the distinct set is integer-valued doubles, so the sum is
+        // order-free.
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(sum_distinct($"l_quantity").as("sq_d"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, sum(DISTINCT l_quantity) AS sq_d
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "sum(DISTINCT double): double grouping keys ride the long-key machinery as normalized IEEE bits; the normalize-wrapper partial key compiles onto the underlying column. A/B sf0.1 min-of-9: 0.83x (double-key dedup 0.84x)."),
+
+    QueryDef(
+      "q211_distinct_count_two",
+      (s, dir) => {
+        import s.implicits._
+        // TWO distinct arguments -> the Expand-based rewrite: the
+        // columnar Expand twin fans each row into one stream per
+        // distinct group (gid), the dedup levels swap, the
+        // gid-FILTERed partial counts rewrite onto the masked
+        // conditional kernels, and the final merges columnar. Shuffle
+        // volume = distinct (key, arg, gid) triples.
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("cd_part"),
+            countDistinct($"l_suppkey").as("cd_supp"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS cd_part,
+          count(DISTINCT l_suppkey) AS cd_supp
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Multi-distinct (two count(DISTINCT) args): the Expand rewrite runs on the columnar Expand twin + columnar dedup levels + gid-FILTER partial counts. A/B sf0.1 min-of-9: 1.13x composite (every swap in this chain predates r13 and wins individually; Expand-off measures 1.8x WORSE, so the twin stays ON — watch item, not a gate).")
   )
 }

@@ -66,6 +66,13 @@ case class GraftColumnarFinalAggExec(
     case ByteType => (r, o) => r.getByte(o).toLong
     case ShortType => (r, o) => r.getShort(o).toLong
     case IntegerType | DateType => (r, o) => r.getInt(o).toLong
+    case DoubleType => (r, o) => {
+      // double keys travel as NORMALIZED bits (see GroupedAgg's getter);
+      // partial-side keys arrive already normalized, re-normalizing is
+      // idempotent and keeps bit-equality == Spark grouping equality.
+      val b = java.lang.Double.doubleToLongBits(r.getDouble(o))
+      if (b == java.lang.Long.MIN_VALUE) 0L else b
+    }
     case _ => (r, o) => r.getLong(o)
   }
 
@@ -386,6 +393,8 @@ case class GraftColumnarFinalAggExec(
                   case ByteType => cols(c).putByte(i, st.keyLong(ki)(i).toByte)
                   case ShortType => cols(c).putShort(i, st.keyLong(ki)(i).toShort)
                   case IntegerType | DateType => cols(c).putInt(i, st.keyLong(ki)(i).toInt)
+                  case DoubleType => cols(c).putDouble(i,
+                    java.lang.Double.longBitsToDouble(st.keyLong(ki)(i)))
                   case _ => cols(c).putLong(i, st.keyLong(ki)(i))
                 }
                 i += 1

@@ -949,7 +949,13 @@ object GraftColumnarAgg {
     */
   def compile(ae: AggregateExpression, ord: Expression => Int): Either[String, AggSpec] = {
     if (ae.mode != Partial) return scala.Left(s"mode ${ae.mode} is not Partial")
-    if (ae.isDistinct) return scala.Left("DISTINCT aggregate")
+    // isDistinct is a PLANNING marker, not an update-semantics change:
+    // the row HashAggregateExec evaluates a distinct-marked partial with
+    // the same updateExpressions as a plain one (distinctness is
+    // enforced by the keys-only dedup levels Spark plans BELOW this
+    // node), so a node-for-node swap is exact — value-distinct plans
+    // (sum/count(DISTINCT x)) ride the regular specs. A/B sf0.1
+    // interleaved min-of-9: full one-distinct chain 0.83-0.93x vs row.
     if (ae.filter.isDefined) return scala.Left("FILTER clause")
     ae.aggregateFunction match {
       case Count(Seq(l: Literal)) if l.value != null => scala.Right(CountSpec(-1))
@@ -1113,7 +1119,9 @@ object GraftColumnarAgg {
     */
   def compileFinal(ae: AggregateExpression, bufOrd: Attribute => Int): Either[String, AggSpec] = {
     if (ae.mode != Final) return scala.Left(s"mode ${ae.mode} is not Final")
-    if (ae.isDistinct) return scala.Left("DISTINCT aggregate")
+    // isDistinct never reaches mergeExpressions — the final merge of a
+    // distinct aggregate is the plain buffer merge (see the Partial-mode
+    // note in compile), so distinct-marked finals ride the same specs.
     // a FILTER clause gates the UPDATE stage only — Spark's
     // mergeExpressions never reference it, so the final merge is
     // filter-agnostic and the clause is safely ignored here

@@ -180,6 +180,16 @@ case class GraftColumnarGroupedAggExec(
     case ByteType => v.getByte(_).toLong
     case ShortType => v.getShort(_).toLong
     case IntegerType | DateType => v.getInt(_).toLong
+    case DoubleType => i => {
+      // key representation = NORMALIZED IEEE bits (NormalizeNaNAndZero
+      // semantics: every NaN to the canonical quiet NaN, -0.0 to +0.0).
+      // doubleToLongBits already canonicalizes NaN; collapse the zero.
+      // Idempotent, so re-normalizing already-normalized upper-level
+      // keys is harmless, and it makes bit-equality == Spark's grouping
+      // equality for doubles.
+      val b = java.lang.Double.doubleToLongBits(v.getDouble(i))
+      if (b == java.lang.Long.MIN_VALUE) 0L else b // 0x8000... = -0.0
+    }
     case _ => v.getLong
   }
 
@@ -215,6 +225,8 @@ case class GraftColumnarGroupedAggExec(
               case ByteType => cols(c).putByte(i, st.keyLong(c)(i).toByte)
               case ShortType => cols(c).putShort(i, st.keyLong(c)(i).toShort)
               case IntegerType | DateType => cols(c).putInt(i, st.keyLong(c)(i).toInt)
+              case DoubleType => cols(c).putDouble(i,
+                java.lang.Double.longBitsToDouble(st.keyLong(c)(i)))
               case _ => cols(c).putLong(i, st.keyLong(c)(i))
             }
             i += 1
@@ -919,5 +931,11 @@ object GraftColumnarGroupedAggExec {
 
   val supportedKeyTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType, DateType,
-      TimestampType, TimestampNTZType, StringType)
+      TimestampType, TimestampNTZType, StringType,
+      // doubles group on NORMALIZED bits (NaN canonical, -0.0 -> 0.0),
+      // matching Spark's NormalizeFloatingNumbers grouping semantics —
+      // the value-distinct dedup levels key on the aggregated column.
+      // (FloatType would need an int-bits lane; none of the inventory's
+      // tables carry floats, so it stays row-path for now.)
+      DoubleType)
 }

@@ -588,7 +588,12 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             val specs = compiled.collect { case scala.Right(s) => s }
             val keyAttrs = agg.groupingExpressions.collect {
               case a: AttributeReference => a }
-            val aggResults = agg.aggregateExpressions.map(_.resultAttribute)
+            // the exec's planner-provided attributes, NOT
+            // ae.resultAttribute: planAggregateWithOneDistinct rebinds a
+            // distinct final's downstream references to fresh attributes
+            // that only the exec field carries (they coincide for plain
+            // finals).
+            val aggResults = agg.aggregateAttributes
             val typesOk =
               aggResults.zip(specs).forall { case (a, s) =>
                 a.dataType == GraftColumnarAgg.finalType(s) }
@@ -1786,6 +1791,19 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         case a: AttributeReference
             if ord(a) >= 0 && GraftColumnarGroupedAggExec.supportedKeyTypes(a.dataType) =>
           scala.Right(GroupKeySpec(ord(a), a.dataType))
+        // The first partial of a float-keyed distinct/group plan wraps
+        // the key in NormalizeFloatingNumbers' marker pair. The kernel's
+        // double-key getter normalizes identically (canonical NaN,
+        // -0.0 -> 0.0), so the wrapped key compiles to a plain
+        // double-key read of the underlying column; the group emits the
+        // normalized value under the alias's attribute.
+        case al @ Alias(
+            org.apache.spark.sql.catalyst.expressions.KnownFloatingPointNormalized(
+              org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(
+                a: AttributeReference)), _)
+            if ord(a) >= 0 &&
+              a.dataType == org.apache.spark.sql.types.DoubleType =>
+          scala.Right(GroupKeySpec(ord(a), org.apache.spark.sql.types.DoubleType))
         case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
       }
       val compiled = rewrittenAes.map(ae => GraftColumnarAgg.compile(ae, ord))
@@ -1810,7 +1828,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           // under a projection) — a type-only check would emit the
           // kernel's grouping order under the wrong output attributes
           val keyIds = agg.groupingExpressions.collect {
-            case a: AttributeReference => a.exprId }
+            case a: AttributeReference => a.exprId
+            case al: Alias => al.exprId } // normalized-double key wrapper
           val layoutOk =
             agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
               agg.resultExpressions.take(keyIds.size).collect {

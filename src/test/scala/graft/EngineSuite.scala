@@ -3908,4 +3908,46 @@ class EngineSuite extends GraftTestBase {
       }.isEmpty, "topk flag must gate the swap")
     }
   }
+
+  test("double grouping keys: NaN canonicalization + -0.0/0.0 collapse match row semantics") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dblkey").toString
+    // a NON-canonical NaN bit pattern: Spark's NormalizeNaNAndZero maps
+    // every NaN to the canonical quiet NaN before grouping — the kernel's
+    // bits-normalizing getter must agree, or this row forms a spurious
+    // second NaN group
+    val oddNaN = java.lang.Double.longBitsToDouble(0x7ff0000000000001L)
+    Seq(
+      ("a", Option(0.0)), ("a", Option(-0.0)), ("a", Option(Double.NaN)),
+      ("a", Option(oddNaN)), ("a", Option(1.5)), ("a", Option.empty[Double]),
+      ("b", Option(-0.0)), ("b", Option(oddNaN)), ("b", Option(2.5)),
+      ("b", Option(2.5)))
+      .toDF("k", "d").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+
+    // dedup shape: group BY the double column itself
+    val g = t.groupBy($"k", $"d").agg(count(lit(1)).as("n"))
+    g.collect() // finalize the adaptive plan before inspecting it
+    assert(findExec(g) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec => e
+    }.isDefined, s"expected the double-keyed partial to swap in:\n${g.queryExecution.executedPlan}")
+    // -0.0 joins 0.0; both NaNs join; null is its own group: a -> 4 groups
+    val aGroups = g.filter($"k" === "a").collect()
+    assert(aGroups.length == 4, s"expected 4 groups for k=a, got ${aGroups.toSeq}")
+    assert(aGroups.count(r => !r.isNullAt(1) && r.getDouble(1).isNaN && r.getLong(2) == 2L) == 1,
+      s"expected ONE NaN group of size 2 in ${aGroups.toSeq}")
+    assert(aGroups.count(r => !r.isNullAt(1) && r.getDouble(1) == 0.0 && r.getLong(2) == 2L) == 1,
+      s"expected ONE zero group of size 2 in ${aGroups.toSeq}")
+    checkInvariantUnder(g,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+
+    // full value-distinct chain over the double argument
+    val sd = t.filter(!isnan($"d")).groupBy($"k")
+      .agg(sum_distinct($"d").as("s"), count_distinct($"d").as("c"))
+    checkInvariantUnder(sd,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    val row = sd.filter($"k" === "b").collect()(0)
+    assert(row.getDouble(1) == 2.5 && row.getLong(2) == 2L, // {-0.0, 2.5}
+      s"distinct over b must be {0.0, 2.5}: $row")
+  }
 }

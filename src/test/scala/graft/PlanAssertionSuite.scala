@@ -258,6 +258,30 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q162: expected the final dedup columnar in:\n$p")
   }
 
+  test("q209/q210: the whole 4-level value-distinct plan swaps columnar") {
+    for (name <- Seq("q209_distinct_sum_long", "q210_distinct_sum_double")) {
+      val df = run(name)
+      df.collect()
+      val p = planString(df)
+      // dedup partial+merge AND the distinct-marked partial/final — the
+      // row operator must be absent entirely
+      assert(p.contains("GraftColumnarGroupedAgg") && p.contains("GraftColumnarFinalAgg"),
+        s"$name: expected columnar agg nodes in:\n$p")
+      assert(!p.contains("HashAggregate("),
+        s"$name: expected NO row HashAggregate in:\n$p")
+    }
+  }
+
+  test("q211 multi-distinct runs on the columnar Expand rewrite") {
+    val df = run("q211_distinct_count_two")
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("GraftColumnarExpand"),
+      s"q211: expected the columnar Expand twin in:\n$p")
+    assert(p.contains("GraftColumnarGroupedAgg") && p.contains("GraftColumnarFinalAgg"),
+      s"q211: expected columnar dedup levels in:\n$p")
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
