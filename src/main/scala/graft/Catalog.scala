@@ -36,7 +36,8 @@ object Catalog {
     ChangeDataQueries.all ++
     LayoutQueries.all ++
     EventAnalyticsQueries.all ++
-    ProbeQueries.all
+    ProbeQueries.all ++
+    TpcdsArchetypeQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

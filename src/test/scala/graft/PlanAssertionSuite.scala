@@ -282,6 +282,37 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q211: expected columnar dedup levels in:\n$p")
   }
 
+  test("q212 composes Expand -> columnar grouped agg -> window group-limit in one plan") {
+    val df = run("q212_tpcds_rollup_topk")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"q212: expected the rollup Expand in:\n$p")
+    assert(p.contains("GraftColumnarGroupedAgg") && p.contains("GraftColumnarFinalAgg"),
+      s"q212: expected the rollup partial+final columnar in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"q212: expected the rank top-k group-limit in:\n$p")
+  }
+
+  test("q215 answers all eight Q88 bands from a SINGLE pushed-down fact scan") {
+    val df = run("q215_tpcds_q88_one_scan")
+    df.collect()
+    // count scans in the FINAL adaptive plan only (the explain string
+    // repeats the tree in its Initial Plan section)
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"q215: expected exactly ONE fact scan, got $scans in:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"q215: expected the band envelope pushed to parquet in:\n$p")
+    // the literal 8-subquery shape keeps each band scan pruned to the
+    // two predicate columns
+    val lit8 = run("q214_tpcds_scalar_subqueries")
+    lit8.collect()
+    val p8 = lit8.queryExecution.executedPlan.toString
+    assert(p8.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"q214: expected band predicates pushed into each subquery scan in:\n$p8")
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
