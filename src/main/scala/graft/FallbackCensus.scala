@@ -12,11 +12,16 @@ import graft.engine.GraftExplain
   * kernel to build: reasons that appear across many queries are engine
   * gaps; reasons unique to one query are usually inherent to its shape.
   *
-  * Usage: runMain graft.FallbackCensus /root/testdata/sf0.01
+  * Usage: runMain graft.FallbackCensus /root/testdata/sf0.01 [out.json]
+  * With a second argument, additionally writes the aggregated census as
+  * JSON — committed per round as FALLBACK_census.json so each round's
+  * kernel picks are driven by the measured fallback surface, not memory
+  * (VERDICT r12 task #6).
   */
 object FallbackCensus {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outFile = args.lift(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,6 +86,27 @@ object FallbackCensus {
     println("=== columnar boundary census (first row consumer | queries) ===")
     boundary.toSeq.sortBy(-_._2.size).foreach { case (consumer, qs) =>
       println(f"${qs.size}%5d  $consumer  <- ${fmt(qs)}")
+    }
+    outFile.foreach { path =>
+      def js(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      def arr(ss: Iterable[String]): String =
+        ss.toSeq.sorted.map(js).mkString("[", ",", "]")
+      val reasons = agg.toSeq.sortBy(-_._2._1).map { case (r, (n, qs, nodes)) =>
+        s"""{"reason":${js(r)},"hits":$n,"nodes":${arr(nodes)},"queries":${arr(qs)}}"""
+      }.mkString("[", ",", "]")
+      val bounds = boundary.toSeq.sortBy(-_._2.size).map { case (c, qs) =>
+        s"""{"consumer":${js(c)},"queries":${arr(qs)}}"""
+      }.mkString("[", ",", "]")
+      val json = s"""{"sf":${js(sfDir)},"queries_run":${Catalog.validated.size},""" +
+        s""""reasons":$reasons,"boundaries":$bounds}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+      println(s"[census] wrote $path")
     }
     spark.stop()
   }

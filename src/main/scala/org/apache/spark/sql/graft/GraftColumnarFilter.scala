@@ -432,6 +432,107 @@ object VecPredicate {
   private def intLike(dt: DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
 
+  /** Attribute inputs of a TOTAL null-chain expression — one that (a)
+    * can never throw on any input in its eval mode and (b) is null iff
+    * at least one input attribute is null. For such expressions,
+    * is(not)null(e) reduces to the inputs' null masks with zero
+    * evaluation. Conservative whitelist; None = not provable.
+    *
+    * Cast admissibility by mode: numeric WIDENING and temporal-family
+    * casts are total and null-preserving in every eval mode; numeric
+    * NARROWING only under LEGACY (wraps/truncates — ANSI throws on
+    * overflow, and skipping a throw the row path would raise changes
+    * semantics; TRY yields null on failure, breaking (b)). Integral
+    * +,-,* only under LEGACY (ANSI overflow throws; TRY nulls); double
+    * arithmetic is total IEEE in every mode. Remainder/Pmod need a
+    * non-zero literal divisor (zero divisor is the only throw/null
+    * site).
+    */
+  private def nullChainAttrs(e: Expression)
+      : Option[Seq[AttributeReference]] = {
+    def integralT(t: DataType) =
+      t == ByteType || t == ShortType || t == IntegerType || t == LongType
+    def numericT(t: DataType) =
+      integralT(t) || t == FloatType || t == DoubleType
+    def widens(f: DataType, t: DataType): Boolean = {
+      val order = Seq(ByteType, ShortType, IntegerType, LongType)
+      val fi = order.indexOf(f); val ti = order.indexOf(t)
+      (fi >= 0 && ti >= 0 && fi <= ti) ||
+        (numericT(f) && (t == DoubleType || t == FloatType) && f != DoubleType) ||
+        (f == FloatType && t == DoubleType) || f == t
+    }
+    def castSafe(c: Cast): Boolean = {
+      val from = c.child.dataType; val to = c.dataType
+      (from, to) match {
+        case (f, t) if f == t => true
+        case (f, t) if numericT(f) && numericT(t) =>
+          widens(f, t) || c.evalMode == EvalMode.LEGACY
+        case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) |
+             (DateType, TimestampType) | (DateType, TimestampNTZType) |
+             (TimestampType, DateType) | (TimestampNTZType, DateType) => true
+        case _ => false
+      }
+    }
+    def nonZeroLit(x: Expression): Boolean = x match {
+      case Literal(v, _) if v != null => v match {
+        case b: Byte => b != 0; case s: Short => s != 0
+        case i: Int => i != 0; case l: Long => l != 0L
+        case f: Float => f != 0f; case d: Double => d != 0d
+        case dec: org.apache.spark.sql.types.Decimal => !dec.isZero
+        case _ => false
+      }
+      case _ => false
+    }
+    // range proof for the planner-injected salt-key guard shape
+    // cast((x % d) as int): a remainder by literal d lies in
+    // (-|d|, |d|), so the narrowing cast can never overflow — total in
+    // EVERY eval mode, including ANSI.
+    def remainderFits(c: Cast): Boolean = {
+      def litAbs(x: Expression): Option[Long] = x match {
+        case Literal(v, _) => v match {
+          case b: Byte => Some(math.abs(b.toLong)); case s: Short => Some(math.abs(s.toLong))
+          case i: Int => Some(math.abs(i.toLong)); case l: Long if l != Long.MinValue => Some(math.abs(l))
+          case _ => None
+        }
+        case _ => None
+      }
+      val bound = c.dataType match {
+        case ByteType => Byte.MaxValue.toLong; case ShortType => Short.MaxValue.toLong
+        case IntegerType => Int.MaxValue.toLong; case LongType => Long.MaxValue
+        case _ => -1L
+      }
+      bound >= 0 && integralT(c.child.dataType) && (c.child match {
+        case r: Remainder => litAbs(r.right).exists(d => d > 0 && d - 1 <= bound)
+        case p: Pmod => litAbs(p.right).exists(d => d > 0 && d - 1 <= bound)
+        case _ => false
+      })
+    }
+    e match {
+      case a: AttributeReference => Some(Seq(a))
+      case Literal(v, _) if v != null => Some(Nil)
+      case c: Cast if castSafe(c) || remainderFits(c) => nullChainAttrs(c.child)
+      case r: Remainder if nonZeroLit(r.right) && numericT(r.dataType) =>
+        nullChainAttrs(r.left)
+      case p: Pmod if nonZeroLit(p.right) && numericT(p.dataType) =>
+        nullChainAttrs(p.left)
+      case b: BinaryArithmetic
+          if (b.isInstanceOf[Add] || b.isInstanceOf[Subtract] ||
+            b.isInstanceOf[Multiply]) &&
+            (b.dataType == DoubleType || b.dataType == FloatType ||
+              (integralT(b.dataType) && b.evalMode == EvalMode.LEGACY)) =>
+        for (l <- nullChainAttrs(b.left); r <- nullChainAttrs(b.right))
+          yield l ++ r
+      case u: UnaryMinus
+          if u.dataType == DoubleType || u.dataType == FloatType ||
+            (integralT(u.dataType) && !u.failOnError) =>
+        nullChainAttrs(u.child)
+      case ab: Abs if ab.dataType == DoubleType || ab.dataType == FloatType ||
+          (integralT(ab.dataType) && !ab.failOnError) =>
+        nullChainAttrs(ab.child)
+      case _ => None
+    }
+  }
+
   /** Compile a Catalyst predicate to a vectorized kernel tree, or return
     * a human-readable fallback reason (the reference's `withInfo`
     * pattern, CometSparkSessionExtensions.scala:283-295).
@@ -514,6 +615,25 @@ object VecPredicate {
         scala.Right(IsNullP(output.indexWhere(_.exprId == a.exprId), negate = false))
       case IsNotNull(a: AttributeReference) if output.exists(_.exprId == a.exprId) =>
         scala.Right(IsNullP(output.indexWhere(_.exprId == a.exprId), negate = true))
+      // is(not)null over a COMPUTED operand whose nullness provably
+      // equals "any input attribute null" (total, never-throwing
+      // null-chain: safe casts, literal-divisor remainder, double
+      // arithmetic — see nullChainAttrs): the predicate reduces to the
+      // inputs' null masks, no expression evaluation at all. Covers the
+      // planner-injected isnotnull(cast(salt-key)) / isnotnull(cast(ts))
+      // join-key guards (census: 10 hits / 7 queries).
+      case IsNull(e) if nullChainAttrs(e).exists(as =>
+          as.nonEmpty && as.forall(a => output.exists(_.exprId == a.exprId))) =>
+        scala.Right(nullChainAttrs(e).get
+          .map(a => IsNullP(output.indexWhere(_.exprId == a.exprId),
+            negate = false): VecPredicate)
+          .reduce(OrP))
+      case IsNotNull(e) if nullChainAttrs(e).exists(as =>
+          as.nonEmpty && as.forall(a => output.exists(_.exprId == a.exprId))) =>
+        scala.Right(nullChainAttrs(e).get
+          .map(a => IsNullP(output.indexWhere(_.exprId == a.exprId),
+            negate = true): VecPredicate)
+          .reduce(AndP))
       case EqualTo(l, r) => cmp(l, r, EQ)
       case LessThan(l, r) => cmp(l, r, LT)
       case LessThanOrEqual(l, r) => cmp(l, r, LE)

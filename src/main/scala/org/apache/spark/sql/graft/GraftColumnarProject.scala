@@ -111,6 +111,23 @@ final class VecScratch {
 object VecNumExpr {
   final val ADD = 0; final val SUB = 1; final val MUL = 2; final val DIV = 3
 
+  /** Totality gate for full-batch consumption outside a lazy mask
+    * (mirror of [[VecStrExpr.total]]/[[VecLongExpr.total]]): only
+    * kernels with NO throw site on any input may feed [[DblToLongL]]
+    * when it lands in a filter compare. ANSI divide throws on /0;
+    * the decimal bridge inherits the decimal lane's ANSI sites —
+    * both excluded. Everything else is pure IEEE. */
+  def total(k: VecNumExpr): Boolean = k match {
+    case ColD(_, _) | LitD(_) | NullD() => true
+    case BinD(_, l, r) => total(l) && total(r)
+    case DivD(l, r, ansi) => !ansi && total(l) && total(r)
+    case NegD(c) => total(c)
+    case AbsD(c) => total(c)
+    case RoundD(c, _, _) => total(c)
+    case CaseWhenD(bs, e) => bs.forall(b => total(b._2)) && e.forall(total)
+    case _ => false
+  }
+
   /** any numeric-family column widened to double */
   final case class ColD(ord: Int, dt: DataType) extends VecNumExpr {
     override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
@@ -196,6 +213,35 @@ object VecNumExpr {
       c.eval(b, n, values, isNull, s)
       var i = 0
       while (i < n) { values(i) = math.abs(values(i)); i += 1 }
+    }
+  }
+
+  /** round/bround over doubles — EXACTLY RoundBase's interpreted
+    * semantics (verified against the 4.1.2 bytecode): NaN/Infinity pass
+    * through, otherwise scala BigDecimal(d) (the decimal/toString
+    * representation, not raw binary) setScale(HALF_UP|HALF_EVEN)
+    * toDouble. Allocates a BigDecimal per live row like the row path
+    * itself — the win is batch locality, so masked-off rows are
+    * SKIPPED (rounding is total; garbage values are discarded by the
+    * selecting CaseWhen anyway). Census: 5 queries blocked on Round.
+    * A/B sf0.1 interleaved min-of-7: 0.96-0.97x (q33/q34), 0.96
+    * (q153), 1.02 (q53) — win-or-parity.
+    */
+  final case class RoundD(c: VecNumExpr, scale: Int, halfEven: Boolean) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      val mode =
+        if (halfEven) scala.math.BigDecimal.RoundingMode.HALF_EVEN
+        else scala.math.BigDecimal.RoundingMode.HALF_UP
+      var i = 0
+      while (i < n) {
+        val d = values(i)
+        if (!isNull(i) && s.live(i) &&
+            !java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d))
+          values(i) = scala.math.BigDecimal(d).setScale(scale, mode).toDouble
+        i += 1
+      }
     }
   }
 
@@ -330,6 +376,18 @@ object VecNumExpr {
         compileCond(Seq((iff.predicate, iff.trueValue)), Some(iff.falseValue), output)
       case cw: CaseWhen if cw.dataType == DoubleType =>
         compileCond(cw.branches, cw.elseValue, output)
+      case r: Round if r.dataType == DoubleType =>
+        r.scale match {
+          case Literal(sc: Int, IntegerType) =>
+            compile(r.child, output).map(RoundD(_, sc, halfEven = false))
+          case other => scala.Left(s"non-literal round scale: $other")
+        }
+      case r: BRound if r.dataType == DoubleType =>
+        r.scale match {
+          case Literal(sc: Int, IntegerType) =>
+            compile(r.child, output).map(RoundD(_, sc, halfEven = true))
+          case other => scala.Left(s"non-literal bround scale: $other")
+        }
       case Literal(null, DoubleType) => scala.Right(NullD())
       case other if other.dataType != DoubleType =>
         scala.Left(s"non-double result type ${other.dataType} " +
@@ -1664,6 +1722,18 @@ final case class LitL(x: Long) extends VecLongExpr {
     while (i < n) { isNull(i) = false; out(i) = x; i += 1 }
   }
 }
+/** x % d for a NON-ZERO literal divisor — the salting/bucketing key
+  * shape. JVM `%` (sign follows the dividend) is exactly Spark's
+  * integral Remainder in every eval mode once the only throw/null site
+  * (zero divisor) is excluded by the literal gate. Total. */
+final case class RemL(c: VecLongExpr, d: Long) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) { out(i) = out(i) % d; i += 1 }
+  }
+}
+
 final case class DivL(c: VecLongExpr, d: Long) extends VecLongExpr {
   // d > 0 gated at compile: no divide-by-zero, no Long.MinValue/-1 overflow
   override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
@@ -1786,6 +1856,38 @@ final case class CountTokenSizeL(c: VecStrExpr, delim: Byte, legacyNull: Boolean
         while (j < nb) { if (s.getByte(j) == delim) cnt += 1; j += 1 }
         out(i) = cnt
       }
+      i += 1
+    }
+  }
+}
+
+/** Bridge: a DOUBLE-lane kernel consumed as a cast to long.
+  * LEGACY = exactly Java's `(long) d` (truncate toward zero, NaN -> 0,
+  * ±Inf clamp) — what the row codegen emits. ANSI replicates Cast's
+  * exact guard (`Math.floor(d) <= Long.MaxValue && Math.ceil(d) >=
+  * Long.MinValue`, NaN fails both) and raises the same overflow error
+  * — making this the lane's only THROWING kernel, so it is barred from
+  * eagerly-evaluated CaseWhenL branches and from full-batch filter use
+  * by the totality gate. TRY (nulls on failure) stays on the row path.
+  * Census: the cast(round(money*100) as bigint) cents shape in 8
+  * window queries. A/B sf0.1 min-of-7: 0.94x on q184's cents window.
+  */
+final case class DblToLongL(c: VecNumExpr, ansi: Boolean) extends VecLongExpr {
+  @transient private[this] var dv: Array[Double] = null
+  @transient private[this] var scratch: VecScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (dv == null || dv.length < n) dv = new Array[Double](n)
+    if (scratch == null) scratch = new VecScratch
+    scratch.reset()
+    c.eval(batch, n, dv, isNull, scratch)
+    var i = 0
+    while (i < n) {
+      val d = dv(i)
+      if (ansi && !isNull(i) &&
+          !(Math.floor(d) <= Long.MaxValue.toDouble && Math.ceil(d) >= Long.MinValue.toDouble))
+        throw org.apache.spark.sql.errors.QueryExecutionErrors
+          .castingCauseOverflowError(d, DoubleType, LongType)
+      out(i) = d.toLong
       i += 1
     }
   }
@@ -1914,10 +2016,12 @@ object VecLongExpr {
     case ColL(_) | LitL(_) | NullL() | ColIntL(_, _) => true
     case SizeArrL(_, _) => true
     case DivL(c, _) => total(c)
+    case RemL(c, _) => total(c)
     case MicrosToDaysL(c) => total(c)
     case FloorMultOffL(c, _, _) => total(c)
     case CountTokenSizeL(c, _, _) => VecStrExpr.total(c)
     case LengthL(c) => VecStrExpr.total(c)
+    case DblToLongL(c, ansi) => !ansi && VecNumExpr.total(c)
     case ExtremumL(cs, _) => cs.forall(total)
     case CaseWhenL(bs, e) => bs.forall(b => total(b._2)) && e.forall(total)
     case _ => false
@@ -1940,6 +2044,21 @@ object VecLongExpr {
       // widening integral cast: exact in every eval mode
       case c: Cast if c.dataType == LongType && intFamily(c.child.dataType) =>
         compile(c.child, output)
+      // double→long cast: bridge the double lane. LEGACY truncates
+      // (total); ANSI replicates Cast's exact overflow guard (throwing
+      // — barred from eager CaseWhenL branches and filters by the
+      // totality gates); TRY (null on failure) stays row. The bridge
+      // evaluates its subtree full-batch with a fresh scratch (the
+      // outer lazy mask does not plumb through), so only TOTAL double
+      // subtrees are admitted.
+      case c: Cast if c.dataType == LongType &&
+          (c.child.dataType == DoubleType || c.child.dataType == FloatType) &&
+          c.evalMode != EvalMode.TRY =>
+        VecNumExpr.compile(c.child, output).flatMap { k =>
+          if (VecNumExpr.total(k))
+            scala.Right(DblToLongL(k, c.evalMode == EvalMode.ANSI))
+          else scala.Left("non-total double subtree under the cast-to-long bridge")
+        }
       case l: Length if l.child.dataType == StringType =>
         VecStrExpr.compile(l.child, output).map(LengthL)
       case le: Least if laneType(le.dataType) =>
@@ -1980,11 +2099,34 @@ object VecLongExpr {
           case other =>
             scala.Left(s"unsupported integral divisor: $other (positive literal only)")
         }
+      // x % nonzero-literal (salting/bucketing keys): JVM % == Spark's
+      // integral Remainder in every mode once the zero-divisor site is
+      // excluded. The result magnitude is < |divisor|, so an int-typed
+      // remainder stays in range for the lane's getInt read.
+      case r: org.apache.spark.sql.catalyst.expressions.Remainder
+          if laneType(r.dataType) =>
+        val div = r.right match {
+          case Literal(v: Long, LongType) if v != 0L => Some(v)
+          case Literal(v: Int, IntegerType) if v != 0 => Some(v.toLong)
+          case Literal(v: Short, ShortType) if v != 0 => Some(v.toLong)
+          case Literal(v: Byte, ByteType) if v != 0 => Some(v.toLong)
+          case _ => None
+        }
+        div match {
+          case Some(d) => compile(r.left, output).map(RemL(_, d))
+          case None => scala.Left("remainder divisor must be a non-zero literal")
+        }
+      // CaseWhenL evaluates branches EAGERLY over the whole batch (the
+      // lane was all-total by construction), so any branch kernel with
+      // a throw site (the ANSI double→long bridge) must stay row — it
+      // would fault on rows whose condition is false.
       case iff: If if laneType(iff.dataType) =>
         for {
           p <- VecPredicate.compile(iff.predicate, output)
           t <- compile(iff.trueValue, output)
           f <- compile(iff.falseValue, output)
+          _ <- if (total(t) && total(f)) scala.Right(())
+          else scala.Left("non-total branch kernel under eager IF evaluation")
         } yield CaseWhenL(Seq((p, t)), Some(f))
       case cw: CaseWhen if laneType(cw.dataType) =>
         val bs = cw.branches.foldRight(
@@ -1999,7 +2141,11 @@ object VecLongExpr {
           case None => scala.Right(None)
           case Some(x) => compile(x, output).map(Some(_))
         }
-        for { b <- bs; e <- ev } yield CaseWhenL(b, e)
+        for {
+          b <- bs; e <- ev
+          _ <- if (b.forall(x => total(x._2)) && e.forall(total)) scala.Right(())
+          else scala.Left("non-total branch kernel under eager CASE evaluation")
+        } yield CaseWhenL(b, e)
       case other =>
         scala.Left(s"unsupported long projection: ${other.getClass.getSimpleName}")
     }
