@@ -1378,6 +1378,20 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             agg.groupingExpressions.isEmpty &&
             (agg.child.supportsColumnar || rowInputAggEnabled(session)) &&
             agg.aggregateExpressions.nonEmpty =>
+        // GLOBAL FINAL merges are row by DESIGN, not a gap: above a
+        // SinglePartition exchange the node reduces at most one buffer
+        // row per map partition (≤ spark.sql.shuffle.partitions rows
+        // total) — vectorizing a ≤32-row merge buys nothing at any
+        // scale. Tag the real reason instead of letting compile()'s
+        // "mode Final is not Partial" read as a coverage gap in the
+        // census.
+        if (agg.aggregateExpressions.forall(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Final)) {
+          agg.setTagValue(fallbackReasonTag,
+            "global final merge over ≤ #shuffle-partitions buffer rows — " +
+              "row path by design (nothing to vectorize)")
+          agg
+        } else {
         // same computed-arg absorption as the grouped swap (q191 shape,
         // without keys): sum(price*(1-disc)) over the whole table
         val (rewrittenAes, base) = absorbAggArgs(agg.aggregateExpressions, agg.child)
@@ -1406,6 +1420,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               agg.setTagValue(fallbackReasonTag,
                 "partial output is not a plain buffer-attribute row"); agg
             }
+        }
         }
     }
 

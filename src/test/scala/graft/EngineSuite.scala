@@ -3909,6 +3909,34 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("math kernels: edge inputs (asymptotes, NaN, ±Inf, ±0.0) match the row path bitwise") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mathd").toString
+    Seq(-2.0, -1.0, -0.5, 0.0, -0.0, 0.5, 1.0, 2.0, 100.0, 1.0e308,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .map(Option(_)).appended(Option.empty[Double]).zipWithIndex
+      .map { case (d, i) => (i, d) }
+      .toDF("id", "x").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val funcs = Seq(
+      sqrt($"x"), cbrt($"x"), exp($"x"), expm1($"x"),
+      log($"x"), log10($"x"), log1p($"x"), log2($"x"), log(3.0, $"x"),
+      sin($"x"), cos($"x"), tan($"x"), cot($"x"),
+      asin($"x"), acos($"x"), atan($"x"),
+      sinh($"x"), cosh($"x"), tanh($"x"),
+      asinh($"x"), acosh($"x"), atanh($"x"),
+      degrees($"x"), radians($"x"),
+      pow($"x", lit(2.5)), atan2($"x", lit(3.0)), hypot($"x", lit(4.0)),
+      round($"x", 2), bround($"x", 2))
+      .zipWithIndex.map { case (c, i) => c.as(s"f$i") }
+    val df = t.select(($"id" +: funcs): _*)
+    assert(findExec(df) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"expected the math project to swap in:\n${df.queryExecution.executedPlan}")
+    checkInvariantUnder(df,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
   test("double grouping keys: NaN canonicalization + -0.0/0.0 collapse match row semantics") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-dblkey").toString
