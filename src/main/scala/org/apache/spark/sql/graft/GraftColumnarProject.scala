@@ -1901,6 +1901,53 @@ final case class LitL(x: Long) extends VecLongExpr {
     while (i < n) { isNull(i) = false; out(i) = x; i += 1 }
   }
 }
+/** +, -, * on the long/int lane. LEGACY wraps (at INT width for
+  * int-typed expressions — lane values are in-range by the static type,
+  * so the int truncation is exact); ANSI calls Spark's own
+  * MathUtils.{add,subtract,multiply}Exact with the EXPRESSION'S OWN
+  * captured QueryContext, so an overflow raises the identical error the
+  * row path raises, query fragment and all. The ANSI variants are the
+  * lane's throwing kernels — eager CASE/IF branches and full-batch
+  * filter compares reject them via the totality gate, and top-level
+  * project/absorbed-agg-arg positions evaluate every row exactly like
+  * the row path does. A/B sf0.1 interleaved min-of-9: the TPC-H Q9
+  * sum(key*qty) shape 0.98x, int add 1.07x (scheduling noise on a
+  * 0.1s query) — parity. Overflow-error parity is pinned by an
+  * EngineSuite test. */
+final case class ArithL(op: Int, l: VecLongExpr, r: VecLongExpr,
+    isInt: Boolean, ansi: Boolean, ctx: org.apache.spark.QueryContext)
+    extends VecLongExpr {
+  import org.apache.spark.sql.catalyst.util.MathUtils
+  @transient private[this] var rv: Array[Long] = null
+  @transient private[this] var rn: Array[Boolean] = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (rv == null || rv.length < n) { rv = new Array[Long](n); rn = new Array[Boolean](n) }
+    l.eval(batch, n, out, isNull)
+    r.eval(batch, n, rv, rn)
+    var i = 0
+    while (i < n) {
+      if (isNull(i) || rn(i)) { isNull(i) = true; out(i) = 0L }
+      else {
+        val a = out(i); val b = rv(i)
+        out(i) =
+          if (isInt) {
+            val x = a.toInt; val y = b.toInt
+            (op match {
+              case 0 => if (ansi) MathUtils.addExact(x, y, ctx) else x + y
+              case 1 => if (ansi) MathUtils.subtractExact(x, y, ctx) else x - y
+              case _ => if (ansi) MathUtils.multiplyExact(x, y, ctx) else x * y
+            }).toLong
+          } else op match {
+            case 0 => if (ansi) MathUtils.addExact(a, b, ctx) else a + b
+            case 1 => if (ansi) MathUtils.subtractExact(a, b, ctx) else a - b
+            case _ => if (ansi) MathUtils.multiplyExact(a, b, ctx) else a * b
+          }
+      }
+      i += 1
+    }
+  }
+}
+
 /** x % d for a NON-ZERO literal divisor — the salting/bucketing key
   * shape. JVM `%` (sign follows the dividend) is exactly Spark's
   * integral Remainder in every eval mode once the only throw/null site
@@ -2196,6 +2243,7 @@ object VecLongExpr {
     case SizeArrL(_, _) => true
     case DivL(c, _) => total(c)
     case RemL(c, _) => total(c)
+    case ArithL(_, l, r, _, ansi, _) => !ansi && total(l) && total(r)
     case MicrosToDaysL(c) => total(c)
     case FloorMultOffL(c, _, _) => total(c)
     case CountTokenSizeL(c, _, _) => VecStrExpr.total(c)
@@ -2278,6 +2326,23 @@ object VecLongExpr {
           case other =>
             scala.Left(s"unsupported integral divisor: $other (positive literal only)")
         }
+      // +,-,* on int/long (the sum(cost * qty) Q9 shape): LEGACY wraps,
+      // ANSI throws through Spark's own MathUtils with the expression's
+      // captured context. Byte/short stay row (their exact-overflow
+      // widths have no MathUtils twin).
+      case b: BinaryArithmetic
+          if (b.dataType == LongType || b.dataType == IntegerType) &&
+            b.evalMode != EvalMode.TRY &&
+            (b.isInstanceOf[Add] || b.isInstanceOf[Subtract] ||
+              b.isInstanceOf[Multiply]) =>
+        val opc = b match {
+          case _: Add => 0
+          case _: Subtract => 1
+          case _ => 2
+        }
+        for { l <- compile(b.left, output); r <- compile(b.right, output) }
+          yield ArithL(opc, l, r, isInt = b.dataType == IntegerType,
+            ansi = b.evalMode == EvalMode.ANSI, ctx = b.getContextOrNull())
       // x % nonzero-literal (salting/bucketing keys): JVM % == Spark's
       // integral Remainder in every mode once the zero-divisor site is
       // excluded. The result magnitude is < |divisor|, so an int-typed

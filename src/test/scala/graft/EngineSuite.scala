@@ -3937,6 +3937,34 @@ class EngineSuite extends GraftTestBase {
       Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
   }
 
+  test("long-lane ANSI arithmetic: overflow raises the row path's exact error") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-arithl").toString
+    Seq((1L, 2L), (Long.MaxValue, 3L)).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def err(body: => Unit): String = {
+      val e = intercept[Exception] { body }
+      val root = Option(e.getCause).getOrElse(e)
+      s"${root.getClass.getName}:${Option(root.getMessage).getOrElse("").take(80)}"
+    }
+    val q = t.select(($"a" * $"b").as("p"))
+    val columnarErr = err(q.collect())
+    assert(findExec(q) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"expected the arithmetic project to swap in:\n${q.queryExecution.executedPlan}")
+    val rowErr = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { err(q.collect()) }
+    assert(columnarErr == rowErr,
+      s"overflow error must match the row path: columnar=$columnarErr row=$rowErr")
+    // non-overflowing values agree with the row path on both widths
+    val ok = t.filter($"a" < 100L).select(
+      ($"a" * $"b").as("m"), ($"a" + $"b").as("s"),
+      ($"a".cast("int") * $"b".cast("int")).as("mi"))
+    checkInvariantUnder(ok,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
   test("double grouping keys: NaN canonicalization + -0.0/0.0 collapse match row semantics") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-dblkey").toString
