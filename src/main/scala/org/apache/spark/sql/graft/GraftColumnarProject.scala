@@ -119,6 +119,7 @@ object VecNumExpr {
     * both excluded. Everything else is pure IEEE. */
   def total(k: VecNumExpr): Boolean = k match {
     case ColD(_, _) | LitD(_) | NullD() => true
+    case LongAsDoubleD(c) => VecLongExpr.total(c)
     case BinD(_, l, r) => total(l) && total(r)
     case DivD(l, r, ansi) => !ansi && total(l) && total(r)
     case NegD(c) => total(c)
@@ -417,6 +418,24 @@ object VecNumExpr {
     }
   }
 
+  /** Bridge: a LONG-lane kernel consumed as DOUBLE (Cast(intFamily
+    * expression → double) where the subtree is more than a plain column
+    * read — e.g. cast((n - df) as double) in the BM25 idf shape).
+    * long→double is IEEE round-to-nearest in both engines and every
+    * eval mode; the subtree's OWN throw semantics (ANSI arithmetic)
+    * carry through unchanged, so this bridge is mask-UNSAFE when the
+    * subtree can throw — see [[VecNumExpr.maskSafe]]. */
+  final case class LongAsDoubleD(c: VecLongExpr) extends VecNumExpr {
+    @transient private[this] var lv: Array[Long] = null
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      if (lv == null || lv.length < n) lv = new Array[Long](n)
+      c.eval(b, n, lv, isNull)
+      var i = 0
+      while (i < n) { values(i) = if (isNull(i)) 0d else lv(i).toDouble; i += 1 }
+    }
+  }
+
   /** Bridge: a decimal kernel consumed as DOUBLE (Cast(dec → double)).
     * Mirrors OpenJDK BigDecimal.doubleValue(): one IEEE division when
     * unscaled and 10^scale are both exactly representable, else the
@@ -523,8 +542,11 @@ object VecNumExpr {
           case f: Float => f.toDouble; case d: Double => d
         }))
       case c: Cast if c.dataType == DoubleType && numeric(c.child.dataType) =>
-        // widening numeric→double cast never errors in any eval mode
-        compile(c.child, output)
+        // widening numeric→double cast never errors in any eval mode.
+        // When the child is a long-lane EXPRESSION the double lane can't
+        // express (integral subtract/remainder/size), bridge it.
+        compile(c.child, output).orElse(
+          VecLongExpr.compile(c.child, output).map(LongAsDoubleD))
       case c: Cast if c.dataType == DoubleType &&
           c.child.dataType.isInstanceOf[DecimalType] &&
           c.child.dataType.asInstanceOf[DecimalType].precision <= Decimal.MAX_LONG_DIGITS =>
@@ -594,7 +616,33 @@ object VecNumExpr {
       case None => scala.Right(None)
       case Some(e) => compile(e, output).map(Some(_))
     }
-    for { b <- bs; e <- ev } yield CaseWhenD(b, e)
+    for {
+      b <- bs; e <- ev
+      // branch kernels run under the LAZY selection mask: native double
+      // kernels honor it at their throw sites, but a long-lane bridge
+      // wrapping a THROWING long kernel (ANSI arithmetic) evaluates its
+      // subtree full-batch and would fault on masked-off rows
+      _ <- if (b.forall(x => maskSafe(x._2)) && e.forall(maskSafe)) scala.Right(())
+      else scala.Left("mask-unsafe kernel under lazy CASE branch evaluation")
+    } yield CaseWhenD(b, e)
+  }
+
+  /** Safe to evaluate under CaseWhenD's lazy selection mask: every
+    * potential throw site either honors the mask (native double lane)
+    * or cannot throw at all. The long-lane bridge is the exception —
+    * its subtree has no mask channel, so it is mask-safe only when the
+    * subtree is total. */
+  def maskSafe(k: VecNumExpr): Boolean = k match {
+    case LongAsDoubleD(c) => VecLongExpr.total(c)
+    case BinD(_, l, r) => maskSafe(l) && maskSafe(r)
+    case DivD(l, r, _) => maskSafe(l) && maskSafe(r)
+    case NegD(c) => maskSafe(c)
+    case AbsD(c) => maskSafe(c)
+    case RoundD(c, _, _) => maskSafe(c)
+    case MathD(_, c) => maskSafe(c)
+    case BinMathD(_, l, r) => maskSafe(l) && maskSafe(r)
+    case CaseWhenD(bs, e) => bs.forall(x => maskSafe(x._2)) && e.forall(maskSafe)
+    case _ => true // leaves and the decimal bridge honor the mask natively
   }
 }
 
@@ -1948,6 +1996,36 @@ final case class ArithL(op: Int, l: VecLongExpr, r: VecLongExpr,
   }
 }
 
+/** coalesce on the long/int lane — first non-null child per row. The
+  * row path evaluates later arguments LAZILY (only for rows where all
+  * earlier ones were null), so eager full-batch evaluation requires
+  * every child to be total — enforced at compile. */
+final case class CoalesceL(cs: Seq[VecLongExpr]) extends VecLongExpr {
+  @transient private[this] var tv: Array[Long] = null
+  @transient private[this] var tn: Array[Boolean] = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    cs.head.eval(batch, n, out, isNull)
+    if (cs.length > 1) {
+      if (tv == null || tv.length < n) { tv = new Array[Long](n); tn = new Array[Boolean](n) }
+      var k = 1
+      while (k < cs.length) {
+        var any = false
+        var i = 0
+        while (i < n && !any) { any = isNull(i); i += 1 }
+        if (any) {
+          cs(k).eval(batch, n, tv, tn)
+          i = 0
+          while (i < n) {
+            if (isNull(i) && !tn(i)) { out(i) = tv(i); isNull(i) = false }
+            i += 1
+          }
+        }
+        k += 1
+      }
+    }
+  }
+}
+
 /** x % d for a NON-ZERO literal divisor — the salting/bucketing key
   * shape. JVM `%` (sign follows the dividend) is exactly Spark's
   * integral Remainder in every eval mode once the only throw/null site
@@ -2244,6 +2322,7 @@ object VecLongExpr {
     case DivL(c, _) => total(c)
     case RemL(c, _) => total(c)
     case ArithL(_, l, r, _, ansi, _) => !ansi && total(l) && total(r)
+    case CoalesceL(cs) => cs.forall(total)
     case MicrosToDaysL(c) => total(c)
     case FloorMultOffL(c, _, _) => total(c)
     case CountTokenSizeL(c, _, _) => VecStrExpr.total(c)
@@ -2343,6 +2422,15 @@ object VecLongExpr {
         for { l <- compile(b.left, output); r <- compile(b.right, output) }
           yield ArithL(opc, l, r, isInt = b.dataType == IntegerType,
             ansi = b.evalMode == EvalMode.ANSI, ctx = b.getContextOrNull())
+      // coalesce over lane values (sum(coalesce(flag, 0)) shapes):
+      // total children only — the row path evaluates later args lazily
+      case co: Coalesce if laneType(co.dataType) =>
+        val parts = co.children.map(compile(_, output))
+        parts.collectFirst { case scala.Left(r) => scala.Left(r) }.getOrElse {
+          val ks = parts.collect { case scala.Right(k) => k }
+          if (ks.forall(total)) scala.Right(CoalesceL(ks))
+          else scala.Left("non-total child under lazily-evaluated coalesce")
+        }
       // x % nonzero-literal (salting/bucketing keys): JVM % == Spark's
       // integral Remainder in every mode once the zero-divisor site is
       // excluded. The result magnitude is < |divisor|, so an int-typed
