@@ -635,5 +635,34 @@ object EngineQueries {
           count(DISTINCT l_suppkey) AS cd_supp
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "Multi-distinct (two count(DISTINCT) args): the Expand rewrite runs on the columnar Expand twin + columnar dedup levels + gid-FILTER partial counts. A/B sf0.1 min-of-9: 1.13x composite (every swap in this chain predates r13 and wins individually; Expand-off measures 1.8x WORSE, so the twin stays ON — watch item, not a gate).")
+    ,
+
+    QueryDef(
+      "q216_distinct_mixed",
+      (s, dir) => {
+        import s.implicits._
+        // MIXED distinct + plain aggregates — Spark plans the plain
+        // functions as PartialMerge alongside the distinct dedup: the
+        // post-exchange buffer re-merge (keys=(k, x),
+        // merge_count/merge_max) runs on the PartialMerge twin of the
+        // columnar final agg (emitBuffers mode — pinned), the dedup
+        // partial and the top final swap as before; only the one
+        // mixed-mode node (merge+partial in a single HashAggregate)
+        // stays row with a tagged reason. All lanes exact: distinct
+        // long sum, count, selection max.
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            sum_distinct($"l_partkey").as("sd_part"),
+            count(lit(1)).as("n"),
+            max($"l_quantity").as("mx_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(sum(DISTINCT l_partkey) AS BIGINT) AS sd_part,
+          count(*) AS n,
+          max(l_quantity) AS mx_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Mixed distinct + plain aggregates: the post-exchange PartialMerge buffer re-merge runs columnar (emitBuffers twin of the final agg), with the dedup partial and top final also columnar — 3 of the plan's 4 aggregate levels swap.")
   )
 }

@@ -1117,8 +1117,36 @@ object GraftColumnarAgg {
     * expressions are used only for their data types (they reference
     * pre-shuffle attributes that no longer exist here).
     */
+  /** PartialMerge twin of [[compileFinal]]: identical buffer-merge
+    * semantics (mergeExpressions are the same expressions in both
+    * modes), but the emitting exec re-emits BUFFERS instead of
+    * finalized values — so the moments/cov/corr specs (whose merge
+    * STATE layout differs from the partial buffer layout) are excluded
+    * by the planner gate, not here. */
+  def compileMerge(ae: AggregateExpression, bufOrd: Attribute => Int): Either[String, AggSpec] = {
+    if (ae.mode != PartialMerge) return scala.Left(s"mode ${ae.mode} is not PartialMerge")
+    compileMergeLike(ae, bufOrd)
+  }
+
   def compileFinal(ae: AggregateExpression, bufOrd: Attribute => Int): Either[String, AggSpec] = {
     if (ae.mode != Final) return scala.Left(s"mode ${ae.mode} is not Final")
+    compileMergeLike(ae, bufOrd)
+  }
+
+  /** Whether a merge-mode spec's accumulator state can be re-emitted in
+    * the PARTIAL buffer layout (the PartialMerge exec's output). True
+    * for every spec whose merge state fields coincide with the partial
+    * update state; the moments family merges into (n in dblAcc,
+    * double[] lanes) while the partial layout writer expects (count in
+    * longAcc, double[] lanes) — excluded. */
+  def bufferReEmittable(s: AggSpec): Boolean = s match {
+    case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) |
+         CorrFinalSpec(_, _, _) => false
+    case _ => true
+  }
+
+  private def compileMergeLike(ae: AggregateExpression,
+      bufOrd: Attribute => Int): Either[String, AggSpec] = {
     // isDistinct never reaches mergeExpressions — the final merge of a
     // distinct aggregate is the plain buffer merge (see the Partial-mode
     // note in compile), so distinct-marked finals ride the same specs.

@@ -233,197 +233,8 @@ case class GraftColumnarGroupedAggExec(
           }
           c += 1
         }
-        var slot = nKeys
-        var si = 0
-        while (si < nSpecs) {
-          specsLocal(si) match {
-            case CountSpec(_) =>
-              var i = 0
-              while (i < g) { cols(slot).putLong(i, st.longAcc(si)(i)); i += 1 }
-              slot += 1
-            case SumDoubleSpec(_, _) =>
-              var i = 0
-              while (i < g) {
-                if (st.seen(si)(i)) cols(slot).putDouble(i, st.dblAcc(si)(i))
-                else cols(slot).putNull(i)
-                i += 1
-              }
-              slot += 1
-            case MinMaxLongSpec(_, dt, _) =>
-              var i = 0
-              while (i < g) {
-                if (!st.seen(si)(i)) cols(slot).putNull(i)
-                else dt match {
-                  case ByteType => cols(slot).putByte(i, st.longAcc(si)(i).toByte)
-                  case ShortType => cols(slot).putShort(i, st.longAcc(si)(i).toShort)
-                  case IntegerType | DateType => cols(slot).putInt(i, st.longAcc(si)(i).toInt)
-                  case _ => cols(slot).putLong(i, st.longAcc(si)(i))
-                }
-                i += 1
-              }
-              slot += 1
-            case MinMaxDoubleSpec(_, dt, _) =>
-              var i = 0
-              while (i < g) {
-                if (!st.seen(si)(i)) cols(slot).putNull(i)
-                else if (dt == FloatType) cols(slot).putFloat(i, st.dblAcc(si)(i).toFloat)
-                else cols(slot).putDouble(i, st.dblAcc(si)(i))
-                i += 1
-              }
-              slot += 1
-            case MinMaxStringSpec(_, _) =>
-              var i = 0
-              while (i < g) {
-                if (st.seen(si)(i)) cols(slot).putByteArray(i, st.strAcc(si)(i).getBytes)
-                else cols(slot).putNull(i)
-                i += 1
-              }
-              slot += 1
-            case AvgSpec(_, _) =>
-              var i = 0
-              while (i < g) {
-                cols(slot).putDouble(i, st.dblAcc(si)(i))
-                cols(slot + 1).putLong(i, st.longAcc(si)(i))
-                i += 1
-              }
-              slot += 2
-            case SumDec64Spec(_, _, buf, _) =>
-              // empty → (ZERO, true): the row merge adds
-              // KnownNotNull(sum) unconditionally; null sum means
-              // overflow, nothing else
-              var i = 0
-              while (i < g) {
-                if (st.seen(si)(i))
-                  GraftColumnarAgg.putPartialDecSum(
-                    cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
-                else cols(slot).putDecimal(i,
-                  Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
-                cols(slot + 1).putBoolean(i, !st.seen(si)(i))
-                i += 1
-              }
-              slot += 2
-            case SumDec128Spec(_, _, buf, _) =>
-              // same (sum, isEmpty) contract as the Dec64 case above
-              var i = 0
-              while (i < g) {
-                if (st.seen(si)(i))
-                  GraftColumnarAgg.putPartialDec128Sum(cols(slot), i, st.objAcc(si)(i), buf)
-                else cols(slot).putDecimal(i,
-                  Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
-                cols(slot + 1).putBoolean(i, !st.seen(si)(i))
-                i += 1
-              }
-              slot += 2
-            case MinMaxDec64Spec(_, dt, _) =>
-              var i = 0
-              while (i < g) {
-                if (st.seen(si)(i))
-                  cols(slot).putDecimal(i,
-                    Decimal.createUnsafe(st.longAcc(si)(i), dt.precision, dt.scale),
-                    dt.precision)
-                else cols(slot).putNull(i)
-                i += 1
-              }
-              slot += 1
-            case MinMaxDec128Spec(_, dt, _) =>
-              var i = 0
-              while (i < g) {
-                st.objAcc(si)(i) match {
-                  case a: Array[Long] if st.seen(si)(i) =>
-                    cols(slot).putDecimal(i,
-                      GraftColumnarAgg.dec128Value(a(0), a(1), dt), dt.precision)
-                  case _ => cols(slot).putNull(i)
-                }
-                i += 1
-              }
-              slot += 1
-            case SumLongSpec(_, _, _) =>
-              var i = 0
-              while (i < g) {
-                if (st.seen(si)(i)) cols(slot).putLong(i, st.longAcc(si)(i))
-                else cols(slot).putNull(i)
-                i += 1
-              }
-              slot += 1
-            case MomentsSpec(_, order) =>
-              // CentralMomentAgg buffers are non-nullable, init 0.0 —
-              // a group exists only after ≥1 input row, but that row's
-              // value may have been NULL (arr stays unallocated)
-              var i = 0
-              while (i < g) {
-                val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
-                cols(slot).putDouble(i, st.longAcc(si)(i).toDouble)
-                var k = 0
-                while (k < order) {
-                  cols(slot + 1 + k).putDouble(i, if (arr == null) 0.0 else arr(k))
-                  k += 1
-                }
-                i += 1
-              }
-              slot += order + 1
-            case s @ (CovSpec(_, _) | CorrSpec(_, _)) =>
-              var i = 0
-              while (i < g) {
-                val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
-                cols(slot).putDouble(i, st.longAcc(si)(i).toDouble)
-                var k = 1
-                while (k < s.slots) {
-                  cols(slot + k).putDouble(i, if (arr == null) 0.0 else arr(k - 1))
-                  k += 1
-                }
-                i += 1
-              }
-              slot += s.slots
-            case AvgDec64Spec(_, _, buf) =>
-              // buffer = (sum starting at ZERO, count) — null sum means
-              // overflow past the buffer precision, nothing else
-              var i = 0
-              while (i < g) {
-                GraftColumnarAgg.putPartialDecSum(
-                  cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
-                cols(slot + 1).putLong(i, st.dblAcc(si)(i).toLong)
-                i += 1
-              }
-              slot += 2
-            case AvgDec128Spec(_, _, buf) =>
-              var i = 0
-              while (i < g) {
-                st.objAcc(si)(i) match {
-                  case null => cols(slot).putDecimal(i,
-                    Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
-                  case acc => GraftColumnarAgg.putPartialDec128Sum(cols(slot), i, acc, buf)
-                }
-                cols(slot + 1).putLong(i, st.longAcc(si)(i))
-                i += 1
-              }
-              slot += 2
-            case FirstLastSpec(_, dt, _, _) =>
-              // buffer = (value — may be a captured NULL when
-              // ignoreNulls=false (object-lane marker), valueSet)
-              var i = 0
-              while (i < g) {
-                if (!st.seen(si)(i) || (st.objAcc(si)(i) ne null)) cols(slot).putNull(i)
-                else dt match {
-                  case StringType =>
-                    cols(slot).putByteArray(i, st.strAcc(si)(i).getBytes)
-                  case DoubleType => cols(slot).putDouble(i, st.dblAcc(si)(i))
-                  case FloatType => cols(slot).putFloat(i, st.dblAcc(si)(i).toFloat)
-                  case d: DecimalType => cols(slot).putDecimal(i,
-                    Decimal.createUnsafe(st.longAcc(si)(i), d.precision, d.scale),
-                    d.precision)
-                  case ByteType => cols(slot).putByte(i, st.longAcc(si)(i).toByte)
-                  case ShortType => cols(slot).putShort(i, st.longAcc(si)(i).toShort)
-                  case IntegerType | DateType => cols(slot).putInt(i, st.longAcc(si)(i).toInt)
-                  case BooleanType => cols(slot).putBoolean(i, st.longAcc(si)(i) != 0L)
-                  case _ => cols(slot).putLong(i, st.longAcc(si)(i))
-                }
-                cols(slot + 1).putBoolean(i, st.seen(si)(i))
-                i += 1
-              }
-              slot += 2
-          }
-          si += 1
-        }
+        GraftColumnarGroupedAggExec.writeBufferColumns(
+          specsLocal.toIndexedSeq, st, cols, nKeys, g)
         outM.add(g); flushM.add(1)
         val out = new ColumnarBatch(cols.toArray[ColumnVector], g)
         st.reset()
@@ -928,6 +739,217 @@ object GraftColumnarGroupedAggExec {
     * flushes partial rows early (correct: final agg merges duplicates). */
   val maxGroupsKey = "spark.graft.columnar.agg.maxGroups"
   val defaultMaxGroups = 1 << 16
+
+
+  /** Write every spec's PARTIAL-BUFFER columns for `g` groups starting
+    * at column `startSlot` — shared by the partial exec's flush and the
+    * PartialMerge exec's buffer-emitting flush (both emit the exact
+    * keys-plus-buffer-attributes layout the row HashAggregate emits).
+    */
+  def writeBufferColumns(specs: IndexedSeq[AggSpec], st: GroupAggState,
+      cols: Array[org.apache.spark.sql.execution.vectorized.OnHeapColumnVector],
+      startSlot: Int, g: Int, mergeState: Boolean = false): Unit = {
+    import AggSpec._
+    var slot = startSlot
+    var si = 0
+    while (si < specs.length) {
+      specs(si) match {
+        case CountSpec(_) =>
+          var i = 0
+          while (i < g) { cols(slot).putLong(i, st.longAcc(si)(i)); i += 1 }
+          slot += 1
+        case SumDoubleSpec(_, _) =>
+          var i = 0
+          while (i < g) {
+            if (st.seen(si)(i)) cols(slot).putDouble(i, st.dblAcc(si)(i))
+            else cols(slot).putNull(i)
+            i += 1
+          }
+          slot += 1
+        case MinMaxLongSpec(_, dt, _) =>
+          var i = 0
+          while (i < g) {
+            if (!st.seen(si)(i)) cols(slot).putNull(i)
+            else dt match {
+              case ByteType => cols(slot).putByte(i, st.longAcc(si)(i).toByte)
+              case ShortType => cols(slot).putShort(i, st.longAcc(si)(i).toShort)
+              case IntegerType | DateType => cols(slot).putInt(i, st.longAcc(si)(i).toInt)
+              case _ => cols(slot).putLong(i, st.longAcc(si)(i))
+            }
+            i += 1
+          }
+          slot += 1
+        case MinMaxDoubleSpec(_, dt, _) =>
+          var i = 0
+          while (i < g) {
+            if (!st.seen(si)(i)) cols(slot).putNull(i)
+            else if (dt == FloatType) cols(slot).putFloat(i, st.dblAcc(si)(i).toFloat)
+            else cols(slot).putDouble(i, st.dblAcc(si)(i))
+            i += 1
+          }
+          slot += 1
+        case MinMaxStringSpec(_, _) =>
+          var i = 0
+          while (i < g) {
+            if (st.seen(si)(i)) cols(slot).putByteArray(i, st.strAcc(si)(i).getBytes)
+            else cols(slot).putNull(i)
+            i += 1
+          }
+          slot += 1
+        case AvgSpec(_, _) =>
+          var i = 0
+          while (i < g) {
+            cols(slot).putDouble(i, st.dblAcc(si)(i))
+            cols(slot + 1).putLong(i, st.longAcc(si)(i))
+            i += 1
+          }
+          slot += 2
+        case SumDec64Spec(_, _, buf, _) =>
+          // empty → (ZERO, true): the row merge adds
+          // KnownNotNull(sum) unconditionally; null sum means
+          // overflow, nothing else
+          var i = 0
+          while (i < g) {
+            if (st.seen(si)(i))
+              GraftColumnarAgg.putPartialDecSum(
+                cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
+            else cols(slot).putDecimal(i,
+              Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
+            cols(slot + 1).putBoolean(i, !st.seen(si)(i))
+            i += 1
+          }
+          slot += 2
+        case SumDec128Spec(_, _, buf, _) =>
+          // same (sum, isEmpty) contract as the Dec64 case above.
+          // mergeState: the MERGE exec accumulates both widths in the
+          // Dec64 conventions (longAcc + BigInteger escape + poison),
+          // not the partial's int128 limb array — write through the
+          // width-agnostic Dec64 writer (poison lands on its null arm).
+          var i = 0
+          while (i < g) {
+            if (st.seen(si)(i)) {
+              if (mergeState)
+                GraftColumnarAgg.putPartialDecSum(
+                  cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
+              else
+                GraftColumnarAgg.putPartialDec128Sum(cols(slot), i, st.objAcc(si)(i), buf)
+            } else cols(slot).putDecimal(i,
+              Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
+            cols(slot + 1).putBoolean(i, !st.seen(si)(i))
+            i += 1
+          }
+          slot += 2
+        case MinMaxDec64Spec(_, dt, _) =>
+          var i = 0
+          while (i < g) {
+            if (st.seen(si)(i))
+              cols(slot).putDecimal(i,
+                Decimal.createUnsafe(st.longAcc(si)(i), dt.precision, dt.scale),
+                dt.precision)
+            else cols(slot).putNull(i)
+            i += 1
+          }
+          slot += 1
+        case MinMaxDec128Spec(_, dt, _) =>
+          var i = 0
+          while (i < g) {
+            st.objAcc(si)(i) match {
+              case a: Array[Long] if st.seen(si)(i) =>
+                cols(slot).putDecimal(i,
+                  GraftColumnarAgg.dec128Value(a(0), a(1), dt), dt.precision)
+              case _ => cols(slot).putNull(i)
+            }
+            i += 1
+          }
+          slot += 1
+        case SumLongSpec(_, _, _) =>
+          var i = 0
+          while (i < g) {
+            if (st.seen(si)(i)) cols(slot).putLong(i, st.longAcc(si)(i))
+            else cols(slot).putNull(i)
+            i += 1
+          }
+          slot += 1
+        case MomentsSpec(_, order) =>
+          // CentralMomentAgg buffers are non-nullable, init 0.0 —
+          // a group exists only after ≥1 input row, but that row's
+          // value may have been NULL (arr stays unallocated)
+          var i = 0
+          while (i < g) {
+            val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
+            cols(slot).putDouble(i, st.longAcc(si)(i).toDouble)
+            var k = 0
+            while (k < order) {
+              cols(slot + 1 + k).putDouble(i, if (arr == null) 0.0 else arr(k))
+              k += 1
+            }
+            i += 1
+          }
+          slot += order + 1
+        case s @ (CovSpec(_, _) | CorrSpec(_, _)) =>
+          var i = 0
+          while (i < g) {
+            val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
+            cols(slot).putDouble(i, st.longAcc(si)(i).toDouble)
+            var k = 1
+            while (k < s.slots) {
+              cols(slot + k).putDouble(i, if (arr == null) 0.0 else arr(k - 1))
+              k += 1
+            }
+            i += 1
+          }
+          slot += s.slots
+        case AvgDec64Spec(_, _, buf) =>
+          // buffer = (sum starting at ZERO, count) — null sum means
+          // overflow past the buffer precision, nothing else
+          var i = 0
+          while (i < g) {
+            GraftColumnarAgg.putPartialDecSum(
+              cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
+            cols(slot + 1).putLong(i, st.dblAcc(si)(i).toLong)
+            i += 1
+          }
+          slot += 2
+        case AvgDec128Spec(_, _, buf) =>
+          var i = 0
+          while (i < g) {
+            st.objAcc(si)(i) match {
+              case null => cols(slot).putDecimal(i,
+                Decimal.createUnsafe(0L, buf.precision, buf.scale), buf.precision)
+              case acc => GraftColumnarAgg.putPartialDec128Sum(cols(slot), i, acc, buf)
+            }
+            cols(slot + 1).putLong(i, st.longAcc(si)(i))
+            i += 1
+          }
+          slot += 2
+        case FirstLastSpec(_, dt, _, _) =>
+          // buffer = (value — may be a captured NULL when
+          // ignoreNulls=false (object-lane marker), valueSet)
+          var i = 0
+          while (i < g) {
+            if (!st.seen(si)(i) || (st.objAcc(si)(i) ne null)) cols(slot).putNull(i)
+            else dt match {
+              case StringType =>
+                cols(slot).putByteArray(i, st.strAcc(si)(i).getBytes)
+              case DoubleType => cols(slot).putDouble(i, st.dblAcc(si)(i))
+              case FloatType => cols(slot).putFloat(i, st.dblAcc(si)(i).toFloat)
+              case d: DecimalType => cols(slot).putDecimal(i,
+                Decimal.createUnsafe(st.longAcc(si)(i), d.precision, d.scale),
+                d.precision)
+              case ByteType => cols(slot).putByte(i, st.longAcc(si)(i).toByte)
+              case ShortType => cols(slot).putShort(i, st.longAcc(si)(i).toShort)
+              case IntegerType | DateType => cols(slot).putInt(i, st.longAcc(si)(i).toInt)
+              case BooleanType => cols(slot).putBoolean(i, st.longAcc(si)(i) != 0L)
+              case _ => cols(slot).putLong(i, st.longAcc(si)(i))
+            }
+            cols(slot + 1).putBoolean(i, st.seen(si)(i))
+            i += 1
+          }
+          slot += 2
+      }
+      si += 1
+    }
+  }
 
   val supportedKeyTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType, DateType,

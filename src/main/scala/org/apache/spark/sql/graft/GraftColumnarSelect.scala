@@ -639,6 +639,56 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             }
         }
 
+      // Grouped PARTIAL-MERGE: the buffer re-merge Spark plans between
+      // a partial and the next level (distinct plans' merge_count dedup,
+      // multi-level aggregations). Same row-input merge machinery as
+      // the FINAL swap — the flush just RE-EMITS the merged buffers in
+      // the keys ++ buffer-attributes layout instead of finalizing.
+      // Moments/cov/corr are gated out: their merge STATE layout
+      // differs from the partial buffer layout the re-emit writes.
+      case agg: HashAggregateExec
+          if agg.groupingExpressions.nonEmpty && !agg.child.supportsColumnar &&
+            agg.aggregateExpressions.nonEmpty &&
+            agg.aggregateExpressions.forall(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.PartialMerge) &&
+            finalAggEnabled(session) =>
+        val bufOrd: Attribute => Int =
+          a => agg.child.output.indexWhere(_.exprId == a.exprId)
+        val keySpecs = agg.groupingExpressions.map {
+          case a: AttributeReference
+              if bufOrd(a) >= 0 && GraftColumnarGroupedAggExec.supportedKeyTypes(a.dataType) =>
+            scala.Right(GroupKeySpec(bufOrd(a), a.dataType))
+          case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
+        }
+        val compiled = agg.aggregateExpressions.map(ae =>
+          GraftColumnarAgg.compileMerge(ae, bufOrd)).map {
+          case scala.Right(s) if !GraftColumnarAgg.bufferReEmittable(s) =>
+            scala.Left("merge state of the moments family cannot re-emit the partial buffer layout")
+          case x => x
+        }
+        (keySpecs ++ compiled).collectFirst { case scala.Left(e) => e } match {
+          case Some(reason) =>
+            agg.setTagValue(fallbackReasonTag, reason); agg
+          case None =>
+            val ks = keySpecs.collect { case scala.Right(k) => k }
+            val specs = compiled.collect { case scala.Right(s) => s }
+            val keyIds = agg.groupingExpressions.collect {
+              case a: AttributeReference => a.exprId }
+            val layoutOk =
+              agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
+                agg.resultExpressions.take(keyIds.size).collect {
+                  case a: Attribute => a.exprId } == keyIds &&
+                (agg.groupingExpressions.map(_.dataType) ++
+                  specs.flatMap(GraftColumnarAgg.slotTypes)) == agg.output.map(_.dataType)
+            if (layoutOk)
+              org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec(
+                agg.output, ks, specs, Nil, agg.child, emitBuffers = true)
+            else {
+              agg.setTagValue(fallbackReasonTag,
+                "partial-merge output is not keys ++ plain buffer attributes"); agg
+            }
+        }
+
       // Streaming lag/lead: a node holding ONLY FrameLessOffset
       // functions needs maxLag + maxLead + 1 rows of context, not the
       // row WindowExec's whole buffered partition — O(k) memory under

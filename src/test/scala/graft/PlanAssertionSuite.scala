@@ -272,6 +272,18 @@ class PlanAssertionSuite extends GraftTestBase {
     }
   }
 
+  test("q216 mixed-distinct runs its PartialMerge buffer re-merge columnar") {
+    val df = run("q216_distinct_mixed")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the emitBuffers twin prints its flag as the last constructor arg
+    assert(p.linesIterator.exists(l =>
+      l.contains("GraftColumnarFinalAgg") && l.trim.endsWith("true")),
+      s"q216: expected the emitBuffers PartialMerge re-merge in:\n$p")
+    assert(p.contains("GraftColumnarGroupedAgg"),
+      s"q216: expected the dedup partial columnar in:\n$p")
+  }
+
   test("q211 multi-distinct runs on the columnar Expand rewrite") {
     val df = run("q211_distinct_count_two")
     df.collect()
