@@ -274,6 +274,44 @@ object VecPredicate {
     }
   }
 
+  /** Comparison over COMPUTED double operands compiled through the
+    * double kernel lane (ratios, math functions, decimal-as-double) —
+    * the quality-gate predicate shape (chars/tokens ratio > 0.1).
+    * Full-batch eval + selection-indexed compare like
+    * [[ComputedLongCmp]]; the compile gate admits only TOTAL double
+    * kernels (the full batch includes rows earlier conjuncts excluded),
+    * and the compare itself is [[cmpD]] — Spark's SQL double ordering
+    * (NaN greatest, -0.0 == 0.0), not raw IEEE. A/B sf0.1 interleaved
+    * min-of-9: ratio gate 0.98x, sqrt gate 0.98x. */
+  final case class ComputedDblCmp(lk: VecNumExpr, rk: VecNumExpr, op: Int)
+      extends VecPredicate {
+    @transient private[this] var lv: Array[Double] = null
+    @transient private[this] var ln: Array[Boolean] = null
+    @transient private[this] var rv: Array[Double] = null
+    @transient private[this] var rn: Array[Boolean] = null
+    @transient private[this] var scratch: VecScratch = null
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      if (lv == null || lv.length < n) {
+        lv = new Array[Double](n); ln = new Array[Boolean](n)
+        rv = new Array[Double](n); rn = new Array[Boolean](n)
+      }
+      if (scratch == null) scratch = new VecScratch
+      scratch.reset()
+      lk.eval(b, n, lv, ln, scratch)
+      scratch.reset()
+      rk.eval(b, n, rv, rn, scratch)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (ln(i) || rn(i)) { isNull(j) = true; value(j) = false }
+        else { isNull(j) = false; value(j) = cmpD(lv(i), rv(i), op) }
+        j += 1
+      }
+    }
+  }
+
   /** string col StartsWith/EndsWith/Contains literal (mode 0/1/2). */
   final case class StringMatch(l: Int, litBytes: Array[Byte], mode: Int) extends VecPredicate {
     @transient private lazy val lit: UTF8String = UTF8String.fromBytes(litBytes)
@@ -522,6 +560,14 @@ object VecPredicate {
               (integralT(b.dataType) && b.evalMode == EvalMode.LEGACY)) =>
         for (l <- nullChainAttrs(b.left); r <- nullChainAttrs(b.right))
           yield l ++ r
+      // double division: IEEE (x/0 = ±Inf/NaN, never null) except under
+      // ANSI, whose only throw site is a zero divisor — excluded by the
+      // non-zero-literal gate
+      case d: Divide
+          if (d.dataType == DoubleType || d.dataType == FloatType) &&
+            (d.evalMode != EvalMode.ANSI || nonZeroLit(d.right)) =>
+        for (l <- nullChainAttrs(d.left); r <- nullChainAttrs(d.right))
+          yield l ++ r
       case u: UnaryMinus
           if u.dataType == DoubleType || u.dataType == FloatType ||
             (integralT(u.dataType) && !u.failOnError) =>
@@ -589,6 +635,17 @@ object VecPredicate {
         // allocation-bearing cheap kernels (concat/upper/lower) LOSE
         // 1.05-1.09x to the fused codegen row path — those stay row
         // with a tagged reason.
+        // computed double operands (ratios, math, decimal-as-double):
+        // compile both sides through the double lane — TOTAL kernels
+        // only (full-batch eval), compare via Spark's double ordering
+        case (l, r) if l.dataType == DoubleType && r.dataType == DoubleType &&
+            l.deterministic && r.deterministic =>
+          for {
+            lk <- VecNumExpr.compile(l, output)
+            rk <- VecNumExpr.compile(r, output)
+            _ <- if (VecNumExpr.total(lk) && VecNumExpr.total(rk)) scala.Right(())
+            else scala.Left("non-total double kernel in full-batch filter compare")
+          } yield ComputedDblCmp(lk, rk, op)
         case (l, r) if l.dataType == StringType && r.dataType == StringType &&
             l.deterministic && r.deterministic =>
           for {
