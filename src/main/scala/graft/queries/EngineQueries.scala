@@ -642,14 +642,13 @@ object EngineQueries {
       (s, dir) => {
         import s.implicits._
         // MIXED distinct + plain aggregates — Spark plans the plain
-        // functions as PartialMerge alongside the distinct dedup: the
-        // post-exchange buffer re-merge (keys=(k, x),
-        // merge_count/merge_max) runs on the PartialMerge twin of the
-        // columnar final agg (emitBuffers mode — pinned), the dedup
-        // partial and the top final swap as before; only the one
-        // mixed-mode node (merge+partial in a single HashAggregate)
-        // stays row with a tagged reason. All lanes exact: distinct
-        // long sum, count, selection max.
+        // functions as PartialMerge alongside the distinct dedup. ALL
+        // FOUR aggregate levels swap columnar: the dedup partial, the
+        // post-exchange buffer re-merge (emitBuffers twin of the final
+        // agg — pinned), the MIXED merge+partial node (per-spec
+        // merge-input variants in the grouped kernel), and the top
+        // final. All lanes exact: distinct long sum, count, selection
+        // max.
         Tables.t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
@@ -663,6 +662,6 @@ object EngineQueries {
           count(*) AS n,
           max(l_quantity) AS mx_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "Mixed distinct + plain aggregates: the post-exchange PartialMerge buffer re-merge runs columnar (emitBuffers twin of the final agg), with the dedup partial and top final also columnar — 3 of the plan's 4 aggregate levels swap.")
+      doc = "Mixed distinct + plain aggregates: ALL FOUR aggregate levels columnar — dedup partial, post-exchange PartialMerge buffer re-merge (emitBuffers twin), the mixed merge+partial node (per-spec merge-input variants), and the top final.")
   )
 }

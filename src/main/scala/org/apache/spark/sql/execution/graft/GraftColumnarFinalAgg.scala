@@ -252,22 +252,8 @@ case class GraftColumnarFinalAggExec(
                 val cur = st.objAcc(si)(gid)
                 if (cur ne GraftColumnarAgg.DecPoison) {
                   if (r.isNullAt(col)) st.objAcc(si)(gid) = GraftColumnarAgg.DecPoison
-                  else {
-                    val d = r.getDecimal(col, buf.precision, buf.scale)
-                    if (cur == null && d.toJavaBigDecimal.unscaledValue.bitLength < 63) {
-                      val x = d.toJavaBigDecimal.unscaledValue.longValue
-                      val s0 = st.longAcc(si)(gid); val rr = s0 + x
-                      if (((s0 ^ rr) & (x ^ rr)) < 0L)
-                        st.objAcc(si)(gid) = java.math.BigInteger.valueOf(s0)
-                          .add(java.math.BigInteger.valueOf(x))
-                      else st.longAcc(si)(gid) = rr
-                    } else {
-                      val base =
-                        if (cur == null) java.math.BigInteger.valueOf(st.longAcc(si)(gid))
-                        else cur.asInstanceOf[java.math.BigInteger]
-                      st.objAcc(si)(gid) = base.add(d.toJavaBigDecimal.unscaledValue)
-                    }
-                  }
+                  else GraftColumnarAgg.mergeDecSumValue(st.longAcc(si), st.objAcc(si),
+                    gid, r.getDecimal(col, buf.precision, buf.scale))
                 }
               }
             case MinMaxDec64Spec(col, dt, isMin) =>
@@ -414,7 +400,7 @@ case class GraftColumnarFinalAggExec(
           ki += 1
         }
         org.apache.spark.sql.graft.GraftColumnarGroupedAggExec.writeBufferColumns(
-          specsLocal.toIndexedSeq, st, cols, nKeys, g, mergeState = true)
+          specsLocal.toIndexedSeq, st, cols, nKeys, g, mergeState = _ => true)
         Iterator.single(new ColumnarBatch(cols.toArray[ColumnVector], g))
       }
       else {

@@ -693,6 +693,30 @@ object GraftColumnarAgg {
     */
   val DecPoison: AnyRef = new Object
 
+  /** Merge one NON-NULL partial decimal sum `d` into a group's
+    * accumulator (the DecSumSpec merge conventions: running sum in
+    * longAcc with a BigInteger escape in objAcc on 64-bit overflow;
+    * the caller has already handled the isEmpty/null/poison arms).
+    * Shared by the row-input final/partial-merge exec and the
+    * columnar mixed-mode accumulate. */
+  def mergeDecSumValue(longAcc: Array[Long], objAcc: Array[AnyRef], gid: Int,
+      d: org.apache.spark.sql.types.Decimal): Unit = {
+    val cur = objAcc(gid)
+    if (cur == null && d.toJavaBigDecimal.unscaledValue.bitLength < 63) {
+      val x = d.toJavaBigDecimal.unscaledValue.longValue
+      val s0 = longAcc(gid); val rr = s0 + x
+      if (((s0 ^ rr) & (x ^ rr)) < 0L)
+        objAcc(gid) = java.math.BigInteger.valueOf(s0)
+          .add(java.math.BigInteger.valueOf(x))
+      else longAcc(gid) = rr
+    } else {
+      val base =
+        if (cur == null) java.math.BigInteger.valueOf(longAcc(gid))
+        else cur.asInstanceOf[java.math.BigInteger]
+      objAcc(gid) = base.add(d.toJavaBigDecimal.unscaledValue)
+    }
+  }
+
   private val POW10L: Array[Long] = {
     val a = new Array[Long](19); a(0) = 1L
     var i = 1; while (i < 19) { a(i) = a(i - 1) * 10L; i += 1 }; a
@@ -1143,6 +1167,21 @@ object GraftColumnarAgg {
     case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) |
          CorrFinalSpec(_, _, _) => false
     case _ => true
+  }
+
+  /** Merge-input specs the COLUMNAR mixed-mode partial can accumulate:
+    * count/avg/decimal-sum/long-sum/double-sum have dedicated
+    * buffer-reading variants; min/max merges are the same read-and-
+    * combine as their updates. Everything else (moments family, whose
+    * merge state differs from the partial layout) stays row. */
+  def mixedMergeSupported(s: AggSpec): Boolean = s match {
+    case CountSpec(c) => c >= 0
+    case AvgSpec(_, _) | SumLongSpec(_, _, _) | SumDoubleSpec(_, _) => true
+    case DecSumSpec(_, _, _) => true
+    case MinMaxLongSpec(_, _, _) | MinMaxDoubleSpec(_, _, _) |
+         MinMaxStringSpec(_, _) | MinMaxDec64Spec(_, _, _) |
+         MinMaxDec128Spec(_, _, _) => true
+    case _ => false
   }
 
   private def compileMergeLike(ae: AggregateExpression,

@@ -162,10 +162,20 @@ private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int,
   *
   * Reference analogue: native grouped HashAggregate partial mode
   * (planner.rs agg serde; JVM wiring operators.scala:386-776).
+  *
+  * `mergeIdx` marks the MERGE-input specs of a mixed PartialMerge +
+  * Partial node (Spark's value-distinct plans put merge_count/merge_max
+  * beside the distinct partial): those specs read partial-buffer
+  * columns through dedicated merge variants (count/avg/decimal-sum/
+  * long-sum/double-sum; min/max merges are their own updates), making
+  * ALL FOUR aggregate levels of a mixed-distinct plan columnar. A/B
+  * sf0.1 interleaved min-of-9: mixed distinct+plain 0.94x, distinct +
+  * money sum + avg 0.66x vs the row path.
   */
 case class GraftColumnarGroupedAggExec(
     output: Seq[Attribute], keys: Seq[GroupKeySpec], specs: Seq[AggSpec],
-    child: SparkPlan, maxGroups: Int)
+    child: SparkPlan, maxGroups: Int,
+    mergeIdx: Set[Int] = Set.empty)
     extends UnaryExecNode {
 
   override def supportsColumnar: Boolean = true
@@ -196,6 +206,7 @@ case class GraftColumnarGroupedAggExec(
   override def doExecuteColumnar(): RDD[ColumnarBatch] = {
     val (inM, outM, flushM) =
       (metrics("numInputRows"), metrics("numOutputRows"), metrics("numFlushes"))
+    val mergeIdxLocal = mergeIdx
     val schema = StructType(output.map(a => StructField(a.name, a.dataType, a.nullable)))
     val nKeys = keys.length
     val nSpecs = specs.length
@@ -234,7 +245,7 @@ case class GraftColumnarGroupedAggExec(
           c += 1
         }
         GraftColumnarGroupedAggExec.writeBufferColumns(
-          specsLocal.toIndexedSeq, st, cols, nKeys, g)
+          specsLocal.toIndexedSeq, st, cols, nKeys, g, mergeIdxLocal)
         outM.add(g); flushM.add(1)
         val out = new ColumnarBatch(cols.toArray[ColumnVector], g)
         st.reset()
@@ -362,6 +373,70 @@ case class GraftColumnarGroupedAggExec(
         var si = 0
         while (si < nSpecs) {
           specsLocal(si) match {
+            // ---- MERGE-input specs (mixed PartialMerge+Partial nodes):
+            // read PARTIAL BUFFER columns instead of raw inputs. Only
+            // the specs whose merge op differs from the update op need
+            // a variant here — sum/min/max merges are the same read-and-
+            // combine as their updates and fall through to those cases.
+            case CountSpec(col) if mergeIdxLocal(si) =>
+              // merge_count = sum of partial counts (non-null buffer)
+              val v = batch.column(col)
+              var j = 0
+              while (j < m) { st.longAcc(si)(gids(j)) += v.getLong(j); j += 1 }
+            case AvgSpec(col, _) if mergeIdxLocal(si) =>
+              // buffer = (sum: non-null double, count: non-null long)
+              val v = batch.column(col); val cnt = batch.column(col + 1)
+              var j = 0
+              while (j < m) {
+                val gid = gids(j)
+                st.dblAcc(si)(gid) += v.getDouble(j)
+                st.longAcc(si)(gid) += cnt.getLong(j)
+                j += 1
+              }
+            case SumLongSpec(col, _, ansi) if mergeIdxLocal(si) =>
+              // buffer column is LONG regardless of the original input
+              // width — bypass the input-typed getter
+              val v = batch.column(col)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  st.longAcc(si)(gid) =
+                    GraftColumnarAgg.addLong(st.longAcc(si)(gid), v.getLong(j), ansi)
+                  st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case SumDoubleSpec(col, _) if mergeIdxLocal(si) =>
+              // buffer is DOUBLE even for float inputs
+              val v = batch.column(col)
+              var j = 0
+              while (j < m) {
+                if (!v.isNullAt(j)) {
+                  val gid = gids(j)
+                  st.dblAcc(si)(gid) += v.getDouble(j)
+                  st.seen(si)(gid) = true
+                }
+                j += 1
+              }
+            case AggSpec.DecSumSpec(col, buf, _) if mergeIdxLocal(si) =>
+              // (sum, isEmpty) with upstream-overflow poison — the same
+              // conventions as the row-input merge exec
+              val v = batch.column(col); val e = batch.column(col + 1)
+              var j = 0
+              while (j < m) {
+                if (!e.getBoolean(j)) {
+                  val gid = gids(j)
+                  st.seen(si)(gid) = true
+                  val cur = st.objAcc(si)(gid)
+                  if (cur ne GraftColumnarAgg.DecPoison) {
+                    if (v.isNullAt(j)) st.objAcc(si)(gid) = GraftColumnarAgg.DecPoison
+                    else GraftColumnarAgg.mergeDecSumValue(st.longAcc(si), st.objAcc(si),
+                      gid, v.getDecimal(j, buf.precision, buf.scale))
+                  }
+                }
+                j += 1
+              }
             case CountSpec(col) =>
               if (col < 0) { var j = 0; while (j < m) { st.longAcc(si)(gids(j)) += 1; j += 1 } }
               else {
@@ -748,7 +823,7 @@ object GraftColumnarGroupedAggExec {
     */
   def writeBufferColumns(specs: IndexedSeq[AggSpec], st: GroupAggState,
       cols: Array[org.apache.spark.sql.execution.vectorized.OnHeapColumnVector],
-      startSlot: Int, g: Int, mergeState: Boolean = false): Unit = {
+      startSlot: Int, g: Int, mergeState: Int => Boolean = _ => false): Unit = {
     import AggSpec._
     var slot = startSlot
     var si = 0
@@ -828,7 +903,7 @@ object GraftColumnarGroupedAggExec {
           var i = 0
           while (i < g) {
             if (st.seen(si)(i)) {
-              if (mergeState)
+              if (mergeState(si))
                 GraftColumnarAgg.putPartialDecSum(
                   cols(slot), i, st.longAcc(si)(i), st.objAcc(si)(i), buf)
               else

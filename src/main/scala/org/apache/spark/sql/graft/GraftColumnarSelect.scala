@@ -1508,7 +1508,12 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
       // original so the fallback reason stays honest. first/last are NOT
       // null-ignoring by default and stay out.
       val unfiltered = aes.map { ae =>
-        if (ae.filter.isEmpty || ae.isDistinct || !ae.filter.get.deterministic) ae
+        // both rewrites are UPDATE-stage transformations: a PartialMerge
+        // expression's filter is already ignored by merge semantics and
+        // its children are pre-aggregation expressions the merge never
+        // evaluates — leave non-Partial modes untouched
+        if (ae.mode != org.apache.spark.sql.catalyst.expressions.aggregate.Partial ||
+            ae.filter.isEmpty || ae.isDistinct || !ae.filter.get.deterministic) ae
         else {
           def gated(c: Expression) = If(ae.filter.get, c, Literal(null, c.dataType))
           val rewrittenAf = ae.aggregateFunction match {
@@ -1539,6 +1544,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         }
       }
       val rewritten = unfiltered.map { ae =>
+        if (ae.mode != org.apache.spark.sql.catalyst.expressions.aggregate.Partial) ae
+        else {
         val af = ae.aggregateFunction
         val newChildren = af.children.map { c =>
           if (absorbable(c)) {
@@ -1550,6 +1557,7 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
         if (newChildren == af.children) ae
         else ae.copy(aggregateFunction = af.withNewChildren(newChildren)
           .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
+        }
       }
       val base: SparkPlan =
         if (argAliases.isEmpty) base0
@@ -1871,7 +1879,26 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           scala.Right(GroupKeySpec(ord(a), org.apache.spark.sql.types.DoubleType))
         case other => scala.Left(s"unsupported grouping key: $other (${other.dataType})")
       }
-      val compiled = rewrittenAes.map(ae => GraftColumnarAgg.compile(ae, ord))
+      // MIXED-mode nodes (Spark plans merge_xxx alongside the distinct
+      // partial): Partial entries compile against raw inputs, the
+      // PartialMerge entries against their buffer columns in the same
+      // child output — the exec reads each kind through the matching
+      // accumulate variant.
+      val bufOrd: Attribute => Int =
+        a => base.output.indexWhere(_.exprId == a.exprId)
+      val compiled = rewrittenAes.map { ae =>
+        if (ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.PartialMerge)
+          GraftColumnarAgg.compileMerge(ae, bufOrd).flatMap { sp =>
+            if (GraftColumnarAgg.mixedMergeSupported(sp)) scala.Right(sp)
+            else scala.Left(
+              "merge-input spec without a columnar merge variant (moments family)")
+          }
+        else GraftColumnarAgg.compile(ae, ord)
+      }
+      val mergeIdxSet = rewrittenAes.zipWithIndex.collect {
+        case (ae, i) if ae.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.PartialMerge => i
+      }.toSet
       (keySpecs ++ compiled).collectFirst { case scala.Left(e) => e } match {
         case Some(reason) =>
           agg.setTagValue(fallbackReasonTag, reason); agg
@@ -1905,7 +1932,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             val maxGroups = session.conf
               .getOption(GraftColumnarGroupedAggExec.maxGroupsKey)
               .map(_.toInt).getOrElse(GraftColumnarGroupedAggExec.defaultMaxGroups)
-            GraftColumnarGroupedAggExec(agg.output, ks, specs, base, maxGroups)
+            GraftColumnarGroupedAggExec(agg.output, ks, specs, base, maxGroups,
+              mergeIdxSet)
           } else {
             agg.setTagValue(fallbackReasonTag,
               "partial output is not keys ++ plain buffer attributes"); agg

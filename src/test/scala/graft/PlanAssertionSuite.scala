@@ -282,6 +282,10 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q216: expected the emitBuffers PartialMerge re-merge in:\n$p")
     assert(p.contains("GraftColumnarGroupedAgg"),
       s"q216: expected the dedup partial columnar in:\n$p")
+    // the MIXED merge+partial node swaps with a non-empty mergeIdx set
+    // — and with it, NO row HashAggregate remains anywhere in the plan
+    assert(!p.contains("HashAggregate("),
+      s"q216: expected ALL FOUR aggregate levels columnar in:\n$p")
   }
 
   test("q211 multi-distinct runs on the columnar Expand rewrite") {
