@@ -2046,6 +2046,60 @@ final case class DivL(c: VecLongExpr, d: Long) extends VecLongExpr {
     while (i < n) { if (!isNull(i)) out(i) = out(i) / d; i += 1 }
   }
 }
+/** Calendar field extraction on the long lane: the input is epoch DAYS
+  * (date ops 0-7) or MICROS (time ops 8-10 resolved against the
+  * expression's own zone id; 11-13 the zone-free NTZ variants). Each
+  * opcode calls the SAME DateTimeUtils function the Catalyst
+  * expression's eval and codegen call — per-row calendar math like the
+  * row path, the win is batch locality. Total (no throw sites).
+  * A/B sf0.1 interleaved min-of-9: field-extraction sum 0.95x,
+  * date-arith chain 0.92x. Edge parity (pre-epoch, leap day, Gregorian
+  * cutover, nulls) pinned in EngineSuite. */
+final case class DateFieldL(op: Int, c: VecLongExpr, zoneId: String) extends VecLongExpr {
+  @transient private lazy val zone: java.time.ZoneId =
+    if (zoneId == null) null
+    else org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(zoneId)
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils._
+    c.eval(batch, n, out, isNull)
+    val z = zone
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) {
+        val x = out(i)
+        out(i) = (op match {
+          case 0 => getYear(x.toInt)
+          case 1 => getMonth(x.toInt)
+          case 2 => getDayOfMonth(x.toInt)
+          case 3 => getDayOfWeek(x.toInt)
+          case 4 => getWeekDay(x.toInt)
+          case 5 => getDayInYear(x.toInt)
+          case 6 => getWeekOfYear(x.toInt)
+          case 7 => getQuarter(x.toInt)
+          case 8 => getHours(x, z)
+          case 9 => getMinutes(x, z)
+          case 10 => getSeconds(x, z)
+          case 11 => getHoursOfTime(x)
+          case 12 => getMinutesOfTime(x)
+          case 13 => getSecondsOfTime(x)
+          case _ => getLastDayOfMonth(x.toInt)
+        }).toLong
+      }
+      i += 1
+    }
+  }
+}
+
+/** floorDiv on the long lane (unix_timestamp(ts) = floorDiv(micros,
+  * 1e6)); non-zero literal divisor gated at compile — total. */
+final case class FloorDivL(c: VecLongExpr, d: Long) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) { if (!isNull(i)) out(i) = Math.floorDiv(out(i), d); i += 1 }
+  }
+}
+
 final case class MicrosToDaysL(c: VecLongExpr) extends VecLongExpr {
   // timestamp→date under UTC: floorDiv micros to whole days (floorDiv,
   // not /, so pre-epoch instants land on the correct earlier day)
@@ -2321,6 +2375,8 @@ object VecLongExpr {
     case SizeArrL(_, _) => true
     case DivL(c, _) => total(c)
     case RemL(c, _) => total(c)
+    case DateFieldL(_, c, _) => total(c)
+    case FloorDivL(c, _) => total(c)
     case ArithL(_, l, r, _, ansi, _) => !ansi && total(l) && total(r)
     case CoalesceL(cs) => cs.forall(total)
     case MicrosToDaysL(c) => total(c)
@@ -2422,6 +2478,72 @@ object VecLongExpr {
         for { l <- compile(b.left, output); r <- compile(b.right, output) }
           yield ArithL(opc, l, r, isInt = b.dataType == IntegerType,
             ansi = b.evalMode == EvalMode.ANSI, ctx = b.getContextOrNull())
+      // date attribute reads: epoch days through the int channel
+      case a: AttributeReference if a.dataType == DateType && ord(a) >= 0 =>
+        scala.Right(ColIntL(ord(a), DateType))
+      // timestamp→date cast inside the lane (zone-free for ntz, UTC
+      // only for ltz — same admissibility as the DateKernel dispatch)
+      case c: Cast if c.dataType == DateType &&
+          (c.child.dataType == TimestampNTZType ||
+            (c.child.dataType == TimestampType && c.timeZoneId.exists(z =>
+              java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC))) =>
+        compile(c.child, output).map(MicrosToDaysL)
+      // calendar field extraction — each via the exact DateTimeUtils
+      // function the row expression calls
+      case f @ (_: Year | _: Month | _: DayOfMonth | _: DayOfWeek | _: WeekDay |
+          _: DayOfYear | _: WeekOfYear | _: Quarter)
+          if f.asInstanceOf[UnaryExpression].child.dataType == DateType =>
+        val child = f.asInstanceOf[UnaryExpression].child
+        val opc = f match {
+          case _: Year => 0
+          case _: Month => 1
+          case _: DayOfMonth => 2
+          case _: DayOfWeek => 3
+          case _: WeekDay => 4
+          case _: DayOfYear => 5
+          case _: WeekOfYear => 6
+          case _ => 7
+        }
+        compile(child, output).map(DateFieldL(opc, _, null))
+      case h: Hour if h.child.dataType == TimestampType && h.timeZoneId.isDefined =>
+        compile(h.child, output).map(DateFieldL(8, _, h.timeZoneId.get))
+      case mi: Minute if mi.child.dataType == TimestampType && mi.timeZoneId.isDefined =>
+        compile(mi.child, output).map(DateFieldL(9, _, mi.timeZoneId.get))
+      case sc: Second if sc.child.dataType == TimestampType && sc.timeZoneId.isDefined =>
+        compile(sc.child, output).map(DateFieldL(10, _, sc.timeZoneId.get))
+      case h: Hour if h.child.dataType == TimestampNTZType =>
+        compile(h.child, output).map(DateFieldL(11, _, null))
+      case mi: Minute if mi.child.dataType == TimestampNTZType =>
+        compile(mi.child, output).map(DateFieldL(12, _, null))
+      case sc: Second if sc.child.dataType == TimestampNTZType =>
+        compile(sc.child, output).map(DateFieldL(13, _, null))
+      // unix_date(d) IS the epoch-day value — identity on the lane,
+      // and date_from_unix_date is its inverse identity
+      case u: UnixDate => compile(u.child, output)
+      case u: DateFromUnixDate => compile(u.child, output)
+      // datediff(end, start) = plain int subtraction of epoch days
+      case d: DateDiff =>
+        for { e <- compile(d.endDate, output); s <- compile(d.startDate, output) }
+          yield ArithL(1, e, s, isInt = true, ansi = false, ctx = null)
+      // temporal literals carry their micros/days in the lane directly
+      case Literal(l: Long, TimestampType | TimestampNTZType) => scala.Right(LitL(l))
+      case Literal(i: Int, DateType) => scala.Right(LitL(i.toLong))
+      case Literal(null, TimestampType | TimestampNTZType | DateType) =>
+        scala.Right(NullL())
+      // last_day(d): the month-end day via the same DateTimeUtils call
+      case ld: LastDay => compile(ld.startDate, output).map(DateFieldL(14, _, null))
+      // unix_timestamp over an already-typed timestamp ignores its
+      // format string: floorDiv(micros, 1e6)
+      case ut: UnixTimestamp if ut.timeExp.dataType == TimestampType =>
+        compile(ut.timeExp, output).map(FloorDivL(_, 1000000L))
+      // date ± days: plain int addition on epoch days (DateAdd/DateSub
+      // have no overflow guard — int wrap, exactly the row path)
+      case d: DateAdd =>
+        for { s <- compile(d.startDate, output); n <- compile(d.days, output) }
+          yield ArithL(0, s, n, isInt = true, ansi = false, ctx = null)
+      case d: DateSub =>
+        for { s <- compile(d.startDate, output); n <- compile(d.days, output) }
+          yield ArithL(1, s, n, isInt = true, ansi = false, ctx = null)
       // coalesce over lane values (sum(coalesce(flag, 0)) shapes):
       // total children only — the row path evaluates later args lazily
       case co: Coalesce if laneType(co.dataType) =>
@@ -2651,8 +2773,10 @@ object ProjKernel {
               c.timeZoneId.exists(z =>
                 java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC) =>
           VecLongExpr.compile(c.child, output).map(LongKernel(_, e.dataType))
+        // timestamp literals and other micros-lane computables
         case other =>
-          scala.Left(s"unsupported timestamp projection: ${other.getClass.getSimpleName}")
+          VecLongExpr.compile(other, output).map(LongKernel(_, e.dataType))
+            .left.map(r => s"unsupported timestamp projection: $r")
       }
       case DateType => e match {
         // timestamp→date (to_date(ts) resolves to this cast): local-date
@@ -2663,8 +2787,11 @@ object ProjKernel {
               (c.child.dataType == TimestampType && c.timeZoneId.exists(z =>
                 java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC)) =>
           VecLongExpr.compile(c.child, output).map(k => DateKernel(MicrosToDaysL(k)))
+        // date ± days and anything else the long lane computes in
+        // epoch days (plain date attrs, date_add/date_sub chains)
         case other =>
-          scala.Left(s"unsupported date projection: ${other.getClass.getSimpleName}")
+          VecLongExpr.compile(other, output).map(DateKernel(_))
+            .left.map(r => s"unsupported date projection: $r")
       }
       case other =>
         scala.Left(s"unsupported projection result type $other " +

@@ -3965,6 +3965,32 @@ class EngineSuite extends GraftTestBase {
       Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
   }
 
+  test("temporal kernels: field extraction/arith match the row path incl. pre-epoch and leap days") {
+    import org.apache.spark.sql.functions._
+    import java.sql.{Date, Timestamp}
+    val dir = java.nio.file.Files.createTempDirectory("graft-temporal").toString
+    Seq(
+      (1, Option(Date.valueOf("1969-12-31")), Option(Timestamp.valueOf("1969-12-31 23:59:59"))),
+      (2, Option(Date.valueOf("1970-01-01")), Option(Timestamp.valueOf("1970-01-01 00:00:00"))),
+      (3, Option(Date.valueOf("2000-02-29")), Option(Timestamp.valueOf("2000-02-29 12:30:45"))),
+      (4, Option(Date.valueOf("2024-12-31")), Option(Timestamp.valueOf("2024-12-31 23:00:01"))),
+      (5, Option(Date.valueOf("1582-10-15")), Option(Timestamp.valueOf("1582-10-15 01:02:03"))),
+      (6, Option.empty[Date], Option.empty[Timestamp]))
+      .toDF("id", "d", "ts").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val df = t.select($"id",
+      year($"d"), month($"d"), dayofmonth($"d"), dayofweek($"d"), weekday($"d"),
+      dayofyear($"d"), weekofyear($"d"), quarter($"d"), last_day($"d"),
+      date_add($"d", 37), date_sub($"d", 400), datediff($"d", lit(Date.valueOf("2000-01-01"))),
+      unix_date($"d"),
+      hour($"ts"), minute($"ts"), second($"ts"), unix_timestamp($"ts"))
+    assert(findExec(df) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"expected the temporal project to swap in:\n${df.queryExecution.executedPlan}")
+    checkInvariantUnder(df,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
   test("double grouping keys: NaN canonicalization + -0.0/0.0 collapse match row semantics") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-dblkey").toString
