@@ -41,6 +41,15 @@ object AggregateQueries {
         // order-free: exact Decimal64 net-revenue sum (the q146 money
         // discipline — WITHOUT the manual pre-projection), selection
         // min/max over computed doubles, count.
+        // SURFACE (r14): the exact decimal sum travels as BIGINT
+        // MICRO-UNITS (the r10 q174 convention). The scale-6 product
+        // values have 1e-4-step discounts ⇒ two dead trailing digits
+        // ("…00"), exactly the driver's decimal trailing-zero
+        // normalization boundary (str(Decimal) != repr(float) — see
+        // ProbeQueries' characterization; red r11–r13 for precisely
+        // this). Engine exercise unchanged: the computed-arg absorption
+        // and the int128 sum still run columnar; *1e6 is a post-agg
+        // projection over 6 rows.
         val dp = $"l_extendedprice".cast("decimal(9,2)")
         val dd = $"l_discount".cast("decimal(5,4)")
         Tables.t(s, dir, "lineitem")
@@ -50,18 +59,21 @@ object AggregateQueries {
             min(-$"l_extendedprice").as("min_neg_price"),
             max(abs($"l_discount" - $"l_tax")).as("max_spread"),
             count(lit(1)).as("n"))
+          .select($"l_returnflag", $"l_linestatus",
+            ($"net_rev" * 1000000).cast("long").as("net_rev_micros"),
+            $"min_neg_price", $"max_spread", $"n")
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(9,2))
               * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
-            AS DECIMAL(26,6)) AS net_rev,
+            * 1000000, 0) AS BIGINT) AS net_rev_micros,
           min(-l_extendedprice) AS min_neg_price,
           max(abs(l_discount - l_tax)) AS max_spread,
           count(*) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
-      doc = "Computed aggregate arguments (sum of a decimal product, min/max of computed doubles) absorbed into a columnar kernel Project below the grouped partial agg — the TPC-H Q1 money shape swaps without manual pre-projection."),
+      doc = "Computed aggregate arguments (sum of a decimal product, min/max of computed doubles) absorbed into a columnar kernel Project below the grouped partial agg — the TPC-H Q1 money shape swaps without manual pre-projection; exact sum surfaced as BIGINT micro-units per the money convention."),
 
     QueryDef(
       "q192_conditional_arg_agg",
@@ -115,6 +127,13 @@ object AggregateQueries {
         // the previously blanket-fallback FILTER surface swaps
         // columnar. min/max over the DECIMAL(37,4) money product pin
         // the int128 comparison lanes on both exchange sides.
+        // SURFACE (r14): the decimal lanes travel as BIGINT 1e-4 units —
+        // max(rev) rows are zero-discount products ending "…00" at
+        // scale 4, the driver's trailing-zero normalization boundary
+        // (see ProbeQueries; the r13 probes localized this query's red
+        // to exactly the min/max lanes — q203/q204/q206 green, q205
+        // red). Engine exercise unchanged: FILTER rewrite + int128
+        // min/max still run columnar; *1e4 is a post-agg projection.
         val rev = $"l_extendedprice".cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
         Tables.t(s, dir, "lineitem")
@@ -128,14 +147,20 @@ object AggregateQueries {
             max($"rev").as("mx_rev"),
             expr("round(avg(l_extendedprice) FILTER (WHERE l_quantity < 10), 4)")
               .as("avg_small"))
+          .select($"l_returnflag",
+            ($"rev_small" * 10000).cast("long").as("rev_small_u"),
+            $"n_f", $"n_big",
+            ($"mn_rev" * 10000).cast("long").as("mn_rev_u"),
+            ($"mx_rev" * 10000).cast("long").as("mx_rev_u"),
+            $"avg_small")
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
-          CAST(sum(rev) FILTER (WHERE l_quantity < 25) AS DECIMAL(38,4)) AS rev_small,
+          CAST(round(sum(rev) FILTER (WHERE l_quantity < 25) * 10000, 0) AS BIGINT) AS rev_small_u,
           count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
           count(l_partkey) FILTER (WHERE l_quantity >= 25) AS n_big,
-          CAST(min(rev) AS DECIMAL(38,4)) AS mn_rev,
-          CAST(max(rev) AS DECIMAL(38,4)) AS mx_rev,
+          CAST(round(min(rev) * 10000, 0) AS BIGINT) AS mn_rev_u,
+          CAST(round(max(rev) * 10000, 0) AS BIGINT) AS mx_rev_u,
           round(avg(l_extendedprice) FILTER (WHERE l_quantity < 10), 4) AS avg_small
         FROM (SELECT *, CAST(l_extendedprice AS DECIMAL(18,2))
             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev

@@ -48,8 +48,17 @@ object TpcdsArchetypeQueries {
             grouping_id().as("gid"))
         val w = Window.partitionBy($"gid")
           .orderBy($"sum_qty".desc, $"p_brand".asc_nulls_first, $"p_type".asc_nulls_first)
+        // SURFACE (r14): sums of INTEGER quantities at scale 2 end ".00"
+        // on every row — the driver's decimal trailing-zero
+        // normalization boundary (red at birth in r13 for exactly this;
+        // see ProbeQueries). The window still ranks on the decimal
+        // sum_qty (engine lanes unchanged — Expand twin, grouped
+        // partials, ranking window group-limit); only the final
+        // projection surfaces BIGINT cents. q222 keeps the original
+        // decimal surface as the named columnar×decimal canary.
         rolled.withColumn("rk", rank().over(w)).filter($"rk" <= 5)
-          .select($"gid", $"p_brand", $"p_type", $"sum_qty", $"rk")
+          .select($"gid", $"p_brand", $"p_type",
+            ($"sum_qty" * 100).cast("long").as("sum_qty_c"), $"rk")
           .orderBy($"gid", $"p_brand".asc_nulls_first, $"p_type".asc_nulls_first)
       },
       Some("""WITH rolled AS (
@@ -62,9 +71,11 @@ object TpcdsArchetypeQueries {
             rank() OVER (PARTITION BY gid ORDER BY sum_qty DESC,
               p_brand ASC NULLS FIRST, p_type ASC NULLS FIRST) AS rk
           FROM rolled)
-        SELECT gid, p_brand, p_type, sum_qty, rk FROM ranked WHERE rk <= 5
+        SELECT gid, p_brand, p_type,
+          CAST(round(sum_qty * 100, 0) AS BIGINT) AS sum_qty_c, rk
+        FROM ranked WHERE rk <= 5
         ORDER BY gid, p_brand NULLS FIRST, p_type NULLS FIRST"""),
-      doc = "TPC-DS Q67 archetype: join -> rollup -> rank() partitioned by the rollup level (grouping_id) -> top-5 per level. Expand twin + grouped partials + ranking window compose in one plan; exact decimal sum lane."),
+      doc = "TPC-DS Q67 archetype: join -> rollup -> rank() partitioned by the rollup level (grouping_id) -> top-5 per level. Expand twin + grouped partials + ranking window compose in one plan; exact decimal sum ranked in-window, surfaced as BIGINT cents per the money convention."),
 
     QueryDef(
       "q213_tpcds_intersect_channels",
@@ -202,6 +213,108 @@ object TpcdsArchetypeQueries {
              AND l_discount >= 0.07) AS c7,
           (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40
              AND l_discount >= 0.07) AS c8"""),
-      doc = "TPC-DS Q88 one-scan rewrite: the band envelope pushes to parquet, eight conditional counts ride the columnar CASE lane over a SINGLE fact scan (pinned) — 1 read instead of 8; oracle is the literal 8-subquery SQL, values identical.")
+      doc = "TPC-DS Q88 one-scan rewrite: the band envelope pushes to parquet, eight conditional counts ride the columnar CASE lane over a SINGLE fact scan (pinned) — 1 read instead of 8; oracle is the literal 8-subquery SQL, values identical."),
+
+    QueryDef(
+      "q227_tpcds_q51_cumulative",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Q51's core: per-channel daily aggregates, FULL OUTER JOIN on
+        // (item, period), then CUMULATIVE window sums per item compared
+        // channel-vs-channel. Channels here are the two linestatus
+        // streams of lineitem; items are bounded partkey buckets,
+        // periods are ship months. SURFACES: quantities are integral —
+        // sums travel as BIGINT end to end (first-flight discipline:
+        // no decimal-typed output anywhere). The cumulative window runs
+        // over the post-join frame exactly as Q51 writes it (the
+        // cumulative of a FULL OUTER side is null-skipping sum over
+        // the channel's column).
+        def chan(status: String, out: String) =
+          Tables.t(s, dir, "lineitem")
+            .filter($"l_linestatus" === status)
+            .groupBy(($"l_partkey" % 20).as("item"),
+              date_trunc("month", $"l_shipdate").as("d"))
+            .agg(sum($"l_quantity".cast("long")).as(out))
+        val f = chan("F", "qty_f")
+        val o = chan("O", "qty_o")
+        val joined = f.join(o, Seq("item", "d"), "full_outer")
+        val w = Window.partitionBy($"item").orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined
+          .select($"item", $"d",
+            sum($"qty_f").over(w).as("cum_f"),
+            sum($"qty_o").over(w).as("cum_o"))
+          .filter($"cum_f" > $"cum_o")
+          .orderBy($"item", $"d")
+      },
+      Some("""WITH f AS (
+          SELECT l_partkey % 20 AS item,
+            CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS d,
+            sum(CAST(l_quantity AS BIGINT)) AS qty_f
+          FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1, 2),
+        o AS (
+          SELECT l_partkey % 20 AS item,
+            CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS d,
+            sum(CAST(l_quantity AS BIGINT)) AS qty_o
+          FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1, 2),
+        j AS (
+          SELECT coalesce(f.item, o.item) AS item, coalesce(f.d, o.d) AS d,
+            qty_f, qty_o
+          FROM f FULL OUTER JOIN o ON f.item = o.item AND f.d = o.d),
+        c AS (
+          SELECT item, d,
+            CAST(sum(qty_f) OVER (PARTITION BY item ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_f,
+            CAST(sum(qty_o) OVER (PARTITION BY item ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_o
+          FROM j)
+        SELECT item, d, cum_f, cum_o FROM c WHERE cum_f > cum_o
+        ORDER BY item, d"""),
+      doc = "TPC-DS Q51 archetype: per-channel grouped aggregates FULL OUTER JOINed on (item, period), cumulative null-skipping window sums per item, channel-vs-channel comparison — grouped agg + full join + running window compose in one plan; BIGINT surfaces throughout."),
+
+    QueryDef(
+      "q228_tpcds_q35_exists_gate",
+      (s, dir) => {
+        import s.implicits._
+        // Q35's correlated multi-subquery gate: customers that EXISTS in
+        // the primary channel AND (EXISTS in channel 2 OR EXISTS in
+        // channel 3), grouped demographics over the survivors. The OR
+        // of two EXISTS cannot become two semi joins — Spark plans
+        // ExistenceJoins feeding a disjunctive filter (the q154 lane,
+        // now composed with a leading semi join). SURFACES: counts +
+        // exact BIGINT cents via decimal sum (money convention).
+        Tables.t(s, dir, "customer").createOrReplaceTempView("g_q228_cust")
+        Tables.t(s, dir, "orders").createOrReplaceTempView("g_q228_ord")
+        s.sql("""
+          SELECT c_nationkey,
+            count(*) AS n_cust,
+            CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100, 0) AS BIGINT)
+              AS bal_cents
+          FROM g_q228_cust
+          WHERE EXISTS (SELECT 1 FROM g_q228_ord
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+            AND (EXISTS (SELECT 1 FROM g_q228_ord
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '2-HIGH')
+                 OR EXISTS (SELECT 1 FROM g_q228_ord
+                            WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '3-MEDIUM'))
+          GROUP BY c_nationkey ORDER BY c_nationkey""")
+      },
+      Some("""SELECT c_nationkey,
+          count(*) AS n_cust,
+          CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100, 0) AS BIGINT)
+            AS bal_cents
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          AND (EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '2-HIGH')
+               OR EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '3-MEDIUM'))
+        GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      doc = "TPC-DS Q35 archetype: a correlated EXISTS AND (EXISTS OR EXISTS) gate — one semi join plus two ExistenceJoins feeding a disjunctive filter — over grouped demographics; count + exact BIGINT-cents surfaces per the money convention.")
   )
 }

@@ -319,6 +319,29 @@ case class GraftColumnarFinalAggExec(
               arr(0) = newAvg
               arr(1) = newM2
               st.dblAcc(si)(gid) = newN
+            case HllMergeSpec(col, numWords, _) =>
+              // HyperLogLogPlusPlusHelper.merge's exact word loop:
+              // register-wise max of 10 six-bit registers per word,
+              // masked in place. Buffer words are non-nullable longs.
+              var arr = st.objAcc(si)(gid).asInstanceOf[Array[Long]]
+              if (arr == null) {
+                arr = new Array[Long](numWords); st.objAcc(si)(gid) = arr
+              }
+              var w = 0
+              while (w < numWords) {
+                val w1 = arr(w)
+                val w2 = r.getLong(col + w)
+                var word = 0L
+                var k = 0
+                var mask = 0x3FL // REGISTER_WORD_MASK
+                while (k < 10) { // REGISTERS_PER_WORD
+                  word |= Math.max(w1 & mask, w2 & mask)
+                  mask <<= 6 // REGISTER_SIZE
+                  k += 1
+                }
+                arr(w) = word
+                w += 1
+              }
             case CovFinalSpec(col, _, _) =>
               // Covariance.mergeExpressions: (n, xAvg, yAvg, ck)
               var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
@@ -564,6 +587,22 @@ case class GraftColumnarFinalAggExec(
                         if (m2 == 0.0) dbz(i)
                         else cols(c).putDouble(i, n * arr(3) / (m2 * m2) - 3.0)
                     }
+                    i += 1
+                  }
+                case HllMergeSpec(_, numWords, rsd) =>
+                  // HyperLogLogPlusPlus.eval == helper.query: raw HLL
+                  // estimate + the published bias correction — call
+                  // Spark's own helper on the merged words
+                  val helper =
+                    new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(rsd)
+                  var i = 0
+                  while (i < g) {
+                    val arr = st.objAcc(si)(i).asInstanceOf[Array[Long]]
+                    val vals: Array[Any] =
+                      if (arr == null) Array.fill[Any](numWords)(0L)
+                      else arr.map(x => x: Any)
+                    cols(c).putLong(i, helper.query(
+                      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals), 0))
                     i += 1
                   }
                 case CovFinalSpec(_, isSample, nullOnDiv) =>

@@ -128,6 +128,21 @@ object AggSpec {
     * 5 kurtosis — the divisor/NaN edges live in the emission switch
     * (n=0 → null; n=1 → NaN for the sample divisors; m2=0 → NaN for
     * skew/kurt), replicating each function's evaluateExpression. */
+  /** approx_count_distinct FINAL merge: HyperLogLogPlusPlus's buffer is
+    * numWords non-nullable longs (10 six-bit registers per word). The
+    * merge runs Spark's own HyperLogLogPlusPlusHelper.merge
+    * (register-wise max) against a per-group long[numWords] in the
+    * object lane, and the emit is helper.query (raw estimate + bias
+    * correction) — both invoked on the 4.1.2 helper itself, so the
+    * estimate is bit-exact by construction. Partial updates (per-row
+    * xxhash64 register writes) stay row; the census-measured gap was
+    * the final merge (q129's 3 hits). Ref: the reference disables
+    * HLL natively and falls back wholesale
+    * (serde/aggregates, unsupported-agg list) — this keeps the merge
+    * side columnar instead. */
+  final case class HllMergeSpec(col: Int, numWords: Int, relativeSD: Double)
+      extends AggSpec { def slots = numWords }
+
   final case class MomentsFinalSpec(col: Int, order: Int, kind: Int,
       nullOnDiv: Boolean) extends AggSpec { def slots = order + 1 }
   /** covar_pop/covar_samp FINAL: merges (n, xAvg, yAvg, ck) with
@@ -955,6 +970,7 @@ object GraftColumnarAgg {
     // final-only specs never appear in a partial layout
     case s @ (MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _)) =>
       Seq.fill(s.slots)(DoubleType)
+    case h: HllMergeSpec => Seq.fill(h.numWords)(LongType)
   }
 
   private val longFamily: Set[DataType] =
@@ -1121,6 +1137,7 @@ object GraftColumnarAgg {
     case MinMaxDec64Spec(_, dt, _) => dt
     case MinMaxDec128Spec(_, dt, _) => dt
     case SumLongSpec(_, _, _) => LongType
+    case HllMergeSpec(_, _, _) => LongType
     case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _) =>
       DoubleType
     // unreachable: compileFinal emits the *FinalSpec twins, never the
@@ -1166,6 +1183,10 @@ object GraftColumnarAgg {
   def bufferReEmittable(s: AggSpec): Boolean = s match {
     case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) |
          CorrFinalSpec(_, _, _) => false
+    // HLL merge state IS the partial buffer layout (long[numWords]),
+    // but the partial-layout writer has no multi-word re-emit lane —
+    // PartialMerge nodes with HLL stay row (Final is the census gap)
+    case HllMergeSpec(_, _, _) => false
     case _ => true
   }
 
@@ -1283,6 +1304,10 @@ object GraftColumnarAgg {
       case f: Corr if bufs == Seq.tabulate(6)(c + _) =>
         scala.Right(CorrFinalSpec(c, f.nullOnDivideByZero,
           org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
+      case h: HyperLogLogPlusPlus
+          if bufs == Seq.tabulate(bufs.length)(c + _) &&
+            bufs.length == h.hllppHelper.numWords =>
+        scala.Right(HllMergeSpec(c, h.hllppHelper.numWords, h.relativeSD))
       case other =>
         scala.Left(s"unsupported final aggregate: ${other.getClass.getSimpleName}")
     }

@@ -375,6 +375,55 @@ object VecPredicate {
     }
   }
 
+  /** might_contain(bloomBytes, xxhash64(key)) — the 100 TB pre-join
+    * probe, both the explicit q76 shape and Spark's own
+    * InjectRuntimeFilter product on shuffle joins. The bloom bytes come
+    * from a scalar subquery expression: the exec's executeQuery has
+    * already waited for subqueries before doExecuteColumnar, and the
+    * serialized expression carries the updated result to executors —
+    * the same contract the row FilterExec relies on — so the filter
+    * deserializes ONCE per task at first batch. The probe itself runs
+    * Spark's own statics (XXH64.hashLong/hashInt with the expression's
+    * seed, BloomFilter.readFrom/mightContainLong), bit-exact by
+    * construction. Replicates BloomFilterMightContain.eval: null bloom
+    * bytes → NULL for every row; a NULL key hashes to the bare seed
+    * (HashExpression skips null children), so the value lane is
+    * never null.
+    */
+  final case class BloomContainsP(bloomExpr: Expression, keyOrd: Int,
+      keyIsInt: Boolean, seed: Long) extends VecPredicate {
+    @transient private var inited = false
+    @transient private var bloom: org.apache.spark.util.sketch.BloomFilter = _
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      if (!inited) {
+        val bytes = bloomExpr.eval(InternalRow.empty)
+        bloom = if (bytes == null) null
+          else org.apache.spark.util.sketch.BloomFilter.readFrom(
+            bytes.asInstanceOf[Array[Byte]])
+        inited = true
+      }
+      val bl = bloom
+      if (bl == null) {
+        java.util.Arrays.fill(isNull, 0, len, true)
+        java.util.Arrays.fill(value, 0, len, false)
+        return
+      }
+      val v = b.column(keyOrd)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        val h =
+          if (v.isNullAt(i)) seed
+          else if (keyIsInt) XXH64.hashInt(v.getInt(i), seed)
+          else XXH64.hashLong(v.getLong(i), seed)
+        isNull(j) = false
+        value(j) = bl.mightContainLong(h)
+        j += 1
+      }
+    }
+  }
+
   final case class IsNullP(col: Int, negate: Boolean) extends VecPredicate {
     override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
         value: Array[Boolean], isNull: Array[Boolean]): Unit = {
@@ -560,12 +609,15 @@ object VecPredicate {
               (integralT(b.dataType) && b.evalMode == EvalMode.LEGACY)) =>
         for (l <- nullChainAttrs(b.left); r <- nullChainAttrs(b.right))
           yield l ++ r
-      // double division: IEEE (x/0 = ±Inf/NaN, never null) except under
-      // ANSI, whose only throw site is a zero divisor — excluded by the
-      // non-zero-literal gate
+      // double division: Spark's Divide is DivModLike, which returns NULL
+      // on a zero divisor in EVERY eval mode (LEGACY/TRY yield null, ANSI
+      // throws) — it is NOT bare IEEE x/0 = ±Inf. So x/y is a null-chain
+      // only when the divisor is a provably non-zero literal, exactly as
+      // Remainder/Pmod already require (the DivD kernel,
+      // GraftColumnarProject DivD, documents the same null-on-zero rule).
       case d: Divide
           if (d.dataType == DoubleType || d.dataType == FloatType) &&
-            (d.evalMode != EvalMode.ANSI || nonZeroLit(d.right)) =>
+            nonZeroLit(d.right) =>
         for (l <- nullChainAttrs(d.left); r <- nullChainAttrs(d.right))
           yield l ++ r
       case u: UnaryMinus
@@ -738,6 +790,24 @@ object VecPredicate {
             scala.Right(StringIn(idx,
               hset.toSeq.map(_.asInstanceOf[UTF8String].getBytes).toArray))
           case dt => scala.Left(s"unsupported IN column type $dt")
+        }
+      // might_contain(scalar-subquery bloom, xxhash64(key attr)) — both
+      // the explicit q76 shape and InjectRuntimeFilter's join probes
+      case bf: BloomFilterMightContain =>
+        bf.valueExpression match {
+          case xx: XxHash64 if xx.children.size == 1 =>
+            xx.children.head match {
+              case a: AttributeReference if output.exists(_.exprId == a.exprId) &&
+                  (a.dataType == LongType || a.dataType == IntegerType ||
+                    a.dataType == DateType) =>
+                scala.Right(BloomContainsP(bf.bloomFilterExpression,
+                  output.indexWhere(_.exprId == a.exprId),
+                  keyIsInt = a.dataType != LongType, seed = xx.seed))
+              case other => scala.Left("bloom probe key is not a long/int attribute: " +
+                other.getClass.getSimpleName)
+            }
+          case other => scala.Left("bloom probe value is not a single-key xxhash64: " +
+            other.getClass.getSimpleName)
         }
       case other => scala.Left(s"unsupported expression: ${other.getClass.getSimpleName}")
     }

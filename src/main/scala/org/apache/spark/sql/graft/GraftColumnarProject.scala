@@ -333,13 +333,17 @@ object VecNumExpr {
       case COT => 1.0 / Math.tan(x)
       case EXP => StrictMath.exp(x)
       case EXPM1 => StrictMath.expm1(x)
+      // Asinh's row path special-cases ONLY NegativeInfinity (x*x would
+      // give -Inf + Inf = NaN); every finite x — including ±MaxValue —
+      // runs the composition, whose x*x overflow to +Inf is part of the
+      // contract (asinh(±MaxValue) = +Infinity on the row path).
       case ASINH =>
-        if (Math.abs(x) >= Double.MaxValue)
-          Math.signum(x) * (StrictMath.log(Math.abs(x)) + StrictMath.log(2))
+        if (java.lang.Double.isInfinite(x)) x
         else StrictMath.log(x + Math.sqrt(x * x + 1.0))
+      // Acosh has no special case at all: x*x - 1 overflows to +Inf for
+      // huge finite x and the row path yields +Infinity.
       case ACOSH =>
-        if (x >= Double.MaxValue) StrictMath.log(x) + StrictMath.log(2)
-        else if (x < 1) Double.NaN
+        if (x < 1) Double.NaN
         else StrictMath.log(x + Math.sqrt(x * x - 1.0))
       case ATANH => 0.5 * (StrictMath.log1p(x) - StrictMath.log1p(-x))
       case LN => StrictMath.log(x)
@@ -524,6 +528,461 @@ object VecNumExpr {
   private val numeric: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
 
+  // ==================================================================
+  // Array lanes: fixed-order double folds and element extraction over
+  // array<numeric> columns — the embedding/ANN shapes
+  // (aggregate/transform/zip_with compositions, element_at). Catalyst's
+  // HigherOrderFunctions are CodegenFallback: every element pays a boxed
+  // AtomicReference store plus an interpreted tree walk (the
+  // "interpreted lambdas" cost SimilarityQueries.scala:24-35 measured at
+  // 3-5x on pair folds). Here the lambda is compiled ONCE into a tiny
+  // element program evaluated in a flat per-row loop over the columnar
+  // array vectors — no boxing, no variable rebinding.
+  //
+  // Semantics replicated exactly from the 4.1.2 evals:
+  //  - ArrayAggregate.eval: null argument → null; acc starts at the
+  //    literal zero; merge runs IN INDEX ORDER for EVERY element (even
+  //    after acc goes null — Add(null, g(x)) still evaluates g, so
+  //    throwing element programs keep their throws); identity finish.
+  //  - ZipWith.eval: null on either array → null; result length is
+  //    max(len), the SHORTER side's element is null PAST ITS END
+  //    WITHOUT evaluating that side's transform chain (ESide guards).
+  //  - ArrayTransform.eval: null argument → null; f applied per element.
+  //  - Element programs propagate null like the scalar lanes: Divide
+  //    keeps DivModLike's zero-divisor rules (null numerator wins, ANSI
+  //    throws only for live rows).
+  // ==================================================================
+
+  /** Element program: evaluated per array element inside
+    * [[ArrayFoldD]]/[[ElemAtD]]. EVar(k) reads array k's current
+    * element (widened to double); EOuter(k) reads the k-th outer scalar
+    * lane (a whole-batch [[VecNumExpr]] evaluated once per batch) at
+    * the current row; ESide(k, e) is the zip padding guard — null past
+    * array k's end, e otherwise. */
+  sealed trait ElemD extends Serializable
+  final case class EVarE(which: Int) extends ElemD
+  final case class ELitE(v: Double) extends ElemD
+  final case class ENullE() extends ElemD
+  final case class EOuterE(lane: Int) extends ElemD
+  final case class ESideE(which: Int, e: ElemD) extends ElemD
+  final case class EBinE(op: Int, l: ElemD, r: ElemD) extends ElemD
+  final case class EDivE(l: ElemD, r: ElemD, ansi: Boolean) extends ElemD
+  final case class EMathE(op: Int, c: ElemD) extends ElemD
+
+  /** Shared element-program evaluator state for one (row, element). */
+  private[graft] final class ElemEval {
+    // bound per row
+    var arr0: org.apache.spark.sql.vectorized.ColumnarArray = null
+    var arr1: org.apache.spark.sql.vectorized.ColumnarArray = null
+    var len0: Int = 0
+    var len1: Int = 0
+    var elemT0: DataType = null
+    var elemT1: DataType = null
+    var outerVals: Array[Array[Double]] = null
+    var outerNulls: Array[Array[Boolean]] = null
+    var row: Int = 0
+    var live: Boolean = true
+    // per element
+    var j: Int = 0
+    var isNull: Boolean = false
+
+    private def loadVar(which: Int): Double = {
+      val (a, len, t) = if (which == 0) (arr0, len0, elemT0) else (arr1, len1, elemT1)
+      if (j >= len || a.isNullAt(j)) { isNull = true; 0d }
+      else t match {
+        case DoubleType => a.getDouble(j)
+        case FloatType => a.getFloat(j).toDouble
+        case IntegerType => a.getInt(j).toDouble
+        case LongType => a.getLong(j).toDouble
+        case ShortType => a.getShort(j).toDouble
+        case ByteType => a.getByte(j).toDouble
+        case other => throw new IllegalStateException(s"not numeric: $other")
+      }
+    }
+
+    /** Evaluate `e` for the bound (row, element); sets [[isNull]]. */
+    def eval(e: ElemD): Double = e match {
+      case EVarE(w) => loadVar(w)
+      case ELitE(v) => v
+      case ENullE() => isNull = true; 0d
+      case EOuterE(k) =>
+        if (outerNulls(k)(row)) { isNull = true; 0d } else outerVals(k)(row)
+      case ESideE(w, inner) =>
+        // zip padding: past this side's end the row path feeds NULL to
+        // the zip lambda without evaluating this side's transform chain
+        if (j >= (if (w == 0) len0 else len1)) { isNull = true; 0d }
+        else eval(inner)
+      case EBinE(op, l, r) =>
+        val lv = eval(l); val ln = isNull
+        isNull = false
+        val rv = eval(r)
+        isNull ||= ln
+        if (isNull) 0d
+        else op match {
+          case ADD => lv + rv
+          case SUB => lv - rv
+          case _ => lv * rv
+        }
+      case EDivE(l, r, ansi) =>
+        val lv = eval(l); val ln = isNull
+        isNull = false
+        val rv = eval(r); val rn = isNull
+        if (ln || rn) { isNull = true; 0d }
+        else if (rv == 0d) {
+          if (ansi && live)
+            throw org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
+          isNull = true; 0d
+        } else lv / rv
+      case EMathE(op, c) =>
+        val v = eval(c)
+        if (isNull) 0d
+        else {
+          val yA = MathD.asymptote(op)
+          if (!java.lang.Double.isNaN(yA) && v <= yA) { isNull = true; 0d }
+          else MathD.ap(op, v)
+        }
+    }
+  }
+
+  /** One array input of a fold/extract: the batch ordinal + element type. */
+  final case class ArrRef(ord: Int, elemT: DataType)
+
+  /** Fixed-order fold: aggregate(src, zeroLit, (acc, x) -> acc + g(x))
+    * with identity finish — evaluated per row as a sequential flat loop
+    * over the element program (index order preserved: bit-identical to
+    * the row path's left fold, the determinism contract the embedding
+    * queries rely on). A/B (FilterMicroBench fold-*, sf0.1 amplified
+    * embeddings ~51M elements, min-of-5, 3 session runs): sumsq
+    * 0.64/1.00/0.93x, element_at 1.00/0.99x, the q71 composite
+    * (folds + element_at + divide in one project) 0.98/0.93x, split
+    * 0.97x — win-or-parity, default ON. The zip dot-product shape
+    * measured 1.12x through THIS general evaluator and is routed to
+    * [[DotFoldD]] instead (0.97/0.93x). */
+  final case class ArrayFoldD(arrs: Array[ArrRef], contrib: ElemD, init: Double,
+      outers: Array[VecNumExpr]) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val ev = new ElemEval
+      ev.outerVals = new Array[Array[Double]](outers.length)
+      ev.outerNulls = new Array[Array[Boolean]](outers.length)
+      var k = 0
+      while (k < outers.length) {
+        ev.outerVals(k) = s.d(n); ev.outerNulls(k) = s.b(n)
+        outers(k).eval(b, n, ev.outerVals(k), ev.outerNulls(k), s)
+        k += 1
+      }
+      val c0 = b.column(arrs(0).ord)
+      val c1 = if (arrs.length > 1) b.column(arrs(1).ord) else null
+      ev.elemT0 = arrs(0).elemT
+      if (arrs.length > 1) ev.elemT1 = arrs(1).elemT
+      var i = 0
+      while (i < n) {
+        // null on any input array → null result (ZipWith/ArrayAggregate)
+        if (c0.isNullAt(i) || (c1 != null && c1.isNullAt(i))) {
+          isNull(i) = true; values(i) = 0d
+        } else {
+          ev.arr0 = c0.getArray(i); ev.len0 = ev.arr0.numElements()
+          if (c1 != null) { ev.arr1 = c1.getArray(i); ev.len1 = ev.arr1.numElements() }
+          val total = if (c1 != null) Math.max(ev.len0, ev.len1) else ev.len0
+          ev.row = i
+          ev.live = s.live(i)
+          var acc = init
+          var accNull = false
+          var j = 0
+          while (j < total) {
+            // the row path evaluates merge for EVERY element even after
+            // acc is null (Add evaluates g(x) first) — element-program
+            // throw sites must keep firing, so no early break
+            ev.j = j
+            ev.isNull = false
+            val v = ev.eval(contrib)
+            if (ev.isNull) accNull = true
+            else if (!accNull) acc += v
+            j += 1
+          }
+          values(i) = acc; isNull(i) = accNull
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Fused dot-product fold: aggregate(zip_with(A, B, (x,y) -> x*y),
+    * 0.0, (acc,x) -> acc + x) specialized into one tight multiply-add
+    * loop (no element-program recursion, no ESide guards on the hot
+    * path). The general [[ArrayFoldD]] measured 1.12x on this shape —
+    * the per-element recursive dispatch ate the materialization win —
+    * while this fused twin inlines to scalar FMA-style code. Length
+    * mismatch: the zip pads the shorter side with null, the product
+    * goes null, the additive fold is then null for the whole row (no
+    * throw sites exist in x*y), so the result is NULL — shortcut taken
+    * without element evaluation, matching ZipWith+ArrayAggregate
+    * exactly. */
+  final case class DotFoldD(ordA: Int, tA: DataType, ordB: Int, tB: DataType,
+      init: Double) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val ca = b.column(ordA)
+      val cb = b.column(ordB)
+      val aIsF = tA == FloatType
+      val bIsF = tB == FloatType
+      var i = 0
+      while (i < n) {
+        if (ca.isNullAt(i) || cb.isNullAt(i)) { isNull(i) = true; values(i) = 0d }
+        else {
+          val aa = ca.getArray(i)
+          val ba = cb.getArray(i)
+          val la = aa.numElements()
+          if (la != ba.numElements()) { isNull(i) = true; values(i) = 0d }
+          else {
+            var acc = init
+            var nul = false
+            var j = 0
+            while (j < la) {
+              if (aa.isNullAt(j) || ba.isNullAt(j)) nul = true
+              else {
+                val x = if (aIsF) aa.getFloat(j).toDouble else aa.getDouble(j)
+                val y = if (bIsF) ba.getFloat(j).toDouble else ba.getDouble(j)
+                acc += x * y
+              }
+              j += 1
+            }
+            values(i) = acc; isNull(i) = nul
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** element_at(src, positiveLiteral) as a double lane. Replicates
+    * ElementAt.nullSafeEval for arrays: 1-based; index past the end is
+    * NULL in LEGACY/TRY and the exact invalidElementAtIndexError under
+    * ANSI (masked rows emit null like every kernel throw site). */
+  final case class ElemAtD(arrs: Array[ArrRef], contrib: ElemD, idx: Int,
+      failOnError: Boolean, ctx: org.apache.spark.QueryContext) extends VecNumExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
+        s: VecScratch): Unit = {
+      val ev = new ElemEval
+      ev.outerVals = new Array[Array[Double]](0)
+      ev.outerNulls = new Array[Array[Boolean]](0)
+      val c0 = b.column(arrs(0).ord)
+      ev.elemT0 = arrs(0).elemT
+      var i = 0
+      while (i < n) {
+        if (c0.isNullAt(i)) { isNull(i) = true; values(i) = 0d }
+        else {
+          ev.arr0 = c0.getArray(i); ev.len0 = ev.arr0.numElements()
+          if (idx > ev.len0) {
+            if (failOnError && s.live(i))
+              throw org.apache.spark.sql.errors.QueryExecutionErrors
+                .invalidElementAtIndexError(idx, ev.len0, ctx)
+            isNull(i) = true; values(i) = 0d
+          } else {
+            ev.row = i; ev.live = s.live(i); ev.j = idx - 1; ev.isNull = false
+            val v = ev.eval(contrib)
+            values(i) = v; isNull(i) = ev.isNull
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Compile the ARRAY SOURCE of a fold/extract: a plain array<numeric>
+    * attribute, an ArrayTransform over one, or a ZipWith of two — into
+    * (array refs, element program producing one element's value). */
+  private def compileArraySource(e: Expression, output: Seq[Attribute],
+      outers: scala.collection.mutable.ArrayBuffer[VecNumExpr])
+      : Either[String, (Seq[ArrRef], ElemD)] = {
+    def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
+    e match {
+      case a: AttributeReference if ord(a) >= 0 =>
+        a.dataType match {
+          case ArrayType(et, _) if numeric(et) =>
+            scala.Right((Seq(ArrRef(ord(a), et)), EVarE(0)))
+          case other => scala.Left(s"unsupported fold source type $other")
+        }
+      case t: org.apache.spark.sql.catalyst.expressions.ArrayTransform =>
+        t.function match {
+          case LambdaFunction(body, Seq(x: NamedLambdaVariable), _) =>
+            compileArraySource(t.argument, output, outers).flatMap { case (arrs, inner) =>
+              compileElem(body, Map(x.exprId -> inner), output, outers)
+                .map(fn => (arrs, fn))
+            }
+          case _ => scala.Left("indexed transform lambda (x, i) stays on the row path")
+        }
+      case z: org.apache.spark.sql.catalyst.expressions.ZipWith =>
+        z.function match {
+          case LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+            for {
+              l <- compileArraySource(z.left, output, outers)
+              _ <- if (l._1.size == 1) scala.Right(())
+                else scala.Left("nested zip on the left side")
+              r <- compileArraySource(z.right, output, outers)
+              _ <- if (r._1.size == 1) scala.Right(())
+                else scala.Left("nested zip on the right side")
+              // ESide guards: past a side's end the zip feeds null
+              // WITHOUT evaluating that side's transform chain
+              fn <- compileElem(body,
+                Map(x.exprId -> ESideE(0, l._2),
+                  y.exprId -> ESideE(1, remapVar(r._2))),
+                output, outers)
+            } yield (Seq(l._1.head, ArrRef(r._1.head.ord, r._1.head.elemT)), fn)
+          case _ => scala.Left("unsupported zip lambda shape")
+        }
+      case other =>
+        scala.Left(s"unsupported fold source: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** The right zip side compiled with EVarE(0) leaves — remap to array 1. */
+  private def remapVar(e: ElemD): ElemD = e match {
+    case EVarE(_) => EVarE(1)
+    case ESideE(w, i) => ESideE(w, remapVar(i))
+    case EBinE(op, l, r) => EBinE(op, remapVar(l), remapVar(r))
+    case EDivE(l, r, a) => EDivE(remapVar(l), remapVar(r), a)
+    case EMathE(op, c) => EMathE(op, remapVar(c))
+    case leaf => leaf
+  }
+
+  /** Compile a lambda BODY into an element program: bound lambda vars
+    * from `binds`, double arithmetic on elements, and any lambda-free
+    * subtree as an outer whole-batch lane. */
+  private def compileElem(e: Expression, binds: Map[ExprId, ElemD],
+      output: Seq[Attribute],
+      outers: scala.collection.mutable.ArrayBuffer[VecNumExpr])
+      : Either[String, ElemD] = {
+    def hasLambdaVar(ex: Expression): Boolean = ex.exists {
+      case v: NamedLambdaVariable => binds.contains(v.exprId)
+      case _ => false
+    }
+    e match {
+      case v: NamedLambdaVariable =>
+        binds.get(v.exprId).toRight(s"unbound lambda variable ${v.name}")
+      case Literal(null, dt) if numeric(dt) => scala.Right(ENullE())
+      case Literal(v, dt) if numeric(dt) =>
+        scala.Right(ELitE(v match {
+          case b: Byte => b.toDouble; case s: Short => s.toDouble
+          case i: Int => i.toDouble; case l: Long => l.toDouble
+          case f: Float => f.toDouble; case d: Double => d
+        }))
+      case c: Cast if (c.dataType == DoubleType || c.dataType == FloatType) &&
+          numeric(c.child.dataType) && hasLambdaVar(c) =>
+        // widening numeric casts on the element are exact (the EVarE
+        // load already widens float→double the way Cast does);
+        // float→double of a float element is the identity on the
+        // widened value
+        compileElem(c.child, binds, output, outers)
+      case a: Add if a.dataType == DoubleType && hasLambdaVar(a) =>
+        for {
+          l <- compileElem(a.left, binds, output, outers)
+          r <- compileElem(a.right, binds, output, outers)
+        } yield EBinE(ADD, l, r)
+      case sub: Subtract if sub.dataType == DoubleType && hasLambdaVar(sub) =>
+        for {
+          l <- compileElem(sub.left, binds, output, outers)
+          r <- compileElem(sub.right, binds, output, outers)
+        } yield EBinE(SUB, l, r)
+      case m: Multiply if (m.dataType == DoubleType || m.dataType == FloatType) &&
+          hasLambdaVar(m) =>
+        // float multiply of two float elements differs from double
+        // multiply of the widened values — only DOUBLE products compile
+        if (m.dataType == FloatType) scala.Left("float-typed element product " +
+          "(single-precision rounding differs from the double lane)")
+        else for {
+          l <- compileElem(m.left, binds, output, outers)
+          r <- compileElem(m.right, binds, output, outers)
+        } yield EBinE(MUL, l, r)
+      case d: Divide if d.dataType == DoubleType && hasLambdaVar(d) =>
+        for {
+          l <- compileElem(d.left, binds, output, outers)
+          r <- compileElem(d.right, binds, output, outers)
+        } yield EDivE(l, r, d.evalMode == EvalMode.ANSI)
+      case u: UnaryMathExpression if u.dataType == DoubleType &&
+          MathD.opOf(u) >= 0 && hasLambdaVar(u) =>
+        compileElem(u.child, binds, output, outers).map(EMathE(MathD.opOf(u), _))
+      case other if !hasLambdaVar(other) && numeric(other.dataType) =>
+        // lambda-free subtree: a per-row scalar — compile it as a
+        // whole-batch outer lane evaluated once per batch
+        compile(other, output).map { k =>
+          outers += k
+          EOuterE(outers.size - 1)
+        }
+      case other =>
+        scala.Left(s"unsupported element expression: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** aggregate(arr, zero, (acc, x) -> acc + g(x)) with identity finish. */
+  def compileFold(agg: org.apache.spark.sql.catalyst.expressions.ArrayAggregate,
+      output: Seq[Attribute]): Either[String, VecNumExpr] = {
+    val outers = scala.collection.mutable.ArrayBuffer.empty[VecNumExpr]
+    for {
+      init <- agg.zero match {
+        case Literal(d: Double, DoubleType) => scala.Right(d)
+        case other => scala.Left(s"non-literal-double fold zero: $other")
+      }
+      _ <- agg.finish match {
+        case LambdaFunction(v: NamedLambdaVariable, args, _)
+            if args.size == 1 && args.head.exprId == v.exprId => scala.Right(())
+        case _ => scala.Left("non-identity fold finish stays on the row path")
+      }
+      src <- compileArraySource(agg.argument, output, outers)
+      merged <- agg.merge match {
+        case LambdaFunction(body, Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _) =>
+          body match {
+            case a: Add if a.dataType == DoubleType =>
+              val gOpt = (a.left, a.right) match {
+                case (l: NamedLambdaVariable, r) if l.exprId == acc.exprId => Some(r)
+                case (l, r: NamedLambdaVariable) if r.exprId == acc.exprId => Some(l)
+                case _ => None
+              }
+              gOpt match {
+                case Some(g) if !g.exists {
+                    case v: NamedLambdaVariable => v.exprId == acc.exprId
+                    case _ => false
+                  } =>
+                  compileElem(g, Map(x.exprId -> src._2), output, outers)
+                case _ => scala.Left("fold merge is not acc + f(x)")
+              }
+            case _ => scala.Left("non-additive fold merge stays on the row path")
+          }
+        case _ => scala.Left("unsupported fold merge lambda shape")
+      }
+    } yield (merged, src._1, outers.toList) match {
+      // the dot-product shape fuses into the specialized multiply-add
+      // loop (see DotFoldD's scaladoc for the measured reason)
+      case (EBinE(MUL, ESideE(0, EVarE(0)), ESideE(1, EVarE(1))), Seq(a, b2), Nil) =>
+        DotFoldD(a.ord, a.elemT, b2.ord, b2.elemT, init)
+      case (EBinE(MUL, ESideE(1, EVarE(1)), ESideE(0, EVarE(0))), Seq(a, b2), Nil) =>
+        DotFoldD(b2.ord, b2.elemT, a.ord, a.elemT, init)
+      case _ => ArrayFoldD(src._1.toArray, merged, init, outers.toArray)
+    }
+  }
+
+  /** element_at(arraySource, positive int literal) as a double lane. */
+  def compileElementAt(ea: org.apache.spark.sql.catalyst.expressions.ElementAt,
+      output: Seq[Attribute]): Either[String, VecNumExpr] = {
+    val outers = scala.collection.mutable.ArrayBuffer.empty[VecNumExpr]
+    ea.left.dataType match {
+      case ArrayType(_, _) =>
+        for {
+          idx <- ea.right match {
+            case Literal(i: Int, IntegerType) if i > 0 => scala.Right(i)
+            case other => scala.Left(s"non-positive-literal element_at index: $other")
+          }
+          _ <- if (ea.defaultValueOutOfBound.isEmpty) scala.Right(())
+            else scala.Left("element_at with a default stays on the row path")
+          src <- compileArraySource(ea.left, output, outers)
+          _ <- if (src._1.size == 1 && outers.isEmpty) scala.Right(())
+            else scala.Left("zip/outer-lane element_at stays on the row path")
+        } yield ElemAtD(src._1.toArray, src._2, idx, ea.failOnError,
+          ea.getContextOrNull())
+      case other => scala.Left(s"element_at over $other stays on the row path")
+    }
+  }
+
   /** Compile a Catalyst expression to a double kernel, or the fallback
     * reason. Only shapes whose Spark result type is DOUBLE and whose
     * semantics are pure IEEE arithmetic compile; everything else (ANSI
@@ -590,6 +1049,11 @@ object VecNumExpr {
           case other => scala.Left(s"non-literal bround scale: $other")
         }
       case Literal(null, DoubleType) => scala.Right(NullD())
+      case agg: ArrayAggregate if agg.dataType == DoubleType =>
+        compileFold(agg, output)
+      case ea: ElementAt if ea.dataType == DoubleType &&
+          ea.left.dataType.isInstanceOf[ArrayType] =>
+        compileElementAt(ea, output)
       case other if other.dataType != DoubleType =>
         scala.Left(s"non-double result type ${other.dataType} " +
           "(ANSI integral overflow / decimal scale semantics stay on the row path)")
@@ -1507,6 +1971,44 @@ object VecDec128Expr {
   * kernel tree) — valid under the vectorized-reader contract that the
   * consumer finishes with a batch before pulling the next.
   */
+/** Materialized array<string> vector: per-row slices of one flat
+  * UTF8String child (offsets + lengths), the layout split() projections
+  * produce. Element nulls don't exist (StringSplit's containsNull =
+  * false), so the child's null mask is all-false. */
+final class StringsListVector(flat: Array[UTF8String], offsets: Array[Int],
+    lens: Array[Int], nulls: Array[Boolean], n: Int)
+    extends ColumnVector(ArrayType(StringType, containsNull = false)) {
+  private[this] val child = new StringArrayVector(flat, new Array[Boolean](flat.length), flat.length)
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < n) { if (nulls(i)) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getArray(rowId: Int): ColumnarArray =
+    new ColumnarArray(child, offsets(rowId), lens(rowId))
+  private def nope = throw new UnsupportedOperationException("array<string>-only vector")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = child
+}
+
 final class StringArrayVector(values: Array[UTF8String], nulls: Array[Boolean], n: Int)
     extends ColumnVector(StringType) {
   override def close(): Unit = ()
@@ -2685,6 +3187,49 @@ final class DateArrayVector(values: Array[Long], nulls: Array[Boolean], n: Int)
   override def getChild(ordinal: Int): ColumnVector = nope
 }
 
+/** split(str, literalRegex, literalLimit) → array<string>: the string
+  * lane computes the subject column, then Spark's own UTF8String.split
+  * tokenizes per row — regex/limit semantics identical to
+  * StringSplit.nullSafeEval by construction (NOT splitSQL, which is the
+  * literal-pattern variant — pinned by the regex lane of the split
+  * differential test). The payoff is batch continuity: the split
+  * Project was the one row island in otherwise-columnar
+  * chunking/tokenization pipelines (census: 5 hits across
+  * q126/q152/q153/q166/q195). */
+final case class SplitArrK(str: VecStrExpr, pattern: UTF8String, limit: Int)
+    extends Serializable {
+  def evalToVector(b: ColumnarBatch, n: Int, s: StrScratch): ColumnVector = {
+    val subj = new Array[UTF8String](n)
+    val nulls = new Array[Boolean](n)
+    str.eval(b, n, subj, nulls, s)
+    val parts = new Array[Array[UTF8String]](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!nulls(i)) {
+        val p = subj(i).split(pattern, limit); parts(i) = p; total += p.length
+      }
+      i += 1
+    }
+    val flat = new Array[UTF8String](total)
+    val offsets = new Array[Int](n)
+    val lens = new Array[Int](n)
+    var off = 0
+    i = 0
+    while (i < n) {
+      offsets(i) = off
+      if (!nulls(i)) {
+        val p = parts(i)
+        System.arraycopy(p, 0, flat, off, p.length)
+        lens(i) = p.length
+        off += p.length
+      }
+      i += 1
+    }
+    new StringsListVector(flat, offsets, lens, nulls, n)
+  }
+}
+
 sealed trait ProjKernel extends Serializable
 final case class NumKernel(k: VecNumExpr) extends ProjKernel
 final case class StrKernel(k: VecStrExpr) extends ProjKernel
@@ -2693,6 +3238,7 @@ final case class DecKernel(k: VecDecExpr, dt: DecimalType) extends ProjKernel
 final case class Dec128Kernel(k: VecDec128Expr, dt: DecimalType) extends ProjKernel
 final case class LongKernel(k: VecLongExpr, dt: org.apache.spark.sql.types.DataType) extends ProjKernel
 final case class DateKernel(k: VecLongExpr) extends ProjKernel
+final case class SplitKernel(k: SplitArrK) extends ProjKernel
 
 object ProjKernel {
   /** Dispatch by result type: DOUBLE → the arithmetic kernels, STRING →
@@ -2792,6 +3338,16 @@ object ProjKernel {
         case other =>
           VecLongExpr.compile(other, output).map(DateKernel(_))
             .left.map(r => s"unsupported date projection: $r")
+      }
+      case ArrayType(StringType, false) => e match {
+        case ss: StringSplit => (ss.regex, ss.limit) match {
+          case (Literal(p: UTF8String, StringType), Literal(l: Int, IntegerType))
+              if p != null =>
+            VecStrExpr.compile(ss.str, output).map(k => SplitKernel(SplitArrK(k, p, l)))
+          case _ => scala.Left("non-literal split pattern/limit")
+        }
+        case other2 => scala.Left("unsupported array<string> projection: " +
+          other2.getClass.getSimpleName)
       }
       case other =>
         scala.Left(s"unsupported projection result type $other " +
@@ -2908,6 +3464,10 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
               if (outL(c) == null || outL(c).length < n) outL(c) = new Array[Long](n)
               kernel.eval(batch, n, outL(c), nulls(c, n))
               cols(c) = new DateArrayVector(outL(c), outN(c), n)
+              compM.add(1)
+            case scala.Right(SplitKernel(kernel)) =>
+              strScratch.reset()
+              cols(c) = kernel.evalToVector(batch, n, strScratch)
               compM.add(1)
           }
           c += 1

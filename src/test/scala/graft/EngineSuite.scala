@@ -159,6 +159,41 @@ class EngineSuite extends GraftTestBase {
     assert(ids(t.filter($"id".isin(1 to 12: _*))) == Set(1, 2, 3, 4, 5))
   }
 
+  test("filter null-chain: double Divide is NULL on a zero divisor in every eval mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-divnull").toString
+    Seq(
+      (1, Option(10.0), Option(2.0)),
+      (2, Option(10.0), Option(0.0)), // non-null inputs, NULL quotient
+      (3, Option.empty[Double], Option(2.0)),
+      (4, Option(10.0), Option.empty[Double]),
+      (5, Option(0.0), Option(0.0))) // 0/0 is NULL too (not NaN) under DivModLike
+      .toDF("id", "x", "y").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.select($"id").collect().map(_.getInt(0)).toSet
+    // Spark's Divide (DivModLike) yields NULL on a zero divisor in
+    // LEGACY/TRY mode — NOT IEEE ±Inf/NaN — so isnull(x/y) must keep
+    // rows 2 and 5 even though both inputs are non-null. A null-chain
+    // rewrite to isnull(x) OR isnull(y) would drop them (the r13 ADVICE
+    // defect). Under ANSI the row path throws instead, so the LEGACY
+    // pin is the discriminating one.
+    withSQLConf("spark.sql.ansi.enabled" -> "false") {
+      assert(ids(t.filter(($"x" / $"y").isNull)) == Set(2, 3, 4, 5))
+      assert(ids(t.filter(($"x" / $"y").isNotNull)) == Set(1))
+      checkInvariantUnder(t.filter(($"x" / $"y").isNotNull),
+        Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+      // a zero LITERAL divisor nulls every row — also outside the chain
+      assert(ids(t.filter(($"x" / lit(0.0)).isNull)) == Set(1, 2, 3, 4, 5))
+      // a provably non-zero literal divisor IS a null-chain and still swaps
+      val litDiv = t.filter(($"x" / lit(2.0)).isNull)
+      assert(ids(litDiv) == Set(3))
+      assert(findExec(litDiv) {
+        case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+      }.isDefined, s"literal-divisor null-chain must stay columnar:\n${
+        litDiv.queryExecution.executedPlan}")
+    }
+  }
+
   test("GraftColumnarFilterExec: computed string operands compile through the kernel language") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colfilter-str").toString
     Seq(
@@ -3909,10 +3944,169 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("split projections produce array<string> vectors matching the row path") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    Seq(
+      (1, Option("alpha beta gamma")),
+      (2, Option("one  two   three ")), // runs of separators + trailing
+      (3, Option("")),
+      (4, Option.empty[String]),
+      (5, Option(" leading and-trailing ")),
+      (6, Option("nospace")))
+      .toDF("id", "text").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def q() = t.select($"id",
+      split($"text", " ").as("ws"),
+      split($"text", "\\s+").as("wr"),      // regex pattern
+      split($"text", " ", 2).as("w2"),      // explicit limit
+      split(upper($"text"), "-").as("wu"))  // computed subject
+    val on = q()
+    on.collect()
+    assert(findExec(on) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"expected the split project columnar in:\n${
+      on.queryExecution.executedPlan}")
+    checkInvariantUnder(q(),
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    // downstream consumption through explode (the q126 tokenize shape)
+    def tok() = t.select($"id", explode(split($"text", " ")).as("w"))
+      .groupBy($"w").count().orderBy($"w")
+    checkInvariantUnder(tok(),
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
+  test("approx_count_distinct merges its HLL buffers columnar in the final stage") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    (1 to 5000).map(i => (i % 13, i % 700, s"v${i % 450}", if (i % 11 == 0) None else Some(i % 300L)))
+      .toDF("g", "v", "s", "nv").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def q() = t.groupBy($"g").agg(
+      approx_count_distinct($"v").as("ad"),
+      approx_count_distinct($"s", 0.02).as("ads"), // different rsd → different numWords
+      approx_count_distinct($"nv").as("adn"),      // nullable input
+      count(lit(1)).as("n"))
+      .orderBy($"g")
+    val on = q()
+    on.collect()
+    assert(findExec(on) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec => e
+    }.isDefined, s"expected the HLL final merge columnar in:\n${
+      on.queryExecution.executedPlan}")
+    checkInvariantUnder(q(),
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
+  test("bloom might_contain filter probes columnar against the row path") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    (1L to 4000L).map(i => (i, s"grp${i % 7}", i % 100))
+      .toDF("k", "g", "m").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("bloom_probe_t")
+    // the q76 shape: scalar-subquery bloom + xxhash64 probe; the bloom
+    // admits ~1/10 of the keys (plus false positives)
+    def q() = spark.sql("""
+      SELECT g, count(*) AS n FROM bloom_probe_t
+      WHERE might_contain(
+              (SELECT bloom_filter_agg(xxhash64(k)) FROM bloom_probe_t WHERE m = 0),
+              xxhash64(k))
+      GROUP BY g ORDER BY g""")
+    val on = q()
+    on.collect()
+    assert(findExec(on) {
+      case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+    }.isDefined, s"expected the bloom probe filter columnar in:\n${
+      on.queryExecution.executedPlan}")
+    checkInvariantUnder(q(),
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
+  test("array fold kernels: aggregate/zip_with/transform/element_at match the row path") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrfold").toString
+    Seq(
+      (1, Option(Array(1.0f, 2.0f, 3.0f)), Option(Array(0.5, 0.25, 4.0)), Option(2.0)),
+      (2, Option(Array(-1.5f, 0.0f)), Option(Array(2.0, 3.0, 9.0)), Option(0.5)), // len mismatch → zip pads null
+      (3, Option.empty[Array[Float]], Option(Array(1.0)), Option(1.0)),           // null array
+      (4, Option(Array.empty[Float]), Option(Array.empty[Double]), Option(3.0)),  // empty → init
+      (5, Option(Array(4.0f, 5.0f, 6.0f)), Option(Array(1.0, 1.0, 1.0)), Option.empty[Double]))
+      .toDF("id", "a", "b", "nrm").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def asD(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+    val df = t.select($"id",
+      // dot product: zip_with of two transformed arrays, additive fold
+      aggregate(zip_with(asD($"a"), $"b", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("dot"),
+      // sum of squares over a transform with an OUTER scalar reference
+      aggregate(transform($"a", x => x.cast("double") / $"nrm"),
+        lit(0.0), (acc, x) => acc + x * x).as("nsq"),
+      // merge referencing the element twice (acc + x*x directly)
+      aggregate(asD($"b"), lit(1.5), (acc, x) => acc + x * x).as("sq_b"),
+      // element extraction through the transform chain
+      element_at(asD($"a"), 1).as("a1"),
+      element_at(asD($"b"), 3).as("b3"), // len 1/0 rows → OOB
+      // fold composing with the scalar math lane
+      sqrt(aggregate(asD($"a"), lit(0.0), (acc, x) => acc + x * x)).as("l2"))
+    // OOB element_at under ANSI throws on rows 2-4 — pin LEGACY for the
+    // value grid, ANSI separately below
+    withSQLConf("spark.sql.ansi.enabled" -> "false") {
+      val df2 = t.select($"id",
+        aggregate(zip_with(asD($"a"), $"b", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("dot"),
+        aggregate(transform($"a", x => x.cast("double") / $"nrm"),
+          lit(0.0), (acc, x) => acc + x * x).as("nsq"),
+        aggregate(asD($"b"), lit(1.5), (acc, x) => acc + x * x).as("sq_b"),
+        element_at(asD($"a"), 1).as("a1"),
+        element_at(asD($"b"), 3).as("b3"),
+        sqrt(aggregate(asD($"a"), lit(0.0), (acc, x) => acc + x * x)).as("l2"))
+      assert(findExec(df2) {
+        case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+      }.isDefined, s"expected the array-fold project to swap in:\n${
+        df2.queryExecution.executedPlan}")
+      checkInvariantUnder(df2,
+        Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+      // spot-check the semantics the kernel replicates
+      val rows = df2.orderBy($"id").collect()
+      assert(rows(0).getDouble(1) == 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 4.0) // dot
+      assert(rows(1).isNullAt(1), "zip length mismatch must null the fold")
+      assert(rows(2).isNullAt(1), "null array must null the fold")
+      assert(rows(3).getDouble(3) == 1.5, "empty fold must return the init")
+      assert(rows(2).isNullAt(5) && rows(3).isNullAt(5),
+        "element_at past the end is NULL in LEGACY")
+      assert(rows(4).isNullAt(2), "null outer scalar must null the fold")
+    }
+    // ANSI element_at OOB: identical error through both paths
+    def err(body: => Unit): String = {
+      val e = intercept[Exception] { body }
+      val root = Option(e.getCause).getOrElse(e)
+      s"${root.getClass.getName}:${Option(root.getMessage).getOrElse("").take(60)}"
+    }
+    val oob = t.filter($"id" === 3).select(element_at(asD($"b"), 3).as("x"))
+    val colErr = err(oob.collect())
+    val rowErr = withSQLConf(
+      org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { err(oob.collect()) }
+    assert(colErr == rowErr, s"ANSI element_at OOB must match: col=$colErr row=$rowErr")
+    // masked branch: OOB only on rows the condition excludes — the lazy
+    // mask must suppress the kernel's throw exactly like the row path
+    val masked = t.select($"id",
+      when($"id" === 1, element_at(asD($"b"), 3)).otherwise(lit(0.0)).as("m"))
+    checkInvariantUnder(masked,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    // ANSI value grid on the rows where everything is in bounds
+    val safe = t.filter($"id" === 1).select(
+      aggregate(zip_with(asD($"a"), $"b", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("dot"),
+      element_at(asD($"b"), 3).as("b3"))
+    checkInvariantUnder(safe,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
   test("math kernels: edge inputs (asymptotes, NaN, ±Inf, ±0.0) match the row path bitwise") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-mathd").toString
     Seq(-2.0, -1.0, -0.5, 0.0, -0.0, 0.5, 1.0, 2.0, 100.0, 1.0e308,
+      Double.MaxValue, -Double.MaxValue,
       Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
       .map(Option(_)).appended(Option.empty[Double]).zipWithIndex
       .map { case (d, i) => (i, d) }

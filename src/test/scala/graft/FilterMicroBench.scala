@@ -819,6 +819,66 @@ object FilterMicroBench {
       val on = timeIt(f)
       println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
     }
+
+    // Array-fold A/B: the embedding lambda shapes (aggregate/zip_with/
+    // transform/element_at) through ArrayFoldD/ElemAtD vs Catalyst's
+    // CodegenFallback HigherOrderFunctions (boxed AtomicReference per
+    // element). The 2k-row embeddings fixture is amplified 400x so each
+    // lane folds ~51M elements (64-dim).
+    val foldBase = {
+      import org.apache.spark.sql.functions._
+      Tables.t(spark, sfDir, "embeddings")
+        .crossJoin(spark.range(400)).select($"vec_id", $"id", $"embedding")
+    }
+    val foldShapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "fold-sumsq" -> (() => {
+        import org.apache.spark.sql.functions._
+        foldBase.select($"vec_id", $"id",
+          sqrt(aggregate(transform($"embedding", x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x * x)).as("l2"))
+      }),
+      "fold-dot-zip" -> (() => {
+        import org.apache.spark.sql.functions._
+        def asD(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+        foldBase.select($"vec_id", $"id",
+          aggregate(zip_with(asD($"embedding"), asD($"embedding"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x).as("dot"))
+      }),
+      "fold-elemat" -> (() => {
+        import org.apache.spark.sql.functions._
+        def asD(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+        foldBase.select($"vec_id", $"id",
+          element_at(asD($"embedding"), 1).as("e1"),
+          element_at(asD($"embedding"), 32).as("e32"),
+          element_at(asD($"embedding"), 64).as("e64"))
+      }),
+      // split → array<string> (the q126/q152 tokenize shape): per-row
+      // UTF8String.split either way; the columnar lane buys batch
+      // continuity, the A/B checks the vector materialization is free
+      "fold-split-tok" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, sfDir, "documents")
+          .select($"doc_id", split($"text", " ").as("ws"))
+      }),
+      // the real q71 composite: folds + element_at + scalar math in one
+      // project — the batch stays columnar end to end
+      "fold-q71-mix" -> (() => {
+        import org.apache.spark.sql.functions._
+        def asD(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+        val n2 = aggregate(asD($"embedding"), lit(0.0), (acc, x) => acc + x * x)
+        foldBase.withColumn("norm", sqrt(n2))
+          .select($"vec_id", $"id",
+            round($"norm", 6).as("l2"),
+            round(element_at(asD($"embedding"), 1) / $"norm", 6).as("u1"),
+            round(element_at(asD($"embedding"), 2) / $"norm", 6).as("u2"))
+      }))
+    sel(foldShapes).foreach { case (name, f) =>
+      spark.conf.set(GraftColumnarRule.enabledKey, "false")
+      val off = timeIt(f)
+      spark.conf.set(GraftColumnarRule.enabledKey, "true")
+      val on = timeIt(f)
+      println(f"MICRO $name%-14s row=$off%.3fs columnar=$on%.3fs ratio=${on / off}%.2f")
+    }
     spark.stop()
   }
 }

@@ -199,6 +199,19 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q191: expected the computed-arg grouped partial agg columnar in:\n$p")
   }
 
+  test("q71 runs its embedding L2 folds through the columnar array-fold project") {
+    val df = run("q71_embedding_normalize")
+    df.collect()
+    val p = planString(df)
+    // both row Projects swap (the fold/element_at lanes + the norm
+    // division lane), so the final stage is scan → columnar filter →
+    // two columnar projects → ColumnarToRow
+    assert(p.sliding("GraftColumnarProject".length).count(_ == "GraftColumnarProject") >= 2,
+      s"q71: expected BOTH projects (folds + element_at/divide) columnar in:\n$p")
+    assert(p.contains("GraftColumnarFilter"),
+      s"q71: expected the filter columnar below the fold projects in:\n$p")
+  }
+
   test("q192 absorbs conditional int128 money args into the columnar partial agg") {
     val df = run("q192_conditional_arg_agg")
     df.collect()
