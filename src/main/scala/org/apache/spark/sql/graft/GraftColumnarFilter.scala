@@ -243,6 +243,38 @@ object VecPredicate {
     }
   }
 
+  /** IN over a COMPUTED string operand (substring(c_phone,1,2) IN
+    * ('13','31',…) — the TPC-H Q22 country-code gate, census: 3 hits).
+    * Full-batch kernel eval + hash-set membership per selected row;
+    * non-null literals only, so the Kleene result is NULL iff the
+    * operand is NULL — same contract as [[StringIn]]. The same
+    * totality + allocation-profile gates as [[ComputedStrCmp]] apply at
+    * compile. */
+  final case class ComputedStrIn(k: VecStrExpr, litBytes: Array[Array[Byte]])
+      extends VecPredicate {
+    @transient private lazy val scratch = new StrScratch
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](litBytes.length * 2)
+      litBytes.foreach(bs => s.add(UTF8String.fromBytes(bs)))
+      s
+    }
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      scratch.reset()
+      val lv = scratch.s(n); val ln = scratch.b(n)
+      k.eval(b, n, lv, ln, scratch)
+      val setLocal = set
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (ln(i)) { isNull(j) = true; value(j) = false }
+        else { isNull(j) = false; value(j) = setLocal.contains(lv(i)) }
+        j += 1
+      }
+    }
+  }
+
   /** Comparison over COMPUTED long/int operands compiled through the
     * long-lane kernel language (size(array), size(split(text, ' ')) token
     * counts, conditional flags) — the quality-gate predicate shape.
@@ -791,6 +823,31 @@ object VecPredicate {
               hset.toSeq.map(_.asInstanceOf[UTF8String].getBytes).toArray))
           case dt => scala.Left(s"unsupported IN column type $dt")
         }
+      // IN over a COMPUTED string operand (the Q22 substring-prefix
+      // gate) — same totality/allocation-profile gates as the computed
+      // string compares
+      case In(e, list) if e.dataType == StringType && e.deterministic &&
+          list.forall { case Literal(v, StringType) => v != null; case _ => false } =>
+        for {
+          k <- VecStrExpr.compile(e, output)
+          _ <- if (VecStrExpr.total(k)) scala.Right(())
+            else scala.Left("non-total string kernel in full-batch IN")
+          _ <- if (VecStrExpr.hashHeavy(k) || VecStrExpr.allocFree(k)) scala.Right(())
+            else scala.Left("allocating computed string IN (concat/case-map) " +
+              "measured slower than the codegen row path")
+        } yield ComputedStrIn(k,
+          list.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String].getBytes).toArray)
+      case InSet(e, hset) if e.dataType == StringType && e.deterministic &&
+          !hset.contains(null) && hset.forall(_.isInstanceOf[UTF8String]) =>
+        for {
+          k <- VecStrExpr.compile(e, output)
+          _ <- if (VecStrExpr.total(k)) scala.Right(())
+            else scala.Left("non-total string kernel in full-batch IN")
+          _ <- if (VecStrExpr.hashHeavy(k) || VecStrExpr.allocFree(k)) scala.Right(())
+            else scala.Left("allocating computed string IN (concat/case-map) " +
+              "measured slower than the codegen row path")
+        } yield ComputedStrIn(k,
+          hset.toSeq.map(_.asInstanceOf[UTF8String].getBytes).toArray)
       // might_contain(scalar-subquery bloom, xxhash64(key attr)) — both
       // the explicit q76 shape and InjectRuntimeFilter's join probes
       case bf: BloomFilterMightContain =>

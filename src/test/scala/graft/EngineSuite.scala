@@ -3944,6 +3944,30 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("computed string IN (the Q22 prefix gate) compiles through the kernel language") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-strin").toString
+    Seq((1, Option("13-555-1234")), (2, Option("31-555-9999")), (3, Option("99-000-0000")),
+      (4, Option.empty[String]), (5, Option("3")))
+      .toDF("id", "phone").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.select($"id").collect().map(_.getInt(0)).toSet
+    val small = t.filter(substring($"phone", 1, 2).isin("13", "31", "23"))
+    assert(ids(small) == Set(1, 2))
+    assert(findExec(small) {
+      case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+    }.isDefined, s"computed string IN must swap:\n${small.queryExecution.executedPlan}")
+    checkInvariantUnder(small,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    // > 10 elements → Catalyst rewrites to InSet; same kernel
+    val big = t.filter(substring($"phone", 1, 2)
+      .isin((10 to 31).map(_.toString): _*))
+    assert(ids(big) == Set(1, 2))
+    checkInvariantUnder(big,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
   test("split projections produce array<string> vectors matching the row path") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
