@@ -48,6 +48,14 @@ object TpcdsArchetypeQueries {
             grouping_id().as("gid"))
         val w = Window.partitionBy($"gid")
           .orderBy($"sum_qty".desc, $"p_brand".asc_nulls_first, $"p_type".asc_nulls_first)
+        // COST (r14 profile, quiet-box min-of-9 at sf0.1): ~1.35-1.47s,
+        // and ENGINE-NEUTRAL — all-columnar-off measures the same 1.47s
+        // and wgl-off 1.34-1.46s vs default 1.40-1.67s (within box
+        // noise). The time is plan-inherent: the 600k-row join feeds a
+        // rollup Expand that doubles it to 1.2M aggregation-input rows
+        // across two grouped aggregates plus the exchange and the
+        // ranking window — the exact shape TPC-DS Q67 pays at any
+        // scale; nothing here regresses or needs a kernel.
         // SURFACE (r14): sums of INTEGER quantities at scale 2 end ".00"
         // on every row — the driver's decimal trailing-zero
         // normalization boundary (red at birth in r13 for exactly this;

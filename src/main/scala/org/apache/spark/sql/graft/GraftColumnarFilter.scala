@@ -275,6 +275,81 @@ object VecPredicate {
     }
   }
 
+  /** IN over a COMPUTED long/int operand ((c_custkey % 7) IN (1,3,5) —
+    * the Q22 country-code gate on the integral lane). Full-batch total
+    * kernel eval + sorted-array binary search per selected row. */
+  final case class ComputedLongIn(k: VecLongExpr, sorted: Array[Long])
+      extends VecPredicate {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      val lv = new Array[Long](n); val ln = new Array[Boolean](n)
+      k.eval(b, n, lv, ln)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (ln(i)) { isNull(j) = true; value(j) = false }
+        else {
+          isNull(j) = false
+          value(j) = java.util.Arrays.binarySearch(sorted, lv(i)) >= 0
+        }
+        j += 1
+      }
+    }
+  }
+
+  /** is(not)null over a COMPUTED operand that the null-chain rewrite
+    * cannot reduce (conditional shapes, non-chain math): evaluate the
+    * operand through its TOTAL lane kernel and read the null flags —
+    * full-batch eval, so the totality gate is mandatory (the compile
+    * sites enforce it). One wrapper per lane. */
+  final case class LongNullProbeP(k: VecLongExpr, negate: Boolean) extends VecPredicate {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      val lv = new Array[Long](n); val ln = new Array[Boolean](n)
+      k.eval(b, n, lv, ln)
+      var j = 0
+      while (j < len) {
+        isNull(j) = false
+        value(j) = ln(row(sel, j)) != negate
+        j += 1
+      }
+    }
+  }
+  final case class DblNullProbeP(k: VecNumExpr, negate: Boolean) extends VecPredicate {
+    @transient private lazy val scratch = new VecScratch
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      scratch.reset()
+      val lv = scratch.d(n); val ln = scratch.b(n)
+      k.eval(b, n, lv, ln, scratch)
+      var j = 0
+      while (j < len) {
+        isNull(j) = false
+        value(j) = ln(row(sel, j)) != negate
+        j += 1
+      }
+    }
+  }
+  final case class StrNullProbeP(k: VecStrExpr, negate: Boolean) extends VecPredicate {
+    @transient private lazy val scratch = new StrScratch
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      scratch.reset()
+      val lv = scratch.s(n); val ln = scratch.b(n)
+      k.eval(b, n, lv, ln, scratch)
+      var j = 0
+      while (j < len) {
+        isNull(j) = false
+        value(j) = ln(row(sel, j)) != negate
+        j += 1
+      }
+    }
+  }
+
   /** Comparison over COMPUTED long/int operands compiled through the
     * long-lane kernel language (size(array), size(split(text, ' ')) token
     * counts, conditional flags) — the quality-gate predicate shape.
@@ -667,6 +742,37 @@ object VecPredicate {
     * a human-readable fallback reason (the reference's `withInfo`
     * pattern, CometSparkSessionExtensions.scala:283-295).
     */
+  /** is(not)null over a computed operand: compile through the operand's
+    * TOTAL lane kernel (full-batch eval — a throw-site kernel would
+    * fault on rows the row path never evaluates) and read the null
+    * flags. String operands carry the same allocation-profile gate as
+    * the computed string compares (the probe discards the values, so an
+    * allocating kernel is pure waste). */
+  private def compileNullProbe(e: Expression, output: Seq[Attribute],
+      negate: Boolean): Either[String, VecPredicate] = e.dataType match {
+    case dt if intLike(dt) =>
+      for {
+        k <- VecLongExpr.compile(e, output)
+        _ <- if (VecLongExpr.total(k)) scala.Right(())
+          else scala.Left("non-total long kernel in null probe")
+      } yield LongNullProbeP(k, negate)
+    case DoubleType =>
+      for {
+        k <- VecNumExpr.compile(e, output)
+        _ <- if (VecNumExpr.total(k)) scala.Right(())
+          else scala.Left("non-total double kernel in null probe")
+      } yield DblNullProbeP(k, negate)
+    case StringType =>
+      for {
+        k <- VecStrExpr.compile(e, output)
+        _ <- if (VecStrExpr.total(k)) scala.Right(())
+          else scala.Left("non-total string kernel in null probe")
+        _ <- if (VecStrExpr.hashHeavy(k) || VecStrExpr.allocFree(k)) scala.Right(())
+          else scala.Left("allocating computed string null probe")
+      } yield StrNullProbeP(k, negate)
+    case dt => scala.Left(s"unsupported null-probe operand type $dt")
+  }
+
   def compile(e: Expression, output: Seq[Attribute]): Either[String, VecPredicate] = {
     def ord(a: AttributeReference): Int = output.indexWhere(_.exprId == a.exprId)
 
@@ -775,6 +881,10 @@ object VecPredicate {
           .map(a => IsNullP(output.indexWhere(_.exprId == a.exprId),
             negate = true): VecPredicate)
           .reduce(AndP))
+      // is(not)null over operands the null-chain can't reduce: evaluate
+      // the TOTAL lane kernel and read its null flags (full-batch)
+      case IsNull(e) if e.deterministic => compileNullProbe(e, output, negate = false)
+      case IsNotNull(e) if e.deterministic => compileNullProbe(e, output, negate = true)
       case EqualTo(l, r) => cmp(l, r, EQ)
       case LessThan(l, r) => cmp(l, r, LT)
       case LessThanOrEqual(l, r) => cmp(l, r, LE)
@@ -823,6 +933,25 @@ object VecPredicate {
               hset.toSeq.map(_.asInstanceOf[UTF8String].getBytes).toArray))
           case dt => scala.Left(s"unsupported IN column type $dt")
         }
+      // IN over a COMPUTED long/int operand ((key % 7) IN (1,3,5))
+      case In(e, list) if intLike(e.dataType) && e.deterministic &&
+          list.forall { case Literal(v, _) => v != null; case _ => false } =>
+        val vals = list.map(l => litToLong(l.asInstanceOf[Literal].value))
+        if (!vals.forall(_.isDefined)) scala.Left("IN list with non-integral literals")
+        else for {
+          k <- VecLongExpr.compile(e, output)
+          _ <- if (VecLongExpr.total(k)) scala.Right(())
+            else scala.Left("non-total long kernel in full-batch IN")
+        } yield ComputedLongIn(k, vals.flatten.toArray.sorted)
+      case InSet(e, hset) if intLike(e.dataType) && e.deterministic &&
+          !hset.contains(null) =>
+        val vals = hset.toSeq.map(litToLong)
+        if (!vals.forall(_.isDefined)) scala.Left("IN set with non-integral values")
+        else for {
+          k <- VecLongExpr.compile(e, output)
+          _ <- if (VecLongExpr.total(k)) scala.Right(())
+            else scala.Left("non-total long kernel in full-batch IN")
+        } yield ComputedLongIn(k, vals.flatten.toArray.sorted)
       // IN over a COMPUTED string operand (the Q22 substring-prefix
       // gate) — same totality/allocation-profile gates as the computed
       // string compares

@@ -3966,6 +3966,25 @@ class EngineSuite extends GraftTestBase {
     assert(ids(big) == Set(1, 2))
     checkInvariantUnder(big,
       Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    // computed LONG operand (the q107 country-code shape), In and InSet
+    val lmod = t.filter(($"id" % 3).isin(1, 2))
+    assert(ids(lmod) == Set(1, 2, 4, 5))
+    assert(findExec(lmod) {
+      case e: org.apache.spark.sql.graft.GraftColumnarFilterExec => e
+    }.isDefined, s"computed long IN must swap:\n${lmod.queryExecution.executedPlan}")
+    checkInvariantUnder(lmod,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    checkInvariantUnder(t.filter(($"id" % 17).isin(1 to 12: _*)),
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    // computed null probes: is(not)null over shapes the null-chain
+    // cannot reduce (a conditional), long and string lanes
+    val np = t.filter(when($"id" > 2, $"phone").otherwise(lit(null)).isNotNull)
+    assert(ids(np) == Set(3, 5))
+    checkInvariantUnder(np,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    checkInvariantUnder(
+      t.filter(when($"id" % 2 === 0, $"id" * 2).otherwise(lit(null)).isNull),
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
   }
 
   test("split projections produce array<string> vectors matching the row path") {
