@@ -311,6 +311,34 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q211: expected columnar dedup levels in:\n$p")
   }
 
+  test("q227 composes channel aggs -> full outer join -> cumulative windows in one plan") {
+    val df = run("q227_tpcds_q51_cumulative")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), s"q227: expected the FULL OUTER channel join in:\n$p")
+    // the channel FINAL merges, the pre-join sorts, and the cumulative
+    // running-frame windows all swap; the partials stay row per the
+    // measured no-money-lane RowToColumnar gate
+    assert(p.contains("GraftColumnarFinalAgg"),
+      s"q227: expected the per-channel final merges columnar in:\n$p")
+    assert(p.contains("GraftColumnarWindow"),
+      s"q227: expected the cumulative running windows columnar in:\n$p")
+    assert(p.contains("GraftColumnarSort"),
+      s"q227: expected the pre-join sorts columnar in:\n$p")
+  }
+
+  test("q228 plans the EXISTS AND (EXISTS OR EXISTS) gate as semi + existence joins") {
+    val df = run("q228_tpcds_q35_exists_gate")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistenceJoin"),
+      s"q228: expected ExistenceJoins for the disjunctive EXISTS pair in:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"q228: expected the leading EXISTS as a semi join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q228: correlated gates must stay equi-joins:\n$p")
+  }
+
   test("q212 composes Expand -> columnar grouped agg -> window group-limit in one plan") {
     val df = run("q212_tpcds_rollup_topk")
     df.collect()
