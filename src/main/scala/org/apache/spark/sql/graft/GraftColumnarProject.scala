@@ -541,9 +541,15 @@ object VecNumExpr {
   //
   // Semantics replicated exactly from the 4.1.2 evals:
   //  - ArrayAggregate.eval: null argument → null; acc starts at the
-  //    literal zero; merge runs IN INDEX ORDER for EVERY element (even
-  //    after acc goes null — Add(null, g(x)) still evaluates g, so
-  //    throwing element programs keep their throws); identity finish.
+  //    literal zero; merge runs IN INDEX ORDER per element, but the
+  //    merge BODY Add(acc, g(x)) short-circuits like every
+  //    BinaryExpression.eval: a null LEFT operand returns null without
+  //    evaluating the right — so once acc goes null with acc on the
+  //    left, g(x) is NOT evaluated for the remaining elements (its
+  //    throw sites stop firing), while Add(g(x), acc) keeps evaluating
+  //    g every element. Source chains (transform/zip bodies) are fully
+  //    materialized BEFORE the fold, so their throw sites always fire
+  //    for every element regardless of acc. Identity finish only.
   //  - ZipWith.eval: null on either array → null; result length is
   //    max(len), the SHORTER side's element is null PAST ITS END
   //    WITHOUT evaluating that side's transform chain (ESide guards).
@@ -613,26 +619,36 @@ object VecNumExpr {
         if (j >= (if (w == 0) len0 else len1)) { isNull = true; 0d }
         else eval(inner)
       case EBinE(op, l, r) =>
-        val lv = eval(l); val ln = isNull
-        isNull = false
-        val rv = eval(r)
-        isNull ||= ln
+        // BinaryExpression.eval short-circuits on a null LEFT operand:
+        // the right child (and any throw site inside it) is skipped
+        val lv = eval(l)
         if (isNull) 0d
-        else op match {
-          case ADD => lv + rv
-          case SUB => lv - rv
-          case _ => lv * rv
+        else {
+          val rv = eval(r)
+          if (isNull) 0d
+          else op match {
+            case ADD => lv + rv
+            case SUB => lv - rv
+            case _ => lv * rv
+          }
         }
       case EDivE(l, r, ansi) =>
-        val lv = eval(l); val ln = isNull
-        isNull = false
-        val rv = eval(r); val rn = isNull
-        if (ln || rn) { isNull = true; 0d }
-        else if (rv == 0d) {
-          if (ansi && live)
-            throw org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
-          isNull = true; 0d
-        } else lv / rv
+        // DivModLike.eval order: RIGHT first; a null right or a
+        // non-ANSI zero divisor returns null WITHOUT evaluating the
+        // left (left-subtree throw sites skipped); the null numerator
+        // still wins over the ANSI zero-divisor throw
+        val rv = eval(r)
+        if (isNull) 0d
+        else if (!ansi && rv == 0d) { isNull = true; 0d }
+        else {
+          val lv = eval(l)
+          if (isNull) 0d
+          else if (rv == 0d) {
+            if (live)
+              throw org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
+            isNull = true; 0d
+          } else lv / rv
+        }
       case EMathE(op, c) =>
         val v = eval(c)
         if (isNull) 0d
@@ -647,6 +663,17 @@ object VecNumExpr {
   /** One array input of a fold/extract: the batch ordinal + element type. */
   final case class ArrRef(ord: Int, elemT: DataType)
 
+  /** Does the element program contain a throw site? The only one the
+    * compiler emits is the ANSI divide (double math asymptotes return
+    * null, double arithmetic never overflows). */
+  private def elemHasThrow(e: ElemD): Boolean = e match {
+    case EDivE(l, r, ansi) => ansi || elemHasThrow(l) || elemHasThrow(r)
+    case EBinE(_, l, r) => elemHasThrow(l) || elemHasThrow(r)
+    case ESideE(_, i) => elemHasThrow(i)
+    case EMathE(_, c) => elemHasThrow(c)
+    case _ => false
+  }
+
   /** Fixed-order fold: aggregate(src, zeroLit, (acc, x) -> acc + g(x))
     * with identity finish — evaluated per row as a sequential flat loop
     * over the element program (index order preserved: bit-identical to
@@ -660,6 +687,11 @@ object VecNumExpr {
     * [[DotFoldD]] instead (0.97/0.93x). */
   final case class ArrayFoldD(arrs: Array[ArrRef], contrib: ElemD, init: Double,
       outers: Array[VecNumExpr]) extends VecNumExpr {
+    // once acc goes null the remaining elements matter only for their
+    // throw sites; a throw-free program can stop the loop early (the
+    // compiler rejects the one shape where the row path would SKIP
+    // throws — ANSI-divide in the merge's g with acc on the left)
+    private val canBreakOnNull = !elemHasThrow(contrib)
     override def eval(b: ColumnarBatch, n: Int, values: Array[Double], isNull: Array[Boolean],
         s: VecScratch): Unit = {
       val ev = new ElemEval
@@ -689,10 +721,11 @@ object VecNumExpr {
           var acc = init
           var accNull = false
           var j = 0
-          while (j < total) {
-            // the row path evaluates merge for EVERY element even after
-            // acc is null (Add evaluates g(x) first) — element-program
-            // throw sites must keep firing, so no early break
+          while (j < total && !(accNull && canBreakOnNull)) {
+            // throw-bearing programs keep evaluating every element
+            // (source-chain throws fire during Spark's materialization
+            // regardless of acc); throw-free programs stop once acc is
+            // null — nothing left is observable
             ev.j = j
             ev.isNull = false
             val v = ev.eval(contrib)
@@ -933,31 +966,51 @@ object VecNumExpr {
         case LambdaFunction(body, Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _) =>
           body match {
             case a: Add if a.dataType == DoubleType =>
+              // (g, accOnLeft): Add(acc, g) short-circuits g once acc
+              // is null; Add(g, acc) evaluates g every element
               val gOpt = (a.left, a.right) match {
-                case (l: NamedLambdaVariable, r) if l.exprId == acc.exprId => Some(r)
-                case (l, r: NamedLambdaVariable) if r.exprId == acc.exprId => Some(l)
+                case (l: NamedLambdaVariable, r) if l.exprId == acc.exprId => Some((r, true))
+                case (l, r: NamedLambdaVariable) if r.exprId == acc.exprId => Some((l, false))
                 case _ => None
               }
               gOpt match {
-                case Some(g) if !g.exists {
+                case Some((g, accOnLeft)) if !g.exists {
                     case v: NamedLambdaVariable => v.exprId == acc.exprId
                     case _ => false
                   } =>
-                  compileElem(g, Map(x.exprId -> src._2), output, outers)
+                  val gAnsiThrows = g.exists {
+                    case d: Divide => d.evalMode == EvalMode.ANSI
+                    case _ => false
+                  }
+                  // Add(acc, g) stops evaluating g once acc is null —
+                  // the kernel loop can't replicate "source throws keep
+                  // firing but g's don't", so that one shape stays row
+                  if (gAnsiThrows && accOnLeft)
+                    scala.Left("ANSI-divide merge with acc on the left stays on the row path")
+                  else compileElem(g, Map(x.exprId -> src._2), output, outers)
                 case _ => scala.Left("fold merge is not acc + f(x)")
               }
             case _ => scala.Left("non-additive fold merge stays on the row path")
           }
         case _ => scala.Left("unsupported fold merge lambda shape")
       }
-    } yield (merged, src._1, outers.toList) match {
-      // the dot-product shape fuses into the specialized multiply-add
-      // loop (see DotFoldD's scaladoc for the measured reason)
-      case (EBinE(MUL, ESideE(0, EVarE(0)), ESideE(1, EVarE(1))), Seq(a, b2), Nil) =>
-        DotFoldD(a.ord, a.elemT, b2.ord, b2.elemT, init)
-      case (EBinE(MUL, ESideE(1, EVarE(1)), ESideE(0, EVarE(0))), Seq(a, b2), Nil) =>
-        DotFoldD(b2.ord, b2.elemT, a.ord, a.elemT, init)
-      case _ => ArrayFoldD(src._1.toArray, merged, init, outers.toArray)
+    } yield {
+      // DotFoldD's loop loads via getDouble/getFloat ONLY — compileElem
+      // elides widening casts to bare EVarE leaves, so an int/long
+      // element type can reach this pattern and must fall back to
+      // ArrayFoldD (whose ElemEval.loadVar dispatches by element type)
+      def fp(t: DataType): Boolean = t == DoubleType || t == FloatType
+      (merged, src._1, outers.toList) match {
+        // the dot-product shape fuses into the specialized multiply-add
+        // loop (see DotFoldD's scaladoc for the measured reason)
+        case (EBinE(MUL, ESideE(0, EVarE(0)), ESideE(1, EVarE(1))), Seq(a, b2), Nil)
+            if fp(a.elemT) && fp(b2.elemT) =>
+          DotFoldD(a.ord, a.elemT, b2.ord, b2.elemT, init)
+        case (EBinE(MUL, ESideE(1, EVarE(1)), ESideE(0, EVarE(0))), Seq(a, b2), Nil)
+            if fp(a.elemT) && fp(b2.elemT) =>
+          DotFoldD(b2.ord, b2.elemT, a.ord, a.elemT, init)
+        case _ => ArrayFoldD(src._1.toArray, merged, init, outers.toArray)
+      }
     }
   }
 
@@ -977,6 +1030,11 @@ object VecNumExpr {
           src <- compileArraySource(ea.left, output, outers)
           _ <- if (src._1.size == 1 && outers.isEmpty) scala.Right(())
             else scala.Left("zip/outer-lane element_at stays on the row path")
+          // ElementAt materializes the transformed array FULLY before
+          // extracting — an ANSI divide at any OTHER index throws on
+          // the row path; the extract-only kernel would miss it
+          _ <- if (!elemHasThrow(src._2)) scala.Right(())
+            else scala.Left("throw-bearing transform chain under element_at stays on the row path")
         } yield ElemAtD(src._1.toArray, src._2, idx, ea.failOnError,
           ea.getContextOrNull())
       case other => scala.Left(s"element_at over $other stays on the row path")

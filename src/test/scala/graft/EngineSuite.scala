@@ -4145,6 +4145,82 @@ class EngineSuite extends GraftTestBase {
       Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
   }
 
+  test("array fold kernels: integer-element dot product and ANSI short-circuit edges") {
+    import org.apache.spark.sql.functions._
+    // r15 ADVICE regressions: (1) the DotFoldD fusion must not fire on
+    // non-floating element types (its loop loads via getDouble/getFloat
+    // only); (2) BinaryExpression.eval short-circuits on a null LEFT
+    // operand, so ANSI throw sites to the right of a null must NOT fire;
+    // (3) ElementAt materializes the transformed array fully, so an
+    // ANSI divide at a non-extracted index must still throw.
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrfold2").toString
+    Seq(
+      (1, Option(Array(1, 2, 3)), Option(Array(4L, 5L, 6L)),
+        Option(Array(Option(1.0), Option(2.0))), Option(Array(Option(2.0), Option(4.0)))),
+      (2, Option(Array(7, 8)), Option(Array(2L, 3L)),
+        Option(Array(Option.empty[Double], Option(0.0))), Option(Array(Option(0.0), Option(1.0)))),
+      (3, Option.empty[Array[Int]], Option(Array(1L)),
+        Option(Array(Option(3.0))), Option(Array(Option(5.0)))))
+      .toDF("id", "ia", "la", "da", "db").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // (1) int×long dot product: the cast-eliding compile reaches the
+    // DotFoldD fuse pattern with integral element types — must route to
+    // ArrayFoldD (typed loads) and match the row path exactly
+    val intDot = t.select($"id",
+      aggregate(zip_with($"ia", $"la",
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("dot"))
+    assert(findExec(intDot) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"int-element fold must still swap in (via ArrayFoldD):\n${
+      intDot.queryExecution.executedPlan}")
+    val r = intDot.orderBy($"id").collect()
+    assert(r(0).getDouble(1) == 4.0 + 10.0 + 18.0, "int dot product value")
+    assert(r(1).getDouble(1) == 14.0 + 24.0)
+    assert(r(2).isNullAt(1))
+    checkInvariantUnder(intDot,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    withSQLConf("spark.sql.ansi.enabled" -> "true") {
+      // (2a) zip lambda x + 1.0/y where row 2 has x=null,y=0.0 at the
+      // same index: Add's null left short-circuits — the ANSI divide
+      // must NOT throw on either path
+      val sc = t.select($"id",
+        aggregate(zip_with($"da", $"db", (x, y) => x + lit(1.0) / y),
+          lit(0.0), (acc, x) => acc + x).as("s"))
+      val scr = sc.orderBy($"id").collect()
+      assert(scr(1).isNullAt(1), "null-left Add must suppress the ANSI divide throw")
+      checkInvariantUnder(sc,
+        Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+      // (2b) ANSI divide in the MERGE with acc on the left: once acc is
+      // null (the null element at index 0 of row 2's da), Add(acc, g(x))
+      // stops evaluating g — the 1.0/x throw at the next element (0.0)
+      // must not fire. The compiler keeps this shape on the row path.
+      val mg = t.select($"id",
+        aggregate($"da", lit(0.0), (acc, x) => acc + lit(1.0) / x).as("m"))
+      val mgr = mg.orderBy($"id").collect()
+      assert(mgr(1).isNullAt(1), "acc-on-left merge must short-circuit its ANSI divide")
+      checkInvariantUnder(mg,
+        Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+      // (3) element_at over an ANSI-divide transform chain: the zero at
+      // index 2 of row 2's db must throw even though index 1 is taken —
+      // identical error through both paths (the gate keeps it row-side)
+      def err(body: => Unit): String = {
+        val e = intercept[Exception] { body }
+        val root = Option(e.getCause).getOrElse(e)
+        s"${root.getClass.getName}:${Option(root.getMessage).getOrElse("").take(60)}"
+      }
+      val ea = t.filter($"id" === 2)
+        .select(element_at(transform($"db", x => lit(1.0) / x), 2).as("x"))
+      val colErr = err(ea.collect())
+      val rowErr = withSQLConf(
+        org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false") { err(ea.collect()) }
+      assert(colErr == rowErr,
+        s"ANSI transform-chain element_at must throw identically: col=$colErr row=$rowErr")
+      assert(colErr.contains("SparkArithmeticException") || colErr.toLowerCase.contains("divide"),
+        s"expected a divide-by-zero error, got $colErr")
+    }
+  }
+
   test("math kernels: edge inputs (asymptotes, NaN, ±Inf, ±0.0) match the row path bitwise") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-mathd").toString

@@ -20,13 +20,11 @@ float shortest-repr ('845.8815') compare equal, which is why most
 decimal-surfaced queries are green and the red set looked type-random.
 
 Usage:
-  python3 tools/surface_lint.py /root/testdata/sf0.01 [oracle_sql.json]
+  python3 tools/surface_lint.py /root/testdata/sf0.01 oracle_sql.json
 
-With no json argument it extracts the oracle map by scanning the query
-sources is NOT supported — dump it first via graft.Verify, or pass the
-committed canary list check only. Exit 1 if any NON-CANARY query is
-predicted red (ship gate: run this on every new query before the driver
-does).
+Both arguments are required (dump the json first via graft.Verify).
+Exit 1 if any NON-CANARY query is predicted red (ship gate: run this on
+every new query before the driver does); exit 2 on misinvocation.
 """
 import sys, json, glob, os
 from decimal import Decimal
@@ -35,17 +33,23 @@ import duckdb
 # Named canaries: queries that deliberately keep a trailing-zero decimal
 # surface to pin the driver-normalization boundary. Expected red.
 CANARIES = {
-    "q217_row191_netrev",
-    "q218_row194_minmax",
-    "q219_row212_rollup",
     "q222_canary212_rollup_dec",
     "q223_canary_dec_trailzero",
-    "q225_probe_dec_bigdigits",
-    "q226_probe_dec_scale0",
 }
 
-sfdir = sys.argv[1]
-oracle_json = sys.argv[2] if len(sys.argv) > 2 else None
+def usage(msg):
+    print(f"error: {msg}\n", file=sys.stderr)
+    print(__doc__, file=sys.stderr)
+    sys.exit(2)
+
+if len(sys.argv) < 3:
+    usage("need BOTH arguments: <sf-dir> <oracle_sql.json> "
+          "(dump the json first via graft.Verify)")
+sfdir, oracle_json = sys.argv[1], sys.argv[2]
+if not os.path.isdir(sfdir):
+    usage(f"sf-dir not a directory: {sfdir}")
+if not os.path.isfile(oracle_json):
+    usage(f"oracle json not found: {oracle_json}")
 
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
