@@ -37,7 +37,8 @@ object Catalog {
     LayoutQueries.all ++
     EventAnalyticsQueries.all ++
     ProbeQueries.all ++
-    TpcdsArchetypeQueries.all
+    TpcdsArchetypeQueries.all ++
+    TpcdsStarQueries.all
 
   /** Fails fast on duplicate query names (would silently drop entries in
     * the Map conversion otherwise). */

@@ -50,6 +50,42 @@ final class DoubleArrayVector(values: Array[Double], nulls: Array[Boolean], n: I
   override def getChild(ordinal: Int): ColumnVector = nope
 }
 
+/** Materialized boolean vector: the output of a projected predicate
+  * (a [[VecPredicate]] evaluated as a column — the quality-gate /
+  * flag-projection shape). Only the boolean accessor is live. */
+final class BooleanArrayVector(values: Array[Boolean], nulls: Array[Boolean], n: Int)
+    extends ColumnVector(org.apache.spark.sql.types.BooleanType) {
+  private[this] val anyNull: Boolean = {
+    var b = false; var i = 0
+    while (i < n && !b) { b = nulls(i); i += 1 }
+    b
+  }
+
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = anyNull
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < n) { if (nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = nulls(rowId)
+  override def getBoolean(rowId: Int): Boolean = values(rowId)
+  private def nope = throw new UnsupportedOperationException("boolean-only vector")
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getLong(rowId: Int): Long = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(rowId: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
 /** Vectorized double-valued expression kernels. eval fills
   * values/isNull for rows 0..n of the batch. The supported surface is
   * deliberately the double algebra: +, -, *, /, unary -, abs, literals,
@@ -3297,6 +3333,7 @@ final case class Dec128Kernel(k: VecDec128Expr, dt: DecimalType) extends ProjKer
 final case class LongKernel(k: VecLongExpr, dt: org.apache.spark.sql.types.DataType) extends ProjKernel
 final case class DateKernel(k: VecLongExpr) extends ProjKernel
 final case class SplitKernel(k: SplitArrK) extends ProjKernel
+final case class BoolKernel(p: VecPredicate) extends ProjKernel
 
 object ProjKernel {
   /** Dispatch by result type: DOUBLE → the arithmetic kernels, STRING →
@@ -3320,6 +3357,15 @@ object ProjKernel {
       case dt: DecimalType =>
         VecDec128Expr.compile(e, output).map(Dec128Kernel(_, dt))
       case LongType => VecLongExpr.compile(e, output).map(LongKernel(_, LongType))
+      case org.apache.spark.sql.types.BooleanType =>
+        // a projected predicate (flag/quality-gate columns): the filter
+        // kernel language is total and throw-free BY CONSTRUCTION
+        // (ANSI-throwing compares, narrowing casts, and non-literal
+        // divisors are all compile rejections there), so full-batch
+        // evaluation without a live mask replicates the row path exactly
+        // — including Kleene NULL propagation
+        VecPredicate.compile(e, output).map(BoolKernel)
+          .left.map(r => s"unsupported boolean projection: $r")
       case TimestampType | TimestampNTZType => e match {
         // value-identical retype: the long IS the stored micros
         case m: org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp
@@ -3470,6 +3516,7 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
       val outI = new Array[Array[Int]](plans.length)
       val outL = new Array[Array[Long]](plans.length)
       val outH = new Array[Array[Long]](plans.length) // Dec128 high words
+      val outBool = new Array[Array[Boolean]](plans.length)
       val outN = new Array[Array[Boolean]](plans.length)
       def nulls(c: Int, n: Int): Array[Boolean] = {
         if (outN(c) == null || outN(c).length < n) outN(c) = new Array[Boolean](n)
@@ -3526,6 +3573,11 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression], child: Sp
             case scala.Right(SplitKernel(kernel)) =>
               strScratch.reset()
               cols(c) = kernel.evalToVector(batch, n, strScratch)
+              compM.add(1)
+            case scala.Right(BoolKernel(pred)) =>
+              if (outBool(c) == null || outBool(c).length < n) outBool(c) = new Array[Boolean](n)
+              pred.eval(batch, null, n, outBool(c), nulls(c, n))
+              cols(c) = new BooleanArrayVector(outBool(c), outN(c), n)
               compM.add(1)
           }
           c += 1

@@ -4221,6 +4221,43 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("boolean projection lane: predicate columns match the row path's Kleene semantics") {
+    import org.apache.spark.sql.functions._
+    // r15: BooleanType projection results ride the filter's predicate
+    // kernels (total, throw-free by construction) as materialized
+    // boolean vectors — the flag/quality-gate projection shape
+    // (census: q31/q129/q139/q153).
+    val dir = java.nio.file.Files.createTempDirectory("graft-boolproj").toString
+    Seq(
+      (1, Option("web-alpha"), Option(1.5), Option(10L), Option(true)),
+      (2, Option.empty[String], Option(0.5), Option(20L), Option(false)),
+      (3, Option("beta"), Option.empty[Double], Option.empty[Long], Option.empty[Boolean]),
+      (4, Option("web-x"), Option(Double.NaN), Option(30L), Option(true)),
+      (5, Option("gamma"), Option(-0.0), Option(40L), Option.empty[Boolean]))
+      .toDF("id", "s", "d", "l", "b").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val df = t.select($"id",
+      ($"d" > 1.0).as("gt"),                          // double cmp incl. NaN ordering
+      ($"s".startsWith("web") && $"l" < 35L).as("conj"), // Kleene AND with nulls
+      ($"b" || $"d" <= 0.0).as("disj"),               // Kleene OR over bool col
+      $"l".isin(10L, 40L).as("inset"),
+      ($"s".isNull || !$"b").as("neg"),
+      (($"l" % 7L) > 2L).as("computed"))              // computed long compare
+    assert(findExec(df) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"expected the boolean lane project to swap in:\n${
+      df.queryExecution.executedPlan}")
+    val rows = df.orderBy($"id").collect()
+    assert(rows(0).getBoolean(1) && rows(0).getBoolean(2))    // 1.5>1, web+10<35
+    assert(rows(2).isNullAt(1), "null double must surface NULL not false")
+    assert(rows(3).getBoolean(1), "NaN > 1.0 under Spark's double ordering")
+    assert(rows(1).isNullAt(2), "null AND true = NULL (Kleene)")
+    assert(rows(4).isNullAt(5),
+      "false || (NOT null) must be NULL (Kleene) — s non-null, b null")
+    checkInvariantUnder(df,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
   test("math kernels: edge inputs (asymptotes, NaN, ±Inf, ±0.0) match the row path bitwise") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-mathd").toString

@@ -370,6 +370,46 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q214: expected band predicates pushed into each subquery scan in:\n$p8")
   }
 
+  test("q229 TPC-DS Q3: dims broadcast, constraint pushed to the fact scan, columnar agg+topk") {
+    val df = Catalog.validated.find(_.name == "q229_tpcds_q3").get.run(spark, GraftTestBase.sfDriverDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q229: expected the item/date_dim sides broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q229: star joins must stay equi-joins:\n$p")
+    // Catalyst propagates the item filter's i_manufact_id constraint
+    // through the equi-join onto the lineitem side — at 100 TB this is
+    // the difference between scanning 0.2% of the fact and all of it
+    assert(p.contains("(l_partkey#") && p.contains("% 500)"),
+      s"q229: expected the manufact-id constraint propagated onto the fact scan in:\n$p")
+    assert(p.contains("GraftColumnarFinalAgg") && p.contains("GraftColumnarTopK"),
+      s"q229: expected the final agg and LIMIT-ordered topk columnar in:\n$p")
+  }
+
+  test("q231 TPC-DS Q34: ticket aggregate below the customer join, VALUES dims broadcast") {
+    val df = Catalog.validated.find(_.name == "q231_tpcds_q34").get.run(spark, GraftTestBase.sfDriverDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      s"q231: star joins must stay equi-joins:\n$p")
+    // the only nested-loop joins allowed are the constant VALUES cross
+    // products that BUILD the 100/300-row demographics dims (literal
+    // inline tables, no fact involvement) — every fact-side join must
+    // be a broadcast hash join on its key
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"),
+        s"q231: non-constant nested loop join leaked into the star:\n$l\n$p")
+    }
+    // the cnt HAVING-band runs columnar directly on the final agg's
+    // output, BEFORE the broadcast join to customer — the join probes
+    // only surviving tickets
+    assert(p.contains("GraftColumnarFilter") && p.contains("cnt#"),
+      s"q231: expected the cnt band filtered columnar below the customer join in:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 5,
+      s"q231: expected orders/date_dim/store/hdemo/customer sides broadcast in:\n$p")
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
