@@ -586,6 +586,176 @@ object VecPredicate {
     }
   }
 
+  /** rlike against a LITERAL pattern: the same java.util.regex Pattern
+    * the row expression compiles (find(0) partial-match semantics).
+    * Compiled once on the driver and shipped — Pattern is serializable.
+    * Allocation note: matching reads through UTF8String.toString like
+    * the row path does; regex cost dominates the copy either way. */
+  final case class RegexFindP(col: Int, pattern: java.util.regex.Pattern)
+      extends VecPredicate {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val v = b.column(col)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        if (v.isNullAt(i)) { isNull(j) = true; value(j) = false }
+        else {
+          isNull(j) = false
+          value(j) = pattern.matcher(v.getUTF8String(i).toString).find(0)
+        }
+        j += 1
+      }
+    }
+  }
+
+  /** IF(c, t, f) with a BOOLEAN result: Spark's If takes the true
+    * branch only when the condition is exactly TRUE (NULL routes to the
+    * false branch, unlike Kleene AND/OR), then the chosen branch's
+    * value/null flows through. Branches evaluate eagerly — the
+    * predicate language is throw-free, so the unselected branch's
+    * evaluation is unobservable. */
+  final case class IfP(c: VecPredicate, t: VecPredicate, f: VecPredicate)
+      extends VecPredicate {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val cv = new Array[Boolean](len); val cn = new Array[Boolean](len)
+      c.eval(b, sel, len, cv, cn)
+      t.eval(b, sel, len, value, isNull)
+      val fv = new Array[Boolean](len); val fn = new Array[Boolean](len)
+      f.eval(b, sel, len, fv, fn)
+      var j = 0
+      while (j < len) {
+        if (!(cv(j) && !cn(j))) { value(j) = fv(j); isNull(j) = fn(j) }
+        j += 1
+      }
+    }
+  }
+
+  /** CASE WHEN with BOOLEAN branch values: first condition that is
+    * exactly TRUE selects its branch; none → else (or NULL). */
+  final case class CaseWhenP(branches: Seq[(VecPredicate, VecPredicate)],
+      els: Option[VecPredicate]) extends VecPredicate {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      java.util.Arrays.fill(value, 0, len, false)
+      java.util.Arrays.fill(isNull, 0, len, true)
+      val undecided = new Array[Boolean](len)
+      java.util.Arrays.fill(undecided, 0, len, true)
+      val tv = new Array[Boolean](len); val tn = new Array[Boolean](len)
+      branches.foreach { case (p, v) =>
+        val pv = new Array[Boolean](len); val pn = new Array[Boolean](len)
+        p.eval(b, sel, len, pv, pn)
+        v.eval(b, sel, len, tv, tn)
+        var j = 0
+        while (j < len) {
+          if (undecided(j) && pv(j) && !pn(j)) {
+            undecided(j) = false; value(j) = tv(j); isNull(j) = tn(j)
+          }
+          j += 1
+        }
+      }
+      els.foreach { e =>
+        e.eval(b, sel, len, tv, tn)
+        var j = 0
+        while (j < len) {
+          if (undecided(j)) { value(j) = tv(j); isNull(j) = tn(j) }
+          j += 1
+        }
+      }
+    }
+  }
+
+  /** null-safe equality (`<=>`) over computed lane kernels — never
+    * NULL: both-null is TRUE, one-null FALSE, else the lane's equality
+    * (doubles through Spark's ordering: NaN <=> NaN is TRUE). */
+  final case class NullSafeEqL(lk: VecLongExpr, rk: VecLongExpr) extends VecPredicate {
+    @transient private[this] var lv: Array[Long] = null
+    @transient private[this] var ln: Array[Boolean] = null
+    @transient private[this] var rv: Array[Long] = null
+    @transient private[this] var rn: Array[Boolean] = null
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      if (lv == null || lv.length < n) {
+        lv = new Array[Long](n); ln = new Array[Boolean](n)
+        rv = new Array[Long](n); rn = new Array[Boolean](n)
+      }
+      lk.eval(b, n, lv, ln)
+      rk.eval(b, n, rv, rn)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        isNull(j) = false
+        value(j) = if (ln(i) || rn(i)) ln(i) && rn(i) else lv(i) == rv(i)
+        j += 1
+      }
+    }
+  }
+
+  final case class NullSafeEqD(lk: VecNumExpr, rk: VecNumExpr) extends VecPredicate {
+    @transient private[this] var scratch: VecScratch = null
+    @transient private[this] var lv: Array[Double] = null
+    @transient private[this] var ln: Array[Boolean] = null
+    @transient private[this] var rv: Array[Double] = null
+    @transient private[this] var rn: Array[Boolean] = null
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      if (scratch == null) scratch = new VecScratch
+      if (lv == null || lv.length < n) {
+        lv = new Array[Double](n); ln = new Array[Boolean](n)
+        rv = new Array[Double](n); rn = new Array[Boolean](n)
+      }
+      scratch.reset(); lk.eval(b, n, lv, ln, scratch)
+      scratch.reset(); rk.eval(b, n, rv, rn, scratch)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        isNull(j) = false
+        value(j) = if (ln(i) || rn(i)) ln(i) && rn(i)
+          else org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(lv(i), rv(i)) == 0
+        j += 1
+      }
+    }
+  }
+
+  final case class NullSafeEqS(lk: VecStrExpr, rk: VecStrExpr) extends VecPredicate {
+    @transient private[this] var scratch: StrScratch = null
+    @transient private[this] var lv: Array[UTF8String] = null
+    @transient private[this] var ln: Array[Boolean] = null
+    @transient private[this] var rv: Array[UTF8String] = null
+    @transient private[this] var rn: Array[Boolean] = null
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      val n = b.numRows()
+      if (scratch == null) scratch = new StrScratch
+      if (lv == null || lv.length < n) {
+        lv = new Array[UTF8String](n); ln = new Array[Boolean](n)
+        rv = new Array[UTF8String](n); rn = new Array[Boolean](n)
+      }
+      scratch.reset(); lk.eval(b, n, lv, ln, scratch)
+      scratch.reset(); rk.eval(b, n, rv, rn, scratch)
+      var j = 0
+      while (j < len) {
+        val i = row(sel, j)
+        isNull(j) = false
+        value(j) = if (ln(i) || rn(i)) ln(i) && rn(i) else lv(i).equals(rv(i))
+        j += 1
+      }
+    }
+  }
+
+  /** boolean literal (CASE branch values, constant-folded guards) */
+  final case class BoolLitP(v: Option[Boolean]) extends VecPredicate {
+    override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
+        value: Array[Boolean], isNull: Array[Boolean]): Unit = {
+      java.util.Arrays.fill(value, 0, len, v.getOrElse(false))
+      java.util.Arrays.fill(isNull, 0, len, v.isEmpty)
+    }
+  }
+
   /** bare boolean column used as a predicate */
   final case class BoolCol(col: Int) extends VecPredicate {
     override def eval(b: ColumnarBatch, sel: Array[Int], len: Int,
@@ -886,6 +1056,38 @@ object VecPredicate {
       case IsNull(e) if e.deterministic => compileNullProbe(e, output, negate = false)
       case IsNotNull(e) if e.deterministic => compileNullProbe(e, output, negate = true)
       case EqualTo(l, r) => cmp(l, r, EQ)
+      case ens: EqualNullSafe =>
+        val (l, r) = (ens.left, ens.right)
+        if (intLike(l.dataType) && intLike(r.dataType) &&
+            l.deterministic && r.deterministic) {
+          for {
+            lk <- VecLongExpr.compile(l, output)
+            rk <- VecLongExpr.compile(r, output)
+            _ <- if (VecLongExpr.total(lk) && VecLongExpr.total(rk)) scala.Right(())
+            else scala.Left("non-total long kernel in full-batch null-safe eq")
+          } yield NullSafeEqL(lk, rk)
+        } else if (l.dataType == DoubleType && r.dataType == DoubleType &&
+            l.deterministic && r.deterministic) {
+          for {
+            lk <- VecNumExpr.compile(l, output)
+            rk <- VecNumExpr.compile(r, output)
+            _ <- if (VecNumExpr.total(lk) && VecNumExpr.total(rk)) scala.Right(())
+            else scala.Left("non-total double kernel in full-batch null-safe eq")
+          } yield NullSafeEqD(lk, rk)
+        } else if (l.dataType == StringType && r.dataType == StringType &&
+            l.deterministic && r.deterministic) {
+          for {
+            lk <- VecStrExpr.compile(l, output)
+            rk <- VecStrExpr.compile(r, output)
+            _ <- if (VecStrExpr.total(lk) && VecStrExpr.total(rk)) scala.Right(())
+            else scala.Left("non-total string kernel in full-batch null-safe eq")
+            _ <- if (VecStrExpr.hashHeavy(lk) || VecStrExpr.hashHeavy(rk) ||
+                (VecStrExpr.allocFree(lk) && VecStrExpr.allocFree(rk)))
+              scala.Right(())
+            else scala.Left("allocating computed string null-safe eq " +
+              "measured slower than the codegen row path")
+          } yield NullSafeEqS(lk, rk)
+        } else scala.Left(s"unsupported null-safe eq types ${l.dataType} vs ${r.dataType}")
       case LessThan(l, r) => cmp(l, r, LT)
       case LessThanOrEqual(l, r) => cmp(l, r, LE)
       case GreaterThan(l, r) => cmp(l, r, GT)
@@ -904,6 +1106,39 @@ object VecPredicate {
           v.asInstanceOf[UTF8String].getBytes, 2))
       case a: AttributeReference if a.dataType == BooleanType && output.exists(_.exprId == a.exprId) =>
         scala.Right(BoolCol(output.indexWhere(_.exprId == a.exprId)))
+      case iff: If if iff.dataType == BooleanType =>
+        for {
+          c <- compile(iff.predicate, output)
+          t <- compile(iff.trueValue, output)
+          f <- compile(iff.falseValue, output)
+        } yield IfP(c, t, f)
+      case cw: CaseWhen if cw.dataType == BooleanType =>
+        val bs = cw.branches.foldRight(
+          scala.Right(Nil): Either[String, List[(VecPredicate, VecPredicate)]]) { (be, acc) =>
+          for {
+            t <- acc
+            p <- compile(be._1, output)
+            v <- compile(be._2, output)
+          } yield (p, v) :: t
+        }
+        val ev = cw.elseValue match {
+          case None => scala.Right(None)
+          case Some(x) => compile(x, output).map(Some(_))
+        }
+        for { b <- bs; e <- ev } yield CaseWhenP(b, e)
+      case Literal(v, BooleanType) =>
+        scala.Right(BoolLitP(if (v == null) None else Some(v.asInstanceOf[Boolean])))
+      case r: org.apache.spark.sql.catalyst.expressions.RLike =>
+        (r.left, r.right) match {
+          case (a: AttributeReference, Literal(p: UTF8String, StringType))
+              if a.dataType == StringType && output.exists(_.exprId == a.exprId) &&
+                p != null =>
+            try scala.Right(RegexFindP(output.indexWhere(_.exprId == a.exprId),
+              java.util.regex.Pattern.compile(p.toString)))
+            catch { case _: java.util.regex.PatternSyntaxException =>
+              scala.Left("invalid rlike pattern stays on the row path") }
+          case _ => scala.Left("rlike needs a string attribute and a literal pattern")
+        }
       case In(a: AttributeReference, list)
           if output.exists(_.exprId == a.exprId) &&
             list.forall { case Literal(v, _) => v != null; case _ => false } =>

@@ -175,8 +175,15 @@ private[sql] final class GroupAggState(nSpecs: Int, nKeys: Int,
 case class GraftColumnarGroupedAggExec(
     output: Seq[Attribute], keys: Seq[GroupKeySpec], specs: Seq[AggSpec],
     child: SparkPlan, maxGroups: Int,
-    mergeIdx: Set[Int] = Set.empty)
+    mergeIdx: Set[Int] = Set.empty,
+    keyOut: Seq[Int] = Nil)
     extends UnaryExecNode {
+  // keyOut (keys-only nodes): output column c emits grouping key
+  // keyOut(c) — the pruned/reordered/aliased resultExpressions of a
+  // re-dedup above an already-distinct stage (Spark merges the
+  // downstream projection into the agg's result). Empty = natural
+  // keys ++ buffers layout. Only valid when specs is empty: buffer
+  // columns keep their positional layout.
 
   override def supportsColumnar: Boolean = true
   override def outputPartitioning = child.outputPartitioning
@@ -213,6 +220,7 @@ case class GraftColumnarGroupedAggExec(
     val maxG = maxGroups
     val keysLocal = keys
     val specsLocal = specs
+    val keyOutLocal: Array[Int] = keyOut.toArray
 
     child.executeColumnar().mapPartitionsInternal { iter =>
       import AggSpec._
@@ -224,21 +232,24 @@ case class GraftColumnarGroupedAggExec(
       def flush(): ColumnarBatch = {
         val g = st.nGroups
         val cols = OnHeapColumnVector.allocateColumns(g, schema)
-        // key columns first (partial layout: keys ++ buffers)
+        // key columns first (partial layout: keys ++ buffers); with a
+        // keyOut mapping, output column c sources key keyOut(c) instead
+        val nOutCols = if (keyOutLocal.isEmpty) nKeys else keyOutLocal.length
         var c = 0
-        while (c < nKeys) {
-          val dt = keysLocal(c).dt
+        while (c < nOutCols) {
+          val k = if (keyOutLocal.isEmpty) c else keyOutLocal(c)
+          val dt = keysLocal(k).dt
           var i = 0
           while (i < g) {
-            if (st.keyNull(c)(i)) cols(c).putNull(i)
+            if (st.keyNull(k)(i)) cols(c).putNull(i)
             else dt match {
-              case StringType => cols(c).putByteArray(i, st.keyStr(c)(i).getBytes)
-              case ByteType => cols(c).putByte(i, st.keyLong(c)(i).toByte)
-              case ShortType => cols(c).putShort(i, st.keyLong(c)(i).toShort)
-              case IntegerType | DateType => cols(c).putInt(i, st.keyLong(c)(i).toInt)
+              case StringType => cols(c).putByteArray(i, st.keyStr(k)(i).getBytes)
+              case ByteType => cols(c).putByte(i, st.keyLong(k)(i).toByte)
+              case ShortType => cols(c).putShort(i, st.keyLong(k)(i).toShort)
+              case IntegerType | DateType => cols(c).putInt(i, st.keyLong(k)(i).toInt)
               case DoubleType => cols(c).putDouble(i,
-                java.lang.Double.longBitsToDouble(st.keyLong(c)(i)))
-              case _ => cols(c).putLong(i, st.keyLong(c)(i))
+                java.lang.Double.longBitsToDouble(st.keyLong(k)(i)))
+              case _ => cols(c).putLong(i, st.keyLong(k)(i))
             }
             i += 1
           }

@@ -157,6 +157,9 @@ object VecNumExpr {
     case ColD(_, _) | LitD(_) | NullD() => true
     case LongAsDoubleD(c) => VecLongExpr.total(c)
     case BinD(_, l, r) => total(l) && total(r)
+    // an ANSI divide by a NON-ZERO LITERAL has no live throw site
+    // (Spark's double DivModLike throws only on a zero divisor)
+    case DivD(l, LitD(d), _) if d != 0d && !java.lang.Double.isNaN(d) => total(l)
     case DivD(l, r, ansi) => !ansi && total(l) && total(r)
     case NegD(c) => total(c)
     case AbsD(c) => total(c)
@@ -2217,6 +2220,13 @@ object VecStrExpr {
     }
   }
 
+  final case class LitNullS() extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], 0, n, null)
+      java.util.Arrays.fill(isNull, 0, n, true)
+    }
+  }
   final case class LitS(v: UTF8String) extends VecStrExpr {
     override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
         isNull: Array[Boolean], s: StrScratch): Unit = {
@@ -2408,6 +2418,272 @@ object VecStrExpr {
     }
   }
 
+  /** lpad/rpad with literal length/pad — UTF8String.lpad/rpad, the
+    * exact calls StringLPad/StringRPad.nullSafeEval make. */
+  final case class PadS(c: VecStrExpr, len: Int, pad: UTF8String, left: Boolean)
+      extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) =
+          if (left) values(i).lpad(len, pad) else values(i).rpad(len, pad)
+        i += 1
+      }
+    }
+  }
+
+  /** CASE WHEN / If over string branches, evaluated EAGERLY over the
+    * whole batch (conditions on the filter predicate runtime; every
+    * string kernel is throw-free, the compile gate still requires
+    * total branches like [[CaseWhenL]]). */
+  final case class CaseWhenS(branches: Seq[(VecPredicate, VecStrExpr)],
+      els: Option[VecStrExpr]) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], 0, n, null)
+      java.util.Arrays.fill(isNull, 0, n, true)
+      val undecided = s.b(n)
+      java.util.Arrays.fill(undecided, 0, n, true)
+      branches.foreach { case (p, v) =>
+        val pv = s.b(n); val pn = s.b(n)
+        p.eval(b, null, n, pv, pn)
+        val tv = s.s(n); val tn = s.b(n)
+        v.eval(b, n, tv, tn, s)
+        var i = 0
+        while (i < n) {
+          if (undecided(i) && pv(i) && !pn(i)) {
+            undecided(i) = false; values(i) = tv(i); isNull(i) = tn(i)
+          }
+          i += 1
+        }
+      }
+      els.foreach { e =>
+        val tv = s.s(n); val tn = s.b(n)
+        e.eval(b, n, tv, tn, s)
+        var i = 0
+        while (i < n) {
+          if (undecided(i)) { values(i) = tv(i); isNull(i) = tn(i) }
+          i += 1
+        }
+      }
+    }
+  }
+
+  /** initcap under the default binary collation — the exact
+    * CollationSupport.InitCap.execBinary call the row expression makes. */
+  final case class InitCapS(c: VecStrExpr) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) =
+          org.apache.spark.sql.catalyst.util.CollationSupport.InitCap.execBinary(values(i))
+        i += 1
+      }
+    }
+  }
+
+  /** repeat(str, literal n) — UTF8String.repeat. */
+  final case class RepeatS(c: VecStrExpr, times: Int) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) = values(i).repeat(times)
+        i += 1
+      }
+    }
+  }
+
+  /** replace(str, literal search, literal replacement) — UTF8String.replace. */
+  final case class ReplaceS(c: VecStrExpr, search: UTF8String, rep: UTF8String)
+      extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) = values(i).replace(search, rep)
+        i += 1
+      }
+    }
+  }
+
+  /** translate(str, literal from, literal to) — the dict built ONCE by
+    * StringTranslate.buildDict (matching-char mapping incl. deletions),
+    * applied via UTF8String.translate like the row path. */
+  final case class TranslateS(c: VecStrExpr, from: UTF8String, to: UTF8String)
+      extends VecStrExpr {
+    @transient private[this] var dict: java.util.Map[String, String] = null
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      if (dict == null)
+        dict = org.apache.spark.sql.catalyst.expressions.StringTranslate
+          .buildDict(from, to, 0)
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) = values(i).translate(dict)
+        i += 1
+      }
+    }
+  }
+
+  /** sha1/sha2 hex over a string's UTF-8 bytes — MessageDigest with the
+    * exact algorithm the row expression's DigestUtils call wraps. */
+  final case class DigestHexS(algo: String, c: VecStrExpr) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      val md = java.security.MessageDigest.getInstance(algo)
+      val hex = "0123456789abcdef".toCharArray
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) {
+          md.reset()
+          val dig = md.digest(values(i).getBytes)
+          val out = new Array[Byte](dig.length * 2)
+          var j = 0
+          while (j < dig.length) {
+            out(2 * j) = hex((dig(j) >> 4) & 0xF).toByte
+            out(2 * j + 1) = hex(dig(j) & 0xF).toByte
+            j += 1
+          }
+          values(i) = UTF8String.fromBytes(out)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** hex(long-family expr) — the exact Hex.hex(long) static. */
+  final case class HexLongS(k: VecLongExpr) extends VecStrExpr {
+    @transient private[this] var lv: Array[Long] = null
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      if (lv == null || lv.length < n) lv = new Array[Long](n)
+      k.eval(b, n, lv, isNull)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) =
+          org.apache.spark.sql.catalyst.expressions.Hex.hex(lv(i))
+        else values(i) = null
+        i += 1
+      }
+    }
+  }
+
+  /** hex(string) — Hex.hex over the UTF-8 bytes. */
+  final case class HexStrS(c: VecStrExpr) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) =
+          org.apache.spark.sql.catalyst.expressions.Hex.hex(values(i).getBytes)
+        i += 1
+      }
+    }
+  }
+
+  /** bin(long) — Long.toBinaryString, the exact Bin.nullSafeEval call. */
+  final case class BinS(k: VecLongExpr) extends VecStrExpr {
+    @transient private[this] var lv: Array[Long] = null
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      if (lv == null || lv.length < n) lv = new Array[Long](n)
+      k.eval(b, n, lv, isNull)
+      var i = 0
+      while (i < n) {
+        values(i) = if (isNull(i)) null
+          else UTF8String.fromString(java.lang.Long.toBinaryString(lv(i)))
+        i += 1
+      }
+    }
+  }
+
+  /** regexp_replace(str, literal pattern, literal rep, pos=1) — the
+    * same Pattern + appendReplacement loop (replaceAll) the row
+    * expression runs, group references in the replacement included. */
+  final case class RegexReplaceS(c: VecStrExpr, pattern: java.util.regex.Pattern,
+      rep: String) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) values(i) =
+          UTF8String.fromString(pattern.matcher(values(i).toString).replaceAll(rep))
+        i += 1
+      }
+    }
+  }
+
+  /** chr(long) — Chr.nullSafeEval exactly: negative → empty, low byte
+    * 0 → NUL char, else the low byte as a char. */
+  final case class ChrS(k: VecLongExpr) extends VecStrExpr {
+    @transient private[this] var lv: Array[Long] = null
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      if (lv == null || lv.length < n) lv = new Array[Long](n)
+      k.eval(b, n, lv, isNull)
+      var i = 0
+      while (i < n) {
+        values(i) = if (isNull(i)) null else {
+          val v = lv(i)
+          if (v < 0) UTF8String.EMPTY_UTF8
+          else if ((v & 0xFF) == 0) UTF8String.fromString(Character.MIN_VALUE.toString)
+          else UTF8String.fromString((v & 0xFF).toChar.toString)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** cast(unhex(str) AS string) — Hex.unhex of the UTF-8 bytes (null
+    * on invalid input), reinterpreted as a string like the binary→
+    * string cast. */
+  final case class UnhexToStrS(c: VecStrExpr) extends VecStrExpr {
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      c.eval(b, n, values, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (!isNull(i)) {
+          val bytes = org.apache.spark.sql.catalyst.expressions.Hex
+            .unhex(values(i).getBytes)
+          if (bytes == null) { isNull(i) = true; values(i) = null }
+          else values(i) = UTF8String.fromBytes(bytes)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** cast(long-family EXPRESSION as string): the lane value's decimal
+    * digits (Long.toString of the widened value prints identically for
+    * every integral width). The attribute-only CastIntegralToStrS stays
+    * for the zero-copy common case. */
+  final case class CastLongExprToStrS(k: VecLongExpr) extends VecStrExpr {
+    @transient private[this] var lv: Array[Long] = null
+    override def eval(b: ColumnarBatch, n: Int, values: Array[UTF8String],
+        isNull: Array[Boolean], s: StrScratch): Unit = {
+      if (lv == null || lv.length < n) lv = new Array[Long](n)
+      k.eval(b, n, lv, isNull)
+      var i = 0
+      while (i < n) {
+        values(i) = if (isNull(i)) null
+          else UTF8String.fromString(java.lang.Long.toString(lv(i)))
+        i += 1
+      }
+    }
+  }
+
   /** Kernel-tree cost classifiers for the FILTER-compare swap gate (the
     * projection swap has its own A/B gating): md5 anywhere makes the
     * per-row hash dominate (conversion savings win regardless of input
@@ -2415,7 +2691,7 @@ object VecStrExpr {
     * (column/literal/substring/trim) beat fused codegen.
     */
   def hashHeavy(k: VecStrExpr): Boolean = k match {
-    case Md5HexS(_) => true
+    case Md5HexS(_) | DigestHexS(_, _) => true
     case MapS(_, c) => hashHeavy(c)
     case SubstrS(c, _, _) => hashHeavy(c)
     case ConcatS(cs) => cs.exists(hashHeavy)
@@ -2440,13 +2716,27 @@ object VecStrExpr {
     * falls back to the row path instead of silently changing filter
     * semantics. Every current kernel is throw-free on arbitrary input. */
   def total(k: VecStrExpr): Boolean = k match {
-    case ColS(_) | LitS(_) | CastIntegralToStrS(_, _) => true
+    case ColS(_) | LitS(_) | LitNullS() | CastIntegralToStrS(_, _) => true
     case MapS(_, c) => total(c)
     case SubstrS(c, _, _) => total(c)
     case Md5HexS(c) => total(c)
     case CoalesceS(cs) => cs.forall(total)
     case ConcatS(cs) => cs.forall(total)
     case ConcatWsS(_, cs) => cs.forall(total)
+    case PadS(c, _, _, _) => total(c)
+    case CaseWhenS(bs, e) => bs.forall(b => total(b._2)) && e.forall(total)
+    case InitCapS(c) => total(c)
+    case RepeatS(c, _) => total(c)
+    case ReplaceS(c, _, _) => total(c)
+    case TranslateS(c, _, _) => total(c)
+    case DigestHexS(_, c) => total(c)
+    case HexStrS(c) => total(c)
+    case HexLongS(k) => VecLongExpr.total(k)
+    case CastLongExprToStrS(k) => VecLongExpr.total(k)
+    case BinS(k) => VecLongExpr.total(k)
+    case ChrS(k) => VecLongExpr.total(k)
+    case UnhexToStrS(c) => total(c)
+    case RegexReplaceS(c, _, _) => total(c)
     case _ => false
   }
 
@@ -2474,6 +2764,13 @@ object VecStrExpr {
               (a.dataType == LongType || a.dataType == IntegerType ||
                a.dataType == ShortType || a.dataType == ByteType) =>
             scala.Right(CastIntegralToStrS(ord(a), a.dataType))
+          case uh: Unhex if !uh.failOnError =>
+            compile(uh.child, output).map(UnhexToStrS)
+              .left.map(r => s"unsupported cast-to-string input: $r")
+          case other if other.dataType == LongType || other.dataType == IntegerType ||
+              other.dataType == ShortType || other.dataType == ByteType =>
+            VecLongExpr.compile(other, output).map(CastLongExprToStrS)
+              .left.map(r => s"unsupported cast-to-string input: $r")
           case other =>
             scala.Left(s"unsupported cast-to-string input: ${other.getClass.getSimpleName}")
         }
@@ -2490,6 +2787,116 @@ object VecStrExpr {
               .getOrElse(scala.Right(
                 ConcatWsS(sep, parts.collect { case scala.Right(k) => k })))
           case _ => scala.Left("concat_ws needs a literal string separator")
+        }
+      case iff: If if iff.dataType == StringType =>
+        for {
+          p <- VecPredicate.compile(iff.predicate, output)
+          t <- compile(iff.trueValue, output)
+          f <- compile(iff.falseValue, output)
+          _ <- if (total(t) && total(f)) scala.Right(())
+          else scala.Left("non-total string branch under eager IF evaluation")
+        } yield CaseWhenS(Seq((p, t)), Some(f))
+      case cw: CaseWhen if cw.dataType == StringType =>
+        val bs = cw.branches.foldRight(
+          scala.Right(Nil): Either[String, List[(VecPredicate, VecStrExpr)]]) { (be, acc) =>
+          for {
+            t <- acc
+            p <- VecPredicate.compile(be._1, output)
+            v <- compile(be._2, output)
+          } yield (p, v) :: t
+        }
+        val ev = cw.elseValue match {
+          case None => scala.Right(None)
+          case Some(x) => compile(x, output).map(Some(_))
+        }
+        for {
+          b <- bs; e <- ev
+          _ <- if (b.forall(x => total(x._2)) && e.forall(total)) scala.Right(())
+          else scala.Left("non-total string branch under eager CASE evaluation")
+        } yield CaseWhenS(b, e)
+      case n2: Literal if n2.value == null && n2.dataType == StringType =>
+        scala.Right(LitNullS())
+      case lp: StringLPad if lp.dataType == StringType =>
+        (lp.len, lp.pad) match {
+          case (Literal(l: Int, IntegerType), Literal(pd: UTF8String, StringType))
+              if pd != null =>
+            compile(lp.str, output).map(PadS(_, l, pd, left = true))
+          case _ => scala.Left("lpad needs literal length/pad")
+        }
+      case rp: StringRPad if rp.dataType == StringType =>
+        (rp.len, rp.pad) match {
+          case (Literal(l: Int, IntegerType), Literal(pd: UTF8String, StringType))
+              if pd != null =>
+            compile(rp.str, output).map(PadS(_, l, pd, left = false))
+          case _ => scala.Left("rpad needs literal length/pad")
+        }
+      case ic: InitCap if ic.child.dataType == StringType =>
+        compile(ic.child, output).map(InitCapS)
+      case rp2: StringRepeat =>
+        rp2.times match {
+          case Literal(t: Int, IntegerType) =>
+            compile(rp2.str, output).map(RepeatS(_, t))
+          case _ => scala.Left("repeat needs a literal count")
+        }
+      case sr: StringReplace =>
+        (sr.searchExpr, sr.replaceExpr) match {
+          case (Literal(se: UTF8String, StringType), Literal(re: UTF8String, StringType))
+              if se != null && re != null =>
+            compile(sr.srcExpr, output).map(ReplaceS(_, se, re))
+          case _ => scala.Left("replace needs literal search/replacement")
+        }
+      case tr: StringTranslate =>
+        (tr.matchingExpr, tr.replaceExpr) match {
+          case (Literal(f: UTF8String, StringType), Literal(t: UTF8String, StringType))
+              if f != null && t != null =>
+            compile(tr.srcExpr, output).map(TranslateS(_, f, t))
+          case _ => scala.Left("translate needs literal from/to")
+        }
+      case sh: Sha1 =>
+        sh.child match {
+          case c: Cast if c.dataType == BinaryType && c.child.dataType == StringType =>
+            compile(c.child, output).map(DigestHexS("SHA-1", _))
+          case other =>
+            scala.Left(s"unsupported sha1 input: ${other.getClass.getSimpleName}")
+        }
+      case sh2: Sha2 =>
+        val algo = sh2.right match {
+          case Literal(0, IntegerType) | Literal(256, IntegerType) => Some("SHA-256")
+          case Literal(224, IntegerType) => Some("SHA-224")
+          case Literal(384, IntegerType) => Some("SHA-384")
+          case Literal(512, IntegerType) => Some("SHA-512")
+          case _ => None
+        }
+        (algo, sh2.left) match {
+          case (Some(a), c: Cast)
+              if c.dataType == BinaryType && c.child.dataType == StringType =>
+            compile(c.child, output).map(DigestHexS(a, _))
+          case (None, _) => scala.Left("sha2 bit length must be a literal in {0,224,256,384,512}")
+          case _ => scala.Left("unsupported sha2 input")
+        }
+      case hx: Hex =>
+        hx.child.dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            VecLongExpr.compile(hx.child, output).map(HexLongS)
+          case StringType => compile(hx.child, output).map(HexStrS)
+          case other => scala.Left(s"unsupported hex input type $other")
+        }
+      case ch: Chr =>
+        VecLongExpr.compile(ch.child, output).map(ChrS)
+          .left.map(r => s"unsupported chr input: $r")
+      case bn: Bin =>
+        VecLongExpr.compile(bn.child, output).map(BinS)
+          .left.map(r => s"unsupported bin input: $r")
+      case rr: RegExpReplace =>
+        (rr.regexp, rr.rep, rr.pos) match {
+          case (Literal(pt: UTF8String, StringType), Literal(rp: UTF8String, StringType),
+              Literal(1, IntegerType)) if pt != null && rp != null =>
+            try {
+              val compiled = java.util.regex.Pattern.compile(pt.toString)
+              compile(rr.subject, output).map(RegexReplaceS(_, compiled, rp.toString))
+            } catch { case _: java.util.regex.PatternSyntaxException =>
+              scala.Left("invalid regexp_replace pattern stays on the row path") }
+          case _ => scala.Left("regexp_replace needs literal pattern/replacement at pos 1")
         }
       case m: Md5 =>
         m.child match {
@@ -2585,6 +2992,123 @@ final case class ArithL(op: Int, l: VecLongExpr, r: VecLongExpr,
             case 0 => if (ansi) MathUtils.addExact(a, b, ctx) else a + b
             case 1 => if (ansi) MathUtils.subtractExact(a, b, ctx) else a - b
             case _ => if (ansi) MathUtils.multiplyExact(a, b, ctx) else a * b
+          }
+      }
+      i += 1
+    }
+  }
+}
+
+/** Bitwise/shift ops on the long/int lane: AND(0) OR(1) XOR(2)
+  * SHL(3) SHR(4) SHRU(5). No throw sites in any eval mode (Spark's
+  * bitwise family has no ANSI variant; the JVM masks shift counts —
+  * long by 63, int by 31 — exactly like the row expressions'
+  * codegen operators). INT-typed shifts must compute in the int
+  * domain: `intVal << 33` masks to `<< 1` and wraps in 32 bits,
+  * which a widened-long computation would get wrong. */
+final case class BitwiseL(op: Int, l: VecLongExpr, r: VecLongExpr, isInt: Boolean)
+    extends VecLongExpr {
+  @transient private[this] var rv: Array[Long] = null
+  @transient private[this] var rn: Array[Boolean] = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (rv == null || rv.length < n) { rv = new Array[Long](n); rn = new Array[Boolean](n) }
+    l.eval(batch, n, out, isNull)
+    r.eval(batch, n, rv, rn)
+    var i = 0
+    while (i < n) {
+      if (isNull(i) || rn(i)) { isNull(i) = true; out(i) = 0L }
+      else {
+        val a = out(i); val b = rv(i)
+        out(i) =
+          if (isInt) {
+            val x = a.toInt; val y = b.toInt
+            (op match {
+              case 0 => x & y
+              case 1 => x | y
+              case 2 => x ^ y
+              case 3 => x << y
+              case 4 => x >> y
+              case _ => x >>> y
+            }).toLong
+          } else op match {
+            case 0 => a & b
+            case 1 => a | b
+            case 2 => a ^ b
+            // the SHIFT COUNT is always int-typed in Spark — toInt of
+            // the widened lane value is exact
+            case 3 => a << b.toInt
+            case 4 => a >> b.toInt
+            case _ => a >>> b.toInt
+          }
+      }
+      i += 1
+    }
+  }
+}
+
+/** Bitwise NOT on the long/int lane. */
+final case class BitwiseNotL(c: VecLongExpr, isInt: Boolean) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) out(i) = if (isInt) (~out(i).toInt).toLong else ~out(i)
+      i += 1
+    }
+  }
+}
+
+/** bit_count on the long/int lane. The count must run in the CHILD's
+  * domain: the lane's widened long sign-extends a negative int, and
+  * Long.bitCount of that reads 32 phantom ones. */
+final case class BitCountL(c: VecLongExpr, childIsInt: Boolean) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) out(i) =
+        (if (childIsInt) java.lang.Integer.bitCount(out(i).toInt)
+        else java.lang.Long.bitCount(out(i))).toLong
+      i += 1
+    }
+  }
+}
+
+/** bit_get(col, literalPos) — ((v >> pos) & 1); the position is
+  * validated against the CHILD type's width at compile (BitwiseGet's
+  * checkPosition throw site disappears for in-range literals). Bits
+  * 0..31 of a sign-extended int survive the widening, so one long
+  * shift serves both widths. */
+final case class BitGetL(c: VecLongExpr, pos: Int) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) out(i) = (out(i) >> pos) & 1L
+      i += 1
+    }
+  }
+}
+
+/** abs on the long/int lane. LEGACY wraps at MinValue (math.abs);
+  * ANSI throws through MathUtils.negateExact — the EXACT call
+  * Long/IntegerExactNumeric.negate makes in the row path's
+  * numeric.abs, so the error is Spark's own. A throw site ⇒ excluded
+  * from full-batch filter/compare use by the totality gate. */
+final case class AbsL(c: VecLongExpr, isInt: Boolean, ansi: Boolean) extends VecLongExpr {
+  import org.apache.spark.sql.catalyst.util.MathUtils
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) {
+        val v = out(i)
+        out(i) =
+          if (isInt) {
+            val x = v.toInt
+            (if (x >= 0) x else if (ansi) MathUtils.negateExact(x) else -x).toLong
+          } else {
+            if (v >= 0) v else if (ansi) MathUtils.negateExact(v) else -v
           }
       }
       i += 1
@@ -2847,6 +3371,149 @@ final case class DblToLongL(c: VecNumExpr, ansi: Boolean) extends VecLongExpr {
   }
 }
 
+/** instr(str, literal substr) — UTF8String.indexOf + 1 (1-based, 0
+  * when absent), the exact StringInstr.nullSafeEval. */
+final case class InstrL(c: VecStrExpr, sub: UTF8String) extends VecLongExpr {
+  @transient private[this] var sv: Array[UTF8String] = null
+  @transient private[this] var scratch: StrScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (sv == null || sv.length < n) sv = new Array[UTF8String](n)
+    if (scratch == null) scratch = new StrScratch
+    scratch.reset()
+    c.eval(batch, n, sv, isNull, scratch)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) out(i) = (sv(i).indexOf(sub, 0) + 1).toLong
+      i += 1
+    }
+  }
+}
+
+/** ascii(str) — first character's code point (Ascii.nullSafeEval's
+  * substring(0,1).codePointAt(0), 0 for the empty string). */
+final case class AsciiL(c: VecStrExpr) extends VecLongExpr {
+  @transient private[this] var sv: Array[UTF8String] = null
+  @transient private[this] var scratch: StrScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (sv == null || sv.length < n) sv = new Array[UTF8String](n)
+    if (scratch == null) scratch = new StrScratch
+    scratch.reset()
+    c.eval(batch, n, sv, isNull, scratch)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) {
+        val first = sv(i).substring(0, 1)
+        out(i) = if (first.numBytes > 0) first.toString.codePointAt(0).toLong else 0L
+      }
+      i += 1
+    }
+  }
+}
+
+/** murmur3/xxhash64 over attribute children — chained through Spark's
+  * own Murmur3HashFunction/XxHash64Function statics with each child's
+  * ORIGINAL type (an int hashes differently from its widened long).
+  * Null children leave the running hash unchanged; the result is never
+  * null — exactly HashExpression.eval. */
+final case class HashExprL(seed: Long, xx: Boolean,
+    children: Seq[(Int, DataType)]) extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    val cols = children.map { case (ord, _) => batch.column(ord) }
+    var i = 0
+    while (i < n) {
+      var h = seed
+      var c = 0
+      while (c < children.size) {
+        val (_, dt) = children(c)
+        val v = cols(c)
+        if (!v.isNullAt(i)) {
+          val boxed: Any = dt match {
+            case StringType => v.getUTF8String(i)
+            case LongType | TimestampType | TimestampNTZType => v.getLong(i)
+            case IntegerType | DateType => v.getInt(i)
+            case ShortType => v.getShort(i)
+            case ByteType => v.getByte(i)
+            case DoubleType => v.getDouble(i)
+            case FloatType => v.getFloat(i)
+            case BooleanType => v.getBoolean(i)
+            case other => throw new IllegalStateException(s"unhashable: $other")
+          }
+          h = if (xx)
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(boxed, dt, h)
+          else
+            org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+              .hash(boxed, dt, h).toInt.toLong
+        }
+        c += 1
+      }
+      isNull(i) = false
+      out(i) = h
+      i += 1
+    }
+  }
+}
+
+/** bit_length/octet_length of a string — numBytes (×8). */
+final case class ByteLenL(c: VecStrExpr, bits: Boolean) extends VecLongExpr {
+  @transient private[this] var sv: Array[UTF8String] = null
+  @transient private[this] var scratch: StrScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (sv == null || sv.length < n) sv = new Array[UTF8String](n)
+    if (scratch == null) scratch = new StrScratch
+    scratch.reset()
+    c.eval(batch, n, sv, isNull, scratch)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) out(i) = (if (bits) sv(i).numBytes * 8 else sv(i).numBytes).toLong
+      i += 1
+    }
+  }
+}
+
+/** crc32 over a string's UTF-8 bytes — java.util.zip.CRC32, the exact
+  * implementation the row expression wraps. */
+final case class Crc32L(c: VecStrExpr) extends VecLongExpr {
+  @transient private[this] var sv: Array[UTF8String] = null
+  @transient private[this] var scratch: StrScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (sv == null || sv.length < n) sv = new Array[UTF8String](n)
+    if (scratch == null) scratch = new StrScratch
+    scratch.reset()
+    c.eval(batch, n, sv, isNull, scratch)
+    val crc = new java.util.zip.CRC32()
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) {
+        crc.reset()
+        val bts = sv(i).getBytes
+        crc.update(bts, 0, bts.length)
+        out(i) = crc.getValue
+      }
+      i += 1
+    }
+  }
+}
+
+/** ceil/floor of a double down to the lane: `math.ceil(d).toLong` —
+  * exactly Ceil/Floor.nullSafeEval for a DoubleType child (the Scala
+  * Double→Long conversion saturates like the codegen's Java cast; no
+  * eval modes, no throw sites). */
+final case class CeilFloorL(c: VecNumExpr, isCeil: Boolean) extends VecLongExpr {
+  @transient private[this] var dv: Array[Double] = null
+  @transient private[this] var scratch: VecScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (dv == null || dv.length < n) dv = new Array[Double](n)
+    if (scratch == null) scratch = new VecScratch
+    scratch.reset()
+    c.eval(batch, n, dv, isNull, scratch)
+    var i = 0
+    while (i < n) {
+      out(i) = (if (isCeil) Math.ceil(dv(i)) else Math.floor(dv(i))).toLong
+      i += 1
+    }
+  }
+}
+
 /** length(string) on the long/int lane (numChars — the same value
   * [[LengthI]] computes for the dedicated int kernel; here it composes
   * with the lane's conditionals, casts and compares). */
@@ -2953,6 +3620,10 @@ final case class CaseWhenL(branches: Seq[(VecPredicate, VecLongExpr)], els: Opti
 }
 
 object VecLongExpr {
+  /** column types [[HashExprL]] hashes with Spark's own hash statics */
+  val HashExprLTypes: Set[DataType] = Set(StringType, LongType, IntegerType,
+    ShortType, ByteType, DoubleType, FloatType, BooleanType, DateType,
+    TimestampType, TimestampNTZType)
   private def intFamily(dt: DataType): Boolean =
     dt == IntegerType || dt == ShortType || dt == ByteType
   private def laneType(dt: DataType): Boolean = dt == LongType || intFamily(dt)
@@ -2982,6 +3653,17 @@ object VecLongExpr {
     case DblToLongL(c, ansi) => !ansi && VecNumExpr.total(c)
     case ExtremumL(cs, _) => cs.forall(total)
     case CaseWhenL(bs, e) => bs.forall(b => total(b._2)) && e.forall(total)
+    case BitwiseL(_, l, r, _) => total(l) && total(r)
+    case BitwiseNotL(c, _) => total(c)
+    case BitCountL(c, _) => total(c)
+    case BitGetL(c, _) => total(c)
+    case ByteLenL(c, _) => VecStrExpr.total(c)
+    case Crc32L(c) => VecStrExpr.total(c)
+    case InstrL(c, _) => VecStrExpr.total(c)
+    case AsciiL(c) => VecStrExpr.total(c)
+    case HashExprL(_, _, _) => true
+    case AbsL(c, _, ansi) => !ansi && total(c)
+    case CeilFloorL(c, _) => VecNumExpr.total(c)
     case _ => false
   }
 
@@ -3019,6 +3701,37 @@ object VecLongExpr {
         }
       case l: Length if l.child.dataType == StringType =>
         VecStrExpr.compile(l.child, output).map(LengthL)
+      case bl: BitLength if bl.child.dataType == StringType =>
+        VecStrExpr.compile(bl.child, output).map(ByteLenL(_, bits = true))
+      case ol: OctetLength if ol.child.dataType == StringType =>
+        VecStrExpr.compile(ol.child, output).map(ByteLenL(_, bits = false))
+      case si: StringInstr =>
+        si.substr match {
+          case Literal(sub: UTF8String, StringType) if sub != null =>
+            VecStrExpr.compile(si.str, output).map(InstrL(_, sub))
+          case _ => scala.Left("instr needs a literal substring")
+        }
+      case asc: Ascii if asc.child.dataType == StringType =>
+        VecStrExpr.compile(asc.child, output).map(AsciiL)
+      case mh: Murmur3Hash if mh.children.forall {
+          case a: AttributeReference => ord(a) >= 0 &&
+            HashExprLTypes(a.dataType)
+          case _ => false } =>
+        scala.Right(HashExprL(mh.seed.toLong, xx = false,
+          mh.children.map { case a: AttributeReference => (ord(a), a.dataType) }))
+      case xh: XxHash64 if xh.children.forall {
+          case a: AttributeReference => ord(a) >= 0 &&
+            HashExprLTypes(a.dataType)
+          case _ => false } =>
+        scala.Right(HashExprL(xh.seed, xx = true,
+          xh.children.map { case a: AttributeReference => (ord(a), a.dataType) }))
+      case cr: Crc32 =>
+        cr.child match {
+          case c: Cast if c.dataType == BinaryType && c.child.dataType == StringType =>
+            VecStrExpr.compile(c.child, output).map(Crc32L)
+          case other =>
+            scala.Left(s"unsupported crc32 input: ${other.getClass.getSimpleName}")
+        }
       case le: Least if laneType(le.dataType) =>
         val parts = le.children.map(compile(_, output))
         parts.collectFirst { case scala.Left(r) => scala.Left(r) }
@@ -3132,6 +3845,37 @@ object VecLongExpr {
       // format string: floorDiv(micros, 1e6)
       case ut: UnixTimestamp if ut.timeExp.dataType == TimestampType =>
         compile(ut.timeExp, output).map(FloorDivL(_, 1000000L))
+      // unix_micros IS the stored micros (identity retype);
+      // unix_millis/unix_seconds are its floorDivs — the exact
+      // DateTimeUtils calls the TimestampToLongBase evals make
+      case u: UnixMicros => compile(u.child, output)
+      // ntz→ltz retype under UTC inside the lane (the events-table
+      // cast below unix_micros/unix_millis): value-identical micros
+      case c: Cast if c.dataType == TimestampType &&
+          c.child.dataType == TimestampNTZType &&
+          c.timeZoneId.exists(z =>
+            java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC) =>
+        compile(c.child, output)
+      case u: UnixMillis => compile(u.child, output).map(FloorDivL(_, 1000L))
+      case u: UnixSeconds => compile(u.child, output).map(FloorDivL(_, 1000000L))
+      // ceil/floor of a double → LongType (saturating toLong, no
+      // throw); ceil/floor of a long-family child is the identity
+      case ce: Ceil if ce.dataType == LongType =>
+        if (laneType(ce.child.dataType)) compile(ce.child, output)
+        else if (ce.child.dataType == DoubleType)
+          VecNumExpr.compile(ce.child, output).flatMap { k =>
+            if (VecNumExpr.total(k)) scala.Right(CeilFloorL(k, isCeil = true))
+            else scala.Left("non-total double subtree under ceil")
+          }
+        else scala.Left(s"unsupported ceil input type ${ce.child.dataType}")
+      case fl: Floor if fl.dataType == LongType =>
+        if (laneType(fl.child.dataType)) compile(fl.child, output)
+        else if (fl.child.dataType == DoubleType)
+          VecNumExpr.compile(fl.child, output).flatMap { k =>
+            if (VecNumExpr.total(k)) scala.Right(CeilFloorL(k, isCeil = false))
+            else scala.Left("non-total double subtree under floor")
+          }
+        else scala.Left(s"unsupported floor input type ${fl.child.dataType}")
       // date ± days: plain int addition on epoch days (DateAdd/DateSub
       // have no overflow guard — int wrap, exactly the row path)
       case d: DateAdd =>
@@ -3166,6 +3910,54 @@ object VecLongExpr {
           case Some(d) => compile(r.left, output).map(RemL(_, d))
           case None => scala.Left("remainder divisor must be a non-zero literal")
         }
+      // Bitwise/shift family: no eval modes, no throw sites — Java
+      // operator semantics ARE the row expressions' codegen (shift
+      // counts self-mask). Byte/short stay row (their wrap domain has
+      // no kernel twin here).
+      case b @ (_: BitwiseAnd | _: BitwiseOr | _: BitwiseXor)
+          if b.dataType == LongType || b.dataType == IntegerType =>
+        val be = b.asInstanceOf[BinaryExpression]
+        val opc = b match {
+          case _: BitwiseAnd => 0
+          case _: BitwiseOr => 1
+          case _ => 2
+        }
+        for { l <- compile(be.left, output); r <- compile(be.right, output) }
+          yield BitwiseL(opc, l, r, isInt = b.dataType == IntegerType)
+      case sh @ (_: ShiftLeft | _: ShiftRight | _: ShiftRightUnsigned)
+          if sh.dataType == LongType || sh.dataType == IntegerType =>
+        val be = sh.asInstanceOf[BinaryExpression]
+        val opc = sh match {
+          case _: ShiftLeft => 3
+          case _: ShiftRight => 4
+          case _ => 5
+        }
+        for { l <- compile(be.left, output); r <- compile(be.right, output) }
+          yield BitwiseL(opc, l, r, isInt = sh.dataType == IntegerType)
+      case nt: BitwiseNot if nt.dataType == LongType || nt.dataType == IntegerType =>
+        compile(nt.child, output).map(BitwiseNotL(_, nt.dataType == IntegerType))
+      case bc: BitwiseCount
+          if bc.child.dataType == LongType || bc.child.dataType == IntegerType =>
+        compile(bc.child, output)
+          .map(BitCountL(_, bc.child.dataType == IntegerType))
+      case bg: org.apache.spark.sql.catalyst.expressions.BitwiseGet
+          if bg.left.dataType == LongType || bg.left.dataType == IntegerType =>
+        val bits = if (bg.left.dataType == LongType) 64 else 32
+        bg.right match {
+          case Literal(p: Int, IntegerType) if p >= 0 && p < bits =>
+            compile(bg.left, output).map(BitGetL(_, p))
+          case other =>
+            scala.Left(s"bit_get position must be an in-range int literal, got $other")
+        }
+      case ab: Abs
+          if ab.dataType == LongType || ab.dataType == IntegerType =>
+        compile(ab.child, output)
+          .map(AbsL(_, ab.dataType == IntegerType, ab.failOnError))
+      // timestamp→long cast: floorDiv micros to whole seconds (the
+      // DateTimeUtils call Cast makes; no overflow, every eval mode)
+      case c: Cast if c.dataType == LongType &&
+          (c.child.dataType == TimestampType || c.child.dataType == TimestampNTZType) =>
+        compile(c.child, output).map(FloorDivL(_, 1000000L))
       // CaseWhenL evaluates branches EAGERLY over the whole batch (the
       // lane was all-total by construction), so any branch kernel with
       // a throw site (the ANSI double→long bridge) must stay row — it

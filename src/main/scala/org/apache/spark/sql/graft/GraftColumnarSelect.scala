@@ -1928,12 +1928,35 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 case a: Attribute => a.exprId } == keyIds &&
               (agg.groupingExpressions.map(_.dataType) ++
                 specs.flatMap(GraftColumnarAgg.slotTypes)) == agg.output.map(_.dataType)
+          // keys-only nodes (distinct stages, any level): the result
+          // expressions may PRUNE, REORDER, or ALIAS the grouping keys —
+          // Spark merges the downstream projection into a re-dedup
+          // above an already-distinct child (the dedup-pipeline
+          // `.distinct().select(a, b AS c)` shape). The kernel groups on
+          // the FULL key tuple and emits only the mapped columns.
+          lazy val keyOutOpt: Option[Seq[Int]] =
+            // nonEmpty: an ALL-pruned output (bare count over a
+            // distinct) would be indistinguishable from the exec's
+            // Nil = natural-layout sentinel — that zero-column shape
+            // stays row
+            if (specs.nonEmpty || agg.resultExpressions.isEmpty) None
+            else {
+              val mapped = agg.resultExpressions.map {
+                case a: Attribute => keyIds.indexOf(a.exprId)
+                case Alias(ar: AttributeReference, _) => keyIds.indexOf(ar.exprId)
+                case _ => -1
+              }
+              if (mapped.forall(_ >= 0)) Some(mapped) else None
+            }
+          val maxGroups = session.conf
+            .getOption(GraftColumnarGroupedAggExec.maxGroupsKey)
+            .map(_.toInt).getOrElse(GraftColumnarGroupedAggExec.defaultMaxGroups)
           if (layoutOk) {
-            val maxGroups = session.conf
-              .getOption(GraftColumnarGroupedAggExec.maxGroupsKey)
-              .map(_.toInt).getOrElse(GraftColumnarGroupedAggExec.defaultMaxGroups)
             GraftColumnarGroupedAggExec(agg.output, ks, specs, base, maxGroups,
               mergeIdxSet)
+          } else if (keyOutOpt.isDefined) {
+            GraftColumnarGroupedAggExec(agg.output, ks, specs, base, maxGroups,
+              mergeIdxSet, keyOutOpt.get)
           } else {
             agg.setTagValue(fallbackReasonTag,
               "partial output is not keys ++ plain buffer attributes"); agg

@@ -4221,6 +4221,128 @@ class EngineSuite extends GraftTestBase {
     }
   }
 
+  test("keys-only agg with pruned/aliased result expressions swaps with a key mapping") {
+    import org.apache.spark.sql.functions._
+    // r15: Spark merges a downstream projection into a re-dedup above an
+    // already-distinct stage — resultExpressions prune/alias the
+    // grouping keys (`.distinct().select(a, c AS x)`, the q47/q92/q116
+    // dedup-pipeline shape). The kernel groups on the FULL key tuple
+    // and emits only the mapped columns.
+    val dir = java.nio.file.Files.createTempDirectory("graft-keyout").toString
+    Seq((1L, 10, 100L), (1L, 10, 100L), (1L, 20, 200L), (2L, 10, 100L),
+      (2L, 10, 300L), (1L, 20, 200L))
+      .toDF("a", "b", "c").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // the simple `.distinct().select(...)` folds into the FINAL swap's
+    // outMap (assert that stays true); the keyOut path serves the
+    // RE-DEDUP Spark leaves above an AQE-reused distinct stage — the
+    // q47 dedup pipeline is the real producer of that shape, so pin it
+    // there (the node that was tagged "partial output is not keys ++
+    // plain buffer attributes" through r14)
+    val simple = t.distinct().select($"a", $"c".as("x"))
+    checkInvariantUnder(simple.orderBy($"a", $"x"),
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+    val q47 = Catalog.validated.find(_.name == "q47_dedup_minhash_lsh").get
+      .run(spark, GraftTestBase.sfDriverDir)
+    q47.collect()
+    assert(findExec(q47) {
+      case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec
+          if e.keyOut.nonEmpty => e
+    }.isDefined, s"expected q47's re-dedup to swap with a key mapping in:\n${
+      q47.queryExecution.executedPlan.toString.take(8000)}")
+    // the all-pruned zero-column shape (count over distinct) must stay
+    // correct (it falls back — indistinguishable from the natural-layout
+    // sentinel)
+    val cnt = t.distinct().count()
+    assert(cnt == 4, s"distinct count, got $cnt")
+  }
+
+  test("long-lane bitwise/shift/unix/ceil-floor kernels match the row path") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bitw").toString
+    Seq(
+      (1, Option(0x0F0FL), Option(5), Option(2.5), Option("2021-03-04 05:06:07.123456")),
+      (2, Option(-1L), Option(33), Option(-2.5), Option("1969-12-31 23:59:59.999999")),
+      (3, Option.empty[Long], Option(64), Option(Double.NaN), Option("2001-01-01 00:00:00")),
+      (4, Option(Long.MinValue), Option.empty[Int], Option(1.0e300), Option("1970-01-01 00:00:00")))
+      .toDF("id", "l", "s", "d", "tss")
+      .withColumn("ts", org.apache.spark.sql.functions.col("tss").cast("timestamp"))
+      .drop("tss").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val df = t.select($"id",
+      ($"l".bitwiseAND(lit(0xFFL))).as("band"),
+      ($"l".bitwiseOR($"s".cast("long"))).as("bor"),
+      ($"l".bitwiseXOR(lit(-1L))).as("bxor"),
+      shiftleft($"l", 3).as("shl"),
+      shiftright($"l", 7).as("shr"),
+      shiftrightunsigned($"l", 7).as("shru"),
+      // INT-typed shifts: count 33 masks to 1, wraps in 32 bits
+      shiftleft($"s", 33).as("ishl"),
+      bitwise_not($"l").as("bnot"),
+      unix_micros($"ts").as("umic"),
+      unix_millis($"ts").as("umil"),
+      unix_seconds($"ts").as("usec"),
+      ceil($"d").as("ce"),
+      floor($"d").as("fl"))
+    assert(findExec(df) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"expected the bitwise/unix/ceil lanes to swap in:\n${
+      df.queryExecution.executedPlan}")
+    val rows = df.orderBy($"id").collect()
+    assert(rows(0).getLong(1) == (0x0F0FL & 0xFFL))
+    assert(rows(1).getInt(7) == (33 << 33), "int shift must mask the count by 31")
+    assert(rows(1).getLong(10) == -1L && rows(1).getLong(11) == -1L,
+      "pre-epoch floorDiv for unix_millis/unix_seconds")
+    assert(rows(1).getLong(12) == -2L && rows(1).getLong(13) == -3L,
+      "ceil(-2.5) = -2, floor(-2.5) = -3")
+    assert(rows(2).isNullAt(1), "null input propagates")
+    checkInvariantUnder(df,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
+  test("string/hash kernel batch: initcap/translate/regexp/chr/hash/null-safe-eq edges") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-strk").toString
+    Seq(
+      (1, Option("hello wOrld-FOO"), Option(97L), Option(1.5)),
+      (2, Option(""), Option(0L), Option(Double.NaN)),
+      (3, Option.empty[String], Option(-5L), Option.empty[Double]),
+      (4, Option("aAbBcC aeiou"), Option(256L + 65L), Option(Double.NaN)),
+      (5, Option("x1y22z333"), Option(10L), Option(1.5)))
+      .toDF("id", "s", "l", "d").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val df = t.select($"id",
+      initcap($"s").as("ic"),
+      translate($"s", "aeiou", "AE").as("tr"), // deletions: to shorter than from
+      regexp_replace($"s", "(\\d+)", "[$1]").as("rre"), // group ref in replacement
+      expr("chr(l)").as("ch"),                 // 97='a', 0=NUL, -5='', 321 -> low byte
+      sha1($"s").as("h1"),
+      sha2($"s", 256).as("h2"),
+      hex($"l").as("hx"),
+      bin($"l").as("bn"),
+      expr("instr(s, 'o')").as("ins"),
+      ascii($"s").as("asc"),
+      crc32($"s").as("crc"),
+      bit_length($"s").as("bl"),
+      hash($"s", $"l").as("mm3"),
+      xxhash64($"s", $"l").as("xx"),
+      ($"d" <=> lit(Double.NaN)).as("nseq"),   // NaN <=> NaN is TRUE
+      ($"s" <=> lit("")).as("nses"))
+    assert(findExec(df) {
+      case e: org.apache.spark.sql.graft.GraftColumnarProjectExec => e
+    }.isDefined, s"expected the string/hash kernel project to swap in:\n${
+      df.queryExecution.executedPlan}")
+    val rows = df.orderBy($"id").collect()
+    assert(rows(0).getString(1) == "Hello World-foo", s"initcap: ${rows(0).getString(1)}")
+    assert(rows(3).getString(2) == "AAbBcC AE", s"translate deletions: ${rows(3).getString(2)}")
+    assert(rows(4).getString(3) == "x[1]y[22]z[333]", s"regexp group ref: ${rows(4).getString(3)}")
+    assert(rows(0).getString(4) == "a" && rows(2).getString(4) == "")
+    assert(rows(1).getBoolean(16), "NaN <=> NaN must be TRUE")
+    assert(rows(2).isNullAt(1), "null input propagates")
+    checkInvariantUnder(df,
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
   test("boolean projection lane: predicate columns match the row path's Kleene semantics") {
     import org.apache.spark.sql.functions._
     // r15: BooleanType projection results ride the filter's predicate
