@@ -71,6 +71,38 @@ case class GraftColumnarFinalAggExec(
     case p => p
   }
 
+  /** shared regr_slope/regr_intercept buffer merge: CovPopulation's
+    * (dblAcc = n, arr 0..2 = xAvg/yAvg/ck) followed by VariancePop's
+    * order-2 moments combine (arr 3..5 = n/avg/m2). */
+  private def mergeRegr(st: org.apache.spark.sql.graft.GroupAggState, si: Int,
+      gid: Int, r: InternalRow, col: Int): Unit = {
+    var arr = st.objAcc(si)(gid).asInstanceOf[Array[Double]]
+    if (arr == null) {
+      arr = new Array[Double](6); st.objAcc(si)(gid) = arr
+    }
+    val n1 = st.dblAcc(si)(gid)
+    val n2 = r.getDouble(col)
+    val newN = n1 + n2
+    val dx = r.getDouble(col + 1) - arr(0)
+    val dxN = if (newN == 0.0) 0.0 else dx / newN
+    val dy = r.getDouble(col + 2) - arr(1)
+    val dyN = if (newN == 0.0) 0.0 else dy / newN
+    arr(0) = arr(0) + dxN * n2
+    arr(1) = arr(1) + dyN * n2
+    arr(2) = arr(2) + r.getDouble(col + 3) + dx * dyN * n1 * n2
+    st.dblAcc(si)(gid) = newN
+    val vn1 = arr(3)
+    val vn2 = r.getDouble(col + 4)
+    val vAvg2 = r.getDouble(col + 5)
+    val vM2r = r.getDouble(col + 6)
+    val vNewN = vn1 + vn2
+    val vDelta = vAvg2 - arr(4)
+    val vDeltaN = if (vNewN == 0.0) 0.0 else vDelta / vNewN
+    arr(4) = arr(4) + vDeltaN * vn2
+    arr(5) = arr(5) + vM2r + vDelta * vDeltaN * vn1 * vn2
+    arr(3) = vNewN
+  }
+
   private def rowLongGetter(dt: DataType): (InternalRow, Int) => Long = dt match {
     case ByteType => (r, o) => r.getByte(o).toLong
     case ShortType => (r, o) => r.getShort(o).toLong
@@ -379,6 +411,10 @@ case class GraftColumnarFinalAggExec(
               arr(3) = arr(3) + r.getDouble(col + 4) + dx * dxN * n1 * n2
               arr(4) = arr(4) + r.getDouble(col + 5) + dy * dyN * n1 * n2
               st.dblAcc(si)(gid) = newN
+            case AggSpec.RegrSlopeFinalSpec(col) =>
+              mergeRegr(st, si, gid, r, col)
+            case AggSpec.RegrInterceptFinalSpec(col) =>
+              mergeRegr(st, si, gid, r, col)
             case AggSpec.MomentsSpec(_, _) | AggSpec.CovSpec(_, _) | AggSpec.CorrSpec(_, _) |
                 AggSpec.AvgDec64Spec(_, _, _) |
                 AggSpec.FirstLastSpec(_, _, _, _) =>
@@ -640,6 +676,33 @@ case class GraftColumnarFinalAggExec(
                             .divideByZeroError(org.apache.spark.sql.catalyst.trees.Origin().context)
                         cols(c).putNull(i)
                       } else cols(c).putDouble(i, arr(2) / div)
+                    }
+                    i += 1
+                  }
+                case AggSpec.RegrSlopeFinalSpec(_) =>
+                  var i = 0
+                  while (i < g) {
+                    val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
+                    if (arr == null) cols(c).putNull(i)
+                    else {
+                      // If(varPop.n === 0 || varPop.m2 === 0, null,
+                      //    ck / m2) — RegrSlope.evaluateExpression
+                      val vn = arr(3); val m2 = arr(5)
+                      if (vn == 0.0 || m2 == 0.0) cols(c).putNull(i)
+                      else cols(c).putDouble(i, arr(2) / m2)
+                    }
+                    i += 1
+                  }
+                case AggSpec.RegrInterceptFinalSpec(_) =>
+                  var i = 0
+                  while (i < g) {
+                    val arr = st.objAcc(si)(i).asInstanceOf[Array[Double]]
+                    if (arr == null) cols(c).putNull(i)
+                    else {
+                      // yAvg - ck / m2 * xAvg, NULL on the same guard
+                      val vn = arr(3); val m2 = arr(5)
+                      if (vn == 0.0 || m2 == 0.0) cols(c).putNull(i)
+                      else cols(c).putDouble(i, arr(1) - arr(2) / m2 * arr(0))
                     }
                     i += 1
                   }

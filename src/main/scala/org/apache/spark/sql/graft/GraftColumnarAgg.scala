@@ -159,6 +159,20 @@ object AggSpec {
   final case class CorrFinalSpec(col: Int, nullOnDiv: Boolean, ansi: Boolean)
       extends AggSpec { def slots = 6 }
 
+  /** regr_slope FINAL: RegrSlope's buffer is CovPopulation(y,x)'s
+    * (n, xAvg, yAvg, ck) ++ VariancePop(x)'s (n, avg, m2) — 7 doubles.
+    * Merge = the two sub-aggregates' mergeExpressions term-for-term
+    * (the Covariance and order-2 CentralMomentAgg combines already
+    * implemented for Cov/MomentsFinalSpec); emission = NULL when
+    * var-n or m2 is 0, else ck / m2 (the guard makes the divide
+    * throw-free in every eval mode). */
+  final case class RegrSlopeFinalSpec(col: Int) extends AggSpec { def slots = 7 }
+
+  /** regr_intercept FINAL: same 7-double CovPopulation ++ VariancePop
+    * buffer and merge as [[RegrSlopeFinalSpec]]; emission =
+    * yAvg - ck / m2 * xAvg (NULL when var-n or m2 is 0). */
+  final case class RegrInterceptFinalSpec(col: Int) extends AggSpec { def slots = 7 }
+
   /** avg over a Decimal64 input: buffer = (sum: DecimalType
     * bounded(p+10, s) initialized to ZERO, count: Long) — the SumDec64
     * exact unscaled-long kernel (BigInteger escape, precision clamp to
@@ -968,7 +982,8 @@ object GraftColumnarAgg {
     case AvgDec128Spec(_, _, buf) => Seq(buf, LongType)
     case FirstLastSpec(_, dt, _, _) => Seq(dt, BooleanType)
     // final-only specs never appear in a partial layout
-    case s @ (MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _)) =>
+    case s @ (MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _) |
+        RegrSlopeFinalSpec(_) | RegrInterceptFinalSpec(_)) =>
       Seq.fill(s.slots)(DoubleType)
     case h: HllMergeSpec => Seq.fill(h.numWords)(LongType)
   }
@@ -1138,7 +1153,8 @@ object GraftColumnarAgg {
     case MinMaxDec128Spec(_, dt, _) => dt
     case SumLongSpec(_, _, _) => LongType
     case HllMergeSpec(_, _, _) => LongType
-    case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _) =>
+    case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) | CorrFinalSpec(_, _, _) |
+        RegrSlopeFinalSpec(_) | RegrInterceptFinalSpec(_) =>
       DoubleType
     // unreachable: compileFinal emits the *FinalSpec twins, never the
     // partial moment-family specs
@@ -1182,7 +1198,8 @@ object GraftColumnarAgg {
     * longAcc, double[] lanes) — excluded. */
   def bufferReEmittable(s: AggSpec): Boolean = s match {
     case MomentsFinalSpec(_, _, _, _) | CovFinalSpec(_, _, _) |
-         CorrFinalSpec(_, _, _) => false
+         CorrFinalSpec(_, _, _) | RegrSlopeFinalSpec(_) |
+         RegrInterceptFinalSpec(_) => false
     // HLL merge state IS the partial buffer layout (long[numWords]),
     // but the partial-layout writer has no multi-word re-emit lane —
     // PartialMerge nodes with HLL stay row (Final is the census gap)
@@ -1308,6 +1325,12 @@ object GraftColumnarAgg {
           if bufs == Seq.tabulate(bufs.length)(c + _) &&
             bufs.length == h.hllppHelper.numWords =>
         scala.Right(HllMergeSpec(c, h.hllppHelper.numWords, h.relativeSD))
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.RegrSlope
+          if bufs.length == 7 && bufs == Seq.tabulate(7)(c + _) =>
+        scala.Right(RegrSlopeFinalSpec(c))
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.RegrIntercept
+          if bufs.length == 7 && bufs == Seq.tabulate(7)(c + _) =>
+        scala.Right(RegrInterceptFinalSpec(c))
       case other =>
         scala.Left(s"unsupported final aggregate: ${other.getClass.getSimpleName}")
     }

@@ -1747,6 +1747,45 @@ object VecDec128Expr {
     }
   }
 
+  /** cast(double/float expr AS decimal128): Decimal(d).toPrecision —
+    * the exact Cast body. Empirically pinned (r15 probe): NaN/Infinity
+    * → NULL in EVERY eval mode; finite overflow → NULL (LEGACY/TRY) or
+    * SparkArithmeticException NUMERIC_VALUE_OUT_OF_RANGE (ANSI, via
+    * toPrecision's own nullOnOverflow=false path). Floats reach here
+    * through the lane's f.toDouble widening — the same widening Cast
+    * itself performs before stringifying. ANSI throw site consults the
+    * lazy mask. */
+  final case class CastDblTo128(c: VecNumExpr, p: Int, sc: Int, ansi: Boolean,
+      ctx: org.apache.spark.QueryContext) extends VecDec128Expr {
+    override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
+        isNull: Array[Boolean], s: VecScratch): Unit = {
+      val dv = s.d(n)
+      c.eval(b, n, dv, isNull, s)
+      var i = 0
+      while (i < n) {
+        if (isNull(i)) { hi(i) = 0L; lo(i) = 0L }
+        else {
+          val d = dv(i)
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) {
+            isNull(i) = true; hi(i) = 0L; lo(i) = 0L
+          } else {
+            val dec = Decimal(d)
+            val r =
+              if (ansi && s.live(i))
+                dec.toPrecision(p, sc, Decimal.ROUND_HALF_UP, false, ctx)
+              else dec.toPrecision(p, sc, Decimal.ROUND_HALF_UP, true, null)
+            if (r == null) { isNull(i) = true; hi(i) = 0L; lo(i) = 0L }
+            else {
+              val bi = r.toJavaBigDecimal.unscaledValue()
+              hi(i) = hiOf(bi); lo(i) = loOf(bi)
+            }
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
   final case class Lit128(h: Long, l: Long) extends VecDec128Expr {
     override def eval(b: ColumnarBatch, n: Int, hi: Array[Long], lo: Array[Long],
         isNull: Array[Boolean], s: VecScratch): Unit = {
@@ -1991,6 +2030,16 @@ object VecDec128Expr {
             } yield Mul128x64(l, r)
           case _ => scala.Left("128×128-bit decimal multiply — row path")
         }
+      case c: Cast if dec128T(c.dataType).isDefined &&
+          (c.child.dataType == DoubleType || c.child.dataType == FloatType) &&
+          c.evalMode != EvalMode.TRY =>
+        // TRY stays row: try_cast's null-on-ANY-failure differs from
+        // the LEGACY rounding path only in provenance tagging — keep
+        // the gate conservative
+        val to = dec128T(c.dataType).get
+        VecNumExpr.compile(c.child, output).map(
+          CastDblTo128(_, to.precision, to.scale,
+            c.evalMode == EvalMode.ANSI, c.getContextOrNull()))
       case c: Cast if dec128T(c.dataType).isDefined =>
         // digit-bounded up-scale only (cannot round or overflow in ANY
         // eval mode); everything else carries per-mode semantics → row

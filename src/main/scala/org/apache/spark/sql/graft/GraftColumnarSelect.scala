@@ -1543,7 +1543,32 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
           rewrittenAf.map(f => ae.copy(aggregateFunction = f, filter = None)).getOrElse(ae)
         }
       }
-      val rewritten = unfiltered.map { ae =>
+      // multi-argument count: count(a, b) counts rows where EVERY arg
+      // is non-null — rewrite to a single non-null marker column
+      // (count(IF(a IS NOT NULL AND b IS NOT NULL, 1.0, NULL))) the
+      // alias absorption below turns into one kernel column. Exactly
+      // Count.updateExpressions' condition; distinct counts keep their
+      // original children (distinctness is value-tuple-based).
+      val multiCount = unfiltered.map { ae =>
+        if (ae.mode != org.apache.spark.sql.catalyst.expressions.aggregate.Partial ||
+            ae.isDistinct) ae
+        else ae.aggregateFunction match {
+          case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
+              if c.children.size > 1 && c.children.forall(_.deterministic) =>
+            val pred = c.children
+              .map(ch => org.apache.spark.sql.catalyst.expressions.IsNotNull(ch)
+                : org.apache.spark.sql.catalyst.expressions.Expression)
+              .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+            val arg = If(pred, Literal(1.0d),
+              Literal(null, org.apache.spark.sql.types.DoubleType))
+            if (ProjKernel.compile(arg, base0.output).isRight)
+              ae.copy(aggregateFunction =
+                org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(arg)))
+            else ae
+          case _ => ae
+        }
+      }
+      val rewritten = multiCount.map { ae =>
         if (ae.mode != org.apache.spark.sql.catalyst.expressions.aggregate.Partial) ae
         else {
         val af = ae.aggregateFunction

@@ -4300,6 +4300,37 @@ class EngineSuite extends GraftTestBase {
       Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
   }
 
+  test("regr_slope/intercept final merge and multi-arg count match the row path") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-regr").toString
+    Seq(
+      (1, Option(1.0), Option(2.0)), (1, Option(2.0), Option(4.5)),
+      (1, Option(3.0), Option(5.5)), (1, Option.empty[Double], Option(9.0)),
+      (1, Option(4.0), Option.empty[Double]),
+      (2, Option(5.0), Option(1.0)), (2, Option(5.0), Option(2.0)), // constant x: m2=0 -> NULL
+      (3, Option(7.0), Option(3.0)),                                // single pair: m2=0 -> NULL
+      (4, Option.empty[Double], Option.empty[Double]))              // no pairs -> NULL
+      .toDF("g", "x", "y").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val df = t.groupBy($"g").agg(
+      regr_slope($"y", $"x").as("sl"),
+      regr_intercept($"y", $"x").as("ic"),
+      count_if($"x".isNotNull && $"y".isNotNull).as("n_pairs2"),
+      expr("count(x, y)").as("n_pairs"))
+    df.collect()
+    assert(findExec(df) {
+      case e: org.apache.spark.sql.execution.graft.GraftColumnarFinalAggExec => e
+    }.isDefined, s"expected the regr finals columnar in:\n${
+      df.queryExecution.executedPlan}")
+    val rows = df.orderBy($"g").collect()
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2), "constant x must be NULL (m2=0)")
+    assert(rows(2).isNullAt(1), "single pair must be NULL")
+    assert(rows(3).isNullAt(1), "no complete pairs must be NULL")
+    assert(rows(0).getLong(4) == 3L, "count(x, y) counts complete pairs")
+    checkInvariantUnder(df.orderBy($"g"),
+      Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
+  }
+
   test("string/hash kernel batch: initcap/translate/regexp/chr/hash/null-safe-eq edges") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-strk").toString
