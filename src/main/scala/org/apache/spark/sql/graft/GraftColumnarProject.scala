@@ -3563,6 +3563,53 @@ final case class CeilFloorL(c: VecNumExpr, isCeil: Boolean) extends VecLongExpr 
   }
 }
 
+/** long-family→INT narrowing cast: LEGACY wraps (the codegen's (int)
+  * cast), ANSI throws Spark's exact overflow error when the value
+  * doesn't round-trip. */
+final case class NarrowToIntL(c: VecLongExpr, ansi: Boolean, from: DataType)
+    extends VecLongExpr {
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    c.eval(batch, n, out, isNull)
+    var i = 0
+    while (i < n) {
+      if (!isNull(i)) {
+        val v = out(i)
+        val t = v.toInt
+        if (ansi && t.toLong != v)
+          throw org.apache.spark.sql.errors.QueryExecutionErrors
+            .castingCauseOverflowError(v, from, IntegerType)
+        out(i) = t.toLong
+      }
+      i += 1
+    }
+  }
+}
+
+/** double→INT cast on the lane: LEGACY truncates in the INT domain
+  * (d.toInt — saturates then wraps nothing; Scala's toInt == the
+  * codegen's (int) cast), ANSI replicates Cast's exact int-range
+  * guard. Same full-batch totality caveats as [[DblToLongL]]. */
+final case class DblToIntL(c: VecNumExpr, ansi: Boolean) extends VecLongExpr {
+  @transient private[this] var dv: Array[Double] = null
+  @transient private[this] var scratch: VecScratch = null
+  override def eval(batch: ColumnarBatch, n: Int, out: Array[Long], isNull: Array[Boolean]): Unit = {
+    if (dv == null || dv.length < n) dv = new Array[Double](n)
+    if (scratch == null) scratch = new VecScratch
+    scratch.reset()
+    c.eval(batch, n, dv, isNull, scratch)
+    var i = 0
+    while (i < n) {
+      val d = dv(i)
+      if (ansi && !isNull(i) &&
+          !(Math.floor(d) <= Int.MaxValue.toDouble && Math.ceil(d) >= Int.MinValue.toDouble))
+        throw org.apache.spark.sql.errors.QueryExecutionErrors
+          .castingCauseOverflowError(d, DoubleType, IntegerType)
+      out(i) = d.toInt.toLong
+      i += 1
+    }
+  }
+}
+
 /** length(string) on the long/int lane (numChars — the same value
   * [[LengthI]] computes for the dedicated int kernel; here it composes
   * with the lane's conditionals, casts and compares). */
@@ -3700,6 +3747,8 @@ object VecLongExpr {
     case CountTokenSizeL(c, _, _) => VecStrExpr.total(c)
     case LengthL(c) => VecStrExpr.total(c)
     case DblToLongL(c, ansi) => !ansi && VecNumExpr.total(c)
+    case DblToIntL(c, ansi) => !ansi && VecNumExpr.total(c)
+    case NarrowToIntL(c, ansi, _) => !ansi && total(c)
     case ExtremumL(cs, _) => cs.forall(total)
     case CaseWhenL(bs, e) => bs.forall(b => total(b._2)) && e.forall(total)
     case BitwiseL(_, l, r, _) => total(l) && total(r)
@@ -3747,6 +3796,22 @@ object VecLongExpr {
           if (VecNumExpr.total(k))
             scala.Right(DblToLongL(k, c.evalMode == EvalMode.ANSI))
           else scala.Left("non-total double subtree under the cast-to-long bridge")
+        }
+      case c: Cast if c.dataType == IntegerType &&
+          (c.child.dataType == LongType || c.child.dataType == IntegerType ||
+            c.child.dataType == ShortType || c.child.dataType == ByteType) &&
+          c.evalMode != EvalMode.TRY =>
+        // int-family widths below int are identity on the widened lane
+        if (c.child.dataType == LongType)
+          compile(c.child, output).map(NarrowToIntL(_, c.evalMode == EvalMode.ANSI, LongType))
+        else compile(c.child, output)
+      case c: Cast if c.dataType == IntegerType &&
+          (c.child.dataType == DoubleType || c.child.dataType == FloatType) &&
+          c.evalMode != EvalMode.TRY =>
+        VecNumExpr.compile(c.child, output).flatMap { k =>
+          if (VecNumExpr.total(k))
+            scala.Right(DblToIntL(k, c.evalMode == EvalMode.ANSI))
+          else scala.Left("non-total double subtree under the cast-to-int bridge")
         }
       case l: Length if l.child.dataType == StringType =>
         VecStrExpr.compile(l.child, output).map(LengthL)

@@ -3774,9 +3774,11 @@ class EngineSuite extends GraftTestBase {
   }
 
   test("GraftExplain reports fallback reasons; empty when everything swapped") {
-    // initcap is locale/title-casing — unsupported by the string kernels
+    // format_string is printf-varargs — unsupported by the string
+    // kernels (initcap and rlike, this test's previous specimens, both
+    // swap as of r15)
     val fell = Tables.t(spark, sfDir, "documents")
-      .select(initcap($"lang").as("lc"))
+      .select(format_string("<%s>", $"lang").as("lc"))
     fell.collect()
     val rep = graft.engine.GraftExplain.report(fell)
     assert(rep.contains("row path"), s"expected a fallback line, got: '$rep'")
@@ -3790,10 +3792,12 @@ class EngineSuite extends GraftTestBase {
   }
 
   test("GraftColumnarRule tags un-swapped filters with a fallback reason") {
-    // regexp predicates are not kernel-compiled — the tagged row path
-    // (length(lang) > 2 USED to be this test's specimen until the
-    // ComputedLongCmp lane made it swap — asserted below)
-    val df = Tables.t(spark, sfDir, "documents").filter($"lang".rlike("^e.$"))
+    // a NON-LITERAL rlike pattern is not kernel-compiled — the tagged
+    // row path (length(lang) > 2 and literal-pattern rlike both USED to
+    // be this test's specimens until their lanes made them swap —
+    // asserted below)
+    val df = Tables.t(spark, sfDir, "documents")
+      .filter(expr("lang rlike concat('^e', substring(source, 1, 0))"))
     df.collect()
     val tagged = findExec(df) {
       case f: org.apache.spark.sql.execution.FilterExec
@@ -3801,7 +3805,7 @@ class EngineSuite extends GraftTestBase {
         f.getTagValue(org.apache.spark.sql.graft.GraftColumnarRule.fallbackReasonTag).get
     }
     assert(tagged.isDefined, s"expected fallback tag in:\n${df.queryExecution.executedPlan}")
-    assert(tagged.get.contains("unsupported"), s"reason: ${tagged.get}")
+    assert(tagged.get.contains("rlike needs"), s"reason: ${tagged.get}")
     val lenDf = Tables.t(spark, sfDir, "documents").filter(length($"lang") > 2)
     lenDf.collect()
     assert(findExec(lenDf) {
