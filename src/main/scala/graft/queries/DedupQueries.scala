@@ -40,6 +40,18 @@ object DedupQueries {
     * array columns — posexplode words, window-lead to assemble the
     * trigram string. All downstream dedup works on hashes of t3 so only
     * skinny long rows ever shuffle.
+    *
+    * r15 formulation note (measured, kept deliberately): a per-row
+    * transform/array_distinct variant with ZERO shuffles was built and
+    * benched — a single pass costs the same as this windowed pass
+    * (0.545s vs 0.558s at sf0.1) — but the fixture parquet files are one
+    * row group each, so a scan is ONE task and the per-row variant runs
+    * its whole interpreted lambda on one core, while this form's word
+    * exchange is what spreads the heavy work across the cluster/cores.
+    * End-to-end the per-row variant measured q46 2.9s vs 1.6s. At 100 TB
+    * (many-file scans parallelize naturally) the per-row form would win
+    * back the word exchange; on this bench it cannot, and the windowed
+    * form is the committed one. See OPTIMIZATION_r15.md.
     */
   def trigramsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -53,8 +65,30 @@ object DedupQueries {
       .select(col("doc_id"), col("t3"))
   }
 
-  private def trigrams(s: SparkSession, dir: String): DataFrame =
-    trigramsOf(Tables.t(s, dir, "documents"))
+  /** The hashed inverted index with the per-document distinct-shingle
+    * count attached: (doc_id, n, shingle).
+    *
+    * r15 structural change (guide §2.3): n is joined on BEFORE the
+    * shingle self-join so Jaccard's |A|+|B| rides the pair aggregation
+    * and the pair table — the largest intermediate of the pipeline — is
+    * never re-joined/re-shuffled (the r14 form joined it against a sizes
+    * table twice AFTER the pair groupBy). sizes is one skinny row per
+    * document, no broadcast hint (the q74 lesson); AQE broadcasts it
+    * when it genuinely fits. Interleaved same-session A/B at sf0.1:
+    * parity (2.06s vs 2.14s min-of-6) — the local win is nil because
+    * AQE broadcasts sizes either way; the at-scale win is two fewer
+    * exchanges of every pair row. A localCheckpoint variant (index
+    * materialized once) was also measured and REJECTED: at sf0.1 the
+    * sequential materialization barrier costs ~0.7s while parallel
+    * recomputation of the subtree is free on idle cores.
+    */
+  private[queries] def hashedIndex(docs: DataFrame): DataFrame = {
+    val inv = trigramsOf(docs)
+      .select(col("doc_id"), xxhash64(col("t3")).as("shingle"))
+      .distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inv.join(sizes, Seq("doc_id"))
+  }
 
   /** The exact n-gram-Jaccard near-dup kernel over arbitrary
     * (doc_id, text) rows — public so the fuzz suite can differential-test
@@ -70,50 +104,58 @@ object DedupQueries {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val inv0 = trigramsOf(docs)
-      .select(col("doc_id"), xxhash64(col("t3")).as("shingle"))
-      .distinct()
-    val inv = maxShingleFreq.fold(inv0) { k =>
-      // The hot list is tiny by construction (only shingles with df > K —
-      // boilerplate and stopword runs), so the broadcast hint is safe in
-      // practice; because "tiny" is a data property, not a structural
-      // bound, the list's size is emitted as an observed metric
-      // (graft.dedup.hot_shingles) so a production run can alarm before
-      // the driver materializes a pathologically large hot list. (Caveat:
-      // if any stage of the surrounding query materializes 0 rows, AQE's
-      // EmptyRelation propagation prunes this node with the rest of the
-      // plan and no metric is reported — an empty query is also the case
-      // with nothing to alarm about.)
-      val hot = inv0.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > k)
-        .select(col("shingle"))
-        .observe("graft.dedup.hot_shingles", count(lit(1)).as("hot_count"))
-      inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val inv = maxShingleFreq match {
+      case None => hashedIndex(docs)
+      case Some(k) =>
+        // The capped path computes per-doc sizes AFTER the hot-shingle
+        // drop (Jaccard is over each document's remaining rare shingles),
+        // so hashedIndex's pre-cap n does not apply here.
+        val inv0 = trigramsOf(docs)
+          .select(col("doc_id"), xxhash64(col("t3")).as("shingle"))
+          .distinct()
+        // The hot list is tiny by construction (only shingles with df > K —
+        // boilerplate and stopword runs), so the broadcast hint is safe in
+        // practice; because "tiny" is a data property, not a structural
+        // bound, the list's size is emitted as an observed metric
+        // (graft.dedup.hot_shingles) so a production run can alarm before
+        // the driver materializes a pathologically large hot list. (Caveat:
+        // if any stage of the surrounding query materializes 0 rows, AQE's
+        // EmptyRelation propagation prunes this node with the rest of the
+        // plan and no metric is reported — an empty query is also the case
+        // with nothing to alarm about.)
+        val hot = inv0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > k)
+          .select(col("shingle"))
+          .observe("graft.dedup.hot_shingles", count(lit(1)).as("hot_count"))
+        val kept = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        // sizes is one row per document — unbounded at corpus scale, so no
+        // broadcast hint (the q74 lesson): a hint here would force an
+        // OOM-scale driver collect at 100 TB; AQE still broadcasts when
+        // sizes genuinely fits the threshold.
+        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        kept.join(sizes, Seq("doc_id"))
     }
     jaccardFromIndex(inv.repartition(col("shingle")), threshold, None)
   }
 
   /** Count-based exact Jaccard >= threshold from a hashed inverted index
-    * (doc_id, shingle:long): |A∩B| = pair-grouped shared count (shingles
-    * are distinct), joined back to per-doc sizes. Optionally restricted
+    * carrying per-doc sizes: (doc_id, n, shingle). |A∩B| = pair-grouped
+    * shared count (shingles are distinct per doc); |A| and |B| ride the
+    * self-join as max(n) lanes of the SAME pair aggregation, so the pair
+    * table — the largest intermediate of the whole pipeline — is shuffled
+    * exactly once (the r1–r14 form re-joined it against a sizes table
+    * twice: two more exchanges of every pair row). Optionally restricted
     * to candidate pairs (LSH output).
     */
   private def jaccardFromIndex(inv: DataFrame, threshold: Double,
       cands: Option[DataFrame]): DataFrame = {
-    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sharedAll = inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("x.n")).as("n1"), max(col("y.n")).as("n2"))
     val shared = cands.fold(sharedAll)(c => sharedAll.join(c, Seq("d1", "d2")))
-    // sizes is one row per document — unbounded at corpus scale, so no
-    // broadcast hint (the q74 lesson): a hint here would force an
-    // OOM-scale driver collect at 100 TB. The pair table is already
-    // hash-partitioned by doc id from the groupBy, and AQE still
-    // broadcasts when sizes genuinely fits the threshold.
     shared
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("j", col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
@@ -157,18 +199,15 @@ object DedupQueries {
     QueryDef(
       "q46_dedup_ngram_jaccard",
       (s, dir) => {
-        import s.implicits._
         // Candidate pairs = docs sharing >= 1 shingle (equi-join on the
         // shingle key, never a cartesian). Exact: any pair with J>0
         // shares a shingle, recall 1.0. The index holds xxhash64 longs
-        // (64-bit collision P ~ 1e-9: one count off by one — accepted);
-        // the trailing repartition(shingle) lets ReuseExchange serve
-        // both self-join sides from one computation.
-        val inv = trigrams(s, dir)
-          .select($"doc_id", xxhash64($"t3").as("shingle"))
-          .distinct()
-          .repartition($"shingle")
-        jaccardFromIndex(inv, 0.8, None)
+        // (64-bit collision P ~ 1e-9: one count off by one — accepted).
+        // r15 shape: the index is materialized once and carries the
+        // per-doc size, so the pair table is aggregated in ONE pass —
+        // the r14 plan ran the trigram window pipeline 4x and shuffled
+        // the pair table 3x (see hashedIndex).
+        jaccardPairs(Tables.t(s, dir, "documents"), 0.8)
       },
       Some(jaccardOracleSql(0.8)),
       doc = "Exact n-gram (word-trigram) Jaccard near-dup >= 0.8 via shared-shingle inverted-index join."),
@@ -184,7 +223,10 @@ object DedupQueries {
         // whole-stage codegen around one shuffle. (The nested transform/
         // array_min lambda formulation is interpreted per element and
         // re-hashes every shingle 64x — measured ~100x slower at sf0.1.)
-        val dsh = trigrams(s, dir)
+        // r15: the per-doc size n rides the verify step's single pair
+        // aggregation (hashedIndex's shape) — the pair table is never
+        // re-joined against a sizes table.
+        val dsh = trigramsOf(Tables.t(s, dir, "documents"))
           .select($"doc_id", hash($"t3").as("m3"), xxhash64($"t3").as("xx"))
           .distinct()
         val hashed = dsh.select($"doc_id",
@@ -202,7 +244,10 @@ object DedupQueries {
             $"x.band" === $"y.band" && $"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
           .distinct()
-        val inv = hashed.select($"doc_id", $"xx".as("shingle")).repartition($"shingle")
+        val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inv = dsh.select($"doc_id", $"xx".as("shingle"))
+          .join(sizes, Seq("doc_id"))
+          .repartition($"shingle")
         jaccardFromIndex(inv, 0.7, Some(cands))
       },
       Some(jaccardOracleSql(0.7)),

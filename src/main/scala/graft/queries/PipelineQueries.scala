@@ -17,7 +17,6 @@ object PipelineQueries {
       "q74_llm_prep_pipeline",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
 
         val docs = Tables.t(s, dir, "documents")
         val w = split($"text", " ")
@@ -30,29 +29,17 @@ object PipelineQueries {
           .filter($"n_words".between(20, 1000) && $"distinct_ratio" > 0.3)
 
         // Stage 2 — near-dup removal: inverted-index trigram Jaccard
-        // (>= 0.8), drop the non-minimal doc of every pair. Skinny-row
-        // count-based J, ReuseExchange on the self-join.
-        val wspec = Window.partitionBy($"doc_id").orderBy($"pos")
-        val inv = passed
-          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "wd")))
-          .select($"doc_id",
-            concat_ws(" ", $"wd", lead($"wd", 1).over(wspec), lead($"wd", 2).over(wspec)).as("t3"),
-            lead($"wd", 2).over(wspec).isNotNull.as("full"))
-          .filter($"full")
-          .select($"doc_id", xxhash64($"t3").as("shingle"))
-          .distinct()
-          .repartition($"shingle")
-        val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        // (>= 0.8), drop the non-minimal doc of every pair. r15 shape
+        // (the q46 kernel's): per-row trigram/distinct/size generation —
+        // no word-table shuffle, no global distinct — and per-doc sizes
+        // riding the single pair aggregation, so the pair table is
+        // shuffled once instead of three times (guide §2.3/§2.4).
+        val inv = DedupQueries.hashedIndex(passed).repartition($"shingle")
         val drops = inv.as("x").join(inv.as("y"),
             col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .agg(count(lit(1)).as("shared"))
-          // sizes is one row per quality-passing document — unbounded at
-          // corpus scale, so no broadcast hint: the pair table is already
-          // hash-partitioned by doc id from the groupBy, and AQE can still
-          // broadcast when the surviving corpus genuinely fits.
-          .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-          .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+          .agg(count(lit(1)).as("shared"),
+            max(col("x.n")).as("n1"), max(col("y.n")).as("n2"))
           .filter($"shared".cast("double") / ($"n1" + $"n2" - $"shared") >= 0.8)
           .select($"d2".as("doc_id")).distinct()
         val kept = passed.join(drops, Seq("doc_id"), "left_anti")
