@@ -29,6 +29,20 @@ object MicroBench {
       println(f"[micro] $name%-28s min=${ts.min}%7.3f  runs=${ts.map(t => f"$t%5.2f").mkString(",")}")
     }
 
+    // T: DataFrame resolution cost — spark.read.parquet() per call
+    {
+      val t0 = System.nanoTime()
+      (1 to 50).foreach { _ =>
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+        spark.read.parquet(s"$sfDir/documents.parquet")
+      }
+      println(f"[micro] T_read_resolution_100x  total=${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      val t1 = System.nanoTime()
+      val cached = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (1 to 100).foreach(_ => cached.select(col("l_orderkey")))
+      println(f"[micro] T_reuse_select_100x      total=${(System.nanoTime() - t1) / 1e9}%7.3f s")
+    }
+
     // A: windowed (current committed kernel) + global distinct
     time("A_window_distinct") {
       import org.apache.spark.sql.expressions.Window

@@ -15,9 +15,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session resolved-DataFrame memo (r15). `spark.read.parquet`
+    * re-lists the directory and re-reads a footer for schema inference
+    * on EVERY call — measured 84 ms per call on this box — and a
+    * 217-query bench sweep resolves ~950 table references, all
+    * driver-side and inside the timed region. The memo returns the same
+    * resolved logical plan per (session, dir, table); every action
+    * still scans the parquet from disk (this caches METADATA, never
+    * data or results). Safe because Tables.t only ever reads the
+    * immutable fixture tables — write-then-read-back queries use
+    * spark.read directly on their own output paths. Keyed weakly on the
+    * session so stopped sessions release their plans.
+    */
+  private val dfCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val per = dfCache.synchronized {
+      var m = dfCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        dfCache.put(spark, m)
+      }
+      m
+    }
+    per.getOrElseUpdate((dir, name),
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Conf a session SHOULD carry to read events.parquet fixtures that
     * store `ts` as parquet INT64 TIMESTAMP(NANOS) — Spark 4.x rejects that
