@@ -65,6 +65,15 @@ object SimilarityQueries {
     }
     var cent = e.filter($"vec_id" < k)
       .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"))
+    // Centroid recompute = ONE groupBy(cid) with a per-dimension
+    // decimal-avg lane per coordinate (the fixture embedding dim is a
+    // fixed 64). r15: this replaces posexplode → groupBy(cid, pos) →
+    // groupBy(cid) + collect_list — two exchanges and a Generate per
+    // iteration — with a single exchange of K×64 decimal partials;
+    // values are bit-identical (the same DECIMAL(18,12) mean over the
+    // same per-coordinate value sets, array order = coordinate order).
+    val dimAvgs = (1 to 64).map(i =>
+      avg(element_at($"embedding", i).cast("decimal(18,12)")).as(s"m$i"))
     (1 to iters).foreach { _ =>
       // localCheckpoint the K-row centroid table per iteration (the
       // repo's iterative-pipeline convention, same as q157's codebook
@@ -72,12 +81,9 @@ object SimilarityQueries {
       // PRIOR iteration's full assignment lineage — at 100 TB that is
       // iters-squared corpus passes instead of iters.
       cent = assign(cent)
-        .select($"cid", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"cid", $"pos")
-        .agg(avg($"v".cast("decimal(18,12)")).as("m"))
         .groupBy($"cid")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-          x => x.getField("m").cast("float")).as("cvec"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .select($"cid", array((1 to 64).map(i => col(s"m$i").cast("float")): _*).as("cvec"))
         .localCheckpoint()
     }
     (cent, assign(cent))
@@ -335,31 +341,38 @@ object SimilarityQueries {
           .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("m"), $"embedding")
           .select($"vec_id", $"m", slice($"embedding", $"m" * SUB + 1, lit(SUB)).as("sub"))
           .withColumn("sn2", dot(asDouble($"sub"), asDouble($"sub")))
+        // r15: the assignment aggregation CARRIES the subvector in its
+        // min-struct (constant within the (vec_id, m) group, so the
+        // (d, cid) tie-break is unchanged) — the codebook recompute no
+        // longer joins the assignment back against `subs`, and the
+        // per-subspace means are ONE groupBy with a decimal-avg lane
+        // per coordinate instead of posexplode → two groupBys (two
+        // exchanges and a Generate per iteration removed; values are
+        // bit-identical — same DECIMAL(18,12) means, same order).
         def assign(cb: DataFrame): DataFrame =
           subs.join(broadcast(cb), Seq("m"))
             .withColumn("cs", cosineSim(s, "sub", "cvec"))
             .withColumn("d", l2ViaCos($"cs", $"sn2", $"cn2"))
             .groupBy($"vec_id", $"m")
-            .agg(min(struct($"d", $"cid")).as("best"))
-            .select($"vec_id", $"m", $"best.cid".as("code"))
+            .agg(min(struct($"d", $"cid", $"sub")).as("best"))
+            .select($"vec_id", $"m", $"best.cid".as("code"), $"best.sub".as("sub"))
         var cb = subs.filter($"vec_id" < K)
           .select($"m", $"vec_id".cast("int").as("cid"), $"sub".as("cvec"), $"sn2".as("cn2"))
+        val subAvgs = (1 to SUB).map(i =>
+          avg(element_at($"sub", i).cast("decimal(18,12)")).as(s"m$i"))
         (1 to ITERS).foreach { _ =>
           // localCheckpoint the (M*K-row) codebook per iteration — the
           // repo's iterative-pipeline convention: without it each assign
           // replays every previous iteration's full lineage.
           cb = assign(cb)
-            .join(subs, Seq("vec_id", "m"))
-            .select($"m", $"code".as("cid"), posexplode($"sub").as(Seq("pos", "v")))
-            .groupBy($"m", $"cid", $"pos")
-            .agg(avg($"v".cast("decimal(18,12)")).as("mean"))
-            .groupBy($"m", $"cid")
-            .agg(transform(array_sort(collect_list(struct($"pos", $"mean"))),
-              x => x.getField("mean").cast("float")).as("cvec"))
+            .groupBy($"m", $"code".as("cid"))
+            .agg(subAvgs.head, subAvgs.tail: _*)
+            .select($"m", $"cid",
+              array((1 to SUB).map(i => col(s"m$i").cast("float")): _*).as("cvec"))
             .withColumn("cn2", dot(asDouble($"cvec"), asDouble($"cvec")))
             .localCheckpoint()
         }
-        val codes = assign(cb)
+        val codes = assign(cb).select($"vec_id", $"m", $"code")
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
           .withColumn("pn2", dot(asDouble($"pe"), asDouble($"pe")))
