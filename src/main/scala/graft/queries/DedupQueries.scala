@@ -103,7 +103,7 @@ object DedupQueries {
     * semantics against a brute force with the same filter.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = None, sorted: Boolean = true): DataFrame = {
     val inv = maxShingleFreq match {
       case None => hashedIndex(docs)
       case Some(k) =>
@@ -135,7 +135,7 @@ object DedupQueries {
         val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         kept.join(sizes, Seq("doc_id"))
     }
-    jaccardFromIndex(inv.repartition(col("shingle")), threshold, None)
+    jaccardFromIndex(inv.repartition(col("shingle")), threshold, None, sorted)
   }
 
   /** Count-based exact Jaccard >= threshold from a hashed inverted index
@@ -148,18 +148,23 @@ object DedupQueries {
     * to candidate pairs (LSH output).
     */
   private def jaccardFromIndex(inv: DataFrame, threshold: Double,
-      cands: Option[DataFrame]): DataFrame = {
+      cands: Option[DataFrame], sorted: Boolean = true): DataFrame = {
     val sharedAll = inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"),
         max(col("x.n")).as("n1"), max(col("y.n")).as("n2"))
     val shared = cands.fold(sharedAll)(c => sharedAll.join(c, Seq("d1", "d2")))
-    shared
+    val out = shared
       .withColumn("j", col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+    // The (d1, d2) sort is presentation-only; iterative consumers
+    // (q108's HashMin loop, q136's recursive CTE) feed the pairs into
+    // further shuffled computation, where a global range exchange +
+    // sort of the pair table is pure waste (guide §2.4: an orderBy
+    // used only to make output deterministic).
+    if (sorted) out.orderBy(col("d1"), col("d2")) else out
   }
 
   private[queries] def jaccardOracleSql(threshold: Double): String =

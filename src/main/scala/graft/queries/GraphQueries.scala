@@ -79,7 +79,7 @@ object GraphQueries {
         // don't appear — at scale you anti-join this result against
         // the corpus to delete non-canonical members.
         val pairs = DedupQueries.jaccardPairs(
-          Tables.t(s, dir, "documents"), 0.8)
+          Tables.t(s, dir, "documents"), 0.8, sorted = false)
         connectedComponents(pairs.select(col("d1"), col("d2")))
           .select(col("node").as("doc_id"), col("component"))
           .orderBy(col("doc_id"))
@@ -112,7 +112,8 @@ object GraphQueries {
         // step would re-run the whole Jaccard kernel (measured 13 s →
         // ~2 s at sf0.1; at 100 TB the pair graph is always a
         // materialized table, never a view over the kernel).
-        DedupQueries.jaccardPairs(Tables.t(s, dir, "documents"), 0.8)
+        DedupQueries.jaccardPairs(Tables.t(s, dir, "documents"), 0.8,
+            sorted = false)
           .select(col("d1"), col("d2"))
           .localCheckpoint()
           .createOrReplaceTempView("q136_pairs")
