@@ -230,7 +230,14 @@ object TextQueries {
         // is exact. The pipeline itself is the 100 TB shape: one scan,
         // per-row codegen'd expressions, zero shuffles before the
         // ORDER BY.
-        val docs = Tables.t(s, dir, "documents")
+        // r15 (guide §2.5): the fixture parquet is one row group — an
+        // unsplittable single-task scan — and the regex detect/redact
+        // work below is the most CPU-expensive per-row surface in the
+        // inventory; repartition by doc_id immediately after the read
+        // so the regex pass parallelizes (hash, not round-robin: no
+        // sort-before-repartition pass, deterministic under retries).
+        // Partition count comes from spark.sql.shuffle.partitions.
+        val docs = Tables.t(s, dir, "documents").repartition($"doc_id")
         val withPii = docs.select($"doc_id",
           concat_ws(" ", $"text",
             when($"doc_id" % 3 === 0,
