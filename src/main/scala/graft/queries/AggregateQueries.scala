@@ -172,7 +172,11 @@ object AggregateQueries {
       "q36_agg_minmax_avg",
       (s, dir) => {
         import s.implicits._
+        // r15: median() is Percentile(0.5) — its partial buffers every
+        // value, and the single-row-group scan is one task; repartition
+        // so the buffers build in parallel (q85's note applies).
         Tables.t(s, dir, "lineitem")
+          .repartition($"l_orderkey")
           .groupBy($"l_returnflag")
           .agg(
             min($"l_quantity").as("min_qty"),
@@ -274,7 +278,13 @@ object AggregateQueries {
         // aggregate per requested percentile): each percentile() buffers
         // the full column, so five scalar calls cost 5 buffers where two
         // array calls cost 2 — measured 3.0 s → ~1 s at sf0.1.
+        // r15 (guide §2.5): the exact percentile partial buffers every
+        // value into per-group count maps, and the single-row-group scan
+        // is one task — repartition by orderkey so 32 partial maps build
+        // in parallel (the merge is an order-independent count-map sum;
+        // results are bit-identical).
         Tables.t(s, dir, "lineitem")
+          .repartition($"l_orderkey")
           .groupBy($"l_returnflag")
           .agg(
             expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q_"),
