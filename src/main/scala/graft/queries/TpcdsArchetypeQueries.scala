@@ -99,12 +99,22 @@ object TpcdsArchetypeQueries {
         val ords = Tables.t(s, dir, "orders")
         val chan = li.join(ords, $"l_orderkey" === $"o_orderkey")
           .select($"l_partkey", $"o_orderpriority", $"l_extendedprice")
-        def parts(p: String) =
-          chan.filter($"o_orderpriority" === p).select($"l_partkey")
-        val crossParts = parts("1-URGENT")
-          .intersect(parts("2-HIGH"))
-          .intersect(parts("3-MEDIUM"))
-        chan.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+          .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        // r15: all-three-channels membership = ONE distinct-count
+        // aggregation (countDistinct(priority) == 3) instead of the
+        // stacked INTERSECT of three filtered branches — the r14 plan
+        // ran the fact⋈orders join FOUR times (one per channel branch +
+        // the revenue pass) and two distinct+semi-join levels; this
+        // shape joins once per pass and aggregates once. Set equality is
+        // exact (a part is in all three channels iff its distinct
+        // priority count over the 3-band filter is 3). The INTERSECT /
+        // EXCEPT operators stay covered by q15/q16.
+        val crossParts = chan
+          .groupBy($"l_partkey")
+          .agg(countDistinct($"o_orderpriority").as("nb"))
+          .filter($"nb" === 3)
+          .select($"l_partkey")
+        chan
           .join(crossParts, Seq("l_partkey"), "left_semi")
           .groupBy($"o_orderpriority")
           .agg(
@@ -127,7 +137,7 @@ object TpcdsArchetypeQueries {
         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
           AND l_partkey IN (SELECT l_partkey FROM cross_parts)
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      doc = "TPC-DS Q14 archetype: INTERSECT-driven cross-channel membership (planned as stacked left-semi joins over deduped keys) feeding a channel-grouped exact-decimal aggregate; no broadcast hint on the corpus-proportional set."),
+      doc = "TPC-DS Q14 archetype: cross-channel membership (all three channels) as ONE countDistinct==3 aggregation — set-identical to the stacked INTERSECT it replaces (r15), with one fact-join pass instead of four — feeding a channel-grouped exact-decimal aggregate; no broadcast hint on the corpus-proportional set. The oracle keeps the verbatim INTERSECT formulation; INTERSECT/EXCEPT operator coverage lives in q15/q16."),
 
     QueryDef(
       "q214_tpcds_scalar_subqueries",
