@@ -112,21 +112,26 @@ object GraphQueries {
         // step would re-run the whole Jaccard kernel (measured 13 s →
         // ~2 s at sf0.1; at 100 TB the pair graph is always a
         // materialized table, never a view over the kernel).
-        DedupQueries.jaccardPairs(Tables.t(s, dir, "documents"), 0.8,
-            sorted = false)
+        // r15: the SYMMETRIZED, DEDUPED edge list is materialized too —
+        // as a CTE it was inlined into the recursion body and its
+        // union+distinct shuffle re-ran on every hop. min(src) over the
+        // symmetric list equals min(d1) (d1 < d2 on every pair), so the
+        // seed subquery reads the same table.
+        val pairs = DedupQueries.jaccardPairs(Tables.t(s, dir, "documents"),
+            0.8, sorted = false)
           .select(col("d1"), col("d2"))
+        pairs.select(col("d1").as("src"), col("d2").as("dst"))
+          .union(pairs.select(col("d2"), col("d1")))
+          .distinct()
           .localCheckpoint()
-          .createOrReplaceTempView("q136_pairs")
+          .createOrReplaceTempView("q136_edges")
         s.sql("""
           WITH RECURSIVE
-            edges AS (
-              SELECT d1 AS src, d2 AS dst FROM q136_pairs
-              UNION SELECT d2, d1 FROM q136_pairs),
             walk(node, hop) AS (
-              SELECT (SELECT min(d1) FROM q136_pairs), 0
+              SELECT (SELECT min(src) FROM q136_edges), 0
               UNION ALL
               SELECT e.dst, w.hop + 1
-              FROM walk w JOIN edges e ON e.src = w.node
+              FROM walk w JOIN q136_edges e ON e.src = w.node
               WHERE w.hop < 3)
           SELECT node AS doc_id, min(hop) AS hops
           FROM walk GROUP BY node ORDER BY doc_id""")
