@@ -68,26 +68,32 @@ object DedupQueries {
   /** The hashed inverted index with the per-document distinct-shingle
     * count attached: (doc_id, n, shingle).
     *
-    * r15 structural change (guide §2.3): n is joined on BEFORE the
+    * r15 structural change (guide §2.3): n is attached BEFORE the
     * shingle self-join so Jaccard's |A|+|B| rides the pair aggregation
     * and the pair table — the largest intermediate of the pipeline — is
     * never re-joined/re-shuffled (the r14 form joined it against a sizes
-    * table twice AFTER the pair groupBy). sizes is one skinny row per
-    * document, no broadcast hint (the q74 lesson); AQE broadcasts it
-    * when it genuinely fits. Interleaved same-session A/B at sf0.1:
-    * parity (2.06s vs 2.14s min-of-6) — the local win is nil because
-    * AQE broadcasts sizes either way; the at-scale win is two fewer
-    * exchanges of every pair row. A localCheckpoint variant (index
-    * materialized once) was also measured and REJECTED: at sf0.1 the
-    * sequential materialization barrier costs ~0.7s while parallel
-    * recomputation of the subtree is free on idle cores.
+    * table twice AFTER the pair groupBy).
+    *
+    * r16 (guide §2.4 "two operations keyed the same way share one
+    * exchange"): n is a window count over doc_id instead of a
+    * groupBy+self-join. The index is already hash-partitioned by doc_id
+    * (the trigram window's exchange survives the distinct), so the
+    * window adds NO exchange and NO join — while the r15 sizes join
+    * recomputed the entire scan→trigram→distinct pipeline for the sizes
+    * side (plan-verified: 4 index subtrees per self-join instead of 2).
+    * At 100 TB this also removes the "sizes table at scale" question
+    * entirely: there is no second relation to broadcast or shuffle.
+    * A localCheckpoint variant (index materialized once) was measured
+    * in r15 and REJECTED: at sf0.1 the sequential materialization
+    * barrier costs ~0.7s while parallel recomputation of the subtree is
+    * free on idle cores.
     */
   private[queries] def hashedIndex(docs: DataFrame): DataFrame = {
-    val inv = trigramsOf(docs)
+    import org.apache.spark.sql.expressions.Window
+    trigramsOf(docs)
       .select(col("doc_id"), xxhash64(col("t3")).as("shingle"))
       .distinct()
-    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    inv.join(sizes, Seq("doc_id"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
   }
 
   /** The exact n-gram-Jaccard near-dup kernel over arbitrary
@@ -128,12 +134,14 @@ object DedupQueries {
           .select(col("shingle"))
           .observe("graft.dedup.hot_shingles", count(lit(1)).as("hot_count"))
         val kept = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
-        // sizes is one row per document — unbounded at corpus scale, so no
-        // broadcast hint (the q74 lesson): a hint here would force an
-        // OOM-scale driver collect at 100 TB; AQE still broadcasts when
-        // sizes genuinely fits the threshold.
-        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        kept.join(sizes, Seq("doc_id"))
+        // Post-cap sizes as a window count (the r16 hashedIndex shape):
+        // kept is still hash-partitioned by doc_id (the broadcast anti
+        // join preserves its stream side's partitioning), so this adds
+        // no exchange — the r15 groupBy+join recomputed the whole capped
+        // pipeline for the sizes side.
+        import org.apache.spark.sql.expressions.Window
+        kept.withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     }
     jaccardFromIndex(inv.repartition(col("shingle")), threshold, None, sorted)
   }
@@ -238,22 +246,40 @@ object DedupQueries {
           $"m3".cast("long").bitwiseAND(lit(0xffffffffL)).as("h1"),
           $"xx".bitwiseAND(lit(0xffffffffL)).as("h2"),
           $"xx")
-        val sigCols = (0 until 32).map(i => min($"h1" + lit(i.toLong) * $"h2").as(s"s$i"))
+        // r16: the per-doc shingle count n rides the SAME signature
+        // aggregation as a 33rd lane (count beside the 32 min lanes —
+        // zero extra shuffle) and travels WITH the LSH candidates into
+        // the verify join, so neither a sizes join nor a window count
+        // ever touches the inverted index. The r15 sizes join recomputed
+        // the whole trigram pipeline for the sizes side; a window-count
+        // variant (the q46 shape) measured WORSE here (1.63→1.91 s
+        // isolated min-of-4) because its per-doc sort of the 500k-row
+        // index lands on the critical path, while this lane is free.
+        val sigCols = (0 until 32).map(i => min($"h1" + lit(i.toLong) * $"h2").as(s"s$i")) :+
+          count(lit(1)).as("n")
         val sigDf = hashed.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
         val bandCols = (0 until 16).map(b =>
           concat_ws(":", lit(b), col(s"s${2 * b}"), col(s"s${2 * b + 1}")))
-        val banded = sigDf.select($"doc_id", explode(array(bandCols: _*)).as("band"))
+        val banded = sigDf.select($"doc_id", $"n", explode(array(bandCols: _*)).as("band"))
         // Equi-join on the band key only; the count-based exact verify
-        // (restricted to these candidates) restores exactness.
+        // (restricted to these candidates) restores exactness. n is
+        // constant per doc, so carrying (n1, n2) through the distinct
+        // leaves the candidate-pair set unchanged.
         val cands = banded.as("x").join(banded.as("y"),
             $"x.band" === $"y.band" && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+          .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+            $"x.n".as("n1"), $"y.n".as("n2"))
           .distinct()
-        val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val inv = dsh.select($"doc_id", $"xx".as("shingle"))
-          .join(sizes, Seq("doc_id"))
-          .repartition($"shingle")
-        jaccardFromIndex(inv, 0.7, Some(cands))
+        val inv = dsh.select($"doc_id", $"xx".as("shingle")).repartition($"shingle")
+        val shared = inv.as("x").join(inv.as("y"),
+            $"x.shingle" === $"y.shingle" && $"x.doc_id" < $"y.doc_id")
+          .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+          .agg(count(lit(1)).as("shared"))
+        shared.join(cands, Seq("d1", "d2"))
+          .withColumn("j", $"shared".cast("double") / ($"n1" + $"n2" - $"shared"))
+          .filter($"j" >= 0.7)
+          .select($"d1", $"d2", round($"j", 6).as("jaccard"))
+          .orderBy($"d1", $"d2")
       },
       Some(jaccardOracleSql(0.7)),
       doc = "MinHash(32) + LSH banding (16x2) candidates, exact Jaccard verify >= 0.7. P(miss) < 2e-9 → exact oracle is safe."),
