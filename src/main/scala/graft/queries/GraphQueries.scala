@@ -43,11 +43,22 @@ object GraphQueries {
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // Round 1, folded (r16): with every node still labeled by its own id,
+    // the neighbor-min join is an identity lookup — round 1's
+    // join+groupBy collapses to ONE aggregation over sym, and the
+    // separate initial-labels materialization (a distinct + checkpoint
+    // job) disappears. Equivalent by construction: least(src, min(dst))
+    // = least(own label, min over neighbors' labels) when labels = ids.
+    // Round 1's convergence count is skipped too: a non-empty symmetric
+    // edge list always relabels its larger endpoints (changed > 0), and
+    // an empty one makes round 2's count 0 — either way the loop behaves
+    // identically to counting here.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .select(col("src").as("node"), col("component"))
       .localCheckpoint()
     var changed = 1L
-    var it = 0
+    var it = 1
     while (changed > 0 && it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src"))
