@@ -1964,7 +1964,8 @@ case class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
             // distinct) would be indistinguishable from the exec's
             // Nil = natural-layout sentinel — that zero-column shape
             // stays row
-            if (specs.nonEmpty || agg.resultExpressions.isEmpty) None
+            if (specs.nonEmpty || agg.resultExpressions.isEmpty ||
+              !keyMappedAggEnabled(session)) None
             else {
               val mapped = agg.resultExpressions.map {
                 case a: Attribute => keyIds.indexOf(a.exprId)
@@ -2041,6 +2042,22 @@ object GraftColumnarRule {
   val rowInputAggEnabledKey = "spark.graft.columnar.agg.rowInput.enabled"
   def rowInputAggEnabled(session: SparkSession): Boolean =
     session.conf.getOption(rowInputAggEnabledKey).forall(_.toBoolean)
+
+  /** Key-mapped keys-only aggregate swap (the r15 21bae97 widening:
+    * keys-only aggregates whose result expressions prune/reorder/alias
+    * the grouping keys — the re-dedup Spark leaves above a reused
+    * distinct stage in dedup pipelines). Default ON; gated so the
+    * r16 interleaved same-JVM A/B ordered by the r15 verdict (q156/q92
+    * sweep regression suspect) could isolate it. The A/B EXONERATED the
+    * swap as the regression cause: q156 min 1.04 s on vs 1.12 s off,
+    * q92 0.93 vs 0.92, q116 0.60 vs 0.58, q47 1.71–1.81 on vs
+    * 1.55–1.68 off (the one shape that leans off, within overlap).
+    * Net a wash — the r15 sweep readings were box noise; default stays
+    * ON for the wider columnar pipeline coverage.
+    */
+  val keyMappedAggEnabledKey = "spark.graft.columnar.agg.keyMapped.enabled"
+  def keyMappedAggEnabled(session: SparkSession): Boolean =
+    session.conf.getOption(keyMappedAggEnabledKey).forall(_.toBoolean)
 
   /** Grouped FINAL-mode columnar aggregation — default ON (A/B showed
     * parity: the final stage merges #groups × #map-partitions buffer
