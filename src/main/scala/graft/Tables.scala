@@ -24,8 +24,13 @@ object Tables {
     * still scans the parquet from disk (this caches METADATA, never
     * data or results). Safe because Tables.t only ever reads the
     * immutable fixture tables — write-then-read-back queries use
-    * spark.read directly on their own output paths. Keyed weakly on the
-    * session so stopped sessions release their plans.
+    * spark.read directly on their own output paths. Keyed on the
+    * session in a WeakHashMap; note (r15 ADVICE) the cached DataFrames
+    * themselves strongly reference their session, so an entry is only
+    * collected when the map value is also unreachable — for the
+    * one-session bench/verify JVMs this is moot, and a long-lived
+    * multi-session process should call [[clearResolved]] on session
+    * stop.
     */
   private val dfCache =
     new java.util.WeakHashMap[SparkSession,
@@ -43,6 +48,32 @@ object Tables {
     per.getOrElseUpdate((dir, name),
       if (name == "events") events(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Drop a stopped session's resolved-DataFrame memo entries (see the
+    * dfCache note: values reference the session, so weak keys alone
+    * never collect).
+    */
+  def clearResolved(spark: SparkSession): Unit =
+    dfCache.synchronized { dfCache.remove(spark); () }
+
+  /** Hash-repartition `df` by `key` ONLY when its resolved scan cannot
+    * feed the session's shuffle parallelism (guide §2.5 "repartition
+    * immediately after an unsplittable read", r16-gated on the actual
+    * scan task count per the r15 verdict): the bench fixtures are one
+    * row group per file, so every scan is a single task and the
+    * repartition is what spreads CPU-heavy per-row work (PII regexes,
+    * exact-percentile buffering) across the cores — while a realistic
+    * many-file 100 TB scan already parallelizes and must NOT pay a
+    * gratuitous full-table exchange. The partition probe reads the
+    * planned scan's partition count (driver-side, no job); hash
+    * repartition, not round-robin: no sort-before-repartition pass and
+    * deterministic under retries.
+    */
+  def spreadIfNarrow(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
   }
 
   /** Conf a session SHOULD carry to read events.parquet fixtures that

@@ -174,9 +174,10 @@ object AggregateQueries {
         import s.implicits._
         // r15: median() is Percentile(0.5) — its partial buffers every
         // value, and the single-row-group scan is one task; repartition
-        // so the buffers build in parallel (q85's note applies).
-        Tables.t(s, dir, "lineitem")
-          .repartition($"l_orderkey")
+        // so the buffers build in parallel (q85's note applies). r16:
+        // gated on the scan's task count (Tables.spreadIfNarrow) so a
+        // splittable at-scale input skips the exchange.
+        Tables.spreadIfNarrow(Tables.t(s, dir, "lineitem"), $"l_orderkey")
           .groupBy($"l_returnflag")
           .agg(
             min($"l_quantity").as("min_qty"),
@@ -282,9 +283,10 @@ object AggregateQueries {
         // value into per-group count maps, and the single-row-group scan
         // is one task — repartition by orderkey so 32 partial maps build
         // in parallel (the merge is an order-independent count-map sum;
-        // results are bit-identical).
-        Tables.t(s, dir, "lineitem")
-          .repartition($"l_orderkey")
+        // results are bit-identical). r16: gated on the scan's task
+        // count (Tables.spreadIfNarrow) so a splittable at-scale input
+        // skips the exchange.
+        Tables.spreadIfNarrow(Tables.t(s, dir, "lineitem"), $"l_orderkey")
           .groupBy($"l_returnflag")
           .agg(
             expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q_"),

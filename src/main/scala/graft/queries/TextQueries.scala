@@ -234,10 +234,11 @@ object TextQueries {
         // unsplittable single-task scan — and the regex detect/redact
         // work below is the most CPU-expensive per-row surface in the
         // inventory; repartition by doc_id immediately after the read
-        // so the regex pass parallelizes (hash, not round-robin: no
-        // sort-before-repartition pass, deterministic under retries).
-        // Partition count comes from spark.sql.shuffle.partitions.
-        val docs = Tables.t(s, dir, "documents").repartition($"doc_id")
+        // so the regex pass parallelizes. r16: gated on the scan's
+        // actual task count (Tables.spreadIfNarrow) so a splittable
+        // at-scale input skips the exchange.
+        val docs = Tables.spreadIfNarrow(
+          Tables.t(s, dir, "documents"), $"doc_id")
         val withPii = docs.select($"doc_id",
           concat_ws(" ", $"text",
             when($"doc_id" % 3 === 0,
