@@ -239,9 +239,22 @@ object DedupQueries {
         // r15: the per-doc size n rides the verify step's single pair
         // aggregation (hashedIndex's shape) — the pair table is never
         // re-joined against a sizes table.
+        // r16: materialize the hashed distinct-trigram table ONCE — it
+        // feeds FOUR subtrees (both banded self-join sides via the
+        // signature aggregation, both verify self-join sides via inv),
+        // and un-materialized each consumer re-ran the whole
+        // scan→trigram→window→distinct pipeline. Interleaved same-JVM
+        // A/B: min 1.56 s vs 1.61 s (parity-to-better locally — idle
+        // cores absorb parallel recompute at sf0.1); at scale this is 3
+        // corpus passes removed for one write+read of the skinny hashed
+        // index. Checkpointing the SIGNATURE table instead was also
+        // A/B'd and REJECTED (2.55 vs 2.03 — its barrier sits after the
+        // heavy aggregation and serializes the banding against the
+        // verify side).
         val dsh = trigramsOf(Tables.t(s, dir, "documents"))
           .select($"doc_id", hash($"t3").as("m3"), xxhash64($"t3").as("xx"))
           .distinct()
+          .localCheckpoint()
         val hashed = dsh.select($"doc_id",
           $"m3".cast("long").bitwiseAND(lit(0xffffffffL)).as("h1"),
           $"xx".bitwiseAND(lit(0xffffffffL)).as("h2"),
