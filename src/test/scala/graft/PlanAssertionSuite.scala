@@ -410,6 +410,30 @@ class PlanAssertionSuite extends GraftTestBase {
       s"q231: expected orders/date_dim/store/hdemo/customer sides broadcast in:\n$p")
   }
 
+  test("q230/q232/q233 TPC-DS stars: every fact-side join broadcast, no non-constant nested loops") {
+    // r16 (verdict item: the r15-landed TPC-DS stars were never plan-
+    // pinned): same discipline as q229/q231 — the fact joins must all
+    // be broadcast hash joins, the only nested loops allowed are the
+    // constant VALUES cross products that BUILD the demographics dims,
+    // and no cartesian may appear.
+    Seq("q230_tpcds_q7", "q232_tpcds_q42", "q233_tpcds_q73").foreach { name =>
+      val df = Catalog.validated.find(_.name == name).get.run(spark, GraftTestBase.sfDriverDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: star joins must stay equi-joins:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: every dim fits its broadcast threshold — a sort-merge join " +
+          s"means a dim grew past it or a hint was lost:\n$p")
+      p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+        assert(l.contains("Cross"),
+          s"$name: non-constant nested loop join leaked into the star:\n$l\n$p")
+      }
+      assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+        s"$name: expected the star dims broadcast in:\n$p")
+    }
+  }
+
   test("q93 executes its predicate on ColumnarBatch via GraftColumnarFilter") {
     val df = run("q93_columnar_filter")
     df.collect()
