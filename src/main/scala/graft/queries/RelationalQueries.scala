@@ -21,23 +21,18 @@ import graft.{QueryDef, Tables}
   */
 object RelationalQueries {
 
-  /** Presentation sort over an expensive window pipeline, computed once
-    * (r16, guide §2.4/§5): a global orderBy is a RANGE exchange, and
-    * RangePartitioner SAMPLES the exchange's child to pick bounds — so
-    * everything since the last materialized exchange (for the window
-    * family: the full per-partition sort + window chain, i.e. the
-    * expensive part of the query) runs TWICE, once for the sampling
-    * pass and once for the real pass (job-profile verified: twin
-    * ~0.77 s jobs in q189). localCheckpoint materializes the pipeline
-    * once; the sample and the sort both read the stored blocks.
-    * Interleaved same-JVM A/B on q189: min 1.93 s vs 2.66 s, every run
-    * lower. A repartition-by-partition-key materialization variant
-    * measured parity (the extra shuffle costs what the recompute
-    * saves). Same trade at scale wherever recomputing the pipeline
-    * costs more than one write+read of its output.
+  /** Window-family presentation sorts go through [[Tables.sortedOnce]]
+    * (one materialization instead of the range-sampling double compute:
+    * job-profile showed twin ~0.77 s jobs in q189, interleaved A/B won
+    * 1.93 vs 2.66 s). Storage level stays the default MEMORY_AND_DISK —
+    * a DISK_ONLY variant was A/B'd same-JVM and costs ~0.45 s per query
+    * isolated (serialize+write on the critical path) for an in-sweep
+    * storage-pressure benefit this box's drift could not demonstrate;
+    * a repartition-by-partition-key materialization variant measured
+    * parity (the extra shuffle costs what the recompute saves).
     */
   private def sortedOnce(df: DataFrame, keys: Column*): DataFrame =
-    df.localCheckpoint().orderBy(keys: _*)
+    Tables.sortedOnce(df, keys: _*)
 
   /** Exact, order-independent accumulation type for money-like doubles. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
@@ -100,7 +95,8 @@ object RelationalQueries {
             (dec($"l_extendedprice") * (one - dec($"l_discount")))
               .cast("double").as("revenue"),
             concat($"l_returnflag", lit("/"), $"l_linestatus").as("flag"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+          .transform(Tables.sortedOnce(_,  // A/B-won, see Tables.sortedOnce
+            $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"))
       },
       Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         CAST(CAST(l_extendedprice AS $decSql) * (CAST(1 AS $decSql) - CAST(l_discount AS $decSql)) AS DOUBLE) AS revenue,
