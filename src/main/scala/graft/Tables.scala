@@ -72,9 +72,17 @@ object Tables {
     * trade at scale: one write+read of the output vs recomputing the
     * span.
     */
+  val sortedOnceEnabledKey = "spark.graft.sortedOnce.enabled"
+
   def sortedOnce(df: DataFrame,
       keys: org.apache.spark.sql.Column*): DataFrame =
-    df.localCheckpoint().orderBy(keys: _*)
+    // The gate exists for plan tests (the checkpoint truncates the
+    // final plan to Sort-over-LogicalRDD, so pins of the pipeline's
+    // operators set it false) and as a production escape hatch; default
+    // ON — the A/B-won path.
+    if (df.sparkSession.conf.getOption(sortedOnceEnabledKey).forall(_.toBoolean))
+      df.localCheckpoint().orderBy(keys: _*)
+    else df.orderBy(keys: _*)
 
   /** Hash-repartition `df` by `key` ONLY when its resolved scan cannot
     * feed the session's shuffle parallelism (guide §2.5 "repartition

@@ -4240,20 +4240,21 @@ class EngineSuite extends GraftTestBase {
     // the simple `.distinct().select(...)` folds into the FINAL swap's
     // outMap (assert that stays true); the keyOut path serves the
     // RE-DEDUP Spark leaves above an AQE-reused distinct stage — the
-    // q47 dedup pipeline is the real producer of that shape, so pin it
-    // there (the node that was tagged "partial output is not keys ++
-    // plain buffer attributes" through r14)
+    // capped dedup pipeline (q92) is the real producer of that shape
+    // since r16 restructured q47's candidate path (re-verified with the
+    // KeyOutProbe tool; the node was tagged "partial output is not keys
+    // ++ plain buffer attributes" through r14)
     val simple = t.distinct().select($"a", $"c".as("x"))
     checkInvariantUnder(simple.orderBy($"a", $"x"),
       Seq(org.apache.spark.sql.graft.GraftColumnarRule.enabledKey -> "false"))
-    val q47 = Catalog.validated.find(_.name == "q47_dedup_minhash_lsh").get
+    val q92 = Catalog.validated.find(_.name == "q92_dedup_jaccard_capped").get
       .run(spark, GraftTestBase.sfDriverDir)
-    q47.collect()
-    assert(findExec(q47) {
+    q92.collect()
+    assert(findExec(q92) {
       case e: org.apache.spark.sql.graft.GraftColumnarGroupedAggExec
           if e.keyOut.nonEmpty => e
-    }.isDefined, s"expected q47's re-dedup to swap with a key mapping in:\n${
-      q47.queryExecution.executedPlan.toString.take(8000)}")
+    }.isDefined, s"expected q92's re-dedup to swap with a key mapping in:\n${
+      q92.queryExecution.executedPlan.toString.take(8000)}")
     // the all-pruned zero-column shape (count over distinct) must stay
     // correct (it falls back — indistinguishable from the natural-layout
     // sentinel)

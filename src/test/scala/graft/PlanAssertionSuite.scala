@@ -17,6 +17,22 @@ class PlanAssertionSuite extends GraftTestBase {
   private def run(name: String): DataFrame =
     Catalog.validated.find(_.name == name).get.run(spark, sfDir)
 
+  /** Build (and execute, for executedPlan pins) a query with the
+    * presentation-sort materialization OFF: Tables.sortedOnce truncates
+    * the final plan to Sort-over-LogicalRDD, so pins of the pipeline's
+    * own operators inspect the un-truncated plan instead (the pipeline
+    * below the checkpoint is identical — only the sampling double-run
+    * differs).
+    */
+  private def runFullPlan(name: String): DataFrame = {
+    spark.conf.set(graft.Tables.sortedOnceEnabledKey, "false")
+    try {
+      val df = run(name)
+      df.collect()
+      df
+    } finally spark.conf.unset(graft.Tables.sortedOnceEnabledKey)
+  }
+
   test("q64 plans a SortMergeJoin") {
     assert(planString(run("q64_sort_merge_join")).contains("SortMergeJoin"))
   }
@@ -794,8 +810,7 @@ class PlanAssertionSuite extends GraftTestBase {
   }
 
   test("q185 wide rolling frames swap to the O(n) sliding window exec") {
-    val df = run("q185_window_rolling_wide")
-    df.collect()
+    val df = runFullPlan("q185_window_rolling_wide")
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p.contains("GraftWindowSliding"),
       s"expected the 1,000-row frames on the invertible sliding kernels in:\n$p")
@@ -805,8 +820,7 @@ class PlanAssertionSuite extends GraftTestBase {
   }
 
   test("q186 wide value-range frames swap to the incremental range-slide exec") {
-    val df = run("q186_window_range_wide")
-    df.collect()
+    val df = runFullPlan("q186_window_range_wide")
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p.contains("GraftWindowRangeSlide"),
       s"expected the wide RANGE frames on the incremental kernels in:\n$p")
@@ -819,8 +833,7 @@ class PlanAssertionSuite extends GraftTestBase {
     // BOTH nodes leave the row exec: the kind-0 ntile/percent_rank/rank
     // node (single emission cursor) and the kind-1 cume_dist +
     // RANGE-running-agg node (peer-scout cursor)
-    val df = run("q187_window_sizebased")
-    df.collect()
+    val df = runFullPlan("q187_window_sizebased")
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     val swapped = "GraftColumnarWindow".r.findAllIn(p).size
     assert(swapped >= 2,
@@ -835,8 +848,7 @@ class PlanAssertionSuite extends GraftTestBase {
     // sliding min), size-based (ntile) and deferred RANGE-running
     // kinds: the splitter chains three homogeneous nodes over the one
     // sort and every one leaves the row exec
-    val df = run("q188_window_mixed_kinds")
-    df.collect()
+    val df = runFullPlan("q188_window_mixed_kinds")
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     val swapped = "GraftColumnarWindow".r.findAllIn(p).size
     assert(swapped >= 3,
@@ -853,8 +865,7 @@ class PlanAssertionSuite extends GraftTestBase {
   test("q189 suffix frames swap to the block-combined face") {
     // both nodes (ROWS suffix over the total order, RANGE suffix over
     // the tied quantity order) leave the O(n^2) row exec
-    val df = run("q189_window_suffix")
-    df.collect()
+    val df = runFullPlan("q189_window_suffix")
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     val swapped = "GraftColumnarWindow".r.findAllIn(p).size
     assert(swapped >= 2,
@@ -879,8 +890,7 @@ class PlanAssertionSuite extends GraftTestBase {
     // 6-gram assembly = pure-lead nodes (GraftWindowOffsetExec);
     // fingerprint selection = sliding string-min + lead in ONE node
     // (fn-13 mixed machine)
-    val df = run("q156_winnowing_dedup")
-    df.collect()
+    val df = runFullPlan("q156_winnowing_dedup")
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p.contains("GraftWindowOffset") || p.contains("GraftColumnarWindow"),
       s"expected streaming window execs in:\n$p")
@@ -998,8 +1008,7 @@ class PlanAssertionSuite extends GraftTestBase {
     // pmod(l_orderkey, 4096) PARTITION BY: the rule materializes the key
     // in a Project below and retries — the O(n) suffix exec must swap
     // (executed plan: the swap lives inside materialized AQE stages)
-    val df = run("q193_window_suffix_hicard")
-    df.collect()
+    val df = runFullPlan("q193_window_suffix_hicard")
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p.contains("GraftColumnarWindow"),
       s"computed-key window must canonicalize and swap:\n$p")
