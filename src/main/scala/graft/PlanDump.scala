@@ -29,6 +29,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same A/B hook as Bench: extra session confs ("k=v,k2=v2") so
+    // gated shapes (e.g. sortedOnce off) can be captured for
+    // before/after evidence without code edits.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val parts = kv.split("=", 2)
+      if (parts.length == 2) spark.conf.set(parts(0).trim, parts(1).trim)
+    })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val names = qcsv.split(",").map(_.trim).filter(_.nonEmpty)
     names.foreach { name =>
